@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions.col
  *    whole-stage-codegen pass (the reference's one-UPDATE-per-table fusion,
  *    `query-builder.ts:14-61`);
  *  - nothing is collected to the driver; dry-run is a distributed `count()`;
- *  - a table whose plan leaves every column untouched is skipped entirely
- *    (`executor.ts:120-124`).
+ *  - a table whose plan leaves every column untouched is skipped entirely and
+ *    reported with count 0 (`executor.ts:120-124`) — at 100 TB that skip is
+ *    the difference between a metadata no-op and a full rewrite.
  */
 object Engine {
 
@@ -22,9 +23,14 @@ object Engine {
    * Compile one table's plan to its output column list. Type-safety
    * normalization (`executor.ts:45-85`) runs here against the live schema —
    * the Spark analogue of the reference's pre-UPDATE type re-probe
-   * (`executor.ts:24-38`).
+   * (`executor.ts:24-38`). A planned column that does not exist in the
+   * schema fails loudly, as the reference's UPDATE on a missing column would.
    */
   def compileTable(df: DataFrame, planned: Seq[PlannedColumn]): Seq[Column] = {
+    val names = df.schema.fieldNames.toSet
+    val missing = planned.map(_.column).filterNot(names)
+    require(missing.isEmpty,
+      s"planned columns not in schema: ${missing.mkString(", ")}")
     val byName = planned.map(p => p.column -> p).toMap
     df.schema.fields.toSeq.map { f =>
       byName.get(f.name) match {
@@ -47,34 +53,54 @@ object Engine {
     }
   }
 
-  /** Transform every planned table; catalog maps bare table name → DataFrame. */
+  private def dfFor(catalog: Map[String, DataFrame], pt: PlannedTable): DataFrame =
+    catalog.getOrElse(pt.name, throw new NoSuchElementException(
+      s"planned table not found in catalog: ${pt.table}"))
+
+  /**
+   * Transform every planned table; catalog maps bare table name → DataFrame.
+   * No-op tables are excluded (the caller reports them as 0 rows); a planned
+   * table absent from the catalog throws, matching the reference's failing
+   * UPDATE rather than silently dropping the table from the report.
+   */
   def transform(plan: Plan, catalog: Map[String, DataFrame]): Map[String, DataFrame] =
     plan.tables.flatMap { pt =>
-      catalog.get(pt.name).map { df =>
-        pt.table -> df.select(compileTable(df, pt.columns): _*)
-      }
+      val df = dfFor(catalog, pt)
+      if (isNoop(df, pt.columns)) None
+      else Some(pt.table -> df.select(compileTable(df, pt.columns): _*))
     }.toMap
 
   /**
    * Dry run: per-table affected-row counts, no write (the reference's
    * rowCount per UPDATE inside a rolled-back transaction,
    * `executor.ts:100-137`). The count equals full table cardinality because
-   * the reference's UPDATEs carry no WHERE.
+   * the reference's UPDATEs carry no WHERE; no-op tables are skipped and
+   * reported as 0 (`executor.ts:120-124`).
    */
   def dryRun(plan: Plan, catalog: Map[String, DataFrame]): Map[String, Long] =
-    transform(plan, catalog).map { case (t, df) => t -> df.count() }
+    plan.tables.map { pt =>
+      val df = dfFor(catalog, pt)
+      if (isNoop(df, pt.columns)) pt.table -> 0L
+      else pt.table -> df.select(compileTable(df, pt.columns): _*).count()
+    }.toMap
 
   /**
    * Apply: write each transformed table as parquet under `outDir/<name>`.
    * Row counts are read back from parquet footers (metadata-only scan) so the
-   * transform runs exactly once — no second pass over the data.
+   * transform runs exactly once — no second pass over the data. No-op tables
+   * are not rewritten (reported 0, as the reference skips empty-SET tables).
    */
   def apply(plan: Plan, catalog: Map[String, DataFrame], outDir: String): Map[String, Long] =
-    transform(plan, catalog).map { case (t, df) =>
-      val path = s"$outDir/${t.replace('.', '_')}"
-      df.write.mode("overwrite").parquet(path)
-      t -> df.sparkSession.read.parquet(path).count()
-    }
+    plan.tables.map { pt =>
+      val df = dfFor(catalog, pt)
+      if (isNoop(df, pt.columns)) pt.table -> 0L
+      else {
+        val out = df.select(compileTable(df, pt.columns): _*)
+        val path = s"$outDir/${pt.table.replace('.', '_')}"
+        out.write.mode("overwrite").parquet(path)
+        pt.table -> out.sparkSession.read.parquet(path).count()
+      }
+    }.toMap
 
   /** Driver-side total, as the reference's report sums (`main.ts:80-83`). */
   def totalRows(counts: Map[String, Long]): Long = counts.values.sum

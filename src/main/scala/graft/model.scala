@@ -73,7 +73,10 @@ final case class Samples(limit: Int = 3, masked: Boolean = true)
 /**
  * Full generated config (`generated-config.types.ts:25-44`).
  * `columnStrategy` is the global name-keyed map: strategy -> column names
- * it applies to everywhere (`config-generator.ts:11-17`).
+ * it applies to everywhere (`config-generator.ts:11-17`). It is an ordered
+ * sequence of pairs, not a Map: the reference iterates the YAML object in
+ * insertion order (`plan-builder.ts:37-43`), and a column listed under two
+ * strategies resolves to the FIRST.
  */
 final case class Config(
     version: Int = 1,
@@ -81,7 +84,7 @@ final case class Config(
     reviewed: Boolean = false,
     scope: Scope = Scope(),
     samples: Samples = Samples(),
-    columnStrategy: Map[String, Seq[String]] = Map.empty,
+    columnStrategy: Seq[(String, Seq[String])] = Nil,
     rules: Seq[TableRule] = Nil)
 
 /** Resolved per-column action (`plan-types.ts:4-9`). */

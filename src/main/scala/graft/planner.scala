@@ -10,20 +10,22 @@ object Planner {
   /**
    * Strategy resolution precedence per column
    * (`plan-builder.ts:19-47`):
-   *   1. table-level rule **with an explicit strategy**
-   *   2. global column_strategy — array-valued entries only (the reference's
-   *      `Array.isArray` guard at `plan-builder.ts:38-42` silently ignores
-   *      object-valued entries; our typed model makes them all Seq-valued,
-   *      so the guard is structural)
+   *   1. any entry in the table's rule list for this column **with an
+   *      explicit strategy** — the reference searches the whole list
+   *      (`plan-builder.ts:25-27`), so `[{column: c}, {column: c,
+   *      strategy: REDACT}]` resolves REDACT for both entries
+   *   2. global column_strategy, iterated in insertion order
+   *      (`plan-builder.ts:37-43`; array-valued entries only — our typed
+   *      model makes them all Seq-valued, so that guard is structural)
    *   3. default KEEP
    */
   def resolveStrategy(
-      rule: Option[ColumnRule],
       columnName: String,
-      global: Map[String, Seq[String]]): PlannedColumn = {
-    rule.flatMap(r => r.strategy.map(s => (s, r.params))) match {
-      case Some((name, params)) =>
-        PlannedColumn(columnName, Strategy.parse(name), params)
+      tableColumns: Seq[ColumnRule],
+      global: Seq[(String, Seq[String])]): PlannedColumn = {
+    tableColumns.find(c => c.column == columnName && c.strategy.isDefined) match {
+      case Some(over) =>
+        PlannedColumn(columnName, Strategy.parse(over.strategy.get), over.params)
       case None =>
         val fromGlobal = global.collectFirst {
           case (strat, cols) if cols.contains(columnName) => Strategy.parse(strat)
@@ -33,17 +35,23 @@ object Planner {
   }
 
   /**
-   * Denylist match: either the full `schema.table` or the bare table name
-   * (`plan-builder.ts:73-75`).
+   * Split `schema.table`; anything else is rejected exactly as the reference
+   * does (`plan-builder.ts:52-60` throws "Invalid table name").
    */
-  def isDenied(schema: String, name: String, denylist: Seq[String]): Boolean =
-    denylist.contains(s"$schema.$name") || denylist.contains(name)
-
-  private def splitTable(table: String, defaultSchema: String): (String, String) =
+  def splitTable(table: String): (String, String) =
     table.split("\\.", 2) match {
-      case Array(s, n) => (s, n)
-      case Array(n)    => (defaultSchema, n)
+      case Array(s, n) if s.nonEmpty && n.nonEmpty => (s, n)
+      case _ =>
+        throw new IllegalArgumentException(
+          s"""Invalid table name "$table". Expected format: schema.table""")
     }
+
+  /**
+   * Denylist match: the raw `rule.table` string OR the bare table name
+   * (`plan-builder.ts:70-75`).
+   */
+  def isDenied(rawTable: String, bareName: String, denylist: Seq[String]): Boolean =
+    denylist.contains(rawTable) || denylist.contains(bareName)
 
   /**
    * Build the full plan: drop disabled rules, drop denylisted tables, resolve
@@ -53,16 +61,16 @@ object Planner {
    */
   def buildPlan(config: Config, createdAt: String): Plan = {
     val tables = config.rules
-      .filter(_.enabled)
-      .flatMap { rule =>
-        val (schema, name) = splitTable(rule.table, config.scope.schema)
-        if (isDenied(schema, name, config.scope.denylistTables)) None
-        else {
-          val cols = rule.columns.map { cr =>
-            resolveStrategy(Some(cr), cr.column, config.columnStrategy)
-          }
-          Some(PlannedTable(s"$schema.$name", schema, name, cols))
+      .filter { rule =>
+        rule.enabled && !isDenied(rule.table, Planner.splitTable(rule.table)._2,
+          config.scope.denylistTables)
+      }
+      .map { rule =>
+        val (schema, name) = splitTable(rule.table)
+        val cols = rule.columns.map { cr =>
+          resolveStrategy(cr.column, rule.columns, config.columnStrategy)
         }
+        PlannedTable(rule.table, schema, name, cols)
       }
     Plan(createdAt, tables)
   }

@@ -30,18 +30,26 @@ object TypeMap {
     case _                                                           => OTHER
   }
 
-  /** PG name-based grouping, udt_name preferred (`type-mapper.ts:12-62`). */
+  /**
+   * PG name-based grouping, udt_name preferred. Mirrors the reference's
+   * contains-based matching exactly (`type-mapper.ts:12-62`): some checks run
+   * against `dt` (the declared data_type) even when `udt` is present, and
+   * most are substring matches — e.g. array udt `_numeric` is NUMBER,
+   * `character varying` matches on dt.
+   */
   def groupOfPgName(dataType: String, udtName: Option[String] = None): TypeGroup = {
-    val t = udtName.filter(_.nonEmpty).getOrElse(dataType).toLowerCase
-    if (t.startsWith("character") || t == "text" || t == "varchar" ||
-        t == "bpchar" || t == "char" || t == "citext") STRING
-    else if (t.contains("int") || t == "numeric" || t == "decimal" ||
-             t.contains("float") || t == "double precision" || t == "double" ||
-             t == "real") NUMBER
-    else if (t == "bool" || t == "boolean") BOOLEAN
-    else if (t.startsWith("timestamp") || t == "date" || t.startsWith("time")) DATE
-    else if (t == "json" || t == "jsonb") JSON
-    else if (t == "uuid") UUID
+    val dt = Option(dataType).getOrElse("").toLowerCase
+    val udt = udtName.getOrElse("").toLowerCase
+    val t = if (udt.nonEmpty) udt else dt
+    if (dt.contains("character") || dt.contains("text") ||
+        t.contains("varchar") || t.contains("bpchar") || t.contains("char") ||
+        t == "citext") STRING
+    else if (t.contains("int") || t.contains("numeric") || t.contains("decimal") ||
+             t.contains("float") || t.contains("double") || t.contains("real")) NUMBER
+    else if (t == "bool" || dt == "boolean") BOOLEAN
+    else if (dt.contains("timestamp") || dt.contains("date") || dt.contains("time")) DATE
+    else if (t == "json" || t == "jsonb" || dt == "json" || dt == "jsonb") JSON
+    else if (t == "uuid" || dt == "uuid") UUID
     else OTHER
   }
 
