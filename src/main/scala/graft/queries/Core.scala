@@ -7,8 +7,25 @@ import org.apache.spark.sql.types.StringType
 
 /** Shared helpers for declared queries. */
 object Q {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    // rejects unless nanos are surfaced as a raw long (nanoseconds since
+    // epoch). Queries convert with tsCol() where timestamp semantics matter.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /**
+   * events.ts (nanos-as-long) → TimestampType at microsecond precision.
+   * `div` is integer division, keeping the math exact — a double division at
+   * 1e18 nanos magnitude would lose sub-microsecond bits.
+   */
+  def tsCol(name: String): org.apache.spark.sql.Column =
+    expr(s"timestamp_micros($name div 1000)")
+
+  /** events.ts (nanos-as-long) → epoch seconds, floored (exact). */
+  def tsSec(name: String): org.apache.spark.sql.Column =
+    expr(s"$name div 1000000000")
 
   /**
    * Exact-money cast: the fixture money columns are 2-decimal doubles, so

@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational extension surface (SURVEY §2.2 P5, §2.3 F10, §2.5 A3-A5,
+ * §2.6 J1-J6, §2.7 W1-W5). The reference has no joins/aggregates/windows —
+ * all row work was single-table UPDATEs — so these are the operators a query
+ * engine over the same data needs, expressed as declarative DataFrame plans
+ * so Catalyst picks pushdown/broadcast/AQE physical strategies.
+ *
+ * Scale notes (100 TB):
+ *  - dimension joins broadcast the small side explicitly (`broadcast(dim)`);
+ *    fact-fact joins shuffle on the join key (sort-merge, AQE-skew-aware);
+ *  - every aggregate is a partial+final hash aggregate (no driver rows);
+ *  - money sums cast 2-decimal doubles to decimal(18,2) first, making the
+ *    sum order-independent — a shuffle-order-varying double sum would not
+ *    be reproducible, let alone oracle-matchable;
+ *  - top-k plans as TakeOrderedAndProject (no full global sort).
+ */
+object Relational {
+  import Q._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P5 — row predicates, pushed to the parquet scan by Catalyst.
+    "q_filter_pred" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20) &&
+          col("l_returnflag") === "R" &&
+          col("l_shipdate") >= expr("TIMESTAMP '1995-01-01 00:00:00'"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // F10 — scalar function kit: string/date/math built-ins, all codegen'd.
+    "q_scalar_kit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderstatus")).as("status_u"),
+          lower(col("o_orderpriority")).as("prio_l"),
+          regexp_replace(col("o_orderpriority"), "[0-9]-", "").as("prio_word"),
+          // DuckDB's length/year/month/datediff return BIGINT; cast the
+          // Spark int results to long so output schemas line up.
+          length(col("o_orderpriority")).cast("long").as("prio_len"),
+          concat(col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("status_prio"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          floor(col("o_totalprice")).cast("long").as("price_floor"),
+          abs(col("o_totalprice") - 100000.0).as("price_dev"))
+        .orderBy("o_orderkey")
+    }),
+    // F10 — JSON extraction (the reference's JSON type group carried data
+    // it never touched; here we actually read it).
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id")
+    }),
+    // J1 — star join, dims broadcast explicitly: revenue per region/nation.
+    "q_join_broadcast" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+    // J2 — fact-fact equi join forced to sort-merge (shuffle on the key).
+    "q_join_smj" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0).hint("merge")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // J3 — left semi: orders containing any near-max-quantity item.
+    "q_join_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    }),
+    // J3 — left anti: customers with no orders at all.
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    // J4 — left outer + aggregate: order count/value per customer, zeros kept.
+    "q_join_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total_spend"))
+        .orderBy("c_custkey")
+    }),
+    // J5 — range (theta) join against a tiny banding dim: broadcast
+    // nested-loop, the only sane physical plan for a non-equi condition.
+    "q_join_range" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq((1, 17, "low"), (17, 34, "mid"), (34, 51, "high"))
+        .toDF("lo", "hi", "band")
+      t(s, dir, "lineitem")
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("band")
+    }),
+    // J6 — as-of join: each event matched to the customer's latest order at
+    // or before the event time (range join + row_number pick-latest; Spark
+    // has no native as-of). Scale path: the join shuffles on the key, the
+    // window partitions by event — no driver materialization.
+    "q_join_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), tsCol("ts").as("ets"))
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ets"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "o_orderkey")
+        .orderBy("event_id")
+    }),
+    // A3 — TPC-H Q1-style pricing summary (partial+final hash aggregate).
+    "q_agg_group" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integer-valued doubles: exact
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // A4 — exact distinct counts per group.
+    "q_agg_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")
+    }),
+    // A4 — HLL++ approximate distinct (no oracle: approx by definition;
+    // the driver records a rows-only check).
+    "q_agg_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    }),
+    // A5 — rollup; grouping nulls folded to 'ALL' so ordering is total.
+    "q_agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")
+    }),
+    // A5 — cube over the same keys.
+    "q_agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+        .orderBy("rf", "ls")
+    }),
+    // W1 — global sort (range-partitioned exchange, no single-node funnel).
+    "q_sort" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    }),
+    // W2 — top-k: planned as TakeOrderedAndProject, not a full sort.
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    // W3 — ranking windows: top-5 customers by balance per nation.
+    "q_window_rank" -> ((s, dir) => {
+      val byBalTie = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val byBal = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          row_number().over(byBalTie).cast("long").as("rn"),
+          rank().over(byBal).cast("long").as("rnk"),
+          dense_rank().over(byBal).cast("long").as("drnk"))
+        .filter(col("rn") <= 5)
+        .orderBy("c_nationkey", "rn")
+    }),
+    // W4 — analytic window with an explicit frame: running spend + lag.
+    "q_window_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_spend"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    // W5 — set operations over nation keys of customers vs suppliers.
+    "q_setops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nkey")).distinct()
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nkey")).distinct()
+      cn.intersect(sn).withColumn("op", lit("intersect"))
+        .union(cn.except(sn).withColumn("op", lit("except")))
+        .union(cn.union(sn).distinct().withColumn("op", lit("union")))
+        .orderBy("op", "nkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+           AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_scalar_kit" ->
+      """SELECT o_orderkey,
+         upper(o_orderstatus) AS status_u,
+         lower(o_orderpriority) AS prio_l,
+         regexp_replace(o_orderpriority, '[0-9]-', '', 'g') AS prio_word,
+         length(o_orderpriority) AS prio_len,
+         o_orderstatus || '/' || o_orderpriority AS status_prio,
+         year(o_orderdate) AS o_year,
+         month(o_orderdate) AS o_month,
+         datediff('day', DATE '1995-01-01', cast(o_orderdate AS date)) AS days_since,
+         cast(floor(o_totalprice) AS bigint) AS price_floor,
+         abs(o_totalprice - 100000.0) AS price_dev
+         FROM orders ORDER BY o_orderkey""",
+    "q_json_extract" ->
+      """SELECT event_id, cast(json_extract_string(props, '$.k') AS bigint) AS k_val
+         FROM events ORDER BY event_id""",
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name,
+         cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_smj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 400000.0
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+         ORDER BY o_orderkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_range" ->
+      """SELECT band, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         JOIN (VALUES (1, 17, 'low'), (17, 34, 'mid'), (34, 51, 'high'))
+           AS b(lo, hi, band)
+           ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY band ORDER BY band""",
+    "q_join_asof" ->
+      """SELECT event_id, user_id, o_orderkey FROM (
+           SELECT e.event_id, e.user_id, o.o_orderkey,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM events e
+           JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+         cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
+         sum(l_quantity) / count(*) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls,
+         sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_window_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk, drnk FROM (
+           SELECT c_custkey, c_nationkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+             dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+           FROM customer)
+         WHERE rn <= 5 ORDER BY c_nationkey, rn""",
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_spend,
+         lag(o_totalprice, 1) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_setops" ->
+      """SELECT nkey, 'intersect' AS op FROM
+           (SELECT DISTINCT c_nationkey AS nkey FROM customer
+            INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT nkey, 'except' AS op FROM
+           (SELECT DISTINCT c_nationkey AS nkey FROM customer
+            EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT nkey, 'union' AS op FROM
+           (SELECT DISTINCT c_nationkey AS nkey FROM customer
+            UNION SELECT DISTINCT s_nationkey FROM supplier)
+         ORDER BY op, nkey""")
+}
