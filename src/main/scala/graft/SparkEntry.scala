@@ -7,9 +7,11 @@ object SparkEntry {
     queries("q_anonymize_full")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Core.queries ++ graft.queries.Relational.queries
+    graft.queries.Core.queries ++ graft.queries.Relational.queries ++
+      graft.queries.Events.queries ++ graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Core.oracles ++ graft.queries.Relational.oracles
+    graft.queries.Core.oracles ++ graft.queries.Relational.oracles ++
+      graft.queries.Events.oracles ++ graft.queries.Pipeline.oracles
 }

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Vector math over `array<float>` embedding columns, built from Spark's
+ * higher-order functions (`zip_with`/`aggregate`/`transform`) — native
+ * Catalyst expressions, no UDFs, so they distribute and survive column
+ * pruning like any built-in.
+ *
+ * All arithmetic is done in double: float inputs are widened exactly, the
+ * fold is strictly sequential, so results are bit-reproducible across
+ * engines (the DuckDB oracle's list_dot_product folds the same way).
+ */
+object VectorOps {
+
+  /** `array<float>` → `array<double>` (exact widening). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for a training-data pipeline (SURVEY §2.5 A6-A7).
+ *
+ * Scale design: every variant is shuffle-based — exact dedup shuffles on the
+ * key, MinHash candidates meet via a groupBy on (band, signature) buckets —
+ * and nothing materializes rows on the driver. An all-pairs similarity join
+ * is deliberately absent: at 100 TB it is O(n²) and disqualifying; LSH
+ * banding bounds the work by bucket size.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup by key, deterministic survivor: the row ranked first by
+   * `order` within each key group. Equivalent to dropDuplicates(keys) but
+   * with a defined (oracle-checkable) choice of survivor.
+   */
+  def exactByKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Word n-gram shingles of a text column (whitespace tokenized). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+  }
+
+  /**
+   * MinHash signature: for each of `numHashes` seeded hash families, the
+   * minimum xxhash64 over the shingle set. Scan-only (no shuffle).
+   */
+  def minhash(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shinglesCol, x => xxhash64(x, lit(i))))
+    }: _*)
+
+  /**
+   * LSH banding: split the signature into `bands` bands of `rowsPerBand`
+   * hashes; docs sharing any full band signature become candidates.
+   * Returns (id, band, band_sig) — one row per band per doc.
+   */
+  def bandSignatures(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          element_at(col(sigCol), b * rowsPerBand + r + 1)): _*).as("band_sig"))
+    }
+    df.select(col(idCol), explode(array(banded: _*)).as("bs"))
+      .select(col(idCol), col("bs.band"), col("bs.band_sig"))
+  }
+
+  /**
+   * Candidate near-duplicate pairs via MinHash banding, verified with exact
+   * Jaccard over the shingle sets; pairs ordered (a < b), deduplicated
+   * across bands. `threshold` filters the verified Jaccard.
+   */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val withSig = df
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhash(col("sh"), numHashes))
+    val bandSigs = bandSignatures(withSig, idCol, "sig", bands, numHashes / bands)
+    val a = bandSigs.select(col(idCol).as("a"), col("band"), col("band_sig"))
+    val b = bandSigs.select(col(idCol).as("b"), col("band"), col("band_sig"))
+    val candidates = a.join(b, Seq("band", "band_sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sh = withSig.select(col(idCol), col("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /**
+   * 16-bit SimHash over whitespace tokens: bit i is the sign of the sum of
+   * (+1/-1) votes from bit i of each token's xxhash64. Scan-only; near-dup
+   * docs land at small Hamming distance.
+   */
+  def simHash16(text: Column): Column = {
+    val hashes = transform(split(text, "\\s+"), x => xxhash64(x))
+    (0 until 16).map { i =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.VectorOps._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (SURVEY §2.9 L2).
+ *
+ * Two paths, as a 100 TB design requires:
+ *  - [[exactTopK]] — brute-force cosine top-k for a SMALL broadcast query
+ *    set. O(|corpus| × |queries|): correct, oracle-checkable, and the right
+ *    tool when |queries| is tens — but NOT the scale path for all-pairs.
+ *  - [[lshBuckets]] / [[lshTopK]] — random-hyperplane (sign) LSH: a
+ *    scan-only signature per vector, then candidates meet inside a bucket.
+ *    The only shuffle is the bucket groupBy/join; no O(n²) pair explosion.
+ */
+object Similarity {
+
+  /**
+   * Top-k cosine neighbours for each query vector. `queries` must be small
+   * (it is broadcast); ranking ties break on vec_id for determinism.
+   */
+  def exactTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("cos", cosine(col(embCol), col(qEmbCol)))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /**
+   * Deterministic random hyperplanes: `n` planes of dimension `dim`, seeded
+   * Gaussian — the projection basis is part of the operator definition, so
+   * signatures are reproducible across runs and engines.
+   */
+  def hyperplanes(n: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /**
+   * Sign-LSH bucket id (0 .. 2^planes-1) for each row: bit i is the sign of
+   * the projection onto plane i. Computed as one scan-only expression chain.
+   */
+  def withLshBucket(df: DataFrame, embCol: String,
+      planes: Seq[Seq[Double]]): DataFrame = {
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val planeArr = s"array(${p.map(d => s"cast($d as double)").mkString(",")})"
+      val dotExpr = s"aggregate(zip_with($embCol, $planeArr, (x, y) -> x * y), " +
+        s"cast(0 as double), (acc, v) -> acc + v)"
+      expr(s"case when $dotExpr >= 0 then ${1L << i} else 0 end")
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket.cast("long"))
+  }
+
+  /** Bucket histogram — the candidate-set size profile of the LSH index. */
+  def lshBuckets(df: DataFrame, embCol: String, planes: Seq[Seq[Double]]): DataFrame =
+    withLshBucket(df, embCol, planes)
+      .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+
+  /**
+   * Approximate top-k: rank candidates only within each query's bucket.
+   * The scale path — the crossJoin of exactTopK is replaced by an equi-join
+   * on bucket, so work is proportional to bucket sizes, not |corpus|².
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Seq[Seq[Double]],
+      idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    val c = withLshBucket(corpus, embCol, planes)
+    val q = withLshBucket(queries, qEmbCol, planes)
+      .withColumnRenamed("bucket", "q_bucket")
+    val scored = c.join(q, col("bucket") === col("q_bucket") &&
+        col(idCol) =!= col(qIdCol))
+      .withColumn("cos", cosine(col(embCol), col(qEmbCol)))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for a training-data pipeline (SURVEY §2.9 L1):
+ * token counting (whitespace + regex "BPE-ish"), quality scoring,
+ * marker-word language ID, and document fingerprinting. All pure
+ * column expressions — scan-only, codegen'd, no shuffle.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(text, "\\s+")).cast("long")
+
+  /**
+   * Regex token count: word runs or single non-space punctuation — the
+   * shape of a byte-pair-encoding pretokenizer's split.
+   */
+  def tokenCountRe(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+
+  /** Count of non-overlapping occurrences of a literal marker in text. */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(call_function("replace", text, lit(marker), lit(""))))
+      / marker.length).cast("long")
+
+  /**
+   * Marker-word language ID: score = summed occurrence mass of per-language
+   * stopword markers over the space-padded text; argmax wins, ties resolved
+   * in declaration order, all-zero scores → "unknown".
+   */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a "),
+    "de" -> Seq(" der ", " und "),
+    "es" -> Seq(" el ", " y "),
+    "fr" -> Seq(" le ", " et "))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    markers.map(m => occurrences(padded, m)).reduce(_ + _)
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("unknown"))) { case (acc, (lang, sc)) =>
+      acc.when(sc === best, lit(lang))
+    }.otherwise(lit("unknown"))
+  }
+
+  /** Mean token length (separators excluded); double, exact integer inputs. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokenCountWs(text)
+    (length(regexp_replace(text, "\\s+", "")).cast("double") / toks)
+  }
+
+  /**
+   * Quality score in [0,1]: half point for a sane token count, half for a
+   * sane mean token length — the shape of the usual heuristic prefilters.
+   */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCountWs(text)
+    val avgLen = avgTokenLen(text)
+    (when(toks.between(20, 10000), 0.5).otherwise(0.0)
+      + when(avgLen.between(3.0, 8.0), 0.5).otherwise(0.0))
+  }
+
+  /** Email detector (ASCII pattern, same regex dialect in Java and RE2). */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  /** North-American-style phone detector. */
+  val phonePattern = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+
+  def hasEmail(text: Column): Column = text.rlike(emailPattern)
+  def hasPhone(text: Column): Column = text.rlike(phonePattern)
+}

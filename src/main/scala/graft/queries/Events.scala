@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series queries over the `events` table (SURVEY §2.8 T1-T3) — batch
+ * plans here so DuckDB can oracle them; the same plans run under
+ * `readStream` in graft.streaming.Streams (T4-T5, test-asserted).
+ *
+ * The raw parquet carries TIMESTAMP_NANOS, surfaced as nanos-longs
+ * (see Q.t); window starts are output as epoch seconds, computed with
+ * exact integer arithmetic on both engines.
+ *
+ * Scale notes: tumbling/sliding windows are plain hash aggregates keyed on
+ * (bucket, type) — they shuffle once and parallelize by key; sessionization
+ * is a window function partitioned by user — the 100 TB path relies on
+ * user_id partitioning, not any global ordering.
+ */
+object Events {
+  import Q._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1 — 5-minute tumbling window per event type (native window()).
+    "q_stream_tumbling" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(tsCol("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .select(col("w.start").cast("long").as("bucket_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    }),
+    // T2 — 10-minute window sliding every 5 minutes (each event lands in
+    // exactly two windows).
+    "q_stream_sliding" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(tsCol("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").cast("long").as("bucket_start"),
+          col("event_type"), col("n_events"))
+        .orderBy("bucket_start", "event_type")
+    }),
+    // T3 — 30-minute-gap session windows per user. A session's end extends
+    // with each event; a new one opens when the gap from the last event is
+    // >= 30 minutes (session_window semantics).
+    "q_sessionize" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(tsCol("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"))
+        .select(col("user_id"), col("w.start").cast("long").as("session_start"),
+          col("n_events"), col("first_event"))
+        .orderBy("user_id", "session_start")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT (epoch_ns(ts) // 300000000000) * 300 AS bucket_start,
+         event_type, count(*) AS n_events,
+         cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""",
+    "q_stream_sliding" ->
+      """SELECT bucket_start, event_type, count(*) AS n_events FROM (
+           SELECT (epoch_ns(ts) // 300000000000) * 300 AS bucket_start,
+                  event_type FROM events
+           UNION ALL
+           SELECT (epoch_ns(ts) // 300000000000) * 300 - 300, event_type
+           FROM events)
+         GROUP BY 1, 2 ORDER BY bucket_start, event_type""",
+    "q_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS tns,
+             CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                       >= 1800000000000 THEN 1
+                  ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT user_id, event_id, tns,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged)
+         SELECT user_id, min(tns) // 1000000000 AS session_start,
+           count(*) AS n_events, min(event_id) AS first_event
+         FROM numbered GROUP BY user_id, sid
+         ORDER BY user_id, session_start""")
+}

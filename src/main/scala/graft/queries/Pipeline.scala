@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-training-data pipeline queries (SURVEY §2.5 A6-A7, §2.9 L1-L4) over
+ * the `documents` and `embeddings` tables: text analysis, exact and fuzzy
+ * dedup, similarity search, array/multimodal passthrough, PII scanning.
+ *
+ * Queries whose operators hash with engine-specific functions (MinHash,
+ * SimHash, LSH) have no SQL oracle — the driver records a rows-only check
+ * and ScalaTest asserts their semantics on synthetic fixtures.
+ */
+object Pipeline {
+  import Q._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L1 — corpus stats per language (exact integer sums).
+    "q_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TA.tokenCountWs(col("text"))).as("sum_tokens"),
+          (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+        .orderBy("lang")
+    }),
+    // L1 — whitespace vs BPE-ish regex token counts per document.
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.tokenCountWs(col("text")).as("n_tokens_ws"),
+          TA.tokenCountRe(col("text")).as("n_tokens_re"))
+        .orderBy("doc_id")
+    }),
+    // L1 — heuristic quality scoring.
+    "q_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.tokenCountWs(col("text")).as("n_tokens"),
+          TA.avgTokenLen(col("text")).as("avg_token_len"),
+          TA.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // L1 — marker-word language ID (argmax of stopword-mass scores).
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TA.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    // A6 — canonical-text fingerprint for exact near-identical dedup.
+    "q_doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // L4 — PII pattern scan: per-source hit counts.
+    "q_pii_scan" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(TA.hasEmail(col("text")), 1L).otherwise(0L)).as("n_email"),
+          sum(when(TA.hasPhone(col("text")), 1L).otherwise(0L)).as("n_phone"))
+        .orderBy("source")
+    }),
+    // A6 — exact dedup by key with deterministic survivor (window-rank; the
+    // dropDuplicates equivalent with a defined choice).
+    "q_dedup_exact" -> ((s, dir) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture data — the
+      // survivor order must cover every output column to be deterministic.
+      Dedup.exactByKey(t(s, dir, "lineitem"), Seq("l_orderkey"),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_quantity")))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey")
+    }),
+    // A7 — MinHash-banded fuzzy dedup; verified Jaccard pairs. No oracle
+    // (murmur/xxhash are engine-specific); asserted in DedupSpec.
+    "q_dedup_fuzzy" -> ((s, dir) => {
+      Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy("a", "b")
+    }),
+    // A7 — SimHash signatures (no oracle; asserted in DedupSpec).
+    "q_dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHash16(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    // L2 — exact brute-force cosine top-10 for 5 query vectors.
+    "q_sim_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"), col("rn"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("q_id", "rn")
+    }),
+    // L2 — sign-LSH bucket histogram: the scale path's candidate profile
+    // (no oracle: bucketing depends on the seeded projection basis).
+    "q_sim_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      Similarity.lshBuckets(emb, "emb", Similarity.hyperplanes(8, 64))
+        .orderBy("bucket")
+    }),
+    // L3 — array<float> passthrough + element/norm access.
+    "q_array_ops" -> ((s, dir) => {
+      val emb = col("embedding")
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), size(emb).cast("long").as("dim"),
+          element_at(emb, 1).cast("double").as("first_val"),
+          VectorOps.l2Norm(VectorOps.asDouble(emb)).as("l2_norm"),
+          col("label"))
+        .orderBy("vec_id")
+    }),
+    // Multimodal metadata over an opaque byte payload (documents.text bytes
+    // stand in for image/audio blobs; see operators.Multimodal).
+    "q_multimodal_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+          md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         cast(sum(n_chars) AS bigint) AS sum_chars,
+         cast(sum(len(string_split_regex(text, '\s+'))) AS bigint) AS sum_tokens,
+         cast(sum(n_chars) AS bigint) / count(*) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_token_count" ->
+      """SELECT doc_id,
+         len(string_split_regex(text, '\s+')) AS n_tokens_ws,
+         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_re
+         FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      """SELECT doc_id, n_tokens, avg_token_len,
+         (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 0.5 ELSE 0.0 END +
+          CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 0.5 ELSE 0.0 END) AS quality
+         FROM (
+           SELECT doc_id,
+             len(string_split_regex(text, '\s+')) AS n_tokens,
+             cast(length(regexp_replace(text, '\s+', '', 'g')) AS double)
+               / len(string_split_regex(text, '\s+')) AS avg_token_len
+           FROM documents)
+         ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH scores AS (
+           SELECT doc_id, lang,
+             (length(p) - length(replace(p, ' the ', ''))) / 5
+               + (length(p) - length(replace(p, ' a ', ''))) / 3 AS s_en,
+             (length(p) - length(replace(p, ' der ', ''))) / 5
+               + (length(p) - length(replace(p, ' und ', ''))) / 5 AS s_de,
+             (length(p) - length(replace(p, ' el ', ''))) / 4
+               + (length(p) - length(replace(p, ' y ', ''))) / 3 AS s_es,
+             (length(p) - length(replace(p, ' le ', ''))) / 4
+               + (length(p) - length(replace(p, ' et ', ''))) / 4 AS s_fr
+           FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents))
+         SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'unknown'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+                ELSE 'unknown' END AS lang_pred
+         FROM scores ORDER BY doc_id""",
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_pii_scan" ->
+      """SELECT source, count(*) AS n_docs,
+         cast(sum(CASE WHEN regexp_matches(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END)
+           AS bigint) AS n_email,
+         cast(sum(CASE WHEN regexp_matches(text,
+           '\d{3}[-. ]\d{3}[-. ]\d{4}') THEN 1 ELSE 0 END) AS bigint) AS n_phone
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_dedup_exact" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM (
+           SELECT l_orderkey, l_partkey, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+           FROM lineitem)
+         WHERE rn = 1 ORDER BY l_orderkey""",
+    "q_sim_exact" ->
+      """SELECT q_id, vec_id, rn, round(cos, 6) AS cosine FROM (
+           SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+           FROM (
+             SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+               list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos
+             FROM embeddings q JOIN embeddings e
+               ON q.vec_id < 5 AND e.vec_id <> q.vec_id))
+         WHERE rn <= 10 ORDER BY q_id, rn""",
+    "q_array_ops" ->
+      """SELECT vec_id, len(embedding) AS dim,
+         cast(embedding[1] AS double) AS first_val,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
+         label
+         FROM embeddings ORDER BY vec_id""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""")
+}
