@@ -15,10 +15,27 @@ object Tables {
     "customer", "documents", "embeddings", "events", "lineitem",
     "nation", "orders", "part", "region", "supplier")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS); Spark only reads those as
+    // raw nanos-longs (see queries.Q.tsCol for the conversion back).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Full catalog for a scale-factor directory. */
   def catalog(spark: SparkSession, dir: String): Map[String, DataFrame] =
     names.map(n => n -> load(spark, dir, n)).toMap
+
+  /**
+   * Catalog by directory listing — any `<table>.parquet` under `dir`, sorted
+   * by name (the reference's information_schema scan orders by table_name,
+   * `schema-reader.ts:22`). Listing is driver-side metadata only.
+   */
+  def catalogFromDir(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => f.getName.stripSuffix(".parquet") -> spark.read.parquet(f.getPath))
+      .toMap
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Engine execution semantics (reference `src/executor/executor.ts:87-147`). */
+class EngineSpec extends SparkSpec {
+
+  private def customers = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row(1L, "alice", 10.5), Row(2L, null, 20.0)),
+    StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("bal", DoubleType))))
+
+  test("compileTable fuses all transforms into one select; untouched cols pass") {
+    val planned = Seq(
+      PlannedColumn("name", Strategy.Redact),
+      PlannedColumn("bal", Strategy.Redact)) // NUMBER → downgraded KEEP
+    val out = customers.select(Engine.compileTable(customers, planned): _*)
+    assert(out.columns.toSeq == Seq("id", "name", "bal"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getString(1) == "***" && rows(0).getDouble(2) == 10.5)
+    assert(rows(1).getString(1) == "***")
+  }
+
+  test("compileTable fails loudly on a planned column missing from the schema") {
+    assertThrows[IllegalArgumentException](
+      Engine.compileTable(customers, Seq(PlannedColumn("nope", Strategy.Redact))))
+  }
+
+  test("no-op tables are skipped and reported as 0 (executor.ts:120-124)") {
+    val plan = Plan("t", Seq(
+      PlannedTable("public.c", "public", "c",
+        Seq(PlannedColumn("name", Strategy.Redact))),
+      PlannedTable("public.noop", "public", "noop",
+        Seq(PlannedColumn("name", Strategy.Keep),
+          PlannedColumn("bal", Strategy.Redact), // downgraded → still no-op
+          PlannedColumn("id", Strategy.Unknown("X"))))))
+    val counts = Engine.dryRun(plan, Map("c" -> customers, "noop" -> customers))
+    assert(counts == Map("public.c" -> 2L, "public.noop" -> 0L))
+    assert(Engine.totalRows(counts) == 2L)
+    // transform excludes the no-op table entirely
+    assert(Engine.transform(plan, Map("c" -> customers, "noop" -> customers))
+      .keySet == Set("public.c"))
+  }
+
+  test("a planned table absent from the catalog throws (no silent drop)") {
+    val plan = Plan("t", Seq(PlannedTable("public.ghost", "public", "ghost",
+      Seq(PlannedColumn("name", Strategy.Redact)))))
+    assertThrows[NoSuchElementException](Engine.dryRun(plan, Map.empty))
+  }
+
+  test("apply writes transformed parquet and counts from the written files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-apply").toString
+    val plan = Plan("t", Seq(PlannedTable("public.c", "public", "c",
+      Seq(PlannedColumn("name", Strategy.HashSha256)))))
+    val counts = Engine.apply(plan, Map("c" -> customers), dir)
+    assert(counts == Map("public.c" -> 2L))
+    val back = spark.read.parquet(s"$dir/public_c").orderBy("id").collect()
+    assert(back(0).getString(1).matches("[0-9a-f]{32}"))
+    assert(back(1).getString(1) == "d41d8cd98f00b204e9800998ecf8427e") // NULL → md5('')
+  }
+}

@@ -1,0 +1,194 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+import graft.functions.VectorOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (i, t) => Row(i, t) }: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+  }
+
+  test("shingles: distinct word n-grams; short docs yield one partial shingle") {
+    val out = docs((1L, "a b c d")).select(Dedup.shingles(col("text"), 3))
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("a b c", "b c d"))
+    val short = docs((1L, "a b")).select(Dedup.shingles(col("text"), 3))
+      .collect().head.getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash: identical shingle sets → identical signatures, fixed length") {
+    val df = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "entirely different words here now"))
+    val sigs = df.select(col("doc_id"),
+      Dedup.minhash(Dedup.shingles(col("text"), 2), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 8)
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("nearDuplicates finds planted near-dups and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("epsilon", "EPSILON") // one token changed
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val out = Dedup.nearDuplicates(
+      docs((1L, base), (2L, nearDup), (3L, other), (4L, base)),
+      "doc_id", "text", shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(out.find(p => p._1 == 1L && p._2 == 4L).get._3 == 1.0)
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+  }
+
+  test("simHash16: equal texts equal, near texts within small Hamming distance") {
+    val df = docs((1L, "spark engine scale data pipeline quality"),
+      (2L, "spark engine scale data pipeline quality"),
+      (3L, "spark engine scale data pipeline throughput"),
+      (4L, "q w e r t y u i o p"))
+    val sigs = df.select(col("doc_id"), Dedup.simHash16(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L) == sigs(2L))
+    assert(hamming(sigs(1L), sigs(3L)) <= 6)
+    assert(hamming(sigs(1L), sigs(4L)) > 0)
+  }
+
+  test("exactByKey keeps exactly the first-ordered row per key") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 2L, "b"), Row(1L, 1L, "a"), Row(2L, 9L, "z")),
+      StructType(Seq(StructField("k", LongType), StructField("o", LongType),
+        StructField("v", StringType))))
+    val out = Dedup.exactByKey(df, Seq("k"), Seq(col("o"))).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "z")))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (i, v) => Row(i, v) }: _*),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("emb", ArrayType(DoubleType)))))
+
+  test("cosine: hand-checked values via VectorOps") {
+    val df = vecs((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(2.0, 0.0)))
+    val out = df.crossJoin(vecs((9L, Seq(1.0, 0.0)))
+        .select(col("emb").as("q_emb")))
+      .select(col("vec_id"), VectorOps.cosine(col("emb"), col("q_emb")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0 && out(3L) == 1.0)
+    assert(out(2L) == 0.0)
+  }
+
+  test("exactTopK ranks by cosine desc with vec_id tiebreak") {
+    val corpus = vecs((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(1.0, 0.0)))
+    val qs = vecs((1L, Seq(1.0, 0.0))).select(col("vec_id").as("q_id"),
+      col("emb").as("q_emb"))
+    val out = Similarity.exactTopK(corpus, qs, 2)
+      .orderBy("rn").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(out == Seq(4L, 2L)) // cos(4)=1.0 (id-tiebreak beats 2), then 2
+  }
+
+  test("LSH: same vector → same bucket; opposite vectors differ; topK ⊆ bucket") {
+    val planes = Similarity.hyperplanes(8, 4)
+    assert(planes == Similarity.hyperplanes(8, 4)) // seeded determinism
+    val corpus = vecs((1L, Seq(1.0, 2.0, -1.0, 0.5)), (2L, Seq(1.0, 2.0, -1.0, 0.5)),
+      (3L, Seq(-1.0, -2.0, 1.0, -0.5)))
+    val buckets = Similarity.withLshBucket(corpus, "emb", planes)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(buckets(1L) == buckets(2L))
+    assert(buckets(1L) != buckets(3L)) // sign-flip of every projection
+    val qs = vecs((10L, Seq(1.0, 2.0, -1.0, 0.5)))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val hits = Similarity.lshTopK(corpus, qs, 5, planes)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(hits == Set(1L, 2L)) // bucket-mates only; 3 is filtered by LSH
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val df = strDf("t", Seq("hello world, friend!"))
+    val out = df.select(TA.tokenCountWs(col("t")), TA.tokenCountRe(col("t")))
+      .collect().head
+    assert(out.getLong(0) == 3)
+    assert(out.getLong(1) == 5) // hello / world / , / friend / !
+  }
+
+  test("occurrences counts non-overlapping literal matches") {
+    val df = strDf("t", Seq("the cat the dog the bird"))
+    assert(df.select(TA.occurrences(col("t"), "the ")).collect().head.getLong(0) == 3)
+  }
+
+  test("langId picks the marker-heavy language; unknown when no markers") {
+    val df = strDf("t", Seq(
+      "the cat sat on a mat with the hat",
+      "der hund und der vogel und die katze",
+      "le chat et le chien et la souris",
+      "xyz qrs tuv"))
+    val out = collectStrings(df.select(TA.langId(col("t"))))
+    assert(out == Seq("en", "de", "fr", "unknown"))
+  }
+
+  test("quality score rewards sane token count and token length") {
+    val good = ("word " * 25).trim
+    val out = strDf("t", Seq(good, "a b", "x"))
+      .select(TA.qualityScore(col("t"))).collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("PII detectors hit emails and phone shapes, not plain text") {
+    val df = strDf("t", Seq("contact bob@example.com now", "call 415-555-1234",
+      "nothing here"))
+    val out = df.select(TA.hasEmail(col("t")), TA.hasPhone(col("t"))).collect()
+    assert(out(0).getBoolean(0) && !out(0).getBoolean(1))
+    assert(!out(1).getBoolean(0) && out(1).getBoolean(1))
+    assert(!out(2).getBoolean(0) && !out(2).getBoolean(1))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import graft.operators.Multimodal
+
+  private def media = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row(1L, "some fake image bytes".getBytes("UTF-8"), "image/png", 4, 4),
+      Row(2L, Array.emptyByteArray, "image/png", 0, 0),
+      Row(3L, null, null, null, null)),
+    Multimodal.mediaSchema)
+
+  test("extractMeta: byte length, emptiness, stable content hash") {
+    val out = Multimodal.extractMeta(media).orderBy("media_id").collect()
+    assert(out(0).getAs[Long]("n_bytes") == 21L)
+    assert(!out(0).getAs[Boolean]("is_empty"))
+    assert(out(0).getAs[String]("content_hash").matches("[0-9a-f]{64}"))
+    assert(out(1).getAs[Boolean]("is_empty"))
+    assert(out(2).getAs[Boolean]("is_empty")) // NULL payload → empty
+  }
+
+  test("decodeStub: deterministic frames with the declared schema") {
+    val frames = Multimodal.decodeStub(media, framesPerItem = 2)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_no", "feature"))
+    val rows = frames.collect().sortBy(f => (f.media_id, f.frame_no))
+    assert(rows.length == 6) // 3 items × 2 frames, null payload included
+    val again = Multimodal.decodeStub(media, framesPerItem = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_no))
+    assert(rows.toSeq == again.toSeq) // stub is deterministic
+  }
+}

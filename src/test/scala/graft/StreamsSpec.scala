@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming behavior (SURVEY §2.8 T1/T4/T5): the batch window
+  * plans executed over an unbounded source with watermarked state. */
+class StreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$second%02d")
+
+  case class Ev(ts: Timestamp, event_type: String, user_id: Long)
+
+  test("tumbling counts aggregate a stream in event time (T1)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Ev(ts(0, 10), "click", 1), Ev(ts(1, 0), "click", 2),
+        Ev(ts(6, 0), "click", 1), Ev(ts(6, 30), "view", 3))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_t")
+        .select(col("bucket_start").cast("long"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val t0 = ts(0).getTime / 1000
+      assert(rows == Set((t0, "click", 2L), (t0 + 300, "click", 1L),
+        (t0 + 300, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops in-horizon duplicate keys (T5)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupWithinWatermark(mem.toDF(), Seq("user_id"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts(0), "a", 1), Ev(ts(1), "b", 1), Ev(ts(2), "c", 2))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(3), "d", 1)) // still duplicate of user 1
+      q.processAllAvailable()
+      val users = spark.table("dedup_t").select("user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(users == Set((1L, "a"), (2L, "c"))) // b and d dropped as dups
+    } finally q.stop()
+  }
+
+  test("sessions merge events within the gap and split across it (T3)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessions(mem.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("sessions_t")
+      .outputMode("complete").start()
+    try {
+      // user 1: events 5 min apart (one session), then a 40-min gap (new one)
+      mem.addData(Ev(ts(0), "a", 1), Ev(ts(5), "b", 1), Ev(ts(45), "c", 1),
+        Ev(ts(10), "d", 2))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_t")
+        .select(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.count(_._1 == 1L) == 2) // two sessions for user 1
+      assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L))
+      assert(rows.filter(_._1 == 2L).map(_._2).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+}
