@@ -70,9 +70,14 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.6): DataFrame = {
+    // The signature stage feeds both sides of the bucket self-join and both
+    // Jaccard re-joins; without a persist Spark recomputes the shingling 4x
+    // (observed 4-5x wall-clock). At cluster scale this stage would be
+    // checkpointed for the same reason.
     val withSig = df
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
       .withColumn("sig", minhash(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandSigs = bandSignatures(withSig, idCol, "sig", bands, numHashes / bands)
     val a = bandSigs.select(col(idCol).as("a"), col("band"), col("band_sig"))
     val b = bandSigs.select(col(idCol).as("b"), col("band"), col("band_sig"))

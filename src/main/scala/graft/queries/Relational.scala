@@ -120,20 +120,19 @@ object Relational {
         .orderBy("band")
     }),
     // J6 — as-of join: each event matched to the customer's latest order at
-    // or before the event time (range join + row_number pick-latest; Spark
-    // has no native as-of). Scale path: the join shuffles on the key, the
-    // window partitions by event — no driver materialization.
+    // or before the event time (Spark has no native as-of). Pick-latest is a
+    // max(struct(date, key)) aggregate rather than a window: the partial
+    // (map-side) aggregation shrinks the shuffle from |matches| to |events|,
+    // which is the difference that matters at 100 TB.
     "q_join_asof" -> ((s, dir) => {
       val e = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), tsCol("ts").as("ets"))
       val o = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderdate")
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
       e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ets"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("event_id", "user_id", "o_orderkey")
+        .groupBy("event_id", "user_id")
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+        .select(col("event_id"), col("user_id"), col("best.o_orderkey"))
         .orderBy("event_id")
     }),
     // A3 — TPC-H Q1-style pricing summary (partial+final hash aggregate).
