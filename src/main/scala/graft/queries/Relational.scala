@@ -182,6 +182,47 @@ object Relational {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
         .orderBy("rf", "ls")
     }),
+    // A3 — pivot: per-linestatus item counts spread across returnflag
+    // columns (wide-format aggregate; Catalyst plans it as one aggregate).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("l_linestatus"), col("A").as("n_a"), col("N").as("n_n"),
+          col("R").as("n_r"))
+        .orderBy("l_linestatus")
+    }),
+    // A3 — exact percentiles (linear interpolation, matching percentile_cont).
+    "q_agg_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy("l_returnflag")
+    }),
+    // A3 — moment statistics from exact integer power sums: l_quantity is
+    // integer-valued, so sum and sum-of-squares are exact in double and the
+    // variance formula is order-independent (stddev_samp's streaming M2
+    // would not be reproducible across engines).
+    "q_agg_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s1"),
+          sum(col("l_quantity") * col("l_quantity")).as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          (col("s1") / col("n")).as("mean_qty"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+            .as("var_qty"))
+        .orderBy("l_returnflag")
+    }),
+    // A4 — full-row distinct (dropDuplicates over every column).
+    "q_distinct_rows" -> ((s, dir) => {
+      t(s, dir, "orders").select("o_custkey", "o_orderstatus").distinct()
+        .orderBy("o_custkey", "o_orderstatus")
+    }),
     // W1 — global sort (range-partitioned exchange, no single-node funnel).
     "q_sort" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -321,6 +362,28 @@ object Relational {
          coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
+    "q_pivot" ->
+      """SELECT l_linestatus,
+         count(*) FILTER (WHERE l_returnflag = 'A') AS n_a,
+         count(*) FILTER (WHERE l_returnflag = 'N') AS n_n,
+         count(*) FILTER (WHERE l_returnflag = 'R') AS n_r
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+         percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+         percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag, n, s1 / n AS mean_qty,
+         (s2 - s1 * s1 / n) / (n - 1) AS var_qty
+         FROM (SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS s1,
+               sum(l_quantity * l_quantity) AS s2
+               FROM lineitem GROUP BY l_returnflag)
+         ORDER BY l_returnflag""",
+    "q_distinct_rows" ->
+      """SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+         ORDER BY o_custkey, o_orderstatus""",
     "q_sort" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber""",

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Source/sink surface (SURVEY §2.1). The reference reads a live Postgres
+ * via a single client connection (`src/db/postgres.client.ts:4-23`) and
+ * introspects information_schema (`src/schema/schema-reader.ts:16-37`);
+ * here the same capability is a JDBC reader whose schema IS the catalog
+ * introspection (Spark populates it from DB metadata), plus the parquet
+ * path the harness exercises and a streaming file source for the events
+ * surface.
+ *
+ * Scale notes: jdbc() exposes partitioned reads — without a partition
+ * column a JDBC scan is a single connection doing all the work (the
+ * reference's model, fine for an UPDATE pushdown, hopeless for 100 TB
+ * analytics); with (column, lower, upper, numPartitions) Spark opens
+ * parallel cursors per slice.
+ */
+object Sources {
+
+  /** Parquet table (self-describing schema; predicate/column pushdown free). */
+  def parquet(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+  }
+
+  /**
+   * JDBC table — the reference's Postgres source re-expressed. Partition
+   * bounds turn the single-connection read into N parallel range scans.
+   * (Not exercised by the harness: no database ships in this environment;
+   * the call shape is the public DataFrameReader.jdbc contract.)
+   */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties,
+      partitioning: Option[(String, Long, Long, Int)] = None): DataFrame =
+    partitioning match {
+      case Some((column, lower, upper, n)) =>
+        spark.read.jdbc(url, table, column, lower, upper, n, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+
+  /**
+   * Streaming file source over a directory of parquet (the events table as
+   * an unbounded stream): new files are discovered per micro-batch. Feed
+   * the result to graft.streaming.Streams operators.
+   */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Write a DataFrame as a parquet table directory (the apply sink). */
+  def writeParquet(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).parquet(path)
+}

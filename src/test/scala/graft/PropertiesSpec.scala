@@ -1,0 +1,80 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based laws (SURVEY §5.2) over the driver-side compiler —
+  * resolution precedence, downgrade totality, mask length laws. */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val strategyNames =
+    Gen.oneOf("KEEP", "SET_NULL", "REDACT", "HASH_SHA256", "TRUNCATE",
+      "EMAIL_FAKE", "SCRAMBLE", "")
+  private val groups = Gen.oneOf(TypeGroup.STRING, TypeGroup.NUMBER,
+    TypeGroup.BOOLEAN, TypeGroup.DATE, TypeGroup.JSON, TypeGroup.UUID,
+    TypeGroup.OTHER)
+
+  test("normalize is total and idempotent for any strategy × type group") {
+    check(Prop.forAll(strategyNames, groups) { (name, g) =>
+      val st = Strategy.parse(name)
+      val once = Strategies.normalize(st, g)
+      Strategies.normalize(once, g) == once
+    })
+  }
+
+  test("normalize never emits a strategy that violates the type rules") {
+    check(Prop.forAll(strategyNames, groups) { (name, g) =>
+      Strategies.normalize(Strategy.parse(name), g) match {
+        case Strategy.EmailFake | Strategy.Redact | Strategy.Truncate =>
+          g == TypeGroup.STRING
+        case Strategy.HashSha256 =>
+          g == TypeGroup.STRING || g == TypeGroup.OTHER
+        case _ => true
+      }
+    })
+  }
+
+  test("maskSampleStr length law: len>6 → exactly 7 chars, len in 1..6 → ***") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val m = ConfigIO.maskSampleStr(s)
+      if (s.isEmpty) m == s
+      else if (s.length <= 6) m == "***"
+      else m.length == 7 && m.startsWith(s.take(2)) && m.endsWith(s.takeRight(2))
+    })
+  }
+
+  test("resolution precedence: explicit rule always beats the global map") {
+    val gen = for {
+      colName <- Gen.alphaStr.suchThat(_.nonEmpty)
+      explicit <- strategyNames.suchThat(_.nonEmpty)
+      globalStrat <- strategyNames.suchThat(_.nonEmpty)
+    } yield (colName, explicit, globalStrat)
+    check(Prop.forAll(gen) { case (c, ex, g) =>
+      val resolved = Planner.resolveStrategy(c,
+        Seq(ColumnRule(c, Some(ex))), Seq(g -> Seq(c)))
+      resolved.strategy == Strategy.parse(ex)
+    })
+  }
+
+  test("resolution is KEEP whenever nothing matches") {
+    check(Prop.forAll(Gen.alphaStr.suchThat(_.nonEmpty)) { c =>
+      Planner.resolveStrategy(c, Seq(ColumnRule(c)), Nil)
+        .strategy == Strategy.Keep
+    })
+  }
+
+  test("parse round-trips every builtin name and tags the rest Unknown") {
+    check(Prop.forAll(strategyNames) { name =>
+      Strategy.parse(name) match {
+        case Strategy.Unknown(raw) => raw == name &&
+          !Strategy.builtins.exists(_.name == name)
+        case st => st.name == name
+      }
+    })
+  }
+}
