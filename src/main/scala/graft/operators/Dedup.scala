@@ -96,6 +96,41 @@ object Dedup {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs, exact: every (a < b) pair with
+   * cosine ≥ threshold. O(n²) — correct and oracle-checkable, for modest n
+   * or as the verifier over a candidate set. The scale path is
+   * [[embeddingNearDupsLsh]].
+   */
+  def embeddingNearDupsExact(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a"), col(embCol).as("emb_a"))
+    val b = df.select(col(idCol).as("b"), col(embCol).as("emb_b"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cos", graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs at scale: candidates meet only inside a
+   * sign-LSH bucket (equi-join on bucket id — no O(n²) pair explosion),
+   * then exact cosine verifies. Recall is governed by the plane count:
+   * fewer planes → bigger buckets → higher recall, more work.
+   */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, planes: Seq[Seq[Double]]): DataFrame = {
+    val bucketed = Similarity.withLshBucket(df, embCol, planes)
+      .select(col(idCol), col(embCol), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bucketed.select(col(idCol).as("a"), col(embCol).as("emb_a"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("b"), col(embCol).as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cos", graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos")).distinct()
+  }
+
+  /**
    * 16-bit SimHash over whitespace tokens: bit i is the sign of the sum of
    * (+1/-1) votes from bit i of each token's xxhash64. Scan-only; near-dup
    * docs land at small Hamming distance.

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-engineering operators: skew mitigation and co-located joins — the
+ * knobs that matter at 100 TB and are invisible at test scale.
+ */
+object Scale {
+
+  /**
+   * Skew-salted equi-join (large LEFT against small-ish RIGHT on `key`):
+   * the left side gets a deterministic salt in [0, saltFactor) derived from
+   * hashing `saltFrom` columns; the right side is exploded once per salt
+   * value. A hot key's rows then spread over `saltFactor` reducers instead
+   * of one. Deterministic (no rand()), so results are reproducible.
+   *
+   * AQE's skew-join handling covers sort-merge cases adaptively; explicit
+   * salting remains the tool when a single key dominates so heavily that
+   * even a split partition is one task's worth of data, or when the join
+   * is hash-based and AQE cannot split it.
+   */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int, saltFrom: Seq[String], joinType: String = "inner"): DataFrame = {
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(saltFrom.map(col): _*), lit(saltFactor)).cast("int"))
+    val exploded = small.withColumn("__salt",
+      explode(lit((0 until saltFactor).toArray)))
+    salted.join(exploded, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /**
+   * Write a DataFrame as a bucketed (and optionally sorted) table: both
+   * sides of a recurring fact-fact join bucketed on the join key join
+   * WITHOUT a shuffle — the exchange disappears from the plan because the
+   * on-disk layout already satisfies the distribution requirement.
+   */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Read a bucketed table back (bucket metadata comes from the catalog). */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

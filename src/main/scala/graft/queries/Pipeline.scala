@@ -107,6 +107,25 @@ object Pipeline {
       Similarity.lshBuckets(emb, "emb", Similarity.hyperplanes(8, 64))
         .orderBy("bucket")
     }),
+    // A7 — embedding-cosine near-dup, exact pair scan (oracle-checked; the
+    // LSH-bucketed scale path is Dedup.embeddingNearDupsLsh, test-asserted).
+    "q_dedup_embed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      Dedup.embeddingNearDupsExact(emb, "vec_id", "emb", 0.4)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
+        .orderBy("a", "b")
+    }),
+    // F10 — map functions over JSON-derived maps (events.props).
+    "q_map_ops" -> ((s, dir) => {
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+      t(s, dir, "events")
+        .select(col("event_id"), map_keys(m).getItem(0).as("first_key"),
+          map_values(m).getItem(0).as("first_val"),
+          size(map_keys(m)).cast("long").as("n_keys"))
+        .orderBy("event_id")
+    }),
     // L3 — array<float> passthrough + element/norm access.
     "q_array_ops" -> ((s, dir) => {
       val emb = col("embedding")
@@ -200,6 +219,19 @@ object Pipeline {
              FROM embeddings q JOIN embeddings e
                ON q.vec_id < 5 AND e.vec_id <> q.vec_id))
          WHERE rn <= 10 ORDER BY q_id, rn""",
+    "q_dedup_embed" ->
+      """SELECT a, b, round(cos, 6) AS cosine FROM (
+           SELECT ea.vec_id AS a, eb.vec_id AS b,
+             list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) AS cos
+           FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id)
+         WHERE cos >= 0.4 ORDER BY a, b""",
+    "q_map_ops" ->
+      """SELECT event_id, json_keys(props)[1] AS first_key,
+         cast(json_extract_string(props, '$.' || json_keys(props)[1]) AS bigint) AS first_val,
+         cast(len(json_keys(props)) AS bigint) AS n_keys
+         FROM events ORDER BY event_id""",
     "q_array_ops" ->
       """SELECT vec_id, len(embedding) AS dim,
          cast(embedding[1] AS double) AS first_val,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+/**
+ * Plan-quality regression guards: the physical plans that make these
+ * operators viable at 100 TB, asserted so a refactor can't silently
+ * reintroduce a full scan, a lost broadcast, or an extra shuffle.
+ */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filters and projections reach the parquet scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    assert(!p.contains("l_tax"), "pruned columns must not be read")
+  }
+
+  test("star join broadcasts the dimension sides") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("fact-fact join honors the sort-merge hint") {
+    assert(plan("q_join_smj").contains("SortMergeJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("anonymization is a single scan+project pass, no exchange before sort") {
+    val p = plan("q_anonymize_full")
+    // one FileScan, and the only exchange is the final presentation orderBy
+    assert("FileScan".r.findAllIn(p).length == 1)
+    assert("Exchange".r.findAllIn(p).length == 1)
+  }
+
+  test("group aggregate is partial+final (map-side combine)") {
+    val p = plan("q_agg_group")
+    assert(p.contains("partial_sum") || p.contains("partial"), p.take(400))
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val s = spark
+    s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    val li = queries.Q.t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = queries.Q.t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    Scale.writeBucketed(li, "li_b", "l_orderkey", 4)
+    Scale.writeBucketed(o, "o_b", "o_orderkey", 4)
+    val joined = Scale.readBucketed(s, "li_b")
+      .join(Scale.readBucketed(s, "o_b"), col("l_orderkey") === col("o_orderkey"))
+      .hint("merge")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed join must not shuffle:\n" + p.take(1200))
+    assert(joined.count() > 0)
+    s.sql("DROP TABLE IF EXISTS li_b"); s.sql("DROP TABLE IF EXISTS o_b")
+  }
+}
