@@ -18,8 +18,18 @@ object VectorOps {
   /** `array<float>` → `array<double>` (exact widening). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
+  /**
+   * Sequential dot product of two double arrays — the codegen'd
+   * [[DotProduct]] expression (bit-identical to the higher-order-function
+   * fold it replaced, ~20x faster on all-pairs scans; see DotProduct docs).
+   */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(DotProduct(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** The pure-built-in fold formulation, kept as the portability fallback. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm. */

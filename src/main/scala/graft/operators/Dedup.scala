@@ -103,10 +103,15 @@ object Dedup {
    */
   def embeddingNearDupsExact(df: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a"), col(embCol).as("emb_a"))
-    val b = df.select(col(idCol).as("b"), col(embCol).as("emb_b"))
+    import graft.functions.VectorOps
+    // per-row norms once per side, not per pair
+    val a = df.select(col(idCol).as("a"), col(embCol).as("emb_a"),
+      VectorOps.l2Norm(col(embCol)).as("norm_a"))
+    val b = df.select(col(idCol).as("b"), col(embCol).as("emb_b"),
+      VectorOps.l2Norm(col(embCol)).as("norm_b"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cos", graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos", VectorOps.dot(col("emb_a"), col("emb_b"))
+        / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }

@@ -25,12 +25,17 @@ object Similarity {
   def exactTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "emb",
       qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    // Norms are per-row, so compute them once per side before the pair
+    // explosion instead of twice per pair (|corpus|x|queries| times).
+    val c = corpus.withColumn("__norm", l2Norm(col(embCol)))
+    val q = queries.withColumn("__qnorm", l2Norm(col(qEmbCol)))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col(qIdCol))
-      .withColumn("cos", cosine(col(embCol), col(qEmbCol)))
+      .withColumn("cos",
+        dot(col(embCol), col(qEmbCol)) / (col("__norm") * col("__qnorm")))
     val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+      .filter(col("rn") <= k).drop("__norm", "__qnorm")
   }
 
   /**
@@ -50,10 +55,7 @@ object Similarity {
   def withLshBucket(df: DataFrame, embCol: String,
       planes: Seq[Seq[Double]]): DataFrame = {
     val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = s"array(${p.map(d => s"cast($d as double)").mkString(",")})"
-      val dotExpr = s"aggregate(zip_with($embCol, $planeArr, (x, y) -> x * y), " +
-        s"cast(0 as double), (acc, v) -> acc + v)"
-      expr(s"case when $dotExpr >= 0 then ${1L << i} else 0 end")
+      when(dot(col(embCol), typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn("bucket", bucket.cast("long"))
   }
