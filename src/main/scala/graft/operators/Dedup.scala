@@ -38,13 +38,35 @@ object Dedup {
   }
 
   /**
-   * MinHash signature: for each of `numHashes` seeded hash families, the
-   * minimum xxhash64 over the shingle set. Scan-only (no shuffle).
+   * MinHash signature: the shingle set is hashed ONCE with xxhash64, then
+   * each of `numHashes` families is a deterministic affine transform
+   * (a_i * h + b_i over Long) of that base hash — the classic universal-
+   * hash-family construction. This keeps string hashing O(|shingles|)
+   * rather than O(|shingles| * numHashes) and stays scan-only, no shuffle.
+   * (Hand-rolled rather than MLlib's MinHashLSH: that implementation runs
+   * through UDFs over ml.linalg Vectors, which leaves codegen and forces a
+   * sparse-vector detour; this stays in native column expressions.)
    */
-  def minhash(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shinglesCol, x => xxhash64(x, lit(i))))
+  /** One xxhash64 per shingle — materialize this BEFORE minhashFromHashes
+    * so the string hashing isn't re-evaluated per family. */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, x => xxhash64(x))
+
+  def minhashFromHashes(hashesCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val salts = Seq.fill(numHashes)(rnd.nextLong())
+    // family i = xxhash64(base_hash, salt_i): fixed-width long re-hash, so
+    // no string re-hashing per family and no overflow under ANSI mode
+    // (an affine a*h+b family would need wrapping multiplication).
+    array(salts.map { s =>
+      array_min(transform(hashesCol, h => xxhash64(h, lit(s))))
     }: _*)
+  }
+
+  /** Convenience single-expression form (prefer the two-step columns when
+    * the signature feeds multiple consumers). */
+  def minhash(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column =
+    minhashFromHashes(shingleHashes(shinglesCol), numHashes, seed)
 
   /**
    * LSH banding: split the signature into `bands` bands of `rowsPerBand`
@@ -76,7 +98,9 @@ object Dedup {
     // checkpointed for the same reason.
     val withSig = df
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhash(col("sh"), numHashes))
+      .withColumn("hv", shingleHashes(col("sh")))
+      .withColumn("sig", minhashFromHashes(col("hv"), numHashes))
+      .drop("hv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandSigs = bandSignatures(withSig, idCol, "sig", bands, numHashes / bands)
     val a = bandSigs.select(col(idCol).as("a"), col("band"), col("band_sig"))

@@ -107,6 +107,34 @@ object Pipeline {
       Similarity.lshBuckets(emb, "emb", Similarity.hyperplanes(8, 64))
         .orderBy("bucket")
     }),
+    // L1 — token frequency via explode (the Generate operator): top-20
+    // corpus-wide tokens with deterministic tiebreak.
+    "q_explode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+    // SQL surface: the same engine through spark.sql over temp views —
+    // revenue of the top shipping-priority orders (TPC-H Q3 shape).
+    "q_sql_join" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderkey,
+          cast(sum(cast(l_extendedprice AS decimal(18,2))
+            * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+          count(*) AS n_items
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10""")
+    }),
     // A7 — embedding-cosine near-dup, exact pair scan (oracle-checked; the
     // LSH-bucketed scale path is Dedup.embeddingNearDupsLsh, test-asserted).
     "q_dedup_embed" -> ((s, dir) => {
@@ -219,6 +247,22 @@ object Pipeline {
              FROM embeddings q JOIN embeddings e
                ON q.vec_id < 5 AND e.vec_id <> q.vec_id))
          WHERE rn <= 10 ORDER BY q_id, rn""",
+    "q_explode" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "q_sql_join" ->
+      """SELECT o_orderkey,
+         cast(sum(cast(l_extendedprice AS decimal(18,2))
+           * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+         count(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey
+         ORDER BY revenue DESC, o_orderkey
+         LIMIT 10""",
     "q_dedup_embed" ->
       """SELECT a, b, round(cos, 6) AS cosine FROM (
            SELECT ea.vec_id AS a, eb.vec_id AS b,

@@ -54,6 +54,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark finalizes windows and drops too-late events (T4)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_t")
+      .outputMode("append").start() // append emits only finalized windows
+    try {
+      mem.addData(Ev(ts(1), "click", 1), Ev(ts(2), "click", 2))
+      q.processAllAvailable()
+      // nothing finalized yet: watermark is still inside the first window
+      assert(spark.table("late_t").count() == 0)
+      // jump event time far ahead → watermark passes the first window
+      mem.addData(Ev(ts(40), "view", 3))
+      q.processAllAvailable()
+      // a very late event for the long-finalized first window must be dropped
+      mem.addData(Ev(ts(1, 30), "click", 4))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(59), "view", 5)) // push watermark again
+      q.processAllAvailable()
+      val rows = spark.table("late_t")
+        .select(col("bucket_start").cast("long"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val t0 = ts(0).getTime / 1000
+      // first window holds only the 2 on-time clicks; the late 4th was dropped
+      assert(rows.contains((t0, "click", 2L)))
+      assert(!rows.exists { case (b, ty, n) => b == t0 && ty == "click" && n == 3L })
+    } finally q.stop()
+  }
+
   test("sessions merge events within the gap and split across it (T3)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
