@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * IVF (inverted-file) approximate nearest neighbour index — the coarse-
+ * quantizer scale path for similarity search (SURVEY §2.9 L2), alongside
+ * the sign-LSH variant in [[Similarity]].
+ *
+ * Shape: k centroids are trained driver-side (k × dim doubles — metadata
+ * scale, like any ANN coarse quantizer) with deterministic seeding and a
+ * few Lloyd iterations whose per-cluster means are computed DISTRIBUTED
+ * (posexplode + groupBy — no row data on the driver). Vectors are assigned
+ * to their nearest centroid (one scan); a query probes only the `nprobe`
+ * nearest cells, so search cost is |corpus| * nprobe / k instead of
+ * |corpus| — the O(n) → O(n/k) trade every IVF index makes.
+ */
+object Ivf {
+
+  /** Squared L2 distance of two double-array columns (codegen'd dots). */
+  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /**
+   * Assignment expression: index of the nearest centroid. Built as
+   * array_min over (distance, index) structs — lexicographic struct
+   * ordering gives deterministic argmin with index tiebreak.
+   */
+  def nearestCentroid(emb: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(emb, typedLit(c)).as("d"), lit(i).as("i"))
+    }
+    array_min(array(scored: _*)).getField("i")
+  }
+
+  /** `nprobe` nearest centroid ids for a query vector, as an array column. */
+  def probeList(emb: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]], nprobe: Int): org.apache.spark.sql.Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(emb, typedLit(c)).as("d"), lit(i).as("i"))
+    }
+    slice(transform(array_sort(array(scored: _*)), s => s.getField("i")), 1, nprobe)
+  }
+
+  /**
+   * Train k centroids: deterministic seeds (first k vectors by id), then
+   * `iters` Lloyd rounds with distributed mean computation. Only the k×dim
+   * centroid matrix ever reaches the driver.
+   */
+  def train(df: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int = 2): Seq[Seq[Double]] = {
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    var centroids: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect().toSeq
+      .map(_.getSeq[Double](0).toSeq)
+    for (_ <- 0 until iters) {
+      val assigned = df.withColumn("__c", nearestCentroid(col(embCol), centroids))
+      val means = assigned
+        .select(col("__c"), posexplode(col(embCol)).as(Seq("__pos", "__v")))
+        .groupBy("__c", "__pos").agg(avg(col("__v")).as("__m"))
+        .collect() // k × dim rows — centroid-matrix scale, not data scale
+      val byCluster = means.groupBy(_.getAs[Int]("__c"))
+      centroids = centroids.indices.map { i =>
+        byCluster.get(i) match {
+          case Some(rows) =>
+            val m = new Array[Double](dim)
+            rows.foreach(r => m(r.getAs[Int]("__pos")) = r.getAs[Double]("__m"))
+            m.toSeq
+          case None => centroids(i) // empty cluster keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Corpus with its IVF cell assignment (one scan-only pass). */
+  def assign(df: DataFrame, embCol: String, centroids: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("ivf_cell", nearestCentroid(col(embCol), centroids))
+
+  /**
+   * Approximate top-k: each query probes its `nprobe` nearest cells and
+   * ranks by cosine only within them.
+   */
+  def topK(corpus: DataFrame, queries: DataFrame, centroids: Seq[Seq[Double]],
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    val cells = assign(corpus, embCol, centroids)
+      .withColumn("__norm", l2Norm(col(embCol)))
+    val probes = queries
+      .withColumn("ivf_cell", explode(probeList(col(qEmbCol), centroids, nprobe)))
+      .withColumn("__qnorm", l2Norm(col(qEmbCol)))
+    val scored = cells.join(broadcast(probes), Seq("ivf_cell"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("cos",
+        dot(col(embCol), col(qEmbCol)) / (col("__norm") * col("__qnorm")))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(qIdCol), col(idCol), col("rn"), col("cos"))
+  }
+}

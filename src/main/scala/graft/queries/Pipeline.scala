@@ -154,6 +154,19 @@ object Pipeline {
           size(map_keys(m)).cast("long").as("n_keys"))
         .orderBy("event_id")
     }),
+    // L2 — IVF approximate top-k: coarse-quantizer cells, nprobe=4 of k=16
+    // (no oracle: centroid training is engine-specific; IvfSpec asserts
+    // recall and the probe-all ≡ exact equivalence).
+    "q_sim_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), graft.functions.VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb", k = 16, iters = 2)
+      graft.operators.Ivf.topK(emb, qs, centroids, k = 10, nprobe = 4)
+        .select(col("q_id"), col("vec_id"), col("rn"), round(col("cos"), 6).as("cosine"))
+        .orderBy("q_id", "rn")
+    }),
     // L3 — array<float> passthrough + element/norm access.
     "q_array_ops" -> ((s, dir) => {
       val emb = col("embedding")

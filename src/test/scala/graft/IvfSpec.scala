@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.{Ivf, Similarity}
+import org.apache.spark.sql.functions._
+
+/** IVF approximate nearest-neighbour index over the harness embeddings. */
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = queries.Q.t(spark, "/root/testdata/sf0.001", "embeddings")
+    .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+  private lazy val qs = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+  private lazy val centroids = Ivf.train(emb, "vec_id", "emb", k = 8, iters = 2)
+
+  test("training yields k centroids of the right dimension, deterministically seeded") {
+    assert(centroids.length == 8)
+    assert(centroids.forall(_.length == 64))
+  }
+
+  test("every vector is assigned to exactly one cell; cells partition the corpus") {
+    val assigned = Ivf.assign(emb, "emb", centroids)
+    assert(assigned.count() == emb.count())
+    val cells = assigned.groupBy("ivf_cell").count().collect()
+    assert(cells.map(_.getAs[Long]("count")).sum == emb.count())
+    assert(cells.forall(r => r.getAs[Int]("ivf_cell") >= 0 &&
+      r.getAs[Int]("ivf_cell") < 8))
+  }
+
+  test("probing ALL cells reproduces the exact top-k") {
+    val exact = Similarity.exactTopK(emb, qs, 10)
+      .select("q_id", "vec_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivfAll = Ivf.topK(emb, qs, centroids, k = 10, nprobe = 8)
+      .select("q_id", "vec_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivfAll == exact)
+  }
+
+  test("nprobe=2 keeps useful recall at a quarter of the scan cost") {
+    val exact = Similarity.exactTopK(emb, qs, 10)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ivf.topK(emb, qs, centroids, k = 10, nprobe = 2)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+    assert(approx.size <= exact.size)
+  }
+}
