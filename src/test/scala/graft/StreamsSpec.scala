@@ -84,6 +84,24 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: the harness events parquet drives the same plan") {
+    import graft.queries.Q
+    // stage the sf0.001 events file into a stream-source directory
+    val src = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val batch = Q.t(spark, "/root/testdata/sf0.001", "events")
+    batch.write.mode("overwrite").parquet(src)
+    val stream = graft.sources.Sources.parquetStream(spark, src, batch.schema)
+      .select(Q.tsCol("ts").as("ts"), col("event_type"), col("user_id"))
+    val q = Streams.tumblingCounts(stream, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("file_t")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("file_t").agg(sum("n_events")).head().getLong(0)
+      assert(total == batch.count()) // every event landed in some window
+    } finally q.stop()
+  }
+
   test("sessions merge events within the gap and split across it (T3)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
