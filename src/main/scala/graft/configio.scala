@@ -190,11 +190,23 @@ object ConfigIO {
       generatedAt: String = java.time.Instant.now.toString): Generated = {
     val tables = catalog.toSeq.sortBy(_._1) // reference sorts by table_name
     val tablesList = tables.map { case (name, _) => s"$schema.$name" }
+    // Render like the reference's String(v): array/struct contents, not JVM
+    // object identity (String.valueOf of an Array is a nondeterministic
+    // hashcode string).
+    def render(v: Any): String = v match {
+      case null => null
+      case arr: Array[Byte] => arr.map("%02x".format(_)).mkString
+      case arr: Array[_] => arr.map(render).mkString("[", ", ", "]")
+      case seq: scala.collection.Seq[_] => seq.map(render).mkString("[", ", ", "]")
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => s"${render(k)}: ${render(x)}" }.mkString("{", ", ", "}")
+      case other => String.valueOf(other)
+    }
     val preview = tables.map { case (name, df) =>
       val rows = df.limit(sampleLimit).collect()
       val cols = df.schema.fields.toSeq.map { f =>
         val values = rows.toSeq.map(_.getAs[Any](f.name))
-          .filter(_ != null).take(sampleLimit).map(String.valueOf)
+          .filter(_ != null).take(sampleLimit).map(render)
         f.name -> (if (unsafeSamples) values else values.map(maskSampleStr))
       }
       s"$schema.$name" -> cols

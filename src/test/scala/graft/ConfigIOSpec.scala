@@ -105,4 +105,19 @@ class ConfigGenSpec extends SparkSpec {
     assert(Planner.resolveStrategy("username", gen.config.rules.head.columns,
       gen.config.columnStrategy).strategy == Strategy.HashSha256)
   }
+
+  test("configGen renders array samples by content, not JVM identity") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Seq(1.5f, -2.0f))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("vec", ArrayType(FloatType)))))
+    val gen = ConfigIO.generateConfig(Map("emb" -> df), unsafeSamples = true)
+    val sample = gen.samplePreview.head._2.toMap.apply("vec").head
+    assert(sample == "[1.5, -2.0]")
+    // and again — identical across generations (no hashcode identity)
+    val gen2 = ConfigIO.generateConfig(Map("emb" -> df), unsafeSamples = true)
+    assert(gen2.samplePreview.head._2.toMap.apply("vec").head == sample)
+  }
 }
