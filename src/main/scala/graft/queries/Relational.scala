@@ -52,6 +52,26 @@ object Relational {
           abs(col("o_totalprice") - 100000.0).as("price_dev"))
         .orderBy("o_orderkey")
     }),
+    // F10 — fuzzy string matching: edit distance against a fixed probe
+    // (the text-analysis building block for name reconciliation).
+    "q_fuzzy_match" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          levenshtein(col("c_name"), lit("Customer#000000000")).cast("long")
+            .as("edit_dist"))
+        .filter(col("edit_dist") <= 3)
+        .orderBy("c_custkey")
+    }),
+    // F10 — null semantics: nullif/coalesce and null-safe equality.
+    "q_null_ops" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_filled"),
+          (nullif(col("o_orderstatus"), lit("O")) <=>
+            nullif(col("o_orderpriority"), lit("zzz"))).as("nullsafe_eq"))
+        .orderBy("o_orderkey")
+    }),
     // F10 — JSON extraction (the reference's JSON type group carried data
     // it never touched; here we actually read it).
     "q_json_extract" -> ((s, dir) => {
@@ -290,6 +310,18 @@ object Relational {
          datediff('day', DATE '1995-01-01', cast(o_orderdate AS date)) AS days_since,
          cast(floor(o_totalprice) AS bigint) AS price_floor,
          abs(o_totalprice - 100000.0) AS price_dev
+         FROM orders ORDER BY o_orderkey""",
+    "q_fuzzy_match" ->
+      """SELECT c_custkey,
+         cast(levenshtein(c_name, 'Customer#000000000') AS bigint) AS edit_dist
+         FROM customer
+         WHERE levenshtein(c_name, 'Customer#000000000') <= 3
+         ORDER BY c_custkey""",
+    "q_null_ops" ->
+      """SELECT o_orderkey,
+         nullif(o_orderstatus, 'O') AS status_or_null,
+         coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+         (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM nullif(o_orderpriority, 'zzz')) AS nullsafe_eq
          FROM orders ORDER BY o_orderkey""",
     "q_json_extract" ->
       """SELECT event_id, cast(json_extract_string(props, '$.k') AS bigint) AS k_val
