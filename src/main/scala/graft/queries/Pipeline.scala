@@ -82,6 +82,25 @@ object Pipeline {
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
         .orderBy("a", "b")
     }),
+    // A7 — n-gram Jaccard similarity over blocked candidate pairs: docs
+    // sharing a (lang, n_chars) block compare word-3-gram shingle sets —
+    // the verify stage of fuzzy dedup, fully oracle-checkable since the
+    // shingling uses no engine-specific hashing.
+    "q_dedup_ngram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Dedup.shingles(col("text"), 3).as("sh"))
+      val a = d.select(col("doc_id").as("a"), col("lang"), col("n_chars"),
+        col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("b"), col("lang"), col("n_chars"),
+        col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "n_chars")).filter(col("a") < col("b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    }),
     // A7 — SimHash signatures (no oracle; asserted in DedupSpec).
     "q_dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -260,6 +279,20 @@ object Pipeline {
              FROM embeddings q JOIN embeddings e
                ON q.vec_id < 5 AND e.vec_id <> q.vec_id))
          WHERE rn <= 10 ORDER BY q_id, rn""",
+    "q_dedup_ngram" ->
+      """WITH s AS (
+           SELECT doc_id, lang, n_chars,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w
+                 FROM documents))
+         SELECT a, b, round(jac, 6) AS jaccard FROM (
+           SELECT x.doc_id AS a, y.doc_id AS b,
+             cast(len(list_intersect(x.sh, y.sh)) AS double) /
+               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac
+           FROM s x JOIN s y
+             ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id)
+         ORDER BY a, b""",
     "q_explode" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
