@@ -45,6 +45,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial"), p.take(400))
   }
 
+  test("anonymization and filter queries run inside whole-stage codegen") {
+    // AQE prints codegen stage markers only once the adaptive plan is final
+    for (name <- Seq("q_anonymize_full", "q_filter_pred")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // count() would build a different plan; execute THIS one
+      assert(df.queryExecution.executedPlan.toString.contains("*("),
+        s"$name not codegen'd")
+    }
+  }
+
+  test("approx_count_distinct lands within HLL error of the exact count") {
+    val r = SparkEntry.queries("q_agg_approx")(spark, dir).collect().head
+    val approx = r.getAs[Long]("approx_parts").toDouble
+    val exact = r.getAs[Long]("exact_parts").toDouble
+    assert(math.abs(approx - exact) / exact <= 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("partition-pruned reads: only the filtered partition directories scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = queries.Q.t(spark, "/root/testdata/sf0.001", "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      p.take(600))
+    assert(read.count() ==
+      ev.filter(col("event_type") === "click").count())
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s = spark

@@ -54,6 +54,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows place each event in exactly two 10/5-min windows (T2)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = Streams.slidingCounts(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sliding_t")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Ev(ts(6), "click", 1), Ev(ts(7), "click", 2))
+      q.processAllAvailable()
+      val rows = spark.table("sliding_t")
+        .select(col("bucket_start").cast("long"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val t0 = ts(0).getTime / 1000
+      // events at 00:06/00:07 belong to windows starting 00:00 and 00:05
+      assert(rows == Set((t0, 2L), (t0 + 300, 2L)))
+    } finally q.stop()
+  }
+
   test("watermark finalizes windows and drops too-late events (T4)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
