@@ -281,6 +281,29 @@ object Relational {
           lag(col("o_totalprice"), 1).over(w).as("prev_price"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+    // W4 — RANGE frame: orders placed within the 30 days before each order
+    // (value-based frame, not row-count-based).
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_day"))
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .withColumn("o_day", datediff(col("o_orderdate"),
+          lit("1990-01-01").cast("date")).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_day"),
+          count(lit(1)).over(w).as("orders_in_30d"))
+        .orderBy("o_custkey", "o_day", "o_orderkey")
+    }),
+    // A5 — grouping_id distinguishes aggregation levels in a rollup.
+    "q_grouping_id" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"))
+        .orderBy("gid", "rf", "ls")
+    }),
     // W5 — set operations over nation keys of customers vs suppliers.
     "q_setops" -> ((s, dir) => {
       val cn = t(s, dir, "customer").select(col("c_nationkey").as("nkey")).distinct()
@@ -439,6 +462,20 @@ object Relational {
          lag(o_totalprice, 1) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_day,
+         count(*) OVER (PARTITION BY o_custkey ORDER BY o_day
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS orders_in_30d
+         FROM (SELECT o_custkey, o_orderkey,
+               datediff('day', DATE '1990-01-01', cast(o_orderdate AS date)) AS o_day
+               FROM orders)
+         ORDER BY o_custkey, o_day, o_orderkey""",
+    "q_grouping_id" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls,
+         grouping(l_returnflag, l_linestatus) AS gid, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, rf, ls""",
     "q_setops" ->
       """SELECT nkey, 'intersect' AS op FROM
            (SELECT DISTINCT c_nationkey AS nkey FROM customer

@@ -1,0 +1,44 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips beyond parquet (generic engine capability; the
+  * reference's only source is Postgres, mapped to Sources.jdbc). */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val customer =
+    queries.Q.t(spark, "/root/testdata/sf0.001", "customer")
+
+  test("csv round-trip preserves rows and (declared) schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    customer.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(customer.schema).csv(dir)
+    assert(back.count() == customer.count())
+    assert(back.schema == customer.schema)
+    val a = customer.orderBy("c_custkey").collect().toSeq
+    val b = back.orderBy("c_custkey").collect().toSeq
+    assert(a == b)
+  }
+
+  test("json-lines round-trip preserves rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    customer.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(customer.schema).json(dir)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+  }
+
+  test("parquet sink/source round-trip via Sources helpers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Sources.writeParquet(customer, dir)
+    val back = Sources.parquet(spark, dir)
+    assert(back.count() == customer.count())
+  }
+
+  test("catalogFromDir lists tables sorted and reads them") {
+    val cat = Tables.catalogFromDir(spark, "/root/testdata/sf0.001")
+    assert(cat.keySet == Tables.names.toSet)
+    assert(cat("region").count() == 5)
+  }
+}
