@@ -13,9 +13,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths once so the first measured
-    // query doesn't absorb ~4s of one-time startup cost.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // query doesn't absorb ~4s of one-time startup cost. Best-effort: a
+    // broken sf dir should still fall through to the per-query try/catch.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

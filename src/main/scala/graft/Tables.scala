@@ -34,8 +34,11 @@ object Tables {
   def catalogFromDir(spark: SparkSession, dir: String): Map[String, DataFrame] = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => f.getName.stripSuffix(".parquet") -> spark.read.parquet(f.getPath))
-      .toMap
+    // ListMap keeps the sorted-name iteration order (a plain Map would
+    // rehash it away)
+    scala.collection.immutable.ListMap(
+      files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => f.getName.stripSuffix(".parquet") -> spark.read.parquet(f.getPath))
+        .toSeq: _*)
   }
 }

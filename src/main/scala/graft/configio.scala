@@ -77,8 +77,17 @@ object ConfigIO {
     val samplesM = sub(root, "samples")
     val colStrat = root.get("column_strategy") match {
       case m: java.util.Map[_, _] =>
-        m.asScala.toSeq.collect {
-          case (k, v: java.util.List[_]) => k.toString -> v.asScala.toSeq.map(_.toString)
+        m.asScala.toSeq.flatMap {
+          case (k, v: java.util.List[_]) =>
+            Some(k.toString -> v.asScala.toSeq.map(_.toString))
+          case (_, _: java.util.Map[_, _]) =>
+            // mapping-valued entries: the reference's zod union admits them
+            // but resolution's Array.isArray guard never reads them
+            // (plan-builder.ts:38-42) — excluded from the typed model
+            None
+          case (k, v) =>
+            // scalar values fail the zod union (array | record) outright
+            fail(s"column_strategy.$k must be a list or mapping, got $v")
         }
       case _ => fail("column_strategy must be a mapping")
     }
@@ -277,12 +286,13 @@ object ConfigIO {
    */
   def writeReport(path: String, mode: String, plan: Plan,
       updatedByTable: Map[String, Long], totalKey: String): Unit = {
-    // LinkedHashMap-style ordering via Seq of pairs is not needed: the
-    // reference's JSON.stringify order is object-insertion; we mirror it.
+    // ListMap keeps the sorted key order through toJson (a plain Map of 5+
+    // entries would rehash and discard the sort).
     val json = toJson(Map(
       "mode" -> mode,
       "plan" -> planTree(plan),
-      "result" -> Map("updatedByTable" -> updatedByTable.toSeq.sortBy(_._1).toMap),
+      "result" -> Map("updatedByTable" ->
+        scala.collection.immutable.ListMap(updatedByTable.toSeq.sortBy(_._1): _*)),
       totalKey -> Engine.totalRows(updatedByTable)))
     Files.writeString(Paths.get(path), json)
   }

@@ -20,17 +20,40 @@ import org.apache.spark.sql.functions.col
 object Engine {
 
   /**
+   * Effective (type-normalized) strategy per planned column. A column
+   * missing from the schema gets group OTHER, exactly as the reference's
+   * `colGroups[c.column] || "OTHER"` (`executor.ts:53`): EMAIL/REDACT/
+   * TRUNCATE on a missing column therefore downgrade to KEEP and the run
+   * proceeds, while HASH_SHA256 and SET_NULL survive normalization — and
+   * since they cannot compile against a nonexistent column, they fail
+   * loudly, as the reference's `UPDATE ... SET missing = ...` would.
+   */
+  private def effective(df: DataFrame,
+      planned: Seq[PlannedColumn]): Seq[(PlannedColumn, Strategy)] = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    planned.map { p =>
+      val group = types.get(p.column).map(TypeMap.group)
+        .getOrElse(TypeGroup.OTHER)
+      p -> Strategies.normalize(p.strategy, group)
+    }
+  }
+
+  private def isTransforming(s: Strategy): Boolean =
+    s != Strategy.Keep && !s.isInstanceOf[Strategy.Unknown]
+
+  /**
    * Compile one table's plan to its output column list. Type-safety
    * normalization (`executor.ts:45-85`) runs here against the live schema —
    * the Spark analogue of the reference's pre-UPDATE type re-probe
-   * (`executor.ts:24-38`). A planned column that does not exist in the
-   * schema fails loudly, as the reference's UPDATE on a missing column would.
+   * (`executor.ts:24-38`).
    */
   def compileTable(df: DataFrame, planned: Seq[PlannedColumn]): Seq[Column] = {
     val names = df.schema.fieldNames.toSet
-    val missing = planned.map(_.column).filterNot(names)
-    require(missing.isEmpty,
-      s"planned columns not in schema: ${missing.mkString(", ")}")
+    val bad = effective(df, planned).collect {
+      case (p, eff) if isTransforming(eff) && !names(p.column) => p.column
+    }
+    require(bad.isEmpty,
+      s"planned columns not in schema: ${bad.mkString(", ")}")
     val byName = planned.map(p => p.column -> p).toMap
     df.schema.fields.toSeq.map { f =>
       byName.get(f.name) match {
@@ -42,16 +65,11 @@ object Engine {
     }
   }
 
-  /** True if the plan transforms nothing on this table (skip, `executor.ts:120-124`). */
-  def isNoop(df: DataFrame, planned: Seq[PlannedColumn]): Boolean = {
-    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    !planned.exists { p =>
-      types.get(p.column).exists { dt =>
-        Strategies.normalizeFor(p.strategy, dt) != Strategy.Keep &&
-        !p.strategy.isInstanceOf[Strategy.Unknown]
-      }
-    }
-  }
+  /** True if the plan transforms nothing on this table (skip, `executor.ts:120-124`).
+    * A still-transforming strategy on a MISSING column is NOT a no-op — it
+    * must reach compileTable and fail there, not be silently skipped. */
+  def isNoop(df: DataFrame, planned: Seq[PlannedColumn]): Boolean =
+    !effective(df, planned).exists { case (_, eff) => isTransforming(eff) }
 
   private def dfFor(catalog: Map[String, DataFrame], pt: PlannedTable): DataFrame =
     catalog.getOrElse(pt.name, throw new NoSuchElementException(

@@ -95,7 +95,10 @@ object Dedup {
     // The signature stage feeds both sides of the bucket self-join and both
     // Jaccard re-joins; without a persist Spark recomputes the shingling 4x
     // (observed 4-5x wall-clock). At cluster scale this stage would be
-    // checkpointed for the same reason.
+    // checkpointed for the same reason. The cache is session-lived (the
+    // returned plan stays lazy, so there is no post-action unpersist hook);
+    // MEMORY_AND_DISK blocks are evictable under storage pressure, which
+    // bounds the cost of repeated invocations.
     val withSig = df
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
       .withColumn("hv", shingleHashes(col("sh")))

@@ -23,6 +23,12 @@ object Scale {
    */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, saltFrom: Seq[String], joinType: String = "inner"): DataFrame = {
+    // Right/full outer would emit saltFactor duplicate rows for every
+    // unmatched small-side key (each exploded copy survives as an outer
+    // row), so only large-side-preserving join types are allowed.
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    require(allowed(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/semi/anti joins, not $joinType")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(saltFrom.map(col): _*), lit(saltFactor)).cast("int"))
     val exploded = small.withColumn("__salt",

@@ -35,16 +35,19 @@ object Planner {
   }
 
   /**
-   * Split `schema.table`; anything else is rejected exactly as the reference
-   * does (`plan-builder.ts:52-60` throws "Invalid table name").
+   * Split `schema.table`, exactly as the reference does
+   * (`plan-builder.ts:52-60`): `full.split(".")` destructured to the FIRST
+   * two segments — extra dot-segments are silently dropped, and only a
+   * missing/empty schema or name throws "Invalid table name".
    */
-  def splitTable(table: String): (String, String) =
-    table.split("\\.", 2) match {
-      case Array(s, n) if s.nonEmpty && n.nonEmpty => (s, n)
-      case _ =>
-        throw new IllegalArgumentException(
-          s"""Invalid table name "$table". Expected format: schema.table""")
-    }
+  def splitTable(table: String): (String, String) = {
+    val parts = table.split("\\.", -1)
+    if (parts.length >= 2 && parts(0).nonEmpty && parts(1).nonEmpty)
+      (parts(0), parts(1))
+    else
+      throw new IllegalArgumentException(
+        s"""Invalid table name "$table". Expected format: schema.table""")
+  }
 
   /**
    * Denylist match: the raw `rule.table` string OR the bare table name

@@ -7,13 +7,11 @@ import org.apache.spark.sql.types.StringType
 
 /** Shared helpers for declared queries. */
 object Q {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    // rejects unless nanos are surfaced as a raw long (nanoseconds since
-    // epoch). Queries convert with tsCol() where timestamp semantics matter.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  /** Harness table loader (delegates to Tables.load, which owns the
+    * TIMESTAMP_NANOS-as-long reader workaround; see tsCol for converting
+    * the resulting nanos-long back to a timestamp). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
 
   /**
    * events.ts (nanos-as-long) → TimestampType at microsecond precision.

@@ -54,6 +54,11 @@ class ConfigIOSpec extends AnyFunSuite {
     assert(cfg.columnStrategy.map(_._1) == Seq("KEEP", "REDACT"))
   }
 
+  test("scalar-valued column_strategy entries fail, as the zod union would") {
+    assertThrows[IllegalArgumentException](ConfigIO.parseConfig(
+      yamlFixture.replace("  EMAIL_FAKE: [c_name]", "  EMAIL_FAKE: c_name")))
+  }
+
   test("write → read round-trips the config") {
     val cfg = ConfigIO.parseConfig(yamlFixture)
     val path = java.nio.file.Files.createTempFile("graft", ".yaml").toString

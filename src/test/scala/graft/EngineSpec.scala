@@ -24,9 +24,28 @@ class EngineSpec extends SparkSpec {
     assert(rows(1).getString(1) == "***")
   }
 
-  test("compileTable fails loudly on a planned column missing from the schema") {
-    assertThrows[IllegalArgumentException](
-      Engine.compileTable(customers, Seq(PlannedColumn("nope", Strategy.Redact))))
+  test("missing columns: REDACT-family downgrades (group OTHER), HASH/SET_NULL fail") {
+    // reference executor.ts:53 gives a missing column group OTHER, so
+    // EMAIL/REDACT/TRUNCATE downgrade to KEEP and the run proceeds...
+    for (st <- Seq(Strategy.Redact, Strategy.EmailFake, Strategy.Truncate)) {
+      val planned = Seq(PlannedColumn("nope", st),
+        PlannedColumn("name", Strategy.Redact))
+      val out = customers.select(Engine.compileTable(customers, planned): _*)
+      assert(out.columns.toSeq == Seq("id", "name", "bal"))
+    }
+    // ...while HASH (STRING|OTHER ok) and SET_NULL survive normalization
+    // and fail loudly, as the reference's UPDATE on a missing column would
+    for (st <- Seq(Strategy.HashSha256, Strategy.SetNull)) {
+      assertThrows[IllegalArgumentException](
+        Engine.compileTable(customers, Seq(PlannedColumn("nope", st))))
+      // and a plan containing them is NOT a silent no-op
+      assert(!Engine.isNoop(customers, Seq(PlannedColumn("nope", st))))
+      assertThrows[IllegalArgumentException](
+        Engine.dryRun(Plan("t", Seq(PlannedTable("public.c", "public", "c",
+          Seq(PlannedColumn("nope", st))))), Map("c" -> customers)))
+    }
+    // a plan whose ONLY entries are downgraded-missing columns is a no-op
+    assert(Engine.isNoop(customers, Seq(PlannedColumn("nope", Strategy.Redact))))
   }
 
   test("no-op tables are skipped and reported as 0 (executor.ts:120-124)") {

@@ -40,6 +40,8 @@ class PlannerSpec extends AnyFunSuite {
     assert(Planner.splitTable("public.customer") == ("public", "customer"))
     for (bad <- Seq("customer", ".customer", "public.", ""))
       assertThrows[IllegalArgumentException](Planner.splitTable(bad))
+    // reference's full.split(".") destructuring drops extra segments
+    assert(Planner.splitTable("a.b.c") == ("a", "b"))
   }
 
   test("denylist matches raw rule string or bare name; disabled rules drop") {
