@@ -41,6 +41,61 @@ object Streams {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"))
 
+  /** A closed session emitted by [[sessionsCustomState]]. */
+  case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long,
+      n_events: Long)
+
+  /**
+   * Custom stateful sessionization via flatMapGroupsWithState — the
+   * arbitrary-state API for semantics session_window can't express (e.g.
+   * emitting a session ONLY once it closes, carrying custom per-session
+   * accumulators). State per user is O(1): the open session's bounds and
+   * count; event-time timeout closes idle sessions when the watermark
+   * passes gap seconds beyond the last event.
+   *
+   * Input: a streaming Dataset of (user_id, event_ts) pairs whose timestamp
+   * column carries the watermark (event-time timeout requires the
+   * watermarked column to reach the stateful operator).
+   */
+  def sessionsCustomState(
+      events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      gapSec: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val stateEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long, Long), ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, end, n) = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, start, end, n))
+          } else {
+            val ts = rows.map(_._2.getTime / 1000).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some((s, e, n)) if t - e < gapSec => cur = Some((s, t, n + 1))
+                case Some((s, e, n)) =>
+                  closed ::= ClosedSession(user, s, e, n)
+                  cur = Some((t, t, 1L))
+                case None => cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 * 1000 + gapSec * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /**
    * T5 — stateful stream dedup by key within the watermark horizon: exact
    * duplicates arriving late (but inside the watermark) are dropped, and

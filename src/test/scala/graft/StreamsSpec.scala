@@ -121,6 +121,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization emits sessions as they close") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val typed = mem.toDF()
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val q = Streams.sessionsCustomState(typed, gapSec = 1800)
+      .writeStream.format("memory").queryName("custom_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one open session)
+      mem.addData(Ev(ts(0), "a", 1), Ev(ts(5), "b", 1))
+      q.processAllAvailable()
+      assert(spark.table("custom_sessions").count() == 0) // still open
+      // next event 40 min later: closes the first session in-stream
+      mem.addData(Ev(ts(45), "c", 1))
+      q.processAllAvailable()
+      val rows = spark.table("custom_sessions")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      assert(rows.toSeq == Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessions merge events within the gap and split across it (T3)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
