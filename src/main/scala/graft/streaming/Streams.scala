@@ -97,6 +97,43 @@ object Streams {
   }
 
   /**
+   * Running per-user event totals via transformWithState — Spark 4's
+   * arbitrary-state API (typed ValueState in the RocksDB state store; the
+   * successor to flatMapGroupsWithState). One emitted row per input event,
+   * carrying the cumulative count. Requires
+   * `spark.sql.streaming.stateStore.providerClass` =
+   * RocksDBStateStoreProvider on the session.
+   */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single(key -> n)
+    }
+  }
+
+  def runningCounts(
+      events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)])
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /**
    * T5 — stateful stream dedup by key within the watermark horizon: exact
    * duplicates arriving late (but inside the watermark) are dropped, and
    * state for keys older than the horizon is evicted — bounded memory on an

@@ -75,6 +75,23 @@ class PlanSpec extends SparkSpec {
       ev.filter(col("event_type") === "click").count())
   }
 
+  test("no query funnels data through a single partition unnecessarily") {
+    // Global top-k/limit and grand-total aggregates legitimately gather to
+    // one partition at the END (on already-reduced data); anything else
+    // collapsing to SinglePartition would serialize at 100 TB.
+    val gatherByDesign = Set("q_topk", "q_sample_limit", "q_agg_approx",
+      "q_explode", "q_sql_join")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      if (gatherByDesign(name)) None
+      else {
+        val p = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        if (p.contains("Exchange SinglePartition")) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty, s"single-partition exchanges in: $offenders")
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s = spark

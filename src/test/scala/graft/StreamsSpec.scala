@@ -146,6 +146,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState keeps typed per-key running counts (RocksDB store)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val typed = mem.toDF().select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val q = Streams.runningCounts(typed)
+      .toDF("user_id", "running")
+      .writeStream.format("memory").queryName("tws_counts")
+      .outputMode("update").start()
+    try {
+      mem.addData(Ev(ts(0), "a", 1), Ev(ts(1), "b", 1), Ev(ts(2), "c", 2))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(3), "d", 1))
+      q.processAllAvailable()
+      val rows = spark.table("tws_counts")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 1: user1 count 2, user2 count 1; batch 2: user1 count 3
+      assert(rows == Set((1L, 2L), (2L, 1L), (1L, 3L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessions merge events within the gap and split across it (T3)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
