@@ -68,6 +68,18 @@ object TextAnalysis {
       + when(avgLen.between(3.0, 8.0), 0.5).otherwise(0.0))
   }
 
+  /**
+   * Polynomial rolling hash (Rabin-Karp base 31, mod 1e9+7) over the
+   * text's character codes — the classic incremental document fingerprint.
+   * Pure integer arithmetic with a bounded accumulator (< 3.2e10, ANSI-
+   * safe), so any engine folding left-to-right reproduces it exactly.
+   */
+  def rollingHash(text: Column): Column = {
+    val chars = filter(split(text, ""), c => c =!= lit(""))
+    aggregate(transform(chars, c => ascii(c).cast("long")), lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+  }
+
   /** Email detector (ASCII pattern, same regex dialect in Java and RE2). */
   val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   /** North-American-style phone detector. */

@@ -56,6 +56,13 @@ object Pipeline {
         .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
+    // A6 — rolling-hash fingerprint (Rabin-Karp): exact cross-engine
+    // integer fold, complementing the md5 canonical fingerprint.
+    "q_doc_rollhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.rollingHash(col("text")).as("rollhash"))
+        .orderBy("doc_id")
+    }),
     // L4 — PII pattern scan: per-source hit counts.
     "q_pii_scan" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -251,6 +258,11 @@ object Pipeline {
          FROM scores ORDER BY doc_id""",
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_doc_rollhash" ->
+      """SELECT doc_id, list_reduce(
+           list_prepend(cast(0 AS bigint), list_transform(string_split(text, ''), c -> cast(ascii(c) AS bigint))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS rollhash
          FROM documents ORDER BY doc_id""",
     "q_pii_scan" ->
       """SELECT source, count(*) AS n_docs,
