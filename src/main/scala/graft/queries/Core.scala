@@ -134,6 +134,29 @@ object Core {
         "orders" -> t(s, dir, "orders")))
       counts.toSeq.toDF("table_name", "n_rows").orderBy("table_name")
     }),
+    "q_anonymize_catalog" -> ((s, dir) => {
+      import s.implicits._
+      // full workflow over a wider catalog: global map + overrides, one
+      // denylisted table, one disabled, one all-KEEP no-op
+      val cfg = Config(
+        reviewed = true,
+        scope = Scope("public", Seq("public.region")),
+        columnStrategy = Seq(
+          "HASH_SHA256" -> Seq("c_name", "s_name", "p_name"),
+          "REDACT" -> Seq("o_orderpriority")),
+        rules = Seq(
+          TableRule("public.customer", enabled = true, Seq(ColumnRule("c_name"))),
+          TableRule("public.supplier", enabled = true, Seq(ColumnRule("s_name"))),
+          TableRule("public.part", enabled = false, Seq(ColumnRule("p_name"))),
+          TableRule("public.orders", enabled = true, Seq(ColumnRule("o_orderpriority"))),
+          TableRule("public.nation", enabled = true, Seq(ColumnRule("n_name"))), // KEEP → no-op
+          TableRule("public.region", enabled = true, Seq(ColumnRule("r_name", Some("REDACT"))))))
+      val plan = Planner.buildPlan(cfg, "fixture")
+      val counts = Engine.dryRun(plan, Map(
+        "customer" -> t(s, dir, "customer"), "supplier" -> t(s, dir, "supplier"),
+        "orders" -> t(s, dir, "orders"), "nation" -> t(s, dir, "nation")))
+      counts.toSeq.toDF("table_name", "n_rows").orderBy("table_name")
+    }),
     "q_sample_limit" -> ((s, dir) =>
       t(s, dir, "customer").select("c_custkey", "c_name")
         .orderBy("c_custkey").limit(3)),
@@ -187,6 +210,12 @@ object Core {
       """SELECT 'public.customer' AS table_name, (SELECT count(*) FROM customer) AS n_rows
          UNION ALL SELECT 'public.nation', cast(0 AS bigint)
          UNION ALL SELECT 'public.orders', (SELECT count(*) FROM orders)
+         ORDER BY table_name""",
+    "q_anonymize_catalog" ->
+      """SELECT 'public.customer' AS table_name, (SELECT count(*) FROM customer) AS n_rows
+         UNION ALL SELECT 'public.nation', cast(0 AS bigint)
+         UNION ALL SELECT 'public.orders', (SELECT count(*) FROM orders)
+         UNION ALL SELECT 'public.supplier', (SELECT count(*) FROM supplier)
          ORDER BY table_name""",
     "q_sample_limit" ->
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 3",

@@ -203,6 +203,19 @@ object Pipeline {
           col("label"))
         .orderBy("vec_id")
     }),
+    // Multimodal frame decode: the typed mapPartitions stub (see
+    // operators.Multimodal.decodeStub) over documents-as-blobs, cross-
+    // checked against pure SQL byte arithmetic — verifying the Dataset
+    // codepath agrees with the declarative one on the same fake features.
+    "q_multimodal_frames" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decodeStub(media, framesPerItem = 2)
+        .toDF("media_id", "frame_no", "feature")
+        .orderBy("media_id", "frame_no")
+    }),
     // Multimodal metadata over an opaque byte payload (documents.text bytes
     // stand in for image/audio blobs; see operators.Multimodal).
     "q_multimodal_meta" -> ((s, dir) => {
@@ -340,6 +353,17 @@ object Pipeline {
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
          label
          FROM embeddings ORDER BY vec_id""",
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id AS media_id, text,
+                    octet_length(encode(text)) AS L FROM documents)
+         SELECT media_id, frame_no,
+           cast(coalesce(list_sum(list_transform(
+             string_split(CASE WHEN frame_no = 0
+               THEN substring(text, 1, L // 2)
+               ELSE substring(text, L // 2 + 1, L - L // 2) END, ''),
+             c -> ascii(c))), 0) AS double) AS feature
+         FROM d, (VALUES (0), (1)) AS f(frame_no)
+         ORDER BY media_id, frame_no""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          md5(text) AS content_md5
