@@ -52,4 +52,21 @@ object Sources {
   /** Write a DataFrame as a parquet table directory (the apply sink). */
   def writeParquet(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).parquet(path)
+
+  /** ORC source/sink — same self-describing columnar contract as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
+  /**
+   * JDBC sink — the write-back half of the reference's Postgres model
+   * (its in-place UPDATE becomes write-to-table; `mode=overwrite` truncates
+   * and reloads). Untested here (no database ships in this environment).
+   */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties,
+      mode: String = "append"): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
 }

@@ -1,0 +1,35 @@
+package graft
+
+/**
+ * Driver-contract regression net: the queries/oracle key relationship stays
+ * consistent, and every registered query actually executes at sf0.001.
+ */
+class ContractSpec extends SparkSpec {
+
+  /** Queries intentionally registered WITHOUT a SQL oracle (engine-specific
+    * hashing or training); the driver records a rows-only check for these
+    * and ScalaTest owns their semantics. */
+  private val rowsOnly = Set("q_agg_approx", "q_dedup_fuzzy",
+    "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf")
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("every query without an oracle is on the known rows-only list") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == rowsOnly,
+      s"unexpected oracle-less queries: ${missing -- rowsOnly}; " +
+        s"stale rows-only entries: ${rowsOnly -- missing}")
+  }
+
+  test("every registered query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, "/root/testdata/sf0.001").count(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -29,6 +29,15 @@ class SourcesSpec extends SparkSpec {
       customer.orderBy("c_custkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    Sources.writeOrc(customer, dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.schema == customer.schema)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+  }
+
   test("parquet sink/source round-trip via Sources helpers") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
     Sources.writeParquet(customer, dir)
