@@ -193,6 +193,18 @@ object Pipeline {
         .select(col("q_id"), col("vec_id"), col("rn"), round(col("cos"), 6).as("cosine"))
         .orderBy("q_id", "rn")
     }),
+    // L3 — array function kit over token arrays: sort/contains/position/
+    // distinct-count/slice-join.
+    "q_array_kit" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_contains(toks, "the").as("has_the"),
+          array_position(toks, "data").cast("long").as("first_data_pos"),
+          size(array_distinct(toks)).cast("long").as("n_unique_tokens"),
+          concat_ws("|", slice(sort_array(toks), 1, 3)).as("first3_sorted"))
+        .orderBy("doc_id")
+    }),
     // L3 — array<float> passthrough + element/norm access.
     "q_array_ops" -> ((s, dir) => {
       val emb = col("embedding")
@@ -347,6 +359,13 @@ object Pipeline {
          cast(json_extract_string(props, '$.' || json_keys(props)[1]) AS bigint) AS first_val,
          cast(len(json_keys(props)) AS bigint) AS n_keys
          FROM events ORDER BY event_id""",
+    "q_array_kit" ->
+      """SELECT doc_id,
+         list_contains(string_split(text, ' '), 'the') AS has_the,
+         cast(coalesce(list_position(string_split(text, ' '), 'data'), 0) AS bigint) AS first_data_pos,
+         cast(len(list_distinct(string_split(text, ' '))) AS bigint) AS n_unique_tokens,
+         array_to_string(list_sort(string_split(text, ' '))[1:3], '|') AS first3_sorted
+         FROM documents ORDER BY doc_id""",
     "q_array_ops" ->
       """SELECT vec_id, len(embedding) AS dim,
          cast(embedding[1] AS double) AS first_val,

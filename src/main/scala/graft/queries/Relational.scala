@@ -281,6 +281,17 @@ object Relational {
           lag(col("o_totalprice"), 1).over(w).as("prev_price"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+    // W3 — distribution window functions: quartiles and relative position.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_nationkey", "c_acctbal", "c_custkey")
+    }),
     // W4 — RANGE frame: orders placed within the 30 days before each order
     // (value-based frame, not row-count-based).
     "q_window_range" -> ((s, dir) => {
@@ -462,6 +473,14 @@ object Relational {
          lag(o_totalprice, 1) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_ntile" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+         cast(ntile(4) OVER w AS bigint) AS quartile,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_nationkey, c_acctbal, c_custkey""",
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey, o_day,
          count(*) OVER (PARTITION BY o_custkey ORDER BY o_day
