@@ -183,6 +183,25 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
     }),
+    // A3 — deterministic argmax via lexicographic struct max (the map-side-
+    // combining pick-one aggregate; ties broken by the embedded key).
+    "q_agg_argmax" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(max(struct(col("o_totalprice").as("price"),
+          col("o_orderkey").as("key"))).as("best"))
+        .select(col("o_orderstatus"), col("best.key").as("best_key"),
+          col("best.price").as("best_price"))
+        .orderBy("o_orderstatus")
+    }),
+    // A3 — ordered string aggregation (listagg WITHIN GROUP).
+    "q_agg_listagg" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("nations"))
+        .orderBy("n_regionkey")
+    }),
     // A5 — rollup; grouping nulls folded to 'ALL' so ordering is total.
     "q_agg_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -417,6 +436,14 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_argmax" ->
+      """SELECT o_orderstatus,
+         (max({'price': o_totalprice, 'key': o_orderkey})).key AS best_key,
+         (max({'price': o_totalprice, 'key': o_orderkey})).price AS best_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_agg_listagg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q_agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
          coalesce(l_linestatus, 'ALL') AS ls,
