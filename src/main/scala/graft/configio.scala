@@ -247,7 +247,7 @@ object ConfigIO {
 
   // --------------------------------------------------------------- report
 
-  private def jsonEscape(s: String): String = s.flatMap {
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"

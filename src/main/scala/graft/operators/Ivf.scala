@@ -94,13 +94,10 @@ object Ivf {
     val probes = queries
       .withColumn("ivf_cell", explode(probeList(col(qEmbCol), centroids, nprobe)))
       .withColumn("__qnorm", l2Norm(col(qEmbCol)))
-    val scored = cells.join(broadcast(probes), Seq("ivf_cell"))
-      .filter(col(idCol) =!= col(qIdCol))
-      .withColumn("cos",
-        dot(col(embCol), col(qEmbCol)) / (col("__norm") * col("__qnorm")))
-    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+    val scored = Similarity.withCos(
+      cells.join(broadcast(probes), Seq("ivf_cell"))
+        .filter(col(idCol) =!= col(qIdCol)), embCol, qEmbCol)
+    Similarity.rankTopK(scored, qIdCol, idCol, k)
       .select(col(qIdCol), col(idCol), col("rn"), col("cos"))
   }
 }

@@ -19,23 +19,37 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /**
+   * Shared tail of every top-k variant: rank a scored candidate set per
+   * query by cosine (id tiebreak), keep the first k, drop the helper norms.
+   */
+  private[operators] def rankTopK(scored: DataFrame, qIdCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k).drop("__norm", "__qnorm")
+  }
+
+  /**
+   * Norms are per-row, so compute them once per side before any pair
+   * explosion instead of twice per pair (|candidates| times).
+   */
+  private[operators] def withCos(c: DataFrame, embCol: String,
+      qEmbCol: String): DataFrame =
+    c.withColumn("cos",
+      dot(col(embCol), col(qEmbCol)) / (col("__norm") * col("__qnorm")))
+
+  /**
    * Top-k cosine neighbours for each query vector. `queries` must be small
    * (it is broadcast); ranking ties break on vec_id for determinism.
    */
   def exactTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "emb",
       qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
-    // Norms are per-row, so compute them once per side before the pair
-    // explosion instead of twice per pair (|corpus|x|queries| times).
     val c = corpus.withColumn("__norm", l2Norm(col(embCol)))
     val q = queries.withColumn("__qnorm", l2Norm(col(qEmbCol)))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col(idCol) =!= col(qIdCol))
-      .withColumn("cos",
-        dot(col(embCol), col(qEmbCol)) / (col("__norm") * col("__qnorm")))
-    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k).drop("__norm", "__qnorm")
+    val scored = withCos(c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col(qIdCol)), embCol, qEmbCol)
+    rankTopK(scored, qIdCol, idCol, k)
   }
 
   /**
@@ -75,13 +89,12 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "emb",
       qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
     val c = withLshBucket(corpus, embCol, planes)
+      .withColumn("__norm", l2Norm(col(embCol)))
     val q = withLshBucket(queries, qEmbCol, planes)
       .withColumnRenamed("bucket", "q_bucket")
-    val scored = c.join(q, col("bucket") === col("q_bucket") &&
-        col(idCol) =!= col(qIdCol))
-      .withColumn("cos", cosine(col(embCol), col(qEmbCol)))
-    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+      .withColumn("__qnorm", l2Norm(col(qEmbCol)))
+    val scored = withCos(c.join(q, col("bucket") === col("q_bucket") &&
+      col(idCol) =!= col(qIdCol)), embCol, qEmbCol)
+    rankTopK(scored, qIdCol, idCol, k)
   }
 }
