@@ -86,8 +86,8 @@ object Dedup {
 
   /**
    * Candidate near-duplicate pairs via MinHash banding, verified with exact
-   * Jaccard over the shingle sets; pairs ordered (a < b), deduplicated
-   * across bands. `threshold` filters the verified Jaccard.
+   * Jaccard over the hashed shingle sets; pairs ordered (a < b),
+   * deduplicated across bands. `threshold` filters the verified Jaccard.
    */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
@@ -99,11 +99,14 @@ object Dedup {
     // returned plan stays lazy, so there is no post-action unpersist hook);
     // MEMORY_AND_DISK blocks are evictable under storage pressure, which
     // bounds the cost of repeated invocations.
+    // The verify stage intersects the xxhash64'd shingle sets rather than
+    // the shingle strings: same Jaccard (xxhash64 collisions over a doc's
+    // shingles are negligible), long-array set ops instead of string-array
+    // ones, and the persisted stage carries no text at all.
     val withSig = df
-      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("hv", shingleHashes(col("sh")))
+      .select(col(idCol),
+        shingleHashes(shingles(col(textCol), shingleN)).as("hv"))
       .withColumn("sig", minhashFromHashes(col("hv"), numHashes))
-      .drop("hv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandSigs = bandSignatures(withSig, idCol, "sig", bands, numHashes / bands)
     val a = bandSigs.select(col(idCol).as("a"), col("band"), col("band_sig"))
@@ -111,13 +114,13 @@ object Dedup {
     val candidates = a.join(b, Seq("band", "band_sig"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val sh = withSig.select(col(idCol), col("sh"))
+    val hv = withSig.select(col(idCol), col("hv"))
     candidates
-      .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
-      .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .join(hv.select(col(idCol).as("a"), col("hv").as("hv_a")), "a")
+      .join(hv.select(col(idCol).as("b"), col("hv").as("hv_b")), "b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+          size(array_union(col("hv_a"), col("hv_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

@@ -20,19 +20,25 @@ import org.apache.spark.sql.functions._
  */
 object Ivf {
 
-  /** Squared L2 distance of two double-array columns (codegen'd dots). */
-  private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+  /**
+   * Ranking key for centroid distance: |a-c|² = |a|² - 2a·c + |c|², and
+   * |a|² is the same for every centroid, so argmin/argsort only need
+   * -2a·c + |c|². |c|² is a driver-side constant per centroid — one dot
+   * product per centroid per row instead of three, and a 3× smaller
+   * codegen'd expression.
+   */
+  private def rankKey(a: org.apache.spark.sql.Column, c: Seq[Double]) =
+    lit(-2.0) * dot(a, typedLit(c)) + lit(c.map(x => x * x).sum)
 
   /**
    * Assignment expression: index of the nearest centroid. Built as
-   * array_min over (distance, index) structs — lexicographic struct
+   * array_min over (distance-key, index) structs — lexicographic struct
    * ordering gives deterministic argmin with index tiebreak.
    */
   def nearestCentroid(emb: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(emb, typedLit(c)).as("d"), lit(i).as("i"))
+      struct(rankKey(emb, c).as("d"), lit(i).as("i"))
     }
     array_min(array(scored: _*)).getField("i")
   }
@@ -41,7 +47,7 @@ object Ivf {
   def probeList(emb: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]], nprobe: Int): org.apache.spark.sql.Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(emb, typedLit(c)).as("d"), lit(i).as("i"))
+      struct(rankKey(emb, c).as("d"), lit(i).as("i"))
     }
     slice(transform(array_sort(array(scored: _*)), s => s.getField("i")), 1, nprobe)
   }
