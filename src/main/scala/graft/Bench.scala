@@ -18,10 +18,17 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_REPS>1 (local tuning only; driver default is 1) times each
+    // query that many times and keeps the minimum — the run least disturbed
+    // by JIT/GC/host noise.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

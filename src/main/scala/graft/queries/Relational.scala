@@ -311,6 +311,18 @@ object Relational {
           cume_dist().over(w).as("cume"))
         .orderBy("c_nationkey", "c_acctbal", "c_custkey")
     }),
+    // W4 — navigation window functions: next / first / nth value over the
+    // per-customer order history (unique ordering, so ROWS ≡ RANGE frame).
+    "q_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     // W4 — RANGE frame: orders placed within the 30 days before each order
     // (value-based frame, not row-count-based).
     "q_window_range" -> ((s, dir) => {
@@ -508,6 +520,14 @@ object Relational {
          FROM customer
          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
          ORDER BY c_nationkey, c_acctbal, c_custkey""",
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         first_value(o_totalprice) OVER w AS first_price,
+         nth_value(o_totalprice, 2) OVER w AS second_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey, o_day,
          count(*) OVER (PARTITION BY o_custkey ORDER BY o_day

@@ -53,6 +53,25 @@ object Sources {
   def writeParquet(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).parquet(path)
 
+  /**
+   * Hive-style partitioned parquet layout (one directory per partition
+   * value) — the canonical 100 TB table layout. A predicate on a partition
+   * column is resolved at PLANNING time against directory names
+   * (PartitionFilters in the scan node), so a one-day query over a
+   * date-partitioned table lists one day's files instead of scanning the
+   * table's full file manifest.
+   */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /**
+   * Read a partitioned layout back. `basePath` keeps the partition columns
+   * in the schema when pointing below the root.
+   */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
   /** ORC source/sink — same self-describing columnar contract as parquet. */
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)

@@ -143,4 +143,14 @@ object Streams {
       watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /**
+   * Stream-static enrichment join: each micro-batch of the stream joins a
+   * bounded dimension. The static side is broadcast, so the stream never
+   * shuffles — per-batch cost is the batch's rows, with no streaming state
+   * at all (unlike stream-stream joins). This is the 100 TB shape for
+   * attaching dimensions to an event firehose.
+   */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 }

@@ -45,6 +45,25 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == customer.count())
   }
 
+  test("partitioned layout: partition filter prunes at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = queries.Q.t(spark, "/root/testdata/sf0.001", "events")
+    Sources.writePartitioned(events, dir, Seq("event_type"))
+    val back = Sources.readPartitioned(spark, dir)
+    // values survive the layout round-trip (partition col moves to the end)
+    assert(back.count() == events.count())
+    val oneType = back.filter(col("event_type") === "click")
+    assert(oneType.count() ==
+      events.filter(col("event_type") === "click").count())
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not in the post-scan Filter: planning-time pruning is what keeps a
+    // partition-key query O(selected partitions) at 100 TB.
+    val scan = oneType.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"), s"partition filter not pushed:\n$scan")
+  }
+
   test("catalogFromDir lists tables sorted and reads them") {
     val cat = Tables.catalogFromDir(spark, "/root/testdata/sf0.001")
     assert(cat.keySet == Tables.names.toSet)

@@ -197,4 +197,22 @@ class StreamsSpec extends SparkSpec {
       assert(rows.filter(_._1 == 2L).map(_._2).toSeq == Seq(1L))
     } finally q.stop()
   }
+
+  test("stream-static join enriches each micro-batch from a broadcast dim") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "trial")).toDF("user_id", "segment")
+    val q = Streams.enrich(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(ts(0), "click", 1), Ev(ts(1), "view", 2),
+        Ev(ts(2), "click", 3)) // user 3 has no dim row → left join null
+      q.processAllAvailable()
+      val rows = spark.table("enrich_t").select("user_id", "segment")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "gold"), (2L, "trial"), (3L, null)))
+    } finally q.stop()
+  }
 }
