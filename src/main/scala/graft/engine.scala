@@ -76,6 +76,22 @@ object Engine {
       s"planned table not found in catalog: ${pt.table}"))
 
   /**
+   * Per-table count/write jobs are independent, so submit them concurrently:
+   * the scheduler then pipelines tables instead of idling the cluster on
+   * each table's straggler tasks before starting the next. Spark job
+   * submission is thread-safe; results keep per-table identity via the map
+   * key, and a failure in any job surfaces with its original exception.
+   */
+  private lazy val jobPool = java.util.concurrent.Executors.newFixedThreadPool(
+    8, (r: Runnable) => { val t = new Thread(r, "graft-engine-job"); t.setDaemon(true); t })
+  private def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(jobPool)
+    Await.result(Future.traverse(items)(a => Future(f(a))), Duration.Inf)
+  }
+
+  /**
    * Transform every planned table; catalog maps bare table name → DataFrame.
    * No-op tables are excluded (the caller reports them as 0 rows); a planned
    * table absent from the catalog throws, matching the reference's failing
@@ -96,7 +112,7 @@ object Engine {
    * reported as 0 (`executor.ts:120-124`).
    */
   def dryRun(plan: Plan, catalog: Map[String, DataFrame]): Map[String, Long] =
-    plan.tables.map { pt =>
+    inParallel(plan.tables) { pt =>
       val df = dfFor(catalog, pt)
       if (isNoop(df, pt.columns)) pt.table -> 0L
       else pt.table -> df.select(compileTable(df, pt.columns): _*).count()
@@ -109,7 +125,7 @@ object Engine {
    * are not rewritten (reported 0, as the reference skips empty-SET tables).
    */
   def apply(plan: Plan, catalog: Map[String, DataFrame], outDir: String): Map[String, Long] =
-    plan.tables.map { pt =>
+    inParallel(plan.tables) { pt =>
       val df = dfFor(catalog, pt)
       if (isNoop(df, pt.columns)) pt.table -> 0L
       else {

@@ -59,28 +59,35 @@ object Ivf {
    */
   def train(df: DataFrame, idCol: String, embCol: String, k: Int,
       iters: Int = 2): Seq[Seq[Double]] = {
-    val dim = df.select(size(col(embCol))).head().getInt(0)
-    var centroids: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
-      .select(col(embCol)).collect().toSeq
-      .map(_.getSeq[Double](0).toSeq)
-    for (_ <- 0 until iters) {
-      val assigned = df.withColumn("__c", nearestCentroid(col(embCol), centroids))
-      val means = assigned
-        .select(col("__c"), posexplode(col(embCol)).as(Seq("__pos", "__v")))
-        .groupBy("__c", "__pos").agg(avg(col("__v")).as("__m"))
-        .collect() // k × dim rows — centroid-matrix scale, not data scale
-      val byCluster = means.groupBy(_.getAs[Int]("__c"))
-      centroids = centroids.indices.map { i =>
-        byCluster.get(i) match {
-          case Some(rows) =>
-            val m = new Array[Double](dim)
-            rows.foreach(r => m(r.getAs[Int]("__pos")) = r.getAs[Double]("__m"))
-            m.toSeq
-          case None => centroids(i) // empty cluster keeps its centroid
+    // Each Lloyd round is a full pass over the vectors; pin the projected
+    // working set so iterations read cached columns instead of re-scanning
+    // (and re-decoding) the source. Released before returning.
+    val vecs = df.select(col(idCol), col(embCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Seq[Seq[Double]] = vecs.orderBy(col(idCol)).limit(k)
+        .select(col(embCol)).collect().toSeq
+        .map(_.getSeq[Double](0).toSeq)
+      val dim = centroids.head.length
+      for (_ <- 0 until iters) {
+        val assigned = vecs.withColumn("__c", nearestCentroid(col(embCol), centroids))
+        val means = assigned
+          .select(col("__c"), posexplode(col(embCol)).as(Seq("__pos", "__v")))
+          .groupBy("__c", "__pos").agg(avg(col("__v")).as("__m"))
+          .collect() // k × dim rows — centroid-matrix scale, not data scale
+        val byCluster = means.groupBy(_.getAs[Int]("__c"))
+        centroids = centroids.indices.map { i =>
+          byCluster.get(i) match {
+            case Some(rows) =>
+              val m = new Array[Double](dim)
+              rows.foreach(r => m(r.getAs[Int]("__pos")) = r.getAs[Double]("__m"))
+              m.toSeq
+            case None => centroids(i) // empty cluster keeps its centroid
+          }
         }
       }
-    }
-    centroids
+      centroids
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Corpus with its IVF cell assignment (one scan-only pass). */

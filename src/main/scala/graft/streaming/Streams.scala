@@ -153,4 +153,25 @@ object Streams {
    */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /**
+   * Stream-stream interval join: pair each left event with the right-side
+   * events for the same key that land within [leftTs, leftTs + within].
+   * Both sides carry watermarks and the join condition bounds the time
+   * range in BOTH directions, so Spark can size and EVICT the buffered
+   * state — without the interval bound, stream-stream join state grows
+   * forever. Column names must be disjoint apart from `key`.
+   */
+  def correlate(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String, key: String,
+      within: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(key, "__rkey")
+    l.join(r, col(key) === col("__rkey") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+      .drop("__rkey")
+  }
 }

@@ -198,6 +198,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Imp(imp_ts: Timestamp, user_id: Long, ad: String)
+  case class Click(click_ts: Timestamp, user_id: Long)
+
+  test("stream-stream interval join pairs clicks within the window only") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    val q = Streams.correlate(imps.toDF(), "imp_ts",
+        clicks.toDF(), "click_ts", "user_id", within = "10 minutes")
+      .writeStream.format("memory").queryName("corr_t")
+      .outputMode("append").start()
+    try {
+      imps.addData(Imp(ts(0), 1, "adA"), Imp(ts(0), 2, "adB"))
+      // user 1 clicks inside the window; user 2 clicks 30 min later (out);
+      // user 3 clicks with no impression at all
+      clicks.addData(Click(ts(5), 1), Click(ts(30), 2), Click(ts(2), 3))
+      q.processAllAvailable()
+      val rows = spark.table("corr_t").select("user_id", "ad")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "adA")))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches each micro-batch from a broadcast dim") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
