@@ -52,6 +52,35 @@ object Relational {
           abs(col("o_totalprice") - 100000.0).as("price_dev"))
         .orderBy("o_orderkey")
     }),
+    // F10 — date/time kit: truncation, month arithmetic (both engines clamp
+    // to month end), calendar fields. Dates are output as strings per the
+    // oracle guidance on temporal values.
+    "q_date_kit" -> ((s, dir) => {
+      val d = to_date(col("o_orderdate"))
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_format(trunc(d, "month"), "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+          date_format(add_months(d, 3), "yyyy-MM-dd").as("plus3m"),
+          quarter(d).cast("long").as("qtr"),
+          (weekday(d) + 1).cast("long").as("isodow"),
+          dayofyear(d).cast("long").as("doy"))
+        .orderBy("o_orderkey")
+    }),
+    // F10 — string kit: split/position/pad/translate/reverse/repeat.
+    "q_string_kit" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("name_tail"),
+          instr(col("p_name"), "red").cast("long").as("red_pos"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+          translate(col("p_brand"), "#", "-").as("brand_dashed"),
+          reverse(col("p_brand")).as("brand_rev"),
+          expr("repeat('*', p_size % 4)").as("stars"))
+        .orderBy("p_partkey")
+    }),
     // F10 — fuzzy string matching: edit distance against a fixed probe
     // (the text-analysis building block for name reconciliation).
     "q_fuzzy_match" -> ((s, dir) => {
@@ -520,6 +549,24 @@ object Relational {
          FROM customer
          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
          ORDER BY c_nationkey, c_acctbal, c_custkey""",
+    "q_date_kit" ->
+      """SELECT o_orderkey,
+         strftime(date_trunc('month', cast(o_orderdate AS date)), '%Y-%m-%d') AS month_start,
+         strftime(last_day(cast(o_orderdate AS date)), '%Y-%m-%d') AS month_end,
+         strftime(cast(cast(o_orderdate AS date) + INTERVAL 3 MONTH AS date), '%Y-%m-%d') AS plus3m,
+         quarter(cast(o_orderdate AS date)) AS qtr,
+         isodow(cast(o_orderdate AS date)) AS isodow,
+         dayofyear(cast(o_orderdate AS date)) AS doy
+         FROM orders ORDER BY o_orderkey""",
+    "q_string_kit" ->
+      """SELECT p_partkey,
+         split_part(p_name, ' ', 2) AS name_tail,
+         strpos(p_name, 'red') AS red_pos,
+         lpad(cast(p_size AS varchar), 4, '0') AS size_padded,
+         translate(p_brand, '#', '-') AS brand_dashed,
+         reverse(p_brand) AS brand_rev,
+         repeat('*', p_size % 4) AS stars
+         FROM part ORDER BY p_partkey""",
     "q_window_nav" ->
       """SELECT o_custkey, o_orderkey,
          lead(o_totalprice, 1) OVER w AS next_price,
