@@ -286,6 +286,35 @@ object Relational {
             .as("var_qty"))
         .orderBy("l_returnflag")
     }),
+    // A3 — correlation/covariance + boolean aggregates: native one-pass
+    // co-moment aggregates, rounded so merge-order ulp noise cannot leak
+    // into the oracle hash; count_if/bool_and/bool_or are exact.
+    "q_agg_corr" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covs_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covp_qp"),
+          expr("bool_and(l_quantity > 0)").as("all_pos"),
+          expr("bool_or(l_discount > 0.05)").as("any_disc"),
+          expr("count_if(l_tax > 0.04)").as("n_taxed"))
+        .orderBy("l_returnflag")
+    }),
+    // J3 — EXISTS / NOT IN subqueries: Catalyst decorrelates these into a
+    // left-semi join and a null-aware left-anti join on the same scan.
+    "q_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_sub_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_sub_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM v_sub_customer c
+        WHERE EXISTS (SELECT 1 FROM v_sub_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND c_custkey NOT IN (SELECT o_custkey FROM v_sub_orders
+                                WHERE o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    }),
     // A4 — full-row distinct (dropDuplicates over every column).
     "q_distinct_rows" -> ((s, dir) => {
       t(s, dir, "orders").select("o_custkey", "o_orderstatus").distinct()
@@ -515,6 +544,23 @@ object Relational {
                sum(l_quantity * l_quantity) AS s2
                FROM lineitem GROUP BY l_returnflag)
          ORDER BY l_returnflag""",
+    "q_agg_corr" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+         round(covar_samp(l_quantity, l_extendedprice), 2) AS covs_qp,
+         round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qp,
+         bool_and(l_quantity > 0) AS all_pos,
+         bool_or(l_discount > 0.05) AS any_disc,
+         cast(count_if(l_tax > 0.04) AS BIGINT) AS n_taxed
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)
+           AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderstatus = 'F')
+         ORDER BY c_custkey""",
     "q_distinct_rows" ->
       """SELECT DISTINCT o_custkey, o_orderstatus FROM orders
          ORDER BY o_custkey, o_orderstatus""",
