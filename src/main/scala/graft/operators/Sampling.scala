@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, engine-portable sampling (training-pipeline surface).
+ *
+ * `df.sample()` draws from a partition-seeded RNG: the selection changes
+ * with partition layout, task retries, and engine — unacceptable for a
+ * training corpus where a sample must be re-derivable forever and audit-
+ * able by other tools. Hashing a key column makes the keep/drop decision a
+ * pure row-level function: md5 is identical in every engine, a row's fate
+ * never depends on other rows (so incremental re-runs at 100 TB keep prior
+ * decisions), and disjoint salts give independent samples.
+ *
+ * Mechanics: the first 4 hex chars of md5(salt|key) are uniform over
+ * [0x0000, 0xffff]; comparing them lexicographically against a fixed-width
+ * hex threshold keeps fraction int(threshold,16)/65536. Fixed-width hex
+ * compares like the number itself, so the gate works in any engine with
+ * md5 + substring — no hex-to-int conversion needed.
+ *
+ * Scale: the gate is a scan-local codegen'd predicate — no shuffle, no RNG
+ * state, pushes through joins/aggregations like any deterministic filter.
+ */
+object Sampling {
+
+  /** Uniform hash in [0x0000, 0xffff] as 4 lowercase hex chars. */
+  def hashHex4(key: Column, salt: String): Column =
+    substring(md5(concat_ws("|", lit(salt), key.cast("string"))), 1, 4)
+
+  /** Keep iff hash < thresholdHex (4 lowercase hex chars); keeps fraction
+    * int(thresholdHex,16)/65536 in expectation. */
+  def keepHex(key: Column, salt: String, thresholdHex: String): Column = {
+    require(thresholdHex.matches("[0-9a-f]{4}"), s"bad threshold $thresholdHex")
+    hashHex4(key, salt) < lit(thresholdHex)
+  }
+
+  /**
+   * Disjoint train/val/test assignment by hash range: [0, trainHex) →
+   * train, [trainHex, valHex) → val, rest → test. Every row lands in
+   * exactly one split, and the assignment is stable under any re-run.
+   */
+  def splitLabel(key: Column, salt: String,
+      trainHex: String = "cccc", valHex: String = "e666"): Column = {
+    val h = hashHex4(key, salt)
+    when(h < lit(trainHex), "train")
+      .when(h < lit(valHex), "val")
+      .otherwise("test")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis => TA}
 import graft.functions.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -64,6 +64,43 @@ object Pipeline {
         .orderBy("doc_id")
     }),
     // L4 — PII pattern scan: per-source hit counts.
+    // Scale — deterministic md5-gated sample (~1/8): reproducible across
+    // engines, runs, and partitionings, unlike df.sample().
+    "q_sample_hash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(Sampling.keepHex(col("doc_id"), "split1", "2000"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+    // Scale — stable train/val/test assignment (~80/10/10) by hash range;
+    // every doc lands in exactly one split, forever.
+    "q_sample_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          Sampling.splitLabel(col("doc_id"), "corpusv1").as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    }),
+    // End-to-end training-mix pipeline: quality-filter → exact dedup by
+    // canonical fingerprint (min-doc_id survivor) → per-language hash
+    // downsample (keep 1/2 of dominant 'en', 3/4 of the rest) → token
+    // budget per language. Every stage is a deterministic, shuffle-
+    // bounded operator — the whole mix is re-derivable at 100 TB.
+    "q_train_mix" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TA.tokenCountWs(col("text")).as("n_tokens"),
+          TA.qualityScore(col("text")).as("quality"),
+          Dedup.fingerprint(col("text")).as("fp"))
+      val deduped = Dedup.exactByKey(
+        scored.filter(col("quality") >= 1.0), Seq("fp"), Seq(col("doc_id")))
+      // stratified threshold: downsample the dominant language harder
+      val mixed = deduped.filter(Sampling.hashHex4(col("doc_id"), "mixv1") <
+        when(col("lang") === "en", lit("8000")).otherwise(lit("c000")))
+      mixed.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("lang")
+    }),
     "q_pii_scan" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy("source")
@@ -284,6 +321,45 @@ object Pipeline {
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substring(md5(concat('split1', '|', cast(doc_id AS VARCHAR))), 1, 4)
+               < '2000'
+         ORDER BY doc_id""",
+    "q_sample_split" ->
+      """SELECT lang, split, count(*) AS n_docs FROM (
+           SELECT lang,
+             CASE WHEN h < 'cccc' THEN 'train'
+                  WHEN h < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT lang,
+                   substring(md5(concat('corpusv1', '|',
+                     cast(doc_id AS VARCHAR))), 1, 4) AS h
+                 FROM documents))
+         GROUP BY lang, split ORDER BY lang, split""",
+    "q_train_mix" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+             len(string_split_regex(text, '\s+')) AS n_tokens,
+             (CASE WHEN len(string_split_regex(text, '\s+'))
+                     BETWEEN 20 AND 10000 THEN 0.5 ELSE 0.0 END +
+              CASE WHEN cast(length(regexp_replace(text, '\s+', '', 'g')) AS double)
+                     / len(string_split_regex(text, '\s+'))
+                     BETWEEN 3.0 AND 8.0 THEN 0.5 ELSE 0.0 END) AS quality,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         deduped AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             FROM scored WHERE quality >= 1.0) WHERE rn = 1),
+         mixed AS (
+           SELECT * FROM deduped
+           WHERE substring(md5(concat('mixv1', '|',
+                   cast(doc_id AS VARCHAR))), 1, 4)
+                 < CASE WHEN lang = 'en' THEN '8000' ELSE 'c000' END)
+         SELECT lang, count(*) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS sum_tokens
+         FROM mixed GROUP BY lang ORDER BY lang""",
     "q_doc_rollhash" ->
       """SELECT doc_id, list_reduce(
            list_prepend(cast(0 AS bigint), list_transform(string_split(text, ''), c -> cast(ascii(c) AS bigint))),

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SamplingSpec extends SparkSpec {
+
+  private def ids(n: Int) = {
+    spark.createDataFrame(
+      java.util.Arrays.asList((0 until n).map(i => Row(i.toLong)): _*),
+      StructType(Seq(StructField("id", LongType))))
+  }
+
+  test("keepHex is deterministic and repartition-invariant") {
+    val df = ids(2000)
+    val once = df.filter(Sampling.keepHex(col("id"), "s1", "2000"))
+      .collect().map(_.getLong(0)).toSet
+    val again = df.repartition(7).filter(Sampling.keepHex(col("id"), "s1", "2000"))
+      .collect().map(_.getLong(0)).toSet
+    assert(once == again)
+  }
+
+  test("keepHex keeps roughly the requested fraction") {
+    val n = 4000
+    val kept = ids(n).filter(Sampling.keepHex(col("id"), "s2", "4000"))
+      .count().toDouble
+    // threshold 0x4000/0x10000 = 25%; md5 is uniform, allow ±5pp.
+    assert(math.abs(kept / n - 0.25) < 0.05, s"kept ${kept / n}")
+  }
+
+  test("a row's fate is independent of the rest of the dataset") {
+    val small = ids(100).filter(Sampling.keepHex(col("id"), "s3", "8000"))
+      .collect().map(_.getLong(0)).toSet
+    val large = ids(5000).filter(Sampling.keepHex(col("id"), "s3", "8000"))
+      .collect().map(_.getLong(0)).filter(_ < 100).toSet
+    assert(small == large)
+  }
+
+  test("splitLabel partitions every row into exactly one split, ~80/10/10") {
+    val n = 5000
+    val counts = ids(n)
+      .select(Sampling.splitLabel(col("id"), "corpus").as("split"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n)
+    assert(math.abs(counts("train").toDouble / n - 0.80) < 0.04)
+    assert(math.abs(counts("val").toDouble / n - 0.10) < 0.03)
+    assert(math.abs(counts("test").toDouble / n - 0.10) < 0.03)
+  }
+
+  test("different salts give independent samples") {
+    val df = ids(2000)
+    val a = df.filter(Sampling.keepHex(col("id"), "saltA", "8000"))
+      .collect().map(_.getLong(0)).toSet
+    val b = df.filter(Sampling.keepHex(col("id"), "saltB", "8000"))
+      .collect().map(_.getLong(0)).toSet
+    assert(a != b)
+    // overlap of two independent 50% samples ≈ 25% of the base
+    val overlap = a.intersect(b).size.toDouble / 2000
+    assert(overlap > 0.15 && overlap < 0.35, s"overlap $overlap")
+  }
+
+  test("the sampling gate stays a scan-local filter — no shuffle in the plan") {
+    val plan = ids(100).filter(Sampling.keepHex(col("id"), "s", "2000"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
