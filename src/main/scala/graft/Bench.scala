@@ -22,7 +22,11 @@ object Bench {
     // query that many times and keeps the minimum — the run least disturbed
     // by JIT/GC/host noise.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b (local tuning only): time just those queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(ks =>
+      SparkEntry.queries.filter { case (k, _) => ks(k) })
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

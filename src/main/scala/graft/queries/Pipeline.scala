@@ -87,11 +87,20 @@ object Pipeline {
     // budget per language. Every stage is a deterministic, shuffle-
     // bounded operator — the whole mix is re-derivable at 100 TB.
     "q_train_mix" -> ((s, dir) => {
-      val scored = t(s, dir, "documents")
+      // Each regex over `text` is materialized exactly once, then quality
+      // derives from the columns — same values as TA.qualityScore, without
+      // re-splitting the text per sub-expression.
+      val base = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TA.tokenCountWs(col("text")).as("n_tokens"),
-          TA.qualityScore(col("text")).as("quality"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+            .as("n_nonspace"),
           Dedup.fingerprint(col("text")).as("fp"))
+      val scored = base.select(col("doc_id"), col("lang"), col("n_tokens"),
+        (when(col("n_tokens").between(20, 10000), 0.5).otherwise(0.0) +
+          when((col("n_nonspace") / col("n_tokens")).between(3.0, 8.0), 0.5)
+            .otherwise(0.0)).as("quality"),
+        col("fp"))
       val deduped = Dedup.exactByKey(
         scored.filter(col("quality") >= 1.0), Seq("fp"), Seq(col("doc_id")))
       // stratified threshold: downsample the dominant language harder
