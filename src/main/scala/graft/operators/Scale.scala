@@ -52,4 +52,37 @@ object Scale {
   /** Read a bucketed table back (bucket metadata comes from the catalog). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /**
+   * CDC-style upsert: merge `changes` into `base` by `keys`; per key, the
+   * row with the highest `versionCol` wins (ties broken by preferring no
+   * row deterministically — callers must version changes above base).
+   * One shuffle on the key, no driver round-trip — the incremental-refresh
+   * primitive for a corpus that receives deltas rather than full reloads.
+   */
+  def upsert(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame =
+    Dedup.exactByKey(base.unionByName(changes), keys,
+      Seq(col(versionCol).desc))
+
+  /**
+   * Distributed column profile in long format: per column — non-null count,
+   * exact distinct count, min/max rendered as strings (one uniform row
+   * type). The engine-side big brother of the reference's configGen sample
+   * (config-generator.ts:38-61): one scan + aggregate instead of per-table
+   * LIMIT probes, so profiling 100 TB is a job, not a driver loop.
+   */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val metrics = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), metrics: _*)
+    val stacked = cols.map(c =>
+      s"'$c', __n, __nn_$c, __nd_$c, __min_$c, __max_$c").mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stacked) AS " +
+      "(column_name, n_rows, n_nonnull, n_distinct, min_str, max_str)")
+  }
 }

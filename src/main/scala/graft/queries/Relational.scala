@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.{Sampling, Scale}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -315,6 +316,29 @@ object Relational {
                                 WHERE o_orderstatus = 'F')
         ORDER BY c_custkey""")
     }),
+    // Incremental — CDC-style upsert: a deterministic ~1/8 slice of orders
+    // arrives as versioned changes (+10 on the price); latest version per
+    // key wins. One shuffle on the key — the delta-refresh primitive.
+    "q_upsert" -> ((s, dir) => {
+      val price = dec2(col("o_totalprice"))
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), price.as("price"), lit(0).as("version"))
+      val changes = t(s, dir, "orders")
+        .filter(Sampling.keepHex(col("o_orderkey"), "cdc", "2000"))
+        .select(col("o_orderkey"), (price + lit(10)).as("price"),
+          lit(1).as("version"))
+      Scale.upsert(base, changes, Seq("o_orderkey"), "version")
+        .select(col("o_orderkey"), col("price").cast("double").as("price"),
+          col("version"))
+        .orderBy("o_orderkey")
+    }),
+    // Schema — distributed column profiler: one scan+aggregate per table
+    // instead of the reference's driver-side LIMIT probes.
+    "q_profile" -> ((s, dir) => {
+      Scale.profile(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        .orderBy("column_name")
+    }),
     // A4 — full-row distinct (dropDuplicates over every column).
     "q_distinct_rows" -> ((s, dir) => {
       t(s, dir, "orders").select("o_custkey", "o_orderstatus").distinct()
@@ -561,6 +585,43 @@ object Relational {
            AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                  WHERE o_orderstatus = 'F')
          ORDER BY c_custkey""",
+    "q_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, cast(o_totalprice AS decimal(18,2)) AS price,
+             0 AS version FROM orders),
+         changes AS (
+           SELECT o_orderkey,
+             cast(o_totalprice AS decimal(18,2)) + 10 AS price, 1 AS version
+           FROM orders
+           WHERE substring(md5(concat('cdc', '|',
+                   cast(o_orderkey AS VARCHAR))), 1, 4) < '2000'),
+         unioned AS (SELECT * FROM base UNION ALL SELECT * FROM changes)
+         SELECT o_orderkey, cast(price AS double) AS price, version FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY version DESC) AS rn FROM unioned)
+         WHERE rn = 1 ORDER BY o_orderkey""",
+    "q_profile" ->
+      """SELECT * FROM (
+           SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+             count(c_custkey) AS n_nonnull,
+             count(DISTINCT c_custkey) AS n_distinct,
+             cast(min(c_custkey) AS VARCHAR) AS min_str,
+             cast(max(c_custkey) AS VARCHAR) AS max_str FROM customer
+           UNION ALL
+           SELECT 'c_name', count(*), count(c_name), count(DISTINCT c_name),
+             cast(min(c_name) AS VARCHAR), cast(max(c_name) AS VARCHAR)
+           FROM customer
+           UNION ALL
+           SELECT 'c_nationkey', count(*), count(c_nationkey),
+             count(DISTINCT c_nationkey),
+             cast(min(c_nationkey) AS VARCHAR),
+             cast(max(c_nationkey) AS VARCHAR) FROM customer
+           UNION ALL
+           SELECT 'c_mktsegment', count(*), count(c_mktsegment),
+             count(DISTINCT c_mktsegment),
+             cast(min(c_mktsegment) AS VARCHAR),
+             cast(max(c_mktsegment) AS VARCHAR) FROM customer)
+         ORDER BY column_name""",
     "q_distinct_rows" ->
       """SELECT DISTINCT o_custkey, o_orderstatus FROM orders
          ORDER BY o_custkey, o_orderstatus""",

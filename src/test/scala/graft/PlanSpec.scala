@@ -80,7 +80,10 @@ class PlanSpec extends SparkSpec {
     // one partition at the END (on already-reduced data); anything else
     // collapsing to SinglePartition would serialize at 100 TB.
     val gatherByDesign = Set("q_topk", "q_sample_limit", "q_agg_approx",
-      "q_explode", "q_sql_join")
+      "q_explode", "q_sql_join",
+      // q_profile is a grand-total aggregate: partials are distributed and
+      // only the per-partition summaries gather to the final stage.
+      "q_profile")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {

@@ -41,4 +41,26 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(exact.toSeq == Seq((1L, 2L)))
   }
+
+  test("upsert: change rows replace base rows by key; new keys insert") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0))
+      .toDF("k", "v", "version")
+    val changes = Seq((2L, "B", 1), (4L, "D", 1)).toDF("k", "v", "version")
+    val out = Scale.upsert(base, changes, Seq("k"), "version")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+  }
+
+  test("profile: per-column null/distinct/min/max in one aggregate pass") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "x"), (Some(2L), "y"), (None, "y"))
+      .toDF("id", "s")
+    val out = Scale.profile(df, Seq("id", "s")).orderBy("column_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(out == Seq(
+      ("id", 3L, 2L, 2L, "1", "2"),
+      ("s", 3L, 3L, 2L, "x", "y")))
+  }
 }
