@@ -166,6 +166,62 @@ object Dedup {
   }
 
   /**
+   * Connected components over an undirected edge list by min-label
+   * propagation: every node starts labeled with its own id; each round a
+   * node adopts the minimum label among itself and its neighbors, until no
+   * label changes. Converges in O(component diameter) rounds — near-dup
+   * clusters are shallow, so a handful of rounds closes them.
+   *
+   * This is the step after pair finding that a real dedup pipeline needs:
+   * pairwise matches are not usable until transitively closed into groups
+   * with one canonical survivor (the min id = the component label).
+   *
+   * Scale: each round is one shuffle join (edges ⋈ labels) plus one
+   * aggregate; the driver holds only the changed-row COUNT per round
+   * (Pregel-style control flow, no row materialization). Labels persist
+   * per round and the previous round unpersists once the next is
+   * materialized, so peak storage is two label tables of |V| rows.
+   */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Persist the forward edges BEFORE symmetrizing: union duplicates the
+    // lineage, so an unpersisted (possibly expensive) edge-finding plan
+    // would execute once per union branch.
+    val fwd = edges.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym
+        .join(comp.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy("src").agg(min(col("dcomp")).as("nbr"))
+        .select(col("src").as("id"), col("nbr"))
+      val next = comp
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("comp") < col("prev")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] iter $it changed=$changed")
+      val prev = comp
+      comp = next.select("id", "comp")
+      prev.unpersist()
+      it += 1
+    }
+    sym.unpersist()
+    fwd.unpersist()
+    comp
+  }
+
+  /**
    * 16-bit SimHash over whitespace tokens: bit i is the sign of the sum of
    * (+1/-1) votes from bit i of each token's xxhash64. Scan-only; near-dup
    * docs land at small Hamming distance.

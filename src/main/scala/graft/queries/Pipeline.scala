@@ -154,6 +154,33 @@ object Pipeline {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
     }),
+    // A7 — dedup clustering: min-shingle blocking (lexicographic min — no
+    // engine hashing, so fully oracle-checkable) → exact Jaccard ≥ 0.5
+    // verify → connected components. Pairwise matches become canonical
+    // groups; the component label (min doc_id) is the survivor.
+    "q_dedup_cluster" -> ((s, dir) => {
+      // Persisted once as (block key, hashed shingles): the self-join would
+      // otherwise re-shingle every doc per side, and long arrays serialize
+      // far cheaper than string arrays. Jaccard over xxhash64'd shingles
+      // equals string Jaccard barring a 2^-64 collision (same argument as
+      // nearDuplicates), so the string-side oracle agrees.
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"), array_min(col("sh")).as("blk"),
+          Dedup.shingleHashes(col("sh")).as("hv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sh.select(col("doc_id").as("a"), col("hv").as("hv_a"), col("blk"))
+      val b = sh.select(col("doc_id").as("b"), col("hv").as("hv_b"), col("blk"))
+      val inter = size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
+      val pairs = a.join(b, "blk").filter(col("a") < col("b"))
+        .withColumn("jac",
+          inter / (size(col("hv_a")) + size(col("hv_b")) - inter))
+        .filter(col("jac") >= 0.5)
+        .select("a", "b")
+        // persisted: the edge list feeds both union branches + every round
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.connectedComponents(pairs, "a", "b").orderBy("id")
+    }),
     // A7 — SimHash signatures (no oracle; asserted in DedupSpec).
     "q_dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -415,6 +442,28 @@ object Pipeline {
            FROM s x JOIN s y
              ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id)
          ORDER BY a, b""",
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         k AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM s),
+         e AS (
+           SELECT x.doc_id AS a, y.doc_id AS b
+           FROM k x JOIN k y ON x.blk = y.blk AND x.doc_id < y.doc_id
+           WHERE cast(len(list_intersect(x.sh, y.sh)) AS double) /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                 >= 0.5),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION SELECT b, a FROM e),
+         reach(src, dst) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT r.src, s2.dst FROM reach r
+           JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst)
+         SELECT src AS id, least(src, min(dst)) AS comp FROM reach
+         GROUP BY src ORDER BY id""",
     "q_explode" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -35,6 +35,20 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("connectedComponents closes chains and keeps components separate") {
+    import org.apache.spark.sql.types._
+    val edges = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(4L, 5L), // 4-hop chain
+        Row(10L, 11L),                                      // separate pair
+        Row(20L, 21L), Row(21L, 20L)),                      // duplicate edge
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    val comps = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("nearDuplicates finds planted near-dups and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
