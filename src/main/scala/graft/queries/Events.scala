@@ -42,6 +42,29 @@ object Events {
           col("event_type"), col("n_events"))
         .orderBy("bucket_start", "event_type")
     }),
+    // Funnel — ordered milestone progression per user (view → click →
+    // purchase, each strictly after the previous stage's first hit).
+    // Three hash aggregates keyed on user_id + two co-partitioned joins:
+    // no windows over global order, so the 100 TB path shuffles on
+    // user_id only. Timestamps compare as raw nanos-longs (exact).
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val tc = ev.filter(col("event_type") === "click").join(tv, "user_id")
+        .filter(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val tp = ev.filter(col("event_type") === "purchase").join(tc, "user_id")
+        .filter(col("ts") > col("tc"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      tv.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(tc.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionByName(tp.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy("stage")
+    }),
     // T3 — 30-minute-gap session windows per user. A session's end extends
     // with each event; a new one opens when the gap from the last event is
     // >= 30 minutes (session_window semantics).
@@ -56,6 +79,23 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH tv AS (
+           SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         tc AS (
+           SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+           JOIN tv ON e.user_id = tv.user_id
+           WHERE e.event_type = 'click' AND epoch_ns(e.ts) > tv.t GROUP BY 1),
+         tp AS (
+           SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+           JOIN tc ON e.user_id = tc.user_id
+           WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > tc.t GROUP BY 1)
+         SELECT stage, n_users FROM (
+           SELECT '1_view' AS stage, count(*) AS n_users FROM tv
+           UNION ALL SELECT '2_click', count(*) FROM tc
+           UNION ALL SELECT '3_purchase', count(*) FROM tp)
+         ORDER BY stage""",
     "q_stream_tumbling" ->
       """SELECT (epoch_ns(ts) // 300000000000) * 300 AS bucket_start,
          event_type, count(*) AS n_events,

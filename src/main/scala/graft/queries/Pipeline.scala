@@ -154,6 +154,33 @@ object Pipeline {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
     }),
+    // L1 — TF-IDF: top-3 terms per doc. tf and df are two hash aggregates
+    // off one tokenize pass; N arrives via a broadcast one-row cross join
+    // (no driver collect); ranking is a per-doc window. Ties break on the
+    // token, and identical (tf, df) pairs produce identical doubles in any
+    // IEEE engine, so the ranking is engine-portable.
+    "q_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      // One tokenize pass: tf has one row per (doc, token), so df is just
+      // the per-token row count — a window over token, not a second
+      // tokenize + distinct + self-join. N arrives via a broadcast
+      // one-row cross join (no driver collect).
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("token")))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      withDf.crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
     // A7 — dedup clustering: min-shingle blocking (lexicographic min — no
     // engine hashing, so fully oracle-checkable) → exact Jaccard ≥ 0.5
     // verify → connected components. Pairwise matches become canonical
@@ -442,6 +469,22 @@ object Pipeline {
            FROM s x JOIN s y
              ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id)
          ORDER BY a, b""",
+    "q_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+                   GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token, tf.tf,
+             tf.tf * ln(cast(n_docs AS double) / df) AS score
+           FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+         SELECT doc_id, token, tf, round(score, 6) AS tfidf FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, token) AS rn FROM scored)
+         WHERE rn <= 3 ORDER BY doc_id, token""",
     "q_dedup_cluster" ->
       """WITH RECURSIVE s AS (
            SELECT doc_id,

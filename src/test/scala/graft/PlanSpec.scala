@@ -81,9 +81,11 @@ class PlanSpec extends SparkSpec {
     // collapsing to SinglePartition would serialize at 100 TB.
     val gatherByDesign = Set("q_topk", "q_sample_limit", "q_agg_approx",
       "q_explode", "q_sql_join",
-      // q_profile is a grand-total aggregate: partials are distributed and
-      // only the per-partition summaries gather to the final stage.
-      "q_profile")
+      // Grand-total aggregates: partials are distributed and only the
+      // per-partition summaries gather to the final one-row stage
+      // (q_profile per-column stats, q_funnel stage counts, q_tfidf's
+      // corpus size N).
+      "q_profile", "q_funnel", "q_tfidf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
