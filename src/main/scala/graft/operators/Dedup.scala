@@ -191,28 +191,49 @@ object Dedup {
     val fwd = edges.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Frontier-sized shuffle width: the label tables are |V|-row frames, so
+    // iterating at the session's full shuffle width would pay a fixed
+    // several-hundred-task cost per round on a small component graph. One
+    // partition per ~5M edges, capped at the session width, keeps small
+    // graphs cheap and 100 TB graphs wide.
+    val spark = edges.sparkSession
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nEdges = fwd.count()
+    val parts = math.max(1L, math.min(sessionWidth.toLong,
+      nEdges / 5000000L + 1L)).toInt
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("src"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var comp = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // Round 0 folds into the init aggregate: every node starts at
+    // least(own id, min direct neighbor), so star-shaped clusters converge
+    // with zero loop rounds beyond the confirmation pass.
+    var comp = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // Labels only ever decrease, so the decimal label sum (no long
+    // overflow at any id magnitude) is a monotone convergence metric:
+    // one scalar action per round, no prev-vs-next join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+    var prevSum = labelSum(comp)
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nbrMin = sym
-        .join(comp.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
-        .groupBy("src").agg(min(col("dcomp")).as("nbr"))
-        .select(col("src").as("id"), col("nbr"))
-      val next = comp
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = sym
+        .join(comp.toDF("dst", "dlbl"), "dst")
+        .select(col("src").as("id"), col("dlbl").as("lbl"))
+        .unionByName(comp.toDF("id", "lbl"))
+        .groupBy("id").agg(min(col("lbl")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("comp") < col("prev")).count()
+      val nextSum = labelSum(next)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] iter $it changed=$changed")
+        System.err.println(s"[cc] iter $it sum=$nextSum")
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       val prev = comp
-      comp = next.select("id", "comp")
+      comp = next
       prev.unpersist()
       it += 1
     }

@@ -85,7 +85,11 @@ class PlanSpec extends SparkSpec {
       // per-partition summaries gather to the final one-row stage
       // (q_profile per-column stats, q_funnel stage counts, q_tfidf's
       // corpus size N).
-      "q_profile", "q_funnel", "q_tfidf")
+      "q_profile", "q_funnel", "q_tfidf",
+      // connectedComponents sizes its iteration shuffle width to the edge
+      // count (1 partition per ~5M edges): at test scale that is a single
+      // partition by design; at 100 TB it is the session width.
+      "q_dedup_cluster")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
