@@ -65,6 +65,29 @@ object Events {
           .select(lit("3_purchase").as("stage"), col("n_users")))
         .orderBy("stage")
     }),
+    // Cohort retention matrix: users grouped by the epoch-week of their
+    // first event × the weeks they were active; exact integer week
+    // arithmetic on the nanos-long, so any engine reproduces the buckets.
+    // Two hash aggregates + one co-partitioned join on user_id.
+    "q_cohort" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts div 1000000000) div 604800").as("week"))
+      val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      ev.distinct().join(first, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week")
+    }),
+    // Value histogram: fixed-width buckets per event type (exact integer
+    // bucket index — a distribution profile in one hash aggregate).
+    "q_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") / 50.0).cast("long").as("bucket"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket")
+    }),
     // T3 — 30-minute-gap session windows per user. A session's end extends
     // with each event; a new one opens when the gap from the last event is
     // >= 30 minutes (session_window semantics).
@@ -79,6 +102,20 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_cohort" ->
+      """WITH ev AS (
+           SELECT user_id,
+             (epoch_ns(ts) // 1000000000) // 604800 AS week FROM events),
+         first AS (
+           SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+         SELECT cohort_week, week, count(DISTINCT e.user_id) AS n_users
+         FROM (SELECT DISTINCT user_id, week FROM ev) e
+         JOIN first USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_week, week""",
+    "q_histogram" ->
+      """SELECT event_type, cast(floor(value / 50.0) AS bigint) AS bucket,
+         count(*) AS n FROM events
+         GROUP BY 1, 2 ORDER BY event_type, bucket""",
     "q_funnel" ->
       """WITH tv AS (
            SELECT user_id, min(epoch_ns(ts)) AS t FROM events
