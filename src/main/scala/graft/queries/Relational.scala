@@ -82,6 +82,30 @@ object Relational {
           expr("repeat('*', p_size % 4)").as("stars"))
         .orderBy("p_partkey")
     }),
+    // F10 — regex kit: extraction groups, match counting, anchored match.
+    "q_regex_kit" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0)))
+            .cast("long").as("n_vowels"),
+          regexp_extract(col("p_name"), "zzz", 0).as("no_match"),
+          col("p_name").rlike("^(red|blue)").as("is_colored"))
+        .orderBy("p_partkey")
+    }),
+    // F10 — bitwise kit over integer keys (mask/set/toggle/shift).
+    "q_bitwise_kit" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          col("p_partkey").bitwiseAND(255).as("band"),
+          col("p_partkey").bitwiseOR(4096).as("bor"),
+          col("p_partkey").bitwiseXOR(21845).as("bxor"),
+          expr("shiftleft(p_partkey, 2)").as("shl"),
+          expr("shiftright(p_partkey, 1)").as("shr"))
+        .orderBy("p_partkey")
+    }),
     // F10 — fuzzy string matching: edit distance against a fixed probe
     // (the text-analysis building block for name reconciliation).
     "q_fuzzy_match" -> ((s, dir) => {
@@ -673,6 +697,21 @@ object Relational {
          translate(p_brand, '#', '-') AS brand_dashed,
          reverse(p_brand) AS brand_rev,
          repeat('*', p_size % 4) AS stars
+         FROM part ORDER BY p_partkey""",
+    "q_regex_kit" ->
+      """SELECT p_partkey,
+         regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+         len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+         regexp_extract(p_name, 'zzz', 0) AS no_match,
+         regexp_matches(p_name, '^(red|blue)') AS is_colored
+         FROM part ORDER BY p_partkey""",
+    "q_bitwise_kit" ->
+      """SELECT p_partkey,
+         p_partkey & 255 AS band,
+         p_partkey | 4096 AS bor,
+         xor(p_partkey, 21845) AS bxor,
+         p_partkey << 2 AS shl,
+         p_partkey >> 1 AS shr
          FROM part ORDER BY p_partkey""",
     "q_window_nav" ->
       """SELECT o_custkey, o_orderkey,
