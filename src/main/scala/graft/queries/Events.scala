@@ -50,11 +50,14 @@ object Events {
     "q_funnel" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
+      // tv and tc each feed two consumers (their stage count + the next
+      // stage's join): persisted so each stage scans events exactly once.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val tv = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("tv"))
+        .groupBy("user_id").agg(min("ts").as("tv")).persist(lvl)
       val tc = ev.filter(col("event_type") === "click").join(tv, "user_id")
         .filter(col("ts") > col("tv"))
-        .groupBy("user_id").agg(min("ts").as("tc"))
+        .groupBy("user_id").agg(min("ts").as("tc")).persist(lvl)
       val tp = ev.filter(col("event_type") === "purchase").join(tc, "user_id")
         .filter(col("ts") > col("tc"))
         .groupBy("user_id").agg(min("ts").as("tp"))
