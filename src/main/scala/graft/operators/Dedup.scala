@@ -214,9 +214,12 @@ object Dedup {
     // Labels only ever decrease, so the decimal label sum (no long
     // overflow at any id magnitude) is a monotone convergence metric:
     // one scalar action per round, no prev-vs-next join.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // empty graph → sum is NULL → treat as zero (converged immediately)
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
         .head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(comp)
     var it = 0
     var converged = false

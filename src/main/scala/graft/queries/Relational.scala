@@ -340,6 +340,15 @@ object Relational {
                                 WHERE o_orderstatus = 'F')
         ORDER BY c_custkey""")
     }),
+    // Layout — Morton z-values over (custkey, orderkey): the clustering key
+    // for two-dimensional range pruning (Layout.zorderWrite sorts by it).
+    "q_zorder" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.operators.Layout.zValue2(col("o_custkey"), col("o_orderkey"))
+            .as("z"))
+        .orderBy("z", "o_orderkey")
+    }),
     // Incremental — CDC-style upsert: a deterministic ~1/8 slice of orders
     // arrives as versioned changes (+10 on the price); latest version per
     // key wins. One shuffle on the key — the delta-refresh primitive.
@@ -609,6 +618,13 @@ object Relational {
            AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                  WHERE o_orderstatus = 'F')
          ORDER BY c_custkey""",
+    "q_zorder" -> {
+      // the same bit interleave, unrolled to portable SQL
+      val zTerms = (0 until 16).flatMap(i => Seq(
+        s"(((o_custkey >> $i) & 1) << ${2 * i})",
+        s"(((o_orderkey >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"SELECT o_orderkey, $zTerms AS z FROM orders ORDER BY z, o_orderkey"
+    },
     "q_upsert" ->
       """WITH base AS (
            SELECT o_orderkey, cast(o_totalprice AS decimal(18,2)) AS price,

@@ -49,6 +49,14 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents on an empty edge list returns an empty frame") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    assert(Dedup.connectedComponents(empty, "a", "b").count() == 0)
+  }
+
   test("nearDuplicates finds planted near-dups and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

@@ -42,6 +42,43 @@ class ScaleSpec extends SparkSpec {
     assert(exact.toSeq == Seq((1L, 2L)))
   }
 
+  test("zValue2 interleaves bits (x even positions, y odd)") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y")).as("z"))
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(morton(1, 0), morton(0, 1), morton(3, 5),
+      morton(65535, 65535)))
+    assert(got.take(2) == Seq(1L, 2L))
+  }
+
+  test("zorderWrite produces files with disjoint z-ranges") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val df = (0 until 1024).map(i => (i.toLong % 32, i.toLong / 32))
+      .toDF("x", "y")
+    Layout.zorderWrite(df, "x", "y", dir, numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size == 4)
+    val ranges = files.map { f =>
+      val z = spark.read.parquet(f)
+        .select(Layout.zValue2(col("x"), col("y")).as("z"))
+        .agg(min("z"), max("z")).head
+      (z.getLong(0), z.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, s"overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("upsert: change rows replace base rows by key; new keys insert") {
     import spark.implicits._
     val base = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0))
