@@ -101,6 +101,40 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"single-partition exchanges in: $offenders")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // Catalyst's runtime-filter rule ships a bloom filter built from the
+    // selective (filtered) side to the fact scan — the 100 TB pre-join
+    // row-skip. Thresholds drop to zero so the rule fires at test scale.
+    val s = spark
+    // creationSideThreshold is a MAX (small build side), the application
+    // scan threshold a MIN (big probe side): widen both so the rule fires
+    // on fixture-sized tables.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the rule declines when either side is broadcastable (a broadcast
+      // join needs no bloom filter) — turn auto-broadcast off so the
+      // fixture-sized join models the 100 TB shuffle-join case.
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val li = queries.Q.t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = queries.Q.t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val joined = li.hint("merge")
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter") ||
+        p.contains("might_contain"), p.take(800))
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s = spark
