@@ -64,6 +64,24 @@ class SourcesSpec extends SparkSpec {
         .contains("event_type"), s"partition filter not pushed:\n$scan")
   }
 
+  test("binaryFile source ingests raw payloads with path/length metadata") {
+    // the multimodal ingestion path: opaque files (image/audio/video) enter
+    // as binary columns + typed metadata, no driver-side reads.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    val payloads = Seq("img-a" -> Array[Byte](1, 2, 3, 4),
+      "img-b" -> Array[Byte](9, 8, 7))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(dir.resolve(s"$name.bin"), bytes)
+    }
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val got = df.select(col("path"), col("length"), col("content"))
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getLong(1), r.getAs[Array[Byte]](2).toSeq)).sortBy(_._1).toSeq
+    assert(got == Seq(("img-a.bin", 4L, Seq[Byte](1, 2, 3, 4)),
+      ("img-b.bin", 3L, Seq[Byte](9, 8, 7))))
+  }
+
   test("catalogFromDir lists tables sorted and reads them") {
     val cat = Tables.catalogFromDir(spark, "/root/testdata/sf0.001")
     assert(cat.keySet == Tables.names.toSet)
