@@ -96,6 +96,44 @@ object Streams {
       }
   }
 
+  case class FunnelHit(user_id: Long, stage: Int, at_sec: Long)
+
+  /**
+   * Streaming funnel: a per-user milestone state machine (view → click →
+   * purchase) over an unbounded stream — the streaming twin of the batch
+   * `q_funnel`. State per user is O(1): (stage reached, its timestamp); a
+   * stage advances only on the next milestone type arriving strictly after
+   * the previous stage's hit, and each advance emits one FunnelHit row.
+   * NoTimeout: funnel progress persists for the life of the stream.
+   */
+  def funnelProgress(
+      events: org.apache.spark.sql.Dataset[(Long, String, java.sql.Timestamp)],
+      milestones: Seq[String] = Seq("view", "click", "purchase"))
+      : org.apache.spark.sql.Dataset[FunnelHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    implicit val outEnc = Encoders.product[FunnelHit]
+    val nextStage = milestones.zipWithIndex.map { case (m, i) => m -> (i + 1) }.toMap
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Int, Long), FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[(Int, Long)]) =>
+          var (stage, lastSec) = state.getOption.getOrElse((0, Long.MinValue))
+          val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, et, ts) =>
+            val t = ts.getTime / 1000
+            if (nextStage.get(et).contains(stage + 1) && t > lastSec) {
+              stage += 1; lastSec = t
+              hits += FunnelHit(user, stage, t)
+            }
+          }
+          state.update((stage, lastSec))
+          hits.iterator
+      }
+  }
+
   /**
    * Running per-user event totals via transformWithState — Spark 4's
    * arbitrary-state API (typed ValueState in the RocksDB state store; the

@@ -55,6 +55,19 @@ class ScaleSpec extends SparkSpec {
     assert(got == Seq(morton(1, 0), morton(0, 1), morton(3, 5),
       morton(65535, 65535)))
     assert(got.take(2) == Seq(1L, 2L))
+    // randomized law: Spark expression ≡ reference morton, and z is
+    // monotone along each axis with the other fixed (the property range
+    // pruning relies on)
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val zs = pairs.toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs == pairs.map { case (x, y) => morton(x, y) })
+    pairs.take(50).foreach { case (x, y) =>
+      if (x < 65535) assert(morton(x, y) < morton(x + 1, y))
+      if (y < 65535) assert(morton(x, y) < morton(x, y + 1))
+    }
   }
 
   test("zorderWrite produces files with disjoint z-ranges") {

@@ -239,4 +239,29 @@ class StreamsSpec extends SparkSpec {
       assert(rows == Set((1L, "gold"), (2L, "trial"), (3L, null)))
     } finally q.stop()
   }
+
+  test("streaming funnel advances per-user milestones across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val typed = mem.toDF().select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, Timestamp)]
+    val q = Streams.funnelProgress(typed)
+      .writeStream.format("memory").queryName("funnel_t")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 views then clicks; user 2 clicks without a view
+      // (no progress); a purchase BEFORE the click must not advance user 1
+      mem.addData(Ev(ts(0), "view", 1), Ev(ts(1), "purchase", 1),
+        Ev(ts(2), "click", 1), Ev(ts(0), "click", 2))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (stage 3); user 2 finally views (stage 1)
+      mem.addData(Ev(ts(10), "purchase", 1), Ev(ts(11), "view", 2))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_t")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage")))
+        .toSet
+      assert(rows == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+    } finally q.stop()
+  }
 }
