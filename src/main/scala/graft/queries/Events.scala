@@ -68,6 +68,34 @@ object Events {
           .select(lit("3_purchase").as("stage"), col("n_users")))
         .orderBy("stage")
     }),
+    // W-extra — unpivot (melt): the wide per-type value-band counts fold
+    // back to long format — the inverse of q_pivot, via Dataset.unpivot.
+    "q_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("count_if(value < 10)").as("low"),
+          expr("count_if(value >= 10 AND value < 100)").as("mid"),
+          expr("count_if(value >= 100)").as("high"))
+      wide.unpivot(Array(col("event_type")),
+          Array(col("low"), col("mid"), col("high")), "band", "n")
+        .orderBy("event_type", "band")
+    }),
+    // Gap-filling: a generated 5-minute scaffold between the observed
+    // bounds left-joins the sparse purchase counts, so every bucket
+    // appears (0 when silent). The scaffold derives from a one-row bounds
+    // aggregate; at 100 TB you'd widen it by generating per-range slices
+    // distributed, but its size is (hi-lo)/step regardless of input rows.
+    "q_gapfill" -> ((s, dir) => {
+      val b = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("((ts div 1000000000) div 300) * 300").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val scaffold = b.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(300))).as("bucket"))
+      scaffold.join(b, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("bucket")
+    }),
     // Cohort retention matrix: users grouped by the epoch-week of their
     // first event × the weeks they were active; exact integer week
     // arithmetic on the nanos-long, so any engine reproduces the buckets.
@@ -105,6 +133,31 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      """SELECT event_type, band, n FROM (
+           SELECT event_type, 'low' AS band,
+             cast(count_if(value < 10) AS bigint) AS n
+           FROM events GROUP BY 1
+           UNION ALL
+           SELECT event_type, 'mid',
+             cast(count_if(value >= 10 AND value < 100) AS bigint)
+           FROM events GROUP BY 1
+           UNION ALL
+           SELECT event_type, 'high',
+             cast(count_if(value >= 100) AS bigint)
+           FROM events GROUP BY 1)
+         ORDER BY event_type, band""",
+    "q_gapfill" ->
+      """WITH b AS (
+           SELECT (epoch_ns(ts) // 1000000000 // 300) * 300 AS bucket,
+             count(*) AS n
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+         scaffold AS (
+           SELECT unnest(generate_series(lo, hi, 300)) AS bucket FROM bounds)
+         SELECT s.bucket, cast(coalesce(n, 0) AS bigint) AS n
+         FROM scaffold s LEFT JOIN b USING (bucket)
+         ORDER BY bucket""",
     "q_cohort" ->
       """WITH ev AS (
            SELECT user_id,
