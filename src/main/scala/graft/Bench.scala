@@ -31,8 +31,10 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter { case (k, _) => ks(k) })
     val warmDir = "/root/testdata/sf0.001"
+    def canon(p: String) = try new java.io.File(p).getCanonicalPath
+      catch { case _: Throwable => p }
     if (!sys.env.contains("SPARK_GRAFT_NOWARM") &&
-        new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+        new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir)) {
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }

@@ -242,6 +242,11 @@ object Dedup {
     }
     sym.unpersist()
     fwd.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the " +
+          "graph has a component with diameter > maxIter; raise maxIter. " +
+          "Returning unconverged labels would silently split clusters.")
     comp
   }
 

@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** Uniform hash in [0x0000, 0xffff] as 4 lowercase hex chars. */
+  /** Uniform hash in [0x0000, 0xffff] as 4 lowercase hex chars. NULL keys
+    * hash to NULL, so every gate below evaluates false for them — null-key
+    * rows never enter a sample (callers wanting them must coalesce first).
+    * `concat` (not concat_ws) mirrors the oracle's `concat(salt,'|',key)`
+    * byte-for-byte on non-null keys. */
   def hashHex4(key: Column, salt: String): Column =
-    substring(md5(concat_ws("|", lit(salt), key.cast("string"))), 1, 4)
+    substring(md5(concat(lit(salt), lit("|"), key.cast("string"))), 1, 4)
 
   /** Keep iff hash < thresholdHex (4 lowercase hex chars); keeps fraction
     * int(thresholdHex,16)/65536 in expectation. */

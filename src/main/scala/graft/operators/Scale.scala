@@ -55,15 +55,19 @@ object Scale {
 
   /**
    * CDC-style upsert: merge `changes` into `base` by `keys`; per key, the
-   * row with the highest `versionCol` wins (ties broken by preferring no
-   * row deterministically — callers must version changes above base).
-   * One shuffle on the key, no driver round-trip — the incremental-refresh
-   * primitive for a corpus that receives deltas rather than full reloads.
+   * row with the highest `versionCol` wins, and on a version tie the
+   * change row beats the base row (a tagged source column makes the
+   * survivor deterministic even for replayed deltas). One shuffle on the
+   * key, no driver round-trip — the incremental-refresh primitive for a
+   * corpus that receives deltas rather than full reloads.
    */
   def upsert(base: DataFrame, changes: DataFrame, keys: Seq[String],
       versionCol: String): DataFrame =
-    Dedup.exactByKey(base.unionByName(changes), keys,
-      Seq(col(versionCol).desc))
+    Dedup.exactByKey(
+      base.withColumn("__src", lit(0))
+        .unionByName(changes.withColumn("__src", lit(1))),
+      keys, Seq(col(versionCol).desc, col("__src").desc))
+      .drop("__src")
 
   /**
    * Distributed column profile in long format: per column — non-null count,
@@ -73,15 +77,20 @@ object Scale {
    * LIMIT probes, so profiling 100 TB is a job, not a driver loop.
    */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val metrics = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+    // internal aliases are index-based so arbitrary input column names
+    // (spaces, dashes, quotes) never reach the parser; the only user text
+    // in the selectExpr is the single-quote-escaped column-name literal
+    val metrics = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"__m${i}_nn"),
+        countDistinct(col(c)).as(s"__m${i}_nd"),
+        min(col(c)).cast("string").as(s"__m${i}_min"),
+        max(col(c)).cast("string").as(s"__m${i}_max"))
     }
     val one = df.agg(count(lit(1)).as("__n"), metrics: _*)
-    val stacked = cols.map(c =>
-      s"'$c', __n, __nn_$c, __nd_$c, __min_$c, __max_$c").mkString(", ")
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      val quoted = "'" + c.replace("'", "''") + "'"
+      s"$quoted, __n, __m${i}_nn, __m${i}_nd, __m${i}_min, __m${i}_max"
+    }.mkString(", ")
     one.selectExpr(s"stack(${cols.length}, $stacked) AS " +
       "(column_name, n_rows, n_nonnull, n_distinct, min_str, max_str)")
   }

@@ -172,13 +172,15 @@ object Pipeline {
       val withDf = tf.withColumn("df",
         count(lit(1)).over(Window.partitionBy("token")))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      // ranking keys off the ROUNDED score: ln() is not correctly-rounded
+      // in IEEE 754, so raw doubles can differ by an ulp across engines and
+      // flip a top-3 boundary; at 6 decimals both engines agree.
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
       withDf.crossJoin(broadcast(n))
-        .withColumn("score",
-          col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("tfidf", round(
+          col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select(col("doc_id"), col("token"), col("tf"),
-          round(col("score"), 6).as("tfidf"))
+        .select(col("doc_id"), col("token"), col("tf"), col("tfidf"))
         .orderBy("doc_id", "token")
     }),
     // A7 — dedup clustering: min-shingle blocking (lexicographic min — no
@@ -479,11 +481,11 @@ object Pipeline {
          n AS (SELECT count(*) AS n_docs FROM documents),
          scored AS (
            SELECT tf.doc_id, tf.token, tf.tf,
-             tf.tf * ln(cast(n_docs AS double) / df) AS score
+             round(tf.tf * ln(cast(n_docs AS double) / df), 6) AS tfidf
            FROM tf JOIN dfreq USING (token) CROSS JOIN n)
-         SELECT doc_id, token, tf, round(score, 6) AS tfidf FROM (
+         SELECT doc_id, token, tf, tfidf FROM (
            SELECT *, row_number() OVER (PARTITION BY doc_id
-             ORDER BY score DESC, token) AS rn FROM scored)
+             ORDER BY tfidf DESC, token) AS rn FROM scored)
          WHERE rn <= 3 ORDER BY doc_id, token""",
     "q_dedup_cluster" ->
       """WITH RECURSIVE s AS (

@@ -120,16 +120,18 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
          state: GroupState[(Int, Long)]) =>
-          var (stage, lastSec) = state.getOption.getOrElse((0, Long.MinValue))
+          // state carries millis so sub-second stage progressions are not
+          // lost to truncation (the batch q_funnel compares raw nanos)
+          var (stage, lastMs) = state.getOption.getOrElse((0, Long.MinValue))
           val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
           rows.toSeq.sortBy(_._3.getTime).foreach { case (_, et, ts) =>
-            val t = ts.getTime / 1000
-            if (nextStage.get(et).contains(stage + 1) && t > lastSec) {
-              stage += 1; lastSec = t
-              hits += FunnelHit(user, stage, t)
+            val t = ts.getTime
+            if (nextStage.get(et).contains(stage + 1) && t > lastMs) {
+              stage += 1; lastMs = t
+              hits += FunnelHit(user, stage, t / 1000)
             }
           }
-          state.update((stage, lastSec))
+          state.update((stage, lastMs))
           hits.iterator
       }
   }

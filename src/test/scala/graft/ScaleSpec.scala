@@ -99,21 +99,26 @@ class ScaleSpec extends SparkSpec {
     // 64k rows over a 256x256 grid; small row groups so stats matter
     val df = (0 until 65536).map(i => (i.toLong % 256, i.toLong / 256))
       .toDF("x", "y")
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
-    df.sparkSession.sessionState.conf
-      .setConfString("spark.sql.parquet.columnarReaderBatchSize", "4096")
-    Layout.zorderWrite(
-      df.withColumn("pad", lit("x" * 64)), "x", "y", dir, numFiles = 8)
-    def rowsRead(filtered: org.apache.spark.sql.DataFrame): Long = {
-      filtered.collect()
-      filtered.queryExecution.executedPlan.collectLeaves()
-        .map(_.metrics("numOutputRows").value).sum
+    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+    val saved = spark.conf.getOption(batchKey)
+    spark.conf.set(batchKey, "4096")
+    try {
+      Layout.zorderWrite(
+        df.withColumn("pad", lit("x" * 64)), "x", "y", dir, numFiles = 8)
+      def rowsRead(filtered: org.apache.spark.sql.DataFrame): Long = {
+        filtered.collect()
+        filtered.queryExecution.executedPlan.collectLeaves()
+          .map(_.metrics("numOutputRows").value).sum
+      }
+      // y is the SECOND interleaved dimension — a plain y-sorted layout
+      // would not help an x predicate, but z-order bounds both axes.
+      val zRead = rowsRead(spark.read.parquet(dir).filter(col("y") === 7))
+      // observed ~16k of 64k (stats skip ~75% of row groups); guard at half
+      assert(zRead < 65536 / 2, s"row-group stats should skip most data ($zRead)")
+    } finally saved match {
+      case Some(v) => spark.conf.set(batchKey, v)
+      case None => spark.conf.unset(batchKey)
     }
-    // y is the SECOND interleaved dimension — a plain y-sorted layout
-    // would not help an x predicate, but z-order bounds both axes.
-    val zRead = rowsRead(spark.read.parquet(dir).filter(col("y") === 7))
-    // observed ~16k of 64k (stats skip ~75% of row groups); guard at half
-    assert(zRead < 65536 / 2, s"row-group stats should skip most data ($zRead)")
   }
 
   test("upsert: change rows replace base rows by key; new keys insert") {
