@@ -70,6 +70,20 @@ object Scale {
       .drop("__src")
 
   /**
+   * Incremental aggregate maintenance: merge a delta's partial counts/sums
+   * into a maintained summary — union + re-aggregate, one shuffle on the
+   * group keys. The law `merge(summarize(A), summarize(B)) ==
+   * summarize(A ∪ B)` holds because count and sum are commutative monoids;
+   * at 100 TB this turns a daily full recompute into a delta-sized job.
+   */
+  def mergeCounts(summary: DataFrame, delta: DataFrame, keys: Seq[String],
+      countCol: String = "n", sumCols: Seq[String] = Nil): DataFrame =
+    summary.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(countCol)).as(countCol),
+        sumCols.map(c => sum(col(c)).as(c)): _*)
+
+  /**
    * Distributed column profile in long format: per column — non-null count,
    * exact distinct count, min/max rendered as strings (one uniform row
    * type). The engine-side big brother of the reference's configGen sample

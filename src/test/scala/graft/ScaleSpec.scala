@@ -131,6 +131,20 @@ class ScaleSpec extends SparkSpec {
     assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
   }
 
+  test("mergeCounts: incremental summary equals the full recompute") {
+    import spark.implicits._
+    val events = (1 to 300).map(i => (s"t${i % 3}", 1L, (i % 7).toLong))
+      .toDF("k", "n", "v")
+    val (a, b) = (events.limit(200), events.exceptAll(events.limit(200)))
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("n").as("n"), sum("v").as("v"))
+    val incremental = Scale.mergeCounts(summarize(a), summarize(b),
+      Seq("k"), "n", Seq("v"))
+      .orderBy("k").collect().toSeq
+    val full = summarize(events).orderBy("k").collect().toSeq
+    assert(incremental == full)
+  }
+
   test("profile: per-column null/distinct/min/max in one aggregate pass") {
     import spark.implicits._
     val df = Seq((Some(1L), "x"), (Some(2L), "y"), (None, "y"))
