@@ -104,6 +104,24 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"single-partition exchanges in: $offenders")
   }
 
+  test("pipeline queries stay single-scan: one tokenize/score pass each") {
+    // q_train_mix must not re-score per stage: exactly one parquet scan.
+    assert("FileScan".r.findAllIn(plan("q_train_mix")).length == 1)
+    // q_tfidf: one tokenize scan + the corpus-count scan, which must read
+    // ZERO columns (parquet footer counts only) — cheap at any scale.
+    val p = plan("q_tfidf")
+    assert("FileScan".r.findAllIn(p).length == 2, "tokenize must fuse")
+    assert(p.contains("ReadSchema: struct<>"), "the N scan must be columnless")
+  }
+
+  test("deterministic sampling pushes nothing but stays codegen'd scan-local") {
+    val p = plan("q_sample_hash")
+    assert("FileScan".r.findAllIn(p).length == 1)
+    // the md5 gate is a scan-local Filter, not a post-shuffle one: the only
+    // Exchange is the final presentation orderBy
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(400))
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     // Catalyst's runtime-filter rule ships a bloom filter built from the
     // selective (filtered) side to the fact scan — the 100 TB pre-join
