@@ -340,6 +340,33 @@ object Relational {
                                 WHERE o_orderstatus = 'F')
         ORDER BY c_custkey""")
     }),
+    // J3+ — correlated scalar subqueries, decorrelated by Catalyst into
+    // aggregate+join: customers above their nation's average balance. The
+    // comparison cross-multiplies exact decimal sums (c*n > s ⟺ c > s/n)
+    // so no engine ever divides — order-independent and oracle-exact.
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_ssq_customer")
+      s.sql("""
+        SELECT c_custkey, c_nationkey FROM v_ssq_customer c
+        WHERE cast(c_acctbal AS decimal(18,2)) *
+              (SELECT count(*) FROM v_ssq_customer i
+               WHERE i.c_nationkey = c.c_nationkey)
+              > (SELECT sum(cast(c_acctbal AS decimal(18,2)))
+                 FROM v_ssq_customer i
+                 WHERE i.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    }),
+    // J4+ — null-safe equi-join (<=>): NULL keys match each other, unlike
+    // plain equality which drops them silently.
+    "q_join_nullsafe" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey"), expr("nullif(o_custkey % 50, 0)").as("k"))
+      val b = t(s, dir, "nation")
+        .select(expr("nullif(n_nationkey % 50, 0)").as("k"), col("n_name"))
+      a.join(b, a("k") <=> b("k"))
+        .groupBy(a("k").as("k")).agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("k"))
+    }),
     // Layout — Morton z-values over (custkey, orderkey): the clustering key
     // for two-dimensional range pruning (Layout.zorderWrite sorts by it).
     "q_zorder" -> ((s, dir) => {
@@ -618,6 +645,22 @@ object Relational {
            AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                  WHERE o_orderstatus = 'F')
          ORDER BY c_custkey""",
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+         WHERE cast(c_acctbal AS decimal(18,2)) *
+               (SELECT count(*) FROM customer i
+                WHERE i.c_nationkey = c.c_nationkey)
+               > (SELECT sum(cast(c_acctbal AS decimal(18,2)))
+                  FROM customer i WHERE i.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
+    "q_join_nullsafe" ->
+      """WITH a AS (SELECT o_orderkey, nullif(o_custkey % 50, 0) AS k
+                    FROM orders),
+              b AS (SELECT nullif(n_nationkey % 50, 0) AS k, n_name
+                    FROM nation)
+         SELECT a.k, count(*) AS n FROM a JOIN b
+         ON a.k IS NOT DISTINCT FROM b.k
+         GROUP BY a.k ORDER BY a.k NULLS FIRST""",
     "q_zorder" -> {
       // the same bit interleave, unrolled to portable SQL
       val zTerms = (0 until 16).flatMap(i => Seq(
