@@ -24,6 +24,13 @@ class ContractSpec extends SparkSpec {
         s"stale rows-only entries: ${rowsOnly -- missing}")
   }
 
+  test("every oracle is deterministic: a full ORDER BY is present") {
+    val unordered = SparkEntry.oracleSql.collect {
+      case (name, sql) if !sql.toUpperCase.contains("ORDER BY") => name
+    }
+    assert(unordered.isEmpty, s"oracles without ORDER BY: $unordered")
+  }
+
   test("every registered query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
