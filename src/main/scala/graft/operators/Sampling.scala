@@ -41,6 +41,17 @@ object Sampling {
   }
 
   /**
+   * Weighted deterministic sampling: keep probability ∝ `weight` (an
+   * integer column; 65536 ≡ certainty, values are clamped). The per-row
+   * threshold renders as fixed-width hex so the comparison stays the same
+   * portable string gate as keepHex. Training mixes use this to sample
+   * long/high-quality documents at a higher rate, reproducibly.
+   */
+  def keepWeighted(key: Column, salt: String, weight: Column): Column =
+    hashHex4(key, salt) <
+      lpad(lower(hex(least(weight.cast("long"), lit(65535L)))), 4, "0")
+
+  /**
    * Disjoint train/val/test assignment by hash range: [0, trainHex) →
    * train, [trainHex, valHex) → val, rest → test. Every row lands in
    * exactly one split, and the assignment is stable under any re-run.

@@ -72,6 +72,16 @@ object Pipeline {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // Scale — weighted deterministic sample: keep probability ∝ doc length
+    // (longer docs sampled at a higher rate — a training-mix lever).
+    "q_sample_weighted" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(Sampling.keepWeighted(col("doc_id"), "w1",
+          col("n_chars") * 50))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
     // Scale — stable train/val/test assignment (~80/10/10) by hash range;
     // every doc lands in exactly one split, forever.
     "q_sample_split" -> ((s, dir) => {
@@ -391,6 +401,12 @@ object Pipeline {
          WHERE substring(md5(concat('split1', '|', cast(doc_id AS VARCHAR))), 1, 4)
                < '2000'
          ORDER BY doc_id""",
+    "q_sample_weighted" ->
+      """SELECT lang, count(*) AS n_docs,
+         cast(sum(n_chars) AS bigint) AS sum_chars FROM documents
+         WHERE substring(md5(concat('w1', '|', cast(doc_id AS VARCHAR))), 1, 4)
+               < lpad(lower(to_hex(least(n_chars * 50, 65535))), 4, '0')
+         GROUP BY lang ORDER BY lang""",
     "q_sample_split" ->
       """SELECT lang, split, count(*) AS n_docs FROM (
            SELECT lang,
