@@ -156,6 +156,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // The 100 TB hot-key story: one key holding most of the rows must not
+    // serialize the join into one straggler task — AQE's skew handling
+    // splits that partition at runtime. Thresholds drop to fixture scale.
+    import spark.implicits._
+    val s = spark
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "16")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val big = ((1 to 50000).map(i => (1L, s"pad-$i-" + "x" * 40)) ++
+        (1 to 500).map(i => ((i % 50 + 2).toLong, s"v$i"))).toDF("k", "v")
+      val small = (1 to 60).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+      val j = big.join(small, "k")
+      j.collect() // finalize THIS QueryExecution's adaptive plan
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(600))
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s = spark
