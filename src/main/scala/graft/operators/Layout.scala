@@ -49,4 +49,28 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /**
+   * Small-file compaction: rewrite a parquet directory into
+   * ceil(totalBytes / targetBytes) files. Streaming ingest and per-batch
+   * writes fragment tables into thousands of KB-sized files whose
+   * open/footer overhead dominates scans at 100 TB; periodic compaction to
+   * ~128 MB files restores scan efficiency. File sizing comes from
+   * filesystem metadata — no data pass beyond the single rewrite.
+   * Returns the output file count.
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long = 128L << 20): Int = {
+    require(new java.io.File(inPath).getCanonicalPath !=
+      new java.io.File(outPath).getCanonicalPath,
+      "compact cannot overwrite its input in place")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).repartition(files)
+      .write.mode("overwrite").parquet(outPath)
+    files
+  }
 }

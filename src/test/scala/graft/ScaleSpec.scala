@@ -131,6 +131,24 @@ class ScaleSpec extends SparkSpec {
     assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
   }
 
+  test("compact rewrites a fragmented table into few right-sized files") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val in = java.nio.file.Files.createTempDirectory("graft-frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-comp").toString
+    // 64 tiny files
+    (1 to 6400).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(64).write.mode("overwrite").parquet(in)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 64)
+    Layout.compact(spark, in, out, targetBytes = 1L << 20)
+    val n = parquetFiles(out)
+    assert(n < 8, s"expected few compacted files, got $n")
+    assert(spark.read.parquet(out).count() == 6400)
+    intercept[IllegalArgumentException](Layout.compact(spark, in, in))
+  }
+
   test("mergeCounts: incremental summary equals the full recompute") {
     import spark.implicits._
     val events = (1 to 300).map(i => (s"t${i % 3}", 1L, (i % 7).toLong))
