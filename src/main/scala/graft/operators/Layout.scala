@@ -61,16 +61,22 @@ object Layout {
    */
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, targetBytes: Long = 128L << 20): Int = {
-    require(new java.io.File(inPath).getCanonicalPath !=
-      new java.io.File(outPath).getCanonicalPath,
-      "compact cannot overwrite its input in place")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inPath)).getLength
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    // resolve against each path's OWN filesystem (s3a://, hdfs://, file:)
+    // and compare fully-qualified URIs so no spelling of the same
+    // directory slips past the in-place guard
+    val inFs = new Path(inPath).getFileSystem(conf)
+    val outFs = new Path(outPath).getFileSystem(conf)
+    val inQ = inFs.makeQualified(new Path(inPath))
+    val outQ = outFs.makeQualified(new Path(outPath))
+    require(inQ != outQ, "compact cannot overwrite its input in place")
+    val totalBytes = inFs.getContentSummary(inQ).getLength
     val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).repartition(files)
       .write.mode("overwrite").parquet(outPath)
-    files
+    // report what actually landed (empty partitions write no file)
+    outFs.listStatus(outQ)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -41,15 +41,19 @@ object Sampling {
   }
 
   /**
-   * Weighted deterministic sampling: keep probability ∝ `weight` (an
-   * integer column; 65536 ≡ certainty, values are clamped). The per-row
-   * threshold renders as fixed-width hex so the comparison stays the same
-   * portable string gate as keepHex. Training mixes use this to sample
-   * long/high-quality documents at a higher rate, reproducibly.
+   * Weighted deterministic sampling: keep probability = w/65536 where w is
+   * `weight` clamped into [0, 65535] (NULL ⇒ 0 ⇒ never kept; the maximum
+   * keep rate is 65535/65536, not certainty — strict `<` against the hex
+   * ceiling). The per-row threshold renders as fixed-width hex so the
+   * comparison stays the same portable string gate as keepHex. Training
+   * mixes use this to sample long/high-quality documents at a higher
+   * rate, reproducibly.
    */
-  def keepWeighted(key: Column, salt: String, weight: Column): Column =
-    hashHex4(key, salt) <
-      lpad(lower(hex(least(weight.cast("long"), lit(65535L)))), 4, "0")
+  def keepWeighted(key: Column, salt: String, weight: Column): Column = {
+    val w = least(greatest(coalesce(weight.cast("long"), lit(0L)), lit(0L)),
+      lit(65535L))
+    hashHex4(key, salt) < lpad(lower(hex(w)), 4, "0")
+  }
 
   /**
    * Disjoint train/val/test assignment by hash range: [0, trainHex) →

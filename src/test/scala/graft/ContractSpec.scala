@@ -25,10 +25,16 @@ class ContractSpec extends SparkSpec {
   }
 
   test("every oracle is deterministic: a full ORDER BY is present") {
+    // heuristic: the LAST "ORDER BY" must come after the LAST "OVER" so a
+    // window-only ORDER BY (which does not order the result) cannot satisfy
+    // the check on its own
     val unordered = SparkEntry.oracleSql.collect {
-      case (name, sql) if !sql.toUpperCase.contains("ORDER BY") => name
+      case (name, sql)
+          if sql.toUpperCase.lastIndexOf("ORDER BY") <
+            math.max(0, sql.toUpperCase.lastIndexOf("OVER")) ||
+            !sql.toUpperCase.contains("ORDER BY") => name
     }
-    assert(unordered.isEmpty, s"oracles without ORDER BY: $unordered")
+    assert(unordered.isEmpty, s"oracles without outer ORDER BY: $unordered")
   }
 
   test("every registered query executes at sf0.001") {
