@@ -46,12 +46,21 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // Persist-heavy queries (dedup/similarity) must not inherit or leave
+      // cache blocks across measurements: evicting a neighbor's blocks under
+      // storage pressure shows up as a wall-clock outlier on whichever query
+      // happens to run next.
+      spark.sharedState.cacheManager.clearCache()
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the one-line JSON compact enough for
+    // log-tail capture (full-precision doubles pushed the line past the
+    // harness's output window in round 2, so it never parsed).
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
