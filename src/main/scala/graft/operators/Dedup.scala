@@ -69,6 +69,29 @@ object Dedup {
     minhashFromHashes(shingleHashes(shinglesCol), numHashes, seed)
 
   /**
+   * Cross-engine-portable 60-bit hash: the first 15 hex digits of md5,
+   * parsed as a long. Any engine with md5 reproduces it bit-for-bit, which
+   * makes hash-dependent operators (MinHash, SimHash) fully
+   * oracle-checkable against a second engine. Costs ~3x xxhash64, so the
+   * scale default for the operators stays xxhash64; prefer this family
+   * when cross-engine verification matters more than hash throughput.
+   */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Portable hash family member k: re-hash the decimal rendering of the
+    * base hash salted with ":k" — same universal-family construction as
+    * [[minhashFromHashes]], expressible in any md5-capable engine. */
+  def portableFamilyHash(h: Column, k: Int): Column =
+    portableHash64(concat(h.cast("string"), lit(":" + k)))
+
+  /** MinHash signature over the portable family (salts 1..numHashes). */
+  def minhashPortable(hashesCol: Column, numHashes: Int): Column =
+    array((1 to numHashes).map { k =>
+      array_min(transform(hashesCol, h => portableFamilyHash(h, k)))
+    }: _*)
+
+  /**
    * LSH banding: split the signature into `bands` bands of `rowsPerBand`
    * hashes; docs sharing any full band signature become candidates.
    * Returns (id, band, band_sig) — one row per band per doc.
@@ -91,7 +114,22 @@ object Dedup {
    */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6): DataFrame =
+    nearDupImpl(df, idCol, textCol, shingleN, numHashes, bands, threshold,
+      shingleHashes, minhashFromHashes(_, numHashes))
+
+  /** [[nearDuplicates]] over the portable md5 hash family — identical plan
+    * shape, every hash reproducible in any md5-capable engine, so the full
+    * banded-MinHash pipeline is oracle-checkable. */
+  def nearDuplicatesPortable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.6): DataFrame =
+    nearDupImpl(df, idCol, textCol, shingleN, numHashes, bands, threshold,
+      sh => transform(sh, portableHash64(_)), minhashPortable(_, numHashes))
+
+  private def nearDupImpl(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int, threshold: Double,
+      hashShingles: Column => Column, signature: Column => Column): DataFrame = {
     // The signature stage feeds both sides of the bucket self-join and both
     // Jaccard re-joins; without a persist Spark recomputes the shingling 4x
     // (observed 4-5x wall-clock). At cluster scale this stage would be
@@ -99,14 +137,14 @@ object Dedup {
     // returned plan stays lazy, so there is no post-action unpersist hook);
     // MEMORY_AND_DISK blocks are evictable under storage pressure, which
     // bounds the cost of repeated invocations.
-    // The verify stage intersects the xxhash64'd shingle sets rather than
-    // the shingle strings: same Jaccard (xxhash64 collisions over a doc's
+    // The verify stage intersects the hashed shingle sets rather than the
+    // shingle strings: same Jaccard (64-bit collisions over a doc's
     // shingles are negligible), long-array set ops instead of string-array
     // ones, and the persisted stage carries no text at all.
     val withSig = df
       .select(col(idCol),
-        shingleHashes(shingles(col(textCol), shingleN)).as("hv"))
-      .withColumn("sig", minhashFromHashes(col("hv"), numHashes))
+        hashShingles(shingles(col(textCol), shingleN)).as("hv"))
+      .withColumn("sig", signature(col("hv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandSigs = bandSignatures(withSig, idCol, "sig", bands, numHashes / bands)
     val a = bandSigs.select(col(idCol).as("a"), col("band"), col("band_sig"))
@@ -255,8 +293,15 @@ object Dedup {
    * (+1/-1) votes from bit i of each token's xxhash64. Scan-only; near-dup
    * docs land at small Hamming distance.
    */
-  def simHash16(text: Column): Column = {
-    val hashes = transform(split(text, "\\s+"), x => xxhash64(x))
+  def simHash16(text: Column): Column =
+    simHash16With(text, xxhash64(_))
+
+  /** [[simHash16]] over the portable md5 hash family (oracle-checkable). */
+  def simHash16Portable(text: Column): Column =
+    simHash16With(text, portableHash64)
+
+  private def simHash16With(text: Column, tokenHash: Column => Column): Column = {
+    val hashes = transform(split(text, "\\s+"), x => tokenHash(x))
     (0 until 16).map { i =>
       val votes = aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))

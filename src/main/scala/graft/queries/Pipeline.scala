@@ -138,11 +138,16 @@ object Pipeline {
         .select("l_orderkey", "l_partkey", "l_quantity")
         .orderBy("l_orderkey")
     }),
-    // A7 — MinHash-banded fuzzy dedup; verified Jaccard pairs. No oracle
-    // (murmur/xxhash are engine-specific); asserted in DedupSpec.
+    // A7 — MinHash-banded fuzzy dedup; verified Jaccard pairs. Runs the
+    // portable md5 hash family so the entire banded pipeline — shingle
+    // hash, 16 minhash families, band signatures, candidate join, Jaccard
+    // verify — is oracle-checked end-to-end. The operator's scale default
+    // stays xxhash64 (same plan shape, ~3x cheaper hashing; DedupSpec
+    // asserts both families recover the planted near-dups).
     "q_dedup_fuzzy" -> ((s, dir) => {
-      Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.nearDuplicatesPortable(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
     }),
     // A7 — n-gram Jaccard similarity over blocked candidate pairs: docs
@@ -220,10 +225,14 @@ object Pipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.connectedComponents(pairs, "a", "b").orderBy("id")
     }),
-    // A7 — SimHash signatures (no oracle; asserted in DedupSpec).
+    // A7 — SimHash signatures over the portable md5 hash family: every
+    // token hash, bit vote, and the final 16-bit signature reproduce
+    // exactly in the oracle engine. xxhash64 variant stays the operator
+    // default for scale (asserted in DedupSpec).
     "q_dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simHash16(col("text")).as("simhash"))
+        .select(col("doc_id"),
+          Dedup.simHash16Portable(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
     // L2 — exact brute-force cosine top-10 for 5 query vectors.
@@ -487,6 +496,49 @@ object Pipeline {
            FROM s x JOIN s y
              ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id)
          ORDER BY a, b""",
+    "q_dedup_fuzzy" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id,
+             list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hv
+           FROM s),
+         sig AS (SELECT doc_id,
+             list_transform(generate_series(1, 16), k ->
+               list_min(list_transform(hv, v ->
+                 ('0x' || substr(md5(v::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT))) AS sig
+           FROM h),
+         bands AS (
+           SELECT doc_id, b,
+             array_to_string(sig[(b-1)*4+1:(b-1)*4+4], '|') AS band_sig
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS b)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y ON x.b = y.b AND x.band_sig = y.band_sig
+           WHERE x.doc_id < y.doc_id),
+         jac AS (
+           SELECT c.a, c.b,
+             cast(len(list_intersect(ha.hv, hb.hv)) AS double) /
+               len(list_distinct(ha.hv || hb.hv)) AS jaccard
+           FROM cand c JOIN h ha ON ha.doc_id = c.a
+                       JOIN h hb ON hb.doc_id = c.b)
+         SELECT a, b, round(jaccard, 6) AS jaccard FROM jac
+         WHERE jaccard >= 0.5 ORDER BY a, b""",
+    "q_dedup_simhash" ->
+      """WITH h AS (
+           SELECT doc_id, list_transform(string_split(text, ' '),
+             x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hv
+           FROM documents),
+         bits AS (
+           SELECT doc_id, i,
+             CASE WHEN list_sum(list_transform(hv, v ->
+                 CASE WHEN (v >> i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+               THEN (1::BIGINT << i) ELSE 0 END AS bit
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i))
+         SELECT doc_id, cast(sum(bit) AS bigint) AS simhash FROM bits
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token

@@ -87,6 +87,47 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(4L)) > 0)
   }
 
+  test("nearDuplicatesPortable recovers the same planted near-dups as the " +
+      "xxhash64 family") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("epsilon", "EPSILON")
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val out = Dedup.nearDuplicatesPortable(
+      docs((1L, base), (2L, nearDup), (3L, other), (4L, base)),
+      "doc_id", "text", shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(out.find(p => p._1 == 1L && p._2 == 4L).get._3 == 1.0)
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("portableHash64 is deterministic, non-negative, and spreads tokens") {
+    val df = docs((1L, "x"), (2L, "x"), (3L, "y"))
+      .select(col("doc_id"), Dedup.portableHash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df(1L) == df(2L))
+    assert(df(1L) != df(3L))
+    assert(df.values.forall(_ >= 0L)) // 60-bit hex prefix: always fits a long
+  }
+
+  test("simHash16Portable: same Hamming-distance laws as the xxhash family") {
+    val df = docs((1L, "spark engine scale data pipeline quality"),
+      (2L, "spark engine scale data pipeline quality"),
+      (3L, "spark engine scale data pipeline throughput"),
+      (4L, "q w e r t y u i o p"))
+    val sigs = df.select(col("doc_id"), Dedup.simHash16Portable(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L) == sigs(2L))
+    assert(hamming(sigs(1L), sigs(3L)) <= 6)
+    assert(hamming(sigs(1L), sigs(4L)) > 0)
+    assert(sigs.values.forall(s => s >= 0L && s <= 0xFFFFL))
+  }
+
   test("exactByKey keeps exactly the first-ordered row per key") {
     val df = spark.createDataFrame(
       java.util.Arrays.asList(Row(1L, 2L, "b"), Row(1L, 1L, "a"), Row(2L, 9L, "z")),
