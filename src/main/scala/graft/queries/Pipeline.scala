@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis => TA}
+import graft.operators.{Curation, Dedup, Sampling, Similarity, TextAnalysis => TA}
 import graft.functions.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
  * the `documents` and `embeddings` tables: text analysis, exact and fuzzy
  * dedup, similarity search, array/multimodal passthrough, PII scanning.
  *
- * Queries whose operators hash with engine-specific functions (MinHash,
- * SimHash, LSH) have no SQL oracle — the driver records a rows-only check
- * and ScalaTest asserts their semantics on synthetic fixtures.
+ * Hash-dependent queries (MinHash, SimHash) run the portable md5 hash
+ * family so they are fully oracle-checked; only genuinely engine-specific
+ * training/LSH queries (q_sim_lsh, q_sim_ivf, q_agg_approx) are rows-only
+ * with semantics asserted in ScalaTest.
  */
 object Pipeline {
   import Q._
@@ -234,6 +235,49 @@ object Pipeline {
         .select(col("doc_id"),
           Dedup.simHash16Portable(col("text")).as("simhash"))
         .orderBy("doc_id")
+    }),
+    // Curation — benchmark decontamination: training docs sharing any
+    // word 4-gram with the held-out benchmark slice (doc_id % 50 == 0).
+    // The benchmark gram set is broadcast; the corpus side never shuffles.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contaminated(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+    // Curation — cross-document boilerplate: 10-word chunks occurring in
+    // more than one distinct doc (headers/footers/license blocks).
+    "q_dedup_chunk" -> ((s, dir) => {
+      Curation.boilerplateChunks(t(s, dir, "documents"),
+        "doc_id", "text", w = 10)
+        .orderBy("chunk")
+    }),
+    // Curation — token-budget sequence packing (512-token sequences,
+    // first-fit by running offset within each language).
+    "q_pack_sequences" -> ((s, dir) => {
+      Curation.packSequences(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TA.tokenCountWs(col("text")).as("n_tokens")),
+        "lang", "doc_id", "n_tokens", budget = 512)
+        .orderBy("lang", "seq_id")
+    }),
+    // Curation — int8 embedding quantization with per-vector range and
+    // mean absolute reconstruction error.
+    "q_embed_quantize" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("mx", array_max(col("v")))
+      e.withColumn("qv", Curation.quantizeInt8(col("v"), col("mn"), col("mx")))
+        .select(col("vec_id"),
+          array_min(col("qv")).as("qmin"),
+          array_max(col("qv")).as("qmax"),
+          round(Curation.meanAbsDequantError(
+            col("v"), col("qv"), col("mn"), col("mx")), 6).as("mean_abs_err"))
+        .orderBy("vec_id")
     }),
     // L2 — exact brute-force cosine top-10 for 5 query vectors.
     "q_sim_exact" -> ((s, dir) => {
@@ -496,6 +540,60 @@ object Pipeline {
            FROM s x JOIN s y
              ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id)
          ORDER BY a, b""",
+    "q_decontaminate" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 3, 1)),
+               i -> array_to_string(w[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         bench AS (
+           SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 50 = 0),
+         grams AS (
+           SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 50 <> 0)
+         SELECT DISTINCT doc_id FROM grams
+         WHERE gram IN (SELECT gram FROM bench)
+         ORDER BY doc_id""",
+    "q_dedup_chunk" ->
+      """WITH c AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(0, (len(w) - 1) // 10),
+               i -> array_to_string(w[i*10+1:i*10+10], ' '))) AS chunk
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         SELECT chunk, cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+           cast(count(*) AS bigint) AS n_occurrences
+         FROM c GROUP BY chunk
+         HAVING count(DISTINCT doc_id) > 1
+         ORDER BY chunk""",
+    "q_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens FROM documents),
+         c AS (
+           SELECT lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+           FROM d)
+         SELECT lang, cast((cum - n_tokens) // 512 AS bigint) AS seq_id,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS sum_tokens
+         FROM c GROUP BY lang, (cum - n_tokens) // 512
+         ORDER BY lang, seq_id""",
+    "q_embed_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         p AS (
+           SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+         q AS (
+           SELECT vec_id, v, mn, mx,
+             list_transform(v, x ->
+               floor((x - mn) * 255.0 / (mx - mn) + 0.5)::INT - 128) AS qv
+           FROM p)
+         SELECT vec_id,
+           list_min(qv) AS qmin, list_max(qv) AS qmax,
+           round(list_reduce(
+               list_prepend(0.0, list_transform(generate_series(1, len(v)),
+                 i -> abs(v[i] - ((qv[i] + 128)::DOUBLE * (mx - mn) / 255.0 + mn)))),
+               (acc, e2) -> acc + e2) / len(v), 6) AS mean_abs_err
+         FROM q ORDER BY vec_id""",
     "q_dedup_fuzzy" ->
       """WITH s AS (
            SELECT doc_id,

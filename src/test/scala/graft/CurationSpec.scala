@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unit laws for the corpus-curation operators (decontamination,
+  * boilerplate chunks, sequence packing, int8 quantization). */
+class CurationSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+  }
+
+  test("contaminated flags exactly the docs sharing an n-gram with bench") {
+    val bench = docs((100L, "the quick brown fox jumps over the lazy dog"))
+    val train = docs(
+      (1L, "something about the quick brown fox here"), // shares 4-gram
+      (2L, "completely unrelated words appear in this doc"),
+      (3L, "quick brown fox jumps elsewhere entirely today")) // shares 4-gram
+    val hit = Curation.contaminated(train, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L, 3L))
+  }
+
+  test("chunks: non-overlapping, order-preserving, trailing partial kept") {
+    val out = docs((1L, "a b c d e f g"))
+      .select(Curation.chunks(col("text"), 3).as("c"))
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("a b c", "d e f", "g"))
+  }
+
+  test("boilerplateChunks reports only cross-doc repeats with true counts") {
+    val d = docs(
+      (1L, "common header line one unique tail alpha"),
+      (2L, "common header line one unique tail beta"),
+      (3L, "totally different content in this document here"))
+    val out = Curation.boilerplateChunks(d, "doc_id", "text", w = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("common header line one", 2L, 2L)))
+  }
+
+  test("packSequences: budget boundaries honored, totals preserved") {
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "en", 300L), Row(2L, "en", 300L), Row(3L, "en", 300L),
+        Row(4L, "de", 100L)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_tokens", LongType))))
+    val out = Curation.packSequences(d, "lang", "doc_id", "n_tokens", 512)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // en: doc1 starts at 0 -> seq 0; doc2 starts at 300 -> seq 0;
+    //     doc3 starts at 600 -> seq 1. de: doc4 -> seq 0.
+    assert(out == Set(("en", 0L, 2L, 600L), ("en", 1L, 1L, 300L),
+      ("de", 0L, 1L, 100L)))
+  }
+
+  test("quantizeInt8 round-trips within half a quantization step") {
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Seq(-1.0, -0.5, 0.0, 0.5, 1.0))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+    val row = d
+      .withColumn("qv", Curation.quantizeInt8(col("v"), col("mn"), col("mx")))
+      .withColumn("err",
+        Curation.meanAbsDequantError(col("v"), col("qv"), col("mn"), col("mx")))
+      .select("qv", "err").collect().head
+    val qv = row.getSeq[Int](0)
+    assert(qv.head == -128 && qv.last == 127) // range endpoints hit the rails
+    assert(qv == qv.sorted) // monotone
+    assert(row.getDouble(1) <= (2.0 / 255.0) / 2 + 1e-12) // <= half step
+  }
+
+  test("quantizeInt8 on a constant vector is defined (all -128, zero error)") {
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Seq(0.25, 0.25, 0.25))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+    val row = d
+      .withColumn("qv", Curation.quantizeInt8(col("v"), col("mn"), col("mx")))
+      .select("qv").collect().head
+    assert(row.getSeq[Int](0).forall(_ == -128))
+  }
+}

@@ -104,6 +104,20 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"single-partition exchanges in: $offenders")
   }
 
+  test("decontamination broadcasts the benchmark gram set (semi join, " +
+      "no corpus shuffle before the probe)") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(600))
+  }
+
+  test("embedding quantization is scan-only (no exchange before the " +
+      "presentation sort)") {
+    val p = plan("q_embed_quantize")
+    assert("FileScan".r.findAllIn(p).length == 1)
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(400))
+  }
+
   test("pipeline queries stay single-scan: one tokenize/score pass each") {
     // q_train_mix must not re-score per stage: exactly one parquet scan.
     assert("FileScan".r.findAllIn(plan("q_train_mix")).length == 1)
