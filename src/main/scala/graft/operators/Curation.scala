@@ -27,21 +27,31 @@ object Curation {
    */
   def contaminated(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val trainGrams = train.select(col(idCol),
-      explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    // words projected separately: tokenize once per row, not per shingle
+    // slot (see Dedup.shingles hot-path note)
+    val trainGrams = train
+      .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
+      .select(col(idCol),
+        explode(Dedup.shinglesFromWords(col("__words"), n)).as("gram"))
     val benchGrams = bench
-      .select(explode(Dedup.shingles(col(textCol), n)).as("gram")).distinct()
+      .select(split(col(textCol), "\\s+").as("__words"))
+      .select(explode(Dedup.shinglesFromWords(col("__words"), n)).as("gram"))
+      .distinct()
     trainGrams.join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .select(idCol).distinct()
   }
 
   /** Non-overlapping word chunks of width `w`; the trailing partial chunk
-    * is kept (slice past the end returns what remains). */
-  def chunks(text: Column, w: Int): Column = {
-    val words = split(text, "\\s+")
+    * is kept (slice past the end returns what remains). Same hot-path
+    * note as Dedup.shingles: prefer [[chunksFromWords]] over a projected
+    * word array when chunking feeds a join or aggregate. */
+  def chunks(text: Column, w: Int): Column =
+    chunksFromWords(split(text, "\\s+"), w)
+
+  /** [[chunks]] over an already-tokenized word array column. */
+  def chunksFromWords(words: Column, w: Int): Column =
     transform(sequence(lit(0), ((size(words) - 1) / w).cast("int")),
       i => concat_ws(" ", slice(words, i * w + 1, lit(w))))
-  }
 
   /**
    * Cross-document boilerplate: word chunks of width `w` that occur in
@@ -50,7 +60,9 @@ object Curation {
    */
   def boilerplateChunks(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame =
-    docs.select(col(idCol), explode(chunks(col(textCol), w)).as("chunk"))
+    docs.select(col(idCol), split(col(textCol), "\\s+").as("__words"))
+      .select(col(idCol),
+        explode(chunksFromWords(col("__words"), w)).as("chunk"))
       .groupBy("chunk")
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"))

@@ -29,13 +29,25 @@ object Dedup {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Word n-gram shingles of a text column (whitespace tokenized). */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(text, "\\s+")
+  /**
+   * Word n-gram shingles of a text column (whitespace tokenized).
+   *
+   * Hot-path note: the tokenize sits inside the transform lambda, so an
+   * engine that does not eliminate the common subexpression re-splits the
+   * text once per shingle slot. When shingling feeds a join or aggregate,
+   * pre-project the word array into its own column and use
+   * [[shinglesFromWords]]: a multi-referenced non-cheap projection is not
+   * collapsed into its consumers by Catalyst, so the text tokenizes once
+   * per row (~n_words× fewer splits).
+   */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromWords(split(text, "\\s+"), n)
+
+  /** [[shingles]] over an already-tokenized word array column. */
+  def shinglesFromWords(words: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),
       i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
-  }
 
   /**
    * MinHash signature: the shingle set is hashed ONCE with xxhash64, then
@@ -79,16 +91,27 @@ object Dedup {
   def portableHash64(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** Portable hash family member k: re-hash the decimal rendering of the
-    * base hash salted with ":k" — same universal-family construction as
-    * [[minhashFromHashes]], expressible in any md5-capable engine. */
-  def portableFamilyHash(h: Column, k: Int): Column =
-    portableHash64(concat(h.cast("string"), lit(":" + k)))
+  /** Second independent portable hash, for double-hashing families: md5
+    * of the base hash's decimal rendering, truncated to 56 bits (14 hex
+    * digits) so `k * h2` stays overflow-free for k <= 16. */
+  def portableHash56b(h: Column): Column =
+    conv(substring(md5(h.cast("string")), 1, 14), 16, 10).cast("long")
 
-  /** MinHash signature over the portable family (salts 1..numHashes). */
-  def minhashPortable(hashesCol: Column, numHashes: Int): Column =
+  /**
+   * Portable MinHash signature via double hashing (Kirsch–Mitzenmacher):
+   * family k over a shingle is `h1 + k * h2`, with h1 the 60-bit base
+   * portable hash and h2 one extra 56-bit md5 — so the whole 16-family
+   * signature costs two md5 calls per shingle plus pure arithmetic,
+   * instead of one md5 per family. The widths bound
+   * `h1 + 16*h2 < 2^60 + 2^60 = 2^61`, so the expression never
+   * overflows under ANSI semantics. Takes the (h1, h2) arrays as
+   * columns; materialize both in their own projection so the md5s run
+   * once per shingle (same CollapseProject argument as [[shingles]]).
+   */
+  def minhashPortableFromHashes(h1: Column, h2: Column,
+      numHashes: Int): Column =
     array((1 to numHashes).map { k =>
-      array_min(transform(hashesCol, h => portableFamilyHash(h, k)))
+      array_min(zip_with(h1, h2, (a, b) => a + lit(k.toLong) * b))
     }: _*)
 
   /**
@@ -116,7 +139,8 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.6): DataFrame =
     nearDupImpl(df, idCol, textCol, shingleN, numHashes, bands, threshold,
-      shingleHashes, minhashFromHashes(_, numHashes))
+      shingleHashes,
+      d => d.withColumn("sig", minhashFromHashes(col("hv"), numHashes)))
 
   /** [[nearDuplicates]] over the portable md5 hash family — identical plan
     * shape, every hash reproducible in any md5-capable engine, so the full
@@ -125,11 +149,17 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.6): DataFrame =
     nearDupImpl(df, idCol, textCol, shingleN, numHashes, bands, threshold,
-      sh => transform(sh, portableHash64(_)), minhashPortable(_, numHashes))
+      sh => transform(sh, portableHash64(_)),
+      d => d
+        .withColumn("__h2", transform(col("hv"), portableHash56b(_)))
+        .withColumn("sig",
+          minhashPortableFromHashes(col("hv"), col("__h2"), numHashes))
+        .drop("__h2"))
 
   private def nearDupImpl(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, threshold: Double,
-      hashShingles: Column => Column, signature: Column => Column): DataFrame = {
+      hashShingles: Column => Column,
+      addSignature: DataFrame => DataFrame): DataFrame = {
     // The signature stage feeds both sides of the bucket self-join and both
     // Jaccard re-joins; without a persist Spark recomputes the shingling 4x
     // (observed 4-5x wall-clock). At cluster scale this stage would be
@@ -141,10 +171,12 @@ object Dedup {
     // shingle strings: same Jaccard (64-bit collisions over a doc's
     // shingles are negligible), long-array set ops instead of string-array
     // ones, and the persisted stage carries no text at all.
-    val withSig = df
+    // The word array is projected separately so the text tokenizes once
+    // per row (see shingles() hot-path note).
+    val withSig = addSignature(df
+      .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
-        hashShingles(shingles(col(textCol), shingleN)).as("hv"))
-      .withColumn("sig", signature(col("hv")))
+        hashShingles(shinglesFromWords(col("__words"), shingleN)).as("hv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandSigs = bandSignatures(withSig, idCol, "sig", bands, numHashes / bands)
     val a = bandSigs.select(col(idCol).as("a"), col("band"), col("band_sig"))

@@ -158,7 +158,9 @@ object Pipeline {
     "q_dedup_ngram" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          Dedup.shingles(col("text"), 3).as("sh"))
+          split(col("text"), "\\s+").as("__words"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Dedup.shinglesFromWords(col("__words"), 3).as("sh"))
       val a = d.select(col("doc_id").as("a"), col("lang"), col("n_chars"),
         col("sh").as("sh_a"))
       val b = d.select(col("doc_id").as("b"), col("lang"), col("n_chars"),
@@ -210,7 +212,9 @@ object Pipeline {
       // equals string Jaccard barring a 2^-64 collision (same argument as
       // nearDuplicates), so the string-side oracle agrees.
       val sh = t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"), split(col("text"), "\\s+").as("__words"))
+        .select(col("doc_id"),
+          Dedup.shinglesFromWords(col("__words"), 3).as("sh"))
         .select(col("doc_id"), array_min(col("sh")).as("blk"),
           Dedup.shingleHashes(col("sh")).as("hv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -603,11 +607,14 @@ object Pipeline {
          h AS (SELECT doc_id,
              list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hv
            FROM s),
+         h2 AS (SELECT doc_id, hv,
+             list_transform(hv, v -> ('0x' || substr(md5(v::VARCHAR), 1, 14))::BIGINT) AS hv2
+           FROM h),
          sig AS (SELECT doc_id,
              list_transform(generate_series(1, 16), k ->
-               list_min(list_transform(hv, v ->
-                 ('0x' || substr(md5(v::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT))) AS sig
-           FROM h),
+               list_min(list_transform(generate_series(1, len(hv)),
+                 j -> hv[j] + k * hv2[j]))) AS sig
+           FROM h2),
          bands AS (
            SELECT doc_id, b,
              array_to_string(sig[(b-1)*4+1:(b-1)*4+4], '|') AS band_sig
