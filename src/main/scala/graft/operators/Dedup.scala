@@ -255,25 +255,24 @@ object Dedup {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // Persist the forward edges BEFORE symmetrizing: union duplicates the
-    // lineage, so an unpersisted (possibly expensive) edge-finding plan
-    // would execute once per union branch.
-    val fwd = edges.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+    // Symmetrize in ONE pass over the edge plan via explode — a
+    // union-of-two-selects would duplicate the (possibly expensive)
+    // edge-finding lineage and execute it once per branch, forcing an
+    // extra persist + count just to pre-materialize it.
+    // The result persists partitioned on dst — the per-round join key —
+    // so iteration rounds probe the cached layout instead of re-shuffling
+    // the edge list every round. repartition by column (no explicit
+    // width) stays AQE-coalescible: tiny graphs collapse to a few
+    // partitions, 100 TB graphs keep the session width.
+    val sym = edges
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Frontier-sized shuffle width: the label tables are |V|-row frames, so
-    // iterating at the session's full shuffle width would pay a fixed
-    // several-hundred-task cost per round on a small component graph. One
-    // partition per ~5M edges, capped at the session width, keeps small
-    // graphs cheap and 100 TB graphs wide.
-    val spark = edges.sparkSession
-    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val nEdges = fwd.count()
-    val parts = math.max(1L, math.min(sessionWidth.toLong,
-      nEdges / 5000000L + 1L)).toInt
-    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(parts, col("src"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     // Round 0 folds into the init aggregate: every node starts at
     // least(own id, min direct neighbor), so star-shaped clusters converge
     // with zero loop rounds beyond the confirmation pass.
@@ -311,7 +310,6 @@ object Dedup {
       it += 1
     }
     sym.unpersist()
-    fwd.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — the " +
