@@ -45,9 +45,14 @@ object Dedup {
 
   /** [[shingles]] over an already-tokenized word array column. */
   def shinglesFromWords(words: Column, n: Int): Column =
-    array_distinct(transform(
+    array_distinct(rawShinglesFromWords(words, n))
+
+  /** Shingles WITH duplicate occurrences kept — repetition analysis needs
+    * the multiplicity that the set-semantics variant discards. */
+  def rawShinglesFromWords(words: Column, n: Int): Column =
+    transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+      i => concat_ws(" ", slice(words, i + lit(1), lit(n))))
 
   /**
    * MinHash signature: the shingle set is hashed ONCE with xxhash64, then

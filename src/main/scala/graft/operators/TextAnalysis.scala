@@ -69,6 +69,18 @@ object TextAnalysis {
   }
 
   /**
+   * Intra-document repetition ratio over word n-grams: the fraction of
+   * n-gram OCCURRENCES that repeat an earlier occurrence (0 = all
+   * distinct, → 1 = highly repetitive) — the Gopher-style repetition
+   * prefilter signal. Takes the tokenized word array (see the
+   * Dedup.shingles hot-path note on projecting it separately).
+   */
+  def repetitionRatio(words: Column, n: Int): Column = {
+    val grams = Dedup.rawShinglesFromWords(words, n)
+    lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
+  }
+
+  /**
    * Polynomial rolling hash (Rabin-Karp base 31, mod 1e9+7) over the
    * text's character codes — the classic incremental document fingerprint.
    * Pure integer arithmetic with a bounded accumulator (< 3.2e10, ANSI-

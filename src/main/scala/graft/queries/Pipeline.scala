@@ -44,6 +44,16 @@ object Pipeline {
           TA.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
+    // L1 — intra-document repetition (Gopher-style repeated-3-gram
+    // fraction): high values flag boilerplate/spam before training.
+    "q_rep_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), "\\s+").as("__words"))
+        .select(col("doc_id"),
+          size(Dedup.rawShinglesFromWords(col("__words"), 3)).as("n_grams"),
+          round(TA.repetitionRatio(col("__words"), 3), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
     // L1 — marker-word language ID (argmax of stopword-mass scores).
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -544,6 +554,16 @@ object Pipeline {
            FROM s x JOIN s y
              ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id)
          ORDER BY a, b""",
+    "q_rep_ratio" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' ')) AS grams
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         SELECT doc_id, cast(len(grams) AS int) AS n_grams,
+           round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+             AS rep_ratio
+         FROM g ORDER BY doc_id""",
     "q_decontaminate" ->
       """WITH s AS (
            SELECT doc_id,

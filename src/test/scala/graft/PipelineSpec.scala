@@ -128,6 +128,18 @@ class DedupSpec extends SparkSpec {
     assert(sigs.values.forall(s => s >= 0L && s <= 0xFFFFL))
   }
 
+  test("repetitionRatio: 0 for all-distinct grams, 0.5 for abab pattern") {
+    import graft.operators.TextAnalysis
+    val df = docs((1L, "a b a b a b"), (2L, "one two three four five six"))
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("w"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // "a b a b a b": grams [aba, bab, aba, bab] -> 2 distinct of 4 -> 0.5
+    assert(df(1L) == 0.5)
+    assert(df(2L) == 0.0)
+  }
+
   test("exactByKey keeps exactly the first-ordered row per key") {
     val df = spark.createDataFrame(
       java.util.Arrays.asList(Row(1L, 2L, "b"), Row(1L, 1L, "a"), Row(2L, 9L, "z")),
