@@ -42,29 +42,44 @@ object Bench {
       }
       spark.sharedState.cacheManager.clearCache()
     }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Cleared after EVERY rep, for two reasons: a later rep must not
-        // reuse an earlier rep's persisted blocks (min-of-reps would then
-        // measure warm-cache work, overstating throughput), and
-        // persist-heavy queries must not evict a neighbor's blocks under
-        // storage pressure mid-measurement.
-        spark.sharedState.cacheManager.clearCache()
-        dt
-      }
-      name -> times.min
+    // Reps are INTERLEAVED, not consecutive: sweep every query once, then
+    // repeat the whole sweep, and take the per-query min ACROSS sweeps. A
+    // sustained host-contention window (minutes long) then lands on one
+    // sweep's worth of *different* queries instead of inflating both reps
+    // of the same block of queries — contention decorrelates from query
+    // identity. (Consecutive min-of-2 only defends against point spikes.)
+    val names = selected.keys.toSeq
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to reps; name <- names) {
+      val fn = selected(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Cleared after EVERY measurement, for two reasons: a later sweep must
+      // not reuse an earlier sweep's persisted blocks (min-of-reps would
+      // then measure warm-cache work, overstating throughput), and
+      // persist-heavy queries must not evict a neighbor's blocks under
+      // storage pressure mid-measurement.
+      spark.sharedState.cacheManager.clearCache()
+      best(name) = best.get(name).fold(dt)(math.min(_, dt))
     }
-    // Millisecond precision keeps the one-line JSON compact enough for
-    // log-tail capture (full-precision doubles pushed the line past the
-    // harness's output window in round 2, so it never parsed).
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = names.map(k => s"\"" + k + "\":" + fmt(best(k))).mkString("{", ",", "}")
+    val total = if (best.nonEmpty) best.values.sum else 0.0
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query detail: one line on stdout AND a file, for humans and
+    // local tooling.
+    println(full)
+    try {
+      val out = new java.io.File("target/bench.json")
+      out.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(out); try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    // The harness captures a bounded log TAIL; the ~2.5KB per-query line can
+    // get its head (including "value":) truncated away. So the LAST line
+    // before exit is a short summary-only JSON that always fits: this is the
+    // line the driver's parse must find.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${best.size},"sf":"$sfDir"}""")
   }
 }

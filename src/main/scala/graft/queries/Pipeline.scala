@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
  * dedup, similarity search, array/multimodal passthrough, PII scanning.
  *
  * Hash-dependent queries (MinHash, SimHash) run the portable md5 hash
- * family so they are fully oracle-checked; only genuinely engine-specific
- * training/LSH queries (q_sim_lsh, q_sim_ivf, q_agg_approx) are rows-only
- * with semantics asserted in ScalaTest.
+ * family, and sign-LSH queries unroll their seeded hyperplane basis into
+ * the oracle SQL (the basis is part of the operator definition), so both
+ * are fully oracle-checked; only genuinely engine-specific training
+ * queries (q_sim_ivf, q_agg_approx) are rows-only with semantics asserted
+ * in ScalaTest.
  */
 object Pipeline {
   import Q._
@@ -191,14 +193,17 @@ object Pipeline {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       // One tokenize pass: tf has one row per (doc, token), so df is just
-      // the per-token row count — a window over token, not a second
-      // tokenize + distinct + self-join. N arrives via a broadcast
-      // one-row cross join (no driver collect).
+      // the per-token row count. Computed as groupBy(token)+join, NOT a
+      // window over token: a window has no partial aggregation, so at
+      // corpus scale a stopword's partition holds one row per containing
+      // document and sorts corpus-sized skewed keys; the hash aggregate
+      // keeps map-side combine and AQE handles the join's skew. N arrives
+      // via a broadcast one-row cross join (no driver collect).
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val withDf = tf.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("token")))
+      val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val withDf = tf.join(dfCounts, "token")
       val n = docs.agg(count(lit(1)).as("n_docs"))
       // ranking keys off the ROUNDED score: ln() is not correctly-rounded
       // in IEEE 754, so raw doubles can differ by an ulp across engines and
@@ -304,13 +309,28 @@ object Pipeline {
           round(col("cos"), 6).as("cosine"))
         .orderBy("q_id", "rn")
     }),
-    // L2 — sign-LSH bucket histogram: the scale path's candidate profile
-    // (no oracle: bucketing depends on the seeded projection basis).
+    // L2 — sign-LSH bucket histogram: the scale path's candidate profile.
+    // Oracle-checked: the seeded hyperplane basis is part of the operator
+    // definition, so the oracle SQL carries the same plane literals and
+    // both engines compute bit-identical projections (sequential
+    // double-sum both sides — same argument as q_sim_exact).
     "q_sim_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
       Similarity.lshBuckets(emb, "emb", Similarity.hyperplanes(8, 64))
         .orderBy("bucket")
+    }),
+    // A7 — embedding near-dup at scale: candidates meet only inside a
+    // sign-LSH bucket (equi-join, no O(n²) pair explosion), exact cosine
+    // verifies. The bucketed twin of q_dedup_embed, oracle-checked the
+    // same way as q_sim_lsh.
+    "q_dedup_embed_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      Dedup.embeddingNearDupsLsh(emb, "vec_id", "emb", 0.4,
+        Similarity.hyperplanes(4, 64))
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
+        .orderBy("a", "b")
     }),
     // L1 — token frequency via explode (the Generate operator): top-20
     // corpus-wide tokens with deterministic tiebreak.
@@ -417,7 +437,39 @@ object Pipeline {
         .orderBy("doc_id")
     }))
 
+  /**
+   * DuckDB expression for the sign-LSH bucket id: the seeded hyperplane
+   * basis unrolled to double literals (shortest-roundtrip `Double.toString`,
+   * so DuckDB parses back the exact same bits), one CASE term per plane —
+   * the SQL twin of [[Similarity.withLshBucket]]. `list_dot_product` over
+   * DOUBLE[] sums sequentially like our codegen'd loop (proven bit-stable
+   * by q_sim_exact), so the >= 0 sign test agrees exactly.
+   */
+  private def lshBucketSql(planes: Seq[Seq[Double]], embExpr: String): String =
+    "cast(" + planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($embExpr::DOUBLE[], $lits::DOUBLE[]) >= 0" +
+        s" THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ") + " AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+    "q_sim_lsh" -> {
+      val b = lshBucketSql(graft.operators.Similarity.hyperplanes(8, 64), "embedding")
+      s"""WITH bk AS (SELECT $b AS bucket FROM embeddings)
+          SELECT bucket, count(*) AS n_vectors FROM bk
+          GROUP BY bucket ORDER BY bucket"""
+    },
+    "q_dedup_embed_lsh" -> {
+      val b = lshBucketSql(graft.operators.Similarity.hyperplanes(4, 64), "embedding")
+      s"""WITH bk AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings)
+          SELECT a, b, round(cos, 6) AS cosine FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+              list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) AS cos
+            FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+          WHERE cos >= 0.4 ORDER BY a, b"""
+    },
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
          cast(sum(n_chars) AS bigint) AS sum_chars,

@@ -82,6 +82,43 @@ class SourcesSpec extends SparkSpec {
       ("img-b.bin", 3L, Seq[Byte](9, 8, 7))))
   }
 
+  test("embedded-Derby JDBC: write, partitioned read, anonymize, write back") {
+    // The reference's actual substrate is a live relational DB over JDBC
+    // (postgres.client.ts:4-23, executor.ts:126). No Postgres ships in this
+    // container, but Spark bundles Derby — an in-memory DB makes the JDBC
+    // source/sink a TESTED path end-to-end instead of a call shape.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties
+    val src = customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    Sources.writeJdbc(src, url, "customer_src", props, mode = "overwrite")
+
+    // partitioned read: 4 parallel range cursors over the key, the
+    // multi-connection shape a 100 TB JDBC extract needs
+    val back = Sources.jdbc(spark, url, "customer_src", props,
+      partitioning = Some(("c_custkey", 0L, 1000L, 4)))
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == src.count())
+
+    // anonymize through the engine and write back over JDBC — the
+    // reference's UPDATE-in-place expressed as transform + reload
+    val plan = Plan("t", Seq(PlannedTable("public.customer_src", "public",
+      "customer_src", Seq(PlannedColumn("c_name", Strategy.HashSha256),
+        PlannedColumn("c_mktsegment", Strategy.SetNull)))))
+    val out = Engine.transform(plan, Map("customer_src" -> back))("public.customer_src")
+    Sources.writeJdbc(out, url, "customer_out", props, mode = "overwrite")
+
+    val got = Sources.jdbc(spark, url, "customer_out", props)
+      .orderBy("c_custkey").collect()
+    val want = src.orderBy("c_custkey").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0))
+      assert(g.getString(1) ==
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(w.getString(1)))
+      assert(g.isNullAt(2))
+    }
+  }
+
   test("catalogFromDir lists tables sorted and reads them") {
     val cat = Tables.catalogFromDir(spark, "/root/testdata/sf0.001")
     assert(cat.keySet == Tables.names.toSet)
