@@ -136,6 +136,27 @@ object Engine {
       }
     }.toMap
 
+  /**
+   * Rehearsed dry run: executes the FULL apply path — transform and write —
+   * against a scratch directory, then deletes the artifacts. The plain
+   * [[dryRun]] counts rows without writing, which is strictly safer but
+   * never rehearses the write path; the reference's dry-run runs its real
+   * UPDATEs inside a transaction and rolls back (`executor.ts:98-137`), so
+   * write-time failures (permissions, disk, codec, schema) surface at
+   * dry-run time there. This mode restores that property: any write error
+   * propagates, and on success only the counts survive.
+   */
+  def dryRunRehearsed(plan: Plan, catalog: Map[String, DataFrame],
+      scratchDir: String): Map[String, Long] =
+    try apply(plan, catalog, scratchDir)
+    finally deleteRecursively(new java.io.File(scratchDir))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Driver-side total, as the reference's report sums (`main.ts:80-83`). */
   def totalRows(counts: Map[String, Long]): Long = counts.values.sum
 }

@@ -252,10 +252,14 @@ object Dedup {
    * with one canonical survivor (the min id = the component label).
    *
    * Scale: each round is one shuffle join (edges ⋈ labels) plus one
-   * aggregate; the driver holds only the changed-row COUNT per round
-   * (Pregel-style control flow, no row materialization). Labels persist
-   * per round and the previous round unpersists once the next is
-   * materialized, so peak storage is two label tables of |V| rows.
+   * aggregate, then a pointer-halving hop (labels jump to their label's
+   * label — the star-contraction idea of Kiveris et al., "Connected
+   * Components in MapReduce and Beyond"), which turns O(diameter) rounds
+   * into O(log diameter): a 2^k-diameter path closes in ~k rounds. The
+   * driver holds only one scalar per round (Pregel-style control flow, no
+   * row materialization). Labels persist per round and the previous round
+   * unpersists once the next is materialized, so peak storage is two label
+   * tables of |V| rows.
    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -281,10 +285,18 @@ object Dedup {
     // Round 0 folds into the init aggregate: every node starts at
     // least(own id, min direct neighbor), so star-shaped clusters converge
     // with zero loop rounds beyond the confirmation pass.
+    // Labels are localCheckpoint'ed (eager) each round, not merely
+    // persisted: persist caches blocks but keeps the logical plan, and the
+    // pointer-halving self-join below references its input TWICE — without
+    // lineage truncation the analyzed plan doubles per round and Catalyst
+    // optimization time grows exponentially with iteration count. A
+    // checkpointed round is a flat LogicalRDD, so every round's plan is
+    // constant-size. (On a cluster, reliable `checkpoint()` to a
+    // configured dir is the fault-tolerant variant of the same move.)
     var comp = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("id"), least(col("id"), col("nbr")).as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Labels only ever decrease, so the decimal label sum (no long
     // overflow at any id magnitude) is a monotone convergence metric:
     // one scalar action per round, no prev-vs-next join.
@@ -298,13 +310,23 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = sym
+      val prop = sym
         .join(comp.toDF("dst", "dlbl"), "dst")
         .select(col("src").as("id"), col("dlbl").as("lbl"))
         .unionByName(comp.toDF("id", "lbl"))
         .groupBy("id").agg(min(col("lbl")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // Pointer halving: follow the label one more hop (comp(comp(id))).
+      // Labels always satisfy comp(id) <= id and point at a real node, so
+      // the hop only ever decreases a label — the monotone convergence
+      // metric below still holds — while label chains collapse
+      // exponentially instead of one link per round.
+      val next = prop.toDF("id", "c1")
+        .join(prop.toDF("c1", "c2"), Seq("c1"), "left")
+        .select(col("id"), coalesce(col("c2"), col("c1")).as("comp"))
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
+      prop.unpersist()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] iter $it sum=$nextSum")
       converged = nextSum.compareTo(prevSum) == 0

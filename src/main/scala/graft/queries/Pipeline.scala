@@ -197,11 +197,18 @@ object Pipeline {
       // window over token: a window has no partial aggregation, so at
       // corpus scale a stopword's partition holds one row per containing
       // document and sorts corpus-sized skewed keys; the hash aggregate
-      // keeps map-side combine and AQE handles the join's skew. N arrives
-      // via a broadcast one-row cross join (no driver collect).
+      // keeps map-side combine. tf is persisted because it feeds BOTH join
+      // sides — unpersisted, each branch would re-scan and re-tokenize the
+      // corpus (column pruning makes the branches non-identical, so
+      // exchange reuse cannot dedupe them); the same persist-the-expensive-
+      // stage move the MinHash signature pipeline makes. dfCounts is
+      // vocabulary-sized, so the join broadcasts it — the corpus side
+      // never reshuffles. N arrives via a broadcast one-row cross join
+      // (no driver collect).
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val withDf = tf.join(dfCounts, "token")
       val n = docs.agg(count(lit(1)).as("n_docs"))

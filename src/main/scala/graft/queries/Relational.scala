@@ -193,6 +193,25 @@ object Relational {
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy("band")
     }),
+    // J1/scale — deliberately skewed dimension join through an explicit
+    // salted join: ~80% of lineitem lands on one key, the pattern that
+    // serializes a plain shuffle join into one straggler task. saltedJoin
+    // spreads the hot key over saltFactor shuffle partitions (the small
+    // side is exploded to every salt); results are identical to the plain
+    // join, so the oracle is the unsalted SQL. AQE's skew split is the
+    // adaptive alternative, pinned separately in PlanSpec.
+    "q_join_skew" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("skey",
+        when(col("l_orderkey") % 5 =!= 0, lit(0L))
+          .otherwise(lit(1L) + col("l_orderkey") % 24))
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("skey"), col("n_name"))
+      Scale.saltedJoin(li, dim, "skey", saltFactor = 8, saltFrom = Seq("l_orderkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("n_name")
+    }),
     // J6 — as-of join: each event matched to the customer's latest order at
     // or before the event time (Spark has no native as-of). Pick-latest is a
     // max(struct(date, key)) aggregate rather than a window: the partial
@@ -569,6 +588,16 @@ object Relational {
            AS b(lo, hi, band)
            ON l_quantity >= lo AND l_quantity < hi
          GROUP BY band ORDER BY band""",
+    "q_join_skew" ->
+      """WITH li AS (
+           SELECT CASE WHEN l_orderkey % 5 <> 0 THEN 0
+                       ELSE 1 + (l_orderkey % 24) END AS skey,
+                  l_quantity
+           FROM lineitem)
+         SELECT n_name, count(*) AS n_rows,
+           cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
+         FROM li JOIN nation ON skey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "q_join_asof" ->
       """SELECT event_id, user_id, o_orderkey FROM (
            SELECT e.event_id, e.user_id, o.o_orderkey,

@@ -80,4 +80,32 @@ class EngineSpec extends SparkSpec {
     assert(back(0).getString(1).matches("[0-9a-f]{32}"))
     assert(back(1).getString(1) == "d41d8cd98f00b204e9800998ecf8427e") // NULL → md5('')
   }
+
+  test("rehearsed dry run executes the write path and cleans up after itself") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rehearse").toString
+    val scratch = s"$dir/scratch"
+    val plan = Plan("t", Seq(PlannedTable("public.c", "public", "c",
+      Seq(PlannedColumn("name", Strategy.HashSha256)))))
+    val counts = Engine.dryRunRehearsed(plan, Map("c" -> customers), scratch)
+    assert(counts == Map("public.c" -> 2L))
+    // rehearsal artifacts are gone; only the counts survive
+    assert(!new java.io.File(scratch).exists())
+  }
+
+  test("rehearsed dry run surfaces write failures that plain dryRun cannot") {
+    // The write target is blocked by a regular FILE where a directory is
+    // needed — the kind of sink-side failure (permissions, disk, layout)
+    // the reference's write-then-ROLLBACK rehearsal would catch in its
+    // transaction, and a count-only dry run never exercises.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rehearse2")
+    val blocked = dir.resolve("scratch")
+    java.nio.file.Files.writeString(blocked, "not a directory")
+    val plan = Plan("t", Seq(PlannedTable("public.c", "public", "c",
+      Seq(PlannedColumn("name", Strategy.HashSha256)))))
+    // plain dry run: counts fine, no hint the apply would fail
+    assert(Engine.dryRun(plan, Map("c" -> customers)) == Map("public.c" -> 2L))
+    // rehearsed dry run: the write failure surfaces now, not at apply time
+    assertThrows[Exception](
+      Engine.dryRunRehearsed(plan, Map("c" -> customers), blocked.toString))
+  }
 }

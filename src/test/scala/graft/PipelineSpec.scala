@@ -49,6 +49,22 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents closes a worst-case path graph in O(log d) rounds") {
+    import org.apache.spark.sql.types._
+    // 64-node path: diameter 63. Plain min-label propagation moves the min
+    // one hop per round (63 rounds — over the default cap); the
+    // pointer-halving hop collapses label chains exponentially, so a
+    // maxIter of 10 (~log2 63 + slack + confirmation) must suffice.
+    val rows = (0L until 63L).map(i => Row(i, i + 1))
+    val edges = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    val comps = Dedup.connectedComponents(edges, "a", "b", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 64)
+    assert(comps.forall(_._2 == 0L))
+  }
+
   test("connectedComponents on an empty edge list returns an empty frame") {
     import org.apache.spark.sql.types._
     val empty = spark.createDataFrame(

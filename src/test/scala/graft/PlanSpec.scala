@@ -121,11 +121,18 @@ class PlanSpec extends SparkSpec {
   test("pipeline queries stay single-scan: one tokenize/score pass each") {
     // q_train_mix must not re-score per stage: exactly one parquet scan.
     assert("FileScan".r.findAllIn(plan("q_train_mix")).length == 1)
-    // q_tfidf: one tokenize scan + the corpus-count scan, which must read
+    // q_tfidf: the tokenize+tf stage is computed ONCE (cached) and feeds
+    // both join branches — df comes from a partial+final hash aggregate
+    // over the cache, NOT from a window over token (which would sort
+    // corpus-sized skewed stopword partitions with no map-side combine).
+    // The only other parquet read is the corpus count, which must read
     // ZERO columns (parquet footer counts only) — cheap at any scale.
     val p = plan("q_tfidf")
-    assert("FileScan".r.findAllIn(p).length == 2, "tokenize must fuse")
+    assert(p.contains("InMemoryTableScan"), "tf stage must be cached and shared")
     assert(p.contains("ReadSchema: struct<>"), "the N scan must be columnless")
+    // \b excludes WindowGroupLimit (the rank<=3 pushdown helper nodes)
+    assert("Window\\b".r.findAllIn(p).length == 1,
+      "only the per-doc top-3 ranking window may remain")
   }
 
   test("deterministic sampling pushes nothing but stays codegen'd scan-local") {
