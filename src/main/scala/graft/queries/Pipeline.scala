@@ -339,6 +339,46 @@ object Pipeline {
         .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
         .orderBy("a", "b")
     }),
+    // L1 — vocabulary coverage: what fraction of all token OCCURRENCES the
+    // top-k tokens cover — the first question of tokenizer/vocab design.
+    // The global window runs over the VOCABULARY (post-aggregate, orders of
+    // magnitude smaller than the corpus), not over occurrences; cnt/cum
+    // stay exact longs so the coverage division is engine-portable.
+    "q_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(sum(col("cnt")).as("total"))
+      val ord = Window.orderBy(col("cnt").desc, col("token"))
+      toks.crossJoin(broadcast(total))
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum(col("cnt"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rn") <= 20)
+        .select(col("rn"), col("token"), col("cnt"),
+          round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+        .orderBy("rn")
+    }),
+    // L1 — per-document token entropy (Shannon, nats): low entropy flags
+    // repetitive/templated docs, a standard curation quality signal.
+    // entropy = ln(n) - sum(c·ln c)/n over in-doc token counts; each
+    // c·ln(c) term is cast to a fixed-scale decimal BEFORE the sum, so the
+    // aggregate adds exactly (order-independent under shuffle) and both
+    // engines hash-match — a raw double sum would vary run to run.
+    "q_doc_entropy" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id").agg(
+          sum(col("c")).as("n_tokens"),
+          sum((col("c").cast("double") * log(col("c").cast("double")))
+            .cast("decimal(28,10)")).as("sclc"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(log(col("n_tokens").cast("double")) -
+            col("sclc").cast("double") / col("n_tokens"), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
     // L1 — token frequency via explode (the Generate operator): top-20
     // corpus-wide tokens with deterministic tiebreak.
     "q_explode" -> ((s, dir) => {
@@ -477,6 +517,31 @@ object Pipeline {
             FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
           WHERE cos >= 0.4 ORDER BY a, b"""
     },
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
+                      FROM documents),
+         v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         t AS (SELECT cast(sum(cnt) AS bigint) AS total FROM v),
+         r AS (SELECT token, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, token) AS rn,
+                 cast(sum(cnt) OVER (ORDER BY cnt DESC, token
+                   ROWS UNBOUNDED PRECEDING) AS bigint) AS cum
+               FROM v)
+         SELECT rn, token, cnt, round(cast(cum AS double) / total, 6) AS coverage
+         FROM r, t WHERE rn <= 20 ORDER BY rn""",
+    "q_doc_entropy" ->
+      """WITH tf AS (
+           SELECT doc_id, token, count(*) AS c
+           FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+                 FROM documents)
+           GROUP BY doc_id, token)
+         SELECT doc_id, n_tokens,
+           round(ln(cast(n_tokens AS double)) - cast(sclc AS double) / n_tokens, 6)
+             AS entropy
+         FROM (SELECT doc_id, cast(sum(c) AS bigint) AS n_tokens,
+                 sum(cast(c * ln(cast(c AS double)) AS decimal(28,10))) AS sclc
+               FROM tf GROUP BY doc_id)
+         ORDER BY doc_id""",
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
          cast(sum(n_chars) AS bigint) AS sum_chars,
