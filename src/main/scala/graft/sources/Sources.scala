@@ -42,6 +42,27 @@ object Sources {
     }
 
   /**
+   * Introspect a JDBC database into a bare-name → DataFrame catalog — the
+   * reference's schema-reader over a live DB (`schema-reader.ts:16-37`),
+   * where information_schema supplies tables and columns. Here
+   * `DatabaseMetaData.getTables` lists user tables and each frame's schema
+   * comes from DB metadata at `spark.read.jdbc` planning time; no row data
+   * moves until an action runs. Feed the result straight to
+   * `ConfigIO.generateConfig` / `Engine.dryRun` — the configGen → plan →
+   * anonymize lifecycle over an actual database.
+   */
+  def jdbcCatalog(spark: SparkSession, url: String,
+      props: java.util.Properties = new java.util.Properties): Map[String, DataFrame] = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = Seq.newBuilder[String]
+      while (rs.next()) names += rs.getString("TABLE_NAME")
+      names.result().map(n => n.toLowerCase -> spark.read.jdbc(url, n, props)).toMap
+    } finally conn.close()
+  }
+
+  /**
    * Streaming file source over a directory of parquet (the events table as
    * an unbounded stream): new files are discovered per micro-batch. Feed
    * the result to graft.streaming.Streams operators.

@@ -119,6 +119,45 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("full lifecycle against a live JDBC database: introspect → configGen → plan → anonymize → write back") {
+    // The reference's whole program in one test, against an actual DB:
+    // schema-reader introspection (schema-reader.ts:16-37) → generated
+    // YAML config (config-generator.ts:21-96) → human edit (add a
+    // strategy) → plan → dry-run counts → apply → verify in the DB.
+    val url = "jdbc:derby:memory:graftcfg;create=true"
+    val props = new java.util.Properties
+    val src = customer.select(col("c_custkey"), col("c_name"))
+    Sources.writeJdbc(src, url, "customer", props, mode = "overwrite")
+
+    val cat = Sources.jdbcCatalog(spark, url, props)
+    assert(cat.keySet == Set("customer"))
+    assert(cat("customer").schema.fieldNames.toSeq.map(_.toLowerCase) ==
+      Seq("c_custkey", "c_name"))
+
+    val gen = ConfigIO.generateConfig(cat, schema = "app")
+    assert(gen.tablesList == Seq("app.customer"))
+    // configGen ships rules with no per-column strategy — a human edits
+    // the YAML before running; simulate that edit via the global map
+    val edited = gen.config.copy(reviewed = true,
+      columnStrategy = gen.config.columnStrategy :+
+        ("HASH_SHA256" -> Seq("c_name")))
+    assert(Planner.preflight(edited, Planner.Apply).isEmpty)
+
+    val plan = Planner.buildPlan(edited, "t")
+    val counts = Engine.dryRun(plan, cat)
+    assert(counts == Map("app.customer" -> src.count()))
+
+    val out = Engine.transform(plan, cat)("app.customer")
+    Sources.writeJdbc(out, url, "customer_anon", props, mode = "overwrite")
+    val got = Sources.jdbc(spark, url, "customer_anon", props)
+      .orderBy("c_custkey").collect()
+    val want = src.orderBy("c_custkey").collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(1) ==
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(w.getString(1)))
+    }
+  }
+
   test("catalogFromDir lists tables sorted and reads them") {
     val cat = Tables.catalogFromDir(spark, "/root/testdata/sf0.001")
     assert(cat.keySet == Tables.names.toSet)
