@@ -28,10 +28,7 @@ object Bench {
     // full cold-cache work — the min removes host noise, not computation.
     // SPARK_GRAFT_REPS overrides.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    // SPARK_GRAFT_ONLY=q_a,q_b (local tuning only): time just those queries.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = only.fold(SparkEntry.queries)(ks =>
-      SparkEntry.queries.filter { case (k, _) => ks(k) })
+    val selected = SparkEntry.selectedQueries
     val warmDir = "/root/testdata/sf0.001"
     def canon(p: String) = try new java.io.File(p).getCanonicalPath
       catch { case _: Throwable => p }
@@ -70,11 +67,17 @@ object Bench {
     // Full per-query detail: one line on stdout AND a file, for humans and
     // local tooling.
     println(full)
+    // Anchored via env when running from outside the repo (the java-direct
+    // workflow); a failed write is reported, never silently swallowed —
+    // stale numbers in an old file must not pass as current.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
-      val out = new java.io.File("target/bench.json")
+      val out = new java.io.File(outPath).getAbsoluteFile
       out.getParentFile.mkdirs()
       val w = new java.io.PrintWriter(out); try w.println(full) finally w.close()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
     // The harness captures a bounded log TAIL; the ~2.5KB per-query line can
     // get its head (including "value":) truncated away. So the LAST line

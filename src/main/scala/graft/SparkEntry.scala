@@ -14,4 +14,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracles ++ graft.queries.Relational.oracles ++
       graft.queries.Events.oracles ++ graft.queries.Pipeline.oracles
+  /** Local-iteration subset filter shared by Verify and Bench:
+    * SPARK_GRAFT_ONLY="q_a, q_b" selects just those queries (whitespace
+    * tolerated). The driver never sets it, so its runs stay exhaustive. */
+  def selectedQueries: Map[String, (SparkSession, String) => DataFrame] =
+    sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(ks) =>
+        val set = ks.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        queries.filter { case (k, _) => set(k) }
+      case None => queries
+    }
 }

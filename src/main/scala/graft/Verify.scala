@@ -15,17 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=q_a,q_b (local iteration only): dump just those
-    // queries. The driver never sets it, so its runs stay exhaustive.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = only.fold(SparkEntry.queries)(ks =>
-      SparkEntry.queries.filter { case (k, _) => ks(k) })
+    val selected = SparkEntry.selectedQueries
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that persist an internal stage (q_tfidf's tokenize+tf,
+      // the dedup signature stages) must not leak cached blocks into the
+      // ~100 queries that follow in this shared session
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape (shared with ConfigIO's report writer): a tab or
     // CR in builder-authored SQL would otherwise make the driver's

@@ -88,7 +88,14 @@ object Engine {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(jobPool)
-    Await.result(Future.traverse(items)(a => Future(f(a))), Duration.Inf)
+    // Each job is wrapped in Try so a failure does NOT fail the traverse
+    // early: every submitted job runs to completion before the first
+    // failure is rethrown (in item order). Fail-fast would return while
+    // sibling Spark jobs are still writing — callers that clean up after
+    // an error (dryRunRehearsed's finally-delete) would then race
+    // in-flight writers.
+    Await.result(Future.traverse(items)(a => Future(scala.util.Try(f(a)))),
+      Duration.Inf).map(_.get)
   }
 
   /**
@@ -145,11 +152,18 @@ object Engine {
    * write-time failures (permissions, disk, codec, schema) surface at
    * dry-run time there. This mode restores that property: any write error
    * propagates, and on success only the counts survive.
+   *
+   * Artifacts go to a FRESH unique subdirectory of `scratchDir`, and only
+   * that subdirectory is deleted — pre-existing contents of a reused (or
+   * mistyped) scratch path are never touched.
    */
   def dryRunRehearsed(plan: Plan, catalog: Map[String, DataFrame],
-      scratchDir: String): Map[String, Long] =
-    try apply(plan, catalog, scratchDir)
-    finally deleteRecursively(new java.io.File(scratchDir))
+      scratchDir: String): Map[String, Long] = {
+    val rehearseDir = new java.io.File(scratchDir,
+      s"rehearse-${java.util.UUID.randomUUID()}")
+    try apply(plan, catalog, rehearseDir.toString)
+    finally deleteRecursively(rehearseDir)
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)

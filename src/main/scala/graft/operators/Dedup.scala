@@ -333,7 +333,11 @@ object Dedup {
       prevSum = nextSum
       val prev = comp
       comp = next
-      prev.unpersist()
+      // Dataset.unpersist is a NO-OP for checkpointed frames (their blocks
+      // live at the RDD level, outside the cacheManager) — free the round
+      // through the bridge or peak storage grows O(rounds × |V|) instead
+      // of the documented two label tables.
+      org.apache.spark.sql.GraftBridge.freeCheckpoint(prev)
       it += 1
     }
     sym.unpersist()

@@ -210,7 +210,10 @@ object Pipeline {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val withDf = tf.join(dfCounts, "token")
+      // explicit hint: dfCounts' STATIC size estimate derives from the
+      // un-materialized cache's child and can exceed the broadcast
+      // threshold, which would sort-merge-shuffle the corpus-sized tf side
+      val withDf = tf.join(broadcast(dfCounts), "token")
       val n = docs.agg(count(lit(1)).as("n_docs"))
       // ranking keys off the ROUNDED score: ln() is not correctly-rounded
       // in IEEE 754, so raw doubles can differ by an ulp across engines and

@@ -29,8 +29,7 @@ object Sources {
   /**
    * JDBC table — the reference's Postgres source re-expressed. Partition
    * bounds turn the single-connection read into N parallel range scans.
-   * (Not exercised by the harness: no database ships in this environment;
-   * the call shape is the public DataFrameReader.jdbc contract.)
+   * (Exercised end-to-end against embedded Derby in SourcesSpec.)
    */
   def jdbc(spark: SparkSession, url: String, table: String,
       props: java.util.Properties = new java.util.Properties,
@@ -50,15 +49,34 @@ object Sources {
    * moves until an action runs. Feed the result straight to
    * `ConfigIO.generateConfig` / `Engine.dryRun` — the configGen → plan →
    * anonymize lifecycle over an actual database.
+   *
+   * The engine's catalog is keyed by BARE table name (the plan's
+   * `PlannedTable.name`), so the listing is scoped to ONE database schema
+   * via `schemaPattern` (JDBC metadata wildcard; null = the connection's
+   * default visibility). If the pattern still spans same-named tables in
+   * different schemas, this throws instead of silently keeping an
+   * arbitrary one. Reads are schema-qualified so they do not depend on the
+   * connection's search path.
    */
   def jdbcCatalog(spark: SparkSession, url: String,
-      props: java.util.Properties = new java.util.Properties): Map[String, DataFrame] = {
+      props: java.util.Properties = new java.util.Properties,
+      schemaPattern: String = null): Map[String, DataFrame] = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-      val names = Seq.newBuilder[String]
-      while (rs.next()) names += rs.getString("TABLE_NAME")
-      names.result().map(n => n.toLowerCase -> spark.read.jdbc(url, n, props)).toMap
+      val rs = conn.getMetaData.getTables(null, schemaPattern, "%", Array("TABLE"))
+      val names = Seq.newBuilder[(String, String)]
+      while (rs.next())
+        names += ((rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME")))
+      val listed = names.result()
+      val dup = listed.groupBy(_._2.toLowerCase).filter(_._2.sizeIs > 1)
+      require(dup.isEmpty,
+        s"ambiguous bare table names across schemas: ${dup.keys.mkString(", ")}; " +
+          "narrow schemaPattern so each bare name is unique")
+      listed.map { case (schema, name) =>
+        val qualified = if (schema == null || schema.isEmpty) name
+          else s"$schema.$name"
+        name.toLowerCase -> spark.read.jdbc(url, qualified, props)
+      }.toMap
     } finally conn.close()
   }
 
@@ -103,7 +121,8 @@ object Sources {
   /**
    * JDBC sink — the write-back half of the reference's Postgres model
    * (its in-place UPDATE becomes write-to-table; `mode=overwrite` truncates
-   * and reloads). Untested here (no database ships in this environment).
+   * and reloads). Exercised end-to-end against embedded Derby in
+   * SourcesSpec.
    */
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties = new java.util.Properties,

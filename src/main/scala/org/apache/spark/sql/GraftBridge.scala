@@ -12,4 +12,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /**
+   * Release the blocks behind a `localCheckpoint(true)`-ed DataFrame.
+   * `Dataset.unpersist` is a no-op for checkpointed frames — their storage
+   * was persisted at the RDD level inside localCheckpoint and is not
+   * registered in the cacheManager — so iterative algorithms that
+   * checkpoint per round must free rounds explicitly or hold
+   * O(rounds × |rows|) storage until driver GC.
+   */
+  def freeCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 }

@@ -86,10 +86,16 @@ class EngineSpec extends SparkSpec {
     val scratch = s"$dir/scratch"
     val plan = Plan("t", Seq(PlannedTable("public.c", "public", "c",
       Seq(PlannedColumn("name", Strategy.HashSha256)))))
+    // pre-existing content in the scratch dir must survive the rehearsal
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(scratch))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(scratch, "keep.txt"), "precious")
     val counts = Engine.dryRunRehearsed(plan, Map("c" -> customers), scratch)
     assert(counts == Map("public.c" -> 2L))
-    // rehearsal artifacts are gone; only the counts survive
-    assert(!new java.io.File(scratch).exists())
+    // rehearsal artifacts are gone; only the counts (and what was already
+    // in the scratch dir) survive
+    val left = new java.io.File(scratch).list().toSeq
+    assert(left == Seq("keep.txt"))
   }
 
   test("rehearsed dry run surfaces write failures that plain dryRun cannot") {

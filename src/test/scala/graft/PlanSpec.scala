@@ -92,7 +92,11 @@ class PlanSpec extends SparkSpec {
       "q_dedup_cluster",
       // q_gapfill's scaffold explodes out of a one-row bounds aggregate —
       // the single partition holds exactly one row before the explode.
-      "q_gapfill")
+      "q_gapfill",
+      // q_vocab_coverage's cumulative window runs over the POST-AGGREGATE
+      // vocabulary (orders of magnitude smaller than the corpus), so the
+      // single-partition rank/cumsum is over already-reduced data.
+      "q_vocab_coverage")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
