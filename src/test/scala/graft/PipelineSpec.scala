@@ -65,6 +65,40 @@ class DedupSpec extends SparkSpec {
     assert(comps.forall(_._2 == 0L))
   }
 
+  test("connectedComponents agrees with a driver-side union-find on random graphs") {
+    import org.apache.spark.sql.types._
+    // Seeded, so failures reproduce; 6 random graphs exercise shapes the
+    // hand-built cases (chain, star, path) do not: multi-component tangles,
+    // duplicate edges, high-degree hubs — each checked against a plain
+    // union-find computed on the driver.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val n = 10 + rnd.nextInt(30)
+      val edgeSeq = Seq.fill(n + rnd.nextInt(2 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      edgeSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOfRoot = inGraph.groupBy(id => find(id.toInt))
+        .map { case (root, ids) => root -> ids.min }
+      val expected = inGraph.map(id => id -> minOfRoot(find(id.toInt))).toMap
+
+      val edges = spark.createDataFrame(
+        java.util.Arrays.asList(edgeSeq.map { case (a, b) => Row(a, b) }: _*),
+        StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+      val got = Dedup.connectedComponents(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n, edges=${edgeSeq.size})")
+    }
+  }
+
   test("connectedComponents on an empty edge list returns an empty frame") {
     import org.apache.spark.sql.types._
     val empty = spark.createDataFrame(
