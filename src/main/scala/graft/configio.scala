@@ -304,8 +304,13 @@ object ConfigIO {
  * directory of parquet tables (--data), outputs land in --out.
  *
  *   graft.Anonymize --configGen --data /root/testdata/sf0.001 --out /tmp/x
- *   graft.Anonymize --dryrun    --data ... --out ... [--config path.yaml]
+ *   graft.Anonymize --dryrun    --data ... --out ... [--config path.yaml] [--rehearse]
  *   graft.Anonymize --apply     --data ... --out ... [--config path.yaml]
+ *
+ * `--dryrun --rehearse` executes the full write path into a temp scratch
+ * dir (then deletes it) — the Spark analogue of the reference's
+ * write-then-ROLLBACK dry run (`executor.ts:98-137`), surfacing sink-side
+ * failures before an apply.
  */
 object Anonymize {
   val ConfigFile = "anonymizer.config.yaml"
@@ -345,7 +350,10 @@ object Anonymize {
           val errs = Planner.preflight(config, Planner.DryRun)
           if (errs.nonEmpty) sys.error(errs.mkString("; "))
           val plan = Planner.buildPlan(config, java.time.Instant.now.toString)
-          val counts = Engine.dryRun(plan, catalog)
+          val counts =
+            if (args.contains("--rehearse"))
+              Engine.dryRunRehearsed(plan, catalog, s"$outDir/.rehearse")
+            else Engine.dryRun(plan, catalog)
           ConfigIO.writeReport(s"$outDir/$DryrunReport", "dryrun", plan,
             counts, "totalRowsEstimated")
           println(s"Total rows affected (dry run): ${Engine.totalRows(counts)}")
