@@ -307,10 +307,10 @@ object ConfigIO {
  *   graft.Anonymize --dryrun    --data ... --out ... [--config path.yaml] [--rehearse]
  *   graft.Anonymize --apply     --data ... --out ... [--config path.yaml]
  *
- * `--dryrun --rehearse` executes the full write path into a temp scratch
- * dir (then deletes it) — the Spark analogue of the reference's
- * write-then-ROLLBACK dry run (`executor.ts:98-137`), surfacing sink-side
- * failures before an apply.
+ * `--dryrun --rehearse` executes the full write path into a scratch dir
+ * under the system temp directory (then deletes it) — the Spark analogue
+ * of the reference's write-then-ROLLBACK dry run (`executor.ts:98-137`),
+ * surfacing sink-side failures before an apply.
  */
 object Anonymize {
   val ConfigFile = "anonymizer.config.yaml"
@@ -318,7 +318,28 @@ object Anonymize {
   val DryrunReport = "anonymize.dryrun.report.json"
   val ApplyReport = "anonymize.apply.report.json"
 
+  private val valueFlags = Set("--data", "--out", "--config")
+  private val boolFlags = Set("--configGen", "--dryrun", "--apply", "--rehearse")
+
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-anonymize")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** CLI body, session-injected so tests can drive the real dispatch. */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    // Every --flag must be known: a silently-ignored typo (--rehearsal,
+    // --rehearse=true) would downgrade a rehearsed dry run to count-only
+    // and the user would find the write failure at apply time instead.
+    val unknown = args.filter(_.startsWith("--"))
+      .filterNot(a => valueFlags(a) || boolFlags(a))
+    if (unknown.nonEmpty)
+      sys.error(s"unknown argument(s): ${unknown.mkString(" ")}")
     val modes = args.filter(a => Set("--configGen", "--dryrun", "--apply")(a))
     if (modes.length != 1)
       sys.error("exactly one mode required: --configGen | --dryrun | --apply")
@@ -330,16 +351,9 @@ object Anonymize {
     new java.io.File(outDir).mkdirs()
     val configPath = opt("--config").getOrElse(s"$outDir/$ConfigFile")
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-anonymize")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val catalog = Tables.catalogFromDir(spark, dataDir)
-      mode match {
+    val catalog = Tables.catalogFromDir(spark, dataDir)
+    mode match {
         case "configGen" =>
           val gen = ConfigIO.generateConfig(catalog)
           ConfigIO.writeConfig(configPath, gen.config)
@@ -352,7 +366,8 @@ object Anonymize {
           val plan = Planner.buildPlan(config, java.time.Instant.now.toString)
           val counts =
             if (args.contains("--rehearse"))
-              Engine.dryRunRehearsed(plan, catalog, s"$outDir/.rehearse")
+              Engine.dryRunRehearsed(plan, catalog,
+                sys.props.getOrElse("java.io.tmpdir", "/tmp"))
             else Engine.dryRun(plan, catalog)
           ConfigIO.writeReport(s"$outDir/$DryrunReport", "dryrun", plan,
             counts, "totalRowsEstimated")
@@ -366,7 +381,6 @@ object Anonymize {
           ConfigIO.writeReport(s"$outDir/$ApplyReport", "apply", plan,
             counts, "totalRowsApplied")
           println(s"Total rows applied: ${Engine.totalRows(counts)}")
-      }
-    } finally spark.stop()
+    }
   }
 }

@@ -114,4 +114,22 @@ class EngineSpec extends SparkSpec {
     assertThrows[Exception](
       Engine.dryRunRehearsed(plan, Map("c" -> customers), blocked.toString))
   }
+
+  test("CLI dispatch: --dryrun --rehearse reaches the rehearsal; unknown flags are rejected") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    val data = "/root/testdata/sf0.001"
+    Anonymize.run(spark, Array("--configGen", "--data", data, "--out", out))
+    // configGen ships all-KEEP rules for these column names; give the dry
+    // run something to actually write during the rehearsal
+    val cfg = ConfigIO.readConfig(s"$out/${Anonymize.ConfigFile}")
+    ConfigIO.writeConfig(s"$out/${Anonymize.ConfigFile}", cfg.copy(
+      columnStrategy = cfg.columnStrategy :+ ("HASH_SHA256" -> Seq("c_name"))))
+    Anonymize.run(spark, Array("--dryrun", "--rehearse", "--data", data, "--out", out))
+    val report = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/${Anonymize.DryrunReport}"))
+    assert(report.contains("\"public.customer\":150"))
+    // a typo'd flag must fail loudly, not silently downgrade the dry run
+    assertThrows[RuntimeException](Anonymize.run(spark,
+      Array("--dryrun", "--rehearsal", "--data", data, "--out", out)))
+  }
 }

@@ -85,10 +85,10 @@ class DedupSpec extends SparkSpec {
         val (ra, rb) = (find(a.toInt), find(b.toInt))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
+      // union-by-min (parent(max)=min) makes every root the component's
+      // minimum id — exactly the label contract connectedComponents keeps
       val inGraph = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
-      val minOfRoot = inGraph.groupBy(id => find(id.toInt))
-        .map { case (root, ids) => root -> ids.min }
-      val expected = inGraph.map(id => id -> minOfRoot(find(id.toInt))).toMap
+      val expected = inGraph.map(id => id -> find(id.toInt).toLong).toMap
 
       val edges = spark.createDataFrame(
         java.util.Arrays.asList(edgeSeq.map { case (a, b) => Row(a, b) }: _*),

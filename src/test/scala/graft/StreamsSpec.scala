@@ -139,7 +139,7 @@ class StreamsSpec extends SparkSpec {
 
     half1.write.mode("append").parquet(src)
     def runOnce(): Unit = {
-      val q = spark.readStream.schema(half1.schema).parquet(src)
+      val q = graft.sources.Sources.parquetStream(spark, src, half1.schema)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
