@@ -293,10 +293,13 @@ object Dedup {
     // checkpointed round is a flat LogicalRDD, so every round's plan is
     // constant-size. (On a cluster, reliable `checkpoint()` to a
     // configured dir is the fault-tolerant variant of the same move.)
+    // Checkpoints are LAZY (eager=false): the labelSum action right after
+    // each round materializes the checkpoint as a side effect, so a round
+    // costs ONE job, not a checkpoint job plus an aggregate job.
     var comp = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("id"), least(col("id"), col("nbr")).as("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Labels only ever decrease, so the decimal label sum (no long
     // overflow at any id magnitude) is a monotone convergence metric:
     // one scalar action per round, no prev-vs-next join.
@@ -324,8 +327,8 @@ object Dedup {
       val next = prop.toDF("id", "c1")
         .join(prop.toDF("c1", "c2"), Seq("c1"), "left")
         .select(col("id"), coalesce(col("c2"), col("c1")).as("comp"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
+        .localCheckpoint(false)
+      val nextSum = labelSum(next) // materializes the lazy checkpoint
       prop.unpersist()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] iter $it sum=$nextSum")
