@@ -316,4 +316,43 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(f => (f.media_id, f.frame_no))
     assert(rows.toSeq == again.toSeq) // stub is deterministic
   }
+
+  /** Well-formed PCM-16 mono WAV bytes from a sample function. */
+  private def wavBytes(nSamples: Int, sample: Int => Short): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dataSize = nSamples * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    (0 until nSamples).foreach(i => buf.putShort(sample(i)))
+    buf.array()
+  }
+
+  test("decodeWav: REAL PCM decode — sine RMS ≈ A/√2, silence is 0, junk emits nothing") {
+    val amp = 16384 // half full-scale → normalized amplitude 0.5
+    val sine = wavBytes(8000,
+      i => (amp * math.sin(2 * math.Pi * 440 * i / 8000.0)).toShort)
+    val silence = wavBytes(4000, _ => 0.toShort)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, sine, "audio/wav", null, null),
+        Row(2L, silence, "audio/wav", null, null),
+        Row(3L, "not a wav at all, just text bytes padded to length 44+"
+          .getBytes("UTF-8"), "text/plain", null, null),
+        Row(4L, null, null, null, null)),
+      Multimodal.mediaSchema)
+    val frames = Multimodal.decodeWav(df, framesPerItem = 4)
+      .collect().sortBy(f => (f.media_id, f.frame_no))
+    // junk and NULL payloads decode to nothing; the two WAVs give 4 frames
+    assert(frames.map(_.media_id).toSeq == Seq(1L, 1L, 1L, 1L, 2L, 2L, 2L, 2L))
+    assert(frames.forall(_.n_samples > 0))
+    // a full-scale-0.5 sine has RMS 0.5/√2 ≈ 0.35355 in every window that
+    // holds whole cycles (2000 samples = 110 cycles exactly at 440/8000)
+    frames.filter(_.media_id == 1L).foreach(f =>
+      assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 1e-3, f.toString))
+    frames.filter(_.media_id == 2L).foreach(f => assert(f.rms == 0.0))
+  }
 }
