@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
  * image/audio/video payloads ride as opaque `binary` columns next to typed
  * metadata, flowing through select/filter/join/write untouched. The Spark
  * side — schema, batching, partition safety — is real. Decoding:
- * [[decodeWav]] is a REAL codec (RIFF/PCM-16 needs no library — pure
- * byte-buffer parsing); compressed formats (JPEG/MP3/H.264) remain behind
- * the clearly-marked deterministic [[decodeStub]] because their decode
+ * [[decodeWav]] (RIFF/PCM-16 → per-frame RMS) and [[decodeBmp]] /
+ * [[resizeBmp]] (24-bit BMP → luma features / nearest-neighbour resize)
+ * are REAL codecs — both formats need only byte-buffer arithmetic, no
+ * library; compressed formats (JPEG/MP3/H.264) remain behind the
+ * clearly-marked deterministic [[decodeStub]] because their decode
  * libraries are not in this environment.
  *
  * Scale notes: payload bytes never reach the driver; metadata extraction is
@@ -86,7 +88,7 @@ object Multimodal {
    * compressed audio format, other bit depths). Odd-sized chunks carry a
    * pad byte per the RIFF spec.
    */
-  private[operators] def parseWavPcm16(bytes: Array[Byte]): Option[Array[Short]] = {
+  private[graft] def parseWavPcm16(bytes: Array[Byte]): Option[Array[Short]] = {
     import java.nio.{ByteBuffer, ByteOrder}
     if (bytes.length < 44) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -121,6 +123,135 @@ object Multimodal {
       }
     }
     data
+  }
+
+  /** Decoded image statistics: REAL features from the BMP codec. */
+  case class ImageStats(media_id: Long, width: Int, height: Int, mean_luma: Double)
+
+  /**
+   * REAL image decoder: uncompressed 24-bit BMP payloads parsed with plain
+   * byte arithmetic (file header + BITMAPINFOHEADER + bottom-up padded BGR
+   * rows — no imaging library). Emits per-image dimensions and mean
+   * Rec.601 luminance, the basic brightness/quality feature. Non-BMP or
+   * malformed payloads emit nothing.
+   */
+  def decodeBmp(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): Dataset[ImageStats] = {
+    implicit val enc = Encoders.product[ImageStats]
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          parseBmp24(Option(payload).getOrElse(Array.emptyByteArray)).map {
+            case (w, h, rgb) =>
+              var sum = 0.0
+              var i = 0
+              while (i < rgb.length) {
+                sum += 0.299 * (rgb(i) & 0xff) + 0.587 * (rgb(i + 1) & 0xff) +
+                  0.114 * (rgb(i + 2) & 0xff)
+                i += 3
+              }
+              ImageStats(id, w, h, if (w * h == 0) 0.0 else sum / (w * h))
+          }.iterator
+        }
+      }
+  }
+
+  /**
+   * REAL distributed resize: nearest-neighbour downsample/upsample of
+   * 24-bit BMP payloads, binary → binary with the id carried through —
+   * the "resize" verb of the pipeline, running as per-partition batch
+   * work with no driver involvement. Non-BMP payloads map to NULL.
+   */
+  def resizeBmp(df: DataFrame, outW: Int, outH: Int,
+      idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val out = parseBmp24(Option(payload).getOrElse(Array.emptyByteArray))
+            .map { case (w, h, rgb) =>
+              val dst = new Array[Byte](outW * outH * 3)
+              var y = 0
+              while (y < outH) {
+                val sy = y * h / outH
+                var x = 0
+                while (x < outW) {
+                  val sx = x * w / outW
+                  val s = (sy * w + sx) * 3
+                  val d = (y * outW + x) * 3
+                  dst(d) = rgb(s); dst(d + 1) = rgb(s + 1); dst(d + 2) = rgb(s + 2)
+                  x += 1
+                }
+                y += 1
+              }
+              writeBmp24(outW, outH, dst)
+            }.orNull
+          (id, out)
+        }
+      }.toDF(idCol, payloadCol)
+  }
+
+  /**
+   * Minimal 24bpp uncompressed BMP reader: returns (width, height, RGB
+   * rows top-down) or None for anything else. BMP stores BGR rows
+   * bottom-up, each padded to a 4-byte boundary.
+   */
+  private[graft] def parseBmp24(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val headerSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val bits = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (headerSize < 40 || w <= 0 || h <= 0 || bits != 24 || compression != 0)
+      return None
+    val rowSize = (w * 3 + 3) & ~3
+    if (dataOffset < 0 || dataOffset.toLong + rowSize.toLong * h > bytes.length)
+      return None
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val src = dataOffset + (h - 1 - y) * rowSize // bottom-up → top-down
+      var x = 0
+      while (x < w) {
+        val s = src + x * 3
+        val d = (y * w + x) * 3
+        rgb(d) = bytes(s + 2); rgb(d + 1) = bytes(s + 1); rgb(d + 2) = bytes(s) // BGR→RGB
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  /** Serialize top-down RGB back to a minimal bottom-up 24bpp BMP. */
+  private[graft] def writeBmp24(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rowSize = (w * 3 + 3) & ~3
+    val dataSize = rowSize * h
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // write bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 3
+        buf.put(rgb(s + 2)).put(rgb(s + 1)).put(rgb(s)) // RGB→BGR
+        x += 1
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
   }
 
   /** One decoded "frame": deterministic fake features in place of pixels. */

@@ -355,4 +355,36 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 1e-3, f.toString))
     frames.filter(_.media_id == 2L).foreach(f => assert(f.rms == 0.0))
   }
+
+  test("decodeBmp/resizeBmp: REAL image decode — luma law, round-trip, resize picks source pixels") {
+    // 2×2 BMP, top-down logical pixels: red, green / blue, white
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val bmp = Multimodal.writeBmp24(2, 2, rgb)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, bmp, "image/bmp", 2, 2),
+        Row(2L, "jpeg bytes pretending, long enough to pass the length gate padding padding"
+          .getBytes("UTF-8"), "image/jpeg", null, null)),
+      Multimodal.mediaSchema)
+    val stats = Multimodal.decodeBmp(df).collect()
+    assert(stats.map(_.media_id).toSeq == Seq(1L)) // junk emits nothing
+    val s = stats.head
+    assert(s.width == 2 && s.height == 2)
+    // Rec.601 luma: (76.245 red + 149.685 green + 29.07 blue + 255 white)/4
+    val want = (0.299 * 255 + 0.587 * 255 + 0.114 * 255 + 255.0) / 4
+    assert(math.abs(s.mean_luma - want) < 1e-9)
+
+    // resize 2×2 → 1×1: nearest-neighbour maps (0,0) → the top-left (red)
+    val small = Multimodal.resizeBmp(df, 1, 1)
+    val rows = small.orderBy("media_id").collect()
+    assert(rows(1).isNullAt(1)) // non-BMP resizes to NULL
+    val one = Multimodal.decodeBmp(
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row(1L, rows(0).getAs[Array[Byte]](1), "image/bmp", 1, 1)),
+        Multimodal.mediaSchema)).collect().head
+    assert(one.width == 1 && one.height == 1)
+    assert(math.abs(one.mean_luma - 0.299 * 255) < 1e-9) // the red pixel
+  }
 }
