@@ -41,6 +41,80 @@ object Curation {
       .select(idCol).distinct()
   }
 
+  /**
+   * Bloom-filter bitmap over the distinct values of column `c`, packed 64
+   * bits per long. The k probe positions per value come from
+   * Kirsch-Mitzenmacher double hashing (h1 + i·h2 mod m) over xxhash64 and
+   * murmur3 — two independent hashes buy k probes without k hash passes.
+   * The driver holds only the m-bit sketch (mBits/8 bytes), never the
+   * element set: a 1-Gbit filter is 128 MB broadcast state regardless of
+   * how many billions of elements went in.
+   */
+  def bloomBuild(df: DataFrame, c: String, mBits: Int, k: Int): Array[Long] = {
+    require(mBits >= 64 && mBits % 64 == 0, s"mBits must be a positive multiple of 64: $mBits")
+    val words = new Array[Long](mBits / 64)
+    df.select(explode(bloomPositions(col(c), mBits, k)).as("pos"))
+      .distinct().collect()
+      .foreach { r => val p = r.getLong(0); words((p >> 6).toInt) |= 1L << (p & 63) }
+    words
+  }
+
+  /** The k bit positions of one value. The murmur3 stride is forced odd so
+    * a zero/even second hash still walks distinct slots for every i. */
+  private[operators] def bloomPositions(v: Column, mBits: Int, k: Int): Column = {
+    val h1 = xxhash64(v)
+    val stride = hash(v).cast("long") * 2 + 1
+    array((0 until k).map(i =>
+      pmod(h1 + lit(i.toLong) * stride, lit(mBits.toLong))): _*)
+  }
+
+  /**
+   * Scan-local Bloom probe: true iff all k bits are set. Pure codegen'd
+   * arithmetic over a literal long array (no UDF), so it runs inside the
+   * scan's whole-stage-codegen pass and prunes rows before any shuffle.
+   * One-sided error: false positives only, never false negatives.
+   */
+  def bloomMightContain(v: Column, bitmap: Array[Long], k: Int): Column = {
+    val mBits = bitmap.length * 64L
+    val bm = lit(bitmap)
+    val h1 = xxhash64(v)
+    val stride = hash(v).cast("long") * 2 + 1
+    (0 until k).map { i =>
+      val pos = pmod(h1 + lit(i.toLong) * stride, lit(mBits))
+      getbit(element_at(bm, (pos / 64).cast("int") + 1), pos % 64) === 1
+    }.reduce(_ && _)
+  }
+
+  /**
+   * [[contaminated]] with a Bloom pre-filter: the corpus's exploded grams
+   * are probed against a bitmap of the benchmark grams BEFORE any join, so
+   * only true hits plus the filter's false-positive residue ever leave the
+   * scan; an exact semi-join over the survivors then removes the false
+   * positives, so the result is bit-identical to [[contaminated]].
+   *
+   * Why this matters at 100 TB: a broadcast hash relation costs ~50+ bytes
+   * per benchmark gram, a Bloom bitmap ~1.2 bytes at 1% FP — when the
+   * benchmark suite grows past broadcast size, the bitmap still ships to
+   * every executor, and the exact verify join then runs over the tiny
+   * candidate set instead of the whole corpus (shuffle-join-able even when
+   * the gram set itself cannot broadcast).
+   */
+  def contaminatedBloom(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, mBits: Int = 1 << 16, k: Int = 5): DataFrame = {
+    val benchGrams = bench
+      .select(split(col(textCol), "\\s+").as("__words"))
+      .select(explode(Dedup.shinglesFromWords(col("__words"), n)).as("gram"))
+      .distinct()
+    val bitmap = bloomBuild(benchGrams, "gram", mBits, k)
+    val candidates = train
+      .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
+      .select(col(idCol),
+        explode(Dedup.shinglesFromWords(col("__words"), n)).as("gram"))
+      .filter(bloomMightContain(col("gram"), bitmap, k))
+    candidates.join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+  }
+
   /** Non-overlapping word chunks of width `w`; the trailing partial chunk
     * is kept (slice past the end returns what remains). Same hot-path
     * note as Dedup.shingles: prefer [[chunksFromWords]] over a projected

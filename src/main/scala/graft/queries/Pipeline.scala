@@ -276,6 +276,18 @@ object Pipeline {
         "doc_id", "text", n = 4)
         .orderBy("doc_id")
     }),
+    // Curation — same decontamination through the Bloom-prefiltered scale
+    // path: corpus grams are pruned by a 64-Kbit bitmap of the benchmark
+    // grams inside the scan, then exact-verified, so the answer is
+    // bit-identical to q_decontaminate (and shares its oracle SQL).
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contaminatedBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
     // Curation — cross-document boilerplate: 10-word chunks occurring in
     // more than one distinct doc (headers/footers/license blocks).
     "q_dedup_chunk" -> ((s, dir) => {
@@ -692,6 +704,21 @@ object Pipeline {
              AS rep_ratio
          FROM g ORDER BY doc_id""",
     "q_decontaminate" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 3, 1)),
+               i -> array_to_string(w[i:i+3], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         bench AS (
+           SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 50 = 0),
+         grams AS (
+           SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 50 <> 0)
+         SELECT DISTINCT doc_id FROM grams
+         WHERE gram IN (SELECT gram FROM bench)
+         ORDER BY doc_id""",
+    // Bloom path is exact after its verify join → same oracle as the
+    // broadcast-semi variant.
+    "q_decontaminate_bloom" ->
       """WITH s AS (
            SELECT doc_id,
              list_distinct(list_transform(generate_series(1, greatest(len(w) - 3, 1)),

@@ -27,6 +27,41 @@ class CurationSpec extends SparkSpec {
     assert(hit == Set(1L, 3L))
   }
 
+  test("bloom filter: no false negatives; false positives stay rare") {
+    val vals = (0 until 2000).map(i => (i.toLong, s"member-$i"))
+    val members = docs(vals: _*)
+    // ~10 bits/element → expected FP rate ≈ 1% at k=5
+    val bitmap = Curation.bloomBuild(members.select(col("text")), "text",
+      mBits = 1 << 15, k = 5)
+    val probeAll = docs(((0 until 2000).map(i => (i.toLong, s"member-$i")) ++
+      (0 until 2000).map(i => (10000L + i, s"absent-$i"))): _*)
+      .withColumn("hit", Curation.bloomMightContain(col("text"), bitmap, 5))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    val falseNeg = probeAll.count { case (id, hit) => id < 10000 && !hit }
+    val falsePos = probeAll.count { case (id, hit) => id >= 10000 && hit }
+    assert(falseNeg == 0)          // one-sided error, structurally
+    assert(falsePos < 2000 * 0.05) // generous bound over the ~1% expectation
+  }
+
+  test("contaminatedBloom is bit-identical to the exact broadcast variant") {
+    val bench = docs(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs"))
+    val train = docs((0 until 40).map { i =>
+      val tail = if (i % 7 == 0) "the quick brown fox appears"
+        else if (i % 11 == 0) "with five dozen liquor jugs inside"
+        else s"benign filler text number $i keeps going on"
+      (i.toLong, tail)
+    }: _*)
+    val exact = Curation.contaminated(train, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Curation.contaminatedBloom(train, bench, "doc_id", "text",
+      n = 4, mBits = 1 << 10, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("chunks: non-overlapping, order-preserving, trailing partial kept") {
     val out = docs((1L, "a b c d e f g"))
       .select(Curation.chunks(col("text"), 3).as("c"))
