@@ -37,6 +37,28 @@ object Scale {
   }
 
   /**
+   * Skew-safe exact COUNT(DISTINCT value) per group, two-phase: phase 1
+   * groups by (key, salt(value)) so a hot key's value set spreads over
+   * `saltFactor` reducers; phase 2 sums the per-salt distinct counts. Still
+   * EXACT — the salt is a hash of the VALUE, so each distinct value lands
+   * in exactly one (key, salt) cell and is counted exactly once.
+   *
+   * Catalyst's own distinct-aggregate rewrite already dedups map-side, but
+   * the final per-key count still funnels every distinct value of a hot key
+   * through one reducer's hash table; at 100 TB a key holding 10^9
+   * distincts OOMs that task. The salt caps any single task's state at
+   * roughly |distincts(hot)| / saltFactor.
+   */
+  def saltedCountDistinct(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, saltFactor: Int, alias: String): DataFrame =
+    df.withColumn("__salt",
+        pmod(xxhash64(col(valueCol)), lit(saltFactor)).cast("int"))
+      .groupBy((groupCols :+ "__salt").map(col): _*)
+      .agg(countDistinct(col(valueCol)).as("__cd"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__cd")).as(alias))
+
+  /**
    * Write a DataFrame as a bucketed (and optionally sorted) table: both
    * sides of a recurring fact-fact join bucketed on the join key join
    * WITHOUT a shuffle — the exchange disappears from the plan because the

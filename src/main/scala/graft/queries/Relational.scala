@@ -212,6 +212,18 @@ object Relational {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("n_name")
     }),
+    // A-skew — exact COUNT(DISTINCT) under a hot group key (80% of rows on
+    // key 0) through the salted two-phase path: the hot key's value set
+    // spreads over 8 reducers in phase 1, phase 2 sums per-salt counts.
+    // Exact by construction, so the oracle is a plain COUNT(DISTINCT).
+    "q_agg_skew_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("skew_key",
+        when(col("l_orderkey") % 10 < 8, lit(0L))
+          .otherwise(col("l_orderkey") % 10))
+      Scale.saltedCountDistinct(li, Seq("skew_key"), "l_partkey",
+          saltFactor = 8, alias = "n_parts")
+        .orderBy("skew_key")
+    }),
     // J6 — as-of join: each event matched to the customer's latest order at
     // or before the event time (Spark has no native as-of). Pick-latest is a
     // max(struct(date, key)) aggregate rather than a window: the partial
@@ -598,6 +610,11 @@ object Relational {
            cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
          FROM li JOIN nation ON skey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "q_agg_skew_distinct" ->
+      """SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                     ELSE l_orderkey % 10 END AS skew_key,
+                count(DISTINCT l_partkey) AS n_parts
+         FROM lineitem GROUP BY 1 ORDER BY skew_key""",
     "q_join_asof" ->
       """SELECT event_id, user_id, o_orderkey FROM (
            SELECT e.event_id, e.user_id, o.o_orderkey,

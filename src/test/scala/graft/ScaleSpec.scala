@@ -24,6 +24,18 @@ class ScaleSpec extends SparkSpec {
     assert(salted.length == 91)
   }
 
+  test("saltedCountDistinct equals the plain COUNT(DISTINCT) on skewed data") {
+    import spark.implicits._
+    // hot key 1 holds 200 values with repeats; key 2 small; key 3 all dups
+    val rows = (1 to 400).map(i => (1L, (i % 200).toLong)) ++
+      (1 to 5).map(i => (2L, i.toLong)) ++ (1 to 9).map(_ => (3L, 7L))
+    val df = rows.toDF("k", "v")
+    val got = Scale.saltedCountDistinct(df, Seq("k"), "v", saltFactor = 8,
+        alias = "nd")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 200L), (2L, 5L), (3L, 1L)))
+  }
+
   test("LSH embedding near-dup finds the planted duplicate pair, no O(n^2)") {
     val base = Seq.tabulate(8)(i => math.sin(i + 1.0))
     val near = base.updated(0, base.head * 1.01)
