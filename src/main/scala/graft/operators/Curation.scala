@@ -162,6 +162,56 @@ object Curation {
         sum(col(tokensCol)).cast("long").as("sum_tokens"))
   }
 
+  /** Ordered word-pair structs (w1, w2) over consecutive positions,
+    * duplicates kept — LM scoring needs occurrence multiplicity. Arrays
+    * with fewer than two words yield no pairs. */
+  def bigramsFromWords(words: Column): Column =
+    when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1), i =>
+        struct(element_at(words, i).as("w1"),
+          element_at(words, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /**
+   * Bigram language-model quality score — the CCNet-style perplexity
+   * filter signal: the corpus itself is the LM (bigram and context counts
+   * are corpus aggregates) and each document scores the add-one-smoothed
+   * average log-probability of its own bigrams,
+   * avg over occurrences of [ln(c_bigram + 1) − ln(c_context + V)].
+   * Low scores flag garbled or out-of-distribution text.
+   *
+   * Engine-portable determinism: ln is taken of INTEGERS only, and each
+   * term is cast to a fixed-scale decimal BEFORE the per-document sum, so
+   * the aggregate adds exactly — shuffle-order-independent and
+   * bit-reproducible against any engine with a faithful ln.
+   *
+   * Scale: two corpus count aggregates (partial aggregation map-side), a
+   * scalar vocabulary size broadcast, and a scoring pass that joins each
+   * doc's bigram occurrences to the aggregates by key (AQE handles the
+   * stopword-bigram skew) — no corpus-wide window, no driver state.
+   */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = docs
+      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
+      .select(col(idCol), explode(bigramsFromWords(col("__w"))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val big = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = occ.groupBy("w1").agg(count(lit(1)).as("cc"))
+    val vocab = docs
+      .select(explode(split(col(textCol), "\\s+")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vsz"))
+    occ.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (log(col("cb").cast("double") + 1).cast("decimal(28,10)") -
+          log((col("cc") + col("vsz")).cast("double")).cast("decimal(28,10)"))
+          .as("__term"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
+  }
+
   /**
    * Per-vector int8 scalar quantization: map [min, max] linearly onto
    * [-128, 127] with floor(x + 0.5) rounding (identical semantics in any

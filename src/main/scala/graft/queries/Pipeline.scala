@@ -394,6 +394,14 @@ object Pipeline {
             col("sclc").cast("double") / col("n_tokens"), 6).as("entropy"))
         .orderBy("doc_id")
     }),
+    // Curation — bigram-LM quality score (the CCNet-style perplexity
+    // filter): the corpus is the LM; each doc scores the add-one-smoothed
+    // avg log-prob of its own bigrams. ln of integers only, decimal-summed
+    // → bit-reproducible across engines.
+    "q_lm_score" -> ((s, dir) => {
+      Curation.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // L1 — token frequency via explode (the Generate operator): top-20
     // corpus-wide tokens with deterministic tiebreak.
     "q_explode" -> ((s, dir) => {
@@ -557,6 +565,24 @@ object Pipeline {
                  sum(cast(c * ln(cast(c AS double)) AS decimal(28,10))) AS sclc
                FROM tf GROUP BY doc_id)
          ORDER BY doc_id""",
+    "q_lm_score" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+         occ AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i FROM w)),
+         big AS (SELECT w1, w2, count(*) AS cb FROM occ GROUP BY w1, w2),
+         ctx AS (SELECT w1, count(*) AS cc FROM occ GROUP BY w1),
+         v AS (SELECT count(DISTINCT tok) AS vsz
+               FROM (SELECT unnest(w) AS tok FROM w)),
+         t AS (SELECT o.doc_id,
+                 cast(ln(b.cb + 1) AS decimal(28,10)) -
+                 cast(ln(c.cc + v.vsz) AS decimal(28,10)) AS term
+               FROM occ o JOIN big b USING (w1, w2) JOIN ctx c USING (w1), v)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(cast(sum(term) AS double) / count(*), 6) AS avg_logp
+         FROM t GROUP BY doc_id ORDER BY doc_id""",
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
          cast(sum(n_chars) AS bigint) AS sum_chars,

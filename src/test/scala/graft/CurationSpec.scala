@@ -62,6 +62,20 @@ class CurationSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("bigramLmScore: in-distribution text outscores out-of-distribution") {
+    val d = docs(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "zeta xylo quorx veldt nubra klaxon"),
+      (4L, "one")) // <2 words → no bigrams → absent from output
+    val out = Curation.bigramLmScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._1 == 5L)            // 6 words → 5 bigram occurrences
+    assert(out(1L) == out(2L))          // identical docs, identical score
+    assert(out(1L)._2 > out(3L)._2)     // repeated bigrams beat hapaxes
+  }
+
   test("chunks: non-overlapping, order-preserving, trailing partial kept") {
     val out = docs((1L, "a b c d e f g"))
       .select(Curation.chunks(col("text"), 3).as("c"))
