@@ -106,6 +106,33 @@ object Scale {
         sumCols.map(c => sum(col(c)).as(c)): _*)
 
   /**
+   * Robust per-group outlier detection via median absolute deviation: a
+   * row is an outlier when |x − median| > k·MAD. Unlike mean/stddev
+   * z-scores, both statistics have a 50% breakdown point — the outliers
+   * themselves cannot drag the threshold that flags them. Two exact
+   * percentile aggregates plus broadcast joins of |groups|-row statistics
+   * tables; the data side is scanned, never shuffled beyond the group-by.
+   * At corpus scale the same shape runs with approx_percentile when exact
+   * medians stop being worth a sort.
+   */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double): DataFrame = {
+    val g = groupCols.map(col)
+    val med = df.groupBy(g: _*)
+      .agg(median(col(valueCol)).as("__med"))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val stats = dev.groupBy(g: _*)
+      .agg(median(col("__dev")).as("__mad"))
+    dev.join(broadcast(stats), groupCols)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("__dev") > lit(k) * col("__mad"), 1)).as("n_outliers"),
+        round(max(col("__med")), 6).as("med"),
+        round(max(col("__mad")), 6).as("mad"))
+  }
+
+  /**
    * Distributed column profile in long format: per column — non-null count,
    * exact distinct count, min/max rendered as strings (one uniform row
    * type). The engine-side big brother of the reference's configGen sample

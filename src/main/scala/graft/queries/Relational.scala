@@ -212,6 +212,14 @@ object Relational {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("n_name")
     }),
+    // A-robust — MAD outlier detection: rows beyond 3 median-absolute-
+    // deviations of their group median. Robust statistics (50% breakdown
+    // point) — the outliers can't drag the threshold that flags them.
+    "q_outlier_mad" -> ((s, dir) => {
+      Scale.madOutliers(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_extendedprice", k = 3.0)
+        .orderBy("l_returnflag")
+    }),
     // A-skew — exact COUNT(DISTINCT) under a hot group key (80% of rows on
     // key 0) through the salted two-phase path: the hot key's value set
     // spreads over 8 reducers in phase 1, phase 2 sums per-salt counts.
@@ -610,6 +618,21 @@ object Relational {
            cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
          FROM li JOIN nation ON skey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "q_outlier_mad" ->
+      """WITH m AS (
+           SELECT l_returnflag, median(l_extendedprice) AS med
+           FROM lineitem GROUP BY 1),
+         d AS (
+           SELECT l.l_returnflag, abs(l_extendedprice - med) AS dev
+           FROM lineitem l JOIN m USING (l_returnflag)),
+         s AS (
+           SELECT d.l_returnflag, median(dev) AS mad, max(m.med) AS med
+           FROM d JOIN m USING (l_returnflag) GROUP BY d.l_returnflag)
+         SELECT d.l_returnflag, count(*) AS n_rows,
+           count(CASE WHEN dev > 3 * mad THEN 1 END) AS n_outliers,
+           round(max(s.med), 6) AS med, round(max(s.mad), 6) AS mad
+         FROM d JOIN s USING (l_returnflag)
+         GROUP BY d.l_returnflag ORDER BY d.l_returnflag""",
     "q_agg_skew_distinct" ->
       """SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
                      ELSE l_orderkey % 10 END AS skew_key,

@@ -36,6 +36,20 @@ class ScaleSpec extends SparkSpec {
     assert(got == Seq((1L, 200L), (2L, 5L), (3L, 1L)))
   }
 
+  test("madOutliers flags exactly the planted outlier, robust to its pull") {
+    import spark.implicits._
+    // group a: values 1..9 (median 5, MAD 2) plus one wild point 1000 —
+    // with 10 points median 5.5, dev median (MAD) 2.5, threshold 7.5:
+    // only 1000 exceeds it. A mean/stddev z-score would be dragged by the
+    // 1000 itself; MAD is not.
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 1000.0))
+      .toDF("g", "x")
+    val out = Scale.madOutliers(df, Seq("g"), "x", k = 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out == Seq(("a", 10L, 1L, 5.5, 2.5)))
+  }
+
   test("LSH embedding near-dup finds the planted duplicate pair, no O(n^2)") {
     val base = Seq.tabulate(8)(i => math.sin(i + 1.0))
     val near = base.updated(0, base.head * 1.01)
