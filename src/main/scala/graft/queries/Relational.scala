@@ -456,6 +456,22 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     }),
+    // W2b — per-GROUP top-k through the bounded typed Aggregator
+    // (functions/TopKAgg.scala): the map-side partial aggregate is already
+    // capped at k rows, so the shuffle carries O(k·groups·partitions) rows
+    // where the window-rank plan would shuffle the full table. Same answer
+    // as the rank formulation — that's the oracle.
+    "q_topk_group" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      t(s, dir, "lineitem")
+        .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+        .groupBy("l_returnflag")
+        .agg(topk(col("l_extendedprice"), col("rid")).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._1").as("price"), col("col._2").as("rid"))
+        .orderBy("l_returnflag", "rnk")
+    }),
     // W3 — ranking windows: top-5 customers by balance per nation.
     "q_window_rank" -> ((s, dir) => {
       val byBalTie = Window.partitionBy("c_nationkey")
@@ -783,6 +799,15 @@ object Relational {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_topk_group" ->
+      """SELECT l_returnflag, rnk, price, rid FROM (
+           SELECT l_returnflag, l_extendedprice AS price,
+             l_orderkey * 10 + l_linenumber AS rid,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC,
+                 l_orderkey * 10 + l_linenumber DESC) AS rnk
+           FROM lineitem)
+         WHERE rnk <= 3 ORDER BY l_returnflag, rnk""",
     "q_window_rank" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk, drnk FROM (
            SELECT c_custkey, c_nationkey, c_acctbal,
