@@ -106,6 +106,27 @@ object Scale {
         sumCols.map(c => sum(col(c)).as(c)): _*)
 
   /**
+   * Mergeable distinct-count sketches (Apache DataSketches HLL via Spark's
+   * hll_* functions): [[sketchDistinct]] materializes one compact sketch
+   * per group per slice; [[mergeDistinct]] unions slices per group and
+   * estimates. The incremental twin of countDistinct, as [[mergeCounts]]
+   * is of count/sum: at 100 TB, distinct-tokens-per-language stays a
+   * per-day job plus an O(sketch-bytes) union over history, instead of a
+   * full recompute — and the union is exact over the sketches (no
+   * re-reading data), with estimation error ~1.6% at the default lgK=12.
+   */
+  def sketchDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"))
+
+  /** Union per-slice sketches down to `keys` and estimate the distincts. */
+  def mergeDistinct(sketches: DataFrame, keys: Seq[String]): DataFrame =
+    sketches.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_distinct"))
+
+  /**
    * Robust per-group outlier detection via median absolute deviation: a
    * row is an outlier when |x − median| > k·MAD. Unlike mean/stddev
    * z-scores, both statistics have a 50% breakdown point — the outliers

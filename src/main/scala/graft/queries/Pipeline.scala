@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, Sampling, Similarity, TextAnalysis => TA}
+import graft.operators.{Curation, Dedup, Sampling, Scale, Similarity, TextAnalysis => TA}
 import graft.functions.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -394,6 +394,26 @@ object Pipeline {
             col("sclc").cast("double") / col("n_tokens"), 6).as("entropy"))
         .orderBy("doc_id")
     }),
+    // Scale — mergeable HLL distinct sketches: per-(lang, source) token
+    // sketches union down to per-lang estimates without re-reading data —
+    // the incremental-maintenance shape for distinct counts. The estimate
+    // is engine-specific, so the ORACLE-checked columns are the exact
+    // distinct count and a within-tolerance boolean (deterministic: the
+    // sketch binary is seed-fixed, lgK=12 error ~1.6% « the 5% gate).
+    "q_distinct_sketch" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          explode(split(col("text"), "\\s+")).as("token"))
+      val merged = Scale.mergeDistinct(
+        Scale.sketchDistinct(toks, Seq("lang", "source"), "token"),
+        Seq("lang"))
+      toks.groupBy("lang").agg(countDistinct(col("token")).as("n_exact"))
+        .join(merged, Seq("lang"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("approx_distinct") - col("n_exact")) <
+            col("n_exact").cast("double") * 0.05).as("within_5pct"))
+        .orderBy("lang")
+    }),
     // Curation — bigram-LM quality score (the CCNet-style perplexity
     // filter): the corpus is the LM; each doc scores the add-one-smoothed
     // avg log-prob of its own bigrams. ln of integers only, decimal-summed
@@ -565,6 +585,14 @@ object Pipeline {
                  sum(cast(c * ln(cast(c AS double)) AS decimal(28,10))) AS sclc
                FROM tf GROUP BY doc_id)
          ORDER BY doc_id""",
+    // Only the exact count and the tolerance verdict are asserted — the
+    // HLL binary itself is engine-specific (declared in SURVEY §2.9).
+    "q_distinct_sketch" ->
+      """WITH tok AS (
+           SELECT lang, unnest(string_split_regex(text, '\s+')) AS token
+           FROM documents)
+         SELECT lang, count(DISTINCT token) AS n_exact, true AS within_5pct
+         FROM tok GROUP BY lang ORDER BY lang""",
     "q_lm_score" ->
       """WITH w AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),

@@ -36,6 +36,23 @@ class ScaleSpec extends SparkSpec {
     assert(got == Seq((1L, 200L), (2L, 5L), (3L, 1L)))
   }
 
+  test("HLL sketch slices union to the same estimate as one global sketch") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (s"slice${i % 3}", s"val${i % 997}"))
+      .toDF("slice", "v").repartition(5)
+    // sliced build → union-merge
+    val sliced = Scale.mergeDistinct(
+      Scale.sketchDistinct(df.withColumn("g", lit("all")),
+        Seq("g", "slice"), "v"), Seq("g"))
+      .collect().head.getLong(1)
+    // single global sketch
+    val global = df.withColumn("g", lit("all"))
+      .groupBy("g").agg(hll_sketch_estimate(hll_sketch_agg(col("v"))).as("e"))
+      .collect().head.getLong(1)
+    assert(sliced == global)      // merge is lossless over sketches
+    assert(math.abs(sliced - 997L) <= 997 * 0.05) // and close to exact
+  }
+
   test("madOutliers flags exactly the planted outlier, robust to its pull") {
     import spark.implicits._
     // group a: values 1..9 (median 5, MAD 2) plus one wild point 1000 —
