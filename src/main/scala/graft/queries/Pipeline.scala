@@ -394,6 +394,25 @@ object Pipeline {
             col("sclc").cast("double") / col("n_tokens"), 6).as("entropy"))
         .orderBy("doc_id")
     }),
+    // Scale — temperature-balanced language mix (α = 0.5): per-language
+    // keep rate sqrt(n_min / n_lang) — the XLM-R/mT5-style rebalance that
+    // downsamples high-resource languages toward the rare ones. α = 0.5
+    // keeps the rate bit-portable: n_min/n_lang is an exact bigint ratio
+    // and IEEE sqrt/mul are correctly rounded, so floor(rate·65536) is
+    // identical in any engine — no epsilon between Spark and the oracle.
+    "q_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val nmin = counts.agg(min(col("n_docs")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(nmin))
+        .withColumn("w",
+          floor(sqrt(col("n_min").cast("double") / col("n_docs")) * 65536))
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(Sampling.keepWeighted(col("doc_id"), "tmix", col("w")))
+        .groupBy("lang")
+        .agg(max(col("n_docs")).as("n_docs"), count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }),
     // Scale — mergeable HLL distinct sketches: per-(lang, source) token
     // sketches union down to per-lang estimates without re-reading data —
     // the incremental-maintenance shape for distinct counts. The estimate
@@ -585,6 +604,18 @@ object Pipeline {
                  sum(cast(c * ln(cast(c AS double)) AS decimal(28,10))) AS sclc
                FROM tf GROUP BY doc_id)
          ORDER BY doc_id""",
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         m AS (SELECT min(n_docs) AS n_min FROM c),
+         r AS (SELECT lang, n_docs,
+                 cast(floor(sqrt(cast(n_min AS double) / n_docs) * 65536)
+                   AS bigint) AS w
+               FROM c, m)
+         SELECT lang, max(n_docs) AS n_docs, count(*) AS n_kept
+         FROM documents d JOIN r USING (lang)
+         WHERE substring(md5(concat('tmix', '|', cast(doc_id AS VARCHAR))), 1, 4)
+               < lpad(lower(to_hex(least(greatest(w, 0), 65535))), 4, '0')
+         GROUP BY lang ORDER BY lang""",
     // Only the exact count and the tolerance verdict are asserted — the
     // HLL binary itself is engine-specific (declared in SURVEY §2.9).
     "q_distinct_sketch" ->
