@@ -101,10 +101,14 @@ object Curation {
    */
   def contaminatedBloom(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int, mBits: Int = 1 << 16, k: Int = 5): DataFrame = {
+    // persisted: the gram set feeds two consumers (the bitmap build's
+    // collect and the exact verify join) — without the persist the bench
+    // corpus is re-shingled for each
     val benchGrams = bench
       .select(split(col(textCol), "\\s+").as("__words"))
       .select(explode(Dedup.shinglesFromWords(col("__words"), n)).as("gram"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bitmap = bloomBuild(benchGrams, "gram", mBits, k)
     val candidates = train
       .select(col(idCol), split(col(textCol), "\\s+").as("__words"))

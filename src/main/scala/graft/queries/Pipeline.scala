@@ -20,6 +20,36 @@ import org.apache.spark.sql.functions._
 object Pipeline {
   import Q._
 
+  /** Near-dup edge list shared by q_dedup_cluster and q_dedup_survivor:
+    * min-shingle blocking (lexicographic min — no engine hashing, so fully
+    * oracle-checkable) → exact Jaccard ≥ 0.5 verify.
+    *
+    * Persisted once as (block key, hashed shingles): the self-join would
+    * otherwise re-shingle every doc per side, and long arrays serialize
+    * far cheaper than string arrays. Jaccard over xxhash64'd shingles
+    * equals string Jaccard barring a 2^-64 collision (same argument as
+    * nearDuplicates), so the string-side oracle agrees. The edge list
+    * itself persists too — it feeds both union branches + every CC round.
+    */
+  private def nearDupEdges3(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("__words"))
+      .select(col("doc_id"),
+        Dedup.shinglesFromWords(col("__words"), 3).as("sh"))
+      .select(col("doc_id"), array_min(col("sh")).as("blk"),
+        Dedup.shingleHashes(col("sh")).as("hv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sh.select(col("doc_id").as("a"), col("hv").as("hv_a"), col("blk"))
+    val b = sh.select(col("doc_id").as("b"), col("hv").as("hv_b"), col("blk"))
+    val inter = size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
+    a.join(b, "blk").filter(col("a") < col("b"))
+      .withColumn("jac",
+        inter / (size(col("hv_a")) + size(col("hv_b")) - inter))
+      .filter(col("jac") >= 0.5)
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1 — corpus stats per language (exact integer sums).
     "q_text_stats" -> ((s, dir) => {
@@ -231,29 +261,26 @@ object Pipeline {
     // verify → connected components. Pairwise matches become canonical
     // groups; the component label (min doc_id) is the survivor.
     "q_dedup_cluster" -> ((s, dir) => {
-      // Persisted once as (block key, hashed shingles): the self-join would
-      // otherwise re-shingle every doc per side, and long arrays serialize
-      // far cheaper than string arrays. Jaccard over xxhash64'd shingles
-      // equals string Jaccard barring a 2^-64 collision (same argument as
-      // nearDuplicates), so the string-side oracle agrees.
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), "\\s+").as("__words"))
-        .select(col("doc_id"),
-          Dedup.shinglesFromWords(col("__words"), 3).as("sh"))
-        .select(col("doc_id"), array_min(col("sh")).as("blk"),
-          Dedup.shingleHashes(col("sh")).as("hv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = sh.select(col("doc_id").as("a"), col("hv").as("hv_a"), col("blk"))
-      val b = sh.select(col("doc_id").as("b"), col("hv").as("hv_b"), col("blk"))
-      val inter = size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
-      val pairs = a.join(b, "blk").filter(col("a") < col("b"))
-        .withColumn("jac",
-          inter / (size(col("hv_a")) + size(col("hv_b")) - inter))
-        .filter(col("jac") >= 0.5)
-        .select("a", "b")
-        // persisted: the edge list feeds both union branches + every round
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.connectedComponents(pairs, "a", "b").orderBy("id")
+      Dedup.connectedComponents(nearDupEdges3(t(s, dir, "documents")),
+        "a", "b").orderBy("id")
+    }),
+    // A7 end-to-end — dedup survivor selection: each near-dup cluster
+    // keeps its best document (longest n_chars, then min doc_id);
+    // singletons keep themselves. Clusters + one argmax max(struct)
+    // aggregate — partial aggregation map-side, no corpus-wide window.
+    "q_dedup_survivor" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = Dedup.connectedComponents(nearDupEdges3(docs), "a", "b")
+      val dq = docs.select(col("doc_id"), col("n_chars"))
+      dq.join(labels, dq("doc_id") === labels("id"), "left")
+        .select(coalesce(col("comp"), col("doc_id")).as("grp"),
+          col("doc_id"), col("n_chars"))
+        .groupBy("grp")
+        .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nd")))
+          .as("m"))
+        .select(col("grp"), (-col("m.nd")).as("doc_id"),
+          col("m.nc").as("n_chars"))
+        .orderBy("grp")
     }),
     // A7 — SimHash signatures over the portable md5 hash family: every
     // token hash, bit vote, and the final 16-bit signature reproduce
@@ -941,6 +968,37 @@ object Pipeline {
            JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst)
          SELECT src AS id, least(src, min(dst)) AS comp FROM reach
          GROUP BY src ORDER BY id""",
+    // Same component CTE as q_dedup_cluster, then one survivor per
+    // component (max n_chars, min doc_id tiebreak); singletons survive.
+    "q_dedup_survivor" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         k AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM s),
+         e AS (
+           SELECT x.doc_id AS a, y.doc_id AS b
+           FROM k x JOIN k y ON x.blk = y.blk AND x.doc_id < y.doc_id
+           WHERE cast(len(list_intersect(x.sh, y.sh)) AS double) /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                 >= 0.5),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION SELECT b, a FROM e),
+         reach(src, dst) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT r.src, s2.dst FROM reach r
+           JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst),
+         labels AS (
+           SELECT src AS id, least(src, min(dst)) AS comp FROM reach
+           GROUP BY src)
+         SELECT grp, doc_id, n_chars FROM (
+           SELECT coalesce(l.comp, d.doc_id) AS grp, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY coalesce(l.comp, d.doc_id)
+               ORDER BY d.n_chars DESC, d.doc_id) AS rn
+           FROM documents d LEFT JOIN labels l ON d.doc_id = l.id)
+         WHERE rn = 1 ORDER BY grp""",
     "q_explode" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
