@@ -528,6 +528,22 @@ object Pipeline {
         .select(col("q_id"), col("vec_id"), col("rn"), round(col("cos"), 6).as("cosine"))
         .orderBy("q_id", "rn")
     }),
+    // L2 — the same IVF probe path with a FIXED coarse quantizer (iters=0
+    // ⇒ centroids are literally the first 16 vectors): unlike the trained
+    // variant (whose Lloyd means are engine-specific float reductions),
+    // every step here — the -2·dot+|c|² assignment key, the nprobe cell
+    // ranking, the in-cell cosine top-k — reproduces bit-for-bit in SQL,
+    // so the probe machinery itself is oracle-checked, not just row-counted.
+    "q_sim_ivf_fixed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), graft.functions.VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb", k = 16, iters = 0)
+      graft.operators.Ivf.topK(emb, qs, centroids, k = 10, nprobe = 4)
+        .select(col("q_id"), col("vec_id"), col("rn"), round(col("cos"), 6).as("cosine"))
+        .orderBy("q_id", "rn")
+    }),
     // L3 — array function kit over token arrays: sort/contains/position/
     // distinct-count/slice-join.
     "q_array_kit" -> ((s, dir) => {
@@ -606,6 +622,47 @@ object Pipeline {
             FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
           WHERE cos >= 0.4 ORDER BY a, b"""
     },
+    // The fixed-quantizer IVF: centroids are the first 16 vectors, the
+    // assignment key is -2·dot+|c|² with index tiebreak, probes take the 4
+    // nearest cells, and the in-cell cosine top-10 ranks (cos desc, id) —
+    // each step the exact arithmetic the Spark operator runs.
+    "q_sim_ivf_fixed" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cnorm2
+           FROM embeddings WHERE vec_id < 16),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+                 AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         probes AS (
+           SELECT q_id, cell FROM (
+             SELECT q.q_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2, c.cid)
+                 AS rn
+             FROM q CROSS JOIN c) WHERE rn <= 4),
+         scored AS (
+           SELECT q.q_id, e.vec_id,
+             list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+           FROM probes p
+           JOIN assign a ON a.cell = p.cell
+           JOIN e ON e.vec_id = a.vec_id
+           JOIN q ON q.q_id = p.q_id
+           WHERE e.vec_id <> q.q_id)
+         SELECT q_id, vec_id, rn, round(cos, 6) AS cosine FROM (
+           SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+               AS rn
+           FROM scored)
+         WHERE rn <= 10 ORDER BY q_id, rn""",
     "q_vocab_coverage" ->
       """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
                       FROM documents),
