@@ -55,6 +55,58 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bounded top-k aggregator runs a partial aggregate before its shuffle") {
+    val p = plan("q_topk_group")
+    // partial ObjectHashAggregate must appear BELOW the exchange: the
+    // map-side cap at k rows per group is the operator's scale win
+    val firstExchange = p.indexOf("Exchange")
+    val aggs = "ObjectHashAggregate".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(aggs.size >= 2, p.take(400))
+    assert(aggs.exists(_ > firstExchange),
+      "no partial object aggregate below the first exchange")
+  }
+
+  test("bloom decontamination filters grams in the scan stage, pre-join") {
+    // formatted mode — plain toString elides the long literal-array probe
+    val p = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the probe is a Filter over getbit arithmetic, not a join...
+    val probeIds = """\((\d+)\) Filter""".r.findAllMatchIn(p).flatMap { m =>
+      val start = m.start
+      val end = p.indexOf("\n(", start + 1) match {
+        case -1 => p.length; case e => e
+      }
+      if (p.slice(start, end).contains("getbit")) Some(m.group(1).toInt)
+      else None
+    }.toSeq
+    assert(probeIds.nonEmpty, "no Filter with a getbit bloom probe found")
+    // ...sitting BELOW the exact verify semi-join (formatted-plan operator
+    // ids number bottom-up, so a descendant has the smaller id)
+    val joinIds = """\((\d+)\) BroadcastHashJoin"""
+      .r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(joinIds.nonEmpty, "no verify join found")
+    assert(probeIds.min < joinIds.max,
+      "bloom probe must prune before the exact verify join")
+  }
+
+  test("count/min/max push down to the parquet footer (metadata-only scan)") {
+    // aggregate pushdown needs the v2 parquet source; isolate the confs in
+    // a child session so every other test keeps the default v1 plans
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val df = s2.read.parquet(s"$dir/lineitem.parquet")
+      .agg(count(lit(1)).as("n"), min("l_orderkey").as("mn"),
+        max("l_orderkey").as("mx"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p.take(800))
+    // and the pushed (footer-stats) result is the true one
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(count(lit(1)), min("l_orderkey"), max("l_orderkey")).collect().head
+    assert(df.collect().head == plain)
+  }
+
   test("approx_count_distinct lands within HLL error of the exact count") {
     val r = SparkEntry.queries("q_agg_approx")(spark, dir).collect().head
     val approx = r.getAs[Long]("approx_parts").toDouble
@@ -84,8 +136,9 @@ class PlanSpec extends SparkSpec {
       // Grand-total aggregates: partials are distributed and only the
       // per-partition summaries gather to the final one-row stage
       // (q_profile per-column stats, q_funnel stage counts, q_tfidf's
-      // corpus size N).
-      "q_profile", "q_funnel", "q_tfidf",
+      // corpus size N, q_lm_score's vocabulary size V, q_temperature_mix's
+      // min per-language count — all scalars over already-aggregated rows).
+      "q_profile", "q_funnel", "q_tfidf", "q_lm_score", "q_temperature_mix",
       // connectedComponents sizes its iteration shuffle width to the edge
       // count (1 partition per ~5M edges): at test scale that is a single
       // partition by design; at 100 TB it is the session width.
