@@ -200,6 +200,60 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Portable-family MinHash signature stage shared by the delta path:
+    * (id, hv, sig) with hv the hashed shingle set and sig the banded-ready
+    * signature. */
+  private def portableSigStage(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), "\\s+").as("__words"))
+      .select(col(idCol),
+        transform(shinglesFromWords(col("__words"), shingleN),
+          portableHash64(_)).as("hv"))
+      .withColumn("__h2", transform(col("hv"), portableHash56b(_)))
+      .withColumn("sig",
+        minhashPortableFromHashes(col("hv"), col("__h2"), numHashes))
+      .drop("__h2")
+
+  /**
+   * Incremental (delta-vs-corpus) near-dup detection — THE shape that makes
+   * dedup sustainable at 100 TB: a new batch's band signatures join only
+   * against the corpus's band signatures, so the corpus is never
+   * self-paired and yesterday's work is never redone. Cost is
+   * O(|delta| + band collisions), independent of |corpus|²; in production
+   * the corpus side of the signature stage is a maintained table (append
+   * each accepted delta), here it is computed in-flight. Portable md5
+   * hash family throughout, so the whole path is oracle-checkable.
+   * Returns (delta_id, corpus_id, jaccard) verified pairs.
+   */
+  def nearDuplicatesDeltaPortable(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // each side's signature stage feeds its band explode AND the verify
+    // join — persist for the same 4x-recompute reason as nearDupImpl
+    val cs = portableSigStage(corpus, idCol, textCol, shingleN, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ds = portableSigStage(delta, idCol, textCol, shingleN, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = numHashes / bands
+    val cb = bandSignatures(cs, idCol, "sig", bands, rows)
+      .select(col(idCol).as("corpus_id"), col("band"), col("band_sig"))
+    val db = bandSignatures(ds, idCol, "sig", bands, rows)
+      .select(col(idCol).as("delta_id"), col("band"), col("band_sig"))
+    val candidates = db.join(cb, Seq("band", "band_sig"))
+      .select("delta_id", "corpus_id").distinct()
+    candidates
+      .join(ds.select(col(idCol).as("delta_id"), col("hv").as("hv_d")),
+        "delta_id")
+      .join(cs.select(col(idCol).as("corpus_id"), col("hv").as("hv_c")),
+        "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("hv_d"), col("hv_c"))).cast("double") /
+          size(array_union(col("hv_d"), col("hv_c"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("delta_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /**
    * Embedding-cosine near-duplicate pairs, exact: every (a < b) pair with
    * cosine ≥ threshold. O(n²) — correct and oracle-checkable, for modest n

@@ -193,6 +193,22 @@ object Pipeline {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
     }),
+    // A7 — incremental dedup: the day's delta (doc_id % 10 == 0) bands
+    // against the corpus's signatures only — the corpus is never
+    // self-paired, so dedup cost stays O(|delta| + collisions) as the
+    // corpus grows to 100 TB. Same portable md5 MinHash family as
+    // q_dedup_fuzzy → fully oracle-checked.
+    "q_dedup_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDuplicatesDeltaPortable(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+        threshold = 0.5)
+        .select(col("delta_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("delta_id", "corpus_id")
+    }),
     // A7 — n-gram Jaccard similarity over blocked candidate pairs: docs
     // sharing a (lang, n_chars) block compare word-3-gram shingle sets —
     // the verify stage of fuzzy dedup, fully oracle-checkable since the
@@ -974,6 +990,41 @@ object Pipeline {
                        JOIN h hb ON hb.doc_id = c.b)
          SELECT a, b, round(jaccard, 6) AS jaccard FROM jac
          WHERE jaccard >= 0.5 ORDER BY a, b""",
+    // Same portable MinHash CTE as q_dedup_fuzzy; candidates pair a delta
+    // doc with a corpus doc only (never corpus × corpus).
+    "q_dedup_delta" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id,
+             list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hv
+           FROM s),
+         h2 AS (SELECT doc_id, hv,
+             list_transform(hv, v -> ('0x' || substr(md5(v::VARCHAR), 1, 14))::BIGINT) AS hv2
+           FROM h),
+         sig AS (SELECT doc_id,
+             list_transform(generate_series(1, 16), k ->
+               list_min(list_transform(generate_series(1, len(hv)),
+                 j -> hv[j] + k * hv2[j]))) AS sig
+           FROM h2),
+         bands AS (
+           SELECT doc_id, b,
+             array_to_string(sig[(b-1)*4+1:(b-1)*4+4], '|') AS band_sig
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS b)),
+         cand AS (
+           SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+           FROM bands d JOIN bands c ON d.b = c.b AND d.band_sig = c.band_sig
+           WHERE d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+         jac AS (
+           SELECT cd.delta_id, cd.corpus_id,
+             cast(len(list_intersect(hd.hv, hc.hv)) AS double) /
+               len(list_distinct(hd.hv || hc.hv)) AS jaccard
+           FROM cand cd JOIN h hd ON hd.doc_id = cd.delta_id
+                        JOIN h hc ON hc.doc_id = cd.corpus_id)
+         SELECT delta_id, corpus_id, round(jaccard, 6) AS jaccard FROM jac
+         WHERE jaccard >= 0.5 ORDER BY delta_id, corpus_id""",
     "q_dedup_simhash" ->
       """WITH h AS (
            SELECT doc_id, list_transform(string_split(text, ' '),

@@ -155,6 +155,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("nearDuplicatesDeltaPortable pairs delta-vs-corpus only, never " +
+      "corpus-vs-corpus") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("epsilon", "EPSILON")
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    // corpus holds an internal exact-dup pair (1, 4) that must NOT appear;
+    // delta doc 10 is a near-dup of corpus doc 1, delta doc 11 is clean
+    val corpus = docs((1L, base), (3L, other), (4L, base))
+    val delta = docs((10L, nearDup), (11L, "totally fresh unmatched words " +
+      "here that share no shingles with anything else at all"))
+    val out = Dedup.nearDuplicatesDeltaPortable(corpus, delta, "doc_id",
+      "text", shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSet == Set(10L))        // only the dirty delta doc
+    assert(out.map(_._2).toSet.subsetOf(Set(1L, 4L))) // against its corpus dups
+    assert(out.nonEmpty)
+  }
+
   test("portableHash64 is deterministic, non-negative, and spreads tokens") {
     val df = docs((1L, "x"), (2L, "x"), (3L, "y"))
       .select(col("doc_id"), Dedup.portableHash64(col("text")).as("h"))
