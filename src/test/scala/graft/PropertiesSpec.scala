@@ -77,4 +77,37 @@ class PropertiesSpec extends AnyFunSuite {
       }
     })
   }
+
+  // --- TopKAgg: driver-side merge laws (no Spark session needed) ---
+
+  private val scoredList: Gen[List[(Double, Long)]] = Gen.listOf(
+    for {
+      s <- Gen.chooseNum(0, 20).map(_ / 2.0) // coarse scores force ties
+      id <- Gen.chooseNum(0L, 50L)
+    } yield (s, id))
+
+  test("TopKAgg.merge equals brute-force sorted-take over any two buffers") {
+    val agg = new graft.functions.TopKAgg(5)
+    def buf(xs: List[(Double, Long)]) =
+      xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    check(Prop.forAll(scoredList, scoredList) { (xs, ys) =>
+      // brute force: all elements, descending (score, id), top 5.
+      // buffers may hold duplicate (score,id) pairs — so does the
+      // brute-force reference (no distinct; duplicates rank adjacently)
+      val want = (xs ++ ys).sortBy { case (s, id) => (-s, -id) }.take(5)
+      agg.merge(buf(xs), buf(ys)) == want
+    })
+  }
+
+  test("TopKAgg buffers never exceed k and stay descending") {
+    val agg = new graft.functions.TopKAgg(3)
+    check(Prop.forAll(scoredList) { xs =>
+      val b = xs.foldLeft(agg.zero)((acc, x) => agg.reduce(acc, x))
+      b.length <= 3 &&
+        b.sliding(2).forall {
+          case Seq((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 >= i2)
+          case _ => true
+        }
+    })
+  }
 }
