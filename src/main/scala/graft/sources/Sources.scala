@@ -119,6 +119,31 @@ object Sources {
     df.write.mode(mode).orc(path)
 
   /**
+   * CSV source with an EXPLICIT schema — inference costs a full extra pass
+   * over the files (a non-starter at 100 TB) and silently guesses types;
+   * `mode=FAILFAST` makes malformed rows a loud error instead of silent
+   * nulls, matching the engine's fail-loudly planner posture.
+   */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  /** JSON-lines source/sink — explicit schema for the same reasons as
+    * [[csv]]; each line is one record (the splittable large-file layout). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  def writeJsonLines(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /**
    * JDBC sink — the write-back half of the reference's Postgres model
    * (its in-place UPDATE becomes write-to-table; `mode=overwrite` truncates
    * and reloads). Exercised end-to-end against embedded Derby in

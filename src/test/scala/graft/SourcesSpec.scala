@@ -12,8 +12,8 @@ class SourcesSpec extends SparkSpec {
 
   test("csv round-trip preserves rows and (declared) schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
-    customer.write.mode("overwrite").option("header", "true").csv(dir)
-    val back = spark.read.option("header", "true").schema(customer.schema).csv(dir)
+    Sources.writeCsv(customer, dir)
+    val back = Sources.csv(spark, dir, customer.schema)
     assert(back.count() == customer.count())
     assert(back.schema == customer.schema)
     val a = customer.orderBy("c_custkey").collect().toSeq
@@ -23,8 +23,8 @@ class SourcesSpec extends SparkSpec {
 
   test("json-lines round-trip preserves rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
-    customer.write.mode("overwrite").json(dir)
-    val back = spark.read.schema(customer.schema).json(dir)
+    Sources.writeJsonLines(customer, dir)
+    val back = Sources.jsonLines(spark, dir, customer.schema)
     assert(back.orderBy("c_custkey").collect().toSeq ==
       customer.orderBy("c_custkey").collect().toSeq)
   }
