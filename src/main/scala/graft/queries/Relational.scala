@@ -248,6 +248,35 @@ object Relational {
         .select(col("event_id"), col("user_id"), col("best.o_orderkey"))
         .orderBy("event_id")
     }),
+    // J6b — the same as-of via a union timeline: orders and events
+    // interleave on one per-user timeline and each event reads the latest
+    // preceding order through a last-non-null running window. NO pair
+    // explosion: the join formulation above materializes every
+    // (event, earlier order) pair before its aggregate — O(events ×
+    // orders-per-user) — while this stays O(events + orders) through one
+    // shuffle and one sort. The better shape when users have deep order
+    // histories; same answer, same oracle.
+    "q_join_asof_union" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), tsCol("ts").as("t"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast("long").as("okey"))
+      // orders sort before events at the same instant (<= semantics), and
+      // same-instant orders sort ascending by key so the running
+      // last-non-null lands on the max key — matching max(struct) above
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+          lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+          col("o_orderkey").as("okey"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("tag"), col("okey").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("best", last(col("okey"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1 && col("best").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("best").as("o_orderkey"))
+        .orderBy("event_id")
+    }),
     // A3 — TPC-H Q1-style pricing summary (partial+final hash aggregate).
     "q_agg_group" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -655,6 +684,16 @@ object Relational {
                 count(DISTINCT l_partkey) AS n_parts
          FROM lineitem GROUP BY 1 ORDER BY skew_key""",
     "q_join_asof" ->
+      """SELECT event_id, user_id, o_orderkey FROM (
+           SELECT e.event_id, e.user_id, o.o_orderkey,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM events e
+           JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    // identical semantics to q_join_asof — the union-timeline plan must
+    // produce the very same rows
+    "q_join_asof_union" ->
       """SELECT event_id, user_id, o_orderkey FROM (
            SELECT e.event_id, e.user_id, o.o_orderkey,
              row_number() OVER (PARTITION BY e.event_id
