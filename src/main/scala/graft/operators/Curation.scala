@@ -53,9 +53,16 @@ object Curation {
   def bloomBuild(df: DataFrame, c: String, mBits: Int, k: Int): Array[Long] = {
     require(mBits >= 64 && mBits % 64 == 0, s"mBits must be a positive multiple of 64: $mBits")
     val words = new Array[Long](mBits / 64)
+    // positions fold into packed 64-bit words DISTRIBUTED (bit_or partial
+    // aggregate), so the driver receives at most mBits/64 rows — never the
+    // k·|elements| raw positions, which for a 1-Gbit filter over billions
+    // of elements would not fit any driver
     df.select(explode(bloomPositions(col(c), mBits, k)).as("pos"))
-      .distinct().collect()
-      .foreach { r => val p = r.getLong(0); words((p >> 6).toInt) |= 1L << (p & 63) }
+      .select((col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(1L, cast(pos % 64 AS int))").as("m"))
+      .groupBy("w").agg(bit_or(col("m")).as("bits"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
     words
   }
 
