@@ -360,7 +360,7 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       // empty graph → sum is NULL → treat as zero (converged immediately)
       val s = df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
     var prevSum = labelSum(comp)
