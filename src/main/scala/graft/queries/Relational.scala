@@ -298,12 +298,18 @@ object Relational {
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")
     }),
-    // A4 — HLL++ approximate distinct (no oracle: approx by definition;
-    // the driver records a rows-only check).
+    // A4 — HLL++ approximate distinct, oracle-checked the q_distinct_sketch
+    // way: the estimate itself is engine-specific, so the asserted columns
+    // are the exact count and a within-tolerance verdict. rsd is pinned to
+    // 1%, making the 5% gate a five-sigma bound — deterministic in practice
+    // (the HLL++ hash is fixed; the estimate never varies between runs).
     "q_agg_approx" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <
+            col("exact_parts").cast("double") * 0.05).as("within_5pct"))
     }),
     // A3 — deterministic argmax via lexicographic struct max (the map-side-
     // combining pick-one aggregate; ties broken by the embedded key).
@@ -663,6 +669,11 @@ object Relational {
            cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
          FROM li JOIN nation ON skey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    // single-row result; ORDER BY is vacuous but keeps the determinism
+    // contract (every oracle ends in a full ORDER BY)
+    "q_agg_approx" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS within_5pct
+         FROM lineitem ORDER BY exact_parts""",
     "q_outlier_mad" ->
       """WITH m AS (
            SELECT l_returnflag, median(l_extendedprice) AS med

@@ -108,11 +108,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("approx_count_distinct lands within HLL error of the exact count") {
-    val r = SparkEntry.queries("q_agg_approx")(spark, dir).collect().head
-    val approx = r.getAs[Long]("approx_parts").toDouble
-    val exact = r.getAs[Long]("exact_parts").toDouble
-    assert(math.abs(approx - exact) / exact <= 0.1,
+    // measured directly (the registered query now exposes only the
+    // oracle-checkable verdict), at the query's pinned 1% rsd
+    val r = spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"),
+        countDistinct(col("l_partkey")).as("e")).collect().head
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact <= 0.05,
       s"approx $approx vs exact $exact")
+    val verdict = SparkEntry.queries("q_agg_approx")(spark, dir).collect().head
+    assert(verdict.getAs[Boolean]("within_5pct"))
   }
 
   test("partition-pruned reads: only the filtered partition directories scan") {
