@@ -8,12 +8,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Relational.queries ++
-      graft.queries.Events.queries ++ graft.queries.Pipeline.queries
+      graft.queries.Events.queries ++ graft.queries.Pipeline.queries ++
+      graft.queries.Privacy.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracles ++ graft.queries.Relational.oracles ++
-      graft.queries.Events.oracles ++ graft.queries.Pipeline.oracles
+      graft.queries.Events.oracles ++ graft.queries.Pipeline.oracles ++
+      graft.queries.Privacy.oracles
   /** Local-iteration subset filter shared by Verify and Bench:
     * SPARK_GRAFT_ONLY="q_a, q_b" selects just those queries (whitespace
     * tolerated). The driver never sets it, so its runs stay exhaustive. */

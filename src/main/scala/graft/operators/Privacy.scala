@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Privacy-risk analytics and privacy-preserving transforms — the analytical
+ * complement of the reference's masking strategies (reference
+ * `src/executor/query-builder.ts:14-61` applies strategies; nothing there
+ * MEASURES residual re-identification risk). These operators answer "is the
+ * anonymized output actually safe?" (k-anonymity, l-diversity) and supply
+ * the two classic transforms the reference's strategy set lacks:
+ * generalization (coarsen quasi-identifiers instead of destroying them) and
+ * deterministic perturbation (noise that preserves aggregate shape).
+ *
+ * Scale design (100 TB):
+ *  - k-anonymity / l-diversity are single hash aggregates keyed on the
+ *    quasi-identifier tuple — one shuffle, map-side partial aggregation,
+ *    parallel by QI cardinality. No windows, no self-joins.
+ *  - generalization / date-shift / perturbation are scan-local codegen'd
+ *    projections — zero shuffles, pushed through like any projection.
+ *  - the shift/noise source is the portable md5 hash family (see
+ *    [[Sampling.hashHex4]]): a pure row-level function of (salt, key), so
+ *    results are re-derivable forever, partition-independent, and identical
+ *    in any engine with md5 — the property that lets DuckDB oracle-check
+ *    every one of these bit-for-bit.
+ */
+object Privacy {
+
+  /** Per-group size over the quasi-identifier columns: the k-anonymity
+    * statistic. A row's group size is the number of records
+    * indistinguishable from it on the QI tuple. */
+  def groupSizes(df: DataFrame, qi: Seq[String]): DataFrame =
+    df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("n"))
+
+  /**
+   * k-anonymity audit: every QI equivalence class with its size and an
+   * `at_risk` verdict (size < k ⇒ the class re-identifies to fewer than k
+   * candidates). One hash aggregate; the flag is a post-aggregation scalar.
+   */
+  def kAnonymity(df: DataFrame, qi: Seq[String], k: Int): DataFrame =
+    groupSizes(df, qi).withColumn("at_risk", col("n") < k)
+
+  /**
+   * l-diversity audit: per QI class, the number of DISTINCT sensitive
+   * values. A class can be k-anonymous yet leak the sensitive attribute
+   * outright when all its members share one value (l = 1). Distinct-count
+   * per group = one partial-aggregating shuffle on (qi, sensitive) then a
+   * second tiny one on qi — Spark plans exactly that for countDistinct.
+   */
+  def lDiversity(df: DataFrame, qi: Seq[String], sensitive: Column,
+      l: Int): DataFrame =
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("l_distinct"))
+      .withColumn("at_risk", col("l_distinct") < l)
+
+  /**
+   * Numeric generalization: replace a value by its width-`width` bin,
+   * labeled "lo-hi" (lo inclusive, hi exclusive). Negative values floor
+   * toward -inf, so bins tile the whole line with no double-width bin at
+   * zero. Integer bin edges render without a fraction in every engine.
+   */
+  def binLabel(c: Column, width: Long): Column = {
+    val lo = floor(c / width.toDouble).cast("long") * width
+    concat(lo.cast("string"), lit("-"), (lo + width).cast("string"))
+  }
+
+  /** Temporal generalization: truncate a timestamp to month precision,
+    * rendered as 'yyyy-MM' (string output keeps the oracle comparison
+    * engine-neutral). */
+  def monthLabel(ts: Column): Column = date_format(ts, "yyyy-MM")
+
+  /**
+   * Deterministic per-key day shift in [-maxDays, +maxDays]: the first 4
+   * md5 hex digits of (salt|key) parsed as an int, mod (2·maxDays+1),
+   * centered. Every record of one key shifts by the SAME amount, so
+   * intra-key intervals (order → ship latency, session gaps) survive —
+   * the property plain date masking destroys. Uniform over the range up
+   * to the negligible 65536 mod bias.
+   */
+  def shiftDays(key: Column, salt: String, maxDays: Int): Column = {
+    require(maxDays > 0 && 2 * maxDays + 1 <= 65536, s"bad maxDays $maxDays")
+    (conv(Sampling.hashHex4(key, salt), 16, 10).cast("long")
+      % (2 * maxDays + 1)) - maxDays
+  }
+
+  /** Apply [[shiftDays]] to a timestamp column, as epoch SECONDS (exact
+    * integer arithmetic; a day is 86400 s in the UTC session both engines
+    * run under — no DST edge to diverge on). Epoch-seconds output follows
+    * the repo's oracle convention for timestamps. */
+  def shiftedEpoch(ts: Column, key: Column, salt: String,
+      maxDays: Int): Column =
+    // NTZ-safe: TIMESTAMP_NTZ has no direct long cast; via TIMESTAMP it
+    // binds to the UTC session zone, making the epoch exact.
+    ts.cast("timestamp").cast("long") + shiftDays(key, salt, maxDays) * 86400L
+
+  /**
+   * Deterministic multiplicative perturbation: value × (1 + ε) with
+   * ε uniform on [-pctMille, +pctMille] per-mille steps (pctMille = 100 ⇒
+   * ±10% in 0.1% increments). Same hash family as [[shiftDays]] under its
+   * own salt, so noise is independent of the date shift. All arithmetic is
+   * a fixed IEEE-754 expression tree — bit-identical across engines — and
+   * the caller typically rounds the result to the column's money scale.
+   */
+  def perturb(value: Column, key: Column, salt: String,
+      pctMille: Int): Column = {
+    require(pctMille > 0 && 2 * pctMille + 1 <= 65536, s"bad pctMille $pctMille")
+    val eps = ((conv(Sampling.hashHex4(key, salt), 16, 10).cast("long")
+      % (2 * pctMille + 1)) - pctMille).cast("double") / 1000.0
+    value * (lit(1.0) + eps)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.operators.{Privacy => P}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Privacy-risk analytics queries (the audit surface the reference's
+ * strategy executor lacks — see `operators/Privacy.scala`). Everything here
+ * is oracle-checked: the noise/shift source is the portable md5 hash
+ * family, generalization is integer arithmetic, and perturbation keeps a
+ * fixed IEEE-754 expression tree both engines evaluate bit-for-bit.
+ */
+object Privacy {
+  import Q._
+
+  private val QI = Seq("c_nationkey", "c_mktsegment")
+  /** Sensitive attribute for diversity audits: the account-balance
+    * thousand-bin (floor toward -inf; exact on both engines). */
+  private def acctBin = floor(col("c_acctbal") / 1000.0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // k-anonymity audit: QI equivalence classes with size and risk verdict.
+    // One hash aggregate — map-side partials, one shuffle on the QI tuple.
+    "q_k_anonymity" -> ((s, dir) => {
+      P.kAnonymity(t(s, dir, "customer"), QI, 8)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+    // l-diversity audit: distinct sensitive values per QI class. A class
+    // can be k-anonymous and still leak when every member shares one
+    // sensitive value.
+    "q_l_diversity" -> ((s, dir) => {
+      P.lDiversity(t(s, dir, "customer"), QI, acctBin, 4)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+    // Generalization transform: hierarchy-generalize nation → region (two
+    // broadcast dim joins) and bin the balance — QIs are coarsened, not
+    // destroyed, so the output still supports regional analytics.
+    "q_generalize" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name").as("region"),
+          P.binLabel(col("c_acctbal"), 1000).as("acct_bin"),
+          col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+    // Deterministic per-customer date shift (±90 days): every order of one
+    // customer shifts by the same amount, preserving intra-customer
+    // intervals. Scan-local projection; epoch-seconds output (exact).
+    "q_date_shift" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          P.shiftedEpoch(col("o_orderdate"), col("o_custkey"), "dshift", 90)
+            .as("shifted_sec"))
+        .orderBy("o_orderkey")
+    }),
+    // Deterministic multiplicative perturbation (±10% in 0.1% steps): the
+    // noise is a pure row function of (salt, key) — re-derivable, and the
+    // whole expression is single IEEE-754 ops so the oracle's double
+    // matches bit-for-bit without any rounding step.
+    "q_perturb" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          P.perturb(col("c_acctbal"), col("c_custkey"), "noise", 100)
+            .as("perturbed"))
+        .orderBy("c_custkey")
+    }),
+    // Table-level privacy risk report: one row summarizing both audits —
+    // the "is this release safe?" number the reference's JSON report never
+    // computes. Two tiny aggregates over the class tables, cross-joined.
+    "q_privacy_report" -> ((s, dir) => {
+      val k = P.kAnonymity(t(s, dir, "customer"), QI, 8)
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("at_risk"), 1L).otherwise(0L)).as("k_at_risk"),
+          min(col("n")).as("min_class_size"))
+      val l = P.lDiversity(t(s, dir, "customer"), QI, acctBin, 4)
+        .agg(sum(when(col("at_risk"), 1L).otherwise(0L)).as("l_at_risk"),
+          min(col("l_distinct")).as("min_l"))
+      k.crossJoin(l).orderBy("n_classes")
+    }))
+
+  private val hash4 = (salt: String, key: String) =>
+    s"('0x' || substring(md5(concat('$salt', '|', cast($key AS VARCHAR))), 1, 4))::BIGINT"
+
+  val oracles: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+         (count(*) < 8) AS at_risk
+         FROM customer GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+         count(DISTINCT cast(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_distinct,
+         (count(DISTINCT cast(floor(c_acctbal / 1000.0) AS BIGINT)) < 4) AS at_risk
+         FROM customer GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
+    "q_generalize" ->
+      """SELECT c_custkey, r_name AS region,
+         concat(cast(cast(floor(c_acctbal / 1000.0) AS BIGINT) * 1000 AS VARCHAR),
+                '-',
+                cast(cast(floor(c_acctbal / 1000.0) AS BIGINT) * 1000 + 1000 AS VARCHAR))
+           AS acct_bin,
+         c_mktsegment
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+    "q_date_shift" ->
+      s"""SELECT o_orderkey, o_custkey,
+         cast(epoch(o_orderdate) AS BIGINT)
+           + ((${hash4("dshift", "o_custkey")} % 181) - 90) * 86400 AS shifted_sec
+         FROM orders ORDER BY o_orderkey""",
+    "q_perturb" ->
+      s"""SELECT c_custkey, c_acctbal,
+         c_acctbal * (1.0 + (cast((${hash4("noise", "c_custkey")} % 201) - 100 AS DOUBLE) / 1000.0))
+           AS perturbed
+         FROM customer ORDER BY c_custkey""",
+    "q_privacy_report" ->
+      """WITH k AS (
+           SELECT count(*) AS n_classes,
+                  cast(sum(CASE WHEN n < 8 THEN 1 ELSE 0 END) AS BIGINT) AS k_at_risk,
+                  min(n) AS min_class_size
+           FROM (SELECT count(*) AS n FROM customer
+                 GROUP BY c_nationkey, c_mktsegment)
+         ), l AS (
+           SELECT cast(sum(CASE WHEN ld < 4 THEN 1 ELSE 0 END) AS BIGINT) AS l_at_risk,
+                  min(ld) AS min_l
+           FROM (SELECT count(DISTINCT cast(floor(c_acctbal / 1000.0) AS BIGINT)) AS ld
+                 FROM customer GROUP BY c_nationkey, c_mktsegment)
+         )
+         SELECT * FROM k CROSS JOIN l ORDER BY n_classes""")
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Privacy
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the privacy-risk operators (queries/Privacy.scala
+  * carries the oracle checks; this spec owns the properties the oracle
+  * can't express). */
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def people = Seq(
+    // (id, zip, age, disease) — zip is the QI, disease the sensitive value
+    (1L, "111", 30, "flu"), (2L, "111", 31, "flu"), (3L, "111", 32, "flu"),
+    (4L, "222", 40, "flu"), (5L, "222", 41, "cold"),
+    (6L, "333", 50, "cold"))
+    .toDF("id", "zip", "age", "disease")
+
+  test("kAnonymity flags exactly the classes smaller than k") {
+    val out = Privacy.kAnonymity(people, Seq("zip"), 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out === Map("111" -> (3L, false), "222" -> (2L, true),
+      "333" -> (1L, true)))
+  }
+
+  test("lDiversity catches a k-anonymous but sensitive-homogeneous class") {
+    val out = Privacy.lDiversity(people, Seq("zip"), col("disease"), 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // zip 111 is 3-anonymous yet every member has the same disease: l=1.
+    assert(out("111") === (1L, true))
+    assert(out("222") === (2L, false))
+  }
+
+  test("binLabel tiles the line: negative values get their own width bin") {
+    val labels = Seq(-1500.0, -0.01, 0.0, 999.99, 1000.0).toDF("x")
+      .select(Privacy.binLabel(col("x"), 1000).as("b"))
+      .as[String].collect().toSeq
+    assert(labels === Seq("-2000--1000", "-1000-0", "0-1000", "0-1000",
+      "1000-2000"))
+  }
+
+  test("date shift preserves intra-key intervals and stays within ±maxDays") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val shifted = orders.select(col("o_custkey"),
+      col("o_orderdate").cast("timestamp").cast("long").as("orig"),
+      Privacy.shiftedEpoch(col("o_orderdate"), col("o_custkey"), "s1", 90)
+        .as("shift"))
+    // per-key constant delta ⇒ exactly one distinct (shift - orig) per key
+    val perKey = shifted.groupBy("o_custkey")
+      .agg(countDistinct(col("shift") - col("orig")).as("nd"),
+        max(abs(col("shift") - col("orig"))).as("mx"))
+      .agg(max("nd").as("nd"), max("mx").as("mx")).head()
+    assert(perKey.getLong(0) === 1L)
+    assert(perKey.getLong(1) <= 90L * 86400L)
+  }
+
+  test("perturbation is bounded, deterministic, and mean-preserving-ish") {
+    val c = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val p = c.select(col("c_acctbal").as("v"),
+      Privacy.perturb(col("c_acctbal"), col("c_custkey"), "n1", 100).as("pv"))
+      .persist()
+    val bad = p.filter(abs(col("pv") - col("v")) > abs(col("v")) * 0.1 + 1e-9)
+      .count()
+    assert(bad === 0L)
+    // same salt+key ⇒ identical output on a re-run
+    val p2 = c.select(
+      Privacy.perturb(col("c_acctbal"), col("c_custkey"), "n1", 100).as("pv2"))
+    assert(p.select("pv").exceptAll(p2).count() === 0L)
+    p.unpersist()
+  }
+
+  test("shiftDays rejects ranges the 16-bit hash cannot cover") {
+    intercept[IllegalArgumentException] {
+      Privacy.shiftDays(lit(1), "s", 40000)
+    }
+    ()
+  }
+}
