@@ -130,9 +130,33 @@ object Events {
         .select(col("user_id"), col("w.start").cast("long").as("session_start"),
           col("n_events"), col("first_event"))
         .orderBy("user_id", "session_start")
+    }),
+    // W4-extension — rolling 7-row per-user average (ts order, event_id
+    // tiebreak). Decimal-cast per-row values make the frame sum exact and
+    // shuffle-order-independent; the final divide is a single IEEE op on
+    // identical operands in both engines. Scale: partitioned by user_id —
+    // no global sort, the 100 TB path shuffles once on the user key.
+    "q_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_win"),
+          (sum(dec2(col("value"))).over(w).cast("double") /
+            count(lit(1)).over(w)).as("roll_avg"))
+        .orderBy("user_id", "event_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_rolling" ->
+      """SELECT user_id, event_id, count(*) OVER w AS n_win,
+         cast(sum(cast(value AS decimal(18,2))) OVER w AS DOUBLE)
+           / (count(*) OVER w) AS roll_avg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "q_unpivot" ->
       """SELECT event_type, band, n FROM (
            SELECT event_type, 'low' AS band,

@@ -338,6 +338,24 @@ object Pipeline {
         "doc_id", "text", w = 10)
         .orderBy("chunk")
     }),
+    // Curation — fixed-size token chunking with overlap (size 50, stride
+    // 40): the split step between cleaning and packing, so long documents
+    // become training-window-sized pieces with 10-token continuity overlap.
+    // One explode of ~n_tokens/stride chunk starts per doc, scan-local;
+    // slice clamps the tail chunk. No shuffle until the output sort.
+    "q_chunk_docs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0L),
+            floor((size(col("w")) - 1) / 40.0).cast("long"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(slice(col("w"), (col("chunk_id") * 40 + 1).cast("int"),
+            lit(50))).as("n_chunk_tokens"),
+          array_join(slice(col("w"), (col("chunk_id") * 40 + 1).cast("int"),
+            lit(50)), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    }),
     // Curation — token-budget sequence packing (512-token sequences,
     // first-fit by running offset within each language).
     "q_pack_sequences" -> ((s, dir) => {
@@ -927,6 +945,17 @@ object Pipeline {
          FROM c GROUP BY chunk
          HAVING count(DISTINCT doc_id) > 1
          ORDER BY chunk""",
+    "q_chunk_docs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS w
+           FROM documents),
+         nums AS (SELECT unnest(generate_series(0, 63)) AS chunk_id)
+         SELECT doc_id, chunk_id,
+           len(w[(chunk_id * 40 + 1):(chunk_id * 40 + 50)]) AS n_chunk_tokens,
+           array_to_string(w[(chunk_id * 40 + 1):(chunk_id * 40 + 50)], ' ')
+             AS chunk
+         FROM t JOIN nums ON chunk_id <= (len(w) - 1) // 40
+         ORDER BY doc_id, chunk_id""",
     "q_pack_sequences" ->
       """WITH d AS (
            SELECT doc_id, lang,
