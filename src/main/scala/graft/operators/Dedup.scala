@@ -255,6 +255,44 @@ object Dedup {
   }
 
   /**
+   * Containment near-dup pairs: containment(A,B) = |A∩B| / min(|A|,|B|)
+   * over shingle sets — the asymmetric cousin of Jaccard that catches
+   * quote/subset relations (a short doc embedded in a long one scores
+   * containment ≈ 1 while its Jaccard stays tiny, invisible to MinHash).
+   *
+   * Candidate generation blocks on each doc's `kBlock` lexicographically
+   * smallest shingles (exploded, so a pair meets when ANY of their smallest
+   * shingles coincide) — deterministic, engine-portable, and declared as
+   * part of the operator's semantics, like the min-shingle blocking of
+   * q_dedup_cluster. Scale: kBlock rows per doc into the block join; block
+   * sizes follow shingle-frequency, the verify join touches only
+   * candidates, and the shingle arrays travel as xxhash64 longs (equal
+   * iff the strings are equal, barring a 2⁻⁶⁴ collision).
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, kBlock: Int = 3, minCont: Double = 0.5): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("__id"),
+        shinglesFromWords(split(col(textCol), "\\s+"), shingleN).as("__sh"))
+      .select(col("__id"), shingleHashes(col("__sh")).as("__hv"),
+        slice(array_sort(col("__sh")), 1, kBlock).as("__blks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocked = sh.select(col("__id"), col("__hv"),
+      explode(col("__blks")).as("__blk"))
+    val a = blocked.select(col("__id").as("a"), col("__hv").as("hv_a"),
+      col("__blk"))
+    val b = blocked.select(col("__id").as("b"), col("__hv").as("hv_b"),
+      col("__blk"))
+    val inter = size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
+    a.join(b, "__blk").filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("containment",
+        inter / least(size(col("hv_a")), size(col("hv_b"))))
+      .filter(col("containment") >= minCont)
+      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, exact: every (a < b) pair with
    * cosine ≥ threshold. O(n²) — correct and oracle-checkable, for modest n
    * or as the verifier over a candidate set. The scale path is

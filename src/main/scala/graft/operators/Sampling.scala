@@ -55,6 +55,30 @@ object Sampling {
     hashHex4(key, salt) < lpad(lower(hex(w)), 4, "0")
   }
 
+  /** Full 32-hex md5 of (salt|key): a portable total "random" order for
+    * rank-based sampling (ties impossible in practice; callers still add
+    * the key as tiebreak so determinism never rests on that). */
+  def hashHexFull(key: Column, salt: String): Column =
+    md5(concat(lit(salt), lit("|"), key.cast("string")))
+
+  /**
+   * Deterministic k-per-group sample: rank each group's rows by the
+   * portable hash of their key (key tiebreak) and keep the first k —
+   * a reproducible uniform-ish k-sample per group (quota sampling for
+   * eval sets, per-source spot checks). One shuffle on the group columns;
+   * the rank never crosses groups, so skewed group sizes parallelize by
+   * group count, and at 100 TB the window carries two small columns, not
+   * the payload (join the sample keys back for that).
+   */
+  def groupSample(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      keyCol: String, salt: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(hashHexFull(col(keyCol), salt), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /**
    * Disjoint train/val/test assignment by hash range: [0, trainHex) →
    * train, [trainHex, valHex) → val, rest → test. Every row lands in

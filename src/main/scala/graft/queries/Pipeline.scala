@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, Sampling, Scale, Similarity, TextAnalysis => TA}
+import graft.operators.{CountMin, Curation, Dedup, Sampling, Scale, Similarity, TextAnalysis => TA}
 import graft.functions.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -115,6 +115,15 @@ object Pipeline {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // Scale — deterministic k-per-group sample (5 docs per source): quota
+    // sampling for eval sets / per-source spot checks, reproducible across
+    // engines and re-runs because the rank order is the portable md5.
+    "q_sample_group" -> ((s, dir) => {
+      Sampling.groupSample(t(s, dir, "documents"), Seq("source"), "doc_id",
+        "gs1", 5)
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "doc_id")
+    }),
     // Scale — weighted deterministic sample: keep probability ∝ doc length
     // (longer docs sampled at a higher rate — a training-mix lever).
     "q_sample_weighted" -> ((s, dir) => {
@@ -228,6 +237,15 @@ object Pipeline {
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    }),
+    // A7 — containment near-dups: |A∩B| / min(|A|,|B|) over shingle sets,
+    // the asymmetric measure that catches quote/subset relations (high
+    // containment, tiny Jaccard — invisible to MinHash). Candidates block
+    // on each doc's 3 smallest shingles; see Dedup.containmentPairs.
+    "q_dedup_contain" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, kBlock = 3, minCont = 0.5)
         .orderBy("a", "b")
     }),
     // L1 — TF-IDF: top-3 terms per doc. tf and df are two hash aggregates
@@ -494,6 +512,26 @@ object Pipeline {
             col("n_exact").cast("double") * 0.05).as("within_5pct"))
         .orderBy("lang")
     }),
+    // Scale — Count-Min frequency sketch, fully oracle-checked: the 4×256
+    // cell grid uses the portable md5 bucket family, so cells, estimates,
+    // AND the per-key overestimate are bit-identical in any engine (unlike
+    // HLL, whose binary is engine-specific). est ≥ exact by construction;
+    // the build collapses to ≤1024 cells map-side, the estimate join
+    // broadcasts the cell table — the corpus is scanned once per side.
+    "q_cms_freq" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cells = CountMin.sketch(li, col("l_suppkey"))
+      val cand = t(s, dir, "supplier").filter(col("s_suppkey") <= 10)
+        .select(col("s_suppkey").as("suppkey"))
+      val exact = li.filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey").as("suppkey"))
+        .groupBy("suppkey").agg(count(lit(1)).as("exact_n"))
+      CountMin.estimate(cells, cand, "suppkey")
+        .join(exact, "suppkey")
+        .select(col("suppkey"), col("cms_est"), col("exact_n"),
+          (col("cms_est") - col("exact_n")).as("overest"))
+        .orderBy("suppkey")
+    }),
     // Curation — bigram-LM quality score (the CCNet-style perplexity
     // filter): the corpus is the LM; each doc scores the add-one-smoothed
     // avg log-prob of its own bigrams. ln of integers only, decimal-summed
@@ -742,6 +780,32 @@ object Pipeline {
            FROM documents)
          SELECT lang, count(DISTINCT token) AS n_exact, true AS within_5pct
          FROM tok GROUP BY lang ORDER BY lang""",
+    "q_cms_freq" ->
+      """WITH cells AS (
+           SELECT row, bucket, count(*) AS n FROM (
+             SELECT unnest([0, 1, 2, 3]) AS row,
+               unnest([substring(md5(concat('cms0', '|', cast(l_suppkey AS VARCHAR))), 1, 2),
+                       substring(md5(concat('cms1', '|', cast(l_suppkey AS VARCHAR))), 1, 2),
+                       substring(md5(concat('cms2', '|', cast(l_suppkey AS VARCHAR))), 1, 2),
+                       substring(md5(concat('cms3', '|', cast(l_suppkey AS VARCHAR))), 1, 2)]) AS bucket
+             FROM lineitem)
+           GROUP BY row, bucket),
+         cand AS (
+           SELECT s_suppkey AS suppkey,
+             unnest([0, 1, 2, 3]) AS row,
+             unnest([substring(md5(concat('cms0', '|', cast(s_suppkey AS VARCHAR))), 1, 2),
+                     substring(md5(concat('cms1', '|', cast(s_suppkey AS VARCHAR))), 1, 2),
+                     substring(md5(concat('cms2', '|', cast(s_suppkey AS VARCHAR))), 1, 2),
+                     substring(md5(concat('cms3', '|', cast(s_suppkey AS VARCHAR))), 1, 2)]) AS bucket
+           FROM supplier WHERE s_suppkey <= 10),
+         est AS (
+           SELECT suppkey, min(coalesce(n, 0)) AS cms_est
+           FROM cand LEFT JOIN cells USING (row, bucket) GROUP BY suppkey),
+         exact AS (
+           SELECT l_suppkey AS suppkey, count(*) AS exact_n
+           FROM lineitem WHERE l_suppkey <= 10 GROUP BY 1)
+         SELECT e.suppkey, cms_est, exact_n, cms_est - exact_n AS overest
+         FROM est e JOIN exact USING (suppkey) ORDER BY suppkey""",
     "q_lm_score" ->
       """WITH w AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
@@ -810,6 +874,14 @@ object Pipeline {
          WHERE substring(md5(concat('split1', '|', cast(doc_id AS VARCHAR))), 1, 4)
                < '2000'
          ORDER BY doc_id""",
+    "q_sample_group" ->
+      """SELECT source, doc_id, sample_rank FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(concat('gs1', '|', cast(doc_id AS VARCHAR))),
+                        doc_id) AS sample_rank
+           FROM documents)
+         WHERE sample_rank <= 5 ORDER BY source, doc_id""",
     "q_sample_weighted" ->
       """SELECT lang, count(*) AS n_docs,
          cast(sum(n_chars) AS bigint) AS sum_chars FROM documents
@@ -896,6 +968,25 @@ object Pipeline {
            FROM s x JOIN s y
              ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id)
          ORDER BY a, b""",
+    "q_dedup_contain" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                 FROM documents)),
+         blk AS (
+           SELECT doc_id, unnest(list_sort(sh)[1:3]) AS b FROM s),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM blk x JOIN blk y ON x.b = y.b AND x.doc_id < y.doc_id)
+         SELECT a, b, round(cont, 6) AS containment FROM (
+           SELECT a, b,
+             cast(len(list_intersect(sa.sh, sb.sh)) AS double)
+               / least(len(sa.sh), len(sb.sh)) AS cont
+           FROM cand JOIN s sa ON sa.doc_id = cand.a
+                     JOIN s sb ON sb.doc_id = cand.b)
+         WHERE cont >= 0.5 ORDER BY a, b""",
     "q_rep_ratio" ->
       """WITH g AS (
            SELECT doc_id,

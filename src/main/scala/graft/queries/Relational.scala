@@ -311,6 +311,19 @@ object Relational {
           (abs(col("approx") - col("exact_parts")) <
             col("exact_parts").cast("double") * 0.05).as("within_5pct"))
     }),
+    // A4 — approximate percentile (GK sketch), oracle-checked the same
+    // verdict way. Money is centified through decimal first (double*100
+    // would truncate 0.99999-cents), so the exact median interpolates
+    // between exact integers — formula-order-independent in both engines.
+    "q_agg_approx_pct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select((dec2(col("l_extendedprice")) * 100).cast("long").as("__c"))
+        .agg(expr("percentile(__c, 0.5)").as("exact_med_cents"),
+          expr("approx_percentile(__c, 0.5, 10000)").as("__ap"))
+        .select(col("exact_med_cents"),
+          (abs(col("__ap") - col("exact_med_cents")) <=
+            col("exact_med_cents") * 0.01).as("within_1pct"))
+    }),
     // A3 — deterministic argmax via lexicographic struct max (the map-side-
     // combining pick-one aggregate; ties broken by the embedded key).
     "q_agg_argmax" -> ((s, dir) => {
@@ -674,6 +687,11 @@ object Relational {
     "q_agg_approx" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS within_5pct
          FROM lineitem ORDER BY exact_parts""",
+    "q_agg_approx_pct" ->
+      """SELECT quantile_cont(cast(cast(l_extendedprice AS decimal(18,2))
+                * 100 AS BIGINT), 0.5) AS exact_med_cents,
+         true AS within_1pct
+         FROM lineitem ORDER BY exact_med_cents""",
     "q_outlier_mad" ->
       """WITH m AS (
            SELECT l_returnflag, median(l_extendedprice) AS med

@@ -124,6 +124,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
   }
 
+  test("containmentPairs scores an embedded quote ~1.0 where Jaccard stays low") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val quote = "alpha beta gamma delta epsilon zeta" // prefix ⊂ long
+    val other = "one two three four five six seven eight nine ten"
+    val out = Dedup.containmentPairs(
+      docs((1L, long), (2L, quote), (3L, other)), "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the quote's shingles are all in the long doc: containment exactly 1,
+    // while Jaccard would be 4/22 ≈ 0.18
+    assert(out((1L, 2L)) == 1.0)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simHash16: equal texts equal, near texts within small Hamming distance") {
     val df = docs((1L, "spark engine scale data pipeline quality"),
       (2L, "spark engine scale data pipeline quality"),

@@ -144,6 +144,11 @@ class PlanSpec extends SparkSpec {
       // corpus size N, q_lm_score's vocabulary size V, q_temperature_mix's
       // min per-language count — all scalars over already-aggregated rows).
       "q_profile", "q_funnel", "q_tfidf", "q_lm_score", "q_temperature_mix",
+      // q_agg_approx_pct is a grand-total percentile verdict (one output
+      // row from distributed partial sketches); q_privacy_report gathers
+      // two one-row audit summaries over the already-aggregated 125-class
+      // tables — both single-partition stages see scalars, not data.
+      "q_agg_approx_pct", "q_privacy_report",
       // connectedComponents sizes its iteration shuffle width to the edge
       // count (1 partition per ~5M edges): at test scale that is a single
       // partition by design; at 100 TB it is the session width.

@@ -62,6 +62,24 @@ class SamplingSpec extends SparkSpec {
     assert(overlap > 0.15 && overlap < 0.35, s"overlap $overlap")
   }
 
+  test("groupSample keeps exactly min(k, |group|) rows per group, stably") {
+    import org.apache.spark.sql.functions.floor
+    // 10 groups of 40 plus one tiny group of 3
+    val df = ids(403).withColumn("g", floor(col("id") / 40))
+    val s1 = Sampling.groupSample(df, Seq("g"), "id", "s1", 5)
+    val sizes = s1.groupBy("g").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 9L).forall(sizes(_) == 5L))
+    assert(sizes(10L) == 3L) // group with only 3 members keeps them all
+    // deterministic: a re-run selects the same rows
+    val again = Sampling.groupSample(df, Seq("g"), "id", "s1", 5)
+    assert(s1.exceptAll(again).isEmpty && again.exceptAll(s1).isEmpty)
+    // a different salt selects a different 5-of-40
+    val other = Sampling.groupSample(df, Seq("g"), "id", "s2", 5)
+    assert(s1.drop("sample_rank").exceptAll(other.drop("sample_rank"))
+      .count() > 0)
+  }
+
   test("the sampling gate stays a scan-local filter — no shuffle in the plan") {
     val plan = ids(100).filter(Sampling.keepHex(col("id"), "s", "2000"))
       .queryExecution.executedPlan.toString

@@ -56,6 +56,26 @@ class SketchesSpec extends SparkSpec {
       s"approx median rank off: $below vs 0.5")
   }
 
+  test("distributed CountMin: estimates bound truth; merge law holds exactly") {
+    import operators.CountMin
+    val key = col("o_custkey")
+    val cells = CountMin.sketch(orders, key)
+    // ≤ d·w cells regardless of input size
+    assert(cells.count() <= 4L * 256L)
+    val truth = orders.groupBy("o_custkey").count()
+    val est = CountMin.estimate(cells, truth.select("o_custkey"), "o_custkey")
+    val joined = est.join(truth, "o_custkey")
+      .select(col("cms_est"), col("count")).collect()
+    joined.foreach { r =>
+      assert(r.getLong(0) >= r.getLong(1),
+        s"CMS underestimated: ${r.getLong(0)} < ${r.getLong(1)}")
+    }
+    // merge(sketch(A), sketch(B)) == sketch(A ∪ B), cell for cell
+    val (a, b) = (orders.filter(key % 2 === 0), orders.filter(key % 2 === 1))
+    val merged = CountMin.merge(CountMin.sketch(a, key), CountMin.sketch(b, key))
+    assert(merged.exceptAll(cells).isEmpty && cells.exceptAll(merged).isEmpty)
+  }
+
   test("freqItems finds every value more frequent than the support") {
     val fi = orders.stat.freqItems(Array("o_orderstatus"), 0.4)
       .head().getSeq[String](0).toSet
