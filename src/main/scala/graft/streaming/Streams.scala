@@ -195,6 +195,21 @@ object Streams {
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
   /**
+   * Streaming Count-Min maintenance: the sketch build is a plain
+   * (row, bucket) groupBy-count, which Structured Streaming maintains
+   * incrementally — the SAME [[graft.operators.CountMin.sketch]] plan runs
+   * over an unbounded source under complete/update output. Total streaming
+   * state is ≤ d·w cells REGARDLESS of stream volume (the sketch's whole
+   * point): frequency monitoring over a firehose in constant memory, with
+   * the emitted cell table mergeable into batch sketches via
+   * [[graft.operators.CountMin.merge]] — one sketch lineage across batch
+   * history and the live stream.
+   */
+  def frequencySketch(events: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.CountMin.sketch(events, key)
+
+  /**
    * Stream-stream interval join: pair each left event with the right-side
    * events for the same key that land within [leftTs, leftTs + within].
    * Both sides carry watermarks and the join condition bounds the time

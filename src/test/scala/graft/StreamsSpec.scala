@@ -235,6 +235,30 @@ class StreamsSpec extends SparkSpec {
   case class Imp(imp_ts: Timestamp, user_id: Long, ad: String)
   case class Click(click_ts: Timestamp, user_id: Long)
 
+  test("streaming Count-Min cells equal the batch sketch of the same data") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = Streams.frequencySketch(mem.toDF(), col("user_id"))
+      .writeStream.format("memory").queryName("cms_t")
+      .outputMode("complete").start()
+    try {
+      val evs = (1 to 40).map(i => Ev(ts(i % 50), "e", (i % 7).toLong))
+      mem.addData(evs.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(20): _*) // state updates incrementally
+      q.processAllAvailable()
+      val streamed = spark.table("cms_t")
+      val batch = operators.CountMin.sketch(
+        evs.map(e => (e.ts, e.event_type, e.user_id))
+          .toDF("ts", "event_type", "user_id"), col("user_id"))
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+      // the whole point: state is the cell table, not the stream
+      assert(streamed.count() <= 4L * 256L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks within the window only") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
