@@ -284,6 +284,19 @@ object ConfigIO {
    * shapes written from `src/main.ts:87-92,118-123`). `totalKey` is
    * totalRowsEstimated for dryrun, totalRowsApplied for apply.
    */
+  /** Privacy-audit report sink (no reference analogue — the audit surface
+    * the reference's masking pipeline lacks; see operators/Privacy.scala). */
+  def writeAuditReport(path: String, table: String, qi: Seq[String],
+      metrics: Map[String, Any]): Unit = {
+    val json = toJson(Map(
+      "mode" -> "audit",
+      "table" -> table,
+      "quasiIdentifiers" -> qi,
+      "result" -> scala.collection.immutable.ListMap(
+        metrics.toSeq.sortBy(_._1): _*)))
+    Files.writeString(Paths.get(path), json)
+  }
+
   def writeReport(path: String, mode: String, plan: Plan,
       updatedByTable: Map[String, Long], totalKey: String): Unit = {
     // ListMap keeps the sorted key order through toJson (a plain Map of 5+
@@ -306,6 +319,8 @@ object ConfigIO {
  *   graft.Anonymize --configGen --data /root/testdata/sf0.001 --out /tmp/x
  *   graft.Anonymize --dryrun    --data ... --out ... [--config path.yaml] [--rehearse]
  *   graft.Anonymize --apply     --data ... --out ... [--config path.yaml]
+ *   graft.Anonymize --audit     --data ... --out ... --table t --qi a,b
+ *                               [--sensitive col] [--k 8] [--l 4]
  *
  * `--dryrun --rehearse` executes the full write path into a scratch dir
  * under the system temp directory (then deletes it) — the Spark analogue
@@ -317,9 +332,12 @@ object Anonymize {
   val SamplesFile = "anonymizer.samples.yaml"
   val DryrunReport = "anonymize.dryrun.report.json"
   val ApplyReport = "anonymize.apply.report.json"
+  val AuditReport = "anonymize.audit.report.json"
 
-  private val valueFlags = Set("--data", "--out", "--config")
-  private val boolFlags = Set("--configGen", "--dryrun", "--apply", "--rehearse")
+  private val valueFlags = Set("--data", "--out", "--config",
+    "--table", "--qi", "--sensitive", "--k", "--l")
+  private val boolFlags = Set("--configGen", "--dryrun", "--apply",
+    "--rehearse", "--audit")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -340,9 +358,11 @@ object Anonymize {
       .filterNot(a => valueFlags(a) || boolFlags(a))
     if (unknown.nonEmpty)
       sys.error(s"unknown argument(s): ${unknown.mkString(" ")}")
-    val modes = args.filter(a => Set("--configGen", "--dryrun", "--apply")(a))
+    val modes = args.filter(a =>
+      Set("--configGen", "--dryrun", "--apply", "--audit")(a))
     if (modes.length != 1)
-      sys.error("exactly one mode required: --configGen | --dryrun | --apply")
+      sys.error(
+        "exactly one mode required: --configGen | --dryrun | --apply | --audit")
     val mode = modes.head.drop(2)
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
@@ -381,6 +401,49 @@ object Anonymize {
           ConfigIO.writeReport(s"$outDir/$ApplyReport", "apply", plan,
             counts, "totalRowsApplied")
           println(s"Total rows applied: ${Engine.totalRows(counts)}")
+        case "audit" =>
+          // Post-release privacy audit: "is this (anonymized) output
+          // actually safe?" — k-anonymity over the declared quasi-
+          // identifiers, plus l-diversity when a sensitive column is
+          // named. Two hash aggregates; only one-row summaries reach the
+          // driver. Point --data at an `anonymized/` directory to audit
+          // what apply produced, or at the source to audit the raw risk.
+          import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
+          val table = opt("--table")
+            .getOrElse(sys.error("--audit requires --table <name>"))
+          val qi = opt("--qi")
+            .getOrElse(sys.error("--audit requires --qi <col,col,...>"))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val k = opt("--k").map(_.toInt).getOrElse(8)
+          val l = opt("--l").map(_.toInt).getOrElse(4)
+          val df = catalog.getOrElse(table,
+            sys.error(s"table not found under --data: $table"))
+          val missing = qi.filterNot(df.columns.contains)
+          if (missing.nonEmpty)
+            sys.error(s"quasi-identifier column(s) not in $table: " +
+              missing.mkString(", "))
+          val kRow = operators.Privacy.kAnonymity(df, qi, k)
+            .agg(count(lit(1)).as("n_classes"),
+              sum(when(col("at_risk"), 1L).otherwise(0L)).as("k_at_risk"),
+              min(col("n")).as("min_class_size")).head()
+          val base = Map[String, Any]("k" -> k,
+            "nClasses" -> kRow.getLong(0), "kAtRisk" -> kRow.getLong(1),
+            "minClassSize" -> kRow.getLong(2))
+          val metrics = opt("--sensitive") match {
+            case Some(s) =>
+              if (!df.columns.contains(s))
+                sys.error(s"sensitive column not in $table: $s")
+              val lRow = operators.Privacy.lDiversity(df, qi, col(s), l)
+                .agg(sum(when(col("at_risk"), 1L).otherwise(0L)).as("l_at_risk"),
+                  min(col("l_distinct")).as("min_l")).head()
+              base ++ Map[String, Any]("l" -> l, "sensitive" -> s,
+                "lAtRisk" -> lRow.getLong(0), "minL" -> lRow.getLong(1))
+            case None => base
+          }
+          ConfigIO.writeAuditReport(s"$outDir/$AuditReport", table, qi, metrics)
+          println(s"Privacy audit of $table on (${qi.mkString(", ")}): " +
+            s"${kRow.getLong(1)} of ${kRow.getLong(0)} classes below k=$k " +
+            s"(min class size ${kRow.getLong(2)})")
     }
   }
 }

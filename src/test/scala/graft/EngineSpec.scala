@@ -132,4 +132,23 @@ class EngineSpec extends SparkSpec {
     assertThrows[RuntimeException](Anonymize.run(spark,
       Array("--dryrun", "--rehearsal", "--data", data, "--out", out)))
   }
+
+  test("CLI --audit writes a k-anonymity/l-diversity report over a table") {
+    val out = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    Anonymize.run(spark, Array("--audit", "--data", "/root/testdata/sf0.001",
+      "--out", out, "--table", "customer",
+      "--qi", "c_nationkey,c_mktsegment", "--sensitive", "c_acctbal",
+      "--k", "3", "--l", "2"))
+    val report = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/${Anonymize.AuditReport}"))
+    // 150 customers over 25x5 QI classes: every metric present and sane
+    assert(report.contains("\"mode\":\"audit\""))
+    assert(report.contains("\"table\":\"customer\""))
+    assert(report.contains("\"nClasses\":") && report.contains("\"kAtRisk\":"))
+    assert(report.contains("\"minL\":"))
+    // unknown QI column fails loudly
+    assertThrows[RuntimeException](Anonymize.run(spark,
+      Array("--audit", "--data", "/root/testdata/sf0.001", "--out", out,
+        "--table", "customer", "--qi", "no_such_col")))
+  }
 }
