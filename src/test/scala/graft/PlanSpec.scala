@@ -45,6 +45,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial"), p.take(400))
   }
 
+  test("privacy audits are one partial+final aggregate; generalization " +
+      "broadcasts both dims") {
+    val k = plan("q_k_anonymity")
+    // one scan, map-side partial before the QI shuffle, plus only the
+    // presentation sort's exchange
+    assert("FileScan".r.findAllIn(k).length == 1)
+    assert(k.contains("partial"), k.take(400))
+    assert("Exchange".r.findAllIn(k).length == 2, k.take(400))
+    val g = plan("q_generalize")
+    assert("BroadcastHashJoin".r.findAllIn(g).length == 2, g.take(400))
+    // scan-local transforms: the date shift plans no exchange at all
+    // beyond its presentation sort
+    val d = plan("q_date_shift")
+    assert("Exchange".r.findAllIn(d).length == 1, d.take(400))
+  }
+
+  test("CountMin builds its cells with a map-side partial aggregate and " +
+      "broadcasts them into the estimate join") {
+    val p = plan("q_cms_freq")
+    assert(p.contains("partial"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
   test("anonymization and filter queries run inside whole-stage codegen") {
     // AQE prints codegen stage markers only once the adaptive plan is final
     for (name <- Seq("q_anonymize_full", "q_filter_pred")) {
