@@ -29,7 +29,10 @@ object Curation {
       textCol: String, n: Int): DataFrame = {
     // words projected separately: tokenize once per row, not per shingle
     // slot (see Dedup.shingles hot-path note)
-    val trainGrams = train
+    // repartition: the corpus-side shingle explode is CPU-bound, and a
+    // compact corpus read as one scan partition would run it in a single
+    // task (see Dedup.containmentPairs)
+    val trainGrams = Scale.spreadForCompute(train, col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
         explode(Dedup.shinglesFromWords(col("__words"), n)).as("gram"))
@@ -117,7 +120,8 @@ object Curation {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bitmap = bloomBuild(benchGrams, "gram", mBits, k)
-    val candidates = train
+    // repartition for the same single-scan-partition reason as contaminated
+    val candidates = Scale.spreadForCompute(train, col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
         explode(Dedup.shinglesFromWords(col("__words"), n)).as("gram"))
@@ -145,7 +149,9 @@ object Curation {
    */
   def boilerplateChunks(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame =
-    docs.select(col(idCol), split(col(textCol), "\\s+").as("__words"))
+    // repartition for the same single-scan-partition reason as contaminated
+    Scale.spreadForCompute(docs, col(idCol))
+      .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
         explode(chunksFromWords(col("__words"), w)).as("chunk"))
       .groupBy("chunk")
@@ -202,7 +208,9 @@ object Curation {
    * stopword-bigram skew) — no corpus-wide window, no driver state.
    */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val occ = docs
+    // repartition: the bigram explode feeds map-side partial aggregation,
+    // which otherwise runs single-task on a one-partition scan
+    val occ = Scale.spreadForCompute(docs, col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
       .select(col(idCol), explode(bigramsFromWords(col("__w"))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))

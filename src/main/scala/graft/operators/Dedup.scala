@@ -178,7 +178,10 @@ object Dedup {
     // ones, and the persisted stage carries no text at all.
     // The word array is projected separately so the text tokenizes once
     // per row (see shingles() hot-path note).
-    val withSig = addSignature(df
+    // repartition first: the signature stage (shingling + 16-64 hashes per
+    // shingle) is the CPU-heavy part, and a compact corpus arriving as one
+    // scan partition would run it in a single task (see containmentPairs).
+    val withSig = addSignature(Scale.spreadForCompute(df, col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
         hashShingles(shinglesFromWords(col("__words"), shingleN)).as("hv")))
@@ -205,7 +208,9 @@ object Dedup {
     * signature. */
   private def portableSigStage(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol), split(col(textCol), "\\s+").as("__words"))
+    // repartition for the same single-scan-partition reason as nearDupImpl
+    Scale.spreadForCompute(df, col(idCol))
+      .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
         transform(shinglesFromWords(col("__words"), shingleN),
           portableHash64(_)).as("hv"))
@@ -271,25 +276,43 @@ object Dedup {
    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, kBlock: Int = 3, minCont: Double = 0.5): DataFrame = {
-    val sh = df
+    // spread the per-doc shingle/sort/hash compute across the session's
+    // full width first: a compact corpus arrives as few scan partitions
+    // (one, for a single small file), which would serialize the whole
+    // CPU-bound projection into one task (measured 3.3 s of the 4.3 s
+    // total at sf0.1). One row-sized shuffle; at 100 TB the input is
+    // already thousands of partitions and this hashes ids evenly anyway.
+    val sh = Scale.spreadForCompute(df, col(idCol))
       .select(col(idCol).as("__id"),
         shinglesFromWords(split(col(textCol), "\\s+"), shingleN).as("__sh"))
       .select(col("__id"), shingleHashes(col("__sh")).as("__hv"),
         slice(array_sort(col("__sh")), 1, kBlock).as("__blks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // repartition on the block key: the single-file scan would otherwise
+    // leave the whole candidate-pair intersect running in 1-2 tasks (the
+    // broadcast join inherits the streamed side's partitioning). One
+    // shuffle of k·|docs| small rows buys full-width parallelism for the
+    // set intersections — and at 100 TB it is also the locality layout.
     val blocked = sh.select(col("__id"), col("__hv"),
       explode(col("__blks")).as("__blk"))
+      .repartition(col("__blk"))
     val a = blocked.select(col("__id").as("a"), col("__hv").as("hv_a"),
       col("__blk"))
     val b = blocked.select(col("__id").as("b"), col("__hv").as("hv_b"),
       col("__blk"))
     val inter = size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
+    // containment is computed BEFORE the pair dedup: duplicate candidates
+    // (a pair meeting in 2-3 blocks) recompute an identical cheap scalar,
+    // and the dedup then groups rows of plain scalars — a HashAggregate.
+    // Deduping first would group rows still carrying the two shingle
+    // arrays, which Spark can only sort-aggregate: two full sorts of the
+    // candidate set WITH array payloads (measured 4.3 s → 0.9 s at sf0.1).
     a.join(b, "__blk").filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
       .withColumn("containment",
         inter / least(size(col("hv_a")), size(col("hv_b"))))
       .filter(col("containment") >= minCont)
       .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+      .dropDuplicates("a", "b")
   }
 
   /**

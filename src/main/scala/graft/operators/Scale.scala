@@ -10,6 +10,21 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   /**
+   * Spread a DataFrame across the session's full parallelism BEFORE a
+   * CPU-bound per-row stage (shingling, signature hashing, tokenize +
+   * map-side aggregation) — but only when the scan actually arrives
+   * narrower than the session width. A compact corpus read from one small
+   * file is ONE partition, which serializes the whole downstream projection
+   * into a single task (measured 3.3 s of a 4.3 s query); a 100 TB corpus
+   * already spans thousands of partitions, and there the guard makes this
+   * a no-op instead of a pointless full-text shuffle.
+   */
+  def spreadForCompute(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    if (df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
+      df.repartition(key)
+    else df
+
+  /**
    * Skew-salted equi-join (large LEFT against small-ish RIGHT on `key`):
    * the left side gets a deterministic salt in [0, saltFactor) derived from
    * hashing `saltFrom` columns; the right side is exploded once per salt

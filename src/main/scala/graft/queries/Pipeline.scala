@@ -32,7 +32,10 @@ object Pipeline {
     * itself persists too — it feeds both union branches + every CC round.
     */
   private def nearDupEdges3(docs: DataFrame): DataFrame = {
-    val sh = docs
+    // repartition first: the shingle stage is CPU-bound, and the compact
+    // documents fixture arrives as ONE scan partition — without the spread
+    // the whole stage runs in a single task (see Dedup.containmentPairs).
+    val sh = Scale.spreadForCompute(docs, col("doc_id"))
       .select(col("doc_id"), split(col("text"), "\\s+").as("__words"))
       .select(col("doc_id"),
         Dedup.shinglesFromWords(col("__words"), 3).as("sh"))
@@ -269,7 +272,9 @@ object Pipeline {
       // vocabulary-sized, so the join broadcasts it — the corpus side
       // never reshuffles. N arrives via a broadcast one-row cross join
       // (no driver collect).
-      val tf = docs
+      // repartition before the tokenize: one scan partition would run the
+      // explode + map-side partial aggregation in a single task
+      val tf = Scale.spreadForCompute(docs, col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
