@@ -16,6 +16,16 @@ object TextAnalysis {
     size(split(text, "\\s+")).cast("long")
 
   /**
+   * Canonical text normalization — the cleaning stage ahead of
+   * fingerprinting/dedup: lowercase, non-alphanumerics to spaces,
+   * whitespace runs collapsed, ends trimmed. Three codegen'd regex passes,
+   * portable (same result in any POSIX-class regex engine).
+   */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), "\\s+", " "))
+
+  /**
    * Regex token count: word runs or single non-space punctuation — the
    * shape of a byte-pair-encoding pretokenizer's split.
    */

@@ -573,6 +573,46 @@ object Pipeline {
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10""")
     }),
+    // SQL surface: TPC-H Q5 shape — six-table star join with region filter
+    // and date-range pruning, revenue per nation. Exercises the SQL entry
+    // path over dimension broadcasts + a fact-fact join; all money math in
+    // exact decimals so the shuffle-order sum matches the oracle.
+    "q_sql_revenue" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      t(s, dir, "nation").createOrReplaceTempView("v_nation")
+      t(s, dir, "region").createOrReplaceTempView("v_region")
+      s.sql("""
+        SELECT n_name,
+          cast(sum(cast(l_extendedprice AS decimal(18,2))
+            * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+          count(*) AS n_items
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey
+          AND s_nationkey = c_nationkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")
+    }),
+    // L1 — text normalization (the cleaning stage ahead of dedup/dedup
+    // fingerprints): lowercase, strip non-alphanumerics, collapse runs of
+    // whitespace, trim. Scan-local codegen'd projection, zero shuffles.
+    "q_clean_text" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.cleanText(col("text")).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          length(col("clean")).cast("long").as("n_clean_chars"))
+        .orderBy("doc_id")
+    }),
     // A7 — embedding-cosine near-dup, exact pair scan (oracle-checked; the
     // LSH-bucketed scale path is Dedup.embeddingNearDupsLsh, test-asserted).
     "q_dedup_embed" -> ((s, dir) => {
@@ -785,6 +825,29 @@ object Pipeline {
            FROM documents)
          SELECT lang, count(DISTINCT token) AS n_exact, true AS within_5pct
          FROM tok GROUP BY lang ORDER BY lang""",
+    "q_sql_revenue" ->
+      """SELECT n_name,
+         cast(sum(cast(l_extendedprice AS decimal(18,2))
+           * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+         count(*) AS n_items
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+    "q_clean_text" ->
+      """SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           '\s+', ' ', 'g')) AS clean,
+         length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           '\s+', ' ', 'g'))) AS n_clean_chars
+         FROM documents ORDER BY doc_id""",
     "q_cms_freq" ->
       """WITH cells AS (
            SELECT row, bucket, count(*) AS n FROM (
