@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
  * [[decodeWav]] (RIFF/PCM-16 → per-frame RMS) and [[decodeBmp]] /
  * [[resizeBmp]] (24-bit BMP → luma features / nearest-neighbour resize)
  * are REAL codecs — both formats need only byte-buffer arithmetic, no
- * library; compressed formats (JPEG/MP3/H.264) remain behind the
- * clearly-marked deterministic [[decodeStub]] because their decode
- * libraries are not in this environment.
+ * library; [[decodeImage]] decodes genuinely COMPRESSED images (PNG,
+ * JPEG) through the JDK's own bundled `javax.imageio` codecs; only
+ * compressed audio/video (MP3/H.264) remains behind the clearly-marked
+ * deterministic [[decodeStub]], because the JDK bundles no decoder for
+ * those.
  *
  * Scale notes: payload bytes never reach the driver; metadata extraction is
  * scan-only column work; [[decodeStub]] uses mapPartitions so a real codec
@@ -254,15 +256,66 @@ object Multimodal {
     buf.array()
   }
 
+  /**
+   * REAL compressed-image decoder: PNG and JPEG readers ship inside every
+   * JDK (`javax.imageio` — zlib inflate for PNG, a full DCT pipeline for
+   * JPEG), so "no codec libraries in the container" does not apply to
+   * images: this decodes genuinely compressed payloads with zero external
+   * dependencies. Same features as [[decodeBmp]] (dimensions + mean
+   * Rec.601 luma), same mapPartitions batch contract; payloads ImageIO
+   * cannot decode (unknown magic, truncated streams) emit nothing —
+   * total, never throws. Headless-safe: BufferedImage needs no display.
+   *
+   * The remaining [[decodeStub]] now covers only compressed AUDIO/VIDEO
+   * (MP3/H.264), whose decoders the JDK does not bundle.
+   */
+  def decodeImage(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): Dataset[ImageStats] = {
+    implicit val enc = Encoders.product[ImageStats]
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeImageBytes(Option(payload).getOrElse(Array.emptyByteArray))
+            .map { case (w, h, luma) => ImageStats(id, w, h, luma) }
+            .iterator
+        }
+      }
+  }
+
+  /** ImageIO decode + mean Rec.601 luma; None when undecodable. */
+  private[graft] def decodeImageBytes(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y) // packed sRGB regardless of storage
+            sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+              0.114 * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, if (w * h == 0) 0.0 else sum / (w * h))
+      }
+    } catch { case _: Exception => None }
+
   /** One decoded "frame": deterministic fake features in place of pixels. */
   case class DecodedFrame(media_id: Long, frame_no: Int, feature: Double)
 
   /**
-   * STUB decoder. A real implementation would decode image/audio bytes and
-   * emit per-frame features; this environment has no codec libraries, so the
-   * stub derives a deterministic pseudo-feature from the payload bytes —
-   * keeping the interface, batching shape, and schema contract real and
-   * testable. Swap the body for an actual codec; the plan shape holds.
+   * STUB decoder for compressed AUDIO/VIDEO (MP3/H.264). A real
+   * implementation would decode the stream and emit per-frame features;
+   * the JDK bundles no such codecs and this environment has no external
+   * ones, so the stub derives a deterministic pseudo-feature from the
+   * payload bytes — keeping the interface, batching shape, and schema
+   * contract real and testable. Swap the body for an actual codec; the
+   * plan shape holds. (Images do NOT need this stub — see [[decodeImage]].)
    */
   def decodeStub(df: DataFrame, framesPerItem: Int = 4,
       idCol: String = "media_id", payloadCol: String = "payload"): Dataset[DecodedFrame] = {

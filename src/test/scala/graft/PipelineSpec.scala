@@ -421,4 +421,40 @@ class MultimodalSpec extends SparkSpec {
     assert(one.width == 1 && one.height == 1)
     assert(math.abs(one.mean_luma - 0.299 * 255) < 1e-9) // the red pixel
   }
+
+  test("decodeImage: REAL compressed decode via the JDK's bundled PNG/JPEG codecs") {
+    import java.awt.image.BufferedImage
+    // 2×2 image with known pixels, encoded to genuinely-compressed bytes
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = encode("png")
+    val jpg = encode("jpg")
+    // PNG really is compressed/filtered — not a raw pixel dump
+    assert(!png.sameElements(jpg))
+    assert(png.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, png, "image/png", 2, 2),
+        Row(2L, jpg, "image/jpeg", 2, 2),
+        Row(3L, "definitely not an image, but long enough to look like one"
+          .getBytes("UTF-8"), "image/png", null, null)),
+      Multimodal.mediaSchema)
+    val stats = Multimodal.decodeImage(df).collect()
+      .map(s => s.media_id -> s).toMap
+    assert(stats.keySet == Set(1L, 2L)) // junk emits nothing, never throws
+    val want = (0.299 * 255 + 0.587 * 255 + 0.114 * 255 + 255.0) / 4
+    // PNG is lossless: exact luma law, exact dimensions
+    assert(stats(1L).width == 2 && stats(1L).height == 2)
+    assert(math.abs(stats(1L).mean_luma - want) < 1e-9)
+    // JPEG is lossy: same dimensions, luma within DCT quantization error
+    assert(stats(2L).width == 2 && stats(2L).height == 2)
+    assert(math.abs(stats(2L).mean_luma - want) < 40.0,
+      s"jpeg luma ${stats(2L).mean_luma} vs $want")
+  }
 }
