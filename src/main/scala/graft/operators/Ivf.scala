@@ -37,6 +37,10 @@ object Ivf {
    */
   def nearestCentroid(emb: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    // no centroids (empty corpus): every assignment is NULL — downstream
+    // joins/filters then produce empty results instead of failing analysis
+    // on an untyped empty array
+    if (centroids.isEmpty) return lit(null).cast("int")
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(rankKey(emb, c).as("d"), lit(i).as("i"))
     }
@@ -46,6 +50,7 @@ object Ivf {
   /** `nprobe` nearest centroid ids for a query vector, as an array column. */
   def probeList(emb: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]], nprobe: Int): org.apache.spark.sql.Column = {
+    if (centroids.isEmpty) return typedLit(Seq.empty[Int])
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(rankKey(emb, c).as("d"), lit(i).as("i"))
     }
@@ -68,6 +73,7 @@ object Ivf {
       var centroids: Seq[Seq[Double]] = vecs.orderBy(col(idCol)).limit(k)
         .select(col(embCol)).collect().toSeq
         .map(_.getSeq[Double](0).toSeq)
+      if (centroids.isEmpty) return Seq.empty // empty corpus: nothing to train
       val dim = centroids.head.length
       for (_ <- 0 until iters) {
         val assigned = vecs.withColumn("__c", nearestCentroid(col(embCol), centroids))

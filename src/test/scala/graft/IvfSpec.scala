@@ -13,6 +13,14 @@ class IvfSpec extends SparkSpec {
     .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
   private lazy val centroids = Ivf.train(emb, "vec_id", "emb", k = 8, iters = 2)
 
+  test("empty corpus: train yields no centroids and topK yields no rows, no errors") {
+    val empty = emb.filter(col("vec_id") < 0)
+    val c = Ivf.train(empty, "vec_id", "emb", k = 8, iters = 2)
+    assert(c.isEmpty)
+    assert(Ivf.assign(empty, "emb", c).count() == 0)
+    assert(Ivf.topK(empty, qs.limit(0), c, k = 5, nprobe = 2).count() == 0)
+  }
+
   test("training yields k centroids of the right dimension, deterministically seeded") {
     assert(centroids.length == 8)
     assert(centroids.forall(_.length == 64))
