@@ -169,6 +169,27 @@ object Scale {
   }
 
   /**
+   * Order-independent, engine-portable table checksum: per row, the 56-bit
+   * portable hash of the '|'-joined column renderings (NULL → a sentinel no
+   * value can produce), summed as decimal(38,0) — commutative, so ANY
+   * partitioning/ordering of the same rows gives the same digest, and any
+   * engine with md5 reproduces it. The migration/anonymization validation
+   * primitive: checksum source and copy (or pre/post-anonymization on the
+   * KEEP columns) and compare two scalars instead of shipping 100 TB twice.
+   * One scan + a partial-aggregating sum; nothing but the digest moves.
+   */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // null-flag prefix keeps the rendering injective: NULL -> "0", value v
+    // -> "1"+v, so no real string value can collide with the null encoding
+    val rendered = cols.map(c =>
+      when(col(c).isNull, lit("0"))
+        .otherwise(concat(lit("1"), col(c).cast("string"))))
+    val rowHash = conv(substring(md5(concat_ws("|", rendered: _*)), 1, 14), 16, 10)
+      .cast("decimal(38,0)")
+    df.agg(sum(rowHash).as("checksum"), count(lit(1)).as("n_rows"))
+  }
+
+  /**
    * Distributed column profile in long format: per column — non-null count,
    * exact distinct count, min/max rendered as strings (one uniform row
    * type). The engine-side big brother of the reference's configGen sample

@@ -311,6 +311,21 @@ object Relational {
           (abs(col("approx") - col("exact_parts")) <
             col("exact_parts").cast("double") * 0.05).as("within_5pct"))
     }),
+    // Ops — order-independent portable table checksum: migration /
+    // anonymization validation by comparing two scalars instead of two
+    // copies of the data. Row hashes from the portable md5 family summed
+    // as decimal(38,0) (commutative ⇒ partitioning-independent); doubles
+    // enter through their exact decimal rendering so both engines hash
+    // identical bytes.
+    "q_checksum" -> ((s, dir) => {
+      graft.operators.Scale.tableChecksum(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_linestatus"), dec2(col("l_extendedprice")).as("price")),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "price"))
+        .orderBy("checksum")
+    }),
     // A4 — approximate percentile (GK sketch), oracle-checked the same
     // verdict way. Money is centified through decimal first (double*100
     // would truncate 0.99999-cents), so the exact median interpolates
@@ -687,6 +702,20 @@ object Relational {
     "q_agg_approx" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, true AS within_5pct
          FROM lineitem ORDER BY exact_parts""",
+    "q_checksum" ->
+      """WITH r AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+             cast(l_extendedprice AS DECIMAL(18,2)) AS price
+           FROM lineitem)
+         SELECT cast(sum(('0x' || substring(md5(concat_ws('|',
+             CASE WHEN l_orderkey IS NULL THEN '0' ELSE '1' || cast(l_orderkey AS VARCHAR) END,
+             CASE WHEN l_linenumber IS NULL THEN '0' ELSE '1' || cast(l_linenumber AS VARCHAR) END,
+             CASE WHEN l_returnflag IS NULL THEN '0' ELSE '1' || l_returnflag END,
+             CASE WHEN l_linestatus IS NULL THEN '0' ELSE '1' || l_linestatus END,
+             CASE WHEN price IS NULL THEN '0' ELSE '1' || cast(price AS VARCHAR) END
+           )), 1, 14))::BIGINT) AS DECIMAL(38,0)) AS checksum,
+           count(*) AS n_rows
+         FROM r ORDER BY checksum""",
     "q_agg_approx_pct" ->
       """SELECT quantile_cont(cast(cast(l_extendedprice AS decimal(18,2))
                 * 100 AS BIGINT), 0.5) AS exact_med_cents,

@@ -172,6 +172,9 @@ class PlanSpec extends SparkSpec {
       // two one-row audit summaries over the already-aggregated 125-class
       // tables — both single-partition stages see scalars, not data.
       "q_agg_approx_pct", "q_privacy_report",
+      // q_checksum's digest is one row summed from distributed partials —
+      // the single-partition stage receives per-partition scalars only
+      "q_checksum",
       // connectedComponents sizes its iteration shuffle width to the edge
       // count (1 partition per ~5M edges): at test scale that is a single
       // partition by design; at 100 TB it is the session width.

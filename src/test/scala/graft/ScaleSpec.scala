@@ -24,6 +24,25 @@ class ScaleSpec extends SparkSpec {
     assert(salted.length == 91)
   }
 
+  test("tableChecksum: partitioning-invariant, null-safe, change-sensitive") {
+    import graft.operators.Scale
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("id", "v")
+    def digest(d: org.apache.spark.sql.DataFrame) =
+      Scale.tableChecksum(d, Seq("id", "v")).head()
+    val base = digest(df)
+    // same rows, any layout/order → same digest
+    assert(digest(df.repartition(7)) == base)
+    assert(digest(df.orderBy(col("id").desc)) == base)
+    // a changed value changes the digest; null vs "0" rendering cannot
+    // collide (the flag prefix keeps the encoding injective)
+    assert(digest(df.withColumn("v",
+      when(col("id") === 3, "x").otherwise(col("v")))) != base)
+    assert(digest(Seq((1L, Some("a")), (2L, Some("0")), (3L, Some("c")))
+      .toDF("id", "v")) != base)
+  }
+
   test("saltedCountDistinct equals the plain COUNT(DISTINCT) on skewed data") {
     import spark.implicits._
     // hot key 1 holds 200 values with repeats; key 2 small; key 3 all dups
