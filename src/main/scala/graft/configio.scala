@@ -284,6 +284,17 @@ object ConfigIO {
    * shapes written from `src/main.ts:87-92,118-123`). `totalKey` is
    * totalRowsEstimated for dryrun, totalRowsApplied for apply.
    */
+  /** Post-apply integrity report: per-table digests of the untouched
+    * columns, identical between source and written output (verified before
+    * this is written — a mismatch throws instead). */
+  def writeValidationReport(path: String, digests: Map[String, String]): Unit = {
+    val json = toJson(Map(
+      "mode" -> "validate",
+      "untouchedDigests" -> scala.collection.immutable.ListMap(
+        digests.toSeq.sortBy(_._1): _*)))
+    Files.writeString(Paths.get(path), json)
+  }
+
   /** Privacy-audit report sink (no reference analogue — the audit surface
     * the reference's masking pipeline lacks; see operators/Privacy.scala). */
   def writeAuditReport(path: String, table: String, qi: Seq[String],
@@ -318,7 +329,7 @@ object ConfigIO {
  *
  *   graft.Anonymize --configGen --data /root/testdata/sf0.001 --out /tmp/x
  *   graft.Anonymize --dryrun    --data ... --out ... [--config path.yaml] [--rehearse]
- *   graft.Anonymize --apply     --data ... --out ... [--config path.yaml]
+ *   graft.Anonymize --apply     --data ... --out ... [--config path.yaml] [--validate]
  *   graft.Anonymize --audit     --data ... --out ... --table t --qi a,b
  *                               [--sensitive col] [--k 8] [--l 4]
  *
@@ -333,11 +344,12 @@ object Anonymize {
   val DryrunReport = "anonymize.dryrun.report.json"
   val ApplyReport = "anonymize.apply.report.json"
   val AuditReport = "anonymize.audit.report.json"
+  val ValidateReport = "anonymize.validate.report.json"
 
   private val valueFlags = Set("--data", "--out", "--config",
     "--table", "--qi", "--sensitive", "--k", "--l")
   private val boolFlags = Set("--configGen", "--dryrun", "--apply",
-    "--rehearse", "--audit")
+    "--rehearse", "--audit", "--validate")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -401,6 +413,16 @@ object Anonymize {
           ConfigIO.writeReport(s"$outDir/$ApplyReport", "apply", plan,
             counts, "totalRowsApplied")
           println(s"Total rows applied: ${Engine.totalRows(counts)}")
+          if (args.contains("--validate")) {
+            // prove the transform left every untouched column byte-identical
+            // (order-independent checksums; a mismatch throws before the
+            // report is written)
+            val digests = Engine.validateApply(plan, catalog, s"$outDir/anonymized")
+            ConfigIO.writeValidationReport(
+              s"$outDir/$ValidateReport", digests)
+            println(s"Integrity validated: ${digests.size} table(s), " +
+              "untouched columns byte-identical")
+          }
         case "audit" =>
           // Post-release privacy audit: "is this (anonymized) output
           // actually safe?" — k-anonymity over the declared quasi-

@@ -173,4 +173,41 @@ object Engine {
 
   /** Driver-side total, as the reference's report sums (`main.ts:80-83`). */
   def totalRows(counts: Map[String, Long]): Long = counts.values.sum
+
+  /** Columns of `df` the plan leaves byte-identical: everything except the
+    * planned columns whose effective strategy still transforms. */
+  def untouchedColumns(df: DataFrame, planned: Seq[PlannedColumn]): Seq[String] = {
+    val transformed = effective(df, planned).collect {
+      case (p, eff) if isTransforming(eff) => p.column
+    }.toSet
+    df.schema.fieldNames.toSeq.filterNot(transformed)
+  }
+
+  /**
+   * Post-apply integrity validation: for each written table, the
+   * order-independent checksum (see [[graft.operators.Scale.tableChecksum]])
+   * of the UNTOUCHED columns must match between source and output — the
+   * transform may not corrupt what it was not asked to change. Throws on
+   * the first mismatch; returns per-table digests for the report. Two
+   * scans per table (source + written output), each reduced to one scalar
+   * row — nothing but digests reach the driver, so validating a 100 TB
+   * apply costs bandwidth, not memory.
+   */
+  def validateApply(plan: Plan, catalog: Map[String, DataFrame],
+      outDir: String): Map[String, String] =
+    inParallel(plan.tables.filter(pt => !isNoop(dfFor(catalog, pt), pt.columns))) { pt =>
+      val src = dfFor(catalog, pt)
+      val cols = untouchedColumns(src, pt.columns)
+      val out = src.sparkSession.read
+        .parquet(s"$outDir/${pt.table.replace('.', '_')}")
+      def digest(df: DataFrame): String =
+        graft.operators.Scale.tableChecksum(df, cols).head() match {
+          case r => s"${r.get(0)}:${r.getLong(1)}"
+        }
+      val (a, b) = (digest(src), digest(out))
+      if (a != b) throw new IllegalStateException(
+        s"integrity check failed for ${pt.table}: untouched columns " +
+          s"${cols.mkString(",")} changed ($a -> $b)")
+      pt.table -> a
+    }.toMap
 }

@@ -133,6 +133,26 @@ class EngineSpec extends SparkSpec {
       Array("--dryrun", "--rehearsal", "--data", data, "--out", out)))
   }
 
+  test("validateApply proves untouched columns survived; catches corruption") {
+    val out = java.nio.file.Files.createTempDirectory("graft-validate").toString
+    val plan = Plan("t", Seq(PlannedTable("public.c", "public", "c",
+      Seq(PlannedColumn("name", Strategy.HashSha256)))))
+    val catalog = Map("c" -> customers)
+    Engine.apply(plan, catalog, out)
+    // untouched columns = everything but the hashed "name"
+    assert(Engine.untouchedColumns(customers, plan.tables.head.columns) ==
+      customers.columns.toSeq.filterNot(_ == "name"))
+    val digests = Engine.validateApply(plan, catalog, out)
+    assert(digests.keySet == Set("public.c"))
+    // corrupt an untouched column in the written output → loud failure
+    val broken = spark.read.parquet(s"$out/public_c")
+      .withColumn("id", org.apache.spark.sql.functions.col("id") + 1)
+    broken.write.mode("overwrite").parquet(s"$out/tmp_broken")
+    spark.read.parquet(s"$out/tmp_broken").write.mode("overwrite")
+      .parquet(s"$out/public_c")
+    assertThrows[Exception](Engine.validateApply(plan, catalog, out))
+  }
+
   test("CLI --audit writes a k-anonymity/l-diversity report over a table") {
     val out = java.nio.file.Files.createTempDirectory("graft-audit").toString
     Anonymize.run(spark, Array("--audit", "--data", "/root/testdata/sf0.001",
