@@ -32,7 +32,8 @@ object Curation {
     // repartition: the corpus-side shingle explode is CPU-bound, and a
     // compact corpus read as one scan partition would run it in a single
     // task (see Dedup.containmentPairs)
-    val trainGrams = Scale.spreadForCompute(train, col(idCol))
+    val trainGrams = Scale.spreadForCompute(
+      train.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
         explode(Dedup.shinglesFromWords(col("__words"), n)).as("gram"))
@@ -121,7 +122,8 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bitmap = bloomBuild(benchGrams, "gram", mBits, k)
     // repartition for the same single-scan-partition reason as contaminated
-    val candidates = Scale.spreadForCompute(train, col(idCol))
+    val candidates = Scale.spreadForCompute(
+      train.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
         explode(Dedup.shinglesFromWords(col("__words"), n)).as("gram"))
@@ -150,7 +152,7 @@ object Curation {
   def boilerplateChunks(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame =
     // repartition for the same single-scan-partition reason as contaminated
-    Scale.spreadForCompute(docs, col(idCol))
+    Scale.spreadForCompute(docs.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
         explode(chunksFromWords(col("__words"), w)).as("chunk"))

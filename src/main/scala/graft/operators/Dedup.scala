@@ -178,10 +178,14 @@ object Dedup {
     // ones, and the persisted stage carries no text at all.
     // The word array is projected separately so the text tokenizes once
     // per row (see shingles() hot-path note).
+    // Null-text rows are excluded up front: the shingle transform would
+    // otherwise emit one "" shingle for them (concat_ws swallows NULLs),
+    // silently making all null-text docs near-duplicates of each other.
     // repartition first: the signature stage (shingling + 16-64 hashes per
     // shingle) is the CPU-heavy part, and a compact corpus arriving as one
     // scan partition would run it in a single task (see containmentPairs).
-    val withSig = addSignature(Scale.spreadForCompute(df, col(idCol))
+    val withSig = addSignature(Scale.spreadForCompute(
+      df.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
         hashShingles(shinglesFromWords(col("__words"), shingleN)).as("hv")))
@@ -209,7 +213,7 @@ object Dedup {
   private def portableSigStage(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame =
     // repartition for the same single-scan-partition reason as nearDupImpl
-    Scale.spreadForCompute(df, col(idCol))
+    Scale.spreadForCompute(df.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
         transform(shinglesFromWords(col("__words"), shingleN),
@@ -282,7 +286,7 @@ object Dedup {
     // CPU-bound projection into one task (measured 3.3 s of the 4.3 s
     // total at sf0.1). One row-sized shuffle; at 100 TB the input is
     // already thousands of partitions and this hashes ids evenly anyway.
-    val sh = Scale.spreadForCompute(df, col(idCol))
+    val sh = Scale.spreadForCompute(df.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol).as("__id"),
         shinglesFromWords(split(col(textCol), "\\s+"), shingleN).as("__sh"))
       .select(col("__id"), shingleHashes(col("__sh")).as("__hv"),

@@ -35,7 +35,8 @@ object Pipeline {
     // repartition first: the shingle stage is CPU-bound, and the compact
     // documents fixture arrives as ONE scan partition — without the spread
     // the whole stage runs in a single task (see Dedup.containmentPairs).
-    val sh = Scale.spreadForCompute(docs, col("doc_id"))
+    val sh = Scale.spreadForCompute(docs.filter(col("text").isNotNull),
+        col("doc_id"))
       .select(col("doc_id"), split(col("text"), "\\s+").as("__words"))
       .select(col("doc_id"),
         Dedup.shinglesFromWords(col("__words"), 3).as("sh"))
@@ -241,6 +242,27 @@ object Pipeline {
             size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
+    }),
+    // L1 — n-gram novelty: the fraction of a doc's distinct 3-grams found
+    // in NO other document — the inverse memorization-risk signal (high
+    // novelty = unique content worth keeping; low = boilerplate/duplicated
+    // phrasing). One tokenize pass, a gram-document-frequency hash
+    // aggregate, one shuffle join back; ratios are int/int divisions so
+    // both engines produce identical doubles.
+    "q_novelty" -> ((s, dir) => {
+      val g = Scale.spreadForCompute(
+        t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), split(col("text"), "\\s+").as("__words"))
+        .select(col("doc_id"),
+          explode(Dedup.shinglesFromWords(col("__words"), 3)).as("gram"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gramDocs = g.groupBy("gram").agg(count(lit(1)).as("nd"))
+      g.join(gramDocs, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          round(sum(when(col("nd") === 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("novelty"))
+        .orderBy("doc_id")
     }),
     // A7 — containment near-dups: |A∩B| / min(|A|,|B|) over shingle sets,
     // the asymmetric measure that catches quote/subset relations (high
@@ -1036,6 +1058,18 @@ object Pipeline {
            FROM s x JOIN s y
              ON x.lang = y.lang AND x.n_chars = y.n_chars AND x.doc_id < y.doc_id)
          ORDER BY a, b""",
+    "q_novelty" ->
+      """WITH g AS (
+           SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' ')))) AS gram
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                 FROM documents)),
+         d AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+         SELECT doc_id, count(*) AS n_grams,
+           round(cast(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS double)
+             / count(*), 6) AS novelty
+         FROM g JOIN d USING (gram) GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_contain" ->
       """WITH s AS (
            SELECT doc_id,

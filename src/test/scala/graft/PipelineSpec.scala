@@ -124,6 +124,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
   }
 
+  test("null-text docs are excluded from shingle dedup, not paired together") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val out = Dedup.nearDuplicatesPortable(
+      docs((1L, base), (2L, base), (3L, null), (4L, null)),
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the real dup pair survives; the two null docs do NOT become a pair
+    // (concat_ws would otherwise give them identical "" shingles)
+    assert(out == Set((1L, 2L)))
+    val cont = Dedup.containmentPairs(
+      docs((1L, base), (3L, null), (4L, null)), "doc_id", "text")
+      .collect()
+    assert(cont.isEmpty)
+  }
+
   test("containmentPairs scores an embedded quote ~1.0 where Jaccard stays low") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
