@@ -409,8 +409,10 @@ object Relational {
           sum(col("l_quantity") * col("l_quantity")).as("s2"))
         .select(col("l_returnflag"), col("n"),
           (col("s1") / col("n")).as("mean_qty"),
-          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-            .as("var_qty"))
+          // nullif guards the singleton-group case: sample variance of one
+          // row is NULL (var_samp semantics), not an ANSI divide-by-zero
+          ((col("s2") - col("s1") * col("s1") / col("n")) /
+            nullif(col("n") - 1, lit(0))).as("var_qty"))
         .orderBy("l_returnflag")
     }),
     // A3 — correlation/covariance + boolean aggregates: native one-pass
@@ -805,7 +807,7 @@ object Relational {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_stats" ->
       """SELECT l_returnflag, n, s1 / n AS mean_qty,
-         (s2 - s1 * s1 / n) / (n - 1) AS var_qty
+         (s2 - s1 * s1 / n) / nullif(n - 1, 0) AS var_qty
          FROM (SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS s1,
                sum(l_quantity * l_quantity) AS s2
                FROM lineitem GROUP BY l_returnflag)
