@@ -155,6 +155,30 @@ class PlanSpec extends SparkSpec {
       ev.filter(col("event_type") === "click").count())
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    queries.Q.t(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real scan with a surviving filter — a local
+    // relation would constant-fold the predicate away and DPP would see
+    // nothing to derive the pruning subquery from
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("click", 1), ("view", 2), ("purchase", 3))
+      .toDF("event_type", "type_id")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    // the partition filter is only knowable AFTER the dim filter runs —
+    // DPP injects it at runtime, so a 100 TB fact scans one partition
+    // instead of all of them
+    val joined = fact.join(dim.filter(col("type_id") === 1), "event_type")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(800))
+    assert(joined.count() ==
+      fact.filter(col("event_type") === "click").count())
+  }
+
   test("no query funnels data through a single partition unnecessarily") {
     // Global top-k/limit and grand-total aggregates legitimately gather to
     // one partition at the END (on already-reduced data); anything else
