@@ -550,6 +550,17 @@ object Relational {
         .filter(col("rn") <= 5)
         .orderBy("c_nationkey", "rn")
     }),
+    // W3 — distribution window functions: percent_rank and cume_dist per
+    // nation (rank-ratio doubles of exact integers — bit-identical in any
+    // engine).
+    "q_window_dist" -> ((s, dir) => {
+      val byBal = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(percent_rank().over(byBal), 6).as("pr"),
+          round(cume_dist().over(byBal), 6).as("cd"))
+        .orderBy("c_custkey")
+    }),
     // W4 — analytic window with an explicit frame: running spend + lag.
     "q_window_frame" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -916,6 +927,13 @@ object Relational {
              dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
            FROM customer)
          WHERE rn <= 5 ORDER BY c_nationkey, rn""",
+    "q_window_dist" ->
+      """SELECT c_custkey, c_nationkey,
+         round(percent_rank() OVER (PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC), 6) AS pr,
+         round(cume_dist() OVER (PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC), 6) AS cd
+         FROM customer ORDER BY c_custkey""",
     "q_window_frame" ->
       """SELECT o_custkey, o_orderkey,
          cast(sum(cast(o_totalprice AS decimal(18,2))) OVER (
