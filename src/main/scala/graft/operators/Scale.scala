@@ -177,6 +177,9 @@ object Scale {
    * primitive: checksum source and copy (or pre/post-anonymization on the
    * KEEP columns) and compare two scalars instead of shipping 100 TB twice.
    * One scan + a partial-aggregating sum; nothing but the digest moves.
+   * Additively mergeable like [[mergeCounts]]: checksum(A ∪ B) =
+   * checksum(A) + checksum(B), so per-shard / per-day digests maintain a
+   * corpus digest incrementally without rescanning history.
    */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     // null-flag prefix keeps the rendering injective: NULL -> "0", value v

@@ -41,6 +41,11 @@ class ScaleSpec extends SparkSpec {
       when(col("id") === 3, "x").otherwise(col("v")))) != base)
     assert(digest(Seq((1L, Some("a")), (2L, Some("0")), (3L, Some("c")))
       .toDF("id", "v")) != base)
+    // additively mergeable: shard digests sum to the whole corpus digest
+    val (a, b) = (df.filter(col("id") <= 1), df.filter(col("id") > 1))
+    val (da, db) = (digest(a), digest(b))
+    assert(da.getDecimal(0).add(db.getDecimal(0)) == base.getDecimal(0))
+    assert(da.getLong(1) + db.getLong(1) == base.getLong(1))
   }
 
   test("saltedCountDistinct equals the plain COUNT(DISTINCT) on skewed data") {
