@@ -279,11 +279,6 @@ object ConfigIO {
         Map("column" -> pc.column, "strategy" -> pc.strategy.name) ++
           pc.params.n.map(n => "params" -> Map("n" -> n))))))
 
-  /**
-   * JSON run report (reference `src/reporting/report-writer.ts:3-5` with the
-   * shapes written from `src/main.ts:87-92,118-123`). `totalKey` is
-   * totalRowsEstimated for dryrun, totalRowsApplied for apply.
-   */
   /** Post-apply integrity report: per-table digests of the untouched
     * columns, identical between source and written output (verified before
     * this is written — a mismatch throws instead). */
@@ -308,6 +303,11 @@ object ConfigIO {
     Files.writeString(Paths.get(path), json)
   }
 
+  /**
+   * JSON run report (reference `src/reporting/report-writer.ts:3-5` with the
+   * shapes written from `src/main.ts:87-92,118-123`). `totalKey` is
+   * totalRowsEstimated for dryrun, totalRowsApplied for apply.
+   */
   def writeReport(path: String, mode: String, plan: Plan,
       updatedByTable: Map[String, Long], totalKey: String): Unit = {
     // ListMap keeps the sorted key order through toJson (a plain Map of 5+
@@ -376,6 +376,20 @@ object Anonymize {
       sys.error(
         "exactly one mode required: --configGen | --dryrun | --apply | --audit")
     val mode = modes.head.drop(2)
+    // Per-mode flag scoping, for the same reason unknown flags fail: a
+    // flag accepted-but-ignored (--validate on a dryrun, --qi on an apply)
+    // would let the user believe a safeguard or scope was armed when it
+    // was not.
+    val common = Set("--data", "--out", "--config", modes.head)
+    val allowedByMode = Map(
+      "configGen" -> common,
+      "dryrun" -> (common + "--rehearse"),
+      "apply" -> (common + "--validate"),
+      "audit" -> (common ++ Set("--table", "--qi", "--sensitive", "--k", "--l")))
+    val outOfScope = args.filter(_.startsWith("--"))
+      .filterNot(allowedByMode(mode))
+    if (outOfScope.nonEmpty)
+      sys.error(s"flag(s) not applicable to --$mode: ${outOfScope.mkString(" ")}")
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
     val dataDir = opt("--data").getOrElse(sys.error("--data <parquetDir> required"))
@@ -430,7 +444,7 @@ object Anonymize {
           // named. Two hash aggregates; only one-row summaries reach the
           // driver. Point --data at an `anonymized/` directory to audit
           // what apply produced, or at the source to audit the raw risk.
-          import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
+          import org.apache.spark.sql.functions.{coalesce, col, count, lit, min, sum, when}
           val table = opt("--table")
             .getOrElse(sys.error("--audit requires --table <name>"))
           val qi = opt("--qi")
@@ -444,10 +458,14 @@ object Anonymize {
           if (missing.nonEmpty)
             sys.error(s"quasi-identifier column(s) not in $table: " +
               missing.mkString(", "))
+          // coalesce: sum/min aggregate to NULL over an EMPTY table (an
+          // empty anonymized output is a legitimate audit target) — report
+          // zeros, not an opaque NullPointerException
           val kRow = operators.Privacy.kAnonymity(df, qi, k)
             .agg(count(lit(1)).as("n_classes"),
-              sum(when(col("at_risk"), 1L).otherwise(0L)).as("k_at_risk"),
-              min(col("n")).as("min_class_size")).head()
+              coalesce(sum(when(col("at_risk"), 1L).otherwise(0L)), lit(0L))
+                .as("k_at_risk"),
+              coalesce(min(col("n")), lit(0L)).as("min_class_size")).head()
           val base = Map[String, Any]("k" -> k,
             "nClasses" -> kRow.getLong(0), "kAtRisk" -> kRow.getLong(1),
             "minClassSize" -> kRow.getLong(2))
@@ -456,8 +474,9 @@ object Anonymize {
               if (!df.columns.contains(s))
                 sys.error(s"sensitive column not in $table: $s")
               val lRow = operators.Privacy.lDiversity(df, qi, col(s), l)
-                .agg(sum(when(col("at_risk"), 1L).otherwise(0L)).as("l_at_risk"),
-                  min(col("l_distinct")).as("min_l")).head()
+                .agg(coalesce(sum(when(col("at_risk"), 1L).otherwise(0L)),
+                    lit(0L)).as("l_at_risk"),
+                  coalesce(min(col("l_distinct")), lit(0L)).as("min_l")).head()
               base ++ Map[String, Any]("l" -> l, "sensitive" -> s,
                 "lAtRisk" -> lRow.getLong(0), "minL" -> lRow.getLong(1))
             case None => base

@@ -301,7 +301,9 @@ object Multimodal {
           }
           y += 1
         }
-        (w, h, if (w * h == 0) 0.0 else sum / (w * h))
+        // long product: a 2^31+-pixel image would wrap an Int w*h and
+        // silently return garbage luma
+        (w, h, if (w.toLong * h == 0L) 0.0 else sum / (w.toLong * h))
       }
     } catch { case _: Exception => None }
 

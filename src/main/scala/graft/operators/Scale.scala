@@ -182,11 +182,16 @@ object Scale {
    * corpus digest incrementally without rescanning history.
    */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
-    // null-flag prefix keeps the rendering injective: NULL -> "0", value v
-    // -> "1"+v, so no real string value can collide with the null encoding
-    val rendered = cols.map(c =>
+    // Injective row rendering: NULL -> "0"; value v -> "1" + len(v) + ":"
+    // + v. The length prefix makes field boundaries unambiguous — without
+    // it, ("a|1b","c") and ("a","b|1c") would concatenate identically and
+    // a corruption that shifts bytes between adjacent columns would pass
+    // validation.
+    val rendered = cols.map { c =>
+      val v = col(c).cast("string")
       when(col(c).isNull, lit("0"))
-        .otherwise(concat(lit("1"), col(c).cast("string"))))
+        .otherwise(concat(lit("1"), length(v).cast("string"), lit(":"), v))
+    }
     val rowHash = conv(substring(md5(concat_ws("|", rendered: _*)), 1, 14), 16, 10)
       .cast("decimal(38,0)")
     df.agg(sum(rowHash).as("checksum"), count(lit(1)).as("n_rows"))

@@ -251,7 +251,7 @@ object Pipeline {
     // both engines produce identical doubles.
     "q_novelty" -> ((s, dir) => {
       val g = Scale.spreadForCompute(
-        t(s, dir, "documents"), col("doc_id"))
+        t(s, dir, "documents").filter(col("text").isNotNull), col("doc_id"))
         .select(col("doc_id"), split(col("text"), "\\s+").as("__words"))
         .select(col("doc_id"),
           explode(Dedup.shinglesFromWords(col("__words"), 3)).as("gram"))
@@ -1142,7 +1142,8 @@ object Pipeline {
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS w
            FROM documents),
-         nums AS (SELECT unnest(generate_series(0, 63)) AS chunk_id)
+         nums AS (SELECT unnest(generate_series(0,
+           (SELECT coalesce(max((len(w) - 1) // 40), 0) FROM t))) AS chunk_id)
          SELECT doc_id, chunk_id,
            len(w[(chunk_id * 40 + 1):(chunk_id * 40 + 50)]) AS n_chunk_tokens,
            array_to_string(w[(chunk_id * 40 + 1):(chunk_id * 40 + 50)], ' ')

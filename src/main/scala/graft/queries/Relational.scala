@@ -721,11 +721,11 @@ object Relational {
              cast(l_extendedprice AS DECIMAL(18,2)) AS price
            FROM lineitem)
          SELECT cast(sum(('0x' || substring(md5(concat_ws('|',
-             CASE WHEN l_orderkey IS NULL THEN '0' ELSE '1' || cast(l_orderkey AS VARCHAR) END,
-             CASE WHEN l_linenumber IS NULL THEN '0' ELSE '1' || cast(l_linenumber AS VARCHAR) END,
-             CASE WHEN l_returnflag IS NULL THEN '0' ELSE '1' || l_returnflag END,
-             CASE WHEN l_linestatus IS NULL THEN '0' ELSE '1' || l_linestatus END,
-             CASE WHEN price IS NULL THEN '0' ELSE '1' || cast(price AS VARCHAR) END
+             CASE WHEN l_orderkey IS NULL THEN '0' ELSE '1' || length(cast(l_orderkey AS VARCHAR)) || ':' || cast(l_orderkey AS VARCHAR) END,
+             CASE WHEN l_linenumber IS NULL THEN '0' ELSE '1' || length(cast(l_linenumber AS VARCHAR)) || ':' || cast(l_linenumber AS VARCHAR) END,
+             CASE WHEN l_returnflag IS NULL THEN '0' ELSE '1' || length(l_returnflag) || ':' || l_returnflag END,
+             CASE WHEN l_linestatus IS NULL THEN '0' ELSE '1' || length(l_linestatus) || ':' || l_linestatus END,
+             CASE WHEN price IS NULL THEN '0' ELSE '1' || length(cast(price AS VARCHAR)) || ':' || cast(price AS VARCHAR) END
            )), 1, 14))::BIGINT) AS DECIMAL(38,0)) AS checksum,
            count(*) AS n_rows
          FROM r ORDER BY checksum""",

@@ -131,6 +131,11 @@ class EngineSpec extends SparkSpec {
     // a typo'd flag must fail loudly, not silently downgrade the dry run
     assertThrows[RuntimeException](Anonymize.run(spark,
       Array("--dryrun", "--rehearsal", "--data", data, "--out", out)))
+    // a KNOWN flag out of its mode's scope fails too: --validate on a
+    // dryrun would otherwise be accepted-and-ignored, letting the user
+    // believe the integrity check was armed
+    assertThrows[RuntimeException](Anonymize.run(spark,
+      Array("--dryrun", "--validate", "--data", data, "--out", out)))
   }
 
   test("validateApply proves untouched columns survived; catches corruption") {
