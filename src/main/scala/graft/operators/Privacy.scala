@@ -56,6 +56,56 @@ object Privacy {
       .withColumn("at_risk", col("l_distinct") < l)
 
   /**
+   * t-closeness audit — the third of the classic trio (k-anonymity,
+   * l-diversity, t-closeness): a class can be large and diverse yet still
+   * leak when its sensitive-value DISTRIBUTION diverges from the table's
+   * (e.g. one zip code holding all the high balances). Computes, per QI
+   * class, the Earth Mover's Distance between the class's distribution
+   * over the ordered `sensitive` bins and the global one, normalized to
+   * [0, 1] by (B-1) ordered-bin steps.
+   *
+   * Exact integer arithmetic until the final division: per bin,
+   * cb·N − gb·n (class count scaled by table size minus global count
+   * scaled by class size) telescopes through a running sum whose absolute
+   * values add up to n·N·(B−1)·EMD — so both engines produce identical
+   * doubles and the audit is oracle-checkable. Shapes: two hash
+   * aggregates, a broadcast bin-scaffold cross join (every class must see
+   * every bin — missing bins carry mass too), one small window over ≤B
+   * rows per class. Counts ride as decimal(38,0) at true scale; longs
+   * suffice for the harness fixtures.
+   */
+  def tCloseness(df: DataFrame, qi: Seq[String], sensitive: Column,
+      t: Double): DataFrame = {
+    val g = qi.map(col)
+    val binned = df.select(g :+ sensitive.as("__bin"): _*)
+    val classBin = binned.groupBy((qi :+ "__bin").map(col): _*)
+      .agg(count(lit(1)).as("cb"))
+    val classTot = classBin.groupBy(g: _*).agg(sum(col("cb")).as("n"))
+    val globalBin = binned.groupBy(col("__bin")).agg(count(lit(1)).as("gb"))
+    // "tot"/"nb", not "N"/"B": Spark resolution is case-insensitive by
+    // default, so "N" would collide with the per-class "n"
+    val globalTot = binned.agg(count(lit(1)).as("tot"),
+      countDistinct(col("__bin")).as("nb"))
+    // scaffold: every class × every bin, zero-filled where the class has
+    // no mass in a bin (those rows still move earth)
+    val grid = classTot.crossJoin(broadcast(globalBin))
+      .join(classBin, qi :+ "__bin", "left")
+      .na.fill(0L, Seq("cb"))
+      .crossJoin(broadcast(globalTot))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__bin"))
+    grid
+      .withColumn("__cum",
+        sum(col("cb") * col("tot") - col("gb") * col("n")).over(w))
+      .groupBy((qi :+ "n").map(col): _*)
+      .agg((sum(abs(col("__cum"))).cast("double") /
+        (max(col("n")) * max(col("tot")) * (max(col("nb")) - 1)).cast("double"))
+        .as("__emd"))
+      .select(g ++ Seq(col("n"), round(col("__emd"), 6).as("emd"),
+        (col("__emd") > t).as("at_risk")): _*)
+  }
+
+  /**
    * Numeric generalization: replace a value by its width-`width` bin,
    * labeled "lo-hi" (lo inclusive, hi exclusive). Negative values floor
    * toward -inf, so bins tile the whole line with no double-width bin at

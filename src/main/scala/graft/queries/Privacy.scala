@@ -33,6 +33,15 @@ object Privacy {
       P.lDiversity(t(s, dir, "customer"), QI, acctBin, 4)
         .orderBy("c_nationkey", "c_mktsegment")
     }),
+    // t-closeness audit: the third of the classic trio — a class whose
+    // sensitive-value distribution diverges from the table's leaks even
+    // when k-anonymous and diverse. EMD over ordered balance bins, exact
+    // integer arithmetic until the final normalization (see
+    // operators/Privacy.tCloseness).
+    "q_t_closeness" -> ((s, dir) => {
+      P.tCloseness(t(s, dir, "customer"), QI, acctBin, 0.25)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
     // Generalization transform: hierarchy-generalize nation → region (two
     // broadcast dim joins) and bin the balance — QIs are coarsened, not
     // destroyed, so the output still supports regional analytics.
@@ -96,6 +105,35 @@ object Privacy {
          count(DISTINCT cast(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_distinct,
          (count(DISTINCT cast(floor(c_acctbal / 1000.0) AS BIGINT)) < 4) AS at_risk
          FROM customer GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
+    "q_t_closeness" ->
+      """WITH b AS (
+           SELECT c_nationkey, c_mktsegment,
+             cast(floor(c_acctbal / 1000.0) AS BIGINT) AS bin
+           FROM customer),
+         cb AS (
+           SELECT c_nationkey, c_mktsegment, bin, count(*) AS cb
+           FROM b GROUP BY 1, 2, 3),
+         ct AS (
+           SELECT c_nationkey, c_mktsegment, cast(sum(cb) AS BIGINT) AS n
+           FROM cb GROUP BY 1, 2),
+         gb AS (SELECT bin, count(*) AS gb FROM b GROUP BY 1),
+         gt AS (SELECT count(*) AS tot, count(DISTINCT bin) AS nb FROM b),
+         grid AS (
+           SELECT ct.c_nationkey, ct.c_mktsegment, ct.n, gb.bin, gb.gb,
+             coalesce(cb.cb, 0) AS cb, gt.tot, gt.nb
+           FROM ct CROSS JOIN gb CROSS JOIN gt
+           LEFT JOIN cb ON cb.c_nationkey = ct.c_nationkey
+             AND cb.c_mktsegment = ct.c_mktsegment AND cb.bin = gb.bin),
+         cum AS (
+           SELECT c_nationkey, c_mktsegment, n, tot, nb,
+             sum(cb * tot - gb * n) OVER (
+               PARTITION BY c_nationkey, c_mktsegment ORDER BY bin) AS cum
+           FROM grid)
+         SELECT c_nationkey, c_mktsegment, n,
+           round(cast(sum(abs(cum)) AS double) / (n * tot * (nb - 1)), 6) AS emd,
+           (cast(sum(abs(cum)) AS double) / (n * tot * (nb - 1)) > 0.25) AS at_risk
+         FROM cum GROUP BY c_nationkey, c_mktsegment, n, tot, nb
          ORDER BY c_nationkey, c_mktsegment""",
     "q_generalize" ->
       """SELECT c_custkey, r_name AS region,

@@ -199,6 +199,9 @@ class PlanSpec extends SparkSpec {
       // q_checksum's digest is one row summed from distributed partials —
       // the single-partition stage receives per-partition scalars only
       "q_checksum",
+      // q_t_closeness's (tot, nb) global scalars and the ≤B-row bin table
+      // gather once; every data-sized stage stays distributed
+      "q_t_closeness",
       // connectedComponents sizes its iteration shuffle width to the edge
       // count (1 partition per ~5M edges): at test scale that is a single
       // partition by design; at 100 TB it is the session width.

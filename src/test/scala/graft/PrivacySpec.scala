@@ -33,6 +33,23 @@ class PrivacySpec extends SparkSpec {
     assert(out("222") === (2L, false))
   }
 
+  test("tCloseness: 0 for a class matching the global distribution; exact " +
+      "EMD for a concentrated one") {
+    // zips A and B, two balance bins. A sits entirely in bin 0, B in bin 1:
+    // global is (.5, .5), each class is (1,0)/(0,1) → EMD 0.5 for both.
+    val skewed = Seq(("A", 0), ("A", 0), ("B", 1), ("B", 1)).toDF("zip", "bin")
+    val s = Privacy.tCloseness(skewed, Seq("zip"), col("bin"), 0.25)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(s("A") === ((0.5, true)) && s("B") === ((0.5, true)))
+    // identical per-class distributions → EMD exactly 0, nobody at risk
+    val uniform = Seq(("A", 0), ("A", 1), ("B", 0), ("B", 1)).toDF("zip", "bin")
+    val u = Privacy.tCloseness(uniform, Seq("zip"), col("bin"), 0.25)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(u("A") === ((0.0, false)) && u("B") === ((0.0, false)))
+  }
+
   test("binLabel tiles the line: negative values get their own width bin") {
     val labels = Seq(-1500.0, -0.01, 0.0, 999.99, 1000.0).toDF("x")
       .select(Privacy.binLabel(col("x"), 1000).as("b"))
