@@ -56,6 +56,27 @@ object Privacy {
       .withColumn("at_risk", col("l_distinct") < l)
 
   /**
+   * Audit-driven remediation: suppress the quasi-identifiers of every row
+   * whose QI class is smaller than k — after which the released table IS
+   * k-anonymous on those columns (suppressed rows all join the single '*'
+   * class). The QI columns come back as strings (a '*' cannot live in an
+   * int column); everything else passes through untouched. One hash
+   * aggregate for the class sizes (|classes| rows, broadcast into the
+   * join) + a scan-local projection — the 100 TB table is scanned once
+   * and never shuffled.
+   */
+  def suppressBelowK(df: DataFrame, qi: Seq[String], k: Int): DataFrame = {
+    val sizes = groupSizes(df, qi)
+    val joined = df.join(broadcast(sizes), qi, "left")
+    val masked = df.columns.toSeq.map { c =>
+      if (qi.contains(c))
+        when(col("n") < k, lit("*")).otherwise(col(c).cast("string")).as(c)
+      else col(c)
+    }
+    joined.select(masked: _*)
+  }
+
+  /**
    * t-closeness audit — the third of the classic trio (k-anonymity,
    * l-diversity, t-closeness): a class can be large and diverse yet still
    * leak when its sensitive-value DISTRIBUTION diverges from the table's

@@ -33,6 +33,14 @@ object Privacy {
       P.lDiversity(t(s, dir, "customer"), QI, acctBin, 4)
         .orderBy("c_nationkey", "c_mktsegment")
     }),
+    // Audit-driven remediation: suppress the QI values of every row in a
+    // class below k — the released table is then k-anonymous on those
+    // columns. Broadcast class-size join + scan-local projection.
+    "q_suppress" -> ((s, dir) => {
+      P.suppressBelowK(t(s, dir, "customer"), QI, 8)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
     // t-closeness audit: the third of the classic trio — a class whose
     // sensitive-value distribution diverges from the table's leaks even
     // when k-anonymous and diverse. EMD over ordered balance bins, exact
@@ -106,6 +114,17 @@ object Privacy {
          (count(DISTINCT cast(floor(c_acctbal / 1000.0) AS BIGINT)) < 4) AS at_risk
          FROM customer GROUP BY c_nationkey, c_mktsegment
          ORDER BY c_nationkey, c_mktsegment""",
+    "q_suppress" ->
+      """WITH sz AS (
+           SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS n
+           FROM customer GROUP BY 1, 2)
+         SELECT c_custkey,
+           CASE WHEN n < 8 THEN '*' ELSE cast(c_nationkey AS VARCHAR) END
+             AS c_nationkey,
+           CASE WHEN n < 8 THEN '*' ELSE c_mktsegment END AS c_mktsegment
+         FROM customer JOIN sz
+           ON c_nationkey = nk AND c_mktsegment = seg
+         ORDER BY c_custkey""",
     "q_t_closeness" ->
       """WITH b AS (
            SELECT c_nationkey, c_mktsegment,

@@ -33,6 +33,20 @@ class PrivacySpec extends SparkSpec {
     assert(out("222") === (2L, false))
   }
 
+  test("suppressBelowK: re-auditing the suppressed output finds no class below k") {
+    val out = Privacy.suppressBelowK(people, Seq("zip"), 3)
+    // zips 222 (2 members) and 333 (1) merge into the '*' class of 3;
+    // zip 111 (3 members) survives untouched
+    val reaudit = Privacy.kAnonymity(out, Seq("zip"), 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(reaudit === Map("111" -> (3L, false), "*" -> (3L, false)))
+    // non-QI columns pass through untouched
+    assert(out.columns.toSeq == people.columns.toSeq)
+    assert(out.select("id", "disease").exceptAll(
+      people.select("id", "disease")).isEmpty)
+  }
+
   test("tCloseness: 0 for a class matching the global distribution; exact " +
       "EMD for a concentrated one") {
     // zips A and B, two balance bins. A sits entirely in bin 0, B in bin 1:
