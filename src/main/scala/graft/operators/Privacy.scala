@@ -119,9 +119,13 @@ object Privacy {
       .withColumn("__cum",
         sum(col("cb") * col("tot") - col("gb") * col("n")).over(w))
       .groupBy((qi :+ "n").map(col): _*)
-      .agg((sum(abs(col("__cum"))).cast("double") /
-        (max(col("n")) * max(col("tot")) * (max(col("nb")) - 1)).cast("double"))
-        .as("__emd"))
+      // single-bin degenerate case (nb = 1): every class trivially matches
+      // the global distribution — EMD 0, not a 0/0 ANSI error
+      .agg(coalesce(
+        sum(abs(col("__cum"))).cast("double") /
+          nullif(max(col("n")) * max(col("tot")) * (max(col("nb")) - 1),
+            lit(0L)).cast("double"),
+        lit(0.0)).as("__emd"))
       .select(g ++ Seq(col("n"), round(col("__emd"), 6).as("emd"),
         (col("__emd") > t).as("at_risk")): _*)
   }

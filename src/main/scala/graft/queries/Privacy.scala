@@ -150,8 +150,10 @@ object Privacy {
                PARTITION BY c_nationkey, c_mktsegment ORDER BY bin) AS cum
            FROM grid)
          SELECT c_nationkey, c_mktsegment, n,
-           round(cast(sum(abs(cum)) AS double) / (n * tot * (nb - 1)), 6) AS emd,
-           (cast(sum(abs(cum)) AS double) / (n * tot * (nb - 1)) > 0.25) AS at_risk
+           round(coalesce(cast(sum(abs(cum)) AS double)
+             / nullif(n * tot * (nb - 1), 0), 0), 6) AS emd,
+           (coalesce(cast(sum(abs(cum)) AS double)
+             / nullif(n * tot * (nb - 1), 0), 0) > 0.25) AS at_risk
          FROM cum GROUP BY c_nationkey, c_mktsegment, n, tot, nb
          ORDER BY c_nationkey, c_mktsegment""",
     "q_generalize" ->
