@@ -380,11 +380,13 @@ object Anonymize {
     // flag accepted-but-ignored (--validate on a dryrun, --qi on an apply)
     // would let the user believe a safeguard or scope was armed when it
     // was not.
-    val common = Set("--data", "--out", "--config", modes.head)
+    val common = Set("--data", "--out", modes.head)
     val allowedByMode = Map(
-      "configGen" -> common,
-      "dryrun" -> (common + "--rehearse"),
-      "apply" -> (common + "--validate"),
+      // --config belongs only to the modes that READ a config; --audit
+      // never does, so accepting it there would be accepted-but-ignored
+      "configGen" -> (common + "--config"),
+      "dryrun" -> (common ++ Set("--config", "--rehearse")),
+      "apply" -> (common ++ Set("--config", "--validate")),
       "audit" -> (common ++ Set("--table", "--qi", "--sensitive", "--k", "--l")))
     val outOfScope = args.filter(_.startsWith("--"))
       .filterNot(allowedByMode(mode))

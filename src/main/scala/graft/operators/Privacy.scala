@@ -57,23 +57,37 @@ object Privacy {
 
   /**
    * Audit-driven remediation: suppress the quasi-identifiers of every row
-   * whose QI class is smaller than k — after which the released table IS
-   * k-anonymous on those columns (suppressed rows all join the single '*'
-   * class). The QI columns come back as strings (a '*' cannot live in an
-   * int column); everything else passes through untouched. One hash
-   * aggregate for the class sizes (|classes| rows, broadcast into the
-   * join) + a scan-local projection — the 100 TB table is scanned once
-   * and never shuffled.
+   * whose QI class is smaller than k. The suppressed rows merge into one
+   * '*' class; when even THAT merged class would be below k (too little
+   * suppressed mass to hide in), its rows are dropped outright (record
+   * suppression) — so the released table is k-anonymous on the QI columns
+   * by construction in every case, which PrivacySpec proves by re-running
+   * the audit on both shapes. QI columns come back as strings (a '*'
+   * cannot live in an int column); everything else passes through
+   * untouched. NULL QI values join their class null-safely (groupBy and
+   * the join must agree, or below-k NULL classes would leak unmasked).
+   * Cost: one aggregate scan for class sizes (|classes| rows, broadcast)
+   * + one projection scan; nothing about the table itself shuffles.
    */
   def suppressBelowK(df: DataFrame, qi: Seq[String], k: Int): DataFrame = {
     val sizes = groupSizes(df, qi)
-    val joined = df.join(broadcast(sizes), qi, "left")
+      .select(qi.map(c => col(c).as(s"__s_$c")) :+ col("n"): _*)
+    // total mass in below-k classes — decides mask vs drop, in-plan
+    val residue = sizes.agg(coalesce(
+      sum(when(col("n") < k, col("n"))), lit(0L)).as("__resid"))
+    // null-safe equality: groupBy put NULL-QI rows in a class, so the
+    // lookup join must match them too
+    val cond = qi.map(c => col(c) <=> col(s"__s_$c")).reduce(_ && _)
+    val joined = df.join(broadcast(sizes), cond, "left")
+      .crossJoin(broadcast(residue))
     val masked = df.columns.toSeq.map { c =>
       if (qi.contains(c))
         when(col("n") < k, lit("*")).otherwise(col(c).cast("string")).as(c)
       else col(c)
     }
-    joined.select(masked: _*)
+    joined
+      .filter(col("n") >= k || col("__resid") >= k)
+      .select(masked: _*)
   }
 
   /**
@@ -89,24 +103,30 @@ object Privacy {
    * cb·N − gb·n (class count scaled by table size minus global count
    * scaled by class size) telescopes through a running sum whose absolute
    * values add up to n·N·(B−1)·EMD — so both engines produce identical
-   * doubles and the audit is oracle-checkable. Shapes: two hash
-   * aggregates, a broadcast bin-scaffold cross join (every class must see
-   * every bin — missing bins carry mass too), one small window over ≤B
-   * rows per class. Counts ride as decimal(38,0) at true scale; longs
-   * suffice for the harness fixtures.
+   * doubles and the audit is oracle-checkable. Shapes: ONE scan of the
+   * table (the class×bin aggregate; the global marginals derive from it),
+   * a broadcast bin-scaffold cross join (every class must see every bin —
+   * missing bins carry mass too), one small window over ≤B rows per
+   * class. Rows with a NULL QI value or NULL sensitive bin are excluded
+   * up front: NULL has no position on the ordered-bin axis, and a
+   * null-unsafe scaffold join would mis-assign their mass. Long counts
+   * bound the audit to ~3·10⁹ rows (cb·tot stays under 2⁶³); beyond that,
+   * cast the counts to decimal(38,0) at the same spots.
    */
   def tCloseness(df: DataFrame, qi: Seq[String], sensitive: Column,
       t: Double): DataFrame = {
     val g = qi.map(col)
     val binned = df.select(g :+ sensitive.as("__bin"): _*)
+      .na.drop(qi :+ "__bin")
     val classBin = binned.groupBy((qi :+ "__bin").map(col): _*)
       .agg(count(lit(1)).as("cb"))
     val classTot = classBin.groupBy(g: _*).agg(sum(col("cb")).as("n"))
-    val globalBin = binned.groupBy(col("__bin")).agg(count(lit(1)).as("gb"))
+    // marginals derive from the class×bin table — no second table scan
+    val globalBin = classBin.groupBy(col("__bin")).agg(sum(col("cb")).as("gb"))
     // "tot"/"nb", not "N"/"B": Spark resolution is case-insensitive by
     // default, so "N" would collide with the per-class "n"
-    val globalTot = binned.agg(count(lit(1)).as("tot"),
-      countDistinct(col("__bin")).as("nb"))
+    val globalTot = globalBin.agg(sum(col("gb")).as("tot"),
+      count(lit(1)).as("nb"))
     // scaffold: every class × every bin, zero-filled where the class has
     // no mass in a bin (those rows still move earth)
     val grid = classTot.crossJoin(broadcast(globalBin))

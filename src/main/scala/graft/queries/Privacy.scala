@@ -117,13 +117,18 @@ object Privacy {
     "q_suppress" ->
       """WITH sz AS (
            SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS n
-           FROM customer GROUP BY 1, 2)
+           FROM customer GROUP BY 1, 2),
+         r AS (
+           SELECT cast(coalesce(sum(CASE WHEN n < 8 THEN n END), 0) AS BIGINT)
+             AS resid FROM sz)
          SELECT c_custkey,
            CASE WHEN n < 8 THEN '*' ELSE cast(c_nationkey AS VARCHAR) END
              AS c_nationkey,
            CASE WHEN n < 8 THEN '*' ELSE c_mktsegment END AS c_mktsegment
          FROM customer JOIN sz
            ON c_nationkey = nk AND c_mktsegment = seg
+         CROSS JOIN r
+         WHERE n >= 8 OR resid >= 8
          ORDER BY c_custkey""",
     "q_t_closeness" ->
       """WITH b AS (

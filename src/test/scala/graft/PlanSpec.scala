@@ -202,6 +202,9 @@ class PlanSpec extends SparkSpec {
       // q_t_closeness's (tot, nb) global scalars and the ≤B-row bin table
       // gather once; every data-sized stage stays distributed
       "q_t_closeness",
+      // q_suppress's suppressed-mass residue is a one-row scalar over the
+      // already-aggregated class-size table
+      "q_suppress",
       // connectedComponents sizes its iteration shuffle width to the edge
       // count (1 partition per ~5M edges): at test scale that is a single
       // partition by design; at 100 TB it is the session width.

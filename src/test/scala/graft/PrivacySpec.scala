@@ -47,6 +47,25 @@ class PrivacySpec extends SparkSpec {
       people.select("id", "disease")).isEmpty)
   }
 
+  test("suppressBelowK drops rows when the merged '*' class would itself be below k") {
+    // one class of 3 and one singleton, k=3: masking alone would create a
+    // '*' class of 1 — re-identifiable. The singleton is dropped instead.
+    val d = Seq((1L, "111"), (2L, "111"), (3L, "111"), (4L, "999"))
+      .toDF("id", "zip")
+    val out = Privacy.suppressBelowK(d, Seq("zip"), 3)
+    assert(out.count() == 3)
+    assert(out.select("zip").distinct().as[String].collect().toSeq == Seq("111"))
+    // a below-k NULL-QI class gets the same treatment (the class join is
+    // null-safe): masked into '*', never released unmasked
+    val withNull = Seq((1L, Some("111")), (2L, Some("111")), (3L, Some("111")),
+      (4L, None), (5L, None), (6L, Some("999"))).toDF("id", "zip")
+    val out2 = Privacy.suppressBelowK(withNull, Seq("zip"), 3)
+    val classes = Privacy.kAnonymity(out2, Seq("zip"), 3)
+      .collect().map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        r.getBoolean(2)).toMap
+    assert(classes === Map("111" -> false, "*" -> false))
+  }
+
   test("tCloseness: 0 for a class matching the global distribution; exact " +
       "EMD for a concentrated one") {
     // zips A and B, two balance bins. A sits entirely in bin 0, B in bin 1:
