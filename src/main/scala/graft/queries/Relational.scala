@@ -551,14 +551,16 @@ object Relational {
         .orderBy("c_nationkey", "rn")
     }),
     // W3 — distribution window functions: percent_rank and cume_dist per
-    // nation (rank-ratio doubles of exact integers — bit-identical in any
-    // engine).
+    // nation. Deliberately UNROUNDED: each value is one IEEE division of
+    // the same integers in either engine, hence bit-identical — while
+    // round(x, 6) would hit decimal ties (41/640 = 0.0640625) that
+    // HALF_UP and round-on-binary settle differently.
     "q_window_dist" -> ((s, dir) => {
       val byBal = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
       t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"),
-          round(percent_rank().over(byBal), 6).as("pr"),
-          round(cume_dist().over(byBal), 6).as("cd"))
+          percent_rank().over(byBal).as("pr"),
+          cume_dist().over(byBal).as("cd"))
         .orderBy("c_custkey")
     }),
     // W4 — analytic window with an explicit frame: running spend + lag.
@@ -929,10 +931,10 @@ object Relational {
          WHERE rn <= 5 ORDER BY c_nationkey, rn""",
     "q_window_dist" ->
       """SELECT c_custkey, c_nationkey,
-         round(percent_rank() OVER (PARTITION BY c_nationkey
-           ORDER BY c_acctbal DESC), 6) AS pr,
-         round(cume_dist() OVER (PARTITION BY c_nationkey
-           ORDER BY c_acctbal DESC), 6) AS cd
+         percent_rank() OVER (PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC) AS pr,
+         cume_dist() OVER (PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC) AS cd
          FROM customer ORDER BY c_custkey""",
     "q_window_frame" ->
       """SELECT o_custkey, o_orderkey,
