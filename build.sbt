@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-parses stdout for Bench's one-line JSON summary;
+// sbt's "[success] Total time: …" footer would print after it and win the
+// tail. Suppress the footer so the summary stays the final line under sbt.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -278,8 +278,34 @@ object Dedup {
    * candidates, and the shingle arrays travel as xxhash64 longs (equal
    * iff the strings are equal, barring a 2⁻⁶⁴ collision).
    */
+  /**
+   * Skew guard for blocking-based candidate generation: DROP blocks whose
+   * membership exceeds `maxBlock`. A corpus-common minimum shingle (a
+   * boilerplate phrase shared by millions of documents) would otherwise
+   * form one giant block whose pair expansion is quadratic — 10⁶ members
+   * is 5·10¹¹ candidate pairs in a single key. Declared operator
+   * semantics, mirrored in the oracle SQL (QUALIFY on the block count).
+   *
+   * Dropping is safe for real near-dups when each doc contributes k > 1
+   * blocks: documents that genuinely overlap share many shingles, so they
+   * still meet in their other (k−1) blocks, while a shingle common to
+   * >maxBlock docs carries no discriminating signal. One window count
+   * over the already-block-partitioned rows — no extra shuffle.
+   */
+  def capBlocks(blocked: DataFrame, blkCol: String, maxBlock: Int): DataFrame =
+    blocked
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col(blkCol))))
+      .filter(col("__bn") <= maxBlock)
+      .drop("__bn")
+
+  /** Default block-size cap: far above any honest shingle frequency at
+    * test scale, small enough that a boilerplate block's pair expansion
+    * (≤ maxBlock²/2 ≈ 8M pairs) stays one task's worth of work. */
+  val DefaultMaxBlock = 4096
+
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, kBlock: Int = 3, minCont: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, kBlock: Int = 3, minCont: Double = 0.5,
+      maxBlock: Int = DefaultMaxBlock): DataFrame = {
     // spread the per-doc shingle/sort/hash compute across the session's
     // full width first: a compact corpus arrives as few scan partitions
     // (one, for a single small file), which would serialize the whole
@@ -297,9 +323,10 @@ object Dedup {
     // broadcast join inherits the streamed side's partitioning). One
     // shuffle of k·|docs| small rows buys full-width parallelism for the
     // set intersections — and at 100 TB it is also the locality layout.
-    val blocked = sh.select(col("__id"), col("__hv"),
-      explode(col("__blks")).as("__blk"))
-      .repartition(col("__blk"))
+    val blocked = capBlocks(
+      sh.select(col("__id"), col("__hv"), explode(col("__blks")).as("__blk"))
+        .repartition(col("__blk")),
+      "__blk", maxBlock)
     val a = blocked.select(col("__id").as("a"), col("__hv").as("hv_a"),
       col("__blk"))
     val b = blocked.select(col("__id").as("b"), col("__hv").as("hv_b"),

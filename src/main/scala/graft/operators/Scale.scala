@@ -194,7 +194,14 @@ object Scale {
     }
     val rowHash = conv(substring(md5(concat_ws("|", rendered: _*)), 1, 14), 16, 10)
       .cast("decimal(38,0)")
-    df.agg(sum(rowHash).as("checksum"), count(lit(1)).as("n_rows"))
+    // The digest leaves the engine as a FIXED-WIDTH STRING: the decimal sum
+    // exceeds int64 (2^56 per row × row count), the one numeric class whose
+    // rendering diverges across engines' compare layers (exact Decimal vs
+    // float64's "7.18e+20"). 30 digits covers 2^56 × 10^12 rows; zero-padding
+    // keeps string order = numeric order. The sum itself stays decimal(38,0).
+    df.agg(sum(rowHash).as("__sum"), count(lit(1)).as("n_rows"))
+      .select(lpad(col("__sum").cast("string"), 30, "0").as("checksum"),
+        col("n_rows"))
   }
 
   /**

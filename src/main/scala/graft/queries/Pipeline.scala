@@ -43,8 +43,14 @@ object Pipeline {
       .select(col("doc_id"), array_min(col("sh")).as("blk"),
         Dedup.shingleHashes(col("sh")).as("hv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sh.select(col("doc_id").as("a"), col("hv").as("hv_a"), col("blk"))
-    val b = sh.select(col("doc_id").as("b"), col("hv").as("hv_b"), col("blk"))
+    // skew guard: a corpus-common minimum shingle would form one block
+    // with quadratic pair expansion; blocks above the cap are dropped
+    // (declared semantics, mirrored as QUALIFY in the oracle SQL — see
+    // Dedup.capBlocks). The window count rides the blk exchange the
+    // self-join needs anyway.
+    val capped = Dedup.capBlocks(sh, "blk", Dedup.DefaultMaxBlock)
+    val a = capped.select(col("doc_id").as("a"), col("hv").as("hv_a"), col("blk"))
+    val b = capped.select(col("doc_id").as("b"), col("hv").as("hv_b"), col("blk"))
     val inter = size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
     a.join(b, "blk").filter(col("a") < col("b"))
       .withColumn("jac",
@@ -460,23 +466,43 @@ object Pipeline {
         .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
         .orderBy("a", "b")
     }),
+    // L2 — LSH-bucketed approximate top-k: exactTopK's broadcast crossJoin
+    // replaced by an equi-join on the sign-LSH bucket, so per-query work is
+    // proportional to its bucket's size, not |corpus| — the scale path when
+    // the query set itself is large. Oracle-checked with the same unrolled
+    // hyperplane literals as q_sim_lsh; the cosine ranking is portable by
+    // the q_sim_exact argument.
+    "q_sim_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.lshTopK(emb, qs, 10, Similarity.hyperplanes(4, 64))
+        .select(col("q_id"), col("vec_id"), col("rn"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("q_id", "rn")
+    }),
     // L1 — vocabulary coverage: what fraction of all token OCCURRENCES the
     // top-k tokens cover — the first question of tokenizer/vocab design.
-    // The global window runs over the VOCABULARY (post-aggregate, orders of
-    // magnitude smaller than the corpus), not over occurrences; cnt/cum
-    // stay exact longs so the coverage division is engine-portable.
+    // The top-20 is taken FIRST via orderBy+limit, which plans as
+    // TakeOrderedAndProject (per-partition 20-row heaps + one merge) — a
+    // web-scale vocabulary (10^8–10^9 tokens) never funnels through a
+    // single-task global sort. The rank/cumsum window then runs over the
+    // 20-row result, which under the same total ordering IS the global
+    // prefix, so the answer is unchanged; cnt/cum stay exact longs so the
+    // coverage division is engine-portable.
     "q_vocab_coverage" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val toks = t(s, dir, "documents")
         .select(explode(split(col("text"), "\\s+")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
       val total = toks.agg(sum(col("cnt")).as("total"))
+      val top = toks.orderBy(col("cnt").desc, col("token")).limit(20)
       val ord = Window.orderBy(col("cnt").desc, col("token"))
-      toks.crossJoin(broadcast(total))
+      top.crossJoin(broadcast(total))
         .withColumn("rn", row_number().over(ord).cast("long"))
         .withColumn("cum", sum(col("cnt"))
           .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("rn") <= 20)
         .select(col("rn"), col("token"), col("cnt"),
           round(col("cum").cast("double") / col("total"), 6).as("coverage"))
         .orderBy("rn")
@@ -760,6 +786,24 @@ object Pipeline {
                  * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) AS cos
             FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
           WHERE cos >= 0.4 ORDER BY a, b"""
+    },
+    // lshTopK = q_sim_exact's scoring/ranking restricted to bucket-equal
+    // candidates: same plane literals as the engine, same cosine and
+    // row_number shape as the q_sim_exact oracle.
+    "q_sim_lsh_topk" -> {
+      val b = lshBucketSql(graft.operators.Similarity.hyperplanes(4, 64), "embedding")
+      s"""WITH bk AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings)
+          SELECT q_id, vec_id, rn, round(cos, 6) AS cosine FROM (
+            SELECT q_id, vec_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+            FROM (
+              SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+                  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos
+              FROM bk q JOIN bk e
+                ON q.vec_id < 5 AND e.bucket = q.bucket AND e.vec_id <> q.vec_id))
+          WHERE rn <= 10 ORDER BY q_id, rn"""
     },
     // The fixed-quantizer IVF: centroids are the first 16 vectors, the
     // assignment key is -2·dot+|c|² with index tiebreak, probes take the 4
@@ -1077,8 +1121,10 @@ object Pipeline {
                i -> array_to_string(w[i:i+2], ' '))) AS sh
            FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
                  FROM documents)),
-         blk AS (
+         blk0 AS (
            SELECT doc_id, unnest(list_sort(sh)[1:3]) AS b FROM s),
+         blk AS (SELECT * FROM blk0
+                 QUALIFY count(*) OVER (PARTITION BY b) <= 4096),
          cand AS (
            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
            FROM blk x JOIN blk y ON x.b = y.b AND x.doc_id < y.doc_id)
@@ -1283,7 +1329,9 @@ object Pipeline {
              list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
                i -> array_to_string(w[i:i+2], ' '))) AS sh
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-         k AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM s),
+         k0 AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM s),
+         k AS (SELECT * FROM k0
+               QUALIFY count(*) OVER (PARTITION BY blk) <= 4096),
          e AS (
            SELECT x.doc_id AS a, y.doc_id AS b
            FROM k x JOIN k y ON x.blk = y.blk AND x.doc_id < y.doc_id
@@ -1307,7 +1355,9 @@ object Pipeline {
              list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
                i -> array_to_string(w[i:i+2], ' '))) AS sh
            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-         k AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM s),
+         k0 AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM s),
+         k AS (SELECT * FROM k0
+               QUALIFY count(*) OVER (PARTITION BY blk) <= 4096),
          e AS (
            SELECT x.doc_id AS a, y.doc_id AS b
            FROM k x JOIN k y ON x.blk = y.blk AND x.doc_id < y.doc_id

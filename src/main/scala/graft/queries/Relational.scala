@@ -316,7 +316,9 @@ object Relational {
     // copies of the data. Row hashes from the portable md5 family summed
     // as decimal(38,0) (commutative ⇒ partitioning-independent); doubles
     // enter through their exact decimal rendering so both engines hash
-    // identical bytes.
+    // identical bytes. The digest is emitted as a fixed-width zero-padded
+    // string: the sum exceeds int64 and >int64 numerics are the one class
+    // the compare layer renders differently per engine.
     "q_checksum" -> ((s, dir) => {
       graft.operators.Scale.tableChecksum(
         t(s, dir, "lineitem")
@@ -722,13 +724,13 @@ object Relational {
            SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
              cast(l_extendedprice AS DECIMAL(18,2)) AS price
            FROM lineitem)
-         SELECT cast(sum(('0x' || substring(md5(concat_ws('|',
+         SELECT lpad(cast(cast(sum(('0x' || substring(md5(concat_ws('|',
              CASE WHEN l_orderkey IS NULL THEN '0' ELSE '1' || length(cast(l_orderkey AS VARCHAR)) || ':' || cast(l_orderkey AS VARCHAR) END,
              CASE WHEN l_linenumber IS NULL THEN '0' ELSE '1' || length(cast(l_linenumber AS VARCHAR)) || ':' || cast(l_linenumber AS VARCHAR) END,
              CASE WHEN l_returnflag IS NULL THEN '0' ELSE '1' || length(l_returnflag) || ':' || l_returnflag END,
              CASE WHEN l_linestatus IS NULL THEN '0' ELSE '1' || length(l_linestatus) || ':' || l_linestatus END,
              CASE WHEN price IS NULL THEN '0' ELSE '1' || length(cast(price AS VARCHAR)) || ':' || cast(price AS VARCHAR) END
-           )), 1, 14))::BIGINT) AS DECIMAL(38,0)) AS checksum,
+           )), 1, 14))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR), 30, '0') AS checksum,
            count(*) AS n_rows
          FROM r ORDER BY checksum""",
     "q_agg_approx_pct" ->

@@ -153,6 +153,37 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("capBlocks bounds a corpus-common min-shingle block; planted " +
+      "near-dups still meet in their other blocks") {
+    // 1000 filler docs all share the lexicographically smallest shingle
+    // "a a a" (a boilerplate prefix) but nothing else — without the cap,
+    // that ONE block expands to ~500k candidate pairs; with it, the block
+    // is dropped and the fillers (rightly) produce no pairs at all.
+    val fillers = (1 to 1000).map(i =>
+      (i.toLong, s"a a a u$i v$i w$i x$i y$i z$i q$i"))
+    // planted near-dup pairs share the SAME boilerplate prefix; they must
+    // survive the cap by meeting in their 2nd/3rd-smallest-shingle blocks.
+    val planted = (1 to 3).flatMap { p =>
+      val base = s"a a a b$p c$p d$p e$p f$p g$p h$p"
+      Seq((2000L + 2 * p, base), (2001L + 2 * p, base + " zz"))
+    }
+    val df = docs((fillers ++ planted): _*)
+    val out = Dedup.containmentPairs(df, "doc_id", "text",
+        shingleN = 3, kBlock = 3, minCont = 0.5, maxBlock = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val expected = (1 to 3).map(p => (2000L + 2 * p, 2001L + 2 * p)).toSet
+    assert(out.keySet == expected) // full recall on the planted pairs…
+    assert(out.values.forall(_ == 1.0)) // …each a perfect-containment twin
+    // and the capped helper really removes the oversized block's rows
+    val blocked = df.select(col("doc_id"),
+      explode(org.apache.spark.sql.functions.slice(
+        sort_array(Dedup.shingles(col("text"), 3)), 1, 3)).as("blk"))
+    val capped = Dedup.capBlocks(blocked, "blk", 100)
+    assert(capped.filter(col("blk") === "a a a").count() == 0)
+    assert(capped.count() == blocked.count() - 1006) // only that block dropped
+  }
+
   test("simHash16: equal texts equal, near texts within small Hamming distance") {
     val df = docs((1L, "spark engine scale data pipeline quality"),
       (2L, "spark engine scale data pipeline quality"),

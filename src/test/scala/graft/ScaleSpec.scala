@@ -41,10 +41,14 @@ class ScaleSpec extends SparkSpec {
       when(col("id") === 3, "x").otherwise(col("v")))) != base)
     assert(digest(Seq((1L, Some("a")), (2L, Some("0")), (3L, Some("c")))
       .toDF("id", "v")) != base)
-    // additively mergeable: shard digests sum to the whole corpus digest
+    // additively mergeable: shard digests sum to the whole corpus digest.
+    // The digest leaves as a fixed-width zero-padded string (portable
+    // rendering above int64); merge law holds on the parsed integers.
     val (a, b) = (df.filter(col("id") <= 1), df.filter(col("id") > 1))
     val (da, db) = (digest(a), digest(b))
-    assert(da.getDecimal(0).add(db.getDecimal(0)) == base.getDecimal(0))
+    assert(da.getString(0).length == 30 && base.getString(0).length == 30)
+    assert(BigInt(da.getString(0)) + BigInt(db.getString(0)) ==
+      BigInt(base.getString(0)))
     assert(da.getLong(1) + db.getLong(1) == base.getLong(1))
   }
 
@@ -150,7 +154,7 @@ class ScaleSpec extends SparkSpec {
     val ranges = files.map { f =>
       val z = spark.read.parquet(f)
         .select(Layout.zValue2(col("x"), col("y")).as("z"))
-        .agg(min("z"), max("z")).head
+        .agg(min("z"), max("z")).head()
       (z.getLong(0), z.getLong(1))
     }.sortBy(_._1)
     ranges.sliding(2).foreach {
