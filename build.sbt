@@ -15,6 +15,9 @@ run / fork := true
 // sbt's "[success] Total time: …" footer would print after it and win the
 // tail. Suppress the footer so the summary stays the final line under sbt.
 ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not another setting —
+// exclude it from the unused-key lint so builds stay warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

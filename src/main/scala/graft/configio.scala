@@ -347,7 +347,7 @@ object Anonymize {
   val ValidateReport = "anonymize.validate.report.json"
 
   private val valueFlags = Set("--data", "--out", "--config",
-    "--table", "--qi", "--sensitive", "--k", "--l")
+    "--table", "--qi", "--sensitive", "--sensitive-bin", "--k", "--l", "--t")
   private val boolFlags = Set("--configGen", "--dryrun", "--apply",
     "--rehearse", "--audit", "--validate")
 
@@ -387,7 +387,8 @@ object Anonymize {
       "configGen" -> (common + "--config"),
       "dryrun" -> (common ++ Set("--config", "--rehearse")),
       "apply" -> (common ++ Set("--config", "--validate")),
-      "audit" -> (common ++ Set("--table", "--qi", "--sensitive", "--k", "--l")))
+      "audit" -> (common ++ Set("--table", "--qi", "--sensitive",
+        "--sensitive-bin", "--k", "--l", "--t")))
     val outOfScope = args.filter(_.startsWith("--"))
       .filterNot(allowedByMode(mode))
     if (outOfScope.nonEmpty)
@@ -443,10 +444,12 @@ object Anonymize {
           // Post-release privacy audit: "is this (anonymized) output
           // actually safe?" — k-anonymity over the declared quasi-
           // identifiers, plus l-diversity when a sensitive column is
-          // named. Two hash aggregates; only one-row summaries reach the
-          // driver. Point --data at an `anonymized/` directory to audit
-          // what apply produced, or at the source to audit the raw risk.
-          import org.apache.spark.sql.functions.{coalesce, col, count, lit, min, sum, when}
+          // named, plus t-closeness when an ORDERED sensitive bin column
+          // is named (--sensitive-bin, threshold --t). Hash aggregates;
+          // only one-row summaries reach the driver. Point --data at an
+          // `anonymized/` directory to audit what apply produced, or at
+          // the source to audit the raw risk.
+          import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, sum, when}
           val table = opt("--table")
             .getOrElse(sys.error("--audit requires --table <name>"))
           val qi = opt("--qi")
@@ -483,7 +486,20 @@ object Anonymize {
                 "lAtRisk" -> lRow.getLong(0), "minL" -> lRow.getLong(1))
             case None => base
           }
-          ConfigIO.writeAuditReport(s"$outDir/$AuditReport", table, qi, metrics)
+          val withT = opt("--sensitive-bin") match {
+            case Some(sb) =>
+              if (!df.columns.contains(sb))
+                sys.error(s"sensitive-bin column not in $table: $sb")
+              val t = opt("--t").map(_.toDouble).getOrElse(0.2)
+              val tRow = operators.Privacy.tCloseness(df, qi, col(sb), t)
+                .agg(coalesce(sum(when(col("at_risk"), 1L).otherwise(0L)),
+                    lit(0L)).as("t_at_risk"),
+                  coalesce(max(col("emd")), lit(0.0)).as("t_max")).head()
+              metrics ++ Map[String, Any]("t" -> t, "sensitiveBin" -> sb,
+                "tAtRisk" -> tRow.getLong(0), "tMax" -> tRow.getDouble(1))
+            case None => metrics
+          }
+          ConfigIO.writeAuditReport(s"$outDir/$AuditReport", table, qi, withT)
           println(s"Privacy audit of $table on (${qi.mkString(", ")}): " +
             s"${kRow.getLong(1)} of ${kRow.getLong(0)} classes below k=$k " +
             s"(min class size ${kRow.getLong(2)})")

@@ -84,10 +84,21 @@ object Curation {
    * arithmetic over a literal long array (no UDF), so it runs inside the
    * scan's whole-stage-codegen pass and prunes rows before any shuffle.
    * One-sided error: false positives only, never false negatives.
+   *
+   * The literal binding is for SMALL (default-sized) filters only: a
+   * lit() array is plan state, serialized with every task and referenced
+   * once per probe, so a 128 MB filter would ship ~k × 128 MB of plan
+   * literals. Past [[LitBloomMaxBits]] use [[bloomMightContainCol]] with a
+   * one-row broadcast (as [[contaminatedBloom]] does): Spark's torrent
+   * broadcast ships the bitmap once per executor, not per task.
    */
-  def bloomMightContain(v: Column, bitmap: Array[Long], k: Int): Column = {
-    val mBits = bitmap.length * 64L
-    val bm = lit(bitmap)
+  def bloomMightContain(v: Column, bitmap: Array[Long], k: Int): Column =
+    bloomMightContainCol(v, lit(bitmap), bitmap.length * 64L, k)
+
+  /** [[bloomMightContain]] probing a BOUND bitmap column (bind the array
+    * once — e.g. a one-row broadcast cross join — instead of embedding a
+    * plan literal per probe). Same arithmetic, still codegen'd. */
+  def bloomMightContainCol(v: Column, bm: Column, mBits: Long, k: Int): Column = {
     val h1 = xxhash64(v)
     val stride = hash(v).cast("long") * 2 + 1
     (0 until k).map { i =>
@@ -95,6 +106,10 @@ object Curation {
       getbit(element_at(bm, (pos / 64).cast("int") + 1), pos % 64) === 1
     }.reduce(_ && _)
   }
+
+  /** Largest bitmap worth embedding as a plan literal (128 KB); beyond
+    * this, [[contaminatedBloom]] binds the bitmap via broadcast instead. */
+  val LitBloomMaxBits: Long = 1L << 20
 
   /**
    * [[contaminated]] with a Bloom pre-filter: the corpus's exploded grams
@@ -122,12 +137,23 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bitmap = bloomBuild(benchGrams, "gram", mBits, k)
     // repartition for the same single-scan-partition reason as contaminated
-    val candidates = Scale.spreadForCompute(
+    val grams = Scale.spreadForCompute(
       train.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
       .select(col(idCol),
         explode(Dedup.shinglesFromWords(col("__words"), n)).as("gram"))
-      .filter(bloomMightContain(col("gram"), bitmap, k))
+    // small filters embed as a plan literal; big ones bind ONCE through a
+    // one-row broadcast cross join, so the bitmap ships per executor
+    // (torrent broadcast) instead of per task × per probe as plan state
+    val candidates =
+      if (mBits <= LitBloomMaxBits)
+        grams.filter(bloomMightContain(col("gram"), bitmap, k))
+      else
+        grams.crossJoin(broadcast(
+            train.sparkSession.range(1).select(lit(bitmap).as("__bloom"))))
+          .filter(bloomMightContainCol(col("gram"), col("__bloom"),
+            mBits.toLong, k))
+          .drop("__bloom")
     candidates.join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .select(idCol).distinct()
   }

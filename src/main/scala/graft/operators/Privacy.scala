@@ -68,25 +68,34 @@ object Privacy {
    * the join must agree, or below-k NULL classes would leak unmasked).
    * Cost: one aggregate scan for class sizes (|classes| rows, broadcast)
    * + one projection scan; nothing about the table itself shuffles.
+   *
+   * Naming contract: all helper columns carry a `__`-prefix (`__sz_*`,
+   * `__resid`), so any input column name without that prefix — including
+   * a literal `n` — passes through unambiguously; `__`-prefixed input
+   * names are reserved repo-wide. Note the '*' mask is also a legal string
+   * value: a genuine QI value '*' would merge into the suppressed class
+   * (it then only ever ADDS members to the hidden crowd, so the k-anonymity
+   * guarantee still holds; choose a different sentinel if '*' is live data).
    */
   def suppressBelowK(df: DataFrame, qi: Seq[String], k: Int): DataFrame = {
     val sizes = groupSizes(df, qi)
-      .select(qi.map(c => col(c).as(s"__s_$c")) :+ col("n"): _*)
+      .select(qi.map(c => col(c).as(s"__sz_$c")) :+
+        col("n").as("__sz_n"): _*)
     // total mass in below-k classes — decides mask vs drop, in-plan
     val residue = sizes.agg(coalesce(
-      sum(when(col("n") < k, col("n"))), lit(0L)).as("__resid"))
+      sum(when(col("__sz_n") < k, col("__sz_n"))), lit(0L)).as("__resid"))
     // null-safe equality: groupBy put NULL-QI rows in a class, so the
     // lookup join must match them too
-    val cond = qi.map(c => col(c) <=> col(s"__s_$c")).reduce(_ && _)
+    val cond = qi.map(c => col(c) <=> col(s"__sz_$c")).reduce(_ && _)
     val joined = df.join(broadcast(sizes), cond, "left")
       .crossJoin(broadcast(residue))
     val masked = df.columns.toSeq.map { c =>
       if (qi.contains(c))
-        when(col("n") < k, lit("*")).otherwise(col(c).cast("string")).as(c)
+        when(col("__sz_n") < k, lit("*")).otherwise(col(c).cast("string")).as(c)
       else col(c)
     }
     joined
-      .filter(col("n") >= k || col("__resid") >= k)
+      .filter(col("__sz_n") >= k || col("__resid") >= k)
       .select(masked: _*)
   }
 
@@ -109,9 +118,11 @@ object Privacy {
    * missing bins carry mass too), one small window over ≤B rows per
    * class. Rows with a NULL QI value or NULL sensitive bin are excluded
    * up front: NULL has no position on the ordered-bin axis, and a
-   * null-unsafe scaffold join would mis-assign their mass. Long counts
-   * bound the audit to ~3·10⁹ rows (cb·tot stays under 2⁶³); beyond that,
-   * cast the counts to decimal(38,0) at the same spots.
+   * null-unsafe scaffold join would mis-assign their mass. The scaled
+   * products run in decimal(38,0): cb·tot in long arithmetic would
+   * overflow past ~3·10⁹ rows; in decimal the products stay exact to
+   * ~9·10¹⁸ rows (count's own long ceiling) and the per-class |cum| sum
+   * to B·n·N < 10³⁸ — unbounded for any real corpus.
    */
   def tCloseness(df: DataFrame, qi: Seq[String], sensitive: Column,
       t: Double): DataFrame = {
@@ -120,6 +131,22 @@ object Privacy {
       .na.drop(qi :+ "__bin")
     val classBin = binned.groupBy((qi :+ "__bin").map(col): _*)
       .agg(count(lit(1)).as("cb"))
+    tClosenessFromCounts(classBin, qi, t)
+  }
+
+  /**
+   * [[tCloseness]] over a PRE-AGGREGATED (qi…, __bin, cb) count table —
+   * the seam that makes the decimal arithmetic testable at adversarial
+   * magnitudes (a spec can feed multi-billion counts directly instead of
+   * materializing the rows) and the natural entry point when class×bin
+   * counts are already maintained incrementally (see [[Scale.mergeCounts]]).
+   */
+  def tClosenessFromCounts(classBin: DataFrame, qi: Seq[String],
+      t: Double): DataFrame = {
+    val g = qi.map(col)
+    // exact wide-integer arithmetic: decimal(38,0) products of two long
+    // counts max out at ~8.5·10³⁷ < 10³⁸ — no overflow at any long input
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val classTot = classBin.groupBy(g: _*).agg(sum(col("cb")).as("n"))
     // marginals derive from the class×bin table — no second table scan
     val globalBin = classBin.groupBy(col("__bin")).agg(sum(col("cb")).as("gb"))
@@ -137,14 +164,16 @@ object Privacy {
       .partitionBy(g: _*).orderBy(col("__bin"))
     grid
       .withColumn("__cum",
-        sum(col("cb") * col("tot") - col("gb") * col("n")).over(w))
+        sum(dec(col("cb")) * dec(col("tot")) - dec(col("gb")) * dec(col("n")))
+          .over(w))
       .groupBy((qi :+ "n").map(col): _*)
       // single-bin degenerate case (nb = 1): every class trivially matches
       // the global distribution — EMD 0, not a 0/0 ANSI error
       .agg(coalesce(
         sum(abs(col("__cum"))).cast("double") /
-          nullif(max(col("n")) * max(col("tot")) * (max(col("nb")) - 1),
-            lit(0L)).cast("double"),
+          nullif(dec(max(col("n"))) * dec(max(col("tot"))) *
+            dec(max(col("nb")) - 1), lit(0L).cast("decimal(38,0)"))
+            .cast("double"),
         lit(0.0)).as("__emd"))
       .select(g ++ Seq(col("n"), round(col("__emd"), 6).as("emd"),
         (col("__emd") > t).as("at_risk")): _*)

@@ -60,6 +60,14 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(bloom == exact)
     assert(exact.nonEmpty)
+    // past LitBloomMaxBits the bitmap binds via a one-row broadcast cross
+    // join instead of a per-task plan literal — same result, same FP-proof
+    // verify join
+    assert(Curation.LitBloomMaxBits < (1L << 21))
+    val bloomBig = Curation.contaminatedBloom(train, bench, "doc_id", "text",
+      n = 4, mBits = 1 << 21, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloomBig == exact)
   }
 
   test("bigramLmScore: in-distribution text outscores out-of-distribution") {

@@ -176,4 +176,24 @@ class EngineSpec extends SparkSpec {
       Array("--audit", "--data", "/root/testdata/sf0.001", "--out", out,
         "--table", "customer", "--qi", "no_such_col")))
   }
+
+  test("CLI --audit --sensitive-bin adds a t-closeness summary to the report") {
+    val out = java.nio.file.Files.createTempDirectory("graft-audit-t").toString
+    Anonymize.run(spark, Array("--audit", "--data", "/root/testdata/sf0.001",
+      "--out", out, "--table", "customer", "--qi", "c_nationkey",
+      "--sensitive", "c_acctbal", "--sensitive-bin", "c_mktsegment",
+      "--k", "3", "--l", "2", "--t", "0.3"))
+    val report = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/${Anonymize.AuditReport}"))
+    assert(report.contains("\"t\":0.3"))
+    assert(report.contains("\"sensitiveBin\":\"c_mktsegment\""))
+    assert(report.contains("\"tAtRisk\":") && report.contains("\"tMax\":"))
+    // the k/l metrics still ride along in the same report
+    assert(report.contains("\"kAtRisk\":") && report.contains("\"minL\":"))
+    // unknown bin column fails loudly
+    assertThrows[RuntimeException](Anonymize.run(spark,
+      Array("--audit", "--data", "/root/testdata/sf0.001", "--out", out,
+        "--table", "customer", "--qi", "c_nationkey",
+        "--sensitive-bin", "no_such_col")))
+  }
 }

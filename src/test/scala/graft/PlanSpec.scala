@@ -212,9 +212,9 @@ class PlanSpec extends SparkSpec {
       // q_gapfill's scaffold explodes out of a one-row bounds aggregate —
       // the single partition holds exactly one row before the explode.
       "q_gapfill",
-      // q_vocab_coverage's cumulative window runs over the POST-AGGREGATE
-      // vocabulary (orders of magnitude smaller than the corpus), so the
-      // single-partition rank/cumsum is over already-reduced data.
+      // q_vocab_coverage's rank/cumsum window runs over the 20-row
+      // TakeOrderedAndProject result (top-k via per-partition heaps), so
+      // its single-partition stage holds exactly 20 already-reduced rows.
       "q_vocab_coverage")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
@@ -256,6 +256,36 @@ class PlanSpec extends SparkSpec {
     // \b excludes WindowGroupLimit (the rank<=3 pushdown helper nodes)
     assert("Window\\b".r.findAllIn(p).length == 1,
       "only the per-doc top-3 ranking window may remain")
+  }
+
+  test("vocab coverage takes the top-20 BEFORE the rank/cumsum window " +
+      "(no vocabulary-wide single-task sort)") {
+    val p = plan("q_vocab_coverage")
+    // top-k via per-partition heaps + one 20-row merge — not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    // exactly one window, and it sits ABOVE the limit (parents print
+    // first), i.e. it consumes the 20-row result, not the vocabulary
+    assert("Window\\b".r.findAllIn(p).length == 1, p.take(600))
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("table checksum reduces one scan through a partial+final aggregate") {
+    val p = plan("q_checksum")
+    assert("FileScan".r.findAllIn(p).length == 1, p.take(600))
+    // map-side partials: only per-partition digest scalars cross the wire
+    assert(p.contains("partial"), p.take(600))
+  }
+
+  test("suppression: class sizes aggregate once and broadcast back; the " +
+      "table side never shuffles") {
+    val p = plan("q_suppress")
+    // the size lookup is a broadcast join (null-safe equality keys) and
+    // the residue a broadcast one-row cross join — never a sort-merge
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    // class sizes come from a partial+final aggregate
+    assert(p.contains("partial"), p.take(600))
   }
 
   test("deterministic sampling pushes nothing but stays codegen'd scan-local") {

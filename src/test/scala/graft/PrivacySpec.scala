@@ -83,6 +83,47 @@ class PrivacySpec extends SparkSpec {
     assert(u("A") === ((0.0, false)) && u("B") === ((0.0, false)))
   }
 
+  test("tClosenessFromCounts stays exact at multi-billion-row magnitudes " +
+      "(long cb·tot would overflow)") {
+    // counts chosen so cb·tot ≈ 4.5e9 · 9e9 ≈ 4e19 > Long.MaxValue: the
+    // old long arithmetic threw (ANSI) past ~3e9 rows; decimal(38,0) is
+    // exact. Class A is all bin-0, class B all bin-1, equal sizes → the
+    // global split is (.5, .5) and each class's EMD is exactly 0.5.
+    val big = 4_500_000_000L // > Int.MaxValue, sum 9e9 rows
+    val counts = Seq(("A", 0, big), ("B", 1, big))
+      .toDF("zip", "__bin", "cb")
+    val out = Privacy.tClosenessFromCounts(counts, Seq("zip"), 0.25)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toMap
+    assert(out("A") === ((big, 0.5, true)))
+    assert(out("B") === ((big, 0.5, true)))
+    // skewed magnitudes too: A = 6e9 in bin 0; B = 2e9 split 50/50.
+    // global = (7e9, 1e9)/8e9; EMD_A = |6e9·8e9 − 7e9·6e9|/(6e9·8e9·1)
+    //        = 1/8; EMD_B = |1e9·8e9 − 7e9·2e9| / (2e9·8e9) = 3/8.
+    val skew = Seq(("A", 0, 6_000_000_000L),
+      ("B", 0, 1_000_000_000L), ("B", 1, 1_000_000_000L))
+      .toDF("zip", "__bin", "cb")
+    val s = Privacy.tClosenessFromCounts(skew, Seq("zip"), 0.25)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(s("A") === ((0.125, false)) && s("B") === ((0.375, true)))
+  }
+
+  test("suppressBelowK tolerates input columns named 'n' (helper names are " +
+      "__-prefixed)") {
+    val df = people.withColumnRenamed("age", "n")
+    val out = Privacy.suppressBelowK(df, Seq("zip"), 3)
+    assert(out.columns.toSeq === Seq("id", "zip", "n", "disease"))
+    // the 'n' data column passes through untouched for surviving rows
+    val kept = out.filter(col("zip") === "111").select("n")
+      .as[Int].collect().sorted.toSeq
+    assert(kept === Seq(30, 31, 32))
+    val reaudit = Privacy.kAnonymity(out, Seq("zip"), 3)
+      .filter(col("at_risk")).count()
+    assert(reaudit === 0L)
+  }
+
   test("binLabel tiles the line: negative values get their own width bin") {
     val labels = Seq(-1500.0, -0.01, 0.0, 999.99, 1000.0).toDF("x")
       .select(Privacy.binLabel(col("x"), 1000).as("b"))
