@@ -158,6 +158,46 @@ object Curation {
       .select(idCol).distinct()
   }
 
+  /**
+   * Corpus-composition overlap matrix: pairwise shingle Jaccard between
+   * the values of a partition column (source, domain, crawl dump…) — the
+   * "how much does source A duplicate source B" question that informs
+   * training-mix weights before any doc-level dedup runs. Only pairs
+   * sharing at least one shingle appear.
+   *
+   * Scale: works on DISTINCT (group, shingle) rows, so the self-join on
+   * the shingle emits at most G·(G−1)/2 rows per shingle (G = number of
+   * groups, e.g. 20 sources) — bounded per key regardless of corpus size;
+   * no doc-level pair explosion anywhere. Per-group totals broadcast back
+   * into the G²-row matrix. The Jaccard is ONE division of two exact
+   * longs — bit-identical in any IEEE engine, no rounding needed.
+   */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      shingleN: Int): DataFrame = {
+    val sh = Scale.spreadForCompute(
+      docs.filter(col(textCol).isNotNull), col(groupCol))
+      .select(col(groupCol).as("__g"),
+        explode(Dedup.shinglesFromWords(split(col(textCol), "\\s+"), shingleN))
+          .as("__sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = sh.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val pairs = sh.select(col("__g").as("src_a"), col("__sh"))
+      .join(sh.select(col("__g").as("src_b"), col("__sh")), "__sh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(tot.select(col("__g").as("src_a"), col("__n").as("n_a"))),
+        "src_a")
+      .join(broadcast(tot.select(col("__g").as("src_b"), col("__n").as("n_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Non-overlapping word chunks of width `w`; the trailing partial chunk
     * is kept (slice past the end returns what remains). Same hot-path
     * note as Dedup.shingles: prefer [[chunksFromWords]] over a projected
@@ -186,6 +226,45 @@ object Curation {
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") > 1)
+
+  /**
+   * Boilerplate REMOVAL — the cleaning transform on top of
+   * [[boilerplateChunks]] (the CCNet-style dedup-then-clean move): drop
+   * every width-`w` chunk that occurs in more than one distinct document
+   * (headers, footers, license blocks) and reassemble each document from
+   * its surviving chunks in original order. Returns (id, n_chunks, n_kept,
+   * clean_text); a doc whose every chunk is boilerplate survives with
+   * empty text — dropping it is the caller's policy decision.
+   *
+   * Scale: the chunk explode feeds THREE consumers (boilerplate census,
+   * anti join, per-doc totals), so it persists once; the census is a
+   * partial-aggregating count and the removal an anti join co-partitioned
+   * with it on the chunk; reassembly is one per-doc hash aggregate whose
+   * (pos, chunk) structs sort IN-ROW (array_sort over the collected list —
+   * no window, no second corpus-wide sort).
+   */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val chunked = Scale.spreadForCompute(
+      docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), posexplode(chunks(col(textCol), w))
+        .as(Seq("__pos", "__chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = chunked.groupBy(col("__chunk"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__chunk"))
+    val totals = chunked.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    val kept = chunked.join(boiler, Seq("__chunk"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__chunk")))),
+          x => x("__chunk"))).as("clean_text"))
+    totals.join(kept, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .na.fill("", Seq("clean_text"))
+  }
 
   /**
    * Token-budget sequence packing, first-fit by running offset: docs are

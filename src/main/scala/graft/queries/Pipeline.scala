@@ -389,6 +389,55 @@ object Pipeline {
         "doc_id", "text", w = 10)
         .orderBy("chunk")
     }),
+    // Curation — boilerplate REMOVAL: the cleaning transform on top of the
+    // q_dedup_chunk census (drop cross-doc-repeated chunks, reassemble the
+    // doc in original order). Output carries the cleaned text's md5 so the
+    // whole reconstruction is hash-checked without shipping the text.
+    "q_clean_boilerplate" -> ((s, dir) => {
+      Curation.removeBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+        w = 10)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+    // Curation — source-overlap matrix: pairwise shingle Jaccard between
+    // sources (bounded G² rows per shingle, no doc-pair explosion); the
+    // mix-design question "which sources duplicate each other" answered
+    // before any doc-level dedup. Jaccard = one division of exact longs —
+    // emitted unrounded (bit-identical in any IEEE engine).
+    "q_source_overlap" -> ((s, dir) => {
+      Curation.sourceOverlap(t(s, dir, "documents"), "source", "text", 3)
+        .orderBy("src_a", "src_b")
+    }),
+    // Curation — the end-to-end pipeline: quality gate (≥20 tokens) →
+    // exact dedup on the canonical-text fingerprint (min doc_id survives)
+    // → benchmark decontamination (4-gram overlap vs the held-out src19
+    // "eval suite") → per-language funnel counts. Each stage is an
+    // already-oracle-checked operator; this query pins their COMPOSITION.
+    "q_curate_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("source") === "src19")
+      val train = docs.filter(col("source") =!= "src19")
+      val q = train.filter(size(split(col("text"), "\\s+")) >= 20)
+      // persisted: uniq feeds the contamination scan, the anti join's left
+      // side, AND its own stage count
+      val uniq = Dedup.exactByKey(
+        q.withColumn("__fp", Dedup.fingerprint(col("text"))),
+        Seq("__fp"), Seq(col("doc_id").asc))
+        .drop("__fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val clean = uniq.join(
+        Curation.contaminated(uniq, bench, "doc_id", "text", 4),
+        Seq("doc_id"), "left_anti")
+      def stage(df: DataFrame, alias: String) =
+        df.groupBy("lang").agg(count(lit(1)).as(alias))
+      stage(train, "n_raw")
+        .join(stage(q, "n_quality"), Seq("lang"), "left")
+        .join(stage(uniq, "n_unique"), Seq("lang"), "left")
+        .join(stage(clean, "n_clean"), Seq("lang"), "left")
+        .na.fill(0L, Seq("n_quality", "n_unique", "n_clean"))
+        .orderBy("lang")
+    }),
     // Curation — fixed-size token chunking with overlap (size 50, stride
     // 40): the split step between cleaning and packing, so long documents
     // become training-window-sized pieces with 10-token continuity overlap.
@@ -1184,6 +1233,84 @@ object Pipeline {
          FROM c GROUP BY chunk
          HAVING count(DISTINCT doc_id) > 1
          ORDER BY chunk""",
+    "q_clean_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                    FROM documents),
+         c AS (
+           SELECT doc_id, u['pos'] AS pos, u['chunk'] AS chunk FROM (
+             SELECT doc_id,
+               unnest(list_transform(generate_series(0, (len(w) - 1) // 10),
+                 i -> {'pos': i,
+                       'chunk': array_to_string(w[i*10+1:i*10+10], ' ')}))
+                 AS u
+             FROM t)),
+         b AS (SELECT chunk FROM c GROUP BY chunk
+               HAVING count(DISTINCT doc_id) > 1),
+         k AS (SELECT doc_id, cast(count(*) AS bigint) AS n_kept,
+                 string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+               FROM c WHERE chunk NOT IN (SELECT chunk FROM b)
+               GROUP BY doc_id),
+         tot AS (SELECT doc_id, cast(count(*) AS bigint) AS n_chunks
+                 FROM c GROUP BY doc_id)
+         SELECT tot.doc_id, n_chunks,
+           coalesce(n_kept, cast(0 AS bigint)) AS n_kept,
+           md5(coalesce(clean_text, '')) AS clean_md5
+         FROM tot LEFT JOIN k USING (doc_id) ORDER BY tot.doc_id""",
+    "q_source_overlap" ->
+      """WITH s AS (
+           SELECT DISTINCT g, sh FROM (
+             SELECT source AS g,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(w) - 2, 1)),
+                 i -> array_to_string(w[i:i+2], ' ')))) AS sh
+             FROM (SELECT source, string_split_regex(text, '\s+') AS w
+                   FROM documents WHERE text IS NOT NULL))),
+         tot AS (SELECT g, cast(count(*) AS bigint) AS n FROM s GROUP BY g),
+         p AS (SELECT x.g AS src_a, y.g AS src_b,
+                 cast(count(*) AS bigint) AS n_shared
+               FROM s x JOIN s y ON x.sh = y.sh AND x.g < y.g
+               GROUP BY x.g, y.g)
+         SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+           cast(n_shared AS double) / (ta.n + tb.n - n_shared) AS jaccard
+         FROM p JOIN tot ta ON ta.g = src_a JOIN tot tb ON tb.g = src_b
+         ORDER BY src_a, src_b""",
+    "q_curate_e2e" ->
+      """WITH train AS (SELECT * FROM documents WHERE source <> 'src19'),
+         bench AS (SELECT * FROM documents WHERE source = 'src19'),
+         q AS (SELECT * FROM train
+               WHERE len(string_split_regex(text, '\s+')) >= 20),
+         u AS (SELECT doc_id, text, lang FROM (
+             SELECT doc_id, text, lang, row_number() OVER (
+               PARTITION BY regexp_replace(lower(text), '\s+', ' ', 'g')
+               ORDER BY doc_id) AS rn
+             FROM q) WHERE rn = 1),
+         bg AS (SELECT DISTINCT gram FROM (
+             SELECT unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 3, 1)),
+               i -> array_to_string(w[i:i+3], ' ')))) AS gram
+             FROM (SELECT string_split_regex(text, '\s+') AS w FROM bench))),
+         contam AS (SELECT DISTINCT doc_id FROM (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 3, 1)),
+               i -> array_to_string(w[i:i+3], ' ')))) AS gram
+             FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                   FROM u))
+           WHERE gram IN (SELECT gram FROM bg)),
+         clean AS (SELECT * FROM u
+                   WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+         SELECT r.lang, r.n_raw,
+           coalesce(qq.n_quality, cast(0 AS bigint)) AS n_quality,
+           coalesce(uu.n_unique, cast(0 AS bigint)) AS n_unique,
+           coalesce(cc.n_clean, cast(0 AS bigint)) AS n_clean
+         FROM (SELECT lang, cast(count(*) AS bigint) AS n_raw
+               FROM train GROUP BY lang) r
+         LEFT JOIN (SELECT lang, cast(count(*) AS bigint) AS n_quality
+                    FROM q GROUP BY lang) qq USING (lang)
+         LEFT JOIN (SELECT lang, cast(count(*) AS bigint) AS n_unique
+                    FROM u GROUP BY lang) uu USING (lang)
+         LEFT JOIN (SELECT lang, cast(count(*) AS bigint) AS n_clean
+                    FROM clean GROUP BY lang) cc USING (lang)
+         ORDER BY r.lang""",
     "q_chunk_docs" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS w

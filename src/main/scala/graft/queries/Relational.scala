@@ -308,7 +308,9 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("exact_parts"),
-          (abs(col("approx") - col("exact_parts")) <
+          // inclusive bound: on an empty table both sides are 0 and the
+          // vacuous verdict must stay true, matching the oracle constant
+          (abs(col("approx") - col("exact_parts")) <=
             col("exact_parts").cast("double") * 0.05).as("within_5pct"))
     }),
     // Ops — order-independent portable table checksum: migration /
@@ -338,8 +340,10 @@ object Relational {
         .agg(expr("percentile(__c, 0.5)").as("exact_med_cents"),
           expr("approx_percentile(__c, 0.5, 10000)").as("__ap"))
         .select(col("exact_med_cents"),
-          (abs(col("__ap") - col("exact_med_cents")) <=
-            col("exact_med_cents") * 0.01).as("within_1pct"))
+          // empty table ⇒ NULL percentiles ⇒ vacuously-true verdict (the
+          // oracle side is the constant true)
+          coalesce(abs(col("__ap") - col("exact_med_cents")) <=
+            col("exact_med_cents") * 0.01, lit(true)).as("within_1pct"))
     }),
     // A3 — deterministic argmax via lexicographic struct max (the map-side-
     // combining pick-one aggregate; ties broken by the embedded key).

@@ -27,6 +27,38 @@ class CurationSpec extends SparkSpec {
     assert(hit == Set(1L, 3L))
   }
 
+  test("removeBoilerplate drops only cross-doc chunks, preserves order, " +
+      "keeps fully-boilerplate docs with empty text") {
+    val df = docs(
+      (1L, "x y a b c d"), // chunks: "x y" (shared), "a b", "c d"
+      (2L, "x y e f"),     // chunks: "x y" (shared), "e f"
+      (3L, "g h i j"),     // all chunks unique
+      (4L, "x y"))         // every chunk boilerplate
+    val out = Curation.removeBoilerplate(df, "doc_id", "text", w = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((3L, 2L, "a b c d")))
+    assert(out(2L) === ((2L, 1L, "e f")))
+    assert(out(3L) === ((2L, 2L, "g h i j")))
+    assert(out(4L) === ((1L, 0L, ""))) // survives the LEFT join, empty text
+  }
+
+  test("sourceOverlap reports only shingle-sharing pairs with exact Jaccard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d", "s1"), // shingles: "a b c", "b c d"
+      (2L, "a b c e", "s2"), // shares "a b c" with s1
+      (3L, "p q r s", "s3")) // shares nothing
+      .toDF("doc_id", "text", "source")
+    val out = Curation.sourceOverlap(df, "source", "text", 3).collect()
+    assert(out.length === 1) // s3 overlaps nobody, so no row for it
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) === (("s1", "s2")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((1L, 2L, 2L)))
+    assert(r.getDouble(5) === 1.0 / 3.0) // one shared of three distinct
+  }
+
   test("bloom filter: no false negatives; false positives stay rare") {
     val vals = (0 until 2000).map(i => (i.toLong, s"member-$i"))
     val members = docs(vals: _*)
