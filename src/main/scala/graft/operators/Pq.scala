@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.functions.VectorOps._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (PQ) — the vector-COMPRESSION half of large-scale
+ * ANN, complementing the candidate-bounding half (IVF cells, LSH buckets):
+ * the embedding splits into `m` contiguous subvectors and each subvector is
+ * encoded as the index of its nearest codeword in a per-subspace codebook,
+ * so a d-dim float vector becomes m small integers (64 floats → 4 bytes at
+ * m=4, k≤256). At 100 TB the codes are what fits in executor memory — the
+ * full floats stay in cold storage — and per-subspace reconstruction error
+ * is the quality metric that picks m and k.
+ *
+ * This is the FIXED-codebook variant (codewords = the subvectors of the
+ * rows with id < k — the same declared-quantizer trick as
+ * `q_sim_ivf_fixed`): assignment key, index tiebreak, and error are exact
+ * sequential-dot arithmetic both engines reproduce bit-for-bit, so the
+ * whole encoder is DuckDB-oracle-checkable. A k-means-trained codebook
+ * drops into the same shape the way the trained IVF does (engine-specific
+ * float reductions → rows-only checking).
+ *
+ * Scale: the codebook is m·k rows (metadata) broadcast into one scan of
+ * the corpus; the per-(vector, subspace) argmin is a map-side partial
+ * min(struct) — one shuffle keyed on (id, j) bounded by m·|corpus| rows,
+ * no driver state anywhere.
+ */
+object Pq {
+
+  /**
+   * Encode every row's embedding against the fixed codebook. Returns one
+   * row per (id, subspace j): the chosen `code` and the squared
+   * reconstruction error `err` = |s − cw|², expanded as |s|² − 2·s·cw +
+   * |cw|² (the same one-dot-per-candidate trick as [[Ivf]]'s rank key).
+   * Ties break on the lower codeword index — deterministic in any engine.
+   */
+  def encodeFixed(df: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    def subvectors(v: org.apache.spark.sql.Column) =
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(v, j * d + 1, lit(d))))
+    // |s|² once per (vector, subspace), BEFORE the ×k candidate join
+    val subs = df.select(col(idCol), col(embCol).as("__v"))
+      .select(col(idCol), subvectors(col("__v")).as(Seq("j", "__s")))
+      .withColumn("__sn2", dot(col("__s"), col("__s")))
+    val codebook = df.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("__c"), col(embCol).as("__v"))
+      .select(col("__c"), subvectors(col("__v")).as(Seq("j", "__cw")))
+      .withColumn("__cwn2", dot(col("__cw"), col("__cw")))
+    subs.join(broadcast(codebook), "j")
+      .withColumn("__key",
+        lit(-2.0) * dot(col("__s"), col("__cw")) + col("__cwn2"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("__key").as("k"), col("__c").as("c"))).as("__m"),
+        max(col("__sn2")).as("__n2")) // constant within the group
+      .select(col(idCol), col("j").cast("long").as("j"),
+        col("__m.c").as("code"),
+        round(col("__n2") + col("__m.k"), 6).as("err"))
+  }
+}

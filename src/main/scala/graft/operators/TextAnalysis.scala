@@ -109,4 +109,20 @@ object TextAnalysis {
 
   def hasEmail(text: Column): Column = text.rlike(emailPattern)
   def hasPhone(text: Column): Column = text.rlike(phonePattern)
+
+  /**
+   * In-text PII redaction — the free-text twin of the reference's
+   * column-level masking (query-builder.ts applies strategies to whole
+   * columns; training text needs the PII scrubbed INSIDE the string):
+   * every email / phone match is replaced by a typed placeholder. A
+   * scan-local codegen'd projection (two regexp_replace passes), zero
+   * shuffles — it composes into any pipeline the way q_clean_text does.
+   * Both patterns are ASCII and dialect-portable (same semantics in
+   * Java regex and RE2), so the transform oracle-checks wherever the
+   * data actually carries PII.
+   */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
 }

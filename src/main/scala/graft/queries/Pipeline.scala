@@ -515,6 +515,19 @@ object Pipeline {
         .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
         .orderBy("a", "b")
     }),
+    // L2 — product quantization (fixed codebook): the vector-compression
+    // half of ANN at scale — 64 floats become m=4 codeword indexes, and
+    // the per-subspace reconstruction error is the m/k quality dial. The
+    // codebook is declared (subvectors of vec_id < 8), so assignment,
+    // tiebreak, and error are bit-portable arithmetic the oracle mirrors,
+    // exactly like q_sim_ivf_fixed.
+    "q_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      graft.operators.Pq.encodeFixed(emb, "vec_id", "emb",
+        m = 4, k = 8, dim = 64)
+        .orderBy("vec_id", "j")
+    }),
     // L2 — LSH-bucketed approximate top-k: exactTopK's broadcast crossJoin
     // replaced by an equi-join on the sign-LSH bucket, so per-query work is
     // proportional to its bucket's size, not |corpus| — the scale path when
@@ -836,6 +849,30 @@ object Pipeline {
             FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
           WHERE cos >= 0.4 ORDER BY a, b"""
     },
+    // PQ: per (vector, subspace) nearest-codeword assignment — the same
+    // -2·dot + |cw|² rank key and row_number tiebreak as the IVF oracle,
+    // restricted to each 16-dim slice.
+    "q_pq_encode" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          sub AS (
+            SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
+              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
+            FROM e, generate_series(0, 3) AS g(j)),
+          cb AS (
+            SELECT cast(e.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
+              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
+            FROM e, generate_series(0, 3) AS g(j)
+            WHERE vec_id < 8),
+          scored AS (
+            SELECT sub.vec_id, sub.j, cb.c,
+              -2 * list_dot_product(sub.s, cb.cw) + cb.cwn2 AS key, sub.sn2
+            FROM sub JOIN cb ON sub.j = cb.j),
+          best AS (
+            SELECT vec_id, j, c AS code, sn2 + key AS err,
+              row_number() OVER (PARTITION BY vec_id, j ORDER BY key, c) AS rn
+            FROM scored)
+          SELECT vec_id, j, code, round(err, 6) AS err
+          FROM best WHERE rn = 1 ORDER BY vec_id, j""",
     // lshTopK = q_sim_exact's scoring/ranking restricted to bucket-equal
     // candidates: same plane literals as the engine, same cosine and
     // row_number shape as the q_sim_exact oracle.

@@ -56,4 +56,32 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
     assert(approx.size <= exact.size)
   }
+
+  test("PQ fixed-codebook encoding: codewords self-encode with zero error; " +
+      "near-codeword vectors pick their source codeword") {
+    import graft.operators.Pq
+    val out = Pq.encodeFixed(emb, "vec_id", "emb", m = 4, k = 8, dim = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(out.size == emb.count() * 4) // one row per (vector, subspace)
+    // every codebook vector encodes to itself in every subspace, err 0
+    for (v <- 0 until 8; j <- 0 until 4)
+      assert(out((v.toLong, j.toLong)) === ((v, 0.0)),
+        s"codeword $v subspace $j")
+    // errors are non-negative reconstruction distances everywhere
+    assert(out.values.forall(_._2 >= 0.0))
+    // on a well-separated synthetic codebook, a nudged codeword picks its
+    // source in every subspace (corpus embeddings can carry near-duplicate
+    // subvectors, so the recall claim is made on controlled geometry)
+    import spark.implicits._
+    val synth = (0 until 8).map(c =>
+      (c.toLong, (0 until 64).map(i => c * 100.0 + i).toArray.toSeq))
+    val nudged = (100L, synth(3)._2.map(_ + 0.5))
+    val enc = Pq.encodeFixed((synth :+ nudged).toDF("vec_id", "emb"),
+        "vec_id", "emb", m = 4, k = 8, dim = 64)
+      .filter(col("vec_id") === 100L)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(enc == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3))
+  }
 }

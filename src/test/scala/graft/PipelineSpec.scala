@@ -366,6 +366,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(1).getBoolean(0) && out(1).getBoolean(1))
     assert(!out(2).getBoolean(0) && !out(2).getBoolean(1))
   }
+
+  test("redactPii scrubs every email/phone occurrence in-place, leaves " +
+      "clean text untouched") {
+    val df = strDf("t", Seq(
+      "contact bob@example.com or sue@test.org today",
+      "call 415-555-1234 or 212.555.9876 now",
+      "mixed: a@b.io and 415-555-1234",
+      "nothing sensitive here"))
+    val out = df.select(TA.redactPii(col("t"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(out(0) == "contact [EMAIL] or [EMAIL] today")
+    assert(out(1) == "call [PHONE] or [PHONE] now")
+    assert(out(2) == "mixed: [EMAIL] and [PHONE]")
+    assert(out(3) == "nothing sensitive here")
+    // after redaction the detectors find nothing — the scan/redact pair
+    // closes the loop
+    val re = df.select(TA.redactPii(col("t")).as("t"))
+    assert(re.filter(TA.hasEmail(col("t")) || TA.hasPhone(col("t"))).count() == 0)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
