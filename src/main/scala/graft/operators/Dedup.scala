@@ -332,10 +332,13 @@ object Dedup {
     // broadcast join inherits the streamed side's partitioning). One
     // shuffle of k·|docs| small rows buys full-width parallelism for the
     // set intersections — and at 100 TB it is also the locality layout.
+    // capped once, persisted once: both self-join sides read this — an
+    // unpersisted cap would re-run the block census per side
     val blocked = capBlocks(
       sh.select(col("__id"), col("__hv"), explode(col("__blks")).as("__blk"))
         .repartition(col("__blk")),
       "__blk", maxBlock)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = blocked.select(col("__id").as("a"), col("__hv").as("hv_a"),
       col("__blk"))
     val b = blocked.select(col("__id").as("b"), col("__hv").as("hv_b"),

@@ -46,9 +46,10 @@ object Pipeline {
     // skew guard: a corpus-common minimum shingle would form one block
     // with quadratic pair expansion; blocks above the cap are dropped
     // (declared semantics, mirrored as QUALIFY in the oracle SQL — see
-    // Dedup.capBlocks). The window count rides the blk exchange the
-    // self-join needs anyway.
+    // Dedup.capBlocks). Persisted: BOTH self-join sides consume it, and
+    // without the persist each side would re-run the census + anti join.
     val capped = Dedup.capBlocks(sh, "blk", Dedup.DefaultMaxBlock)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("doc_id").as("a"), col("hv").as("hv_a"), col("blk"))
     val b = capped.select(col("doc_id").as("b"), col("hv").as("hv_b"), col("blk"))
     val inter = size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")

@@ -288,6 +288,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), p.take(600))
   }
 
+  test("PQ encoding: broadcast codebook join + partial argmin aggregate, " +
+      "no cartesian") {
+    val p = plan("q_pq_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("partial"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("source overlap and boilerplate removal: shared exploded stage is " +
+      "cached; no cartesian pair explosion") {
+    val o = plan("q_source_overlap")
+    assert(!o.contains("CartesianProduct"), o.take(600))
+    assert(o.contains("InMemoryTableScan"),
+      "the distinct (group, shingle) stage must be computed once")
+    val b = plan("q_clean_boilerplate")
+    assert(!b.contains("CartesianProduct"), b.take(600))
+    assert(b.contains("InMemoryTableScan"),
+      "the chunk explode must feed census/anti-join/totals from one cache")
+  }
+
   test("deterministic sampling pushes nothing but stays codegen'd scan-local") {
     val p = plan("q_sample_hash")
     assert("FileScan".r.findAllIn(p).length == 1)

@@ -322,4 +322,31 @@ class StreamsSpec extends SparkSpec {
       assert(rows == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
     } finally q.stop()
   }
+
+  test("streaming curation: the batch redact/quality operators run " +
+      "unchanged over an unbounded source (stateless scan transforms)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{TextAnalysis => TA}
+    val mem = MemoryStream[(Long, String)]
+    // the same Column expressions the batch queries use — stateless, so
+    // they compose into a stream with no watermark or state store at all
+    val cleaned = mem.toDF().toDF("doc_id", "text")
+      .filter(size(split(col("text"), "\\s+")) >= 4)
+      .select(col("doc_id"), TA.redactPii(col("text")).as("text"))
+    val q = cleaned.writeStream.format("memory").queryName("curate_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "contact bob@example.com for more details"),
+        (2L, "too short"), // fails the quality gate
+        (3L, "call 415-555-1234 about the offer today"))
+      q.processAllAvailable()
+      val rows = spark.table("curate_t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Map(
+        1L -> "contact [EMAIL] for more details",
+        3L -> "call [PHONE] about the offer today"))
+    } finally q.stop()
+  }
 }
