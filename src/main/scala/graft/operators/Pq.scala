@@ -36,22 +36,29 @@ object Pq {
    * |cw|² (the same one-dot-per-candidate trick as [[Ivf]]'s rank key).
    * Ties break on the lower codeword index — deterministic in any engine.
    */
+  /** One row per (input row, subspace j): the j-th d-wide slice. */
+  private def subvectors(v: org.apache.spark.sql.Column, m: Int, d: Int) =
+    posexplode(transform(sequence(lit(0), lit(m - 1)),
+      j => slice(v, j * d + 1, lit(d))))
+
+  /** The fixed codebook: (code __c, subspace j, codeword __cw, |cw|²
+    * __cwn2) from the rows with id < k — m·k rows, metadata scale. */
+  private def fixedCodebook(df: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, d: Int): DataFrame =
+    df.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("__c"), col(embCol).as("__v"))
+      .select(col("__c"), subvectors(col("__v"), m, d).as(Seq("j", "__cw")))
+      .withColumn("__cwn2", dot(col("__cw"), col("__cw")))
+
   def encodeFixed(df: DataFrame, idCol: String, embCol: String,
       m: Int, k: Int, dim: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val d = dim / m
-    def subvectors(v: org.apache.spark.sql.Column) =
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        j => slice(v, j * d + 1, lit(d))))
     // |s|² once per (vector, subspace), BEFORE the ×k candidate join
     val subs = df.select(col(idCol), col(embCol).as("__v"))
-      .select(col(idCol), subvectors(col("__v")).as(Seq("j", "__s")))
+      .select(col(idCol), subvectors(col("__v"), m, d).as(Seq("j", "__s")))
       .withColumn("__sn2", dot(col("__s"), col("__s")))
-    val codebook = df.filter(col(idCol) < k)
-      .select(col(idCol).cast("int").as("__c"), col(embCol).as("__v"))
-      .select(col("__c"), subvectors(col("__v")).as(Seq("j", "__cw")))
-      .withColumn("__cwn2", dot(col("__cw"), col("__cw")))
-    subs.join(broadcast(codebook), "j")
+    subs.join(broadcast(fixedCodebook(df, idCol, embCol, m, k, d)), "j")
       .withColumn("__key",
         lit(-2.0) * dot(col("__s"), col("__cw")) + col("__cwn2"))
       .groupBy(col(idCol), col("j"))
@@ -60,5 +67,49 @@ object Pq {
       .select(col(idCol), col("j").cast("long").as("j"),
         col("__m.c").as("code"),
         round(col("__n2") + col("__m.k"), 6).as("err"))
+  }
+
+  /**
+   * ADC (asymmetric distance computation) top-k search over PQ codes —
+   * what the codes exist FOR: the query keeps full precision, the corpus
+   * is only its m codes, and the approximate squared distance is the sum
+   * over subspaces of the precomputed query→codeword distance table
+   * (m·k doubles per query, broadcast). Search cost is a probe join on
+   * (subspace, code) over the compressed codes — the full-precision
+   * corpus vectors are never read.
+   *
+   * Determinism: the per-subspace distances are exact sequential-dot
+   * doubles, and the cross-subspace sum casts each term to a fixed-scale
+   * decimal BEFORE aggregating (the repo's order-independent float-sum
+   * trick), so ranking and distances are bit-identical in any engine —
+   * the whole search is oracle-checkable.
+   */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+      m: Int, k: Int, dim: Int,
+      idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    val codes = encodeFixed(corpus, idCol, embCol, m, k, dim)
+      .select(col(idCol), col("j"), col("code"))
+    val qsubs = queries.select(col(qIdCol), col(qEmbCol).as("__v"))
+      .select(col(qIdCol), subvectors(col("__v"), m, d).as(Seq("j", "__qs")))
+      .withColumn("__qn2", dot(col("__qs"), col("__qs")))
+    val dtab = qsubs
+      .join(broadcast(fixedCodebook(corpus, idCol, embCol, m, k, d)), "j")
+      .select(col(qIdCol), col("j").cast("long").as("j"),
+        col("__c").as("code"),
+        (col("__qn2") - lit(2.0) * dot(col("__qs"), col("__cw")) +
+          col("__cwn2")).as("__dq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qIdCol).orderBy(col("__ad"), col(idCol))
+    codes.join(broadcast(dtab), Seq("j", "code"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("__dq").cast("decimal(28,10)")).as("__ad"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col(qIdCol), col(idCol), col("rn"),
+        round(col("__ad").cast("double"), 6).as("adist"))
   }
 }

@@ -529,6 +529,19 @@ object Pipeline {
         m = 4, k = 8, dim = 64)
         .orderBy("vec_id", "j")
     }),
+    // L2 — PQ/ADC search: top-10 by asymmetric distance over the m=4
+    // codes — the corpus side is ONLY its compressed codes; the query's
+    // m·k distance table broadcasts. Term-wise decimal(28,10) casts make
+    // the cross-subspace float sum order-independent, so ranking and
+    // distances oracle-check exactly.
+    "q_pq_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      graft.operators.Pq.adcTopK(emb, qs, 10, m = 4, k = 8, dim = 64)
+        .orderBy("q_id", "rn")
+    }),
     // L2 — LSH-bucketed approximate top-k: exactTopK's broadcast crossJoin
     // replaced by an equi-join on the sign-LSH bucket, so per-query work is
     // proportional to its bucket's size, not |corpus| — the scale path when
@@ -874,6 +887,40 @@ object Pipeline {
             FROM scored)
           SELECT vec_id, j, code, round(err, 6) AS err
           FROM best WHERE rn = 1 ORDER BY vec_id, j""",
+    // ADC: the q_pq_encode codes joined to the per-query distance table
+    // on (subspace, code); term-wise decimal casts keep the sum exact.
+    "q_pq_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          sub AS (
+            SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
+              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
+            FROM e, generate_series(0, 3) AS g(j)),
+          cb AS (
+            SELECT cast(e.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
+              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
+            FROM e, generate_series(0, 3) AS g(j)
+            WHERE vec_id < 8),
+          codes AS (
+            SELECT vec_id, j, code FROM (
+              SELECT sub.vec_id, sub.j, cb.c AS code,
+                row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                  ORDER BY -2 * list_dot_product(sub.s, cb.cw) + cb.cwn2, cb.c)
+                  AS rn
+              FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
+          dtab AS (
+            SELECT q.vec_id AS q_id, cb.j, cb.c AS code,
+              q.sn2 - 2 * list_dot_product(q.s, cb.cw) + cb.cwn2 AS dq
+            FROM sub q JOIN cb ON q.j = cb.j WHERE q.vec_id < 5),
+          scored AS (
+            SELECT d.q_id, c.vec_id,
+              sum(cast(d.dq AS decimal(28,10))) AS ad
+            FROM codes c JOIN dtab d ON d.j = c.j AND d.code = c.code
+              AND c.vec_id <> d.q_id
+            GROUP BY d.q_id, c.vec_id)
+          SELECT q_id, vec_id, rn, round(cast(ad AS double), 6) AS adist
+          FROM (SELECT q_id, vec_id, ad, row_number() OVER (
+                  PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM scored)
+          WHERE rn <= 10 ORDER BY q_id, rn""",
     // lshTopK = q_sim_exact's scoring/ranking restricted to bucket-equal
     // candidates: same plane literals as the engine, same cosine and
     // row_number shape as the q_sim_exact oracle.

@@ -84,4 +84,26 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
     assert(enc == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3))
   }
+
+  test("PQ/ADC search: when the corpus IS the codebook, ADC ranking equals " +
+      "exact L2 ranking (codes reconstruct perfectly)") {
+    import graft.operators.Pq
+    import spark.implicits._
+    val synth = (0 until 8).map(c =>
+      (c.toLong, (0 until 64).map(i => c * 100.0 + i).toArray.toSeq))
+    val corpus = synth.toDF("vec_id", "emb")
+    // query = codeword 3 nudged +0.5: self (3) is excluded, the +0.5 pulls
+    // toward higher codewords, so 4 (per-dim diff −99.5) beats 2 (+100.5)
+    // and 5 (−199.5) beats 1 (+200.5)
+    val qs = Seq((3L, synth(3)._2.map(_ + 0.5))).toDF("q_id", "q_emb")
+    val out = Pq.adcTopK(corpus, qs, 3, m = 4, k = 8, dim = 64)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(x => (x._1, x._2)).toSeq == Seq((4L, 1L), (2L, 2L), (5L, 3L)))
+    // with a perfectly-reconstructing codebook the ADC distance IS the
+    // exact squared L2 — 64 dims of the same per-dim diff, all exact
+    assert(out(0)._3 == 64 * 99.5 * 99.5)
+    assert(out(1)._3 == 64 * 100.5 * 100.5)
+    assert(out(2)._3 == 64 * 199.5 * 199.5)
+  }
 }
