@@ -107,6 +107,23 @@ object Scale {
       .drop("__src")
 
   /**
+   * [[upsert]] WITH tombstones: the change feed carries an op column
+   * ('U' upsert, 'D' delete); per key the highest `versionCol` wins
+   * (change beats base on ties, as in [[upsert]]) and a winning delete
+   * removes the key entirely — the takedown / GDPR-erasure primitive
+   * plain upsert cannot express. Same single shuffle on the key; a
+   * replayed delete stays deleted (idempotent by the same version law).
+   */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      versionCol: String, opCol: String): DataFrame =
+    Dedup.exactByKey(
+      base.withColumn(opCol, lit("U")).withColumn("__src", lit(0))
+        .unionByName(changes.withColumn("__src", lit(1))),
+      keys, Seq(col(versionCol).desc, col("__src").desc))
+      .filter(col(opCol) =!= "D")
+      .drop("__src", opCol)
+
+  /**
    * Incremental aggregate maintenance: merge a delta's partial counts/sums
    * into a maintained summary — union + re-aggregate, one shuffle on the
    * group keys. The law `merge(summarize(A), summarize(B)) ==

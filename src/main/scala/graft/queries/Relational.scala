@@ -502,6 +502,25 @@ object Relational {
           col("version"))
         .orderBy("o_orderkey")
     }),
+    // Scale — CDC apply WITH tombstones: ~19% of keys get a versioned
+    // change, roughly half of those a delete — the surviving table drops
+    // deleted keys entirely and keeps the winning version elsewhere. The
+    // md5-gated change/delete sets re-derive identically in the oracle.
+    "q_cdc_apply" -> ((s, dir) => {
+      val price = dec2(col("o_totalprice"))
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), price.as("price"), lit(0).as("version"))
+      val changes = t(s, dir, "orders")
+        .filter(Sampling.keepHex(col("o_orderkey"), "cdc2", "3000"))
+        .select(col("o_orderkey"), (price + lit(10)).as("price"),
+          lit(1).as("version"),
+          when(Sampling.keepHex(col("o_orderkey"), "cdcdel", "8000"),
+            "D").otherwise("U").as("op"))
+      Scale.applyCdc(base, changes, Seq("o_orderkey"), "version", "op")
+        .select(col("o_orderkey"), col("price").cast("double").as("price"),
+          col("version"))
+        .orderBy("o_orderkey")
+    }),
     // Schema — distributed column profiler: one scan+aggregate per table
     // instead of the reference's driver-side LIMIT probes.
     "q_profile" -> ((s, dir) => {
@@ -886,6 +905,25 @@ object Relational {
            SELECT *, row_number() OVER (PARTITION BY o_orderkey
              ORDER BY version DESC) AS rn FROM unioned)
          WHERE rn = 1 ORDER BY o_orderkey""",
+    "q_cdc_apply" ->
+      """WITH base AS (
+           SELECT o_orderkey, cast(o_totalprice AS decimal(18,2)) AS price,
+             0 AS version, 'U' AS op, 0 AS src FROM orders),
+         changes AS (
+           SELECT o_orderkey,
+             cast(o_totalprice AS decimal(18,2)) + 10 AS price, 1 AS version,
+             CASE WHEN substring(md5(concat('cdcdel', '|',
+                    cast(o_orderkey AS VARCHAR))), 1, 4) < '8000'
+                  THEN 'D' ELSE 'U' END AS op,
+             1 AS src
+           FROM orders
+           WHERE substring(md5(concat('cdc2', '|',
+                   cast(o_orderkey AS VARCHAR))), 1, 4) < '3000'),
+         unioned AS (SELECT * FROM base UNION ALL SELECT * FROM changes)
+         SELECT o_orderkey, cast(price AS double) AS price, version FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY version DESC, src DESC) AS rn FROM unioned)
+         WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""",
     "q_profile" ->
       """SELECT * FROM (
            SELECT 'c_custkey' AS column_name, count(*) AS n_rows,

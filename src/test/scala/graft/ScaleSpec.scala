@@ -202,6 +202,25 @@ class ScaleSpec extends SparkSpec {
     assert(out == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
   }
 
+  test("applyCdc: winning deletes remove keys, version ties prefer the " +
+      "change, and replaying the feed is idempotent") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 0))
+      .toDF("k", "v", "version")
+    val changes = Seq((1L, "a2", 1, "U"), (2L, "x", 1, "D"), (3L, "c9", 0, "U"),
+      (4L, "zz", 1, "D")) // delete of a never-present key is a no-op
+      .toDF("k", "v", "version", "op")
+    val once = Scale.applyCdc(base, changes, Seq("k"), "version", "op")
+    val got = once.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // 1 updated, 2 deleted, 3: version tie -> the change row wins
+    assert(got == Set((1L, "a2", 1), (3L, "c9", 0)))
+    // replay over the applied result changes nothing
+    val twice = Scale.applyCdc(once, changes, Seq("k"), "version", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(twice == got)
+  }
+
   test("compact rewrites a fragmented table into few right-sized files") {
     import spark.implicits._
     import graft.operators.Layout
