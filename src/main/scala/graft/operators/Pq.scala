@@ -29,13 +29,6 @@ import org.apache.spark.sql.functions._
  */
 object Pq {
 
-  /**
-   * Encode every row's embedding against the fixed codebook. Returns one
-   * row per (id, subspace j): the chosen `code` and the squared
-   * reconstruction error `err` = |s − cw|², expanded as |s|² − 2·s·cw +
-   * |cw|² (the same one-dot-per-candidate trick as [[Ivf]]'s rank key).
-   * Ties break on the lower codeword index — deterministic in any engine.
-   */
   /** One row per (input row, subspace j): the j-th d-wide slice. */
   private def subvectors(v: org.apache.spark.sql.Column, m: Int, d: Int) =
     posexplode(transform(sequence(lit(0), lit(m - 1)),
@@ -50,6 +43,13 @@ object Pq {
       .select(col("__c"), subvectors(col("__v"), m, d).as(Seq("j", "__cw")))
       .withColumn("__cwn2", dot(col("__cw"), col("__cw")))
 
+  /**
+   * Encode every row's embedding against the fixed codebook. Returns one
+   * row per (id, subspace j): the chosen `code` and the squared
+   * reconstruction error `err` = |s − cw|², expanded as |s|² − 2·s·cw +
+   * |cw|² (the same one-dot-per-candidate trick as [[Ivf]]'s rank key).
+   * Ties break on the lower codeword index — deterministic in any engine.
+   */
   def encodeFixed(df: DataFrame, idCol: String, embCol: String,
       m: Int, k: Int, dim: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
@@ -67,6 +67,52 @@ object Pq {
       .select(col(idCol), col("j").cast("long").as("j"),
         col("__m.c").as("code"),
         round(col("__n2") + col("__m.k"), 6).as("err"))
+  }
+
+  /**
+   * k-means-TRAINED per-subspace codebooks (classic PQ training): each
+   * subspace runs its own Lloyd iterations over its subvector projection,
+   * reusing [[Ivf.train]] (distributed means; k·d driver floats per
+   * subspace — metadata scale). Initialized from the first k rows, i.e.
+   * exactly the fixed codebook, and Lloyd never increases distortion —
+   * so trained reconstruction error ≤ fixed, which PqSpec asserts.
+   * Engine-specific float reductions → ScalaTest-checked, not SQL-oracled:
+   * the same fixed/trained split as [[Ivf]].
+   */
+  def trainCodebooks(df: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, dim: Int, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    (0 until m).map { j =>
+      Ivf.train(df.select(col(idCol),
+        slice(col(embCol), j * d + 1, d).as("__s")), idCol, "__s", k, iters)
+    }
+  }
+
+  /**
+   * Encode against EXPLICIT per-subspace codebooks (typically
+   * [[trainCodebooks]] output): the codewords become plan literals, so the
+   * whole encoder is ONE scan-local codegen'd projection — no join, no
+   * shuffle, nothing but (id, j, code, err) rows leave the scan. The
+   * driver-codebook twin of [[encodeFixed]]'s join-based shape.
+   */
+  def encodeWith(df: DataFrame, idCol: String, embCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.head.nonEmpty, "empty codebooks")
+    val d = codebooks.head.head.length
+    val perSubspace = codebooks.zipWithIndex.map { case (cb, j) =>
+      val s = slice(col(embCol), j * d + 1, d)
+      val scored = cb.zipWithIndex.map { case (cw, i) =>
+        struct((lit(-2.0) * dot(s, typedLit(cw)) +
+          lit(cw.map(x => x * x).sum)).as("k"), lit(i).as("i"))
+      }
+      val best = array_min(array(scored: _*))
+      struct(lit(j.toLong).as("j"), best.getField("i").as("code"),
+        round(dot(s, s) + best.getField("k"), 6).as("err"))
+    }
+    df.select(col(idCol), explode(array(perSubspace: _*)).as("__e"))
+      .select(col(idCol), col("__e.j").as("j"), col("__e.code").as("code"),
+        col("__e.err").as("err"))
   }
 
   /**

@@ -106,4 +106,35 @@ class IvfSpec extends SparkSpec {
     assert(out(1)._3 == 64 * 100.5 * 100.5)
     assert(out(2)._3 == 64 * 199.5 * 199.5)
   }
+
+  test("trained PQ codebooks never reconstruct worse than the fixed ones " +
+      "(Lloyd starts FROM the fixed codebook and only descends)") {
+    import graft.operators.Pq
+    def totalErr(enc: org.apache.spark.sql.DataFrame): Double =
+      enc.agg(sum(col("err"))).head().getDouble(0)
+    val fixed = totalErr(
+      Pq.encodeFixed(emb, "vec_id", "emb", m = 4, k = 8, dim = 64))
+    val books = Pq.trainCodebooks(emb, "vec_id", "emb",
+      m = 4, k = 8, dim = 64, iters = 2)
+    assert(books.length == 4 && books.forall(_.length == 8))
+    assert(books.forall(_.forall(_.length == 16)))
+    val trained = totalErr(Pq.encodeWith(emb, "vec_id", "emb", books))
+    assert(trained <= fixed + 1e-3, s"trained $trained vs fixed $fixed")
+    assert(trained >= 0.0)
+    // and the shuffle-free encoder agrees with the join-based one when
+    // given the fixed codebook's own codewords
+    val fixedBooks = (0 until 4).map { j =>
+      (0 until 8).map { c =>
+        emb.filter(col("vec_id") === c).head().getSeq[Double](1)
+          .slice(j * 16, j * 16 + 16).toSeq
+      }.toSeq
+    }
+    val viaLiterals = Pq.encodeWith(emb, "vec_id", "emb", fixedBooks)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    val viaJoin = Pq.encodeFixed(emb, "vec_id", "emb", m = 4, k = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(viaLiterals == viaJoin)
+  }
 }
