@@ -245,9 +245,13 @@ object Curation {
    */
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
+    // words projected separately: tokenize once per row, not once per
+    // chunk slot inside the transform lambda (the Dedup.shingles hot-path
+    // rule — this explode is the pipeline's expensive stage)
     val chunked = Scale.spreadForCompute(
       docs.filter(col(textCol).isNotNull), col(idCol))
-      .select(col(idCol), posexplode(chunks(col(textCol), w))
+      .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
+      .select(col(idCol), posexplode(chunksFromWords(col("__words"), w))
         .as(Seq("__pos", "__chunk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val boiler = chunked.groupBy(col("__chunk"))

@@ -35,7 +35,12 @@ object Pq {
       j => slice(v, j * d + 1, lit(d))))
 
   /** The fixed codebook: (code __c, subspace j, codeword __cw, |cw|²
-    * __cwn2) from the rows with id < k — m·k rows, metadata scale. */
+    * __cwn2) from the rows with id < k — m·k rows, metadata scale.
+    * CONTRACT: ids 0..k-1 must exist (the declared-quantizer convention,
+    * as in q_sim_ivf_fixed); with sparse or offset ids the codebook comes
+    * up short and the encode join silently drops subspaces — use
+    * [[trainCodebooks]]+[[encodeWith]] there, whose seed is the k LOWEST
+    * ids present, whatever their values. */
   private def fixedCodebook(df: DataFrame, idCol: String, embCol: String,
       m: Int, k: Int, d: Int): DataFrame =
     df.filter(col(idCol) < k)
@@ -54,11 +59,19 @@ object Pq {
       m: Int, k: Int, dim: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val d = dim / m
+    encodeAgainst(df, idCol, embCol, m, d,
+      fixedCodebook(df, idCol, embCol, m, k, d))
+  }
+
+  /** [[encodeFixed]]'s body against a PREBUILT codebook DataFrame, so a
+    * caller with two codebook consumers ([[adcTopK]]) builds it once. */
+  private def encodeAgainst(df: DataFrame, idCol: String, embCol: String,
+      m: Int, d: Int, codebook: DataFrame): DataFrame = {
     // |s|² once per (vector, subspace), BEFORE the ×k candidate join
     val subs = df.select(col(idCol), col(embCol).as("__v"))
       .select(col(idCol), subvectors(col("__v"), m, d).as(Seq("j", "__s")))
       .withColumn("__sn2", dot(col("__s"), col("__s")))
-    subs.join(broadcast(fixedCodebook(df, idCol, embCol, m, k, d)), "j")
+    subs.join(broadcast(codebook), "j")
       .withColumn("__key",
         lit(-2.0) * dot(col("__s"), col("__cw")) + col("__cwn2"))
       .groupBy(col(idCol), col("j"))
@@ -73,9 +86,10 @@ object Pq {
    * k-means-TRAINED per-subspace codebooks (classic PQ training): each
    * subspace runs its own Lloyd iterations over its subvector projection,
    * reusing [[Ivf.train]] (distributed means; k·d driver floats per
-   * subspace — metadata scale). Initialized from the first k rows, i.e.
-   * exactly the fixed codebook, and Lloyd never increases distortion —
-   * so trained reconstruction error ≤ fixed, which PqSpec asserts.
+   * subspace — metadata scale). Seeded from the k lowest ids present;
+   * when ids are dense from 0 (the [[encodeFixed]] contract) that seed IS
+   * the fixed codebook, and Lloyd never increases distortion — so trained
+   * reconstruction error ≤ fixed, which the spec asserts.
    * Engine-specific float reductions → ScalaTest-checked, not SQL-oracled:
    * the same fixed/trained split as [[Ivf]].
    */
@@ -136,13 +150,17 @@ object Pq {
       qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val d = dim / m
-    val codes = encodeFixed(corpus, idCol, embCol, m, k, dim)
+    // the m·k-row codebook feeds TWO consumers (the encode join and the
+    // query distance table); persisted so the id<k corpus scan runs once
+    val cb = fixedCodebook(corpus, idCol, embCol, m, k, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = encodeAgainst(corpus, idCol, embCol, m, d, cb)
       .select(col(idCol), col("j"), col("code"))
     val qsubs = queries.select(col(qIdCol), col(qEmbCol).as("__v"))
       .select(col(qIdCol), subvectors(col("__v"), m, d).as(Seq("j", "__qs")))
       .withColumn("__qn2", dot(col("__qs"), col("__qs")))
     val dtab = qsubs
-      .join(broadcast(fixedCodebook(corpus, idCol, embCol, m, k, d)), "j")
+      .join(broadcast(cb), "j")
       .select(col(qIdCol), col("j").cast("long").as("j"),
         col("__c").as("code"),
         (col("__qn2") - lit(2.0) * dot(col("__qs"), col("__cw")) +

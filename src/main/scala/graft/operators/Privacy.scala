@@ -130,16 +130,21 @@ object Privacy {
     val binned = df.select(g :+ sensitive.as("__bin"): _*)
       .na.drop(qi :+ "__bin")
     val classBin = binned.groupBy((qi :+ "__bin").map(col): _*)
-      .agg(count(lit(1)).as("cb"))
+      .agg(count(lit(1)).as("__cb"))
     tClosenessFromCounts(classBin, qi, t)
   }
 
   /**
-   * [[tCloseness]] over a PRE-AGGREGATED (qi…, __bin, cb) count table —
+   * [[tCloseness]] over a PRE-AGGREGATED (qi…, __bin, __cb) count table —
    * the seam that makes the decimal arithmetic testable at adversarial
    * magnitudes (a spec can feed multi-billion counts directly instead of
    * materializing the rows) and the natural entry point when class×bin
    * counts are already maintained incrementally (see [[Scale.mergeCounts]]).
+   *
+   * Naming contract (same as [[suppressBelowK]]): every helper column is
+   * `__`-prefixed, so QI columns named `n`, `cb`, `tot` etc. resolve
+   * unambiguously; only the OUTPUT names (`n`, `emd`, `at_risk`) and the
+   * `__` prefix itself are reserved.
    */
   def tClosenessFromCounts(classBin: DataFrame, qi: Seq[String],
       t: Double): DataFrame = {
@@ -147,35 +152,34 @@ object Privacy {
     // exact wide-integer arithmetic: decimal(38,0) products of two long
     // counts max out at ~8.5·10³⁷ < 10³⁸ — no overflow at any long input
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val classTot = classBin.groupBy(g: _*).agg(sum(col("cb")).as("n"))
+    val classTot = classBin.groupBy(g: _*).agg(sum(col("__cb")).as("__n"))
     // marginals derive from the class×bin table — no second table scan
-    val globalBin = classBin.groupBy(col("__bin")).agg(sum(col("cb")).as("gb"))
-    // "tot"/"nb", not "N"/"B": Spark resolution is case-insensitive by
-    // default, so "N" would collide with the per-class "n"
-    val globalTot = globalBin.agg(sum(col("gb")).as("tot"),
-      count(lit(1)).as("nb"))
+    val globalBin = classBin.groupBy(col("__bin"))
+      .agg(sum(col("__cb")).as("__gb"))
+    val globalTot = globalBin.agg(sum(col("__gb")).as("__tot"),
+      count(lit(1)).as("__nb"))
     // scaffold: every class × every bin, zero-filled where the class has
     // no mass in a bin (those rows still move earth)
     val grid = classTot.crossJoin(broadcast(globalBin))
       .join(classBin, qi :+ "__bin", "left")
-      .na.fill(0L, Seq("cb"))
+      .na.fill(0L, Seq("__cb"))
       .crossJoin(broadcast(globalTot))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*).orderBy(col("__bin"))
     grid
       .withColumn("__cum",
-        sum(dec(col("cb")) * dec(col("tot")) - dec(col("gb")) * dec(col("n")))
-          .over(w))
-      .groupBy((qi :+ "n").map(col): _*)
-      // single-bin degenerate case (nb = 1): every class trivially matches
-      // the global distribution — EMD 0, not a 0/0 ANSI error
+        sum(dec(col("__cb")) * dec(col("__tot")) -
+          dec(col("__gb")) * dec(col("__n"))).over(w))
+      .groupBy((qi :+ "__n").map(col): _*)
+      // single-bin degenerate case (__nb = 1): every class trivially
+      // matches the global distribution — EMD 0, not a 0/0 ANSI error
       .agg(coalesce(
         sum(abs(col("__cum"))).cast("double") /
-          nullif(dec(max(col("n"))) * dec(max(col("tot"))) *
-            dec(max(col("nb")) - 1), lit(0L).cast("decimal(38,0)"))
+          nullif(dec(max(col("__n"))) * dec(max(col("__tot"))) *
+            dec(max(col("__nb")) - 1), lit(0L).cast("decimal(38,0)"))
             .cast("double"),
         lit(0.0)).as("__emd"))
-      .select(g ++ Seq(col("n"), round(col("__emd"), 6).as("emd"),
+      .select(g ++ Seq(col("__n").as("n"), round(col("__emd"), 6).as("emd"),
         (col("__emd") > t).as("at_risk")): _*)
   }
 

@@ -113,6 +113,10 @@ object Scale {
    * removes the key entirely — the takedown / GDPR-erasure primitive
    * plain upsert cannot express. Same single shuffle on the key; a
    * replayed delete stays deleted (idempotent by the same version law).
+   * Deletion requires the EXPLICIT tombstone 'D': a NULL or unrecognized
+   * op is treated as an upsert (null-safe compare), because a malformed
+   * upstream record silently erasing a key is the one failure mode an
+   * erasure primitive must not have.
    */
   def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
       versionCol: String, opCol: String): DataFrame =
@@ -120,7 +124,7 @@ object Scale {
       base.withColumn(opCol, lit("U")).withColumn("__src", lit(0))
         .unionByName(changes.withColumn("__src", lit(1))),
       keys, Seq(col(versionCol).desc, col("__src").desc))
-      .filter(col(opCol) =!= "D")
+      .filter(!(col(opCol) <=> "D"))
       .drop("__src", opCol)
 
   /**
@@ -214,10 +218,13 @@ object Scale {
     // The digest leaves the engine as a FIXED-WIDTH STRING: the decimal sum
     // exceeds int64 (2^56 per row × row count), the one numeric class whose
     // rendering diverges across engines' compare layers (exact Decimal vs
-    // float64's "7.18e+20"). 30 digits covers 2^56 × 10^12 rows; zero-padding
-    // keeps string order = numeric order. The sum itself stays decimal(38,0).
+    // float64's "7.18e+20"). Width 38 = decimal(38,0)'s full precision, so
+    // lpad can never truncate high digits no matter the row count (width 30
+    // would silently drop low-order digits past ~10^13 rows — exactly the
+    // collision a checksum exists to catch); zero-padding keeps string
+    // order = numeric order. The sum itself stays decimal(38,0).
     df.agg(sum(rowHash).as("__sum"), count(lit(1)).as("n_rows"))
-      .select(lpad(col("__sum").cast("string"), 30, "0").as("checksum"),
+      .select(lpad(col("__sum").cast("string"), 38, "0").as("checksum"),
         col("n_rows"))
   }
 

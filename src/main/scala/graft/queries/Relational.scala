@@ -753,7 +753,7 @@ object Relational {
              CASE WHEN l_returnflag IS NULL THEN '0' ELSE '1' || length(l_returnflag) || ':' || l_returnflag END,
              CASE WHEN l_linestatus IS NULL THEN '0' ELSE '1' || length(l_linestatus) || ':' || l_linestatus END,
              CASE WHEN price IS NULL THEN '0' ELSE '1' || length(cast(price AS VARCHAR)) || ':' || cast(price AS VARCHAR) END
-           )), 1, 14))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR), 30, '0') AS checksum,
+           )), 1, 14))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR), 38, '0') AS checksum,
            count(*) AS n_rows
          FROM r ORDER BY checksum""",
     "q_agg_approx_pct" ->

@@ -91,7 +91,7 @@ class PrivacySpec extends SparkSpec {
     // global split is (.5, .5) and each class's EMD is exactly 0.5.
     val big = 4_500_000_000L // > Int.MaxValue, sum 9e9 rows
     val counts = Seq(("A", 0, big), ("B", 1, big))
-      .toDF("zip", "__bin", "cb")
+      .toDF("zip", "__bin", "__cb")
     val out = Privacy.tClosenessFromCounts(counts, Seq("zip"), 0.25)
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
@@ -103,7 +103,7 @@ class PrivacySpec extends SparkSpec {
     //        = 1/8; EMD_B = |1e9·8e9 − 7e9·2e9| / (2e9·8e9) = 3/8.
     val skew = Seq(("A", 0, 6_000_000_000L),
       ("B", 0, 1_000_000_000L), ("B", 1, 1_000_000_000L))
-      .toDF("zip", "__bin", "cb")
+      .toDF("zip", "__bin", "__cb")
     val s = Privacy.tClosenessFromCounts(skew, Seq("zip"), 0.25)
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3)))
       .toMap

@@ -46,7 +46,7 @@ class ScaleSpec extends SparkSpec {
     // rendering above int64); merge law holds on the parsed integers.
     val (a, b) = (df.filter(col("id") <= 1), df.filter(col("id") > 1))
     val (da, db) = (digest(a), digest(b))
-    assert(da.getString(0).length == 30 && base.getString(0).length == 30)
+    assert(da.getString(0).length == 38 && base.getString(0).length == 38)
     assert(BigInt(da.getString(0)) + BigInt(db.getString(0)) ==
       BigInt(base.getString(0)))
     assert(da.getLong(1) + db.getLong(1) == base.getLong(1))
@@ -219,6 +219,13 @@ class ScaleSpec extends SparkSpec {
     val twice = Scale.applyCdc(once, changes, Seq("k"), "version", "op")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(twice == got)
+    // a NULL op (malformed upstream record) must upsert, never delete:
+    // silent erasure is the one failure mode the primitive must not have
+    val nullOp = Seq((1L, "a3", 2, null.asInstanceOf[String]))
+      .toDF("k", "v", "version", "op")
+    val withNull = Scale.applyCdc(base, nullOp, Seq("k"), "version", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(withNull == Set((1L, "a3"), (2L, "b"), (3L, "c")))
   }
 
   test("compact rewrites a fragmented table into few right-sized files") {
