@@ -25,6 +25,24 @@ object Scale {
     else df
 
   /**
+   * Skew diagnostic: the top-`n` heaviest keys with row counts and corpus
+   * share — the report that picks a [[saltedJoin]] saltFactor (or decides
+   * AQE's skew split suffices) BEFORE the join melts a reducer. One hash
+   * aggregate + TakeOrderedAndProject (per-partition n-row heaps — never
+   * a full sort of the key space); the total rides a broadcast one-row
+   * cross join, no driver collect. Share is one exact-int division.
+   */
+  def skewReport(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .orderBy(col("n_rows").desc, col(keyCol))
+      .limit(n)
+      .select(col(keyCol), col("n_rows"),
+        (col("n_rows").cast("double") / col("__tot")).as("share"))
+  }
+
+  /**
    * Skew-salted equi-join (large LEFT against small-ish RIGHT on `key`):
    * the left side gets a deterministic salt in [0, saltFactor) derived from
    * hashing `saltFrom` columns; the right side is exploded once per salt

@@ -542,6 +542,29 @@ object Pipeline {
       graft.operators.Pq.adcTopK(emb, qs, 10, m = 4, k = 8, dim = 64)
         .orderBy("q_id", "rn")
     }),
+    // L2 — ANN quality evaluation AS a query: recall@10 of the PQ/ADC
+    // search against the exact cosine top-10, per query vector — the
+    // eval loop a pipeline runs before trusting an index. Overlap counts
+    // are exact integers; recall is one int division (bit-portable).
+    "q_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val adc = graft.operators.Pq.adcTopK(emb, qs, 10, m = 4, k = 8, dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      // left join, not semi: a query with ZERO overlap must still report
+      // its (humiliating) recall row
+      exact.join(adc.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
+          "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / 10).as("recall"))
+        .orderBy("q_id")
+    }),
     // L2 — LSH-bucketed approximate top-k: exactTopK's broadcast crossJoin
     // replaced by an equi-join on the sign-LSH bucket, so per-query work is
     // proportional to its bucket's size, not |corpus| — the scale path when
@@ -921,6 +944,61 @@ object Pipeline {
           FROM (SELECT q_id, vec_id, ad, row_number() OVER (
                   PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM scored)
           WHERE rn <= 10 ORDER BY q_id, rn""",
+    // recall@10: the q_sim_exact top-10 left-joined to the q_pq_search
+    // top-10 per query; overlap counted, one exact int division.
+    "q_pq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          exact AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+              FROM (
+                SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+                  list_dot_product(x.v, q.v) /
+                    (sqrt(list_dot_product(x.v, x.v))
+                     * sqrt(list_dot_product(q.v, q.v))) AS cos
+                FROM e q JOIN e x
+                  ON q.vec_id < 5 AND x.vec_id <> q.vec_id))
+            WHERE rn <= 10),
+          sub AS (
+            SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
+              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
+            FROM e, generate_series(0, 3) AS g(j)),
+          cb AS (
+            SELECT cast(e.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
+              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
+            FROM e, generate_series(0, 3) AS g(j)
+            WHERE vec_id < 8),
+          codes AS (
+            SELECT vec_id, j, code FROM (
+              SELECT sub.vec_id, sub.j, cb.c AS code,
+                row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                  ORDER BY -2 * list_dot_product(sub.s, cb.cw) + cb.cwn2, cb.c)
+                  AS rn
+              FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
+          dtab AS (
+            SELECT q.vec_id AS q_id, cb.j, cb.c AS code,
+              q.sn2 - 2 * list_dot_product(q.s, cb.cw) + cb.cwn2 AS dq
+            FROM sub q JOIN cb ON q.j = cb.j WHERE q.vec_id < 5),
+          adc AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY ad, vec_id) AS rn
+              FROM (
+                SELECT d.q_id, c.vec_id,
+                  sum(cast(d.dq AS decimal(28,10))) AS ad
+                FROM codes c JOIN dtab d ON d.j = c.j AND d.code = c.code
+                  AND c.vec_id <> d.q_id
+                GROUP BY d.q_id, c.vec_id))
+            WHERE rn <= 10)
+          SELECT exact.q_id,
+            cast(sum(CASE WHEN adc.vec_id IS NULL THEN 0 ELSE 1 END)
+              AS bigint) AS n_hit,
+            cast(sum(CASE WHEN adc.vec_id IS NULL THEN 0 ELSE 1 END)
+              AS double) / 10 AS recall
+          FROM exact LEFT JOIN adc
+            ON exact.q_id = adc.q_id AND exact.vec_id = adc.vec_id
+          GROUP BY exact.q_id ORDER BY exact.q_id""",
     // lshTopK = q_sim_exact's scoring/ranking restricted to bucket-equal
     // candidates: same plane literals as the engine, same cosine and
     // row_number shape as the q_sim_exact oracle.

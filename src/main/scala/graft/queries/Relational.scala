@@ -521,6 +521,13 @@ object Relational {
           col("version"))
         .orderBy("o_orderkey")
     }),
+    // Scale — skew diagnostic: top-20 heaviest join keys with corpus
+    // share, the report that sizes saltedJoin's saltFactor. Heap-based
+    // top-k (TakeOrderedAndProject), exact-int share division.
+    "q_skew_report" -> ((s, dir) => {
+      Scale.skewReport(t(s, dir, "lineitem"), "l_partkey", 20)
+        .orderBy(col("n_rows").desc, col("l_partkey"))
+    }),
     // Schema — distributed column profiler: one scan+aggregate per table
     // instead of the reference's driver-side LIMIT probes.
     "q_profile" -> ((s, dir) => {
@@ -924,6 +931,12 @@ object Relational {
            SELECT *, row_number() OVER (PARTITION BY o_orderkey
              ORDER BY version DESC, src DESC) AS rn FROM unioned)
          WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""",
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_partkey, cast(count(*) AS bigint) AS n_rows
+                    FROM lineitem GROUP BY l_partkey),
+         t AS (SELECT cast(sum(n_rows) AS bigint) AS tot FROM c)
+         SELECT l_partkey, n_rows, cast(n_rows AS double) / tot AS share
+         FROM c, t ORDER BY n_rows DESC, l_partkey LIMIT 20""",
     "q_profile" ->
       """SELECT * FROM (
            SELECT 'c_custkey' AS column_name, count(*) AS n_rows,

@@ -215,7 +215,10 @@ class PlanSpec extends SparkSpec {
       // q_vocab_coverage's rank/cumsum window runs over the 20-row
       // TakeOrderedAndProject result (top-k via per-partition heaps), so
       // its single-partition stage holds exactly 20 already-reduced rows.
-      "q_vocab_coverage")
+      "q_vocab_coverage",
+      // q_skew_report's presentation sort runs over its own top-20 heap
+      // result — the same already-reduced shape as q_topk.
+      "q_skew_report")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {

@@ -163,4 +163,23 @@ class SourcesSpec extends SparkSpec {
     assert(cat.keySet == Tables.names.toSet)
     assert(cat("region").count() == 5)
   }
+
+  test("schema evolution: mergeSchema unions a column added mid-history; " +
+      "old files read it as NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // day 1 writes (id, v); day 2's pipeline added a quality column — the
+    // 100 TB reality where history is never rewritten to match new code
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 0.9)).toDF("id", "v", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "quality", "v"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.isNullAt(r.fieldIndex("quality")))).toSeq
+    // old files surface the new column as NULL; new files carry the value
+    assert(rows == Seq((1L, true), (2L, true), (3L, false)))
+  }
 }
