@@ -62,6 +62,27 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L1 — per-source corpus-health report: the dashboard row a pipeline
+    // publishes after each ingest. One scan, one hash aggregate; every
+    // metric is either an exact integer or ONE division of exact longs
+    // (bit-portable without rounding).
+    "q_quality_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), "\\s+")).cast("long").as("__tok"),
+          (TA.hasEmail(col("text")) || TA.hasPhone(col("text"))).as("__pii"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__tok")).as("n_tokens"),
+          (sum(col("__tok")).cast("double") / count(lit(1)))
+            .as("avg_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("__tok") < 20, 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("__pii"), 1L).otherwise(0L)).as("n_pii"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source")
+    }),
     // L1 — corpus stats per language (exact integer sums).
     "q_text_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1273,6 +1294,23 @@ object Pipeline {
            list_prepend(cast(0 AS bigint), list_transform(string_split(text, ''), c -> cast(ascii(c) AS bigint))),
            (acc, c) -> (acc * 31 + c) % 1000000007) AS rollhash
          FROM documents ORDER BY doc_id""",
+    "q_quality_report" ->
+      """WITH d AS (
+           SELECT source, lang, n_chars,
+             cast(len(string_split_regex(text, '\s+')) AS bigint) AS tok,
+             (regexp_matches(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')
+              OR regexp_matches(text, '\d{3}[-. ]\d{3}[-. ]\d{4}')) AS pii
+           FROM documents)
+         SELECT source, cast(count(*) AS bigint) AS n_docs,
+           cast(sum(tok) AS bigint) AS n_tokens,
+           cast(sum(tok) AS double) / count(*) AS avg_tokens,
+           cast(count(DISTINCT lang) AS bigint) AS n_langs,
+           cast(sum(CASE WHEN tok < 20 THEN 1 ELSE 0 END) AS bigint)
+             AS n_short,
+           cast(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS bigint) AS n_pii,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM d GROUP BY source ORDER BY source""",
     "q_pii_scan" ->
       """SELECT source, count(*) AS n_docs,
          cast(sum(CASE WHEN regexp_matches(text,
