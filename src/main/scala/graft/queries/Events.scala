@@ -146,9 +146,46 @@ object Events {
           (sum(dec2(col("value"))).over(w).cast("double") /
             count(lit(1)).over(w)).as("roll_avg"))
         .orderBy("user_id", "event_id")
+    }),
+    // W4-extension — exponentially-weighted moving value per user, exact:
+    // α = ½ over the last 8 events (zero-padded), so the weights are the
+    // dyadic 128/256 … 1/256. Values become exact cents (decimal cast →
+    // long), the weighted numerator is an exact long dot product of 8
+    // lags, and ONE final division by 25600.0 yields a bit-portable
+    // double. Same scale shape as q_rolling: one shuffle on user_id, no
+    // global order.
+    "q_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cents = (dec2(col("value")) * 100).cast("long")
+      val num = (0 until 8).map { i =>
+        val x = if (i == 0) cents else lag(cents, i).over(w)
+        coalesce(x, lit(0L)) * lit(1L << (7 - i))
+      }.reduce(_ + _)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          (num / lit(25600.0)).as("ewma"))
+        .orderBy("user_id", "event_id")
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             cast(cast(value AS decimal(18,2)) * 100 AS BIGINT) AS cents
+           FROM events)
+         SELECT user_id, event_id,
+           (cents * 128
+            + coalesce(lag(cents, 1) OVER w, 0) * 64
+            + coalesce(lag(cents, 2) OVER w, 0) * 32
+            + coalesce(lag(cents, 3) OVER w, 0) * 16
+            + coalesce(lag(cents, 4) OVER w, 0) * 8
+            + coalesce(lag(cents, 5) OVER w, 0) * 4
+            + coalesce(lag(cents, 6) OVER w, 0) * 2
+            + coalesce(lag(cents, 7) OVER w, 0)) :: DOUBLE / 25600 AS ewma
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id""",
     "q_rolling" ->
       """SELECT user_id, event_id, count(*) OVER w AS n_win,
          cast(sum(cast(value AS decimal(18,2))) OVER w AS DOUBLE)

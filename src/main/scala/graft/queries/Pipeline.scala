@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{CountMin, Curation, Dedup, Sampling, Scale, Similarity, TextAnalysis => TA}
+import graft.operators.{CountMin, Curation, Dedup, Quality, Sampling, Scale, Similarity, TextAnalysis => TA}
 import graft.functions.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -81,6 +81,16 @@ object Pipeline {
           sum(when(col("__pii"), 1L).otherwise(0L)).as("n_pii"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
+        .orderBy("source")
+    }),
+    // L1/Scale — drift report: exact total-variation distance of each
+    // source's doc-length distribution from the corpus-wide one. The scan
+    // collapses map-side to a (source × bin) cell table; everything after
+    // is arithmetic over that tiny frame, and the single final division
+    // keeps the score bit-portable.
+    "q_drift_tvd" -> ((s, dir) => {
+      Quality.driftTvd(t(s, dir, "documents"), "source",
+          least(floor(col("n_chars") / lit(64)).cast("long"), lit(8L)))
         .orderBy("source")
     }),
     // L1 — corpus stats per language (exact integer sums).
@@ -1294,6 +1304,21 @@ object Pipeline {
            list_prepend(cast(0 AS bigint), list_transform(string_split(text, ''), c -> cast(ascii(c) AS bigint))),
            (acc, c) -> (acc * 31 + c) % 1000000007) AS rollhash
          FROM documents ORDER BY doc_id""",
+    "q_drift_tvd" ->
+      """WITH cells AS (
+           SELECT source, least(cast(floor(n_chars / 64) AS BIGINT), 8) AS bin,
+             cast(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         g AS (SELECT source, cast(sum(c) AS BIGINT) AS ns FROM cells GROUP BY 1),
+         b AS (SELECT bin, cast(sum(c) AS BIGINT) AS nb FROM cells GROUP BY 1),
+         t AS (SELECT cast(sum(nb) AS BIGINT) AS N FROM b)
+         SELECT g.source,
+           cast(sum(abs(coalesce(cells.c, 0) * t.N - b.nb * g.ns)) AS DOUBLE)
+             / (2 * t.N * g.ns) AS tvd
+         FROM g CROSS JOIN b CROSS JOIN t
+         LEFT JOIN cells ON cells.source = g.source AND cells.bin = b.bin
+         GROUP BY g.source, g.ns, t.N
+         ORDER BY g.source""",
     "q_quality_report" ->
       """WITH d AS (
            SELECT source, lang, n_chars,

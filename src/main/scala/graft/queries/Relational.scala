@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Sampling, Scale}
+import graft.operators.{Quality, Sampling, Scale}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -535,6 +535,45 @@ object Relational {
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
         .orderBy("column_name")
     }),
+    // Scale — Deequ-style validation report: five row-level constraints,
+    // an exact uniqueness check, and a referential-integrity probe over
+    // orders→customer. All row-level checks fold into ONE aggregate pass;
+    // RI is one anti join. Metrics are exact longs + one IEEE division.
+    "q_constraints" -> ((s, dir) => {
+      import Quality.RowCheck
+      val orders = t(s, dir, "orders")
+      val rep = Quality.report(orders, Seq(
+        RowCheck("complete", "o_custkey", col("o_custkey").isNotNull),
+        RowCheck("positive", "o_totalprice", col("o_totalprice") > 0),
+        RowCheck("domain", "o_orderstatus",
+          col("o_orderstatus").isin("O", "F", "P")),
+        RowCheck("pattern", "o_orderpriority",
+          col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$")),
+        RowCheck("range", "o_orderdate",
+          col("o_orderdate").between("1995-01-01", "2001-12-31"))),
+        uniqueCols = Seq("o_orderkey"))
+      rep.unionByName(Quality.refIntegrity(
+          orders, "o_custkey", t(s, dir, "customer"), "c_custkey"))
+        .orderBy("constraint", "column")
+    }),
+    // Scale — incremental summary maintenance: per-priority counts and
+    // money sums kept as (pre-cutoff summary) + (delta batch), merged by
+    // Scale.mergeCounts — the partial-aggregate shape that turns a 100 TB
+    // recompute into a delta-sized job. The oracle recomputes from scratch;
+    // decimal sums make merge ≡ recompute bit-for-bit.
+    "q_merge_counts" -> ((s, dir) => {
+      def slice(p: org.apache.spark.sql.Column) =
+        t(s, dir, "orders").filter(p).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("o_totalprice"))).as("sum_price"))
+      Scale.mergeCounts(
+          slice(col("o_orderdate") < "2000-01-01"),
+          slice(col("o_orderdate") >= "2000-01-01"),
+          Seq("o_orderpriority"), "n", Seq("sum_price"))
+        .select(col("o_orderpriority"), col("n"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     // A4 — full-row distinct (dropDuplicates over every column).
     "q_distinct_rows" -> ((s, dir) => {
       t(s, dir, "orders").select("o_custkey", "o_orderstatus").distinct()
@@ -763,6 +802,41 @@ object Relational {
            )), 1, 14))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR), 38, '0') AS checksum,
            count(*) AS n_rows
          FROM r ORDER BY checksum""",
+    "q_constraints" ->
+      """WITH a AS (
+           SELECT cast(count(*) AS BIGINT) AS n,
+             cast(coalesce(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS f_complete,
+             cast(coalesce(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END), 0) AS BIGINT) AS f_positive,
+             cast(coalesce(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END), 0) AS BIGINT) AS f_domain,
+             cast(coalesce(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 0 ELSE 1 END), 0) AS BIGINT) AS f_pattern,
+             cast(coalesce(sum(CASE WHEN o_orderdate BETWEEN DATE '1995-01-01' AND DATE '2001-12-31' THEN 0 ELSE 1 END), 0) AS BIGINT) AS f_range,
+             cast(count(DISTINCT o_orderkey) AS BIGINT) AS d_key
+           FROM orders),
+         ri AS (
+           SELECT cast(count(*) AS BIGINT) AS orph FROM orders o
+           LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey IS NULL),
+         rep AS (
+           SELECT 'complete' AS "constraint", 'o_custkey' AS "column", f_complete AS n_failed,
+             CASE WHEN n = 0 THEN 1.0 ELSE cast(n - f_complete AS DOUBLE) / n END AS metric,
+             f_complete = 0 AS passed FROM a
+           UNION ALL SELECT 'positive', 'o_totalprice', f_positive,
+             CASE WHEN n = 0 THEN 1.0 ELSE cast(n - f_positive AS DOUBLE) / n END, f_positive = 0 FROM a
+           UNION ALL SELECT 'domain', 'o_orderstatus', f_domain,
+             CASE WHEN n = 0 THEN 1.0 ELSE cast(n - f_domain AS DOUBLE) / n END, f_domain = 0 FROM a
+           UNION ALL SELECT 'pattern', 'o_orderpriority', f_pattern,
+             CASE WHEN n = 0 THEN 1.0 ELSE cast(n - f_pattern AS DOUBLE) / n END, f_pattern = 0 FROM a
+           UNION ALL SELECT 'range', 'o_orderdate', f_range,
+             CASE WHEN n = 0 THEN 1.0 ELSE cast(n - f_range AS DOUBLE) / n END, f_range = 0 FROM a
+           UNION ALL SELECT 'unique', 'o_orderkey', n - d_key,
+             CASE WHEN n = 0 THEN 1.0 ELSE cast(d_key AS DOUBLE) / n END, n - d_key = 0 FROM a
+           UNION ALL SELECT 'ref_integrity', 'o_custkey', orph,
+             CASE WHEN n = 0 THEN 1.0 ELSE cast(n - orph AS DOUBLE) / n END, orph = 0 FROM a, ri)
+         SELECT * FROM rep ORDER BY "constraint", "column"""",
+    "q_merge_counts" ->
+      """SELECT o_orderpriority, cast(count(*) AS BIGINT) AS n,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_agg_approx_pct" ->
       """SELECT quantile_cont(cast(cast(l_extendedprice AS decimal(18,2))
                 * 100 AS BIGINT), 0.5) AS exact_med_cents,

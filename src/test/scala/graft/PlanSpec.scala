@@ -218,7 +218,15 @@ class PlanSpec extends SparkSpec {
       "q_vocab_coverage",
       // q_skew_report's presentation sort runs over its own top-20 heap
       // result — the same already-reduced shape as q_topk.
-      "q_skew_report")
+      "q_skew_report",
+      // q_constraints is a grand-total validation report: the one-row
+      // final aggregate and the RI orphan count receive per-partition
+      // scalars only (same shape as q_checksum/q_profile).
+      "q_constraints",
+      // q_drift_tvd's group/bin/grand totals are second-level aggregates
+      // over the already-reduced (group × bin) cell table — every
+      // data-sized stage (the cell build) stays distributed.
+      "q_drift_tvd")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Quality
+import graft.operators.Quality.RowCheck
+import org.apache.spark.sql.functions._
+
+/** Constraint-suite report and drift TVD (operators/Quality.scala). */
+class QualitySpec extends SparkSpec {
+
+  private def checks = Seq(
+    RowCheck("complete", "v", col("v").isNotNull),
+    RowCheck("positive", "x", col("x") > 0))
+
+  test("report: counts failures per constraint in one pass, exact metrics") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), 5), (2L, None, -1), (2L, Some("c"), 0))
+      .toDF("id", "v", "x")
+    val rep = Quality.report(df, checks, uniqueCols = Seq("id"))
+      .orderBy("constraint").collect()
+    val byName = rep.map(r => r.getString(0) ->
+      (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(byName("complete") == ((1L, 2.0 / 3, false)))
+    assert(byName("positive") == ((2L, 1.0 / 3, false)))
+    // 3 rows, 2 distinct ids → 1 duplicate
+    assert(byName("unique") == ((1L, 2.0 / 3, false)))
+    assert(rep.map(_.getString(0)).sorted.toSeq ==
+      Seq("complete", "positive", "unique"))
+  }
+
+  test("report: all-green table passes every constraint with metric 1.0") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), 5), (2L, Some("b"), 7)).toDF("id", "v", "x")
+    val rep = Quality.report(df, checks, Seq("id")).collect()
+    assert(rep.forall(_.getBoolean(4)))
+    assert(rep.forall(_.getDouble(3) == 1.0))
+    assert(rep.forall(_.getLong(2) == 0L))
+  }
+
+  test("report: empty table is vacuously green (no ANSI 0/0)") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Option[String], Int)].toDF("id", "v", "x")
+    val rep = Quality.report(df, checks, Seq("id")).collect()
+    assert(rep.length == 3)
+    assert(rep.forall(r => r.getBoolean(4) && r.getDouble(3) == 1.0))
+  }
+
+  test("refIntegrity: counts orphans, null fk is an orphan") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Quality.refIntegrity(child, "fk", parent, "pk").head()
+    assert(r.getString(0) == "ref_integrity")
+    assert(r.getLong(2) == 2L) // key 9 and the null
+    assert(r.getDouble(3) == 0.5)
+    assert(!r.getBoolean(4))
+  }
+
+  test("driftTvd: identical group distributions give exactly 0") {
+    import spark.implicits._
+    val df = (Seq.fill(4)(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++
+      Seq.fill(8)(("b", 1)) ++ Seq.fill(4)(("b", 2))).toDF("g", "x")
+    val tvd = Quality.driftTvd(df, "g", col("x")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tvd("a") == 0.0 && tvd("b") == 0.0)
+  }
+
+  test("driftTvd: disjoint supports give the maximal distance") {
+    import spark.implicits._
+    // corpus is half bin-1, half bin-2; each group sits entirely in one
+    // bin → TVD vs corpus = 1/2 for both
+    val df = (Seq.fill(5)(("a", 1)) ++ Seq.fill(5)(("b", 2))).toDF("g", "x")
+    val tvd = Quality.driftTvd(df, "g", col("x")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tvd("a") == 0.5 && tvd("b") == 0.5)
+    // zero-count cells must contribute: a never hits bin 2, b never bin 1
+  }
+
+  test("driftTvd: single group matches the corpus exactly (tvd 0)") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("a", 2)).toDF("g", "x")
+    val tvd = Quality.driftTvd(df, "g", col("x")).head().getDouble(1)
+    assert(tvd == 0.0)
+  }
+}
