@@ -93,13 +93,23 @@ object Quality {
    * (a bin the group never hit) still contribute |0 − n_b·N_s|, which a
    * naive cells-only join would silently drop.
    *
-   * Integer headroom: c·N and n_b·N_s stay under 2⁶³ while rows·rows fits
-   * a signed long, i.e. up to ~3·10⁹ rows per group-bin cell × total —
-   * past that, cast the products to decimal(38,0) as tCloseness does.
+   * Integer headroom: counts are exact longs, but the cross products
+   * c·N and n_b·N_s run in decimal(38,0) (as tCloseness's do), so the
+   * audit has no ~3·10⁹-row long-overflow ceiling — a 100 TB corpus with
+   * 10¹² rows stays far inside decimal(38,0)'s 38 digits (products of
+   * two ≤10¹⁹ counts).
    */
-  def driftTvd(df: DataFrame, groupCol: String, bin: Column): DataFrame = {
-    val cells = df.groupBy(col(groupCol), bin.as("__bin"))
-      .agg(count(lit(1)).as("__c"))
+  def driftTvd(df: DataFrame, groupCol: String, bin: Column): DataFrame =
+    driftTvdFromCells(
+      df.groupBy(col(groupCol), bin.as("__bin")).agg(count(lit(1)).as("__c")),
+      groupCol)
+
+  /** [[driftTvd]] over pre-aggregated (group, __bin, __c) cells — the
+    * injection point that lets a spec drive multi-billion counts without
+    * materializing the rows (mirrors `Privacy.tClosenessFromCounts`). */
+  def driftTvdFromCells(cellsIn: DataFrame, groupCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = cellsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grpTot = cells.groupBy(col(groupCol)).agg(sum(col("__c")).as("__ns"))
     val binTot = cells.groupBy(col("__bin")).agg(sum(col("__c")).as("__nb"))
@@ -107,10 +117,11 @@ object Quality {
     grpTot.crossJoin(broadcast(binTot)).crossJoin(broadcast(total))
       .join(cells, Seq(groupCol, "__bin"), "left")
       .groupBy(col(groupCol), col("__ns"), col("__N"))
-      .agg(sum(abs(coalesce(col("__c"), lit(0L)) * col("__N") -
-        col("__nb") * col("__ns"))).as("__num"))
+      .agg(sum(abs(dec(coalesce(col("__c"), lit(0L))) * dec(col("__N")) -
+        dec(col("__nb")) * dec(col("__ns")))).as("__num"))
       .select(col(groupCol),
-        (col("__num").cast("double") / (lit(2L) * col("__N") * col("__ns")))
+        (col("__num").cast("double") /
+          (dec(lit(2L)) * dec(col("__N")) * dec(col("__ns"))).cast("double"))
           .as("tvd"))
   }
 }

@@ -75,6 +75,21 @@ class QualitySpec extends SparkSpec {
     // zero-count cells must contribute: a never hits bin 2, b never bin 1
   }
 
+  test("driftTvdFromCells stays exact at multi-billion-row magnitudes " +
+      "(long c·N would overflow)") {
+    import spark.implicits._
+    // c·N ≈ 6e9 · 8e9 ≈ 5e19 > Long.MaxValue: long products threw (ANSI);
+    // decimal(38,0) is exact. a = 6e9 all bin-0; b = 2e9 split 50/50.
+    // corpus = (7e9, 1e9)/8e9 → tvd_a = ½(|6/6−7/8| + |0−1/8|) = 1/8,
+    // tvd_b = ½(|1/2−7/8| + |1/2−1/8|) = 3/8.
+    val cells = Seq(("a", 0, 6_000_000_000L),
+      ("b", 0, 1_000_000_000L), ("b", 1, 1_000_000_000L))
+      .toDF("g", "__bin", "__c")
+    val tvd = Quality.driftTvdFromCells(cells, "g").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tvd("a") == 0.125 && tvd("b") == 0.375)
+  }
+
   test("driftTvd: single group matches the corpus exactly (tvd 0)") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("a", 2)).toDF("g", "x")
