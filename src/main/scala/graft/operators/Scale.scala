@@ -146,6 +146,44 @@ object Scale {
       .drop("__src", opCol)
 
   /**
+   * Snapshot diff: derive the change feed BETWEEN two versions of a table
+   * — the inverse of [[applyCdc]] (diff(a, b) applied to a reproduces b).
+   * One full-outer shuffle join on the key classifies every key:
+   * 'I' (key only in `neu`), 'D' (only in `old`), 'U' (payload differs,
+   * null-safe column-wise via struct equality), '=' (identical). Output
+   * is (keys…, op) — the payload never leaves the join, so the exchange
+   * carries keys + one comparison struct per side and the projection
+   * prunes everything else at the scan.
+   *
+   * `hashPayload = true` pre-reduces each side to (keys, xxhash64(payload))
+   * before the join — an 8-byte shuffle payload per row, the shape for a
+   * 100 TB nightly diff where the payload is wide; classification is then
+   * correct up to a 2⁻⁶⁴ hash collision (a colliding 'U' reads as '='),
+   * which a diff-then-verify pipeline tolerates and an erasure audit
+   * should not (leave it false there).
+   */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, keys: Seq[String],
+      hashPayload: Boolean = false): DataFrame = {
+    val payloadCols = old.columns.filterNot(keys.contains).toSeq
+    require(payloadCols.nonEmpty, "diff needs at least one non-key column")
+    require(neu.columns.filterNot(keys.contains).toSeq == payloadCols,
+      "snapshots must share a schema")
+    def side(df: DataFrame, tag: String) = {
+      val payload =
+        if (hashPayload) xxhash64(payloadCols.map(col): _*)
+        else struct(payloadCols.map(col): _*)
+      df.select(keys.map(col) :+ payload.as(s"__p_$tag") :+
+        lit(1).as(s"__in_$tag"): _*)
+    }
+    side(old, "a").join(side(neu, "b"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__in_a").isNull, "I")
+          .when(col("__in_b").isNull, "D")
+          .when(col("__p_a") <=> col("__p_b"), "=")
+          .otherwise("U").as("op"): _*)
+  }
+
+  /**
    * Incremental aggregate maintenance: merge a delta's partial counts/sums
    * into a maintained summary — union + re-aggregate, one shuffle on the
    * group keys. The law `merge(summarize(A), summarize(B)) ==

@@ -521,6 +521,23 @@ object Relational {
           col("version"))
         .orderBy("o_orderkey")
     }),
+    // Scale — snapshot diff, the inverse of CDC apply: derive the change
+    // feed between two table versions with ONE full-outer join on the
+    // key (payload compared null-safe inside the join; only keys + op
+    // survive the exchange). Tomorrow's snapshot inserts keys %10==3,
+    // deletes %10==7, rewrites the status of %10==1; '=' rows dropped.
+    "q_table_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val snapA = orders.filter(col("o_orderkey") % 10 =!= 3)
+      val snapB = orders.filter(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 10 === 1, "X")
+            .otherwise(col("o_orderstatus")))
+      Scale.snapshotDiff(snapA, snapB, Seq("o_orderkey"))
+        .filter(col("op") =!= "=")
+        .orderBy("o_orderkey")
+    }),
     // Scale — skew diagnostic: top-20 heaviest join keys with corpus
     // share, the report that sizes saltedJoin's saltFactor. Heap-based
     // top-k (TakeOrderedAndProject), exact-int share division.
@@ -1005,6 +1022,26 @@ object Relational {
            SELECT *, row_number() OVER (PARTITION BY o_orderkey
              ORDER BY version DESC, src DESC) AS rn FROM unioned)
          WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""",
+    "q_table_diff" ->
+      """WITH a AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 10 <> 3),
+         b AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 1 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+           FROM orders WHERE o_orderkey % 10 <> 7)
+         SELECT * FROM (
+           SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'I'
+                  WHEN b.o_orderkey IS NULL THEN 'D'
+                  WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+                    OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                    OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                  THEN 'U' ELSE '=' END AS op
+           FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey)
+         WHERE op <> '=' ORDER BY o_orderkey""",
     "q_skew_report" ->
       """WITH c AS (SELECT l_partkey, cast(count(*) AS bigint) AS n_rows
                     FROM lineitem GROUP BY l_partkey),

@@ -228,6 +228,26 @@ class ScaleSpec extends SparkSpec {
     assert(withNull == Set((1L, "a3"), (2L, "b"), (3L, "c")))
   }
 
+  test("snapshotDiff classifies I/D/U/=, null-safe on payload nulls") {
+    import spark.implicits._
+    val a = Seq((1L, Some("a"), 10), (2L, Some("b"), 20), (3L, None, 30),
+      (4L, Some("d"), 40)).toDF("k", "v", "x")
+    val b = Seq((1L, Some("a"), 10), (2L, Some("B"), 20), (3L, None, 30),
+      (5L, Some("e"), 50)).toDF("k", "v", "x")
+    val got = Scale.snapshotDiff(a, b, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 identical, 2 payload change, 3 identical (null v on both sides
+    // must compare EQUAL, not 'U'), 4 dropped, 5 added
+    assert(got == Map(1L -> "=", 2L -> "U", 3L -> "=", 4L -> "D", 5L -> "I"))
+    // the 8-byte-shuffle variant classifies identically here
+    val hashed = Scale.snapshotDiff(a, b, Seq("k"), hashPayload = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashed == got)
+    // diff partitions both key universes: D+U+= covers a, I+U+= covers b
+    assert(got.count { case (_, op) => op != "I" } == a.count())
+    assert(got.count { case (_, op) => op != "D" } == b.count())
+  }
+
   test("compact rewrites a fragmented table into few right-sized files") {
     import spark.implicits._
     import graft.operators.Layout
