@@ -154,6 +154,20 @@ object Events {
     // lags, and ONE final division by 25600.0 yields a bit-portable
     // double. Same scale shape as q_rolling: one shuffle on user_id, no
     // global order.
+    // Graph — fixed-point PageRank over the event-type transition graph
+    // (edges = consecutive-event pairs per user, weighted by frequency).
+    // All-integer arithmetic (decimal(38,0) products, integral division,
+    // exact teleport) → bit-identical ranks across engines, partitionings
+    // and re-runs; 3 synchronous iterations, each ONE rank⋈edges join +
+    // ONE aggregate on dst — the canonical distributed PR shape.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = graft.operators.Graph.transitionEdges(
+        t(s, dir, "events"), "user_id", "event_type",
+        Seq(col("ts"), col("event_id")))
+      graft.operators.Graph.pageRank(edges, 3)
+        .select(col("node").as("event_type"), col("rank"))
+        .orderBy("event_type")
+    }),
     "q_ewma" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -169,6 +183,50 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_pagerank" ->
+      """WITH seq AS (
+           SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events),
+         edges AS (
+           SELECT prev AS src, event_type AS dst,
+             cast(count(*) AS BIGINT) AS w
+           FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         outw AS (SELECT src, cast(sum(w) AS BIGINT) AS outw
+           FROM edges GROUP BY 1),
+         nodes AS (SELECT src AS node FROM edges
+           UNION SELECT dst FROM edges),
+         r0 AS (SELECT node, cast(1000000000000 AS BIGINT) AS rank
+           FROM nodes),
+         c1 AS (
+           SELECT e.dst AS node, cast(sum(
+             (r.rank::HUGEINT * 85 * e.w) // (100 * o.outw::HUGEINT)
+             ) AS BIGINT) AS s
+           FROM edges e JOIN outw o ON e.src = o.src
+             JOIN r0 r ON r.node = e.src GROUP BY 1),
+         r1 AS (SELECT n.node,
+             cast(150000000000 + coalesce(c1.s, 0) AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+         c2 AS (
+           SELECT e.dst AS node, cast(sum(
+             (r.rank::HUGEINT * 85 * e.w) // (100 * o.outw::HUGEINT)
+             ) AS BIGINT) AS s
+           FROM edges e JOIN outw o ON e.src = o.src
+             JOIN r1 r ON r.node = e.src GROUP BY 1),
+         r2 AS (SELECT n.node,
+             cast(150000000000 + coalesce(c2.s, 0) AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+         c3 AS (
+           SELECT e.dst AS node, cast(sum(
+             (r.rank::HUGEINT * 85 * e.w) // (100 * o.outw::HUGEINT)
+             ) AS BIGINT) AS s
+           FROM edges e JOIN outw o ON e.src = o.src
+             JOIN r2 r ON r.node = e.src GROUP BY 1)
+         SELECT n.node AS event_type,
+           cast(150000000000 + coalesce(c3.s, 0) AS BIGINT) AS rank
+         FROM nodes n LEFT JOIN c3 ON n.node = c3.node
+         ORDER BY event_type""",
     "q_ewma" ->
       """WITH e AS (
            SELECT user_id, event_id, ts,

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Fixed-point integer PageRank and transition-edge derivation
+  * (operators/Graph.scala). All expected values are exact integers —
+  * the operator's portability claim is that nothing else is possible. */
+class GraphSpec extends SparkSpec {
+
+  private val S = 1000000000000L // default scale
+  private val T = 150000000000L  // teleport = 15·S/100
+
+  test("transitionEdges: consecutive pairs per key, weighted") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 4L, "a"), (2L, 5L, "b")).toDF("k", "ord", "t")
+    val got = Graph.transitionEdges(ev, "k", "t", Seq(col("ord")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
+  test("pageRank: a symmetric 2-cycle is a fixed point at rank = scale") {
+    import spark.implicits._
+    val edges = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRank(edges, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // teleport + 85% of a full rank = exactly a full rank, every round
+    assert(got == Map("A" -> S, "B" -> S))
+  }
+
+  test("pageRank: dangling sink keeps teleport rank; source feeds it " +
+      "exactly (85·rank div 100)") {
+    import spark.implicits._
+    val edges = Seq(("A", "B", 1L)).toDF("src", "dst", "w")
+    val it1 = Graph.pageRank(edges, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(it1 == Map("A" -> T, "B" -> (T + 85L * S / 100L)))
+    val it2 = Graph.pageRank(edges, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // B now receives 85% of A's teleport-only rank
+    assert(it2 == Map("A" -> T, "B" -> (T + 85L * T / 100L)))
+  }
+
+  test("pageRank: weighted out-edges split contributions 3:1 exactly") {
+    import spark.implicits._
+    val edges = Seq(("A", "B", 3L), ("A", "C", 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRank(edges, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // contrib = (85·S·w) div (100·4): B gets 637500000000, C 212500000000
+    assert(got == Map("A" -> T,
+      "B" -> (T + 85L * S * 3L / 400L), "C" -> (T + 85L * S / 400L)))
+  }
+}
