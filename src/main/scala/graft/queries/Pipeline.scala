@@ -49,7 +49,6 @@ object Pipeline {
     // Dedup.capBlocks). Persisted: BOTH self-join sides consume it, and
     // without the persist each side would re-run the census + anti join.
     val capped = Dedup.capBlocks(sh, "blk", Dedup.DefaultMaxBlock)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("doc_id").as("a"), col("hv").as("hv_a"), col("blk"))
     val b = capped.select(col("doc_id").as("b"), col("hv").as("hv_b"), col("blk"))
     val inter = size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
