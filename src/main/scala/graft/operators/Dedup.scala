@@ -333,7 +333,9 @@ object Dedup {
     // shuffle of k·|docs| small rows buys full-width parallelism for the
     // set intersections — and at 100 TB it is also the locality layout.
     // capped once, persisted once: both self-join sides read this — an
-    // unpersisted cap would re-run the block census per side
+    // unpersisted cap would re-run the block census per side (A/B
+    // measured: dropping this persist costs ~2 s at sf0.1, unlike the
+    // nearDupEdges3 cap whose input has no exchange to rematerialize)
     val blocked = capBlocks(
       sh.select(col("__id"), col("__hv"), explode(col("__blks")).as("__blk"))
         .repartition(col("__blk")),
