@@ -119,6 +119,32 @@ object Events {
         .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bucket")
     }),
+    // Observability — seasonal anomaly detection, the time-series twin of
+    // q_outlier_mad: cells are (event_type, day, hour) counts; each cell
+    // compares against the mean count of its (event_type, hour-of-day)
+    // SLOT across days — so a spike at 3am stands out against other 3am
+    // cells, not against the daily peak. The verdict is computed WITHOUT
+    // division: n·slot_cells > 2·slot_sum (anomaly ⇔ count > 2× slot
+    // mean), pure long cross-multiplication, exact in any engine. Shape:
+    // one hash aggregate to cells, one to slots (≤ types×24 rows,
+    // broadcast back) — no windows over global order, so the 100 TB path
+    // is two map-side-combining shuffles + a broadcast join. Day/hour come
+    // from exact integer division of the raw nanos (UTC).
+    "q_anomaly" -> ((s, dir) => {
+      val cells = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          expr("(ts % 86400000000000) div 3600000000000").as("hour"))
+        .groupBy("event_type", "day", "hour").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val slots = cells.groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("slot_cells"), sum(col("n")).as("slot_sum"))
+      cells.join(broadcast(slots), Seq("event_type", "hour"))
+        .select(col("event_type"), col("day"), col("hour"), col("n"),
+          (col("n") * col("slot_cells") > lit(2) * col("slot_sum"))
+            .as("is_anomaly"))
+        .orderBy("event_type", "day", "hour")
+    }),
     // T3 — 30-minute-gap session windows per user. A session's end extends
     // with each event; a new one opens when the gap from the last event is
     // >= 30 minutes (session_window semantics).
@@ -291,6 +317,22 @@ object Events {
       """SELECT event_type, cast(floor(value / 50.0) AS bigint) AS bucket,
          count(*) AS n FROM events
          GROUP BY 1, 2 ORDER BY event_type, bucket""",
+    "q_anomaly" ->
+      """WITH cells AS (
+           SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS day,
+             (epoch_ns(ts) % 86400000000000) // 3600000000000 AS hour,
+             count(*) AS n
+           FROM events GROUP BY 1, 2, 3),
+         slots AS (
+           SELECT event_type, hour, count(*) AS slot_cells,
+             sum(n) AS slot_sum
+           FROM cells GROUP BY 1, 2)
+         SELECT c.event_type, c.day, c.hour, c.n,
+           c.n * s.slot_cells > 2 * s.slot_sum AS is_anomaly
+         FROM cells c JOIN slots s
+           ON c.event_type = s.event_type AND c.hour = s.hour
+         ORDER BY c.event_type, c.day, c.hour""",
     "q_funnel" ->
       """WITH tv AS (
            SELECT user_id, min(epoch_ns(ts)) AS t FROM events

@@ -354,6 +354,42 @@ object Pipeline {
         .select(col("doc_id"), col("token"), col("tf"), col("tfidf"))
         .orderBy("doc_id", "token")
     }),
+    // L1 — Gopher-style repetition rules: the fraction of a document's
+    // (non-space) characters covered by its most frequent word unigram
+    // and bigram — the "fraction of characters in most common n-gram"
+    // prefilter from the Gopher curation rules, complementing
+    // q_text_quality's distinct-gram repetitionRatio (which sees HOW MUCH
+    // repeats, not how concentrated the repetition is: a doc looping one
+    // slogan and a doc with many scattered repeats score alike there but
+    // differ sharply here). Per n: one explode → hash aggregate on
+    // (doc_id, gram) → per-doc window (partitioned by doc_id, never
+    // global). Coverage = count·len(gram chars)/len(doc chars): all-
+    // integer numerator/denominator, one rounded IEEE division, so the
+    // fractions are engine-portable. Ties break toward the
+    // lexicographically smallest gram (same rule as q_tfidf).
+    "q_rep_topgram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // wc > 0 also guards the coverage division (ANSI divide-by-zero on
+      // an all-space doc); a doc with no non-space chars has no rating.
+      val words = Scale.spreadForCompute(
+          t(s, dir, "documents").filter(col("text").isNotNull), col("doc_id"))
+        .select(col("doc_id"),
+          length(regexp_replace(col("text"), " ", "")).as("__wc"),
+          split(col("text"), " ").as("__w"))
+        .filter(col("__wc") > 0)
+      def top(n: Int, p: String): DataFrame = {
+        val w = Window.partitionBy("doc_id").orderBy(col("__c").desc, col("g"))
+        words.select(col("doc_id"), col("__wc"),
+            explode(Dedup.rawShinglesFromWords(col("__w"), n)).as("g"))
+          .groupBy("doc_id", "__wc", "g").agg(count(lit(1)).as("__c"))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("doc_id"), col("g").as(s"${p}_gram"),
+            col("__c").as(s"${p}_n"),
+            round(col("__c") * length(regexp_replace(col("g"), " ", ""))
+              / col("__wc"), 6).as(s"${p}_frac"))
+      }
+      top(1, "top1").join(top(2, "top2"), "doc_id").orderBy("doc_id")
+    }),
     // A7 — dedup clustering: min-shingle blocking (lexicographic min — no
     // engine hashing, so fully oracle-checkable) → exact Jaccard ≥ 0.5
     // verify → connected components. Pairwise matches become canonical
@@ -1675,6 +1711,44 @@ object Pipeline {
            SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY tfidf DESC, token) AS rn FROM scored)
          WHERE rn <= 3 ORDER BY doc_id, token""",
+    "q_rep_topgram" ->
+      """WITH w AS (
+           SELECT doc_id, length(replace(text, ' ', '')) AS wc,
+             string_split(text, ' ') AS ws
+           FROM documents
+           WHERE text IS NOT NULL AND length(replace(text, ' ', '')) > 0),
+         g1 AS (
+           SELECT doc_id, wc,
+             unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 1 + 1, 1)),
+               i -> array_to_string(ws[i:i], ' '))) AS g
+           FROM w),
+         g2 AS (
+           SELECT doc_id, wc,
+             unnest(list_transform(
+               generate_series(1, greatest(len(ws) - 2 + 1, 1)),
+               i -> array_to_string(ws[i:i+1], ' '))) AS g
+           FROM w),
+         t1 AS (
+           SELECT doc_id, g AS top1_gram, c AS top1_n,
+             round(c * length(replace(g, ' ', '')) / wc, 6) AS top1_frac
+           FROM (SELECT doc_id, wc, g, count(*) AS c,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY count(*) DESC, g) AS rn
+                 FROM g1 GROUP BY doc_id, wc, g)
+           WHERE rn = 1),
+         t2 AS (
+           SELECT doc_id, g AS top2_gram, c AS top2_n,
+             round(c * length(replace(g, ' ', '')) / wc, 6) AS top2_frac
+           FROM (SELECT doc_id, wc, g, count(*) AS c,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY count(*) DESC, g) AS rn
+                 FROM g2 GROUP BY doc_id, wc, g)
+           WHERE rn = 1)
+         SELECT t1.doc_id, top1_gram, top1_n, top1_frac,
+           top2_gram, top2_n, top2_frac
+         FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id
+         ORDER BY t1.doc_id""",
     "q_dedup_cluster" ->
       """WITH RECURSIVE s AS (
            SELECT doc_id,

@@ -404,6 +404,33 @@ object Relational {
           expr("percentile(l_quantity, 0.9)").as("p90"))
         .orderBy("l_returnflag")
     }),
+    // A3 — exact equi-depth (decile) binning per market segment — the
+    // feature-engineering bucketizer (q_histogram is the equi-WIDTH twin;
+    // q_agg_approx_pct is the sketch path when even this is too much).
+    // Scale shape: rows collapse to per-(segment, value) counts FIRST (one
+    // hash aggregate, map-side combine), so the decile window sorts each
+    // segment's DISTINCT values — domain-bounded, typically orders of
+    // magnitude smaller than the row count — never the rows themselves.
+    // Value-tied rows land in the same bin by construction (unlike ntile,
+    // which splits ties by arbitrary row order): bin(v) = ⌊10·cum_below(v)
+    // / total⌋ + 1, all-integer, exact, engine-portable.
+    "q_quantile_bins" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          (dec2(col("c_acctbal")) * 100).cast("long").as("cents"))
+        .groupBy("seg", "cents").agg(count(lit(1)).as("cnt"))
+      val run = Window.partitionBy("seg").orderBy("cents")
+      val whole = Window.partitionBy("seg")
+      vals.withColumn("cum", sum(col("cnt")).over(run))
+        .withColumn("tot", sum(col("cnt")).over(whole))
+        .withColumn("bin", expr("((cum - cnt) * 10 div tot) + 1"))
+        .groupBy("seg", "bin")
+        .agg(sum(col("cnt")).as("n"),
+          (min(col("cents")) / lit(100.0)).as("lo"),
+          (max(col("cents")) / lit(100.0)).as("hi"))
+        .orderBy("seg", "bin")
+    }),
     // A3 — moment statistics from exact integer power sums: l_quantity is
     // integer-valued, so sum and sum-of-squares are exact in double and the
     // variance formula is order-independent (stddev_samp's streaming M2
@@ -941,6 +968,21 @@ object Relational {
          percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
          percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_quantile_bins" ->
+      """WITH vals AS (
+           SELECT c_mktsegment AS seg,
+             cast(cast(c_acctbal AS decimal(18,2)) * 100 AS BIGINT) AS cents,
+             count(*) AS cnt
+           FROM customer GROUP BY 1, 2),
+         binned AS (
+           SELECT seg, cents, cnt,
+             sum(cnt) OVER (PARTITION BY seg ORDER BY cents) AS cum,
+             sum(cnt) OVER (PARTITION BY seg) AS tot
+           FROM vals)
+         SELECT seg, cast(((cum - cnt) * 10 // tot) + 1 AS BIGINT) AS bin,
+           cast(sum(cnt) AS BIGINT) AS n,
+           min(cents) / 100.0 AS lo, max(cents) / 100.0 AS hi
+         FROM binned GROUP BY 1, 2 ORDER BY seg, bin""",
     "q_agg_stats" ->
       """SELECT l_returnflag, n, s1 / n AS mean_qty,
          (s2 - s1 * s1 / n) / nullif(n - 1, 0) AS var_qty
