@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Record linkage (entity resolution) over structured records — the
+ * row-level twin of the document near-dup pipeline (Dedup): where the
+ * reference anonymizes columns one table at a time
+ * (`src/executor/executor.ts` walks tables independently), a real
+ * de-identification pass first has to LINK the near-duplicate records
+ * that describe the same entity, or the "anonymized" table still leaks
+ * identity through its duplicates.
+ *
+ * Same scale discipline as Dedup: candidates meet only inside a blocking
+ * key (never all-pairs), oversized blocks are capped by the shared
+ * [[Dedup.capBlocks]] guard, and clusters come from the shared
+ * [[Dedup.connectedComponents]] (min-label + pointer halving). The verify
+ * predicate is exact Levenshtein — engine-portable, so the whole pipeline
+ * oracle-checks.
+ */
+object Linkage {
+
+  /**
+   * Blocked fuzzy self-join: candidate pairs share `blockKey`; a pair
+   * matches when the edit distance between their `nameCol` values is at
+   * most `maxDist`. Returns (a, b) id pairs with a < b.
+   *
+   * Shape: one shuffle on the block key, pair expansion bounded by
+   * [[Dedup.capBlocks]] (a degenerate key — an empty name, a default
+   * value — cannot go quadratic), then a scan-local codegen'd Levenshtein
+   * verify. At 100 TB the block key is the knob: longer prefix → smaller
+   * blocks → fewer verifies, at some recall cost (declared semantics,
+   * same trade as MinHash banding).
+   */
+  def blockedFuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column, maxDist: Int,
+      maxBlock: Int = Dedup.DefaultMaxBlock): DataFrame = {
+    val keyed = Dedup.capBlocks(
+      df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
+        blockKey.as("__blk")),
+      "__blk", maxBlock)
+    val a = keyed.select(col("__id").as("a"), col("__nm").as("__na"),
+      col("__blk"))
+    val b = keyed.select(col("__id").as("b"), col("__nm").as("__nb"),
+      col("__blk"))
+    a.join(b, "__blk").filter(col("a") < col("b"))
+      .filter(levenshtein(col("__na"), col("__nb")) <= maxDist)
+      .select("a", "b")
+  }
+
+  /**
+   * End-to-end entity resolution: fuzzy pairs → connected components →
+   * one canonical record per entity. Every input row appears exactly once
+   * in the output, labeled with its entity id (the component's minimum
+   * record id; singletons label themselves — same convention as
+   * q_dedup_survivor). The canonical member is the argmax of `rankCol`
+   * (ties to the smallest id), computed as ONE max(struct) hash aggregate
+   * — partial aggregation map-side, no per-entity windows.
+   *
+   * Returns (entity, n_members, canon_id, canon_rank).
+   */
+  def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column, maxDist: Int, rankCol: Column): DataFrame = {
+    val edges = blockedFuzzyPairs(df, idCol, nameCol, blockKey, maxDist)
+    val labels = Dedup.connectedComponents(edges, "a", "b")
+    val members = df.select(col(idCol).as("__mid"), rankCol.as("__rank"))
+      .join(labels, col("__mid") === col("id"), "left")
+      .select(coalesce(col("comp"), col("__mid")).as("entity"),
+        col("__mid"), col("__rank"))
+    members.groupBy("entity")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("__rank").as("r"), (-col("__mid")).as("ni"))).as("m"))
+      .select(col("entity"), col("n_members"), (-col("m.ni")).as("canon_id"),
+        col("m.r").as("canon_rank"))
+  }
+}

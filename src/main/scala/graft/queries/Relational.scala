@@ -116,6 +116,37 @@ object Relational {
         .filter(col("edit_dist") <= 3)
         .orderBy("c_custkey")
     }),
+    // J5-extension — blocked fuzzy self-join (record linkage, stage 1):
+    // candidate customer pairs share a 16-char name prefix (their
+    // "hundred-block"), then exact Levenshtein ≤ 1 verifies — the
+    // structured-record twin of MinHash-banding's meet-only-in-buckets
+    // discipline, so pair work is |block|²-bounded, never |table|².
+    // Dedup.capBlocks guards a degenerate blocking key (mirrored as
+    // QUALIFY in the oracle). q_fuzzy_match probes one constant; this is
+    // the genuine self-JOIN shape.
+    "q_fuzzy_join" -> ((s, dir) => {
+      graft.operators.Linkage.blockedFuzzyPairs(
+        t(s, dir, "customer"), "c_custkey", "c_name",
+        substring(col("c_name"), 1, 16), maxDist = 1)
+        .orderBy("a", "b")
+    }),
+    // J5-extension — entity resolution end-to-end (stage 2): fuzzy pairs
+    // → connected components (min-label + pointer halving, shared with
+    // q_dedup_cluster) → one canonical record per entity via a single
+    // max(struct) argmax (highest balance, smallest key on ties).
+    // Components label with their minimum custkey; singletons keep
+    // themselves. The de-identification prerequisite: near-duplicate
+    // records of one entity must merge before masking, or the duplicates
+    // re-identify each other.
+    "q_entity_res" -> ((s, dir) => {
+      graft.operators.Linkage.resolveEntities(
+        t(s, dir, "customer"), "c_custkey", "c_name",
+        substring(col("c_name"), 1, 16), maxDist = 1,
+        (dec2(col("c_acctbal")) * 100).cast("long"))
+        .select(col("entity"), col("n_members"), col("canon_id"),
+          (col("canon_rank") / lit(100.0)).as("canon_bal"))
+        .orderBy("entity")
+    }),
     // F10 — null semantics: nullif/coalesce and null-safe equality.
     "q_null_ops" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -772,6 +803,48 @@ object Relational {
          FROM customer
          WHERE levenshtein(c_name, 'Customer#000000000') <= 3
          ORDER BY c_custkey""",
+    "q_fuzzy_join" ->
+      """WITH k AS (
+           SELECT c_custkey, c_name, substring(c_name, 1, 16) AS blk
+           FROM customer
+           QUALIFY count(*) OVER (PARTITION BY blk) <= 4096)
+         SELECT x.c_custkey AS a, y.c_custkey AS b
+         FROM k x JOIN k y
+           ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+         WHERE levenshtein(x.c_name, y.c_name) <= 1
+         ORDER BY a, b""",
+    "q_entity_res" ->
+      """WITH RECURSIVE k AS (
+           SELECT c_custkey, c_name, substring(c_name, 1, 16) AS blk
+           FROM customer
+           QUALIFY count(*) OVER (PARTITION BY blk) <= 4096),
+         e AS (
+           SELECT x.c_custkey AS a, y.c_custkey AS b
+           FROM k x JOIN k y
+             ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+           WHERE levenshtein(x.c_name, y.c_name) <= 1),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION SELECT b, a FROM e),
+         reach(src, dst) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT r.src, s2.dst FROM reach r
+           JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst),
+         labels AS (
+           SELECT src AS id, least(src, min(dst)) AS comp FROM reach
+           GROUP BY src),
+         members AS (
+           SELECT coalesce(l.comp, c.c_custkey) AS entity,
+             c.c_custkey AS mid,
+             cast(cast(c_acctbal AS decimal(18,2)) * 100 AS BIGINT) AS cents
+           FROM customer c LEFT JOIN labels l ON c.c_custkey = l.id)
+         SELECT entity, cast(count(*) OVER (PARTITION BY entity) AS BIGINT)
+             AS n_members,
+           mid AS canon_id, cents / 100.0 AS canon_bal
+         FROM members
+         QUALIFY row_number() OVER (PARTITION BY entity
+           ORDER BY cents DESC, mid) = 1
+         ORDER BY entity""",
     "q_null_ops" ->
       """SELECT o_orderkey,
          nullif(o_orderstatus, 'O') AS status_or_null,
