@@ -390,6 +390,20 @@ object Pipeline {
       }
       top(1, "top1").join(top(2, "top2"), "doc_id").orderBy("doc_id")
     }),
+    // L1 — BPE tokenizer training, count stage: the frequency-weighted
+    // adjacent character-pair counts over the word vocabulary — the exact
+    // quantity each merge round of byte-pair-encoding argmaxes over
+    // (operators/Bpe.scala; the iterative trainer itself is BpeSpec-pinned
+    // — its argmax+fold rounds are driver-looped, so the SQL oracle checks
+    // the distributed aggregate the loop is built from). Corpus → word
+    // frequencies (one hash aggregate — corpus size exits the problem) →
+    // explode pairs weighted by freq → top-20, ties lexicographic, plans
+    // as TakeOrderedAndProject.
+    "q_bpe_pairs" -> ((s, dir) => {
+      graft.operators.Bpe.pairCounts(
+        graft.operators.Bpe.vocab(t(s, dir, "documents"), "text"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+    }),
     // A7 — dedup clustering: min-shingle blocking (lexicographic min — no
     // engine hashing, so fully oracle-checkable) → exact Jaccard ≥ 0.5
     // verify → connected components. Pairwise matches become canonical
@@ -1711,6 +1725,19 @@ object Pipeline {
            SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY tfidf DESC, token) AS rn FROM scored)
          WHERE rn <= 3 ORDER BY doc_id, token""",
+    "q_bpe_pairs" ->
+      """WITH vocab AS (
+           SELECT w, count(*) AS f FROM (
+             SELECT unnest(string_split_regex(text, '\s+')) AS w
+             FROM documents WHERE text IS NOT NULL)
+           WHERE length(w) > 0 GROUP BY w),
+         p AS (
+           SELECT f, unnest(list_transform(generate_series(1, length(w) - 1),
+             i -> w[i:i] || ' ' || w[i+1:i+1])) AS pair
+           FROM vocab WHERE length(w) >= 2)
+         SELECT pair, cast(sum(f) AS BIGINT) AS n
+         FROM p GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 20""",
     "q_rep_topgram" ->
       """WITH w AS (
            SELECT doc_id, length(replace(text, ' ', '')) AS wc,
