@@ -404,6 +404,28 @@ object Pipeline {
         graft.operators.Bpe.vocab(t(s, dir, "documents"), "text"))
         .orderBy(col("n").desc, col("pair")).limit(20)
     }),
+    // L1 — deflate-compressibility curation signal (Quality.
+    // compressionStats): repetitive text compresses far below prose,
+    // near-random text barely at all — the cheap filter word-level rules
+    // miss. deflate bytes are engine-specific (no SQL engine exposes
+    // zlib), so this follows the sketch-verdict pattern (q_agg_approx):
+    // raw_len oracle-checks exactly; deflate_len is asserted against the
+    // format's worst-case bound (≤5 bytes per started 16 KiB block + the
+    // terminating empty block) as a boolean both engines can hash. The
+    // ratio's curation semantics are QualitySpec-pinned (planted
+    // repetitive vs incompressible text).
+    "q_compress_ratio" -> ((s, dir) => {
+      Quality.compressionStats(
+        Scale.spreadForCompute(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          col("doc_id")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("raw_len"),
+          (col("deflate_len") >= 1 && col("deflate_len") <=
+            col("raw_len") + lit(5L) * (expr("raw_len div 16384") + 1) + 6)
+            .as("deflate_in_bounds"))
+        .orderBy("doc_id")
+    }),
     // A7 — dedup clustering: min-shingle blocking (lexicographic min — no
     // engine hashing, so fully oracle-checkable) → exact Jaccard ≥ 0.5
     // verify → connected components. Pairwise matches become canonical
@@ -1725,6 +1747,10 @@ object Pipeline {
            SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY tfidf DESC, token) AS rn FROM scored)
          WHERE rn <= 3 ORDER BY doc_id, token""",
+    "q_compress_ratio" ->
+      """SELECT doc_id, strlen(text) AS raw_len,
+         true AS deflate_in_bounds
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
     "q_bpe_pairs" ->
       """WITH vocab AS (
            SELECT w, count(*) AS f FROM (

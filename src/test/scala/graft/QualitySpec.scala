@@ -96,4 +96,41 @@ class QualitySpec extends SparkSpec {
     val tvd = Quality.driftTvd(df, "g", col("x")).head().getDouble(1)
     assert(tvd == 0.0)
   }
+
+  test("compressionStats: repetitive text compresses well below an " +
+      "incompressible string of equal length; both stay in deflate's " +
+      "worst-case bound") {
+    import spark.implicits._
+    val rep = "spam " * 400                            // 2000 chars, one word
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(2000)((33 + rnd.nextInt(94)).toChar).mkString
+    val df = Seq((1L, rep), (2L, noise)).toDF("doc_id", "text")
+    val got = Quality.compressionStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (rawRep, defRep) = got(1L)
+    val (rawRnd, defRnd) = got(2L)
+    assert(rawRep == 2000L && rawRnd == 2000L)
+    // the curation signal: boilerplate ≪ prose ≪ noise compressibility
+    assert(defRep < rawRep / 10, s"repetitive deflate $defRep")
+    assert(defRnd > rawRnd / 2, s"random deflate $defRnd")
+    // worst-case deflate bound holds even for incompressible input
+    for ((raw, d) <- got.values) {
+      assert(d >= 1 && d <= raw + 5 * (raw / 16384 + 1) + 6)
+    }
+  }
+
+  test("compressionStats: deterministic across re-runs and partitionings; " +
+      "empty and null text measure as zero raw bytes") {
+    import spark.implicits._
+    val df = Seq((1L, "hello hello hello"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      Quality.compressionStats(df.repartition(parts), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val once = run(1)
+    assert(run(3) == once && run(2) == once)
+    val zeroRaw = once.filter(_._2 == 0L).map(_._1)
+    assert(zeroRaw == Set(2L, 3L))
+  }
 }
