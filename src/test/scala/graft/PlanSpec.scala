@@ -280,6 +280,39 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p.take(600))
   }
 
+  test("BPE pair counts reduce map-side and top-20 via per-partition " +
+      "heaps, not a global sort") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.contains("partial"), p.take(600))
+  }
+
+  test("anomaly cells join their slot baselines by broadcast; both " +
+      "aggregates combine map-side") {
+    val p = plan("q_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    assert(p.contains("partial"), p.take(600))
+  }
+
+  test("equi-depth bins window over the aggregated value table, not rows " +
+      "(partial+final aggregate below the per-segment window)") {
+    val p = plan("q_quantile_bins")
+    // rows collapse to (segment, value) counts BEFORE the decile windows
+    // (cum + tot share one per-segment exchange): the partial aggregate
+    // prints BELOW the windows (parents first)
+    assert(p.contains("partial"), p.take(800))
+    assert("Window\\b".r.findAllIn(p).length == 2, p.take(800))
+    assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"), p.take(800))
+  }
+
+  test("fuzzy join: block census broadcasts back (anti join), pairs meet " +
+      "only inside block buckets — no cartesian, no sort-merge") {
+    val p = plan("q_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("table checksum reduces one scan through a partial+final aggregate") {
     val p = plan("q_checksum")
     assert("FileScan".r.findAllIn(p).length == 1, p.take(600))
