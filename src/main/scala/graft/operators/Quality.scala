@@ -126,6 +126,27 @@ object Quality {
   }
 
   /**
+   * Seasonal anomaly verdict over pre-aggregated (event_type, day, hour,
+   * n) cells: each cell compares against the mean count of its
+   * (event_type, hour-of-day) slot across days — computed WITHOUT
+   * division (n·slot_cells > 2·slot_sum, exact long cross-multiplication,
+   * engine-portable). The cells/verdict seam mirrors
+   * [[driftTvdFromCells]]: batch builds cells from raw nanos
+   * (q_anomaly), streaming maintains the same cell table incrementally
+   * (Streams.seasonalCells) — ONE verdict lineage over both.
+   */
+  def seasonalAnomalyFromCells(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slots = cells.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("slot_cells"), sum(col("n")).as("slot_sum"))
+    cells.join(broadcast(slots), Seq("event_type", "hour"))
+      .select(col("event_type"), col("day"), col("hour"), col("n"),
+        (col("n") * col("slot_cells") > lit(2) * col("slot_sum"))
+          .as("is_anomaly"))
+  }
+
+  /**
    * Deflate-compressibility signal: raw UTF-8 length and raw-DEFLATE
    * length per document. Highly repetitive text (boilerplate, spam, SEO
    * keyword stuffing) compresses far below prose; near-random text

@@ -136,13 +136,7 @@ object Events {
           expr("ts div 86400000000000").as("day"),
           expr("(ts % 86400000000000) div 3600000000000").as("hour"))
         .groupBy("event_type", "day", "hour").agg(count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val slots = cells.groupBy("event_type", "hour")
-        .agg(count(lit(1)).as("slot_cells"), sum(col("n")).as("slot_sum"))
-      cells.join(broadcast(slots), Seq("event_type", "hour"))
-        .select(col("event_type"), col("day"), col("hour"), col("n"),
-          (col("n") * col("slot_cells") > lit(2) * col("slot_sum"))
-            .as("is_anomaly"))
+      graft.operators.Quality.seasonalAnomalyFromCells(cells)
         .orderBy("event_type", "day", "hour")
     }),
     // T3 — 30-minute-gap session windows per user. A session's end extends

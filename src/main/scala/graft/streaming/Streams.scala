@@ -210,6 +210,25 @@ object Streams {
     graft.operators.CountMin.sketch(events, key)
 
   /**
+   * Streaming seasonal-cell maintenance — the unbounded twin of
+   * q_anomaly's cell build: (event_type, day, hour) counts over a
+   * timestamp column, maintained incrementally by Structured Streaming
+   * (plain groupBy under complete/update output). State is the cell
+   * table: ≤ |types| · days · 24 rows regardless of stream volume. The
+   * anomaly verdict itself is a second-level aggregate (slot means), so
+   * it runs as a batch pass over the emitted cells —
+   * [[graft.operators.Quality.seasonalAnomalyFromCells]], the same
+   * verdict lineage the batch query uses (cells/verdict seam, exactly
+   * like frequencySketch → CountMin.merge).
+   */
+  def seasonalCells(events: DataFrame, tsName: String = "ts"): DataFrame =
+    events.select(col("event_type"),
+      expr(s"unix_timestamp($tsName) div 86400").as("day"),
+      expr(s"(unix_timestamp($tsName) % 86400) div 3600").as("hour"))
+      .groupBy("event_type", "day", "hour")
+      .agg(count(lit(1)).as("n"))
+
+  /**
    * Stream-stream interval join: pair each left event with the right-side
    * events for the same key that land within [leftTs, leftTs + within].
    * Both sides carry watermarks and the join condition bounds the time

@@ -259,6 +259,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming seasonal cells equal the batch cells; the shared " +
+      "verdict flags the planted hour spike") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = Streams.seasonalCells(mem.toDF())
+      .writeStream.format("memory").queryName("cells_t")
+      .outputMode("complete").start()
+    try {
+      // three days × hour 0 baseline of 1 event; day 2 hour 0 spikes to 9
+      val base = (0 until 3).map(d =>
+        Ev(new Timestamp(d * 86400000L), "e", d.toLong))
+      val spike = (1 to 8).map(i =>
+        Ev(new Timestamp(2 * 86400000L + i * 1000L), "e", 100L + i))
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      mem.addData(spike: _*) // cells update incrementally
+      q.processAllAvailable()
+      val streamed = spark.table("cells_t")
+      val batch = Streams.seasonalCells(
+        (base ++ spike).map(e => (e.ts, e.event_type, e.user_id))
+          .toDF("ts", "event_type", "user_id"))
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+      // the same verdict lineage as q_anomaly over the streamed cells:
+      // 9 · 3 > 2 · 11 flags day 2 only. (localCheckpoint: the verdict
+      // self-joins the cell table, and MemorySink's leaf plan does not
+      // dedup self-join attribute references the way file scans do.)
+      val flagged = operators.Quality.seasonalAnomalyFromCells(
+          streamed.localCheckpoint(true))
+        .filter(col("is_anomaly")).collect()
+        .map(r => (r.getLong(1), r.getLong(3))).toSet
+      assert(flagged == Set((2L, 9L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks within the window only") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
