@@ -139,6 +139,48 @@ object Events {
       graft.operators.Quality.seasonalAnomalyFromCells(cells)
         .orderBy("event_type", "day", "hour")
     }),
+    // Cleaning — percentile winsorization audit: per event type, the
+    // p5/p95 clip bounds (exact percentile interpolation over cents-longs
+    // — identical IEEE doubles in any engine, the q_agg_percentile
+    // property) and how many rows each tail would clip. One aggregate for
+    // the bounds (map-side partials), broadcast back, one counting
+    // aggregate — no window, no global sort; the 100 TB path shuffles
+    // twice on the (tiny) type key. The clip COUNTS are exact longs; the
+    // bounds are rounded to 6dp like every interpolated output.
+    "q_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          (dec2(col("value")) * 100).cast("long").as("cents"))
+      val bounds = ev.groupBy("event_type")
+        .agg(expr("percentile(cents, 0.05)").as("p05"),
+          expr("percentile(cents, 0.95)").as("p95"))
+      ev.join(broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("cents") < col("p05"), 1)).as("n_lo"),
+          count(when(col("cents") > col("p95"), 1)).as("n_hi"),
+          round(max(col("p05")) / 100.0, 6).as("clip_lo"),
+          round(max(col("p95")) / 100.0, 6).as("clip_hi"))
+        .orderBy("event_type")
+    }),
+    // Preflight — join-explosion diagnostic: the top-10 key-degree
+    // PRODUCTS for a planned events⋈orders join on the customer key. A
+    // shuffled join's output is Σ d_left(k)·d_right(k); its hot keys are
+    // exactly these products, so this one cheap query (two map-side-
+    // combining degree aggregates + a broadcast-able top-k) decides
+    // between a plain join, a salted join (q_join_skew), or a key-split
+    // BEFORE burning a 100 TB shuffle. Complements q_skew_report (single-
+    // table degrees).
+    "q_join_degree" -> ((s, dir) => {
+      val dl = t(s, dir, "events").groupBy(col("user_id").as("key"))
+        .agg(count(lit(1)).as("d_events"))
+      val dr = t(s, dir, "orders").groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("d_orders"))
+      dl.join(dr, "key")
+        .select(col("key"), col("d_events"), col("d_orders"),
+          (col("d_events") * col("d_orders")).as("pairs"))
+        .orderBy(col("pairs").desc, col("key")).limit(10)
+    }),
     // T3 — 30-minute-gap session windows per user. A session's end extends
     // with each event; a new one opens when the gap from the last event is
     // >= 30 minutes (session_window semantics).
@@ -311,6 +353,34 @@ object Events {
       """SELECT event_type, cast(floor(value / 50.0) AS bigint) AS bucket,
          count(*) AS n FROM events
          GROUP BY 1, 2 ORDER BY event_type, bucket""",
+    "q_winsorize" ->
+      """WITH ev AS (
+           SELECT event_type,
+             cast(cast(value AS decimal(18,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         bounds AS (
+           SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY cents) AS p05,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY cents) AS p95
+           FROM ev GROUP BY event_type)
+         SELECT ev.event_type, count(*) AS n,
+           count(*) FILTER (WHERE cents < p05) AS n_lo,
+           count(*) FILTER (WHERE cents > p95) AS n_hi,
+           round(max(p05) / 100.0, 6) AS clip_lo,
+           round(max(p95) / 100.0, 6) AS clip_hi
+         FROM ev JOIN bounds ON ev.event_type = bounds.event_type
+         GROUP BY ev.event_type ORDER BY ev.event_type""",
+    "q_join_degree" ->
+      """WITH dl AS (
+           SELECT user_id AS key, count(*) AS d_events
+           FROM events GROUP BY 1),
+         dr AS (
+           SELECT o_custkey AS key, count(*) AS d_orders
+           FROM orders GROUP BY 1)
+         SELECT dl.key, d_events, d_orders,
+           d_events * d_orders AS pairs
+         FROM dl JOIN dr ON dl.key = dr.key
+         ORDER BY pairs DESC, dl.key LIMIT 10""",
     "q_anomaly" ->
       """WITH cells AS (
            SELECT event_type,
