@@ -69,4 +69,35 @@ object Graph {
     }
     rank
   }
+
+  /**
+   * Triangle enumeration over an undirected graph given as (src, dst)
+   * edges: emits each triangle once as an ordered triple a < b < c.
+   * Canonicalization (least/greatest + distinct) folds both directions
+   * and self-loops away, so callers can feed raw directed edge lists.
+   *
+   * Shape: the classic two-join triangle count. Wedges come from one
+   * self-join of the canonical edge list on its lower endpoint (b < c
+   * keeps each wedge once); a LEFT SEMI join back onto the edge list
+   * closes them. Both joins shuffle on bounded keys and the semi join
+   * never materializes payload columns. At web scale the refinement is
+   * degree-based orientation (point each edge at the higher-degree
+   * endpoint so wedge fan-out is O(m^1.5) worst case, not O(d_max²));
+   * with id-ordered orientation a single celebrity node can dominate —
+   * documented trade-off, the standard first cut (MR triangle counting,
+   * Suri & Vassilvitskii WWW'11). The edge list persists because the
+   * wedge join consumes it twice and the closer a third time.
+   */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = und.join(und.select(col("a"), col("b").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
+    wedges.join(und.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"), "left_semi")
+      .select("a", "b", "c")
+  }
 }

@@ -125,4 +125,60 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, emailPattern, "[EMAIL]"),
       phonePattern, "[PHONE]")
+
+  /**
+   * BM25 relevance ranking (Robertson/Spärck Jones; the Lucene-default
+   * scoring function) of every document against a FIXED literal term set —
+   * the retrieval primitive a curation pipeline uses to pull
+   * benchmark-relevant or topic-relevant subsets out of a corpus.
+   *
+   * Scale shape — two narrow passes, no per-token shuffle:
+   *  1. one scan computes, per document, its length `dl` and a tf column
+   *     PER QUERY TERM via `size(filter(tokens, _ == term))` —
+   *     scan-local, codegen'd, no explode;
+   *  2. ONE global aggregate row (N, Σdl, df per term) broadcasts back
+   *     via a one-row cross join — the only shuffle is that single
+   *     partial-agg reduction;
+   *  3. the score is a fixed-order expression tree over the tf columns
+   *     (idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) summed
+   *     left-to-right over the literal terms), so no float sum ever
+   *     depends on row or shuffle order and any IEEE engine reproduces
+   *     it bit-for-bit; top-k plans as TakeOrderedAndProject.
+   *
+   * idf uses the standard +1-smoothed form ln(1 + (N−df+0.5)/(df+0.5)),
+   * non-negative for any df ≤ N.
+   */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    def tfCol(i: Int) = s"__tf_$i"
+    val toks = split(col(textCol), "\\s+")
+    val perDoc = docs.filter(col(textCol).isNotNull)
+      .select(Seq(col(idCol), size(toks).cast("double").as("__dl")) ++
+        terms.zipWithIndex.map { case (term, i) =>
+          size(filter(toks, tok => tok === lit(term)))
+            .cast("double").as(tfCol(i))
+        }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__dl").cast("decimal(38,0)")).cast("double").as("__sumdl") +:
+        terms.indices.map { i =>
+          sum(when(col(tfCol(i)) > 0, 1L).otherwise(0L))
+            .cast("double").as(s"__df_$i")
+        }: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(tfCol(i))
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df_$i") + lit(0.5)) / (col(s"__df_$i") + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("__dl") / (col("__sumdl") / col("__n"))))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -242,6 +242,47 @@ object Events {
         .select(col("user_id"), col("event_id"),
           (num / lit(25600.0)).as("ewma"))
         .orderBy("user_id", "event_id")
+    }),
+    // SCD Type-2 history build: collapse each user's event stream into
+    // state-change intervals (state = event_type), the
+    // slowly-changing-dimension shape every warehouse keeps for
+    // point-in-time joins. Gaps-and-islands: keep rows where the state
+    // differs from its predecessor, then valid_to = the NEXT kept row's
+    // timestamp (lead over the filtered set), NULL marking the current
+    // version. Both windows share one partitioning (user_id) and one
+    // ordering, so Spark shuffles once and reuses the sort — per-user
+    // work, no global order, the 100 TB shape.
+    "q_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changed = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("state"),
+          lag(col("event_type"), 1).over(w).as("__prev"))
+        .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+      changed
+        .select(col("user_id"), col("state"),
+          row_number().over(w).as("version"),
+          // micros, not nanos: DuckDB reads parquet TIMESTAMP_NANOS at
+          // microsecond precision, so sub-µs digits can't oracle-check.
+          // `div` keeps the conversion exact (see Q.tsCol).
+          expr("ts div 1000").as("valid_from_us"),
+          expr("lead(ts div 1000, 1) OVER (PARTITION BY user_id " +
+            "ORDER BY ts, event_id)").as("valid_to_us"))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy("user_id", "version")
+    }),
+    // Triangle enumeration on the event-transition graph: which triples of
+    // event types mutually precede one another — the graph-analytics
+    // staple (clustering coefficient, community seeds). Edges are the
+    // distinct consecutive-type transitions; see Graph.triangles for the
+    // wedge-join shape and the degree-orientation scale note.
+    "q_triangles" -> ((s, dir) => {
+      val edges = graft.operators.Graph.transitionEdges(
+        t(s, dir, "events"), "user_id", "event_type",
+        Seq(col("ts"), col("event_id")))
+      graft.operators.Graph.triangles(edges)
+        .orderBy("a", "b", "c")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -444,5 +485,38 @@ object Events {
          SELECT user_id, min(tns) // 1000000000 AS session_start,
            count(*) AS n_events, min(event_id) AS first_event
          FROM numbered GROUP BY user_id, sid
-         ORDER BY user_id, session_start""")
+         ORDER BY user_id, session_start""",
+    "q_scd2" ->
+      """WITH changed AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS tns,
+             event_type AS state,
+             lag(event_type) OVER w AS prev
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         kept AS (
+           SELECT user_id, event_id, tns, state FROM changed
+           WHERE prev IS NULL OR prev <> state)
+         SELECT user_id, state,
+           row_number() OVER w2 AS version,
+           tns // 1000 AS valid_from_us,
+           lead(tns // 1000) OVER w2 AS valid_to_us,
+           lead(tns) OVER w2 IS NULL AS is_current
+         FROM kept
+         WINDOW w2 AS (PARTITION BY user_id ORDER BY tns, event_id)
+         ORDER BY user_id, version""",
+    "q_triangles" ->
+      """WITH seq AS (
+           SELECT event_type AS dst,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS src
+           FROM events),
+         und AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM seq WHERE src IS NOT NULL AND least(src, dst) <> greatest(src, dst)),
+         wedge AS (
+           SELECT e1.a, e1.b, e2.b AS c
+           FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b)
+         SELECT w.a, w.b, w.c FROM wedge w
+         WHERE EXISTS (SELECT 1 FROM und u WHERE u.a = w.b AND u.b = w.c)
+         ORDER BY a, b, c""")
 }

@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
 object Pipeline {
   import Q._
 
+  /** Fixed BM25 query terms (part of the q_bm25 operator definition,
+    * mirrored literally in its oracle SQL). */
+  private val Bm25Terms = Seq("spark", "window", "join")
+
   /** Near-dup edge list shared by q_dedup_cluster and q_dedup_survivor:
     * min-shingle blocking (lexicographic min — no engine hashing, so fully
     * oracle-checkable) → exact Jaccard ≥ 0.5 verify.
@@ -953,6 +957,38 @@ object Pipeline {
           octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
           md5(col("text")).as("content_md5"))
         .orderBy("doc_id")
+    }),
+    // L1 — BM25 retrieval: top-10 documents for a fixed 3-term query, the
+    // relevance-ranking primitive for pulling topic subsets out of a
+    // corpus. One scan + ONE one-row global aggregate broadcast; the
+    // per-term score sum is a fixed-order expression tree, so no float
+    // result depends on shuffle order (see TextAnalysis.bm25TopK).
+    "q_bm25" -> ((s, dir) => {
+      TA.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, topK = 10)
+    }),
+    // L2 — per-dimension embedding statistics (the normalization /
+    // feature-scaling pass before clustering or PQ training): mean and
+    // std of every coordinate. posexplode → ONE hash aggregate on the
+    // dimension index; sums run in exact integer/decimal space —
+    // round(v·10⁶) per value (float→double widening is exact, so both
+    // engines round the same double) summed as long / decimal(38,0) for
+    // the squares — making the aggregate order-independent; the final
+    // mean/variance division happens once per dimension in double.
+    "q_embed_norm" -> ((s, dir) => {
+      val scaled = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "__v")))
+        .select(col("dim"),
+          round(col("__v").cast("double") * 1e6, 0).cast("long").as("__s"))
+      val sumv = col("__ss").cast("double") / 1e6
+      scaled.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"),
+          sum(col("__s").cast("decimal(38,0)") * col("__s")).as("__ss2"))
+        .select(col("dim"), col("n"),
+          round(sumv / col("n"), 6).as("mean"),
+          round(sqrt((col("__ss2").cast("double") / 1e12 -
+            sumv * sumv / col("n")) / col("n")), 6).as("stddev"))
+        .orderBy("dim")
     }))
 
   /**
@@ -1915,5 +1951,55 @@ object Pipeline {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          md5(text) AS content_md5
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    // Generated from Bm25Terms so engine and oracle can never drift. The
+    // score replicates bm25TopK's expression tree operation-for-operation
+    // (same association order), so every double matches bit-for-bit
+    // before the final round(…, 6).
+    "q_bm25" -> {
+      val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
+        s"cast(len(list_filter(string_split_regex(text, '\\s+'), " +
+          s"x -> x = '$term')) AS double) AS tf$i"
+      }.mkString(",\n             ")
+      val dfs = Bm25Terms.indices.map { i =>
+        s"cast(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS double) AS df$i"
+      }.mkString(",\n             ")
+      val score = Bm25Terms.indices.map { i =>
+        s"ln(1.0 + (s.n - s.df$i + 0.5) / (s.df$i + 0.5)) * (d.tf$i * 2.2)" +
+          s" / (d.tf$i + 1.2 * (0.25 + 0.75 * d.dl / (s.sumdl / s.n)))"
+      }.mkString("\n               + ")
+      s"""WITH d AS (
+           SELECT doc_id,
+             cast(len(string_split_regex(text, '\\s+')) AS double) AS dl,
+             $tfs
+           FROM documents WHERE text IS NOT NULL),
+         s AS (
+           SELECT cast(count(*) AS double) AS n,
+             cast(sum(cast(dl AS decimal(38,0))) AS double) AS sumdl,
+             $dfs
+           FROM d)
+         SELECT doc_id, bm25 FROM (
+           SELECT d.doc_id,
+             round($score, 6) AS bm25
+           FROM d, s)
+         WHERE bm25 > 0
+         ORDER BY bm25 DESC, doc_id LIMIT 10"""
+    },
+    "q_embed_norm" ->
+      """WITH v AS (
+           SELECT i - 1 AS dim,
+             cast(round(cast(embedding[i] AS double) * 1e6, 0) AS bigint) AS s
+           FROM (SELECT embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+                 FROM embeddings)),
+         a AS (
+           SELECT dim, count(*) AS n, sum(s) AS ss,
+             sum(cast(s AS decimal(38,0)) * s) AS ss2
+           FROM v GROUP BY dim)
+         SELECT dim, n,
+           round(cast(ss AS double) / 1e6 / n, 6) AS mean,
+           round(sqrt((cast(ss2 AS double) / 1e12 -
+             cast(ss AS double) / 1e6 * (cast(ss AS double) / 1e6) / n) / n),
+             6) AS stddev
+         FROM a ORDER BY dim""")
 }

@@ -775,6 +775,35 @@ object Relational {
         .union(cn.except(sn).withColumn("op", lit("except")))
         .union(cn.union(sn).distinct().withColumn("op", lit("union")))
         .orderBy("op", "nkey")
+    }),
+    // GDPR Article-15 subject-access export: for a requested subject set,
+    // how many rows each table holds about them — the right-to-ACCESS
+    // twin of the erasure primitive (q_cdc_apply) and the discovery step
+    // every anonymization run starts from (which tables even mention the
+    // subject?). The subject set is tiny by definition, so every probe is
+    // a broadcast join against a full scan — no large-side shuffle; per
+    // table ONE hash aggregate on the subject key. lineitem has no
+    // customer key, so its count rides through orders (broadcast of the
+    // already-filtered orders keys).
+    "q_subject_export" -> ((s, dir) => {
+      val subjects = t(s, dir, "customer")
+        .filter(col("c_custkey") <= 5).select(col("c_custkey").as("subject"))
+      val nOrders = t(s, dir, "orders")
+        .join(broadcast(subjects), col("o_custkey") === col("subject"))
+        .groupBy("subject").agg(count(lit(1)).as("n_orders"))
+      val nLines = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "orders")
+            .join(broadcast(subjects), col("o_custkey") === col("subject"))
+            .select(col("o_orderkey"), col("subject"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("subject").agg(count(lit(1)).as("n_lineitem"))
+      subjects
+        .join(nOrders, Seq("subject"), "left")
+        .join(nLines, Seq("subject"), "left")
+        .select(col("subject"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_lineitem"), lit(0L)).as("n_lineitem"))
+        .orderBy("subject")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1302,5 +1331,26 @@ object Relational {
          SELECT nkey, 'union' AS op FROM
            (SELECT DISTINCT c_nationkey AS nkey FROM customer
             UNION SELECT DISTINCT s_nationkey FROM supplier)
-         ORDER BY op, nkey""")
+         ORDER BY op, nkey""",
+    "q_subject_export" ->
+      """WITH subjects AS (
+           SELECT c_custkey AS subject FROM customer WHERE c_custkey <= 5),
+         no AS (
+           SELECT subject, count(*) AS n_orders
+           FROM orders JOIN subjects ON o_custkey = subject
+           GROUP BY subject),
+         nl AS (
+           SELECT subject, count(*) AS n_lineitem
+           FROM lineitem
+           JOIN (SELECT o_orderkey, subject
+                 FROM orders JOIN subjects ON o_custkey = subject) o
+             ON l_orderkey = o_orderkey
+           GROUP BY subject)
+         SELECT s.subject,
+           coalesce(no.n_orders, 0) AS n_orders,
+           coalesce(nl.n_lineitem, 0) AS n_lineitem
+         FROM subjects s
+         LEFT JOIN no ON no.subject = s.subject
+         LEFT JOIN nl ON nl.subject = s.subject
+         ORDER BY s.subject""")
 }

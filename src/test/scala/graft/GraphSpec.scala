@@ -52,4 +52,25 @@ class GraphSpec extends SparkSpec {
     assert(got == Map("A" -> T,
       "B" -> (T + 85L * S * 3L / 400L), "C" -> (T + 85L * S / 400L)))
   }
+
+  test("triangles: finds each triangle once, canonicalized, across " +
+      "directions/duplicates/self-loops; open wedges excluded") {
+    import spark.implicits._
+    // K3 on {a,b,c} given with mixed directions + a duplicate edge + a
+    // self-loop + an open wedge c-d, d-e (no closing edge c-e).
+    val edges = Seq(("b", "a"), ("b", "c"), ("a", "c"), ("c", "a"),
+      ("a", "a"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+    val got = Graph.triangles(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("a", "b", "c")))
+  }
+
+  test("triangles: two triangles sharing an edge are both reported") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("b", "d"), ("c", "d")).toDF("src", "dst")
+    val got = Graph.triangles(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("a", "b", "c"), ("b", "c", "d")))
+  }
 }

@@ -358,6 +358,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(1.0, 0.0, 0.0))
   }
 
+  test("bm25TopK: tf raises, length normalizes, non-matches drop, " +
+      "multi-term scores add") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark join"),   // tf=2 at dl=3
+      (2L, "spark join x"),       // tf=1 at dl=3
+      (3L, "spark a b c d e"),    // tf=1 at dl=6 — length-normalized down
+      (4L, "other words here"),   // no term: filtered out
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val one = TA.bm25TopK(docs, "doc_id", "text", Seq("spark"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(one.map(_._1).toSeq == Seq(1L, 2L, 3L), "rank by tf then 1/dl")
+    assert(one.forall(_._2 > 0))
+    // adding a second query term can only add score, and doc 1 (hits both
+    // terms twice+once) stays on top
+    val two = TA.bm25TopK(docs, "doc_id", "text", Seq("spark", "join"),
+      topK = 10).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val oneMap = one.toMap
+    assert(two(1L) > oneMap(1L) && two(2L) > oneMap(2L))
+    assert(two(1L) > two(2L) && two(2L) > two(3L))
+  }
+
   test("PII detectors hit emails and phone shapes, not plain text") {
     val df = strDf("t", Seq("contact bob@example.com now", "call 415-555-1234",
       "nothing here"))

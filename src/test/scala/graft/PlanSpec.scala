@@ -226,7 +226,12 @@ class PlanSpec extends SparkSpec {
       // q_drift_tvd's group/bin/grand totals are second-level aggregates
       // over the already-reduced (group × bin) cell table — every
       // data-sized stage (the cell build) stays distributed.
-      "q_drift_tvd")
+      "q_drift_tvd",
+      // q_bm25's corpus statistics (N, Σdl, per-term df) reduce to ONE
+      // row via a partial+final aggregate — the single partition receives
+      // per-partition scalars only (q_checksum's shape) and broadcasts
+      // back; the scoring scan and top-k heaps stay distributed.
+      "q_bm25")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
