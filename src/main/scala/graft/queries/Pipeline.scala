@@ -51,8 +51,12 @@ object Pipeline {
     // with quadratic pair expansion; blocks above the cap are dropped
     // (declared semantics, mirrored as QUALIFY in the oracle SQL — see
     // Dedup.capBlocks). Persisted: BOTH self-join sides consume it, and
-    // without the persist each side would re-run the census + anti join.
+    // without the persist each side re-runs the census + its broadcast
+    // build and anti probe — measured at ~1.1s extra on q_dedup_cluster
+    // (3.40s unpersisted vs 2.29s persisted vs 2.27s with no cap at all,
+    // sf0.1 min-of-2: the persist makes the skew guard effectively free).
     val capped = Dedup.capBlocks(sh, "blk", Dedup.DefaultMaxBlock)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("doc_id").as("a"), col("hv").as("hv_a"), col("blk"))
     val b = capped.select(col("doc_id").as("b"), col("hv").as("hv_b"), col("blk"))
     val inter = size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
