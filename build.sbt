@@ -15,6 +15,14 @@ run / fork := true
 // sbt's "[success] Total time: …" footer would print after it and win the
 // tail. Suppress the footer so the summary stays the final line under sbt.
 ThisBuild / showSuccess := false
+// sbt re-logs forked stdout through its logger, prefixing every line with
+// "[info] " — which defeats the driver's strict JSON tail-parse of the
+// Bench summary line. StdoutOutput passes forked output straight through.
+// Scoped to run AND runMain: task-scoped keys do not delegate across
+// tasks, and the driver invokes `runMain graft.Bench`.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // showSuccess is consumed by sbt's command layer, not another setting —
 // exclude it from the unused-key lint so builds stay warning-free.
 Global / excludeLintKeys += showSuccess

@@ -47,18 +47,27 @@ object Bench {
     // identity. (Consecutive min-of-2 only defends against point spikes.)
     val names = selected.keys.toSeq
     val best = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to reps; name <- names) {
-      val fn = selected(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Cleared after EVERY measurement, for two reasons: a later sweep must
-      // not reuse an earlier sweep's persisted blocks (min-of-reps would
-      // then measure warm-cache work, overstating throughput), and
-      // persist-heavy queries must not evict a neighbor's blocks under
-      // storage pressure mid-measurement.
-      spark.sharedState.cacheManager.clearCache()
-      best(name) = best.get(name).fold(dt)(math.min(_, dt))
+    // Per-sweep wall-clock stamps: when a round's numbers drift uniformly,
+    // these let the reader attribute it to a host-contention window (one
+    // slow sweep, one normal) instead of re-litigating per-query deltas.
+    def stamp(tag: String): Unit = println(
+      s"""{"metric":"sweep","event":"$tag","epoch_ms":${System.currentTimeMillis()}}""")
+    for (rep <- 1 to reps) {
+      stamp(s"start_$rep")
+      for (name <- names) {
+        val fn = selected(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Cleared after EVERY measurement, for two reasons: a later sweep
+        // must not reuse an earlier sweep's persisted blocks (min-of-reps
+        // would then measure warm-cache work, overstating throughput), and
+        // persist-heavy queries must not evict a neighbor's blocks under
+        // storage pressure mid-measurement.
+        spark.sharedState.cacheManager.clearCache()
+        best(name) = best.get(name).fold(dt)(math.min(_, dt))
+      }
+      stamp(s"end_$rep")
     }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = names.map(k => s"\"" + k + "\":" + fmt(best(k))).mkString("{", ",", "}")

@@ -422,7 +422,27 @@ object Dedup {
    * tables of |V| rows.
    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(edges, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of loop rounds it ran —
+    * package-private so specs can pin convergence-speed claims without
+    * parsing debug output.
+    *
+    * NOTE on a tempting-but-unsound shortcut: seeding each node's label
+    * with the minimum id of its candidate BLOCK (the pre-verify blocking
+    * key) would cut rounds but is wrong — block co-membership is not
+    * linkage. Two records can share a block yet fail the verify predicate
+    * (edit distance, Jaccard), and a block-min seed would still fuse
+    * their clusters. LinkageSpec pins the counterexample. The sound
+    * round-cutter used here instead: the init aggregate folds min-direct-
+    * neighbor AND one pointer-halving hop (min over the 2-hop chain
+    * comp(comp(id))), which only ever assigns labels that are ids inside
+    * the node's own component — pairs, min-centered stars, and descending
+    * chains converge at init, leaving the loop a single confirmation
+    * round, and deep chains start two label-hops ahead. */
+  private[graft] def connectedComponentsWithRounds(edges: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     // Symmetrize in ONE pass over the edge plan via explode — a
     // union-of-two-selects would duplicate the (possibly expensive)
@@ -456,9 +476,18 @@ object Dedup {
     // Checkpoints are LAZY (eager=false): the labelSum action right after
     // each round materializes the checkpoint as a side effect, so a round
     // costs ONE job, not a checkpoint job plus an aggregate job.
-    var comp = sym.groupBy(col("src").as("id"))
+    // Init folds min-direct-neighbor, then one pointer-halving hop over
+    // that provisional labeling (comp(comp(id)) — see the scaladoc note on
+    // why BLOCK-seeded init would be unsound). The self-join doubles the
+    // init1 lineage, so init1 persists for the one job that materializes
+    // the checkpoint, then frees.
+    val init1 = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nbr"))
-      .select(col("id"), least(col("id"), col("nbr")).as("comp"))
+      .select(col("id"), least(col("id"), col("nbr")).as("c1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = init1
+      .join(init1.toDF("c1", "c2"), Seq("c1"), "left")
+      .select(col("id"), coalesce(col("c2"), col("c1")).as("comp"))
       .localCheckpoint(false)
     // Labels only ever decrease, so the decimal label sum (no long
     // overflow at any id magnitude) is a monotone convergence metric:
@@ -469,7 +498,8 @@ object Dedup {
         .head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
-    var prevSum = labelSum(comp)
+    var prevSum = labelSum(comp) // materializes the init checkpoint
+    init1.unpersist()
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -509,7 +539,7 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — the " +
           "graph has a component with diameter > maxIter; raise maxIter. " +
           "Returning unconverged labels would silently split clusters.")
-    comp
+    (comp, it)
   }
 
   /**

@@ -70,34 +70,68 @@ object Graph {
     rank
   }
 
+  /** Degree-oriented directed view of a canonical (a < b) edge list:
+    * each edge points from its lower-(degree, id) endpoint `u` to the
+    * higher one `v`; `dv` carries v's degree so downstream wedge ordering
+    * needs no further join. Every node's out-degree is then O(√m) in the
+    * amortized sense (a node of degree d only keeps out-edges to
+    * neighbors of degree ≥ d), which is what bounds wedge fan-out.
+    * Exposed package-private so GraphSpec can pin the celebrity-node
+    * property (hub out-degree 0) structurally. */
+  private[graft] def orientEdges(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // a < b already, so (da, a) < (db, b) reduces to da <= db.
+    und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"),
+        greatest(col("da"), col("db")).as("dv"))
+  }
+
   /**
    * Triangle enumeration over an undirected graph given as (src, dst)
    * edges: emits each triangle once as an ordered triple a < b < c.
    * Canonicalization (least/greatest + distinct) folds both directions
    * and self-loops away, so callers can feed raw directed edge lists.
    *
-   * Shape: the classic two-join triangle count. Wedges come from one
-   * self-join of the canonical edge list on its lower endpoint (b < c
-   * keeps each wedge once); a LEFT SEMI join back onto the edge list
-   * closes them. Both joins shuffle on bounded keys and the semi join
-   * never materializes payload columns. At web scale the refinement is
-   * degree-based orientation (point each edge at the higher-degree
-   * endpoint so wedge fan-out is O(m^1.5) worst case, not O(d_max²));
-   * with id-ordered orientation a single celebrity node can dominate —
-   * documented trade-off, the standard first cut (MR triangle counting,
-   * Suri & Vassilvitskii WWW'11). The edge list persists because the
-   * wedge join consumes it twice and the closer a third time.
+   * Shape: MR triangle counting with degree orientation (Suri &
+   * Vassilvitskii WWW'11). Edges are first oriented toward their
+   * higher-(degree, id) endpoint, so wedges fan out from the LOWEST-degree
+   * corner of each triangle: total wedge count is O(m^1.5) worst case
+   * instead of O(d_max²) — one celebrity node (a hub event type, a viral
+   * doc) no longer concentrates C(d,2) wedge pairs in a single join key.
+   * One self-join of the oriented list on `u` builds wedges (endpoints
+   * kept in (degree, id) order so each wedge appears once); a LEFT SEMI
+   * join back onto the oriented list closes them — under the same total
+   * order the closing edge {x, y} can only be stored as x→y, so one probe
+   * direction suffices. The oriented list persists because the wedge join
+   * consumes it twice and the closer a third time; each triangle is
+   * re-sorted by id at the end so output is orientation-independent.
    */
   def triangles(edges: DataFrame): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") < col("b")).distinct()
+      // consumed 4× inside the oriented plan (degree union + both
+      // degree-join sides); persisting keeps the distinct shuffle single
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wedges = und.join(und.select(col("a"), col("b").as("c")), Seq("a"))
-      .filter(col("b") < col("c"))
-    wedges.join(und.select(col("a").as("b"), col("b").as("c")),
-        Seq("b", "c"), "left_semi")
-      .select("a", "b", "c")
+    val oriented = orientEdges(und)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented
+      .select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")),
+        Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    wedges.join(oriented.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+      .select(sort_array(array(col("u"), col("x"), col("y"))).as("__t"))
+      .select(col("__t")(0).as("a"), col("__t")(1).as("b"),
+        col("__t")(2).as("c"))
   }
 }

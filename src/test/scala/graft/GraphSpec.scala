@@ -65,6 +65,32 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "b", "c")))
   }
 
+  test("triangles: degree orientation strips the celebrity node — hub " +
+      "out-degree 0, spoke fan-out bounded, planted triangle still found") {
+    import spark.implicits._
+    // One hub ("aaa", lexicographically SMALLEST so id-ordered
+    // orientation would fan C(500,2)=124,750 wedges out of it) with 500
+    // spokes, plus one spoke-spoke edge closing a triangle.
+    val spokes = (1 to 500).map(i => f"s$i%03d")
+    val edges = (spokes.map(("aaa", _)) :+ ("s001", "s002"))
+      .toDF("src", "dst")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val outDeg = Graph.orientEdges(und)
+      .groupBy("u").agg(count(lit(1)).as("od"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Every edge points AT the degree-501 hub: it never appears as u.
+    assert(!outDeg.contains("aaa"))
+    // Spokes have degree ≤ 2, so oriented out-degree ≤ 2 — wedge fan-out
+    // per node is C(2,2)=1, not C(500,2).
+    assert(outDeg.values.max <= 2)
+    val got = Graph.triangles(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("aaa", "s001", "s002")))
+  }
+
   test("triangles: two triangles sharing an edge are both reported") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),

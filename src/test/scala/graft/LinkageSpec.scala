@@ -53,6 +53,24 @@ class LinkageSpec extends SparkSpec {
       6L -> (1L, 6L, 99L)))  // blocked away from the smiths
   }
 
+  test("same-block records that FAIL the verify predicate stay separate " +
+      "entities (block co-membership is not linkage — a block-min CC " +
+      "seed would wrongly fuse these)") {
+    import spark.implicits._
+    // All three share block 'm'; only 1↔2 are within edit distance 2.
+    // Record 9 ("maximilian overy") is a blocking-key neighbor only — any
+    // shortcut that seeds component labels with the block's minimum id
+    // would label it into entity 1. Pins Dedup.connectedComponents'
+    // documented refusal of that shortcut.
+    val df = Seq((1L, "mia wong", 10L), (2L, "mina wong", 20L),
+      (9L, "maximilian overy", 99L)).toDF("id", "name", "bal")
+    val got = Linkage.resolveEntities(df, "id", "name",
+        substring(col("name"), 1, 1), maxDist = 2, rankCol = col("bal"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> (2L, 2L), 9L -> (1L, 9L)))
+  }
+
   test("resolveEntities tiebreak: equal ranks resolve to the smallest id") {
     import spark.implicits._
     val df = Seq((7L, "pat lee", 50L), (8L, "pat dee", 50L))

@@ -65,6 +65,43 @@ class DedupSpec extends SparkSpec {
     assert(comps.forall(_._2 == 0L))
   }
 
+  test("connectedComponents: tiny clusters (the near-dup norm) close in " +
+      "ONE loop round; init halving keeps deep chains within budget") {
+    import org.apache.spark.sql.types._
+    // Pairs and stars — the shape of real near-dup/entity clusters —
+    // converge inside the init aggregate (min-direct-neighbor + the folded
+    // halving hop), so the loop's only round is the confirmation pass.
+    val tiny = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 2L),                                   // pair
+        Row(10L, 11L), Row(10L, 12L), Row(10L, 13L)),  // star, center = min
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(tiny, "a", "b")
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+        13L -> 10L))
+    assert(rounds == 1, s"expected init-converged + 1 confirm, got $rounds")
+    // A leaf-min star needs the label to flow leaf→center→other leaves
+    // (two propagation hops): exactly one change round + confirmation.
+    val leafMin = spark.createDataFrame(
+      java.util.Arrays.asList(Row(23L, 20L), Row(23L, 21L), Row(23L, 22L)),
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    val (llabels, lrounds) =
+      Dedup.connectedComponentsWithRounds(leafMin, "a", "b")
+    assert(llabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    assert(lrounds == 2, s"expected 1 change + 1 confirm, got $lrounds")
+    // Deep chain: 64-node path (diameter 63) still closes in O(log d)
+    // loop rounds — the halving-in-init head start keeps it ≤ 6.
+    val path = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 63L).map(i => Row(i, i + 1)): _*),
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    val (plabels, prounds) =
+      Dedup.connectedComponentsWithRounds(path, "a", "b", maxIter = 10)
+    assert(plabels.collect().forall(_.getLong(1) == 0L))
+    assert(prounds <= 6, s"path-64 took $prounds rounds")
+  }
+
   test("connectedComponents agrees with a driver-side union-find on random graphs") {
     import org.apache.spark.sql.types._
     // Seeded, so failures reproduce; 6 random graphs exercise shapes the
