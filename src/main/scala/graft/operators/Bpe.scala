@@ -67,19 +67,39 @@ object Bpe {
           array(concat(element_at(acc, -1), s))))
         .otherwise(concat(acc, array(s))))
 
+  /** [[train]]'s result: the ordered merge list, the final symbolized
+    * vocabulary (word, syms, freq), and how many count→select→apply
+    * rounds actually ran (the job count driving wall-clock at scale). */
+  final case class Trained(merges: Seq[(String, String)], vocab: DataFrame,
+    rounds: Int)
+
   /**
-   * Learn `numMerges` merges from the corpus. Returns the ordered merge
-   * list and the final symbolized vocabulary (word, syms, freq).
+   * Learn `numMerges` merges from the corpus.
    *
-   * Each round: one pair-count aggregate over the vocabulary, ONE
-   * driver-side row (the argmax pair, ties broken lexicographically —
-   * plans as TakeOrderedAndProject), then a scan-local fold applies the
-   * merge. The vocabulary re-persists per round because round k+1's
-   * counts depend on round k's fold (same lazy-localCheckpoint rhythm as
+   * Each round: one pair-count aggregate over the vocabulary, ONE small
+   * driver-side collect (the top of the count table, ties broken
+   * lexicographically — plans as TakeOrderedAndProject), then a
+   * scan-local fold applies the round's merges. The vocabulary
+   * re-persists per round because the next round's counts depend on this
+   * round's fold (same lazy-localCheckpoint rhythm as
    * connectedComponents); rounds stop early when no pair repeats.
+   *
+   * `batch` bounds how many merges one round may take. batch=1 (the
+   * default) is EXACTLY classic sequential greedy BPE — the semantics
+   * BpeSpec pins. batch=N takes up to N mutually symbol-disjoint pairs
+   * from the round's count table in greedy (n desc, pair asc) order:
+   * disjointness makes the stale counts exact for every selected pair
+   * (merging (a,b) cannot create or destroy a (c,d) adjacency when
+   * {a,b} ∩ {c,d} = ∅), so the only divergence from sequential greedy is
+   * that a pair MINTED mid-round (e.g. ("ab", x)) cannot outrank a later
+   * pick until the next round — the standard batched-BPE trade. A real
+   * 30k-merge vocabulary collapses from 30k sequential Spark jobs to
+   * ~30k/N, the difference between hours of job-scheduling overhead and
+   * minutes.
    */
-  def train(docs: DataFrame, textCol: String, numMerges: Int)
-      : (Seq[(String, String)], DataFrame) = {
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      batch: Int = 1): Trained = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var syms = vocab(docs, textCol)
       .select(col("word"),
@@ -87,19 +107,36 @@ object Bpe {
         col("freq"))
       .persist(lvl)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
     var done = false
     while (merges.size < numMerges && !done) {
-      val top = symbolPairCounts(syms.select(col("syms"), col("freq")))
+      val want = math.min(batch, numMerges - merges.size)
+      // Over-fetch ×4 so overlap skips don't starve a round; still a
+      // metadata-scale collect (tiny strings), and with batch=1 the first
+      // row is the classic argmax so the over-fetch is semantics-free.
+      val pool = symbolPairCounts(syms.select(col("syms"), col("freq")))
         .filter(col("n") >= 2)
-        .orderBy(col("n").desc, col("pair")).limit(1)
+        .orderBy(col("n").desc, col("pair")).limit(want * 4)
         .collect()
-      if (top.isEmpty) done = true
+      if (pool.isEmpty) done = true
       else {
-        val parts = top(0).getString(0).split(" ", 2)
-        val (a, b) = (parts(0), parts(1))
-        merges += ((a, b))
+        rounds += 1
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val it = pool.iterator
+        while (it.hasNext && picked.size < want) {
+          val parts = it.next().getString(0).split(" ", 2)
+          if (!used(parts(0)) && !used(parts(1))) {
+            used += parts(0); used += parts(1)
+            picked += ((parts(0), parts(1)))
+          }
+        }
+        merges ++= picked
         val next = syms
-          .select(col("word"), mergePair(col("syms"), a, b).as("syms"),
+          .select(col("word"),
+            picked.foldLeft(col("syms")) { case (c, (a, b)) =>
+              mergePair(c, a, b)
+            }.as("syms"),
             col("freq"))
           .persist(lvl)
         next.count() // materialize before unpersisting the parent
@@ -107,7 +144,7 @@ object Bpe {
         syms = next
       }
     }
-    (merges.toSeq, syms)
+    Trained(merges.toSeq, syms, rounds)
   }
 
   /** Apply an already-learned merge list to a corpus' vocabulary —

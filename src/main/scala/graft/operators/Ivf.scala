@@ -77,9 +77,16 @@ object Ivf {
       val dim = centroids.head.length
       for (_ <- 0 until iters) {
         val assigned = vecs.withColumn("__c", nearestCentroid(col(embCol), centroids))
+        // Order-independent Lloyd means: each component sums as an exact
+        // decimal(28,10) before the final double division, so the trained
+        // centroids are a pure function of the data (not of partitioning /
+        // aggregation order) — reproducible run-to-run AND in the DuckDB
+        // oracle, which re-runs this training in SQL (q_sim_ivf).
         val means = assigned
           .select(col("__c"), posexplode(col(embCol)).as(Seq("__pos", "__v")))
-          .groupBy("__c", "__pos").agg(avg(col("__v")).as("__m"))
+          .groupBy("__c", "__pos")
+          .agg((sum(col("__v").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("__m"))
           .collect() // k × dim rows — centroid-matrix scale, not data scale
         val byCluster = means.groupBy(_.getAs[Int]("__c"))
         centroids = centroids.indices.map { i =>

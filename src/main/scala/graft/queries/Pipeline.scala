@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
  * Hash-dependent queries (MinHash, SimHash) run the portable md5 hash
  * family, and sign-LSH queries unroll their seeded hyperplane basis into
  * the oracle SQL (the basis is part of the operator definition), so both
- * are fully oracle-checked; only genuinely engine-specific training
- * queries (q_sim_ivf, q_agg_approx) are rows-only with semantics asserted
- * in ScalaTest.
+ * are fully oracle-checked — including the trained IVF, whose Lloyd
+ * training runs in exact-decimal arithmetic and is therefore re-runnable
+ * verbatim in the oracle's SQL.
  */
 object Pipeline {
   import Q._
@@ -23,6 +23,19 @@ object Pipeline {
   /** Fixed BM25 query terms (part of the q_bm25 operator definition,
     * mirrored literally in its oracle SQL). */
   private val Bm25Terms = Seq("spark", "window", "join")
+
+  /** BM25 hyperparameters, shared by the engine call AND interpolated into
+    * the generated oracle SQL (as k1+1, k1, 1-b, b — the exact doubles the
+    * engine computes), so changing them cannot desynchronize the two. */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** The whitespace token splitter as a DuckDB fragment. Built in a
+    * regular (escape-processed) string so it renders '\s+'; oracle bodies
+    * interpolate this instead of spelling the backslash themselves — the
+    * s-interpolated-triple-quote spelling ("\\s+") silently breaks if the
+    * body is ever refactored to a plain triple-quoted string. */
+  private val WsSplitSql = "string_split_regex(text, '\\s+')"
 
   /** Near-dup edge list shared by q_dedup_cluster and q_dedup_survivor:
     * min-shingle blocking (lexicographic min — no engine hashing, so fully
@@ -889,9 +902,10 @@ object Pipeline {
           size(map_keys(m)).cast("long").as("n_keys"))
         .orderBy("event_id")
     }),
-    // L2 — IVF approximate top-k: coarse-quantizer cells, nprobe=4 of k=16
-    // (no oracle: centroid training is engine-specific; IvfSpec asserts
-    // recall and the probe-all ≡ exact equivalence).
+    // L2 — IVF approximate top-k: coarse-quantizer cells, nprobe=4 of k=16.
+    // Fully oracle-checked since Ivf.train's Lloyd means became exact
+    // decimal sums: the oracle SQL re-runs the whole 2-iteration training
+    // (IvfSpec additionally asserts recall and probe-all ≡ exact).
     "q_sim_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), graft.functions.VectorOps.asDouble(col("embedding")).as("emb"))
@@ -969,7 +983,7 @@ object Pipeline {
     // result depends on shuffle order (see TextAnalysis.bm25TopK).
     "q_bm25" -> ((s, dir) => {
       TA.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-        Bm25Terms, topK = 10)
+        Bm25Terms, topK = 10, k1 = Bm25K1, b = Bm25B)
     }),
     // L2 — per-dimension embedding statistics (the normalization /
     // feature-scaling pass before clustering or PQ training): mean and
@@ -985,8 +999,12 @@ object Pipeline {
         .select(col("dim"),
           round(col("__v").cast("double") * 1e6, 0).cast("long").as("__s"))
       val sumv = col("__ss").cast("double") / 1e6
+      // __s sums as decimal(38,0) too (not plain long): DuckDB's
+      // sum(bigint) promotes to hugeint, and a long sum here would wrap
+      // ~20x before the oracle does at full scale.
       scaled.groupBy("dim")
-        .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"),
+        .agg(count(lit(1)).as("n"),
+          sum(col("__s").cast("decimal(38,0)")).as("__ss"),
           sum(col("__s").cast("decimal(38,0)") * col("__s")).as("__ss2"))
         .select(col("dim"), col("n"),
           round(sumv / col("n"), 6).as("mean"),
@@ -1158,6 +1176,74 @@ object Pipeline {
               FROM bk q JOIN bk e
                 ON q.vec_id < 5 AND e.bucket = q.bucket AND e.vec_id <> q.vec_id))
           WHERE rn <= 10 ORDER BY q_id, rn"""
+    },
+    // The TRAINED-quantizer IVF: Ivf.train's Lloyd means sum every
+    // component as an exact decimal(28,10) before one double division, so
+    // the trained centroids are a pure function of the data — and this SQL
+    // re-runs the training verbatim: seed = first 16 vectors, assignment
+    // by the same -2·dot+|c|² key (seed-id tiebreak; |c|² is a sequential
+    // self-dot both sides), per-cell exact-decimal component means with
+    // empty cells keeping their centroid, two iterations — then the
+    // identical probe pipeline as q_sim_ivf_fixed over the result.
+    "q_sim_ivf" -> {
+      // one Lloyd iteration: assign against c{i-1}, then exact means → c{i}
+      def step(i: Int) = {
+        val prev = s"c${i - 1}"
+        s"""a$i AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv)
+                   + list_dot_product(c.cv, c.cv), c.cid) AS rn
+             FROM e, $prev c) WHERE rn = 1),
+         m$i AS (
+           SELECT a.cell, g.pos,
+             cast(sum(cast(e.v[g.pos] AS decimal(28,10))) AS double)
+               / count(*) AS m
+           FROM a$i a, e, generate_series(1, 64) AS g(pos)
+           WHERE e.vec_id = a.vec_id
+           GROUP BY a.cell, g.pos),
+         c$i AS (
+           SELECT p.cid, coalesce(mv.cv, p.cv) AS cv FROM $prev p
+           LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cv
+                      FROM m$i GROUP BY cell) mv ON mv.cell = p.cid)"""
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         ${step(1)},
+         ${step(2)},
+         c AS (SELECT cid, cv, list_dot_product(cv, cv) AS cnorm2 FROM c2),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+                 AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         probes AS (
+           SELECT q_id, cell FROM (
+             SELECT q.q_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2, c.cid)
+                 AS rn
+             FROM q CROSS JOIN c) WHERE rn <= 4),
+         scored AS (
+           SELECT q.q_id, e.vec_id,
+             list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+           FROM probes p
+           JOIN assign a ON a.cell = p.cell
+           JOIN e ON e.vec_id = a.vec_id
+           JOIN q ON q.q_id = p.q_id
+           WHERE e.vec_id <> q.q_id)
+         SELECT q_id, vec_id, rn, round(cos, 6) AS cosine FROM (
+           SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+               AS rn
+           FROM scored)
+         WHERE rn <= 10 ORDER BY q_id, rn"""
     },
     // The fixed-quantizer IVF: centroids are the first 16 vectors, the
     // assignment key is -2·dot+|c|² with index tiebreak, probes take the 4
@@ -1962,19 +2048,22 @@ object Pipeline {
     // before the final round(…, 6).
     "q_bm25" -> {
       val tfs = Bm25Terms.zipWithIndex.map { case (term, i) =>
-        s"cast(len(list_filter(string_split_regex(text, '\\s+'), " +
+        s"cast(len(list_filter($WsSplitSql, " +
           s"x -> x = '$term')) AS double) AS tf$i"
       }.mkString(",\n             ")
       val dfs = Bm25Terms.indices.map { i =>
         s"cast(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS double) AS df$i"
       }.mkString(",\n             ")
+      // k1+1 / k1 / 1-b / b interpolate as the exact doubles the engine's
+      // lit(...) expressions carry (Double.toString round-trips), so the
+      // SQL stays bit-faithful whatever values the shared vals take.
       val score = Bm25Terms.indices.map { i =>
-        s"ln(1.0 + (s.n - s.df$i + 0.5) / (s.df$i + 0.5)) * (d.tf$i * 2.2)" +
-          s" / (d.tf$i + 1.2 * (0.25 + 0.75 * d.dl / (s.sumdl / s.n)))"
+        s"ln(1.0 + (s.n - s.df$i + 0.5) / (s.df$i + 0.5)) * (d.tf$i * ${Bm25K1 + 1.0})" +
+          s" / (d.tf$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * d.dl / (s.sumdl / s.n)))"
       }.mkString("\n               + ")
       s"""WITH d AS (
            SELECT doc_id,
-             cast(len(string_split_regex(text, '\\s+')) AS double) AS dl,
+             cast(len($WsSplitSql) AS double) AS dl,
              $tfs
            FROM documents WHERE text IS NOT NULL),
          s AS (

@@ -29,26 +29,58 @@ class BpeSpec extends SparkSpec {
 
   test("train: merge order is (l,o) then (lo,w) then (low,e) — counts " +
       "argmaxed, 5-way tie broken lexicographically") {
-    val (merges, vocab) = Bpe.train(docs, "text", 3)
-    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
-    val syms = vocab.collect()
-      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val r = Bpe.train(docs, "text", 3)
+    assert(r.merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    assert(r.rounds == 3) // batch=1: one round per merge
+    val syms = r.vocab.collect()
+      .map(row => row.getString(0) -> row.getSeq[String](1)).toMap
     assert(syms("low") == Seq("low"))
     assert(syms("lower") == Seq("lowe", "r"))
     assert(syms("lowest") == Seq("lowe", "s", "t"))
   }
 
   test("train stops early when no pair repeats (freq < 2 never merges)") {
-    val (merges, _) = Bpe.train(strDf("text", Seq("ab cd")), "text", 10)
-    assert(merges.isEmpty)
+    val r = Bpe.train(strDf("text", Seq("ab cd")), "text", 10)
+    assert(r.merges.isEmpty && r.rounds == 0)
   }
 
   test("applyMerges reproduces the trained symbolization") {
-    val (merges, trained) = Bpe.train(docs, "text", 3)
-    val applied = Bpe.applyMerges(Bpe.vocab(docs, "text"), merges)
-      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
-    val want = trained.collect()
-      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val r = Bpe.train(docs, "text", 3)
+    val applied = Bpe.applyMerges(Bpe.vocab(docs, "text"), r.merges)
+      .collect().map(row => row.getString(0) -> row.getSeq[String](1)).toMap
+    val want = r.vocab.collect()
+      .map(row => row.getString(0) -> row.getSeq[String](1)).toMap
     assert(applied == want)
+  }
+
+  // Planted corpus where batching is provably safe: the top pairs are
+  // mutually symbol-disjoint and merging any of them mints no pair that
+  // could outrank a later pick ("ab" collapses to one symbol, so no new
+  // adjacency appears). ab×5 > cd×4 > ef×3 > gh×2.
+  private def disjointDocs = strDf("text",
+    Seq("ab ab ab ab ab cd cd cd cd", "ef ef ef gh gh"))
+
+  test("batched train ≡ sequential train on a disjoint-top-pair corpus, " +
+      "in 1 round instead of 4") {
+    val seq = Bpe.train(disjointDocs, "text", 4)
+    val bat = Bpe.train(disjointDocs, "text", 4, batch = 4)
+    assert(seq.merges == Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")))
+    assert(bat.merges == seq.merges)
+    assert(seq.rounds == 4 && bat.rounds == 1)
+    val sv = seq.vocab.collect()
+      .map(row => row.getString(0) -> row.getSeq[String](1)).toMap
+    val bv = bat.vocab.collect()
+      .map(row => row.getString(0) -> row.getSeq[String](1)).toMap
+    assert(bv == sv)
+  }
+
+  test("batched train skips overlapping pairs within a round: the greedy " +
+      "pick still wins, the overlap defers to the next round") {
+    // counts: (l,o)=5, (o,w)=5, (w,e)=2 — (o,w) shares o with the pick
+    // (l,o), and (w,e) shares w with nothing picked yet → round 1 takes
+    // (l,o) and (w,e); round 2 re-counts and sees (lo,w).
+    val bat = Bpe.train(docs, "text", 3, batch = 2)
+    assert(bat.merges.take(2) == Seq(("l", "o"), ("w", "e")))
+    assert(bat.rounds == 2)
   }
 }
