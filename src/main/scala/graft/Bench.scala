@@ -38,6 +38,7 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // Reps are INTERLEAVED, not consecutive: sweep every query once, then
     // repeat the whole sweep, and take the per-query min ACROSS sweeps. A
@@ -63,8 +64,11 @@ object Bench {
         // must not reuse an earlier sweep's persisted blocks (min-of-reps
         // would then measure warm-cache work, overstating throughput), and
         // persist-heavy queries must not evict a neighbor's blocks under
-        // storage pressure mid-measurement.
+        // storage pressure mid-measurement. The RDD sweep additionally
+        // frees localCheckpoint blocks (invisible to the cacheManager) so
+        // iterative queries don't accumulate |V|-row block sets per sweep.
         spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         best(name) = best.get(name).fold(dt)(math.min(_, dt))
       }
       stamp(s"end_$rep")

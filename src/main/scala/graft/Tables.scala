@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Table catalog over the harness parquet layout (`TESTDATA.md`): one parquet
@@ -15,11 +17,34 @@ object Tables {
     "customer", "documents", "embeddings", "events", "lineitem",
     "nation", "orders", "part", "region", "supplier")
 
+  /**
+   * Engine-internal convention: an event-time column named `ts` is an
+   * epoch-NANOS long. The harness parquet has carried `ts` as
+   * TIMESTAMP(NANOS) (readable only as a raw long, via `nanosAsLong`) and
+   * later as TIMESTAMP(µs[, NTZ]) — this adapter accepts any of those
+   * encodings and re-derives the exact nanos long, so downstream integer
+   * arithmetic (`Q.tsCol`/`Q.tsSec`, window bucketing) is encoding-agnostic.
+   * `unix_micros` on the µs-precision value is exact; the NTZ→TZ cast is an
+   * identity reinterpretation under the UTC session zone every entrypoint
+   * sets. Any other encoding fails loudly here, naming the drift, instead
+   * of as nine opaque analysis errors downstream.
+   */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) | None => df // already nanos-long (or no ts column)
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"unsupported events.ts encoding $other: expected nanos-long, " +
+            "TIMESTAMP or TIMESTAMP_NTZ (testdata drifted?)")
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); Spark only reads those as
-    // raw nanos-longs (see queries.Q.tsCol for the conversion back).
+    // Kept for TIMESTAMP(NANOS)-era data, where the only readable form is a
+    // raw nanos-long; a no-op for µs-typed data (normalizeTs handles those).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Full catalog for a scale-factor directory. */
@@ -38,7 +63,8 @@ object Tables {
     // rehash it away)
     scala.collection.immutable.ListMap(
       files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .map(f => f.getName.stripSuffix(".parquet") -> spark.read.parquet(f.getPath))
+        .map(f => f.getName.stripSuffix(".parquet") ->
+          normalizeTs(spark.read.parquet(f.getPath)))
         .toSeq: _*)
   }
 }

@@ -24,8 +24,12 @@ object Verify {
       }
       // queries that persist an internal stage (q_tfidf's tokenize+tf,
       // the dedup signature stages) must not leak cached blocks into the
-      // ~100 queries that follow in this shared session
+      // ~100 queries that follow in this shared session. clearCache frees
+      // cacheManager-tracked persists; the second sweep frees RDD-level
+      // blocks it cannot see — localCheckpoint'ed frames (an iterative
+      // algorithm's final label table outlives its query otherwise).
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape (shared with ConfigIO's report writer): a tab or
     // CR in builder-authored SQL would otherwise make the driver's

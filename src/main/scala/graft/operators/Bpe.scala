@@ -86,16 +86,19 @@ object Bpe {
    *
    * `batch` bounds how many merges one round may take. batch=1 (the
    * default) is EXACTLY classic sequential greedy BPE — the semantics
-   * BpeSpec pins. batch=N takes up to N mutually symbol-disjoint pairs
-   * from the round's count table in greedy (n desc, pair asc) order:
-   * disjointness makes the stale counts exact for every selected pair
-   * (merging (a,b) cannot create or destroy a (c,d) adjacency when
-   * {a,b} ∩ {c,d} = ∅), so the only divergence from sequential greedy is
-   * that a pair MINTED mid-round (e.g. ("ab", x)) cannot outrank a later
-   * pick until the next round — the standard batched-BPE trade. A real
-   * 30k-merge vocabulary collapses from 30k sequential Spark jobs to
-   * ~30k/N, the difference between hours of job-scheduling overhead and
-   * minutes.
+   * BpeSpec pins. batch=N takes up to N pairs from the round's count
+   * table in greedy (n desc, pair asc) order, subject to two rejection
+   * rules that keep the round's stale counts exact for every selected
+   * pair: (1) symbol-disjointness — merging (a,b) cannot create or
+   * destroy a (c,d) adjacency when {a,b} ∩ {c,d} = ∅; (2) no element of
+   * a later pick may equal the MERGED symbol of an earlier pick this
+   * round (e.g. ("abc","d") after ("a","bc")) — such a pick would consume
+   * adjacencies the earlier merge mints mid-fold, which its count never
+   * saw. The only divergence from sequential greedy is that a pair minted
+   * mid-round cannot outrank a later pick until the next round — the
+   * standard batched-BPE trade. A real 30k-merge vocabulary collapses
+   * from 30k sequential Spark jobs to ~30k/N, the difference between
+   * hours of job-scheduling overhead and minutes.
    */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       batch: Int = 1): Trained = {
@@ -122,12 +125,20 @@ object Bpe {
       else {
         rounds += 1
         val used = scala.collection.mutable.Set.empty[String]
+        // Merged symbols minted by pairs already picked THIS round: a later
+        // pick whose element equals one (e.g. ("abc","d") after ("a","bc"))
+        // would consume adjacencies the earlier merge creates mid-fold, so
+        // its count table was stale — reject it; it can win next round.
+        // Symbol-disjointness alone does not cover this case.
+        val minted = scala.collection.mutable.Set.empty[String]
         val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         val it = pool.iterator
         while (it.hasNext && picked.size < want) {
           val parts = it.next().getString(0).split(" ", 2)
-          if (!used(parts(0)) && !used(parts(1))) {
+          if (!used(parts(0)) && !used(parts(1)) &&
+              !minted(parts(0)) && !minted(parts(1))) {
             used += parts(0); used += parts(1)
+            minted += parts(0) + parts(1)
             picked += ((parts(0), parts(1)))
           }
         }

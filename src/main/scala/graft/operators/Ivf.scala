@@ -81,7 +81,13 @@ object Ivf {
         // decimal(28,10) before the final double division, so the trained
         // centroids are a pure function of the data (not of partitioning /
         // aggregation order) — reproducible run-to-run AND in the DuckDB
-        // oracle, which re-runs this training in SQL (q_sim_ivf).
+        // oracle, which re-runs this training in SQL (q_sim_ivf). One
+        // caveat at extreme cell sizes: Spark rounds the exact decimal sum
+        // to double once, while DuckDB converts int128 → double before
+        // dividing; past ~2^53 of scaled per-cell magnitude (≈1e6
+        // unit-magnitude vectors in one cell) the oracle's double-rounding
+        // can differ in the last ulp and flip a near-tie assignment. At
+        // fixture scale the two are bit-identical.
         val means = assigned
           .select(col("__c"), posexplode(col(embCol)).as(Seq("__pos", "__v")))
           .groupBy("__c", "__pos")

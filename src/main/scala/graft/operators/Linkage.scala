@@ -44,8 +44,16 @@ object Linkage {
       col("__blk"))
     val b = keyed.select(col("__id").as("b"), col("__nm").as("__nb"),
       col("__blk"))
+    // Verify funnel, cheapest test first: |len(a)-len(b)| <= maxDist is a
+    // necessary condition for edit distance <= maxDist and costs two
+    // already-computed lengths per pair, so most of a block's pair
+    // expansion dies before any DP matrix is built. The survivor check is
+    // the THRESHOLDED levenshtein (banded O(n·k) DP that bails once the
+    // distance provably exceeds maxDist, returning -1) — not the full
+    // O(n²) distance.
     a.join(b, "__blk").filter(col("a") < col("b"))
-      .filter(levenshtein(col("__na"), col("__nb")) <= maxDist)
+      .filter(abs(length(col("__na")) - length(col("__nb"))) <= maxDist)
+      .filter(levenshtein(col("__na"), col("__nb"), maxDist) >= 0)
       .select("a", "b")
   }
 

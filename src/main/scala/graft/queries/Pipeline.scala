@@ -1197,12 +1197,17 @@ object Pipeline {
                    + list_dot_product(c.cv, c.cv), c.cid) AS rn
              FROM e, $prev c) WHERE rn = 1),
          m$i AS (
-           SELECT a.cell, g.pos,
-             cast(sum(cast(e.v[g.pos] AS decimal(28,10))) AS double)
+           -- parallel unnests zip positionally; deriving pos from len(e.v)
+           -- keeps the oracle tracking the fixture dimension (a hardcoded
+           -- dim would silently train over wrong positions after a drift)
+           SELECT cell, pos,
+             cast(sum(cast(comp AS decimal(28,10))) AS double)
                / count(*) AS m
-           FROM a$i a, e, generate_series(1, 64) AS g(pos)
-           WHERE e.vec_id = a.vec_id
-           GROUP BY a.cell, g.pos),
+           FROM (
+             SELECT a.cell, unnest(e.v) AS comp,
+               unnest(generate_series(1, len(e.v))) AS pos
+             FROM a$i a JOIN e ON e.vec_id = a.vec_id)
+           GROUP BY cell, pos),
          c$i AS (
            SELECT p.cid, coalesce(mv.cv, p.cv) AS cv FROM $prev p
            LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cv

@@ -20,10 +20,50 @@ import org.apache.spark.sql.types.StructType
  */
 object Sources {
 
-  /** Parquet table (self-describing schema; predicate/column pushdown free). */
+  /** Parquet table (self-describing schema; predicate/column pushdown free).
+    * An event-time `ts` column is normalized to the engine's nanos-long
+    * convention whatever the file's physical encoding (Tables.normalizeTs). */
   def parquet(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
+    graft.Tables.normalizeTs(spark.read.parquet(path))
+  }
+
+  /**
+   * Database connection settings resolved the way the reference resolves
+   * them (`src/config/tool.config.ts:20-31`): libpq-style PG* environment
+   * variables, `PGHOST`/`PGPORT` defaulting to localhost:5432,
+   * `PGUSER`/`PGPASSWORD`/`PGDATABASE` required (a missing one fails
+   * loudly, naming the variable), and `PGSSLMODE=require` turning ssl on.
+   */
+  final case class DbConfig(host: String, port: Int, user: String,
+      password: String, database: String, ssl: Boolean) {
+    /** Spark-consumable form of the same settings. */
+    def jdbcUrl: String = s"jdbc:postgresql://$host:$port/$database"
+    def jdbcProps: java.util.Properties = {
+      val p = new java.util.Properties()
+      p.setProperty("user", user)
+      p.setProperty("password", password)
+      if (ssl) p.setProperty("ssl", "true")
+      p
+    }
+  }
+
+  /**
+   * Load [[DbConfig]] from the environment (injectable for tests; defaults
+   * to the process env). Feed the result to [[jdbc]]/[[jdbcCatalog]] —
+   * `jdbcCatalog(spark, cfg.jdbcUrl, cfg.jdbcProps)` is the reference's
+   * "connect to the configured database and walk its schema" entrypoint.
+   */
+  def dbConfigFromEnv(env: Map[String, String] = sys.env): DbConfig = {
+    def required(name: String): String = env.getOrElse(name,
+      throw new IllegalArgumentException(s"Missing env var: $name"))
+    DbConfig(
+      host = env.getOrElse("PGHOST", "localhost"),
+      port = env.getOrElse("PGPORT", "5432").toInt,
+      user = required("PGUSER"),
+      password = required("PGPASSWORD"),
+      database = required("PGDATABASE"),
+      ssl = env.getOrElse("PGSSLMODE", "").toLowerCase == "require")
   }
 
   /**

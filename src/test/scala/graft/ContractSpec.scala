@@ -9,7 +9,7 @@ class ContractSpec extends SparkSpec {
   /** Queries intentionally registered WITHOUT a SQL oracle (engine-specific
     * hashing or training); the driver records a rows-only check for these
     * and ScalaTest owns their semantics. */
-  private val rowsOnly = Set("q_sim_ivf")
+  private val rowsOnly = Set.empty[String]
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

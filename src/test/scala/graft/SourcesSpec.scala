@@ -182,4 +182,63 @@ class SourcesSpec extends SparkSpec {
     // old files surface the new column as NULL; new files carry the value
     assert(rows == Seq((1L, true), (2L, true), (3L, false)))
   }
+
+  test("dbConfigFromEnv mirrors the reference's PG* env resolution") {
+    // defaults + ssl off (reference tool.config.ts:20-31 semantics)
+    val base = Map("PGUSER" -> "u", "PGPASSWORD" -> "pw", "PGDATABASE" -> "d")
+    val cfg = Sources.dbConfigFromEnv(base)
+    assert(cfg == Sources.DbConfig("localhost", 5432, "u", "pw", "d", ssl = false))
+    assert(cfg.jdbcUrl == "jdbc:postgresql://localhost:5432/d")
+    assert(cfg.jdbcProps.getProperty("user") == "u")
+    assert(cfg.jdbcProps.getProperty("ssl") == null)
+    // explicit host/port + PGSSLMODE=require turns ssl on
+    val full = Sources.dbConfigFromEnv(base ++ Map(
+      "PGHOST" -> "db.example.com", "PGPORT" -> "5433", "PGSSLMODE" -> "REQUIRE"))
+    assert(full.host == "db.example.com" && full.port == 5433 && full.ssl)
+    assert(full.jdbcProps.getProperty("ssl") == "true")
+    // a missing required var fails loudly, naming the variable
+    val e = intercept[IllegalArgumentException] {
+      Sources.dbConfigFromEnv(base - "PGPASSWORD")
+    }
+    assert(e.getMessage.contains("PGPASSWORD"))
+  }
+
+  test("fixture events.ts encoding is supported and normalizes to nanos-long") {
+    // Pin the contract with the harness testdata: whatever physical encoding
+    // events.ts carries (nanos-long | TIMESTAMP | TIMESTAMP_NTZ), Tables.load
+    // must surface the engine's epoch-nanos LongType. If the testdata drifts
+    // to a new encoding, THIS assertion names the drift (normalizeTs throws
+    // with the offending type) instead of nine queries failing analysis.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val physical = raw.schema("ts").dataType
+    assert(Set[org.apache.spark.sql.types.DataType](
+      LongType, TimestampType, TimestampNTZType).contains(physical),
+      s"unsupported fixture ts encoding: $physical")
+    val loaded = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    assert(loaded.schema("ts").dataType == LongType)
+    // value-level round-trip: the nanos long re-derives the original instant
+    val r = loaded.select(min(col("ts"))).head().getLong(0)
+    val viaTs = queries.Q.t(spark, "/root/testdata/sf0.001", "events")
+      .select(min(queries.Q.tsCol("ts").cast("long"))).head().getLong(0)
+    assert(r / 1000000000L == viaTs, s"nanos $r does not floor to seconds $viaTs")
+  }
+
+  test("normalizeTs round-trips a known instant under each timestamp encoding") {
+    import org.apache.spark.sql.types.LongType
+    val nanos = 1704067200123456000L // 2024-01-01T00:00:00.123456Z
+    // nanos-long passthrough
+    val asLong = spark.range(1).select(lit(nanos).as("ts"))
+    assert(Tables.normalizeTs(asLong).head().getLong(0) == nanos)
+    // TIMESTAMP (µs instant) and TIMESTAMP_NTZ (µs wall-clock, UTC session)
+    val asTs = spark.range(1)
+      .select(expr(s"timestamp_micros(${nanos / 1000}L)").as("ts"))
+    val asNtz = spark.range(1)
+      .select(expr(s"cast(timestamp_micros(${nanos / 1000}L) as timestamp_ntz)").as("ts"))
+    for (df <- Seq(asTs, asNtz)) {
+      val out = Tables.normalizeTs(df)
+      assert(out.schema("ts").dataType == LongType)
+      assert(out.head().getLong(0) == nanos)
+    }
+  }
 }
