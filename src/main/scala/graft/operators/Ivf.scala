@@ -66,8 +66,12 @@ object Ivf {
       iters: Int = 2): Seq[Seq[Double]] = {
     // Each Lloyd round is a full pass over the vectors; pin the projected
     // working set so iterations read cached columns instead of re-scanning
-    // (and re-decoding) the source. Released before returning.
-    val vecs = df.select(col(idCol), col(embCol))
+    // (and re-decoding) the source. Released before returning. Spread
+    // first: a compact corpus arrives as ONE scan partition and every
+    // round's assignment + posexplode partial aggregate would run in a
+    // single task (same hazard as Dedup.containmentPairs).
+    val vecs = Scale.spreadForCompute(df.select(col(idCol), col(embCol)),
+        col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var centroids: Seq[Seq[Double]] = vecs.orderBy(col(idCol)).limit(k)
@@ -121,7 +125,11 @@ object Ivf {
       k: Int, nprobe: Int,
       idCol: String = "vec_id", embCol: String = "emb",
       qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
-    val cells = assign(corpus, embCol, centroids)
+    // spread: a compact corpus arrives as one scan partition, serializing
+    // the per-cell cosine ranking into a single task (no-op when the scan
+    // is already wide)
+    val cells = assign(Scale.spreadForCompute(corpus, col(idCol)),
+        embCol, centroids)
       .withColumn("__norm", l2Norm(col(embCol)))
     val probes = queries
       .withColumn("ivf_cell", explode(probeList(col(qEmbCol), centroids, nprobe)))

@@ -32,14 +32,35 @@ object Linkage {
    * verify. At 100 TB the block key is the knob: longer prefix → smaller
    * blocks → fewer verifies, at some recall cost (declared semantics,
    * same trade as MinHash banding).
+   *
+   * (A FastSS deletion-1-neighborhood candidate join — O(matches) instead
+   * of O(Σ|block|²) candidates for maxDist = 1 — was measured here and
+   * REJECTED: on digit-heavy keys the deletion variants collide across
+   * rows, and the ×(len+1) explode plus the pair-distinct shuffle cost
+   * more than the banded-Levenshtein verifies they save, 3.2s vs 2.6s on
+   * q_fuzzy_join at sf0.1. Blocks capped at [[Dedup.DefaultMaxBlock]]
+   * keep the quadratic term bounded, so the simple join stays the right
+   * shape even at scale.)
    */
   def blockedFuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
       blockKey: Column, maxDist: Int,
       maxBlock: Int = Dedup.DefaultMaxBlock): DataFrame = {
-    val keyed = Dedup.capBlocks(
-      df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
-        blockKey.as("__blk")),
-      "__blk", maxBlock)
+    // Persisted: BOTH self-join sides consume the capped frame, and
+    // without the persist each side re-runs the block census and its
+    // anti-join probe (the physical plan showed four source scans).
+    // Session-lived MEMORY_AND_DISK, same convention as nearDupImpl.
+    // Spread first: the capBlocks census rides broadcast joins, so the
+    // capped frame inherits the SCAN's partitioning — a compact table
+    // arrives as one partition and the |block|²-pair expansion plus its
+    // Levenshtein verify would run in a single task (see
+    // Dedup.containmentPairs for the same hazard).
+    val keyed = Scale.spreadForCompute(
+      Dedup.capBlocks(
+        df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
+          blockKey.as("__blk")),
+        "__blk", maxBlock),
+      col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keyed.select(col("__id").as("a"), col("__nm").as("__na"),
       col("__blk"))
     val b = keyed.select(col("__id").as("b"), col("__nm").as("__nb"),

@@ -392,12 +392,15 @@ object Pipeline {
       import org.apache.spark.sql.expressions.Window
       // wc > 0 also guards the coverage division (ANSI divide-by-zero on
       // an all-space doc); a doc with no non-space chars has no rating.
+      // persisted: BOTH n-gram branches (top1/top2) consume the tokenized
+      // frame; without it each branch re-scans and re-splits the corpus
       val words = Scale.spreadForCompute(
           t(s, dir, "documents").filter(col("text").isNotNull), col("doc_id"))
         .select(col("doc_id"),
           length(regexp_replace(col("text"), " ", "")).as("__wc"),
           split(col("text"), " ").as("__w"))
         .filter(col("__wc") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def top(n: Int, p: String): DataFrame = {
         val w = Window.partitionBy("doc_id").orderBy(col("__c").desc, col("g"))
         words.select(col("doc_id"), col("__wc"),
