@@ -71,6 +71,24 @@ class LinkageSpec extends SparkSpec {
     assert(got == Map(1L -> (2L, 2L), 9L -> (1L, 9L)))
   }
 
+  test("blockedFuzzyPairs spreads a single-partition input before the " +
+      "pair expansion (the |block|² verify must not run in one task)") {
+    // Compact parquet tables arrive as ONE scan partition; the capBlocks
+    // census rides broadcast joins and preserves that, so without the
+    // operator's spreadForCompute the whole pair expansion + Levenshtein
+    // verify serializes into a single task. Pin the spread: the pair
+    // plan's root RDD must be wider than its 1-partition input.
+    val narrow = recs.repartition(1)
+    assert(narrow.rdd.getNumPartitions == 1)
+    val pairs = Linkage.blockedFuzzyPairs(narrow, "id", "name",
+      substring(col("name"), 1, 1), maxDist = 2)
+    assert(pairs.rdd.getNumPartitions > 1,
+      s"pair expansion runs in ${pairs.rdd.getNumPartitions} partition(s)")
+    // and the spread must not change WHAT is produced
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (3L, 4L)))
+  }
+
   test("resolveEntities tiebreak: equal ranks resolve to the smallest id") {
     import spark.implicits._
     val df = Seq((7L, "pat lee", 50L), (8L, "pat dee", 50L))
