@@ -401,6 +401,42 @@ object Dedup {
   }
 
   /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): every embedding is assigned to its nearest
+   * coarse-quantizer centroid (broadcast k×dim plan literal — the
+   * [[Ivf]] assignment), and near-duplicate candidates meet ONLY inside
+   * their cell; a row is dropped when a lower-id same-cell row sits at
+   * cosine ≥ threshold, so each semantic-duplicate set keeps its lowest
+   * id (the repo's canonical-survivor convention). Pair volume is
+   * Σ|cell|² instead of n² — k is the knob trading pair work against
+   * recall (duplicates straddling a cell boundary are missed: the
+   * declared SemDeDup trade, same shape as MinHash banding).
+   * Returns surviving (idCol, cell) rows.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
+    // spread + persist: the cell assignment feeds both self-join sides
+    // and the survivor anti-join; a compact corpus arrives as one scan
+    // partition (see containmentPairs)
+    val cells = Scale.spreadForCompute(
+        df.select(col(idCol), col(embCol)), col(idCol))
+      .withColumn("__cell", Ivf.nearestCentroid(col(embCol), centroids))
+      .withColumn("__norm", VectorOps.l2Norm(col(embCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cells.select(col(idCol).as("__a"), col(embCol).as("__ea"),
+      col("__norm").as("__na"), col("__cell"))
+    val b = cells.select(col(idCol).as("__b"), col(embCol).as("__eb"),
+      col("__norm").as("__nb"), col("__cell"))
+    val dropped = a.join(b, "__cell").filter(col("__a") < col("__b"))
+      .filter(VectorOps.dot(col("__ea"), col("__eb"))
+        / (col("__na") * col("__nb")) >= threshold)
+      .select(col("__b").as(idCol)).distinct()
+    cells.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("__cell").as("cell"))
+  }
+
+  /**
    * Connected components over an undirected edge list by min-label
    * propagation: every node starts labeled with its own id; each round a
    * node adopts the minimum label among itself and its neighbors, until no

@@ -895,6 +895,23 @@ object Pipeline {
         .select(col("a"), col("b"), round(col("cos"), 6).as("cosine"))
         .orderBy("a", "b")
     }),
+    // A7/L2 — SemDeDup: semantic near-dup REMOVAL with candidates bounded
+    // by IVF cells (never corpus×corpus) — the embedding twin of banded
+    // MinHash, and the modern curation shape for web-scale corpora. The
+    // fixed first-16 coarse quantizer keeps assignment, cosine, and the
+    // keep-lowest-id survivor rule bit-portable, exactly like
+    // q_sim_ivf_fixed; cells surface in the output so the oracle checks
+    // the assignment too (vec_ids are 0-based, so centroid index == the
+    // seed's vec_id).
+    "q_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      Dedup.semanticDedup(emb, "vec_id", "emb", centroids, 0.4)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")
+    }),
     // F10 — map functions over JSON-derived maps (events.props).
     "q_map_ops" -> ((s, dir) => {
       val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
@@ -2017,6 +2034,35 @@ object Pipeline {
                 * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) AS cos
            FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id)
          WHERE cos >= 0.4 ORDER BY a, b""",
+    // Same fixed-quantizer assignment CTE as q_sim_ivf_fixed (cell = seed
+    // vec_id = centroid index, -2·dot+|c|² key with cid tiebreak), then
+    // within-cell cosine pairs and the keep-lowest-id survivor rule.
+    "q_semdedup" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cnorm2
+           FROM embeddings WHERE vec_id < 16),
+         e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+           FROM embeddings),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+                 AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         dropped AS (
+           SELECT DISTINCT y.vec_id FROM assign x
+           JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           JOIN e ex ON ex.vec_id = x.vec_id
+           JOIN e ey ON ey.vec_id = y.vec_id
+           WHERE list_dot_product(ex.v, ey.v) / (ex.nrm * ey.nrm) >= 0.4)
+         SELECT a.vec_id, a.cell FROM assign a
+         LEFT JOIN dropped d ON d.vec_id = a.vec_id
+         WHERE d.vec_id IS NULL ORDER BY a.vec_id""",
     "q_map_ops" ->
       """SELECT event_id, json_keys(props)[1] AS first_key,
          cast(json_extract_string(props, '$.' || json_keys(props)[1]) AS bigint) AS first_val,

@@ -113,6 +113,27 @@ class ScaleSpec extends SparkSpec {
     assert(exact.toSeq == Seq((1L, 2L)))
   }
 
+  test("semanticDedup keeps one survivor per within-cell duplicate set; " +
+      "cross-cell near-dups are the declared recall trade") {
+    // Two orthogonal centroids; ids 1,2 are near-dups in cell 0 (keep 1),
+    // id 3 lives alone in cell 1, and id 4 is similar to id 3 but its
+    // nearest centroid is cell 0 — a boundary straddler SemDeDup misses
+    // by design.
+    val c0 = Seq(1.0, 0.0); val c1 = Seq(0.0, 1.0)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(0.9, 0.1)), Row(2L, Seq(0.92, 0.08)),
+        Row(3L, Seq(0.1, 0.9)), Row(4L, Seq(0.6, 0.55))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("emb", ArrayType(DoubleType)))))
+    val got = Dedup.semanticDedup(df, "vec_id", "emb", Seq(c0, c1), 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // cos(1,2) ≈ 0.9997 ≥ 0.95 → 2 dropped; 3 and 4 sit in different
+    // cells (cos(3,4) ≈ 0.75 anyway); 4 assigns to cell 0 where
+    // cos(1,4) ≈ 0.81 and cos(2,4) ≈ 0.79 stay below the threshold
+    assert(got == Set((1L, 0), (3L, 1), (4L, 0)))
+  }
+
   test("zValue2 interleaves bits (x even positions, y odd)") {
     import spark.implicits._
     import graft.operators.Layout
