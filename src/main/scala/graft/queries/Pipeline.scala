@@ -428,6 +428,24 @@ object Pipeline {
         graft.operators.Bpe.vocab(t(s, dir, "documents"), "text"))
         .orderBy(col("n").desc, col("pair")).limit(20)
     }),
+    // L1 — tokenizer APPLY (Bpe.applyMerges): an already-learned merge
+    // list folded over the corpus vocabulary — the serving half of BPE,
+    // run where it belongs at scale (on the vocab, not the corpus; the
+    // corpus re-joins by word). The fixed 3-merge list ends with a
+    // merged-symbol merge ("er"+"s") so the fold exercises multi-char
+    // symbols. Oracle trick: map each merged pair to a UNIQUE placeholder
+    // char (fixture words are a-z only, so digits are free) — every
+    // symbol is then exactly one character, chained leftmost replace()
+    // replicates the greedy scan-local array merge EXACTLY, and string
+    // length equals the symbol count.
+    "q_bpe_encode" -> ((s, dir) => {
+      val v = graft.operators.Bpe.vocab(t(s, dir, "documents"), "text")
+      graft.operators.Bpe.applyMerges(v,
+          Seq(("e", "r"), ("i", "n"), ("er", "s")))
+        .select(col("word"), col("freq"),
+          size(col("syms")).cast("long").as("n_syms"))
+        .orderBy("word")
+    }),
     // L1 — deflate-compressibility curation signal (Quality.
     // compressionStats): repetitive text compresses far below prose,
     // near-random text barely at all — the cheap filter word-level rules
@@ -1915,6 +1933,18 @@ object Pipeline {
          SELECT pair, cast(sum(f) AS BIGINT) AS n
          FROM p GROUP BY pair
          ORDER BY n DESC, pair LIMIT 20""",
+    // placeholder-encoded merges: 'er'->1, 'in'->2, then the merged-symbol
+    // merge er+s as '1s'->3; every symbol is one char, so length = n_syms
+    "q_bpe_encode" ->
+      """WITH vocab AS (
+           SELECT w AS word, count(*) AS freq FROM (
+             SELECT unnest(string_split_regex(text, '\s+')) AS w
+             FROM documents WHERE text IS NOT NULL)
+           WHERE length(w) > 0 GROUP BY w)
+         SELECT word, freq,
+           cast(length(replace(replace(replace(word, 'er', '1'), 'in', '2'),
+             '1s', '3')) AS bigint) AS n_syms
+         FROM vocab ORDER BY word""",
     "q_rep_topgram" ->
       """WITH w AS (
            SELECT doc_id, length(replace(text, ' ', '')) AS wc,
