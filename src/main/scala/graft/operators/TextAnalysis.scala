@@ -148,6 +148,43 @@ object TextAnalysis {
    * idf uses the standard +1-smoothed form ln(1 + (N−df+0.5)/(df+0.5)),
    * non-negative for any df ≤ N.
    */
+  /**
+   * Hashing-trick linear classifier scoring — the serving shape of a
+   * fastText-style quality filter (the model-based gate modern curation
+   * pipelines run after rule-based filters; cf. DCLM / FineWeb-Edu).
+   * Each token maps to a weight bucket via the portable md5 hash
+   * ([[Dedup.portableHash64]] mod weights.size), and a document's margin
+   * is the sum of its tokens' INTEGER weights — a broadcast weight
+   * vector as plan literal, one scan, one hash aggregate; corpus size
+   * never touches the driver. Integer weights keep the margin exact and
+   * order-independent (a float dot product would depend on shuffle
+   * order); `score` is the single IEEE division margin/n_tokens, and
+   * `pass` the margin ≥ 0 verdict. Swapping in trained weights changes
+   * only the literal array.
+   *
+   * Returns (idCol, n_tokens, margin, score, pass), one row per
+   * non-null-text document.
+   */
+  def linearClassifierScore(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      weights: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    require(weights.nonEmpty, "linearClassifierScore needs weights")
+    val toks = Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+    toks
+      .select(col(idCol), element_at(typedLit(weights),
+        (Dedup.portableHash64(col("__tok")) % weights.size).cast("int") + 1)
+        .as("__w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("margin"))
+      .withColumn("score",
+        round(col("margin").cast("double") / col("n_tokens"), 6))
+      .withColumn("pass", col("margin") >= 0)
+  }
+
   def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, terms: Seq[String], topK: Int,
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {

@@ -428,6 +428,18 @@ object Pipeline {
         graft.operators.Bpe.vocab(t(s, dir, "documents"), "text"))
         .orderBy(col("n").desc, col("pair")).limit(20)
     }),
+    // L1 — model-based quality gate: hashing-trick linear classifier
+    // (fastText-style serving shape — the filter class DCLM/FineWeb-Edu
+    // run after rule-based gates). Weights are a deterministic 64-bucket
+    // integer vector (j % 13 - 6) so the margin sum is exact and the
+    // whole scorer — bucket hash, margin, score, verdict — oracle-checks
+    // bit-for-bit; a trained model would swap ONLY the literal array.
+    "q_quality_classifier" -> ((s, dir) => {
+      graft.operators.TextAnalysis.linearClassifierScore(
+        t(s, dir, "documents"), "doc_id", "text",
+        (0 until 64).map(j => (j % 13 - 6).toLong))
+        .orderBy("doc_id")
+    }),
     // L1 — tokenizer APPLY (Bpe.applyMerges): an already-learned merge
     // list folded over the corpus vocabulary — the serving half of BPE,
     // run where it belongs at scale (on the vocab, not the corpus; the
@@ -1933,6 +1945,21 @@ object Pipeline {
          SELECT pair, cast(sum(f) AS BIGINT) AS n
          FROM p GROUP BY pair
          ORDER BY n DESC, pair LIMIT 20""",
+    // same 64-bucket j%13-6 weight vector as the engine literal; the
+    // bucket is the portable md5 hash mod 64
+    "q_quality_classifier" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents WHERE text IS NOT NULL),
+         w AS (
+           SELECT doc_id,
+             (('0x' || substr(md5(tok), 1, 15))::BIGINT % 64) % 13 - 6 AS wt
+           FROM toks WHERE length(tok) > 0)
+         SELECT doc_id, cast(count(*) AS bigint) AS n_tokens,
+           cast(sum(wt) AS bigint) AS margin,
+           round(sum(wt)::DOUBLE / count(*), 6) AS score,
+           (sum(wt) >= 0) AS pass
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
     // placeholder-encoded merges: 'er'->1, 'in'->2, then the merged-symbol
     // merge er+s as '1s'->3; every symbol is one char, so length = n_syms
     "q_bpe_encode" ->

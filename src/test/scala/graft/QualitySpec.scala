@@ -133,4 +133,22 @@ class QualitySpec extends SparkSpec {
     val zeroRaw = once.filter(_._2 == 0L).map(_._1)
     assert(zeroRaw == Set(2L, 3L))
   }
+
+  test("linearClassifierScore: token counting, exact margin, verdict " +
+      "(degenerate single-bucket weights isolate the plumbing from the " +
+      "hash)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "aa bb  cc"), (2L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // one bucket, weight +1: margin == n_tokens, everything passes
+    val pos = TextAnalysis.linearClassifierScore(docs, "doc_id", "text", Seq(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(pos == Set((1L, 3L, 3L, 1.0, true), (2L, 1L, 1L, 1.0, true)))
+    // weight -1: margin == -n_tokens, nothing passes
+    val neg = TextAnalysis.linearClassifierScore(docs, "doc_id", "text", Seq(-1L))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4))).toSet
+    assert(neg == Set((1L, -3L, false), (2L, -1L, false)))
+  }
 }
