@@ -357,6 +357,25 @@ class PlanSpec extends SparkSpec {
       "the chunk explode must feed census/anti-join/totals from one cache")
   }
 
+  test("semantic dedup: cell-bounded pairs from one cached assignment, " +
+      "no cartesian explosion") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("InMemoryTableScan"),
+      "the cell assignment must feed both self-join sides and the " +
+        "survivor anti-join from one cache")
+  }
+
+  test("quality classifier is one scan into a partial+final aggregate") {
+    val p = plan("q_quality_classifier")
+    assert("FileScan".r.findAllIn(p).length == 1, p.take(400))
+    assert(p.contains("partial"), p.take(400))
+    // generate (token explode) + hash aggregate + presentation sort only:
+    // the margin must combine map-side, so exactly two exchanges (the
+    // doc_id aggregate shuffle and the orderBy)
+    assert("Exchange".r.findAllIn(p).length <= 3, p.take(600))
+  }
+
   test("deterministic sampling pushes nothing but stays codegen'd scan-local") {
     val p = plan("q_sample_hash")
     assert("FileScan".r.findAllIn(p).length == 1)
