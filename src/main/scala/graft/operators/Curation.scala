@@ -320,11 +320,15 @@ object Curation {
    */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // repartition: the bigram explode feeds map-side partial aggregation,
-    // which otherwise runs single-task on a one-partition scan
+    // which otherwise runs single-task on a one-partition scan.
+    // Persisted: THREE consumers (bigram counts, context counts, and the
+    // scoring join) would each re-run the tokenize+explode otherwise —
+    // session-lived MEMORY_AND_DISK, same convention as nearDupImpl.
     val occ = Scale.spreadForCompute(docs, col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
       .select(col(idCol), explode(bigramsFromWords(col("__w"))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val ctx = occ.groupBy("w1").agg(count(lit(1)).as("cc"))
     val vocab = docs
