@@ -488,6 +488,25 @@ object Pipeline {
       Dedup.connectedComponents(nearDupEdges3(t(s, dir, "documents")),
         "a", "b").orderBy("id")
     }),
+    // Curation — leakage-aware train/val split: documents gate on the md5
+    // of their near-dup CLUSTER label (singletons: their own id), not
+    // their own id, so a near-duplicate of a held-out doc can never land
+    // in train — the split-level twin of decontamination (a plain
+    // per-doc split leaks eval data through duplicates). Composes the
+    // shared dedup edge list + connected components with the
+    // deterministic md5 gate; ~1/8 of CLUSTERS (not docs) go to val.
+    "q_split_leakfree" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = Dedup.connectedComponents(nearDupEdges3(docs), "a", "b")
+      docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+        .withColumn("split",
+          when(graft.operators.Sampling.keepHex(col("cluster"), "lfs1", "2000"),
+            lit("val")).otherwise(lit("train")))
+        .orderBy("doc_id")
+    }),
     // A7 end-to-end — dedup survivor selection: each near-dup cluster
     // keeps its best document (longest n_chars, then min doc_id);
     // singletons keep themselves. Clusters + one argmax max(struct)
@@ -2034,6 +2053,40 @@ object Pipeline {
            JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst)
          SELECT src AS id, least(src, min(dst)) AS comp FROM reach
          GROUP BY src ORDER BY id""",
+    // Same component CTE as q_dedup_cluster, then the md5 split gate on
+    // the cluster label (q_sample_hash's portable convention).
+    "q_split_leakfree" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         k0 AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM s),
+         k AS (SELECT * FROM k0
+               QUALIFY count(*) OVER (PARTITION BY blk) <= 4096),
+         e AS (
+           SELECT x.doc_id AS a, y.doc_id AS b
+           FROM k x JOIN k y ON x.blk = y.blk AND x.doc_id < y.doc_id
+           WHERE cast(len(list_intersect(x.sh, y.sh)) AS double) /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                 >= 0.5),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION SELECT b, a FROM e),
+         reach(src, dst) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT r.src, s2.dst FROM reach r
+           JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst),
+         labels AS (
+           SELECT src AS id, least(src, min(dst)) AS comp FROM reach
+           GROUP BY src)
+         SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster,
+           CASE WHEN substring(md5(concat('lfs1', '|',
+                  cast(coalesce(l.comp, d.doc_id) AS VARCHAR))), 1, 4)
+                < '2000'
+                THEN 'val' ELSE 'train' END AS split
+         FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+         ORDER BY d.doc_id""",
     // Same component CTE as q_dedup_cluster, then one survivor per
     // component (max n_chars, min doc_id tiebreak); singletons survive.
     "q_dedup_survivor" ->

@@ -581,4 +581,24 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(stats(2L).mean_luma - want) < 40.0,
       s"jpeg luma ${stats(2L).mean_luma} vs $want")
   }
+
+  test("leakage-free split: near-dup cluster members never straddle " +
+      "splits, and both splits are non-trivial on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val split = SparkEntry.queries("q_split_leakfree")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the leakage invariant: every near-dup edge joins two docs of the
+    // SAME split (train/val gate on the shared cluster label)
+    val edges = SparkEntry.queries("q_dedup_cluster")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture must contain near-dup clusters")
+    edges.foreach { case (id, comp) =>
+      assert(split(id)._1 == split(comp)._1 && split(id)._2 == split(comp)._2,
+        s"doc $id (split ${split(id)}) split away from its cluster $comp " +
+          s"(${split(comp)})")
+    }
+    // and the gate actually splits: both sides populated at sf0.001
+    val sides = split.values.map(_._2).toSet
+    assert(sides == Set("train", "val"), s"degenerate split: $sides")
+  }
 }
