@@ -154,8 +154,13 @@ object Curation {
           .filter(bloomMightContainCol(col("gram"), col("__bloom"),
             mBits.toLong, k))
           .drop("__bloom")
-    candidates.join(broadcast(benchGrams), Seq("gram"), "left_semi")
-      .select(idCol).distinct()
+    // the bitmap-build collect above already ran (operator-internal
+    // action); the verify semi-join is the one remaining consumer, so the
+    // gram set frees once the caller's action completes
+    Scale.releaseAfterUse(
+      candidates.join(broadcast(benchGrams), Seq("gram"), "left_semi")
+        .select(idCol).distinct(),
+      Seq(benchGrams))
   }
 
   /**
@@ -186,16 +191,18 @@ object Curation {
       .join(sh.select(col("__g").as("src_b"), col("__sh")), "__sh")
       .filter(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(broadcast(tot.select(col("__g").as("src_a"), col("__n").as("n_a"))),
-        "src_a")
-      .join(broadcast(tot.select(col("__g").as("src_b"), col("__n").as("n_b"))),
-        "src_b")
-      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
-        col("n_b"),
-        (col("n_shared").cast("double") /
-          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
-          .as("jaccard"))
+    Scale.releaseAfterUse(
+      pairs
+        .join(broadcast(tot.select(col("__g").as("src_a"), col("__n").as("n_a"))),
+          "src_a")
+        .join(broadcast(tot.select(col("__g").as("src_b"), col("__n").as("n_b"))),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+          col("n_b"),
+          (col("n_shared").cast("double") /
+            (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+            .as("jaccard")),
+      Seq(sh))
   }
 
   /** Non-overlapping word chunks of width `w`; the trailing partial chunk
@@ -265,9 +272,11 @@ object Curation {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("__pos"), col("__chunk")))),
           x => x("__chunk"))).as("clean_text"))
-    totals.join(kept, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_kept"))
-      .na.fill("", Seq("clean_text"))
+    Scale.releaseAfterUse(
+      totals.join(kept, Seq(idCol), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .na.fill("", Seq("clean_text")),
+      Seq(chunked))
   }
 
   /**
@@ -322,8 +331,8 @@ object Curation {
     // repartition: the bigram explode feeds map-side partial aggregation,
     // which otherwise runs single-task on a one-partition scan.
     // Persisted: THREE consumers (bigram counts, context counts, and the
-    // scoring join) would each re-run the tokenize+explode otherwise —
-    // session-lived MEMORY_AND_DISK, same convention as nearDupImpl.
+    // scoring join) would each re-run the tokenize+explode otherwise;
+    // freed by releaseAfterUse once the caller's first action completes.
     val occ = Scale.spreadForCompute(docs, col(idCol))
       .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
       .select(col(idCol), explode(bigramsFromWords(col("__w"))).as("__bg"))
@@ -334,16 +343,18 @@ object Curation {
     val vocab = docs
       .select(explode(split(col(textCol), "\\s+")).as("tok"))
       .agg(countDistinct(col("tok")).as("vsz"))
-    occ.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .select(col(idCol),
-        (log(col("cb").cast("double") + 1).cast("decimal(28,10)") -
-          log((col("cc") + col("vsz")).cast("double")).cast("decimal(28,10)"))
-          .as("__term"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("__s"))
-      .select(col(idCol), col("n_bigrams"),
-        round(col("__s").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
+    Scale.releaseAfterUse(
+      occ.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col(idCol),
+          (log(col("cb").cast("double") + 1).cast("decimal(28,10)") -
+            log((col("cc") + col("vsz")).cast("double")).cast("decimal(28,10)"))
+            .as("__term"))
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("__s"))
+        .select(col(idCol), col("n_bigrams"),
+          round(col("__s").cast("double") / col("n_bigrams"), 6).as("avg_logp")),
+      Seq(occ))
   }
 
   /**

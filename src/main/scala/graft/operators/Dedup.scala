@@ -352,12 +352,115 @@ object Dedup {
     // Deduping first would group rows still carrying the two shingle
     // arrays, which Spark can only sort-aggregate: two full sorts of the
     // candidate set WITH array payloads (measured 4.3 s → 0.9 s at sf0.1).
-    a.join(b, "__blk").filter(col("a") < col("b"))
-      .withColumn("containment",
-        inter / least(size(col("hv_a")), size(col("hv_b"))))
-      .filter(col("containment") >= minCont)
-      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
-      .dropDuplicates("a", "b")
+    Scale.releaseAfterUse(
+      a.join(b, "__blk").filter(col("a") < col("b"))
+        .withColumn("containment",
+          inter / least(size(col("hv_a")), size(col("hv_b"))))
+        .filter(col("containment") >= minCont)
+        .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+        .dropDuplicates("a", "b"),
+      Seq(sh, blocked))
+  }
+
+  /**
+   * Cross-document EXACT-SUBSTRING duplicate spans — the RefinedWeb /
+   * "Deduplicating Training Data Makes Language Models Better" (Lee et
+   * al. 2022) modality, re-expressed Spark-shaped. The reference suffix-
+   * array construction is a single-machine algorithm; the distributed
+   * equivalent used here: every width-`w` word shingle is an ANCHOR, an
+   * anchor is duplicated when its shingle occurs in >1 distinct document,
+   * and per document a maximal run of consecutive duplicated anchors
+   * extends into one span [span_start, span_end] (1-based word indices;
+   * the end covers the last anchor's full w words). Any cross-doc
+   * duplicated substring of ≥ w words is found EXACTLY (all its anchors
+   * are duplicated); shorter duplicates are below the declared
+   * granularity, the same w-knob every shingle method trades on.
+   *
+   * Scale: no pair expansion exists anywhere — docs are never joined to
+   * docs. One scan-local anchor explode, one hash-aggregate census on the
+   * shingle, a semi join back (AQE splits a boilerplate-hot shingle key;
+   * there is no quadratic term for [[capBlocks]] to cap), then a per-doc
+   * window over that doc's anchors only. Returns
+   * (idCol, span_start, span_end, n_anchors).
+   */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val anchors = anchorStage(docs, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scale.releaseAfterUse(spansFromAnchors(anchors, idCol, w), Seq(anchors))
+  }
+
+  /** (id, pos, __sh) anchor rows: the width-`w` shingle starting at each
+    * 1-based word position. Docs shorter than `w` words emit nothing. */
+  private def anchorStage(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    Scale.spreadForCompute(docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), split(col(textCol), "\\s+").as("__words"))
+      .filter(size(col("__words")) >= w)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__words")) - (w - 1)),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("__words"), i, lit(w))).as("sh")))).as("__a"))
+      .select(col(idCol), col("__a.pos").as("pos"), col("__a.sh").as("__sh"))
+
+  /** Duplicated-anchor runs → spans (shared by [[duplicatedSpans]] and
+    * [[removeDuplicatedSpans]]; callers own `anchors`' lifecycle). */
+  private def spansFromAnchors(anchors: DataFrame, idCol: String,
+      w: Int): DataFrame = {
+    val dup = anchors.groupBy(col("__sh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__sh"))
+    // the run-grouping trick: consecutive positions share (pos − rank)
+    val runs = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    anchors.join(dup, Seq("__sh"), "left_semi")
+      .withColumn("__grp", col("pos") - row_number().over(runs))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (w - 1)).as("span_end"),
+        count(lit(1)).as("n_anchors"))
+      .drop("__grp")
+  }
+
+  /**
+   * Exact-substring duplicate REMOVAL on top of [[duplicatedSpans]] (the
+   * transform RefinedWeb applies): drop every word covered by a
+   * cross-doc duplicated span and reassemble the document from the
+   * surviving words in order. Returns (id, n_tokens, n_removed,
+   * clean_text); a fully-duplicated doc survives with empty text —
+   * dropping it is the caller's policy, as in `Curation.
+   * removeBoilerplate` (whose chunk granularity this refines to exact
+   * word spans). Reassembly is one per-doc hash aggregate with in-row
+   * array_sort — no corpus-wide sort.
+   */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val anchors = anchorStage(docs, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val covered = spansFromAnchors(anchors, idCol, w)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .distinct()
+    val toks = Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), posexplode(split(col(textCol), "\\s+"))
+        .as(Seq("__p0", "__word")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("__word"))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("__word")))),
+        x => x("__word"))).as("clean_text"))
+    val totals = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"))
+    val removed = covered.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_removed"))
+    val out = totals
+      .join(removed, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_removed"))
+      .na.fill("", Seq("clean_text"))
+    Scale.releaseAfterUse(out, Seq(anchors))
   }
 
   /**
@@ -400,6 +503,48 @@ object Dedup {
       .select(col("a"), col("b"), col("cos")).distinct()
   }
 
+  /** Default cell-size cap for [[semanticDedup]]: bounds any single
+    * subcell's pair expansion at ~maxCell²/2 ≈ 8M pairs — one task's worth
+    * of work, same sizing rationale as [[DefaultMaxBlock]]. */
+  val DefaultMaxCell = 4096
+
+  /**
+   * Cell + subcell assignment stage of [[semanticDedup]], exposed
+   * package-private so the planted-hot-cell spec can pin the pair-work
+   * bound structurally. A cell of n rows is subsplit into
+   * ns = ⌈n/maxCell⌉ subcells by the portable 60-bit id hash mod ns, so
+   * expected subcell size is ≤ maxCell whatever the quantizer does —
+   * a hot cell (degenerate embedding cluster, too-small k) degrades to
+   * ns× missed-pair recall instead of a quadratic reducer. Returns
+   * (idCol, embCol, __cell, __norm, __sub); __sub stays NULL for a NULL
+   * cell (empty centroid set) so such rows never pair, matching the
+   * uncapped operator's null-join semantics.
+   */
+  private[graft] def semanticCells(df: DataFrame, idCol: String,
+      embCol: String, centroids: Seq[Seq[Double]], maxCell: Int): DataFrame = {
+    import graft.functions.VectorOps
+    require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
+    // spread: the assignment (k dot products per row) is the CPU-heavy
+    // stage and a compact corpus arrives as one scan partition (see
+    // containmentPairs)
+    val cells = Scale.spreadForCompute(
+        df.select(col(idCol), col(embCol)), col(idCol))
+      .withColumn("__cell", Ivf.nearestCentroid(col(embCol), centroids))
+      .withColumn("__norm", VectorOps.l2Norm(col(embCol)))
+    // Cell census: ≤ k rows (quantizer-matrix scale, never data scale) —
+    // broadcast back onto the assignment. Exact integer ceil-div keeps the
+    // split count engine-portable.
+    val splits = cells.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__cn"))
+      .select(col("__cell"),
+        expr(s"(__cn + ${maxCell - 1}) div $maxCell").as("__ns"))
+    cells.join(broadcast(splits), Seq("__cell"))
+      .withColumn("__sub",
+        when(col("__cell").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws("#", col("__cell"),
+            pmod(portableHash64(col(idCol)), col("__ns")))))
+  }
+
   /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023,
    * arXiv:2303.09540): every embedding is assigned to its nearest
@@ -411,29 +556,41 @@ object Dedup {
    * Σ|cell|² instead of n² — k is the knob trading pair work against
    * recall (duplicates straddling a cell boundary are missed: the
    * declared SemDeDup trade, same shape as MinHash banding).
+   *
+   * `maxCell` is the skew guard the quantizer knob cannot give: a hot
+   * cell (near-duplicate mass, a degenerate cluster, or simply too-small
+   * k) would otherwise make the within-cell self-join quadratic in that
+   * cell — the exact blowup [[capBlocks]] stops on the MinHash paths.
+   * Cells above `maxCell` are SUBSPLIT by the portable id hash (see
+   * [[semanticCells]]) rather than dropped: a dup pair straddling
+   * subcells is missed with probability (ns−1)/ns, a declared recall
+   * trade strictly milder than capBlocks' drop-everything, and the
+   * primary mechanism for small cells remains a properly sized trained
+   * k. Subsplitting only ever MISSES pairs — survivors(maxCell) ⊇
+   * survivors(∞) — never invents a drop.
+   *
    * Returns surviving (idCol, cell) rows.
    */
   def semanticDedup(df: DataFrame, idCol: String, embCol: String,
-      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+      centroids: Seq[Seq[Double]], threshold: Double,
+      maxCell: Int = DefaultMaxCell): DataFrame = {
     import graft.functions.VectorOps
-    // spread + persist: the cell assignment feeds both self-join sides
-    // and the survivor anti-join; a compact corpus arrives as one scan
-    // partition (see containmentPairs)
-    val cells = Scale.spreadForCompute(
-        df.select(col(idCol), col(embCol)), col(idCol))
-      .withColumn("__cell", Ivf.nearestCentroid(col(embCol), centroids))
-      .withColumn("__norm", VectorOps.l2Norm(col(embCol)))
+    // persist: the subcell assignment feeds both self-join sides and the
+    // survivor anti-join (the census re-reads it via the broadcast side);
+    // freed once the caller's first action over the result completes
+    val cells = semanticCells(df, idCol, embCol, centroids, maxCell)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.select(col(idCol).as("__a"), col(embCol).as("__ea"),
-      col("__norm").as("__na"), col("__cell"))
+      col("__norm").as("__na"), col("__sub"))
     val b = cells.select(col(idCol).as("__b"), col(embCol).as("__eb"),
-      col("__norm").as("__nb"), col("__cell"))
-    val dropped = a.join(b, "__cell").filter(col("__a") < col("__b"))
+      col("__norm").as("__nb"), col("__sub"))
+    val dropped = a.join(b, "__sub").filter(col("__a") < col("__b"))
       .filter(VectorOps.dot(col("__ea"), col("__eb"))
         / (col("__na") * col("__nb")) >= threshold)
       .select(col("__b").as(idCol)).distinct()
-    cells.join(dropped, Seq(idCol), "left_anti")
+    val survivors = cells.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("__cell").as("cell"))
+    Scale.releaseAfterUse(survivors, Seq(cells))
   }
 
   /**

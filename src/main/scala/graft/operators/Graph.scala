@@ -67,7 +67,7 @@ object Graph {
         .select(col("node"),
           (lit(teleport) + coalesce(col("__s"), lit(0L))).as("rank"))
     }
-    rank
+    Scale.releaseAfterUse(rank, Seq(e, nodes))
   }
 
   /** Degree-oriented directed view of a canonical (a < b) edge list:
@@ -128,10 +128,12 @@ object Graph {
         Seq("u"))
       .filter(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")))
-    wedges.join(oriented.select(col("u").as("x"), col("v").as("y")),
-        Seq("x", "y"), "left_semi")
-      .select(sort_array(array(col("u"), col("x"), col("y"))).as("__t"))
-      .select(col("__t")(0).as("a"), col("__t")(1).as("b"),
-        col("__t")(2).as("c"))
+    Scale.releaseAfterUse(
+      wedges.join(oriented.select(col("u").as("x"), col("v").as("y")),
+          Seq("x", "y"), "left_semi")
+        .select(sort_array(array(col("u"), col("x"), col("y"))).as("__t"))
+        .select(col("__t")(0).as("a"), col("__t")(1).as("b"),
+          col("__t")(2).as("c")),
+      Seq(und, oriented))
   }
 }

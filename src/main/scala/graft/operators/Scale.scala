@@ -25,6 +25,56 @@ object Scale {
     else df
 
   /**
+   * Free operator-held persisted stages once the caller's FIRST action
+   * over `result` completes — the lazy-result analogue of `Ivf.train`'s
+   * persist → try/finally → unpersist (which only works because train is
+   * eager). An operator whose returned frame is still lazy cannot
+   * unpersist its multi-consumer intermediate before returning (the
+   * caller hasn't run it yet), so it registers a QueryExecutionListener
+   * that watches for an execution whose analyzed plan contains `result`'s
+   * plan; when that execution finishes (success OR failure), the held
+   * frames unpersist and the listener removes itself. A library session
+   * composing hundreds of operators then holds no orphaned
+   * MEMORY_AND_DISK blocks, without relying on the harness's per-query
+   * sweep or driver-GC ContextCleaner latency.
+   *
+   * Declared trade: the caller's SECOND action over the same frame
+   * recomputes the intermediate (correct, just uncached) — the
+   * write-once / count-once shape of every pipeline sink. A caller who
+   * wants multi-action reuse should persist the RESULT, which it owns.
+   * If the result is never materialized the listener idles (one plan
+   * walk per session action) and the blocks stay LRU-evictable — the
+   * status-quo convention, no worse.
+   */
+  def releaseAfterUse(result: DataFrame, held: Seq[DataFrame]): DataFrame = {
+    val lm = result.sparkSession.listenerManager
+    val target = result.queryExecution.analyzed
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def fire(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        // A matcher failure must fail OPEN (free on this action): an
+        // early free only costs a recompute; a never-free is the leak
+        // this helper exists to close.
+        val uses =
+          try qe.analyzed.exists(_.sameResult(target))
+          catch { case _: Throwable => true }
+        if (uses && done.compareAndSet(false, true)) {
+          held.foreach(_.unpersist(blocking = false))
+          lm.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = fire(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = fire(qe)
+    }
+    lm.register(listener)
+    result
+  }
+
+  /**
    * Skew diagnostic: the top-`n` heaviest keys with row counts and corpus
    * share — the report that picks a [[saltedJoin]] saltFactor (or decides
    * AQE's skew split suffices) BEFORE the join melts a reducer. One hash

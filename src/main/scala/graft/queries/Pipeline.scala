@@ -331,6 +331,24 @@ object Pipeline {
         shingleN = 3, kBlock = 3, minCont = 0.5)
         .orderBy("a", "b")
     }),
+    // A7/L1 — exact-substring duplicate SPANS (RefinedWeb modality): every
+    // maximal cross-doc duplicated word run of ≥ 8 words, located by
+    // anchored shingles + run grouping — no doc-pair join anywhere. See
+    // Dedup.duplicatedSpans.
+    "q_dedup_substring" -> ((s, dir) => {
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", 8)
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"), col("n_anchors"))
+        .orderBy("doc_id", "span_start")
+    }),
+    // A7/L1 — the REMOVAL transform over the same spans: drop every word a
+    // cross-doc duplicated span covers, reassemble survivors in order.
+    "q_dedup_substring_clean" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text", 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("clean_text"))
+        .orderBy("doc_id")
+    }),
     // L1 — TF-IDF: top-3 terms per doc. tf and df are two hash aggregates
     // off one tokenize pass; N arrives via a broadcast one-row cross join
     // (no driver collect); ranking is a per-doc window. Ties break on the
@@ -951,12 +969,33 @@ object Pipeline {
     // keep-lowest-id survivor rule bit-portable, exactly like
     // q_sim_ivf_fixed; cells surface in the output so the oracle checks
     // the assignment too (vec_ids are 0-based, so centroid index == the
-    // seed's vec_id).
+    // seed's vec_id). maxCell=24 is deliberately BELOW the fixture's
+    // ~31-row cells so the hot-cell subsplit guard (portable-hash mod
+    // ceil-div, Dedup.semanticCells) is itself oracle-exercised, not just
+    // spec-asserted; the trained-quantizer variant at realistic k is
+    // q_semdedup_trained.
     "q_semdedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
       val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
         k = 16, iters = 0)
+      Dedup.semanticDedup(emb, "vec_id", "emb", centroids, 0.4, maxCell = 24)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")
+    }),
+    // L2b — SemDeDup with a TRAINED coarse quantizer at realistic k: the
+    // production composition (Ivf.train's exact-decimal Lloyd means → cell
+    // assignment → within-cell cosine survivor rule). k=64 on the 500-row
+    // fixture keeps cells ~8 rows — the properly-sized-k regime where the
+    // maxCell guard never fires (subsplit count 1 everywhere, so the
+    // oracle mirrors the plain within-cell join; the capped path is
+    // oracle-exercised by q_semdedup). The oracle re-runs the full
+    // 2-iteration training in SQL, the technique proven on q_sim_ivf.
+    "q_semdedup_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 64, iters = 2)
       Dedup.semanticDedup(emb, "vec_id", "emb", centroids, 0.4)
         .select(col("vec_id"), col("cell").cast("long").as("cell"))
         .orderBy("vec_id")
@@ -1681,6 +1720,78 @@ object Pipeline {
            FROM cand JOIN s sa ON sa.doc_id = cand.a
                      JOIN s sb ON sb.doc_id = cand.b)
          WHERE cont >= 0.5 ORDER BY a, b""",
+    // Anchored width-8 shingles; an anchor is duplicated when its shingle
+    // spans >1 distinct doc; consecutive duplicated anchors (pos − rank
+    // run grouping) fold into maximal spans covering the last anchor's
+    // full 8 words — Dedup.duplicatedSpans verbatim.
+    "q_dedup_substring" ->
+      """WITH words AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         anchors AS (
+           SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS sh
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 7)) AS pos
+                 FROM words)),
+         dup AS (
+           SELECT sh FROM anchors
+           GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
+         flagged AS (
+           SELECT a.doc_id, a.pos,
+             a.pos - row_number() OVER (PARTITION BY a.doc_id
+               ORDER BY a.pos) AS grp
+           FROM anchors a JOIN dup USING (sh))
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           count(*) AS n_anchors
+         FROM flagged GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start""",
+    // Same spans, then removal: every covered word position anti-joins
+    // out of the token list and survivors reassemble in position order.
+    "q_dedup_substring_clean" ->
+      """WITH words AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         anchors AS (
+           SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS sh
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 7)) AS pos
+                 FROM words)),
+         dup AS (
+           SELECT sh FROM anchors
+           GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
+         flagged AS (
+           SELECT a.doc_id, a.pos,
+             a.pos - row_number() OVER (PARTITION BY a.doc_id
+               ORDER BY a.pos) AS grp
+           FROM anchors a JOIN dup USING (sh)),
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+           FROM flagged GROUP BY doc_id, grp),
+         covered AS (
+           SELECT DISTINCT doc_id, pos FROM (
+             SELECT doc_id, unnest(generate_series(s, e)) AS pos
+             FROM spans)),
+         toks AS (
+           SELECT doc_id, pos, word FROM (
+             SELECT doc_id, unnest(w) AS word,
+               unnest(generate_series(1, len(w))) AS pos
+             FROM words)),
+         kept AS (
+           SELECT t.doc_id, string_agg(t.word, ' ' ORDER BY t.pos)
+             AS clean_text
+           FROM toks t LEFT JOIN covered c
+             ON c.doc_id = t.doc_id AND c.pos = t.pos
+           WHERE c.pos IS NULL GROUP BY t.doc_id),
+         rem AS (
+           SELECT doc_id, count(*) AS n_removed
+           FROM covered GROUP BY doc_id)
+         SELECT wo.doc_id, cast(len(wo.w) AS BIGINT) AS n_tokens,
+           coalesce(r.n_removed, 0) AS n_removed,
+           coalesce(k.clean_text, '') AS clean_text
+         FROM words wo
+         LEFT JOIN rem r ON r.doc_id = wo.doc_id
+         LEFT JOIN kept k ON k.doc_id = wo.doc_id
+         ORDER BY wo.doc_id""",
     "q_rep_ratio" ->
       """WITH g AS (
            SELECT doc_id,
@@ -2146,7 +2257,9 @@ object Pipeline {
          WHERE cos >= 0.4 ORDER BY a, b""",
     // Same fixed-quantizer assignment CTE as q_sim_ivf_fixed (cell = seed
     // vec_id = centroid index, -2·dot+|c|² key with cid tiebreak), then
-    // within-cell cosine pairs and the keep-lowest-id survivor rule.
+    // the hot-cell subsplit (ns = ceil(|cell|/24), subcell = portable
+    // 60-bit id hash mod ns — Dedup.semanticCells verbatim), within-
+    // SUBCELL cosine pairs and the keep-lowest-id survivor rule.
     "q_semdedup" ->
       """WITH c AS (
            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
@@ -2164,15 +2277,79 @@ object Pipeline {
                  ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
                  AS rn
              FROM e CROSS JOIN c) WHERE rn = 1),
+         census AS (
+           SELECT cell, (count(*) + 23) // 24 AS ns
+           FROM assign GROUP BY cell),
+         sub AS (
+           SELECT a.vec_id, a.cell,
+             cast(a.cell AS VARCHAR) || '#' || cast(
+               ('0x' || substr(md5(cast(a.vec_id AS VARCHAR)), 1, 15))::BIGINT
+                 % s.ns AS VARCHAR) AS subcell
+           FROM assign a JOIN census s USING (cell)),
          dropped AS (
-           SELECT DISTINCT y.vec_id FROM assign x
-           JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           SELECT DISTINCT y.vec_id FROM sub x
+           JOIN sub y ON x.subcell = y.subcell AND x.vec_id < y.vec_id
            JOIN e ex ON ex.vec_id = x.vec_id
            JOIN e ey ON ey.vec_id = y.vec_id
            WHERE list_dot_product(ex.v, ey.v) / (ex.nrm * ey.nrm) >= 0.4)
          SELECT a.vec_id, a.cell FROM assign a
          LEFT JOIN dropped d ON d.vec_id = a.vec_id
          WHERE d.vec_id IS NULL ORDER BY a.vec_id""",
+    // Trained-quantizer SemDeDup: the q_sim_ivf Lloyd-in-SQL technique
+    // (seed = first 64 vectors, two exact-decimal-mean iterations) feeding
+    // the plain within-cell survivor rule — at k=64 every fixture cell is
+    // far below the default maxCell, so subsplit count is 1 everywhere and
+    // the plain cell join IS the operator's semantics (the capped path is
+    // mirrored in q_semdedup's oracle above).
+    "q_semdedup_trained" -> {
+      // one Lloyd iteration: assign against c{i-1}, then exact means → c{i}
+      // (same CTE body as q_sim_ivf's — k lives only in the c0 seed set)
+      def step(i: Int) = {
+        val prev = s"c${i - 1}"
+        s"""a$i AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv)
+                   + list_dot_product(c.cv, c.cv), c.cid) AS rn
+             FROM e, $prev c) WHERE rn = 1),
+         m$i AS (
+           SELECT cell, pos,
+             cast(sum(cast(comp AS decimal(28,10))) AS double)
+               / count(*) AS m
+           FROM (
+             SELECT a.cell, unnest(e.v) AS comp,
+               unnest(generate_series(1, len(e.v))) AS pos
+             FROM a$i a JOIN e ON e.vec_id = a.vec_id)
+           GROUP BY cell, pos),
+         c$i AS (
+           SELECT p.cid, coalesce(mv.cv, p.cv) AS cv FROM $prev p
+           LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cv
+                      FROM m$i GROUP BY cell) mv ON mv.cell = p.cid)"""
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 64),
+         ${step(1)},
+         ${step(2)},
+         c AS (SELECT cid, cv, list_dot_product(cv, cv) AS cnorm2 FROM c2),
+         en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+                 AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         dropped AS (
+           SELECT DISTINCT y.vec_id FROM assign x
+           JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           JOIN en ex ON ex.vec_id = x.vec_id
+           JOIN en ey ON ey.vec_id = y.vec_id
+           WHERE list_dot_product(ex.v, ey.v) / (ex.nrm * ey.nrm) >= 0.4)
+         SELECT a.vec_id, a.cell FROM assign a
+         LEFT JOIN dropped d ON d.vec_id = a.vec_id
+         WHERE d.vec_id IS NULL ORDER BY a.vec_id"""
+    },
     "q_map_ops" ->
       """SELECT event_id, json_keys(props)[1] AS first_key,
          cast(json_extract_string(props, '$.' || json_keys(props)[1]) AS bigint) AS first_val,

@@ -221,6 +221,27 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == blocked.count() - 1006) // only that block dropped
   }
 
+  test("duplicatedSpans finds the exact shared word run and nothing else; " +
+      "removal excises it and reassembles the rest") {
+    // docs 1 and 2 share a 9-word license block mid-document (≥ w=4, so
+    // every interior anchor is duplicated); doc 3 shares nothing.
+    val block = "this block is shared verbatim between the two documents"
+    val d1 = s"alpha beta gamma $block tail1 tail2 tail3"
+    val d2 = s"x1 x2 $block y1 y2"
+    val d3 = "totally unrelated words that appear exactly once only here now"
+    val df = docs((1L, d1), (2L, d2), (3L, d3))
+    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 1: block occupies words 4-12; doc 2: words 3-11 (1-based)
+    assert(spans == Set((1L, 4, 12), (2L, 3, 11)))
+    val clean = Dedup.removeDuplicatedSpans(df, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(clean(1L) == ((15L, 9L, "alpha beta gamma tail1 tail2 tail3")))
+    assert(clean(2L) == ((13L, 9L, "x1 x2 y1 y2")))
+    assert(clean(3L) == ((10L, 0L, d3)))
+  }
+
   test("simHash16: equal texts equal, near texts within small Hamming distance") {
     val df = docs((1L, "spark engine scale data pipeline quality"),
       (2L, "spark engine scale data pipeline quality"),

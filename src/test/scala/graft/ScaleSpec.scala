@@ -134,6 +134,107 @@ class ScaleSpec extends SparkSpec {
     assert(got == Set((1L, 0), (3L, 1), (4L, 0)))
   }
 
+  test("semanticCells subsplits a planted hot cell: pair work is bounded " +
+      "by maxCell, not quadratic in the cell") {
+    // 2000 vectors all nearest ONE centroid — the degenerate-quantizer /
+    // near-duplicate-mass case the cap exists for. Uncapped, the within-
+    // cell self-join would expand to ~2M candidate pairs in a single key.
+    val rnd = new scala.util.Random(11)
+    val n = 2000; val maxCell = 100
+    val rows = (0 until n).map(i =>
+      Row(i.toLong, Seq.fill(4)(rnd.nextDouble() + 0.5)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("emb", ArrayType(DoubleType)))))
+    val sizes = Dedup.semanticCells(df, "vec_id", "emb",
+        Seq(Seq(1.0, 1.0, 1.0, 1.0)), maxCell)
+      .groupBy(col("__sub")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)).toSeq
+    // ns = ceil(2000/100) = 20 subcells, every row still assigned
+    assert(sizes.length == n / maxCell)
+    assert(sizes.sum == n)
+    // the hash split is balanced in expectation (E[size] = maxCell);
+    // 2× covers sampling variance with huge margin
+    assert(sizes.max <= 2L * maxCell,
+      s"hot subcell of ${sizes.max} rows defeats the cap")
+    // total pair work Σ sz² stays O(n·maxCell) — versus n² ≈ 4M uncapped
+    val pairWork = sizes.map(s => s * s).sum
+    assert(pairWork <= 4L * n * maxCell,
+      s"pair work $pairWork is not linear in maxCell")
+  }
+
+  test("semanticDedup subsplitting only MISSES pairs: survivors(capped) " +
+      "is a superset of survivors(uncapped), never a different drop") {
+    val rnd = new scala.util.Random(13)
+    // 60 vectors in one cell with planted near-dup mass: 20 bases, each
+    // followed by two tiny perturbations of itself
+    val rows = (0 until 20).flatMap { b =>
+      val base = Seq.fill(4)(rnd.nextDouble() + 0.5)
+      (0 until 3).map(j =>
+        Row((3 * b + j).toLong, base.map(_ * (1.0 + j * 1e-4))))
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("emb", ArrayType(DoubleType)))))
+    val cents = Seq(Seq(1.0, 1.0, 1.0, 1.0))
+    def survivors(maxCell: Int) =
+      Dedup.semanticDedup(df, "vec_id", "emb", cents, 0.999, maxCell)
+        .collect().map(_.getLong(0)).toSet
+    val uncapped = survivors(Int.MaxValue)
+    val capped = survivors(8)
+    assert(uncapped.subsetOf(capped),
+      s"capping dropped rows the uncapped run kept: ${uncapped -- capped}")
+    // the cap is not a no-op here (some cross-subcell dups are missed)…
+    assert(capped.size >= uncapped.size)
+    // …but same-subcell duplicate sets still collapse to one survivor:
+    // uncapped keeps exactly the 20 base ids
+    assert(uncapped == (0 until 20).map(b => 3L * b).toSet)
+  }
+
+  test("releaseAfterUse frees operator-held persists after the caller's " +
+      "first action — no harness sweep needed") {
+    import spark.implicits._
+    val held = Seq.tabulate(100)(i => (i.toLong, i % 7))
+      .toDF("id", "grp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = Scale.releaseAfterUse(
+      held.groupBy("grp").agg(count(lit(1)).as("n")), Seq(held))
+    assert(result.count() == 7) // the caller's one action
+    // the unpersist rides the async listener bus; drain it, then poll
+    // (storage dereg is itself async) before asserting
+    org.apache.spark.GraftListenerBridge.waitForListeners(spark.sparkContext)
+    val deadline = System.currentTimeMillis() + 10000
+    while (held.storageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(held.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "held frame still cached after the result action completed")
+  }
+
+  test("semanticDedup leaves no operator-owned blocks once its caller's " +
+      "action completes") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(0.9, 0.1)), Row(2L, Seq(0.92, 0.08)),
+        Row(3L, Seq(0.1, 0.9))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("emb", ArrayType(DoubleType)))))
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val out = Dedup.semanticDedup(df, "vec_id", "emb",
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), 0.95)
+    assert(out.count() == 2)
+    org.apache.spark.GraftListenerBridge.waitForListeners(spark.sparkContext)
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "semanticDedup left persisted blocks behind")
+  }
+
   test("zValue2 interleaves bits (x even positions, y odd)") {
     import spark.implicits._
     import graft.operators.Layout
