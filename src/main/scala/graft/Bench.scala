@@ -95,7 +95,11 @@ object Bench {
     // The harness captures a bounded log TAIL; the ~2.5KB per-query line can
     // get its head (including "value":) truncated away. So the LAST line
     // before exit is a short summary-only JSON that always fits: this is the
-    // line the driver's parse must find.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${best.size},"sf":"$sfDir"}""")
+    // line the driver's parse must find — and it carries the slowest-20
+    // queries inline, so regressions in the truncated half of the full
+    // per-query map stay visible from the artifact alone.
+    val slowest = best.toSeq.sortBy { case (k, v) => (-v, k) }.take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${best.size},"slowest":$slowest,"sf":"$sfDir"}""")
   }
 }

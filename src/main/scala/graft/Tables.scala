@@ -28,6 +28,14 @@ object Tables {
    * identity reinterpretation under the UTC session zone every entrypoint
    * sets. Any other encoding fails loudly here, naming the drift, instead
    * of as nine opaque analysis errors downstream.
+   *
+   * SCOPE: applied only to the `events` table (in [[load]] /
+   * [[catalogFromDir]]) — `ts` is the ENGINE's event-time convention, not
+   * a claim about arbitrary user tables. A general-purpose connector
+   * (`Sources.parquet`) must neither rewrite a user's legitimately
+   * timestamp-typed `ts` column nor throw on a string one, so it stays
+   * pass-through; callers with an events-shaped table opt in by calling
+   * this adapter themselves.
    */
   private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
@@ -44,7 +52,8 @@ object Tables {
     // Kept for TIMESTAMP(NANOS)-era data, where the only readable form is a
     // raw nanos-long; a no-op for µs-typed data (normalizeTs handles those).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(raw) else raw
   }
 
   /** Full catalog for a scale-factor directory. */
@@ -63,8 +72,11 @@ object Tables {
     // rehash it away)
     scala.collection.immutable.ListMap(
       files.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .map(f => f.getName.stripSuffix(".parquet") ->
-          normalizeTs(spark.read.parquet(f.getPath)))
+        .map { f =>
+          val name = f.getName.stripSuffix(".parquet")
+          val raw = spark.read.parquet(f.getPath)
+          name -> (if (name == "events") normalizeTs(raw) else raw)
+        }
         .toSeq: _*)
   }
 }

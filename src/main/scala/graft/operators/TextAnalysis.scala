@@ -163,7 +163,8 @@ object TextAnalysis {
    * only the literal array.
    *
    * Returns (idCol, n_tokens, margin, score, pass), one row per
-   * non-null-text document.
+   * document with at least one token (an empty or all-whitespace text
+   * yields no tokens, so no row).
    */
   def linearClassifierScore(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
@@ -184,6 +185,86 @@ object TextAnalysis {
         round(col("margin").cast("double") / col("n_tokens"), 6))
       .withColumn("pass", col("margin") >= 0)
   }
+
+  /**
+   * TRAIN the quality classifier: per-token naive-Bayes log-odds weights
+   * from a boolean-labeled corpus — the training half
+   * [[linearClassifierScore]]'s toy literal weights stand in for. Exactly
+   * the multinomial NB log-likelihood ratio with add-one smoothing:
+   * weight(t) = ln(n_pos(t)+1) − ln(Npos+V) − ln(n_neg(t)+1) + ln(Nneg+V),
+   * where n_pos/n_neg are the token's occurrence counts in
+   * positive/negative docs, Npos/Nneg total occurrences per class and V
+   * the corpus vocabulary size.
+   *
+   * Engine-portable determinism, the [[graft.operators.Curation]]
+   * bigramLmScore convention: ln is taken of INTEGERS only and each term
+   * is cast to decimal(28,10) BEFORE combining, so the weight is an exact
+   * decimal any faithful-ln engine reproduces — trained weights are
+   * oracle-checkable the way BPE merges are.
+   *
+   * Scale: one tokenize pass feeding two hash aggregates (per-token class
+   * counts; one-row class totals broadcast back) — corpus size never
+   * touches the driver; the weights table is vocabulary-sized. Null
+   * labels count toward neither class (declared; prefer non-null labels).
+   * Returns (token, n_pos, n_neg, weight).
+   */
+  def trainTokenLogOdds(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, labelCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(labelCol).as("__y"),
+        explode(split(col(textCol), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = toks.groupBy(col("__tok"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("n_neg"))
+    val totals = toks.agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__tp"),
+      sum(when(!col("__y"), 1L).otherwise(0L)).as("__tn"),
+      countDistinct(col("__tok")).as("__v"))
+    def lnDec(c: org.apache.spark.sql.Column) =
+      log(c.cast("double")).cast("decimal(28,10)")
+    Scale.releaseAfterUse(
+      counts.crossJoin(broadcast(totals))
+        .select(col("__tok").as("token"), col("n_pos"), col("n_neg"),
+          (lnDec(col("n_pos") + 1) - lnDec(col("__tp") + col("__v"))
+            - lnDec(col("n_neg") + 1) + lnDec(col("__tn") + col("__v")))
+            .as("weight")),
+      Seq(toks))
+  }
+
+  /**
+   * Score documents with a TRAINED weights table (the output of
+   * [[trainTokenLogOdds]]) instead of [[linearClassifierScore]]'s
+   * hash-bucketed literal: tokens left-join the (token, weight) table,
+   * unseen tokens contribute 0 (declared — the discriminative-scoring
+   * convention), and the margin sums the exact decimal weights, so it is
+   * shuffle-order-independent like the integer-margin variant. The
+   * weights side is vocabulary-scale → broadcast-hinted (its static size
+   * estimate derives from the corpus scan and would otherwise block the
+   * broadcast, the q_tfidf dfCounts move); at a vocabulary too big to
+   * broadcast, drop the hint and this becomes a plain shuffle join.
+   * Returns (idCol, n_tokens, score, pass), one row per document with at
+   * least one token.
+   */
+  def scoreWithTokenWeights(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      weights: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(weights.select(col("token"), col("weight"))),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight"), lit(0).cast("decimal(28,10)")))
+          .as("__margin"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__margin").cast("double") / col("n_tokens"), 6)
+          .as("score"),
+        (col("__margin") >= 0).as("pass"))
 
   def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, terms: Seq[String], topK: Int,

@@ -458,6 +458,32 @@ object Pipeline {
         (0 until 64).map(j => (j % 13 - 6).toLong))
         .orderBy("doc_id")
     }),
+    // L1 — classifier TRAINING: naive-Bayes log-odds token weights over a
+    // fixture-derived label (lang='en' as the "quality" class — any
+    // boolean label column works). ln of integers + exact decimal
+    // combination makes the trained weights themselves oracle-checkable,
+    // the way q_bpe_pairs oracles BPE training. Top-30 by weight
+    // (rounded-weight desc, token tiebreak).
+    "q_quality_train" -> ((s, dir) => {
+      graft.operators.TextAnalysis.trainTokenLogOdds(
+        t(s, dir, "documents").withColumn("__y", col("lang") === "en"),
+        "doc_id", "text", "__y")
+        .select(col("token"), col("n_pos"), col("n_neg"),
+          round(col("weight").cast("double"), 6).as("weight"))
+        .orderBy(col("weight").desc, col("token")).limit(30)
+    }),
+    // L1 — train + SERVE composed: the trained weights table (never
+    // collected — it stays a broadcast-joined frame) scores every doc;
+    // exact decimal margins keep the score shuffle-order-independent.
+    "q_quality_train_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = graft.operators.TextAnalysis.trainTokenLogOdds(
+        docs.withColumn("__y", col("lang") === "en"),
+        "doc_id", "text", "__y")
+      graft.operators.TextAnalysis.scoreWithTokenWeights(
+        docs, "doc_id", "text", w)
+        .orderBy("doc_id")
+    }),
     // L1 — tokenizer APPLY (Bpe.applyMerges): an already-learned merge
     // list folded over the corpus vocabulary — the serving half of BPE,
     // run where it belongs at scale (on the vocab, not the corpus; the
@@ -2090,6 +2116,64 @@ object Pipeline {
            round(sum(wt)::DOUBLE / count(*), 6) AS score,
            (sum(wt) >= 0) AS pass
          FROM w GROUP BY doc_id ORDER BY doc_id""",
+    // NB log-odds training re-run in SQL: ln of integers only, each term
+    // cast decimal(28,10) before combining — TextAnalysis.trainTokenLogOdds
+    // verbatim (label: lang='en').
+    "q_quality_train" ->
+      """WITH toks AS (
+           SELECT (lang = 'en') AS y, tok FROM (
+             SELECT lang, unnest(string_split_regex(text, '\s+')) AS tok
+             FROM documents WHERE text IS NOT NULL)
+           WHERE length(tok) > 0),
+         tot AS (
+           SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS tn,
+             count(DISTINCT tok) AS v
+           FROM toks),
+         c AS (
+           SELECT tok, sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg
+           FROM toks GROUP BY tok)
+         SELECT c.tok AS token,
+           cast(n_pos AS bigint) AS n_pos, cast(n_neg AS bigint) AS n_neg,
+           round(cast(
+             cast(ln(n_pos + 1) AS decimal(28,10))
+             - cast(ln(tp + v) AS decimal(28,10))
+             - cast(ln(n_neg + 1) AS decimal(28,10))
+             + cast(ln(tn + v) AS decimal(28,10)) AS double), 6) AS weight
+         FROM c CROSS JOIN tot
+         ORDER BY weight DESC, token LIMIT 30""",
+    // …and the composed serve: every corpus token is in the trained
+    // vocabulary, so the operator's left-join-plus-zero equals this inner
+    // join; exact decimal margin, one row per doc.
+    "q_quality_train_score" ->
+      """WITH toks AS (
+           SELECT doc_id, (lang = 'en') AS y, tok FROM (
+             SELECT doc_id, lang,
+               unnest(string_split_regex(text, '\s+')) AS tok
+             FROM documents WHERE text IS NOT NULL)
+           WHERE length(tok) > 0),
+         tot AS (
+           SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS tn,
+             count(DISTINCT tok) AS v
+           FROM toks),
+         c AS (
+           SELECT tok, sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg
+           FROM toks GROUP BY tok),
+         w AS (
+           SELECT c.tok,
+             cast(ln(n_pos + 1) AS decimal(28,10))
+             - cast(ln(tp + v) AS decimal(28,10))
+             - cast(ln(n_neg + 1) AS decimal(28,10))
+             + cast(ln(tn + v) AS decimal(28,10)) AS wt
+           FROM c CROSS JOIN tot)
+         SELECT t.doc_id, cast(count(*) AS bigint) AS n_tokens,
+           round(cast(sum(w.wt) AS double) / count(*), 6) AS score,
+           (sum(w.wt) >= 0) AS pass
+         FROM toks t JOIN w ON w.tok = t.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     // placeholder-encoded merges: 'er'->1, 'in'->2, then the merged-symbol
     // merge er+s as '1s'->3; every symbol is one char, so length = n_syms
     "q_bpe_encode" ->

@@ -20,12 +20,16 @@ import org.apache.spark.sql.types.StructType
  */
 object Sources {
 
-  /** Parquet table (self-describing schema; predicate/column pushdown free).
-    * An event-time `ts` column is normalized to the engine's nanos-long
-    * convention whatever the file's physical encoding (Tables.normalizeTs). */
+  /** Parquet table (self-describing schema; predicate/column pushdown
+    * free). PASS-THROUGH: a general-purpose connector surfaces the file's
+    * own schema — a user column that happens to be named `ts` is neither
+    * rewritten nor validated here. A table following the engine's
+    * events convention (epoch-nanos event time in `ts`) opts into the
+    * encoding adapter via `Tables.normalizeTs`; `Tables.load` does so for
+    * the harness `events` table. */
   def parquet(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.Tables.normalizeTs(spark.read.parquet(path))
+    spark.read.parquet(path)
   }
 
   /**

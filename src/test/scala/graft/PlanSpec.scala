@@ -231,7 +231,14 @@ class PlanSpec extends SparkSpec {
       // row via a partial+final aggregate — the single partition receives
       // per-partition scalars only (q_checksum's shape) and broadcasts
       // back; the scoring scan and top-k heaps stay distributed.
-      "q_bm25")
+      "q_bm25",
+      // NB training's class totals (Npos, Nneg, V) are the same one-row
+      // corpus-statistics aggregate as q_bm25's: the distinct count
+      // dedups distributed (shuffle on token) and the final single
+      // partition receives per-partition scalars, broadcast back into
+      // the vocabulary-scale weights join; token counts and scoring
+      // stay distributed.
+      "q_quality_train", "q_quality_train_score")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {

@@ -151,4 +151,37 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4))).toSet
     assert(neg == Set((1L, -3L, false), (2L, -1L, false)))
   }
+
+  test("trainTokenLogOdds: class-exclusive tokens get signed weights, " +
+      "shared tokens sit between; trained scoring separates the classes") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 2 positive and 2 negative docs; 'good' only in positives, 'bad'
+    // only in negatives, 'the' everywhere
+    val docs = Seq(
+      (1L, "the good good text", true), (2L, "the good stuff", true),
+      (3L, "the bad bad text", false), (4L, "the bad junk", false))
+      .toDF("doc_id", "text", "y")
+    val w = TextAnalysis.trainTokenLogOdds(docs, "doc_id", "text", "y")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDecimal(3).doubleValue()))).toMap
+    assert(w("good")._1 == 3L && w("good")._2 == 0L)
+    assert(w("bad") == ((0L, 3L, -w("good")._3))) // symmetric corpus
+    assert(w("good")._3 > w("the")._3 && w("the")._3 > w("bad")._3)
+    // balanced classes → the everywhere-token is exactly neutral here
+    assert(math.abs(w("the")._3) < 1e-9)
+    // trained weights classify their own training docs
+    val scored = TextAnalysis.scoreWithTokenWeights(docs, "doc_id", "text",
+        TextAnalysis.trainTokenLogOdds(docs, "doc_id", "text", "y"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(scored == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    // unseen tokens contribute zero: a doc of only-unseen words scores 0
+    val unseen = TextAnalysis.scoreWithTokenWeights(
+        Seq((9L, "zz qq")).toDF("doc_id", "text"), "doc_id", "text",
+        TextAnalysis.trainTokenLogOdds(docs, "doc_id", "text", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(unseen == Seq((9L, 2L, 0.0, true)))
+  }
 }

@@ -224,6 +224,28 @@ class SourcesSpec extends SparkSpec {
     assert(r / 1000000000L == viaTs, s"nanos $r does not floor to seconds $viaTs")
   }
 
+  test("generic parquet source passes a user 'ts' column through " +
+      "untouched — no rewrite, no throw (events-only convention)") {
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    // a NON-events user table whose ts is (a) a real timestamp, (b) a
+    // string: the generic connector must surface both verbatim
+    val dir = java.nio.file.Files.createTempDirectory("graft-userts").toString
+    spark.range(3)
+      .select(col("id"), expr("timestamp_micros(id * 1000000)").as("ts"),
+        expr("cast(id as string)").as("ts_str"))
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val back = Sources.parquet(spark, s"$dir/t.parquet")
+    assert(back.schema("ts").dataType == TimestampType,
+      "user timestamp ts must not be rewritten to nanos-long")
+    assert(back.count() == 3)
+    // a string 'ts' through the catalog path: only the events table is
+    // normalized, so this must neither throw nor change the schema
+    spark.range(2).select(expr("cast(id as string)").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/weird.parquet")
+    val cat = Tables.catalogFromDir(spark, dir)
+    assert(cat("weird").schema("ts").dataType == StringType)
+  }
+
   test("normalizeTs round-trips a known instant under each timestamp encoding") {
     import org.apache.spark.sql.types.LongType
     val nanos = 1704067200123456000L // 2024-01-01T00:00:00.123456Z
