@@ -521,19 +521,32 @@ object Dedup {
    * uncapped operator's null-join semantics.
    */
   private[graft] def semanticCells(df: DataFrame, idCol: String,
-      embCol: String, centroids: Seq[Seq[Double]], maxCell: Int): DataFrame = {
+      embCol: String, centroids: Seq[Seq[Double]], maxCell: Int): DataFrame =
+    attachSubcells(assignCells(df, idCol, embCol)
+        .withColumn("__cell", Ivf.nearestCentroid(col(embCol), centroids)),
+      idCol, maxCell)
+
+  /** Spread + per-row (norm) stage of [[semanticDedup]] — the projection
+    * the assignment expression attaches to. Kept separate so the
+    * operator can persist the ASSIGNMENT (computed once) while the cheap
+    * census/subsplit join stays lazy on top of the cache. */
+  private def assignCells(df: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
     import graft.functions.VectorOps
-    require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
     // spread: the assignment (k dot products per row) is the CPU-heavy
     // stage and a compact corpus arrives as one scan partition (see
     // containmentPairs)
-    val cells = Scale.spreadForCompute(
-        df.select(col(idCol), col(embCol)), col(idCol))
-      .withColumn("__cell", Ivf.nearestCentroid(col(embCol), centroids))
+    Scale.spreadForCompute(df.select(col(idCol), col(embCol)), col(idCol))
       .withColumn("__norm", VectorOps.l2Norm(col(embCol)))
-    // Cell census: ≤ k rows (quantizer-matrix scale, never data scale) —
-    // broadcast back onto the assignment. Exact integer ceil-div keeps the
-    // split count engine-portable.
+  }
+
+  /** Attach `__sub` (hot-cell subsplit key) to a frame already carrying
+    * `__cell`. Cell census is ≤ k rows (quantizer-matrix scale, never
+    * data scale) — broadcast back onto the assignment; exact integer
+    * ceil-div keeps the split count engine-portable. */
+  private def attachSubcells(cells: DataFrame, idCol: String,
+      maxCell: Int): DataFrame = {
+    require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
     val splits = cells.groupBy(col("__cell"))
       .agg(count(lit(1)).as("__cn"))
       .select(col("__cell"),
@@ -575,14 +588,19 @@ object Dedup {
       centroids: Seq[Seq[Double]], threshold: Double,
       maxCell: Int = DefaultMaxCell): DataFrame = {
     import graft.functions.VectorOps
-    // persist: the subcell assignment feeds both self-join sides and the
-    // survivor anti-join (the census re-reads it via the broadcast side);
-    // freed once the caller's first action over the result completes
-    val cells = semanticCells(df, idCol, embCol, centroids, maxCell)
+    // persist the ASSIGNMENT (the k-dot-products-per-row stage): it feeds
+    // the census, both self-join sides, and the survivor anti-join — four
+    // consumers that would each recompute it otherwise. The census/
+    // subsplit join on top stays lazy: it re-reads the cache and its
+    // broadcast census is exchange-reused across the a/b sides. Freed
+    // once the caller's first action over the result completes.
+    val cells = assignCells(df, idCol, embCol)
+      .withColumn("__cell", Ivf.nearestCentroid(col(embCol), centroids))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = cells.select(col(idCol).as("__a"), col(embCol).as("__ea"),
+    val sub = attachSubcells(cells, idCol, maxCell)
+    val a = sub.select(col(idCol).as("__a"), col(embCol).as("__ea"),
       col("__norm").as("__na"), col("__sub"))
-    val b = cells.select(col(idCol).as("__b"), col(embCol).as("__eb"),
+    val b = sub.select(col(idCol).as("__b"), col(embCol).as("__eb"),
       col("__norm").as("__nb"), col("__sub"))
     val dropped = a.join(b, "__sub").filter(col("__a") < col("__b"))
       .filter(VectorOps.dot(col("__ea"), col("__eb"))

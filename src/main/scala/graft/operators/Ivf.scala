@@ -31,9 +31,44 @@ object Ivf {
     lit(-2.0) * dot(a, typedLit(c)) + lit(c.map(x => x * x).sum)
 
   /**
-   * Assignment expression: index of the nearest centroid. Built as
-   * array_min over (distance-key, index) structs — lexicographic struct
-   * ordering gives deterministic argmin with index tiebreak.
+   * Largest k whose (key, index) structs are UNROLLED into k inline
+   * expressions (whole-stage-codegen'd tight loops — fastest for the
+   * small coarse quantizers the probe path uses). Beyond it, the scored
+   * array is built by a `transform` loop over ONE k×dim matrix literal:
+   * the expression tree stays O(1) in k, where the unrolled form is
+   * O(k·dim) nodes — at k=64 that janino-compiles multi-thousand-term
+   * methods (measured 7.4 s on q_semdedup_trained, 4× the whole query's
+   * work) and past the JVM's 64KB method limit it silently falls out of
+   * codegen anyway. The loop form evaluates the same graft_dot per
+   * element (interpreted ArrayTransform, codegen'd children), so the
+   * ARITHMETIC — and therefore every assignment and the DuckDB oracle —
+   * is bit-identical between the two forms; IvfSpec pins that.
+   */
+  private val UnrollMaxK = 24
+
+  /** (distance-key, index) struct per centroid, formulation chosen by k
+    * (see [[UnrollMaxK]]). Lexicographic struct ordering gives
+    * deterministic argmin/argsort with index tiebreak. */
+  private def scoredStructs(emb: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    if (centroids.size <= UnrollMaxK)
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(rankKey(emb, c).as("d"), lit(i).as("i"))
+      }: _*)
+    else {
+      val cvs = typedLit(centroids.map(_.toArray).toArray)
+      val norms = typedLit(centroids.map(_.map(x => x * x).sum).toArray)
+      transform(
+        sequence(lit(0), lit(centroids.size - 1)),
+        i => struct(
+          (lit(-2.0) * dot(emb, element_at(cvs, i + 1))
+            + element_at(norms, i + 1)).as("d"),
+          i.as("i")))
+    }
+
+  /**
+   * Assignment expression: index of the nearest centroid, as
+   * array_min over the (distance-key, index) structs.
    */
   def nearestCentroid(emb: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
@@ -41,20 +76,15 @@ object Ivf {
     // joins/filters then produce empty results instead of failing analysis
     // on an untyped empty array
     if (centroids.isEmpty) return lit(null).cast("int")
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(rankKey(emb, c).as("d"), lit(i).as("i"))
-    }
-    array_min(array(scored: _*)).getField("i")
+    array_min(scoredStructs(emb, centroids)).getField("i")
   }
 
   /** `nprobe` nearest centroid ids for a query vector, as an array column. */
   def probeList(emb: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]], nprobe: Int): org.apache.spark.sql.Column = {
     if (centroids.isEmpty) return typedLit(Seq.empty[Int])
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(rankKey(emb, c).as("d"), lit(i).as("i"))
-    }
-    slice(transform(array_sort(array(scored: _*)), s => s.getField("i")), 1, nprobe)
+    slice(transform(array_sort(scoredStructs(emb, centroids)),
+      s => s.getField("i")), 1, nprobe)
   }
 
   /**

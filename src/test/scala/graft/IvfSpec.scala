@@ -35,6 +35,31 @@ class IvfSpec extends SparkSpec {
       r.getAs[Int]("ivf_cell") < 8))
   }
 
+  test("loop-form assignment (k > UnrollMaxK) is bit-identical to the " +
+      "unrolled form's arithmetic: both match a driver-side argmin") {
+    // k=30 exercises the transform-over-matrix-literal formulation; k=8
+    // (the shared fixture) exercises the unrolled one. Both must equal a
+    // plain Scala argmin over the same -2·dot+|c|² key with index
+    // tiebreak — the arithmetic contract the DuckDB oracle re-runs.
+    def argmin(v: Seq[Double], cs: Seq[Seq[Double]]): Int =
+      cs.zipWithIndex.map { case (c, i) =>
+        (-2.0 * c.zip(v).map { case (x, y) => x * y }.sum
+          + c.map(x => x * x).sum, i)
+      }.min._2
+    for (k <- Seq(8, 30)) {
+      val cs = Ivf.train(emb, "vec_id", "emb", k = k, iters = 1)
+      assert(cs.length == k)
+      val got = Ivf.assign(emb, "emb", cs)
+        .select(col("vec_id"), col("ivf_cell"), col("emb"))
+        .collect()
+      got.foreach { r =>
+        val v = r.getSeq[Double](2)
+        assert(r.getInt(1) == argmin(v, cs),
+          s"k=$k vec ${r.getLong(0)}: engine ${r.getInt(1)} != driver argmin")
+      }
+    }
+  }
+
   test("probing ALL cells reproduces the exact top-k") {
     val exact = Similarity.exactTopK(emb, qs, 10)
       .select("q_id", "vec_id", "rn").collect()
