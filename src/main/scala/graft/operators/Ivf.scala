@@ -48,8 +48,9 @@ object Ivf {
 
   /** (distance-key, index) struct per centroid, formulation chosen by k
     * (see [[UnrollMaxK]]). Lexicographic struct ordering gives
-    * deterministic argmin/argsort with index tiebreak. */
-  private def scoredStructs(emb: org.apache.spark.sql.Column,
+    * deterministic argmin/argsort with index tiebreak. Shared with the
+    * PQ encoder, whose per-subspace codeword argmin is the same shape. */
+  private[operators] def scoredStructs(emb: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column =
     if (centroids.size <= UnrollMaxK)
       array(centroids.zipWithIndex.map { case (c, i) =>

@@ -114,15 +114,16 @@ object Pq {
       codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     require(codebooks.nonEmpty && codebooks.head.nonEmpty, "empty codebooks")
     val d = codebooks.head.head.length
+    // per-subspace argmin via Ivf.scoredStructs: unrolled below its
+    // k-threshold, a transform over one codebook-matrix literal beyond it
+    // — at production PQ sizes (m=8–16, k=256) an unrolled form would
+    // janino-compile m·k·d-term methods (the q_semdedup_trained blowup);
+    // the loop form keeps the expression tree O(m) whatever k is.
     val perSubspace = codebooks.zipWithIndex.map { case (cb, j) =>
       val s = slice(col(embCol), j * d + 1, d)
-      val scored = cb.zipWithIndex.map { case (cw, i) =>
-        struct((lit(-2.0) * dot(s, typedLit(cw)) +
-          lit(cw.map(x => x * x).sum)).as("k"), lit(i).as("i"))
-      }
-      val best = array_min(array(scored: _*))
+      val best = array_min(Ivf.scoredStructs(s, cb))
       struct(lit(j.toLong).as("j"), best.getField("i").as("code"),
-        round(dot(s, s) + best.getField("k"), 6).as("err"))
+        round(dot(s, s) + best.getField("d"), 6).as("err"))
     }
     df.select(col(idCol), explode(array(perSubspace: _*)).as("__e"))
       .select(col(idCol), col("__e.j").as("j"), col("__e.code").as("code"),

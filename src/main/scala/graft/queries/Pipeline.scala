@@ -658,6 +658,31 @@ object Pipeline {
         .na.fill(0L, Seq("n_quality", "n_unique", "n_clean"))
         .orderBy("lang")
     }),
+    // Curation — the TRAINED model gate composed into the funnel: NB
+    // log-odds weights (trained in-plan, never collected) gate docs at
+    // margin ≥ 0, survivors dedup by canonical fingerprint, per-lang
+    // stage counts — q_curate_e2e's shape with the rule-based length
+    // gate swapped for the trained classifier.
+    "q_curate_trained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = graft.operators.TextAnalysis.trainTokenLogOdds(
+        docs.withColumn("__y", col("lang") === "en"),
+        "doc_id", "text", "__y")
+      val gate = graft.operators.TextAnalysis.scoreWithTokenWeights(
+        docs, "doc_id", "text", w)
+        .filter(col("pass")).select(col("doc_id"))
+      val passed = docs.join(gate, Seq("doc_id"), "left_semi")
+      val uniq = Dedup.exactByKey(
+        passed.withColumn("__fp", Dedup.fingerprint(col("text"))),
+        Seq("__fp"), Seq(col("doc_id").asc)).drop("__fp")
+      def stage(df: DataFrame, alias: String) =
+        df.groupBy("lang").agg(count(lit(1)).as(alias))
+      stage(docs, "n_raw")
+        .join(stage(passed, "n_pass"), Seq("lang"), "left")
+        .join(stage(uniq, "n_unique"), Seq("lang"), "left")
+        .na.fill(0L, Seq("n_pass", "n_unique"))
+        .orderBy("lang")
+    }),
     // Curation — fixed-size token chunking with overlap (size 50, stride
     // 40): the split step between cleaning and packing, so long documents
     // become training-window-sized pieces with 10-token continuity overlap.
@@ -1944,6 +1969,51 @@ object Pipeline {
                     FROM u GROUP BY lang) uu USING (lang)
          LEFT JOIN (SELECT lang, cast(count(*) AS bigint) AS n_clean
                     FROM clean GROUP BY lang) cc USING (lang)
+         ORDER BY r.lang""",
+    // NB training CTEs as in q_quality_train_score, then the funnel:
+    // margin-gated docs → fingerprint dedup → per-lang stage counts.
+    "q_curate_trained" ->
+      """WITH toks AS (
+           SELECT doc_id, (lang = 'en') AS y, tok FROM (
+             SELECT doc_id, lang,
+               unnest(string_split_regex(text, '\s+')) AS tok
+             FROM documents WHERE text IS NOT NULL)
+           WHERE length(tok) > 0),
+         tot AS (
+           SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS tn,
+             count(DISTINCT tok) AS v
+           FROM toks),
+         c AS (
+           SELECT tok, sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg
+           FROM toks GROUP BY tok),
+         w AS (
+           SELECT c.tok,
+             cast(ln(n_pos + 1) AS decimal(28,10))
+             - cast(ln(tp + v) AS decimal(28,10))
+             - cast(ln(n_neg + 1) AS decimal(28,10))
+             + cast(ln(tn + v) AS decimal(28,10)) AS wt
+           FROM c CROSS JOIN tot),
+         pass AS (
+           SELECT t.doc_id FROM toks t JOIN w ON w.tok = t.tok
+           GROUP BY t.doc_id HAVING sum(w.wt) >= 0),
+         p AS (SELECT * FROM documents
+               WHERE doc_id IN (SELECT doc_id FROM pass)),
+         u AS (SELECT doc_id, lang FROM (
+             SELECT doc_id, lang, row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+             FROM p) WHERE rn = 1)
+         SELECT r.lang, r.n_raw,
+           coalesce(pp.n_pass, cast(0 AS bigint)) AS n_pass,
+           coalesce(uu.n_unique, cast(0 AS bigint)) AS n_unique
+         FROM (SELECT lang, cast(count(*) AS bigint) AS n_raw
+               FROM documents GROUP BY lang) r
+         LEFT JOIN (SELECT lang, cast(count(*) AS bigint) AS n_pass
+                    FROM p GROUP BY lang) pp USING (lang)
+         LEFT JOIN (SELECT lang, cast(count(*) AS bigint) AS n_unique
+                    FROM u GROUP BY lang) uu USING (lang)
          ORDER BY r.lang""",
     "q_chunk_docs" ->
       """WITH t AS (

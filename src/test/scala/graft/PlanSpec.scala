@@ -238,7 +238,9 @@ class PlanSpec extends SparkSpec {
       // partition receives per-partition scalars, broadcast back into
       // the vocabulary-scale weights join; token counts and scoring
       // stay distributed.
-      "q_quality_train", "q_quality_train_score")
+      "q_quality_train", "q_quality_train_score",
+      // same NB class-totals aggregate inside the trained curation funnel
+      "q_curate_trained")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
