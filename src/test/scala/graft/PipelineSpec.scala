@@ -242,6 +242,24 @@ class DedupSpec extends SparkSpec {
     assert(clean(3L) == ((10L, 0L, d3)))
   }
 
+  test("duplicatedSpans robustness: empty corpus, single doc, null text, " +
+      "and docs shorter than the window all yield no spans; removal " +
+      "passes them through") {
+    val empty = docs()
+    assert(Dedup.duplicatedSpans(empty, "doc_id", "text", 4).count() == 0)
+    assert(Dedup.removeDuplicatedSpans(empty, "doc_id", "text", 4).count() == 0)
+    // one doc (nothing cross-doc), a null text, and a 2-word doc (< w)
+    val df = docs((1L, "a long enough document with many words here"),
+      (2L, null.asInstanceOf[String]), (3L, "too short"))
+    assert(Dedup.duplicatedSpans(df, "doc_id", "text", 4).count() == 0)
+    val clean = Dedup.removeDuplicatedSpans(df, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    // null-text doc drops (no tokens); the others pass through untouched
+    assert(clean.keySet == Set(1L, 3L))
+    assert(clean(1L)._2 == 0L && clean(3L) == ((2L, 0L, "too short")))
+  }
+
   test("simHash16: equal texts equal, near texts within small Hamming distance") {
     val df = docs((1L, "spark engine scale data pipeline quality"),
       (2L, "spark engine scale data pipeline quality"),

@@ -375,6 +375,41 @@ class PlanSpec extends SparkSpec {
         "survivor anti-join from one cache")
   }
 
+  test("exact-substring dedup: anchors cached once, no doc-pair join " +
+      "anywhere in span or removal plans") {
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("InMemoryTableScan"),
+      "the anchor stage must feed census and semi-join from one cache")
+    // the dup census gate is a semi join on the shingle, never an inner
+    // doc×doc expansion
+    assert(p.contains("LeftSemi"), p.take(600))
+    val c = plan("q_dedup_substring_clean")
+    assert(!c.contains("CartesianProduct"), c.take(600))
+    assert(c.contains("LeftSemi") && c.contains("LeftAnti"), c.take(600))
+  }
+
+  test("trained semantic dedup: cell-bounded pairs from one cached " +
+      "assignment; census broadcasts back") {
+    val p = plan("q_semdedup_trained")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("InMemoryTableScan"),
+      "the assignment must feed census/self-join/anti-join from one cache")
+    assert(p.contains("BroadcastHashJoin"),
+      "the subsplit census must broadcast, not shuffle the corpus")
+  }
+
+  test("trained classifier serving broadcasts the weights table onto the " +
+      "token scan") {
+    val p = plan("q_quality_train_score")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"),
+      "vocabulary-scale weights must broadcast-join the corpus tokens")
+    val c = plan("q_curate_trained")
+    assert(!c.contains("CartesianProduct"), c.take(600))
+    assert(c.contains("BroadcastHashJoin"), c.take(600))
+  }
+
   test("quality classifier is one scan into a partial+final aggregate") {
     val p = plan("q_quality_classifier")
     assert("FileScan".r.findAllIn(p).length == 1, p.take(400))

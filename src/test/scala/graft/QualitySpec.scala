@@ -184,4 +184,22 @@ class QualitySpec extends SparkSpec {
         r.getBoolean(3))).toSeq
     assert(unseen == Seq((9L, 2L, 0.0, true)))
   }
+
+  test("trainTokenLogOdds robustness: empty corpus and single-class " +
+      "corpus both train without error") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val empty = Seq.empty[(Long, String, Boolean)].toDF("doc_id", "text", "y")
+    assert(TextAnalysis.trainTokenLogOdds(empty, "doc_id", "text", "y")
+      .count() == 0)
+    // all-positive corpus: n_neg = 0 everywhere, ln(0+1) = 0 stays total
+    val onesided = Seq((1L, "aa bb", true), (2L, "bb cc", true))
+      .toDF("doc_id", "text", "y")
+    val w = TextAnalysis.trainTokenLogOdds(onesided, "doc_id", "text", "y")
+      .collect().map(r => r.getString(0) -> r.getDecimal(3).doubleValue())
+      .toMap
+    assert(w.keySet == Set("aa", "bb", "cc"))
+    // within one class, the more frequent token scores higher
+    assert(w("bb") > w("aa") && w("aa") == w("cc"))
+  }
 }
