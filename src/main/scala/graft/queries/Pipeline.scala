@@ -37,6 +37,31 @@ object Pipeline {
     * body is ever refactored to a plain triple-quoted string. */
   private val WsSplitSql = "string_split_regex(text, '\\s+')"
 
+  /** The bigram-LM scoring pipeline as a DuckDB CTE chain ending in
+    * `lm(doc_id, n_bigrams, avg_logp)` — shared by q_lm_score and
+    * q_ppl_bucket so the two oracles cannot desynchronize. Mirrors
+    * Curation.bigramLmScore: add-one-smoothed bigram log-probs, ln of
+    * integers in decimal(28,10), per-doc average rounded to 6. */
+  private val LmScoreCte: String =
+    s"""w AS (
+           SELECT doc_id, $WsSplitSql AS w FROM documents),
+         occ AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i FROM w)),
+         big AS (SELECT w1, w2, count(*) AS cb FROM occ GROUP BY w1, w2),
+         ctx AS (SELECT w1, count(*) AS cc FROM occ GROUP BY w1),
+         v AS (SELECT count(DISTINCT tok) AS vsz
+               FROM (SELECT unnest(w) AS tok FROM w)),
+         t AS (SELECT o.doc_id,
+                 cast(ln(b.cb + 1) AS decimal(28,10)) -
+                 cast(ln(c.cc + v.vsz) AS decimal(28,10)) AS term
+               FROM occ o JOIN big b USING (w1, w2) JOIN ctx c USING (w1), v),
+         lm AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             round(cast(sum(term) AS double) / count(*), 6) AS avg_logp
+           FROM t GROUP BY doc_id)"""
+
   /** Near-dup edge list shared by q_dedup_cluster and q_dedup_survivor:
     * min-shingle blocking (lexicographic min — no engine hashing, so fully
     * oracle-checkable) → exact Jaccard ≥ 0.5 verify.
@@ -241,6 +266,53 @@ object Pipeline {
           sum(when(TA.hasEmail(col("text")), 1L).otherwise(0L)).as("n_email"),
           sum(when(TA.hasPhone(col("text")), 1L).otherwise(0L)).as("n_phone"))
         .orderBy("source")
+    }),
+    // L4 — in-text PII REDACTION (the transform on top of q_pii_scan's
+    // detector): the fixture corpus carries no real PII, so the query
+    // first seeds each document with deterministic synthetic PII derived
+    // from its own key — that makes the scrub provably fire (the oracle
+    // checks the replaced text span-for-span, not a no-op passthrough).
+    // Scan-local codegen'd projection, zero shuffles.
+    "q_pii_redact" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or "),
+          format_string("555-%03d-%04d",
+            col("doc_id") % 1000, col("doc_id") % 10000)).as("text"))
+      seeded.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(TA.emailPattern), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("text"), lit(TA.phonePattern), lit(0)))
+            .cast("long").as("n_phone"),
+          TA.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    // L1 — URL extraction + canonical host stats (the C4/RefinedWeb
+    // domain-filter primitive): pull every URL out of the text, canonicalize
+    // the host (lowercase, strip a leading www.), and count docs/urls per
+    // domain — the table a domain allow/deny policy filters against. The
+    // fixture text carries no URLs, so the query seeds two deterministic
+    // ones per doc (a sharded CDN host exercising the case-fold and a
+    // www. host exercising the strip) before extracting.
+    "q_url_stats" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("see https://CDN"), (col("doc_id") % 7).cast("string"),
+          lit(".Example.org/p/"), col("doc_id").cast("string"),
+          lit("?ref=x and http://www.example.com/about "),
+          col("text")).as("text"))
+      seeded
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"),
+            lit("https?://[^\\s]+"), lit(0))).as("url"))
+        .select(col("doc_id"),
+          regexp_replace(
+            lower(regexp_extract(col("url"), "^https?://([^/?#]+)", 1)),
+            "^www\\.", "").as("host"))
+        .groupBy("host")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_urls"))
+        .orderBy("host")
     }),
     // A6 — exact dedup by key with deterministic survivor (window-rank; the
     // dropDuplicates equivalent with a defined choice).
@@ -936,6 +1008,28 @@ object Pipeline {
       Curation.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Curation — CCNet-style perplexity bucketing: per language, rank docs
+    // by LM score and split into head/middle/tail tertiles (ntile), then
+    // report each bucket's population and exact score mass. The bucket
+    // label is what a curation policy samples against (keep head, drop
+    // tail). Score sums run in decimal(18,6) so the per-bucket totals are
+    // shuffle-order independent; min/max are order-free by construction.
+    "q_ppl_bucket" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val lm = Curation.bigramLmScore(docs, "doc_id", "text")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("avg_logp").desc, col("doc_id"))
+      lm.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("avg_logp").cast("decimal(18,6)")).cast("double"))
+            .as("sum_logp"),
+          min(col("avg_logp")).as("min_logp"),
+          max(col("avg_logp")).as("max_logp"))
+        .orderBy("lang", "bucket")
+    }),
     // L1 — token frequency via explode (the Generate operator): top-20
     // corpus-wide tokens with deterministic tiebreak.
     "q_explode" -> ((s, dir) => {
@@ -1545,23 +1639,19 @@ object Pipeline {
          SELECT e.suppkey, cms_est, exact_n, cms_est - exact_n AS overest
          FROM est e JOIN exact USING (suppkey) ORDER BY suppkey""",
     "q_lm_score" ->
-      """WITH w AS (
-           SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
-         occ AS (
-           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
-           FROM (SELECT doc_id, w,
-                   unnest(generate_series(1, len(w) - 1)) AS i FROM w)),
-         big AS (SELECT w1, w2, count(*) AS cb FROM occ GROUP BY w1, w2),
-         ctx AS (SELECT w1, count(*) AS cc FROM occ GROUP BY w1),
-         v AS (SELECT count(DISTINCT tok) AS vsz
-               FROM (SELECT unnest(w) AS tok FROM w)),
-         t AS (SELECT o.doc_id,
-                 cast(ln(b.cb + 1) AS decimal(28,10)) -
-                 cast(ln(c.cc + v.vsz) AS decimal(28,10)) AS term
-               FROM occ o JOIN big b USING (w1, w2) JOIN ctx c USING (w1), v)
-         SELECT doc_id, count(*) AS n_bigrams,
-           round(cast(sum(term) AS double) / count(*), 6) AS avg_logp
-         FROM t GROUP BY doc_id ORDER BY doc_id""",
+      s"""WITH $LmScoreCte
+         SELECT doc_id, n_bigrams, avg_logp FROM lm ORDER BY doc_id""",
+    "q_ppl_bucket" ->
+      s"""WITH $LmScoreCte,
+         lb AS (
+           SELECT lm.doc_id, avg_logp, d.lang,
+             cast(ntile(3) OVER (PARTITION BY d.lang
+               ORDER BY avg_logp DESC, lm.doc_id) AS bigint) AS bucket
+           FROM lm JOIN documents d ON lm.doc_id = d.doc_id)
+         SELECT lang, bucket, count(*) AS n_docs,
+           cast(sum(cast(avg_logp AS decimal(18,6))) AS double) AS sum_logp,
+           min(avg_logp) AS min_logp, max(avg_logp) AS max_logp
+         FROM lb GROUP BY lang, bucket ORDER BY lang, bucket""",
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
          cast(sum(n_chars) AS bigint) AS sum_chars,
@@ -1705,6 +1795,41 @@ object Pipeline {
          cast(sum(CASE WHEN regexp_matches(text,
            '\d{3}[-. ]\d{3}[-. ]\d{4}') THEN 1 ELSE 0 END) AS bigint) AS n_phone
          FROM documents GROUP BY source ORDER BY source""",
+    // Patterns interpolated from TextAnalysis so engine and oracle cannot
+    // desynchronize (both dialects read them identically: ASCII classes,
+    // no engine-specific syntax).
+    "q_pii_redact" ->
+      s"""WITH seeded AS (
+           SELECT doc_id, text || ' contact user' || doc_id::varchar ||
+             '@mail.example.com or ' ||
+             printf('555-%03d-%04d', doc_id % 1000, doc_id % 10000) AS text
+           FROM documents)
+         SELECT doc_id,
+           cast(len(regexp_extract_all(text,
+             '${TA.emailPattern}')) AS bigint) AS n_email,
+           cast(len(regexp_extract_all(text,
+             '${TA.phonePattern}')) AS bigint) AS n_phone,
+           regexp_replace(regexp_replace(text,
+             '${TA.emailPattern}', '[EMAIL]', 'g'),
+             '${TA.phonePattern}', '[PHONE]', 'g') AS redacted
+         FROM seeded ORDER BY doc_id""",
+    "q_url_stats" ->
+      """WITH seeded AS (
+           SELECT doc_id, 'see https://CDN' || (doc_id % 7)::varchar ||
+             '.Example.org/p/' || doc_id::varchar ||
+             '?ref=x and http://www.example.com/about ' || text AS text
+           FROM documents),
+         u AS (
+           SELECT doc_id, unnest(regexp_extract_all(text,
+             'https?://[^\s]+')) AS url
+           FROM seeded),
+         h AS (
+           SELECT doc_id, regexp_replace(
+             lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+             '^www\.', '') AS host
+           FROM u)
+         SELECT host, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+         FROM h GROUP BY host ORDER BY host""",
     "q_dedup_exact" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM (
            SELECT l_orderkey, l_partkey, l_quantity,

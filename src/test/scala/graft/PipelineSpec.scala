@@ -620,6 +620,11 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(stats(2L).mean_luma - want) < 40.0,
       s"jpeg luma ${stats(2L).mean_luma} vs $want")
   }
+}
+
+/** Fixture-level invariants of the registered curation queries (the
+  * behavioral complement to their DuckDB oracles and PlanSpec pins). */
+class CurationQuerySpec extends SparkSpec {
 
   test("leakage-free split: near-dup cluster members never straddle " +
       "splits, and both splits are non-trivial on the fixture") {
@@ -639,5 +644,44 @@ class MultimodalSpec extends SparkSpec {
     // and the gate actually splits: both sides populated at sf0.001
     val sides = split.values.map(_._2).toSet
     assert(sides == Set("train", "val"), s"degenerate split: $sides")
+  }
+
+  test("perplexity buckets: per language the tertiles cover every scored " +
+      "doc, sizes differ by at most one, and score ranges do not overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_ppl_bucket")(spark, dir).collect()
+    val scored = SparkEntry.queries("q_lm_score")(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scored,
+      "every doc with a score must land in exactly one bucket")
+    rows.groupBy(_.getString(0)).foreach { case (lang, bs) =>
+      assert(bs.length == 3, s"$lang: expected 3 tertiles")
+      val sizes = bs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$lang: uneven tertiles $sizes")
+      // ntile ordered by score desc → bucket k's min >= bucket k+1's max
+      val byB = bs.sortBy(_.getAs[Long]("bucket"))
+      byB.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi.getAs[Double]("min_logp") >= lo.getAs[Double]("max_logp"),
+          s"$lang: bucket ranges overlap")
+      }
+    }
+  }
+
+  test("URL host stats canonicalize case and www., and count documents " +
+      "distinctly per host") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_url_stats")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_urls")))
+      .toMap
+    val nDocs = SparkEntry.queries("q_token_count")(spark, dir).count()
+    // every doc seeds one www.example.com URL → canonical host example.com
+    // with n_docs == corpus size; the mixed-case CDN hosts fold to
+    // lowercase shards
+    assert(rows.keySet.forall(h => h == h.toLowerCase && !h.startsWith("www.")),
+      s"non-canonical hosts: ${rows.keySet}")
+    assert(rows("example.com") == (nDocs, nDocs), rows("example.com").toString)
+    val cdn = rows.keys.filter(_.startsWith("cdn")).toSeq.sorted
+    assert(cdn == (0 until 7).map(i => s"cdn$i.example.org"), cdn.toString)
+    assert(cdn.map(h => rows(h)._1).sum == nDocs,
+      "each doc seeds exactly one CDN shard URL")
   }
 }

@@ -190,7 +190,11 @@ class PlanSpec extends SparkSpec {
       // (q_profile per-column stats, q_funnel stage counts, q_tfidf's
       // corpus size N, q_lm_score's vocabulary size V, q_temperature_mix's
       // min per-language count — all scalars over already-aggregated rows).
-      "q_profile", "q_funnel", "q_tfidf", "q_lm_score", "q_temperature_mix",
+      // (q_ppl_bucket composes q_lm_score, so it inherits the same
+      // one-row vocabulary-size aggregate; its window runs distributed
+      // over the per-language partitions.)
+      "q_profile", "q_funnel", "q_tfidf", "q_lm_score", "q_ppl_bucket",
+      "q_temperature_mix",
       // q_agg_approx_pct is a grand-total percentile verdict (one output
       // row from distributed partial sketches); q_privacy_report gathers
       // two one-row audit summaries over the already-aggregated 125-class
@@ -418,6 +422,32 @@ class PlanSpec extends SparkSpec {
     // the margin must combine map-side, so exactly two exchanges (the
     // doc_id aggregate shuffle and the orderBy)
     assert("Exchange".r.findAllIn(p).length <= 3, p.take(600))
+  }
+
+  test("PII redaction is a codegen'd scan-local projection — one scan, " +
+      "one presentation exchange") {
+    val p = plan("q_pii_redact")
+    assert("FileScan".r.findAllIn(p).length == 1, p.take(400))
+    assert("Exchange".r.findAllIn(p).length == 1,
+      "seed + count + redact must all ride the scan projection; only the " +
+        "orderBy may exchange")
+  }
+
+  test("URL host stats: one scan through explode into a partial+final " +
+      "distinct aggregate") {
+    val p = plan("q_url_stats")
+    assert("FileScan".r.findAllIn(p).length == 1, p.take(400))
+    assert(p.contains("Generate"), "URL extraction must explode scan-side")
+    assert(p.contains("partial"),
+      "the host aggregate must combine map-side before the shuffle")
+  }
+
+  test("perplexity bucketing runs ONE window pass over the per-doc score " +
+      "table (document-scale), never the bigram explode") {
+    val p = plan("q_ppl_bucket")
+    assert("Window".r.findAllIn(p).length == 1, p.take(600))
+    assert(p.contains("ntile"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
   test("deterministic sampling pushes nothing but stays codegen'd scan-local") {
