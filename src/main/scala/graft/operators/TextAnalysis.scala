@@ -126,6 +126,24 @@ object TextAnalysis {
       regexp_replace(text, emailPattern, "[EMAIL]"),
       phonePattern, "[PHONE]")
 
+  /** Every http(s) URL in the text, in order (a URL runs to the next
+    * whitespace — trailing punctuation is the caller's policy, as in C4's
+    * line-based pipeline). Dialect-portable pattern. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
+
+  /**
+   * Canonical host of a URL for domain-level filtering/stats: the
+   * authority component (up to the first `/`, `?` or `#`), lowercased,
+   * with one leading `www.` stripped. A port is kept — `host:8080` and
+   * `host` are different origins, and folding them is a policy choice the
+   * caller can layer on. Non-URL input yields the empty string.
+   */
+  def canonicalHost(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^https?://([^/?#]+)", 1)),
+      "^www\\.", "")
+
   /**
    * BM25 relevance ranking (Robertson/Spärck Jones; the Lucene-default
    * scoring function) of every document against a FIXED literal term set —

@@ -302,13 +302,8 @@ object Pipeline {
           lit("?ref=x and http://www.example.com/about "),
           col("text")).as("text"))
       seeded
-        .select(col("doc_id"),
-          explode(regexp_extract_all(col("text"),
-            lit("https?://[^\\s]+"), lit(0))).as("url"))
-        .select(col("doc_id"),
-          regexp_replace(
-            lower(regexp_extract(col("url"), "^https?://([^/?#]+)", 1)),
-            "^www\\.", "").as("host"))
+        .select(col("doc_id"), explode(TA.extractUrls(col("text"))).as("url"))
+        .select(col("doc_id"), TA.canonicalHost(col("url")).as("host"))
         .groupBy("host")
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_urls"))
@@ -947,6 +942,25 @@ object Pipeline {
     // keeps the rate bit-portable: n_min/n_lang is an exact bigint ratio
     // and IEEE sqrt/mul are correctly rounded, so floor(rate·65536) is
     // identical in any engine — no epsilon between Spark and the oracle.
+    // Curation — token-BUDGET mixing: per language, admit documents in
+    // quality order (rule-based score, doc_id tiebreak) until the
+    // language's token budget is spent. The pretraining-recipe primitive:
+    // a data mix is specified in tokens, not document ratios — this is
+    // the operator that turns "N tokens of lang X" into a concrete keep
+    // set. One scan → per-language running-total window → filter; the
+    // window rides one hash-partitioned exchange on lang.
+    "q_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TA.tokenCountWs(col("text")).as("n_tokens"),
+        TA.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 1500)
+        .select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
+        .orderBy("lang", "doc_id")
+    }),
     "q_temperature_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
@@ -1569,6 +1583,23 @@ object Pipeline {
                  sum(cast(c * ln(cast(c AS double)) AS decimal(28,10))) AS sclc
                FROM tf GROUP BY doc_id)
          ORDER BY doc_id""",
+    "q_token_budget" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+             cast(len(string_split_regex(text, '\s+')) AS bigint) AS n_tokens,
+             (CASE WHEN len(string_split_regex(text, '\s+'))
+                 BETWEEN 20 AND 10000 THEN 0.5 ELSE 0.0 END +
+              CASE WHEN cast(length(regexp_replace(text, '\s+', '', 'g'))
+                  AS double) / len(string_split_regex(text, '\s+'))
+                 BETWEEN 3.0 AND 8.0 THEN 0.5 ELSE 0.0 END) AS quality
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens, quality,
+             cast(sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY quality DESC, doc_id) AS bigint) AS cum_tokens
+           FROM s)
+         SELECT doc_id, lang, n_tokens, quality, cum_tokens FROM c
+         WHERE cum_tokens <= 1500 ORDER BY lang, doc_id""",
     "q_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          m AS (SELECT min(n_docs) AS n_min FROM c),

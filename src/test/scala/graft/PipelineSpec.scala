@@ -456,6 +456,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(two(1L) > two(2L) && two(2L) > two(3L))
   }
 
+  test("URL extraction and host canonicalization: order kept, case folded, " +
+      "www. stripped once, ports kept, non-URLs empty") {
+    val df = strDf("t", Seq(
+      "a http://www.Example.COM/x then https://CDN3.example.org/p?q=1 done",
+      "bare https://host:8080/path and https://www.www.deep.io/",
+      "no urls here",
+      ""))
+    val urls = df.select(TA.extractUrls(col("t")).as("u")).collect()
+      .map(_.getSeq[String](0))
+    assert(urls(0) == Seq("http://www.Example.COM/x",
+      "https://CDN3.example.org/p?q=1"))
+    assert(urls(2).isEmpty && urls(3).isEmpty)
+    val hosts = df.select(explode(TA.extractUrls(col("t"))).as("u"))
+      .select(TA.canonicalHost(col("u"))).collect().map(_.getString(0))
+    assert(hosts.toSeq == Seq("example.com", "cdn3.example.org",
+      "host:8080", "www.deep.io"),
+      s"got ${hosts.toSeq} — exactly ONE leading www. strips, ports stay")
+    // non-URL input through canonicalHost alone → empty string
+    assert(strDf("u", Seq("ftp://x", "plain"))
+      .select(TA.canonicalHost(col("u"))).collect()
+      .forall(_.getString(0) == ""))
+  }
+
   test("PII detectors hit emails and phone shapes, not plain text") {
     val df = strDf("t", Seq("contact bob@example.com now", "call 415-555-1234",
       "nothing here"))

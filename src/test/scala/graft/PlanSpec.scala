@@ -450,6 +450,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("token-budget mix: one scan, one window pass partitioned by " +
+      "language — the running total never funnels to one partition") {
+    val p = plan("q_token_budget")
+    assert("FileScan".r.findAllIn(p).length == 1, p.take(400))
+    assert("Window".r.findAllIn(p).length == 1, p.take(600))
+    assert(!p.contains("Exchange SinglePartition"), p.take(600))
+  }
+
   test("deterministic sampling pushes nothing but stays codegen'd scan-local") {
     val p = plan("q_sample_hash")
     assert("FileScan".r.findAllIn(p).length == 1)
