@@ -53,6 +53,30 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive training: per query, the top-k
+   * MOST similar corpus vectors that are NOT near-duplicates of it
+   * (cosine < `dupThreshold`). The near-dup band is what SemDeDup-style
+   * dedup removes as redundant; just below it live the hardest negatives —
+   * similar enough to be informative, distinct enough to be true
+   * negatives. Same broadcast-crossJoin shape as [[exactTopK]] (queries
+   * must be small); the dup gate is a scan-local predicate on the
+   * already-computed cosine, so the plan is exactTopK's plus one Filter —
+   * at 100 TB swap the candidate source for the LSH/IVF bucket join
+   * exactly as [[lshTopK]] does.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      dupThreshold: Double,
+      idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    val c = corpus.withColumn("__norm", l2Norm(col(embCol)))
+    val q = queries.withColumn("__qnorm", l2Norm(col(qEmbCol)))
+    val scored = withCos(c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col(qIdCol)), embCol, qEmbCol)
+      .filter(col("cos") < dupThreshold)
+    rankTopK(scored, qIdCol, idCol, k)
+  }
+
+  /**
    * Deterministic random hyperplanes: `n` planes of dimension `dim`, seeded
    * Gaussian — the projection basis is part of the operator definition, so
    * signatures are reproducible across runs and engines.

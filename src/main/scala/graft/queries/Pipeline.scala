@@ -804,6 +804,21 @@ object Pipeline {
           round(col("cos"), 6).as("cosine"))
         .orderBy("q_id", "rn")
     }),
+    // L2 — hard-negative mining: the top-10 most-similar vectors per query
+    // EXCLUDING the near-duplicate band (cos >= 0.35, just under the
+    // fixture's 0.4 dedup threshold — the same band q_dedup_embed treats
+    // as redundant). The contrastive-training sampler: rank what is close
+    // but provably not a duplicate.
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.hardNegatives(emb, qs, 10, dupThreshold = 0.35)
+        .select(col("q_id"), col("vec_id"), col("rn"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("q_id", "rn")
+    }),
     // L2 — sign-LSH bucket histogram: the scale path's candidate profile.
     // Oracle-checked: the seeded hyperplane basis is part of the operator
     // definition, so the oracle SQL carries the same plane literals and
@@ -1879,6 +1894,19 @@ object Pipeline {
                   * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos
              FROM embeddings q JOIN embeddings e
                ON q.vec_id < 5 AND e.vec_id <> q.vec_id))
+         WHERE rn <= 10 ORDER BY q_id, rn""",
+    "q_hard_negatives" ->
+      """SELECT q_id, vec_id, rn, round(cos, 6) AS cosine FROM (
+           SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+           FROM (
+             SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+               list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos
+             FROM embeddings q JOIN embeddings e
+               ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
+           WHERE cos < 0.35)
          WHERE rn <= 10 ORDER BY q_id, rn""",
     "q_dedup_ngram" ->
       """WITH s AS (

@@ -400,6 +400,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(hits == Set(1L, 2L)) // bucket-mates only; 3 is filtered by LSH
   }
+
+  test("hardNegatives drops the near-duplicate band but keeps the hardest " +
+      "survivor on top; ranks are re-numbered after the cut") {
+    // corpus vs query (1,0): 2 is a near-clone (cos≈0.998), 3 is hard
+    // (cos≈0.894), 4 orthogonal, 5 opposite
+    val corpus = vecs((2L, Seq(1.0, 0.07)), (3L, Seq(1.0, 0.5)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(-1.0, 0.0)))
+    val qs = vecs((1L, Seq(1.0, 0.0))).select(col("vec_id").as("q_id"),
+      col("emb").as("q_emb"))
+    val all = Similarity.exactTopK(corpus, qs, 4)
+      .orderBy("rn").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(all.head == 2L, "sanity: the clone tops the unfiltered ranking")
+    val hard = Similarity.hardNegatives(corpus, qs, 4, dupThreshold = 0.95)
+      .orderBy("rn").collect()
+    assert(hard.map(_.getAs[Long]("vec_id")).toSeq == Seq(3L, 4L, 5L),
+      "clone excluded, hardest negative first, ranks renumbered")
+    assert(hard.map(_.getAs[Long]("rn")).toSeq == Seq(1L, 2L, 3L))
+    assert(hard.forall(_.getAs[Double]("cos") < 0.95))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -450,6 +450,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("hard-negative mining broadcasts the query set over one corpus " +
+      "scan — the dup gate adds a Filter, never a second pass") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the small query side must broadcast across the corpus scan")
+    assert("FileScan".r.findAllIn(p).length == 2,
+      "corpus + query-subset scans only — the cosine filter must not " +
+        "re-read the table")
+  }
+
   test("token-budget mix: one scan, one window pass partitioned by " +
       "language — the running total never funnels to one partition") {
     val p = plan("q_token_budget")
