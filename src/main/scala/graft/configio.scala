@@ -257,7 +257,7 @@ object ConfigIO {
     case c => c.toString
   }
 
-  private def toJson(v: Any): String = v match {
+  private[graft] def toJson(v: Any): String = v match {
     case null => "null"
     case s: String => "\"" + jsonEscape(s) + "\""
     case b: Boolean => b.toString

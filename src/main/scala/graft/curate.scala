@@ -1,0 +1,251 @@
+package graft
+
+import graft.operators.{Dedup, Sampling, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Config-driven corpus curation CLI — the curation twin of [[Anonymize]]:
+ * the reference's workflow (generate a reviewable config → run → JSON
+ * report; `src/main.ts:21-133`) applied to the training-data pipeline
+ * instead of column masking. One command takes a raw `documents` table
+ * through quality gate → dedup → token-budget mix → leak-free split and
+ * writes train/val parquet plus a per-stage funnel report.
+ *
+ *   graft.Curate --configGen --data <parquetDir> --out <dir>
+ *   graft.Curate --run       --data <parquetDir> --out <dir> [--config y.yaml]
+ *
+ * Every stage composes the library operators the registered queries
+ * already oracle-check (qualityScore, fingerprint dedup, banded MinHash +
+ * connected components, the budget window, the md5 split gate) — the CLI
+ * adds orchestration, not new semantics. Scale shape: each stage is one
+ * declarative transform on the same lineage; the only materializations
+ * are the two writes and the report counts, and the near-dup cluster
+ * labels persist once because three stages (survivor filter, split gate,
+ * report) consume them.
+ */
+object Curate {
+  val ConfigFile = "curate.config.yaml"
+  val ReportFile = "curate.report.json"
+
+  /**
+   * Curation policy. `minQuality` gates on the rule-based [[TA.qualityScore]]
+   * (0.0 disables); `dedup` is `none | exact | fuzzy` (exact = fingerprint
+   * survivor, fuzzy = banded MinHash at `jaccard` + connected components,
+   * keep-lowest-id); `tokensPerLang` caps each language's admitted tokens
+   * in quality order (0 = unlimited); `valThresholdHex` is the md5 split
+   * gate (4 hex chars, keeps ~int(hex,16)/65536 of clusters in val;
+   * "0000" = everything train). The gate keys on the near-dup CLUSTER
+   * label, so duplicates can never straddle the split.
+   */
+  final case class CurateConfig(
+      version: Int,
+      minQuality: Double,
+      dedup: String,
+      jaccard: Double,
+      tokensPerLang: Long,
+      valThresholdHex: String) {
+    require(Set("none", "exact", "fuzzy")(dedup), s"bad dedup mode: $dedup")
+    require(valThresholdHex.matches("[0-9a-f]{4}"),
+      s"bad valThresholdHex: $valThresholdHex")
+  }
+
+  val DefaultConfig: CurateConfig =
+    CurateConfig(1, 1.0, "fuzzy", 0.5, 0L, "1999")
+
+  // ----------------------------------------------------------- config io
+
+  def writeConfig(path: String, c: CurateConfig): Unit = {
+    val tree = new java.util.LinkedHashMap[String, Any]()
+    tree.put("version", c.version)
+    tree.put("minQuality", c.minQuality)
+    tree.put("dedup", c.dedup)
+    tree.put("jaccard", c.jaccard)
+    tree.put("tokensPerLang", c.tokensPerLang)
+    tree.put("valThresholdHex", c.valThresholdHex)
+    ConfigIO.writeYamlRaw(path, tree)
+  }
+
+  def readConfig(path: String): CurateConfig = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Any]](
+        java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    def num(k: String): Double = root.get(k) match {
+      case n: Number => n.doubleValue()
+      case other => sys.error(s"$k must be numeric, got $other")
+    }
+    CurateConfig(
+      version = num("version").toInt,
+      minQuality = num("minQuality"),
+      dedup = String.valueOf(root.get("dedup")),
+      jaccard = num("jaccard"),
+      tokensPerLang = num("tokensPerLang").toLong,
+      valThresholdHex = String.valueOf(root.get("valThresholdHex")))
+  }
+
+  // ----------------------------------------------------------- pipeline
+
+  /** Per-stage funnel result: the curated train/val frames plus the
+    * counts the report writes (a LinkedHashMap-ordered funnel). */
+  final case class Curated(train: DataFrame, `val`: DataFrame,
+      funnel: Seq[(String, Long)], perLang: Seq[(String, Long, Long)])
+
+  /**
+   * Run the funnel on a documents frame. Columns required: `doc_id`
+   * (unique long), `text`, `lang`. Counts force one action per stage
+   * boundary — acceptable for a CLI run (the reference's executor also
+   * reports per-table counts); the heavy lineage up to the split is
+   * shared, not recomputed, because the gated frame and the cluster
+   * labels persist for their multi-consumer stages.
+   */
+  def run(docs: DataFrame, c: CurateConfig): Curated = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    val nIn = docs.count()
+
+    // 1. quality gate (rule-based; the trained gate is scoreWithTokenWeights
+    //    — swap-in, same shape)
+    val gated0 = docs.filter(col("text").isNotNull)
+      .withColumn("__q", TA.qualityScore(col("text")))
+      .filter(col("__q") >= c.minQuality)
+    // persisted: the dedup stage consumes it 2-3 times (signatures + join
+    // back), the budget window once more
+    val gated = gated0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nGated = gated.count()
+
+    // 2. dedup + cluster labels (labels drive BOTH the survivor filter and
+    //    the leak-free split gate)
+    val (deduped, labels) = c.dedup match {
+      case "none" => (gated, None)
+      case "exact" =>
+        (Dedup.exactByKey(
+          gated.withColumn("__fp", Dedup.fingerprint(col("text"))),
+          Seq("__fp"), Seq(col("doc_id"))).drop("__fp"), None)
+      case "fuzzy" =>
+        val edges = Dedup.nearDuplicates(gated, "doc_id", "text",
+          threshold = c.jaccard)
+        val lbl = Dedup.connectedComponents(edges, "a", "b")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // CC labels every member with the cluster's MINIMUM id, so the
+        // survivor filter is label == own id (singletons have no label row)
+        val kept = gated.join(lbl, gated("doc_id") === lbl("id"), "left")
+          .filter(col("comp").isNull || col("comp") === col("doc_id"))
+          .drop("id", "comp")
+        (kept, Some(lbl))
+    }
+    val nDeduped = deduped.count()
+
+    // 3. token-budget mix (quality order, doc_id tiebreak — q_token_budget's
+    //    exact shape)
+    val budgeted =
+      if (c.tokensPerLang <= 0L) deduped
+      else {
+        val w = Window.partitionBy("lang")
+          .orderBy(col("__q").desc, col("doc_id"))
+        deduped
+          .withColumn("__tok", TA.tokenCountWs(col("text")))
+          .withColumn("__cum", sum(col("__tok")).over(w))
+          .filter(col("__cum") <= c.tokensPerLang)
+          .drop("__tok", "__cum")
+      }
+
+    // 4. leak-free split: gate on the cluster label (fuzzy) or the doc id
+    //    (exact/none — there are no cross-doc duplicates left to leak)
+    val withKey = labels match {
+      case Some(lbl) =>
+        budgeted.join(lbl, budgeted("doc_id") === lbl("id"), "left")
+          .withColumn("__skey", coalesce(col("comp"), col("doc_id")))
+          .drop("id", "comp")
+      case None => budgeted.withColumn("__skey", col("doc_id"))
+    }
+    val isVal = Sampling.hashHex4(col("__skey"), "curate-split") <
+      lit(c.valThresholdHex)
+    val split = withKey
+      .withColumn("split", when(isVal, lit("val")).otherwise(lit("train")))
+      .drop("__skey", "__q")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val train = split.filter(col("split") === "train").drop("split")
+    val valDf = split.filter(col("split") === "val").drop("split")
+    val nTrain = train.count()
+    val nVal = valDf.count()
+
+    val perLang = split
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(TA.tokenCountWs(col("text"))).as("tok"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    gated.unpersist()
+    labels.foreach(_.unpersist())
+    val _ = spark // (kept: the session is the natural anchor for future stages)
+    Curated(train, valDf,
+      funnel = Seq("input" -> nIn, "afterQuality" -> nGated,
+        "afterDedup" -> nDeduped, "train" -> nTrain, "val" -> nVal),
+      perLang = perLang)
+  }
+
+  def writeReport(path: String, c: CurateConfig, r: Curated): Unit = {
+    val json = ConfigIO.toJson(Map(
+      "mode" -> "curate",
+      "config" -> scala.collection.immutable.ListMap(
+        "version" -> c.version, "minQuality" -> c.minQuality,
+        "dedup" -> c.dedup, "jaccard" -> c.jaccard,
+        "tokensPerLang" -> c.tokensPerLang,
+        "valThresholdHex" -> c.valThresholdHex),
+      "funnel" -> scala.collection.immutable.ListMap(r.funnel: _*),
+      "perLang" -> r.perLang.map { case (l, n, t) =>
+        scala.collection.immutable.ListMap(
+          "lang" -> l, "n_docs" -> n, "n_tokens" -> t) }))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  // ----------------------------------------------------------- cli
+
+  private val valueFlags = Set("--data", "--out", "--config")
+  private val boolFlags = Set("--configGen", "--run")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-curate")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try cli(spark, args) finally spark.stop()
+  }
+
+  /** CLI body, session-injected so tests drive the real dispatch (the
+    * Anonymize.run convention, including its strict unknown-flag policy). */
+  def cli(spark: SparkSession, args: Array[String]): Unit = {
+    val unknown = args.filter(_.startsWith("--"))
+      .filterNot(a => valueFlags(a) || boolFlags(a))
+    if (unknown.nonEmpty)
+      sys.error(s"unknown argument(s): ${unknown.mkString(" ")}")
+    val modes = args.filter(boolFlags)
+    if (modes.length != 1)
+      sys.error("exactly one mode required: --configGen | --run")
+    def opt(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val dataDir = opt("--data").getOrElse(sys.error("--data <parquetDir> required"))
+    val outDir = opt("--out").getOrElse(".")
+    new java.io.File(outDir).mkdirs()
+    val configPath = opt("--config").getOrElse(s"$outDir/$ConfigFile")
+    spark.sparkContext.setLogLevel("WARN")
+    modes.head match {
+      case "--configGen" =>
+        writeConfig(configPath, DefaultConfig)
+        println(s"Config written to $configPath")
+      case "--run" =>
+        val c = if (new java.io.File(configPath).isFile) readConfig(configPath)
+          else DefaultConfig
+        val docs = Tables.load(spark, dataDir, "documents")
+        val r = run(docs, c)
+        r.train.write.mode("overwrite").parquet(s"$outDir/train")
+        r.`val`.write.mode("overwrite").parquet(s"$outDir/val")
+        writeReport(s"$outDir/$ReportFile", c, r)
+        println(s"Curated: ${r.funnel.map { case (k, v) => s"$k=$v" }
+          .mkString(" ")} → $outDir")
+    }
+  }
+}
