@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/**
+ * Overhead probe: `runMain graft.JobCount <query> [sfDir]` warms the
+ * query at sf0.001, then runs it once and prints wall-clock + Spark
+ * job/stage counts — the companion to [[Explain]] for deciding whether a
+ * slow small-scale number is data work or fixed per-job overhead (an
+ * AQE stage materialization costs ~100ms locally; 30 jobs ≈ 3s of
+ * overhead that vanishes at cluster scale while data cost grows).
+ */
 object JobCount {
   def main(args: Array[String]): Unit = {
     val q = args(0); val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")

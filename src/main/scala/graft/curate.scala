@@ -96,12 +96,16 @@ object Curate {
    * boundary — acceptable for a CLI run (the reference's executor also
    * reports per-table counts); the heavy lineage up to the split is
    * shared, not recomputed, because the gated frame and the cluster
-   * labels persist for their multi-consumer stages.
+   * labels persist for their multi-consumer stages (both freed before
+   * returning). The returned train/val frames share one persisted split
+   * stage that stays alive for the caller's writes — session-lived, the
+   * repo's documented convention for result-backing caches; a long-lived
+   * session composing many curations should `spark.catalog.clearCache()`
+   * between runs.
    */
   def run(docs: DataFrame, c: CurateConfig): Curated = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
-    val spark = docs.sparkSession
     val nIn = docs.count()
 
     // 1. quality gate (rule-based; the trained gate is scoreWithTokenWeights
@@ -178,7 +182,6 @@ object Curate {
 
     gated.unpersist()
     labels.foreach(_.unpersist())
-    val _ = spark // (kept: the session is the natural anchor for future stages)
     Curated(train, valDf,
       funnel = Seq("input" -> nIn, "afterQuality" -> nGated,
         "afterDedup" -> nDeduped, "train" -> nTrain, "val" -> nVal),

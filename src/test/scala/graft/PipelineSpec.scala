@@ -498,6 +498,51 @@ class TextAnalysisSpec extends SparkSpec {
       .forall(_.getString(0) == ""))
   }
 
+  test("redaction law on 300 randomized texts: idempotent (a second pass " +
+      "changes nothing) and detector-clean afterwards") {
+    // seeded mix of emails, phone shapes, digit runs, and plain words —
+    // adjacency of digit fragments exercises the non-overlapping-match
+    // edge cases (a replacement must never expose a NEW match, which
+    // holds because the placeholders carry no digits or @)
+    val rnd = new scala.util.Random(7)
+    def frag(): String = rnd.nextInt(6) match {
+      case 0 => s"user${rnd.nextInt(1000)}@ex${rnd.nextInt(10)}.com"
+      case 1 => s"${100 + rnd.nextInt(900)}-${100 + rnd.nextInt(900)}-" +
+        s"${1000 + rnd.nextInt(9000)}"
+      case 2 => Seq.fill(1 + rnd.nextInt(14))(('0' + rnd.nextInt(10)).toChar)
+        .mkString
+      case _ => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString
+    }
+    val texts = Seq.fill(300)(
+      Seq.fill(1 + rnd.nextInt(12))(frag())
+        .mkString(if (rnd.nextBoolean()) " " else ""))
+    val once = strDf("t", texts).select(TA.redactPii(col("t")).as("t"))
+    assert(once.select((TA.redactPii(col("t")) <=> col("t")).as("same"))
+      .collect().forall(_.getBoolean(0)), "redactPii must be idempotent")
+    assert(once.filter(TA.hasEmail(col("t")) || TA.hasPhone(col("t")))
+      .count() == 0, "no detector may fire after redaction")
+  }
+
+  test("canonicalHost law on randomized hosts: lowercases and strips " +
+      "exactly ONE leading www.") {
+    val rnd = new scala.util.Random(11)
+    val cases = Seq.fill(200) {
+      val k = rnd.nextInt(3) // 0..2 www. prefixes
+      val name = (1 + rnd.nextInt(3) to 3).map(_ =>
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString).mkString(".")
+      val mixedCase = name.map(c =>
+        if (rnd.nextBoolean()) c.toUpper else c).mkString
+      val url = s"https://${"www." * k}$mixedCase/p?x=1"
+      val expected = ("www." * math.max(0, k - 1)) + name.toLowerCase
+      (url, expected)
+    }
+    val out = strDf("u", cases.map(_._1))
+      .select(TA.canonicalHost(col("u"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want $want got $got")
+    }
+  }
+
   test("PII detectors hit emails and phone shapes, not plain text") {
     val df = strDf("t", Seq("contact bob@example.com now", "call 415-555-1234",
       "nothing here"))
