@@ -1116,6 +1116,28 @@ object Pipeline {
         GROUP BY n_name
         ORDER BY revenue DESC, n_name""")
     }),
+    // SQL surface for the curation kit: the graft_* functions registered
+    // through SparkSessionExtensions compose into a pure-SQL gate →
+    // fingerprint-dedup → per-language rollup — the identical Catalyst
+    // trees the Column API builds (zero UDFs), so the whole statement
+    // oracle-checks. A SQL-only user gets the curation pipeline without
+    // touching the Scala API.
+    "q_sql_curate" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("v_documents")
+      s.sql("""
+        WITH scored AS (
+          SELECT doc_id, lang, graft_quality(text) AS q,
+                 graft_fingerprint(text) AS fp, graft_clean_text(text) AS clean
+          FROM v_documents WHERE text IS NOT NULL),
+        deduped AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM scored WHERE q >= 1.0)
+          WHERE rn = 1)
+        SELECT lang, count(*) AS n_docs,
+               cast(sum(length(clean)) AS bigint) AS sum_clean_chars
+        FROM deduped GROUP BY lang ORDER BY lang""")
+    }),
     // L1 — text normalization (the cleaning stage ahead of dedup/dedup
     // fingerprints): lowercase, strip non-alphanumerics, collapse runs of
     // whitespace, trim. Scan-local codegen'd projection, zero shuffles.
@@ -1651,6 +1673,26 @@ object Pipeline {
            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY n_name
          ORDER BY revenue DESC, n_name""",
+    "q_sql_curate" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+             (CASE WHEN len(string_split_regex(text, '\s+'))
+                 BETWEEN 20 AND 10000 THEN 0.5 ELSE 0.0 END +
+              CASE WHEN cast(length(regexp_replace(text, '\s+', '', 'g'))
+                  AS double) / len(string_split_regex(text, '\s+'))
+                 BETWEEN 3.0 AND 8.0 THEN 0.5 ELSE 0.0 END) AS q,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+           FROM documents WHERE text IS NOT NULL),
+         deduped AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             FROM scored WHERE q >= 1.0)
+           WHERE rn = 1)
+         SELECT lang, count(*) AS n_docs,
+           cast(sum(length(clean)) AS bigint) AS sum_clean_chars
+         FROM deduped GROUP BY lang ORDER BY lang""",
     "q_clean_text" ->
       """SELECT doc_id,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

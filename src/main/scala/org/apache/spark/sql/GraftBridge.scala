@@ -14,6 +14,19 @@ object GraftBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /**
+   * Eager Column → Expression conversion. `expression` wraps the column's
+   * node in a LAZY `ColumnNodeExpression` that only unwraps on the normal
+   * Dataset path — inside a SparkSessionExtensions function builder it
+   * survives analysis unresolved and codegen then throws
+   * `Cannot generate code for expression`. This converts the node tree
+   * immediately; built-in calls become catalyst `UnresolvedFunction`s that
+   * the analyzer's fixed-point function resolution then resolves like any
+   * parsed SQL.
+   */
+  def expressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  /**
    * Release the blocks behind a `localCheckpoint(true)`-ed DataFrame.
    * `Dataset.unpersist` is a no-op for checkpointed frames — their storage
    * was persisted at the RDD level inside localCheckpoint and is not

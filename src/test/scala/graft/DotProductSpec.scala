@@ -33,6 +33,30 @@ class DotProductSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("curation kit registers as SQL functions — same Catalyst trees as " +
+      "the Column API, callable from pure SQL") {
+    val r = spark.sql(
+      """SELECT graft_clean_text(' The  Quick,  FOX!! ') AS clean,
+                graft_fingerprint('A  b') AS fp1,
+                graft_fingerprint('a b') AS fp2,
+                graft_redact_pii('mail bob@x.io or 415-555-1234') AS red,
+                graft_canonical_host('https://WWW.Example.org/p?q=1') AS host,
+                graft_lang_id(' the cat sat on a mat ') AS lid,
+                graft_quality('x') AS q
+      """).collect().head
+    assert(r.getAs[String]("clean") == "the quick fox")
+    assert(r.getAs[String]("fp1") == r.getAs[String]("fp2"),
+      "fingerprint is whitespace/case-canonical")
+    assert(r.getAs[String]("red") == "mail [EMAIL] or [PHONE]")
+    assert(r.getAs[String]("host") == "example.org")
+    assert(r.getAs[String]("lid") == "en")
+    assert(r.getAs[Double]("q") == 0.0)
+    // arity is enforced at registration
+    intercept[Exception] {
+      spark.sql("SELECT graft_quality('a', 'b')").collect()
+    }
+  }
+
   test("null array → null; length mismatch dots the common prefix") {
     val df = vecs((null, Seq(1.0)), (Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0)))
     val out = df.select(VectorOps.dot(col("a"), col("b"))).collect()
