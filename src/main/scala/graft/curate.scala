@@ -131,12 +131,7 @@ object Curate {
           threshold = c.jaccard)
         val lbl = Dedup.connectedComponents(edges, "a", "b")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // CC labels every member with the cluster's MINIMUM id, so the
-        // survivor filter is label == own id (singletons have no label row)
-        val kept = gated.join(lbl, gated("doc_id") === lbl("id"), "left")
-          .filter(col("comp").isNull || col("comp") === col("doc_id"))
-          .drop("id", "comp")
-        (kept, Some(lbl))
+        (within0(gated, lbl), Some(lbl))
     }
     val nDeduped = deduped.count()
 
@@ -188,6 +183,85 @@ object Curate {
       perLang = perLang)
   }
 
+  /**
+   * Incremental curation: take a NEW batch through the funnel against an
+   * EXISTING corpus — the shape a 100 TB pipeline actually runs daily
+   * (re-curating the full corpus per batch is the anti-pattern). Stages:
+   * quality gate → within-delta dedup (per `c.dedup`) → delta-vs-corpus
+   * near-dup removal (fuzzy: banded MinHash delta join, O(delta +
+   * collisions) — the corpus is never self-paired; exact: fingerprint
+   * anti join; none: skipped) → the same deterministic md5 split gate.
+   * The token budget is deliberately NOT applied here: budgets are
+   * corpus-level invariants, so admitting a delta under them requires the
+   * corpus totals — re-run the full [[run]] to re-budget.
+   *
+   * Leak note: a delta doc near-duplicating the corpus is REMOVED (not
+   * just co-assigned), and within-delta clusters keep one survivor, so
+   * the per-doc split gate cannot straddle a duplicate pair when dedup is
+   * on; `dedup = none` declares that risk away, as in [[run]].
+   */
+  def runDelta(corpus: DataFrame, delta: DataFrame,
+      c: CurateConfig): Curated = {
+    import org.apache.spark.storage.StorageLevel
+    val nIn = delta.count()
+    val gated = delta.filter(col("text").isNotNull)
+      .filter(TA.qualityScore(col("text")) >= c.minQuality)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nGated = gated.count()
+    val within = c.dedup match {
+      case "none" => gated
+      case "exact" =>
+        Dedup.exactByKey(
+          gated.withColumn("__fp", Dedup.fingerprint(col("text"))),
+          Seq("__fp"), Seq(col("doc_id"))).drop("__fp")
+      case "fuzzy" =>
+        val edges = Dedup.nearDuplicates(gated, "doc_id", "text",
+          threshold = c.jaccard)
+        val lbl = Dedup.connectedComponents(edges, "a", "b")
+        within0(gated, lbl)
+    }
+    val nWithin = within.count()
+    val vsCorpus = c.dedup match {
+      case "none" => within
+      case "exact" =>
+        within.withColumn("__fp", Dedup.fingerprint(col("text")))
+          .join(corpus.select(Dedup.fingerprint(col("text")).as("__fp"))
+            .distinct(), Seq("__fp"), "left_anti")
+          .drop("__fp")
+      case "fuzzy" =>
+        val hits = Dedup.nearDuplicatesDeltaPortable(corpus, within,
+          "doc_id", "text", threshold = c.jaccard)
+          .select(col("delta_id").as("doc_id")).distinct()
+        within.join(hits, Seq("doc_id"), "left_anti")
+    }
+    val isVal = Sampling.hashHex4(col("doc_id"), "curate-split") <
+      lit(c.valThresholdHex)
+    val split = vsCorpus
+      .withColumn("split", when(isVal, lit("val")).otherwise(lit("train")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val train = split.filter(col("split") === "train").drop("split")
+    val valDf = split.filter(col("split") === "val").drop("split")
+    val nTrain = train.count()
+    val nVal = valDf.count()
+    val perLang = split.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(TA.tokenCountWs(col("text"))).as("tok"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    gated.unpersist()
+    Curated(train, valDf,
+      funnel = Seq("deltaInput" -> nIn, "afterQuality" -> nGated,
+        "afterDeltaDedup" -> nWithin, "afterCorpusDedup" -> (nTrain + nVal),
+        "train" -> nTrain, "val" -> nVal),
+      perLang = perLang)
+  }
+
+  /** Keep one survivor per within-batch near-dup cluster (CC labels with
+    * the minimum member id, so survivor ⇔ label == own id). */
+  private def within0(gated: DataFrame, lbl: DataFrame): DataFrame =
+    gated.join(lbl, gated("doc_id") === lbl("id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .drop("id", "comp")
+
   def writeReport(path: String, c: CurateConfig, r: Curated): Unit = {
     val json = ConfigIO.toJson(Map(
       "mode" -> "curate",
@@ -205,7 +279,7 @@ object Curate {
 
   // ----------------------------------------------------------- cli
 
-  private val valueFlags = Set("--data", "--out", "--config")
+  private val valueFlags = Set("--data", "--out", "--config", "--delta")
   private val boolFlags = Set("--configGen", "--run")
 
   def main(args: Array[String]): Unit = {
@@ -228,6 +302,10 @@ object Curate {
     val modes = args.filter(boolFlags)
     if (modes.length != 1)
       sys.error("exactly one mode required: --configGen | --run")
+    // same accepted-but-ignored policy as Anonymize: a flag that does
+    // nothing in this mode must fail, not silently no-op
+    if (modes.head == "--configGen" && args.contains("--delta"))
+      sys.error("--delta is only applicable to --run")
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
     val dataDir = opt("--data").getOrElse(sys.error("--data <parquetDir> required"))
@@ -243,7 +321,11 @@ object Curate {
         val c = if (new java.io.File(configPath).isFile) readConfig(configPath)
           else DefaultConfig
         val docs = Tables.load(spark, dataDir, "documents")
-        val r = run(docs, c)
+        val r = opt("--delta") match {
+          case Some(deltaDir) =>
+            runDelta(docs, Tables.load(spark, deltaDir, "documents"), c)
+          case None => run(docs, c)
+        }
         r.train.write.mode("overwrite").parquet(s"$outDir/train")
         r.`val`.write.mode("overwrite").parquet(s"$outDir/val")
         writeReport(s"$outDir/$ReportFile", c, r)

@@ -55,6 +55,39 @@ class CurateSpec extends SparkSpec {
       "the md5 split gate is deterministic — reruns agree doc-for-doc")
   }
 
+  test("delta mode: corpus near-dups are removed, genuinely new docs " +
+      "survive, and none-mode keeps the clones") {
+    val docs = Tables.load(spark, data, "documents")
+      .filter(col("text").isNotNull)
+    // quality-passing corpus docs so the clone side cannot die at the gate
+    val q = graft.operators.TextAnalysis.qualityScore(col("text"))
+    val good = docs.filter(q >= 1.0).limit(30).cache()
+    // clones of corpus texts under fresh ids + clearly-new synthetic docs
+    val clones = good.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))
+    val fresh = spark.range(20).select(
+      (col("id") + 2000000L).as("doc_id"),
+      // short tokens: the quality gate needs 20..10000 tokens AND mean
+      // token length in 3.0..8.0, so "nv<i><id>" stays inside the band
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit(s"nv$i"), col("id"))): _*).as("text"),
+      lit("xx").as("lang"), lit("synthetic").as("source"),
+      lit(0L).as("n_chars"))
+    val delta = clones.unionByName(fresh)
+    val c = Curate.DefaultConfig
+    val r = Curate.runDelta(docs, delta, c)
+    val keptIds = r.train.unionByName(r.`val`)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.forall(_ >= 2000000L),
+      s"every corpus clone must be removed, kept: ${keptIds.filter(_ < 2000000L)}")
+    assert(keptIds.size == 20, "every genuinely-new doc must survive")
+    // dedup=none declares the risk away: clones pass straight through
+    val rNone = Curate.runDelta(docs, delta, c.copy(dedup = "none"))
+    assert(rNone.funnel.toMap.apply("afterCorpusDedup") >
+      r.funnel.toMap.apply("afterCorpusDedup"))
+    good.unpersist()
+  }
+
   test("strict flags: unknown flags, missing mode, and double modes fail " +
       "loudly instead of running a half-armed pipeline") {
     val out = java.nio.file.Files.createTempDirectory("curate").toString
@@ -68,6 +101,10 @@ class CurateSpec extends SparkSpec {
     intercept[RuntimeException] {
       Curate.cli(spark, Array("--configGen", "--run", "--data", data,
         "--out", out))
+    }
+    intercept[RuntimeException] {
+      Curate.cli(spark, Array("--configGen", "--data", data, "--out", out,
+        "--delta", data))
     }
   }
 }
