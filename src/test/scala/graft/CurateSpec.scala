@@ -88,6 +88,23 @@ class CurateSpec extends SparkSpec {
     good.unpersist()
   }
 
+  test("robustness: empty corpus and empty delta produce empty-but-valid " +
+      "funnels in every dedup mode (no crash, no phantom rows)") {
+    val docs = Tables.load(spark, data, "documents")
+    val empty = docs.filter(lit(false))
+    for (mode <- Seq("none", "exact", "fuzzy")) {
+      val c = Curate.DefaultConfig.copy(dedup = mode)
+      val r = Curate.run(empty, c)
+      assert(r.funnel.forall(_._2 == 0L), s"$mode: ${r.funnel}")
+      assert(r.train.count() == 0 && r.`val`.count() == 0)
+      val rd = Curate.runDelta(docs, empty, c)
+      assert(rd.funnel.forall(_._2 == 0L), s"$mode delta: ${rd.funnel}")
+      // empty corpus: the delta passes corpus-dedup untouched
+      val rc = Curate.runDelta(empty, docs.limit(5), c)
+      assert(rc.funnel.toMap.apply("deltaInput") == 5L)
+    }
+  }
+
   test("strict flags: unknown flags, missing mode, and double modes fail " +
       "loudly instead of running a half-armed pipeline") {
     val out = java.nio.file.Files.createTempDirectory("curate").toString
