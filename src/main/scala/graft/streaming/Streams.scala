@@ -195,6 +195,35 @@ object Streams {
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
   /**
+   * Streaming curation gate — the continuous-ingestion twin of the Curate
+   * CLI's delta mode: each micro-batch of incoming documents is
+   * quality-gated, PII-scrubbed, fingerprinted, and anti-joined against
+   * the broadcast fingerprint set of the existing corpus (exact delta
+   * dedup, stream-side). Entirely STATELESS — filter + projection +
+   * broadcast anti join — so per-batch cost is the batch's rows, no
+   * watermark, no state store; at 100 TB the only growing piece is the
+   * corpus fingerprint set, which is one md5 per historical doc and
+   * re-broadcasts on restart. The near-dup (MinHash) layer stays a batch
+   * pass over admitted docs, exactly as `Curate.runDelta` runs it.
+   *
+   * `corpusFingerprints` must be a one-column `fp` frame computed with
+   * [[graft.operators.Dedup.fingerprint]] over the corpus text —
+   * fingerprints are taken AFTER redaction on the stream side, so corpus
+   * text must be fingerprinted in its stored (already-scrubbed) form.
+   * Output carries (…, text redacted, fp) for the downstream appender.
+   */
+  def curateGate(docs: DataFrame, corpusFingerprints: DataFrame,
+      minQuality: Double): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis => TA}
+    docs.filter(col("text").isNotNull)
+      .filter(TA.qualityScore(col("text")) >= minQuality)
+      .withColumn("text", TA.redactPii(col("text")))
+      .withColumn("fp", Dedup.fingerprint(col("text")))
+      .join(org.apache.spark.sql.functions.broadcast(corpusFingerprints),
+        Seq("fp"), "left_anti")
+  }
+
+  /**
    * Streaming Count-Min maintenance: the sketch build is a plain
    * (row, bucket) groupBy-count, which Structured Streaming maintains
    * incrementally — the SAME [[graft.operators.CountMin.sketch]] plan runs

@@ -385,4 +385,43 @@ class StreamsSpec extends SparkSpec {
         3L -> "call [PHONE] about the offer today"))
     } finally q.stop()
   }
+
+  test("curateGate: gate + scrub + corpus anti-join over a stream equals " +
+      "the same gate run batch; corpus dups never reach the sink") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 25 short tokens → passes the 20..10000 token gate with mean len ~3
+    def doc(tag: String): String =
+      (0 until 25).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq((100L, doc("aa")), (101L, doc("bb")))
+      .toDF("doc_id", "text")
+    val fps = corpus.select(Dedup.fingerprint(col("text")).as("fp"))
+    val incoming = Seq(
+      (1L, doc("aa")),        // exact dup of corpus doc 100 → dropped
+      (2L, doc("cc")),        // new → admitted
+      (3L, "too short"),      // gate fails
+      (4L, doc("dd") + " ping 415-555-1234")) // new, PII-scrubbed
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.streaming.Streams.curateGate(
+      mem.toDF().toDF("doc_id", "text"), fps, minQuality = 1.0)
+    val q = gated.writeStream.format("memory").queryName("curate_gate_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_gate_t")
+        .select("doc_id", "text", "fp").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(streamed.map(_._1) == Set(2L, 4L))
+      assert(streamed.forall(!_._2.contains("415-555-1234")),
+        "PII must be scrubbed before the sink")
+      // streamed ≡ batch: the same gate over the same rows as a plain frame
+      val batch = graft.streaming.Streams.curateGate(
+        incoming.toDF("doc_id", "text"), fps, minQuality = 1.0)
+        .select("doc_id", "text", "fp").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
