@@ -129,8 +129,10 @@ object Curate {
       case "fuzzy" =>
         val edges = Dedup.nearDuplicates(gated, "doc_id", "text",
           threshold = c.jaccard)
+        // connectedComponents returns a localCheckpoint-backed frame — its
+        // blocks already cache the labels, so a persist() on top would
+        // store the rows twice. Freed below once `split` is materialized.
         val lbl = Dedup.connectedComponents(edges, "a", "b")
-          .persist(StorageLevel.MEMORY_AND_DISK)
         (within0(gated, lbl), Some(lbl))
     }
     val nDeduped = deduped.count()
@@ -176,7 +178,12 @@ object Curate {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
 
     gated.unpersist()
-    labels.foreach(_.unpersist())
+    // split is persisted AND materialized (the counts above), so the
+    // label checkpoint blocks upstream of it can be released —
+    // Dataset.unpersist is a no-op for checkpointed frames (RDD-level
+    // blocks), hence the bridge. Same caveat as every localCheckpoint:
+    // after the free, split can no longer recompute its lineage.
+    labels.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
     Curated(train, valDf,
       funnel = Seq("input" -> nIn, "afterQuality" -> nGated,
         "afterDedup" -> nDeduped, "train" -> nTrain, "val" -> nVal),
@@ -208,17 +215,18 @@ object Curate {
       .filter(TA.qualityScore(col("text")) >= c.minQuality)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nGated = gated.count()
-    val within = c.dedup match {
-      case "none" => gated
+    val (within, deltaLbl) = c.dedup match {
+      case "none" => (gated, None)
       case "exact" =>
-        Dedup.exactByKey(
+        (Dedup.exactByKey(
           gated.withColumn("__fp", Dedup.fingerprint(col("text"))),
-          Seq("__fp"), Seq(col("doc_id"))).drop("__fp")
+          Seq("__fp"), Seq(col("doc_id"))).drop("__fp"), None)
       case "fuzzy" =>
         val edges = Dedup.nearDuplicates(gated, "doc_id", "text",
           threshold = c.jaccard)
+        // checkpoint-backed (see run()); freed after split materializes
         val lbl = Dedup.connectedComponents(edges, "a", "b")
-        within0(gated, lbl)
+        (within0(gated, lbl), Some(lbl))
     }
     val nWithin = within.count()
     val vsCorpus = c.dedup match {
@@ -248,6 +256,7 @@ object Curate {
       .orderBy("lang").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     gated.unpersist()
+    deltaLbl.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
     Curated(train, valDf,
       funnel = Seq("deltaInput" -> nIn, "afterQuality" -> nGated,
         "afterDeltaDedup" -> nWithin, "afterCorpusDedup" -> (nTrain + nVal),
