@@ -700,6 +700,31 @@ object Dedup {
       .join(init1.toDF("c1", "c2"), Seq("c1"), "left")
       .select(col("id"), coalesce(col("c2"), col("c1")).as("comp"))
       .localCheckpoint(false)
+    // Init-convergence probe: a labeling is a fixed point iff NO edge
+    // straddles two labels (then every component is uniformly labeled, the
+    // label is a member id, and label(min) <= min forces it to BE the
+    // component min — so uniform == converged == correct). Near-dup and
+    // entity clusters are shallow, so the init aggregate + halving hop
+    // usually converges outright; probing edge violations here (two
+    // shuffle joins under an isEmpty limit-1) replaces the full
+    // confirmation round — propagate + halve + checkpoint — that the loop
+    // would otherwise run just to observe an unchanged label sum. The
+    // probe action also materializes the lazy init checkpoint. Deep
+    // graphs pay one probe (~half a round) before the loop; the bench's
+    // CC queries (fuzzy/entity clusters) all exit here with 0 loop rounds
+    // (isolated min-of-2 A/B at sf0.1: q_entity_res 4.84→2.54s,
+    // q_dedup_cluster 3.07→1.90s, q_dedup_survivor 3.34→1.87s,
+    // q_split_leakfree 2.96→1.92s).
+    val initViolations = sym
+      .join(comp.toDF("src", "__sl"), "src")
+      .join(comp.toDF("dst", "__dl"), "dst")
+      .filter(col("__sl") =!= col("__dl"))
+    val initConverged = initViolations.isEmpty
+    init1.unpersist()
+    if (initConverged) {
+      sym.unpersist()
+      return (comp, 0)
+    }
     // Labels only ever decrease, so the decimal label sum (no long
     // overflow at any id magnitude) is a monotone convergence metric:
     // one scalar action per round, no prev-vs-next join.
@@ -709,8 +734,7 @@ object Dedup {
         .head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
-    var prevSum = labelSum(comp) // materializes the init checkpoint
-    init1.unpersist()
+    var prevSum = labelSum(comp) // cheap: scans the materialized checkpoint
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {

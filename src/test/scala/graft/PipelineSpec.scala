@@ -65,12 +65,13 @@ class DedupSpec extends SparkSpec {
     assert(comps.forall(_._2 == 0L))
   }
 
-  test("connectedComponents: tiny clusters (the near-dup norm) close in " +
-      "ONE loop round; init halving keeps deep chains within budget") {
+  test("connectedComponents: tiny clusters (the near-dup norm) close with " +
+      "ZERO loop rounds; init halving keeps deep chains within budget") {
     import org.apache.spark.sql.types._
     // Pairs and stars — the shape of real near-dup/entity clusters —
     // converge inside the init aggregate (min-direct-neighbor + the folded
-    // halving hop), so the loop's only round is the confirmation pass.
+    // halving hop); the edge-violation probe detects that and skips the
+    // loop entirely, so no confirmation round ever runs.
     val tiny = spark.createDataFrame(
       java.util.Arrays.asList(
         Row(1L, 2L),                                   // pair
@@ -80,7 +81,7 @@ class DedupSpec extends SparkSpec {
     assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
         13L -> 10L))
-    assert(rounds == 1, s"expected init-converged + 1 confirm, got $rounds")
+    assert(rounds == 0, s"expected init-converged with 0 loop rounds, got $rounds")
     // A leaf-min star needs the label to flow leaf→center→other leaves
     // (two propagation hops): exactly one change round + confirmation.
     val leafMin = spark.createDataFrame(
