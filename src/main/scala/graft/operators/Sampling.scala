@@ -91,4 +91,37 @@ object Sampling {
       .when(h < lit(valHex), "val")
       .otherwise("test")
   }
+
+  /**
+   * Deterministic global shuffle into training shards — the layout op
+   * that randomizes a curated corpus into fixed shard files WITHOUT a
+   * corpus-wide total sort. A row's shard is the 60-bit hash of
+   * md5(salt|key) mod `nShards` (uniform, so shards balance); its
+   * position within the shard ranks the full 32-hex hash with the key as
+   * tiebreak. Reading shards in index order and rows in position order is
+   * then a reproducible pseudo-random permutation of the corpus — the
+   * property training loaders need (no learning-order bias from source/
+   * time grouping in the ingest layout), re-derivable forever in any
+   * md5-capable engine; disjoint salts give independent epoch orders.
+   *
+   * Scale: ONE hash shuffle on the shard id plus a per-shard sort of
+   * |corpus|/nShards hash-uniform rows — never a global orderBy, and
+   * nShards is the parallelism knob. A writer then
+   * `Sources.writePartitioned(out, path, Seq("shard"))`s without
+   * re-shuffling. Returns the input plus (shard, pos).
+   */
+  def shuffleShards(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      salt: String, nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // same 60-bit hex→long construction as Dedup.portableHash64, but over
+    // the salted hash so shard and order derive from one md5 per row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", hashHexFull(col(keyCol), salt))
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 15), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

@@ -230,6 +230,18 @@ object Pipeline {
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")
     }),
+    // Scale — deterministic global shuffle into training shards: shard =
+    // portable hash mod 8, position = in-shard rank of the full hash.
+    // Shards-in-order ∘ positions-in-order is a reproducible pseudo-
+    // random permutation of the corpus, built from ONE hash shuffle + a
+    // per-shard sort — never a global orderBy (see
+    // Sampling.shuffleShards). The full (doc_id, shard, pos) mapping is
+    // emitted so the oracle hash-checks the exact permutation.
+    "q_shuffle_shards" -> ((s, dir) => {
+      Sampling.shuffleShards(t(s, dir, "documents"), "doc_id", "shuf1", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
     // End-to-end training-mix pipeline: quality-filter → exact dedup by
     // canonical fingerprint (min-doc_id survivor) → per-language hash
     // downsample (keep 1/2 of dominant 'en', 3/4 of the rest) → token
@@ -1815,6 +1827,18 @@ object Pipeline {
                      cast(doc_id AS VARCHAR))), 1, 4) AS h
                  FROM documents))
          GROUP BY lang, split ORDER BY lang, split""",
+    "q_shuffle_shards" ->
+      """WITH h AS (
+           SELECT doc_id,
+             md5(concat('shuf1', '|', cast(doc_id AS VARCHAR))) AS hh
+           FROM documents),
+         s AS (
+           SELECT doc_id, hh,
+             ('0x' || substr(hh, 1, 15))::BIGINT % 8 AS shard
+           FROM h)
+         SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
+         FROM s ORDER BY shard, pos""",
     "q_train_mix" ->
       """WITH scored AS (
            SELECT doc_id, lang,

@@ -85,4 +85,58 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("shuffleShards is a balanced, deterministic permutation: every row " +
+      "exactly once, contiguous in-shard positions, repartition-invariant") {
+    val n = 2000; val shards = 8
+    val out = Sampling.shuffleShards(ids(n), "id", "epoch1", shards)
+      .select("id", "shard", "pos")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // permutation: n rows, every id once, (shard, pos) unique
+    assert(rows.length == n)
+    assert(rows.map(_._1).toSet.size == n)
+    assert(rows.map(t => (t._2, t._3)).toSet.size == n)
+    // positions are contiguous 1..|shard| within each shard
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length.toLong),
+        s"shard $s positions not contiguous")
+    }
+    // md5 is uniform → shards balance (±40% of n/shards is generous)
+    val sizes = rows.groupBy(_._2).values.map(_.length)
+    assert(sizes.size == shards)
+    assert(sizes.forall(s => s > n / shards * 0.6 && s < n / shards * 1.4),
+      s"unbalanced shards: $sizes")
+    // deterministic under a different input partitioning
+    val again = Sampling.shuffleShards(ids(n).repartition(7), "id", "epoch1",
+      shards).select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == again.toSet)
+  }
+
+  test("shuffleShards: the permutation actually decorrelates ingest order " +
+      "and different salts give different epoch orders") {
+    val n = 1024
+    val out = Sampling.shuffleShards(ids(n), "id", "e1", 4)
+      .select("id", "shard", "pos")
+      .orderBy("shard", "pos")
+      .collect().map(_.getLong(0))
+    // global read order (shards-in-order, positions-in-order) must not be
+    // the ingest order: count adjacent id pairs that stayed adjacent —
+    // a real shuffle leaves almost none
+    val adjacentKept = out.sliding(2).count(p => p(1) == p(0) + 1)
+    assert(adjacentKept < n / 50, s"$adjacentKept adjacent pairs survived")
+    val out2 = Sampling.shuffleShards(ids(n), "id", "e2", 4)
+      .select("id", "shard", "pos")
+      .orderBy("shard", "pos")
+      .collect().map(_.getLong(0))
+    assert(!(out sameElements out2), "salts e1/e2 gave identical orders")
+  }
+
+  test("shuffleShards plan: one hash exchange on the shard id, no global sort") {
+    val plan = Sampling.shuffleShards(ids(500), "id", "p1", 8)
+      .queryExecution.executedPlan.toString
+    // exactly one shuffle — the hashpartitioning on shard for the window
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
 }
