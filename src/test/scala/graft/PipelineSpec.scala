@@ -243,6 +243,61 @@ class DedupSpec extends SparkSpec {
     assert(clean(3L) == ((10L, 0L, d3)))
   }
 
+  test("duplicatedSpans and removeDuplicatedSpans agree with a driver-side " +
+      "brute force on random small-alphabet corpora") {
+    // Seeded random corpora over a 3-5 word alphabet make cross-doc
+    // duplicated runs plentiful and adversarial (overlapping runs,
+    // repeats inside one doc, full-doc duplicates) — shapes the planted
+    // license-block test cannot cover. Reference: literal per-doc anchor
+    // census + run grouping on the driver.
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val vocabN = 3 + rnd.nextInt(3)
+      val vocab = (0 until vocabN).map(i => ('a' + i).toChar.toString)
+      val w = 2 + rnd.nextInt(2)
+      val corpus = (1 to 4 + rnd.nextInt(5)).map { id =>
+        val len = 3 + rnd.nextInt(30)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocabN))).mkString(" "))
+      }
+      val wordsById = corpus.toMap.map { case (k, v) => k -> v.split(" ").toSeq }
+      val shingleDocs = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.Set[Long]]
+      for ((id, ws) <- wordsById; i <- 0 to ws.length - w)
+        shingleDocs.getOrElseUpdate(ws.slice(i, i + w).mkString(" "),
+          scala.collection.mutable.Set.empty) += id
+      val expected = (for {
+        (id, ws) <- wordsById.toSeq
+        dupPos = (0 to ws.length - w).filter(i =>
+          shingleDocs(ws.slice(i, i + w).mkString(" ")).size > 1).map(_ + 1)
+        run <- dupPos.foldLeft(List.empty[List[Int]]) { (acc, p) =>
+          acc match {
+            case (h :: t) :: rest if h == p - 1 => (p :: h :: t) :: rest
+            case _ => List(p) :: acc
+          }
+        }
+      } yield (id, run.min, run.max + w - 1, run.size.toLong)).toSet
+      val df = docs(corpus: _*)
+      val got = Dedup.duplicatedSpans(df, "doc_id", "text", w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getLong(3))).toSet
+      assert(got == expected, s"trial $trial w=$w corpus=$corpus")
+      // removal agreement: uncovered words reassemble in order
+      val covered = expected.groupBy(_._1).map { case (id, spans) =>
+        id -> spans.flatMap(s => s._2 to s._3)
+      }
+      val cleanExp = wordsById.map { case (id, ws) =>
+        val cov = covered.getOrElse(id, Set.empty[Int])
+        id -> ((ws.length.toLong, cov.size.toLong,
+          ws.zipWithIndex.collect { case (wd, i) if !cov(i + 1) => wd }
+            .mkString(" ")))
+      }
+      val cleanGot = Dedup.removeDuplicatedSpans(df, "doc_id", "text", w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(cleanGot == cleanExp, s"trial $trial w=$w corpus=$corpus")
+    }
+  }
+
   test("duplicatedSpans robustness: empty corpus, single doc, null text, " +
       "and docs shorter than the window all yield no spans; removal " +
       "passes them through") {
