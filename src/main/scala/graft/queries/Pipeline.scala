@@ -708,6 +708,33 @@ object Pipeline {
       Curation.sourceOverlap(t(s, dir, "documents"), "source", "text", 3)
         .orderBy("src_a", "src_b")
     }),
+    // S9-extension — the non-parquet format layer, oracle-checked END-TO-
+    // END: the documents corpus round-trips parquet → {csv, jsonl, orc} →
+    // back, and each format's re-read is digested with the order-free
+    // portable checksum over every column (Scale.tableChecksum) — any
+    // quoting, escaping, null-vs-empty, or type mangling in a format path
+    // breaks the hash. The oracle computes the same digest straight from
+    // parquet, so the three formats pass iff they preserved the corpus
+    // bit-for-bit. Temp output is per-invocation under the JVM temp dir
+    // (corpus-sized on disk, metadata-scale in memory; the OS tmp reaper
+    // owns cleanup — same lifecycle as any scratch shuffle spill).
+    "q_format_roundtrip" -> ((s, dir) => {
+      import graft.sources.Sources
+      val cols = Seq("doc_id", "lang", "n_chars", "text")
+      val docs = t(s, dir, "documents").select(cols.map(col): _*)
+      val base = java.nio.file.Files.createTempDirectory("graft_fmt")
+      Sources.writeCsv(docs, s"$base/csv")
+      Sources.writeJsonLines(docs, s"$base/jsonl")
+      Sources.writeOrc(docs, s"$base/orc")
+      def digest(df: DataFrame, fmt: String) =
+        Scale.tableChecksum(df, cols)
+          .select(lit(fmt).as("format"), col("checksum"), col("n_rows"))
+      digest(Sources.csv(s, s"$base/csv", docs.schema), "csv")
+        .unionByName(
+          digest(Sources.jsonLines(s, s"$base/jsonl", docs.schema), "jsonl"))
+        .unionByName(digest(Sources.orc(s, s"$base/orc"), "orc"))
+        .orderBy("format")
+    }),
     // Curation — the end-to-end pipeline: quality gate (≥20 tokens) →
     // exact dedup on the canonical-text fingerprint (min doc_id survives)
     // → benchmark decontamination (4-gram overlap vs the held-out src19
@@ -2183,6 +2210,23 @@ object Pipeline {
            cast(n_shared AS double) / (ta.n + tb.n - n_shared) AS jaccard
          FROM p JOIN tot ta ON ta.g = src_a JOIN tot tb ON tb.g = src_b
          ORDER BY src_a, src_b""",
+    // The round-trip is correct iff every format's digest equals the one
+    // computed straight from parquet — so the oracle is that digest,
+    // cross-joined onto the three format labels.
+    "q_format_roundtrip" ->
+      """WITH d AS (
+           SELECT lpad(cast(cast(sum(('0x' || substring(md5(concat_ws('|',
+               CASE WHEN doc_id IS NULL THEN '0' ELSE '1' || length(cast(doc_id AS VARCHAR)) || ':' || cast(doc_id AS VARCHAR) END,
+               CASE WHEN lang IS NULL THEN '0' ELSE '1' || length(lang) || ':' || lang END,
+               CASE WHEN n_chars IS NULL THEN '0' ELSE '1' || length(cast(n_chars AS VARCHAR)) || ':' || cast(n_chars AS VARCHAR) END,
+               CASE WHEN text IS NULL THEN '0' ELSE '1' || length(text) || ':' || text END
+             )), 1, 14))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR), 38, '0')
+               AS checksum,
+             count(*) AS n_rows
+           FROM documents)
+         SELECT f.format, d.checksum, d.n_rows
+         FROM (VALUES ('csv'), ('jsonl'), ('orc')) f(format) CROSS JOIN d
+         ORDER BY f.format""",
     "q_curate_e2e" ->
       """WITH train AS (SELECT * FROM documents WHERE source <> 'src19'),
          bench AS (SELECT * FROM documents WHERE source = 'src19'),
