@@ -44,4 +44,26 @@ class ContractSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("every registered query executes on EMPTY and ONE-ROW fixtures") {
+    // The degenerate-input sweep as a single harness instead of per-
+    // operator spot checks: schema-preserving limit(n) copies of every
+    // fixture table, then the full query map against each. Catches the
+    // whole class of empty-input failures (head() on nothing, seeds from
+    // an empty corpus, aggregates feeding NULL into required casts) for
+    // every FUTURE query too — registration alone buys the guarantee.
+    for (n <- Seq(0, 1)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_fix$n").toString
+      Tables.names.foreach { t =>
+        spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+          .limit(n).write.parquet(s"$dir/$t.parquet")
+      }
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try { fn(spark, dir).count(); None }
+          catch { case e: Throwable => Some(s"[$n-row] $name: ${e.getMessage}") }
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    }
+  }
 }

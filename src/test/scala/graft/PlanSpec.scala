@@ -244,7 +244,12 @@ class PlanSpec extends SparkSpec {
       // stay distributed.
       "q_quality_train", "q_quality_train_score",
       // same NB class-totals aggregate inside the trained curation funnel
-      "q_curate_trained")
+      "q_curate_trained",
+      // q_format_roundtrip emits one digest row per format — three
+      // tableChecksum grand totals (q_checksum's partial+final shape);
+      // every data-sized stage (the re-read scans, the row hashing)
+      // stays distributed.
+      "q_format_roundtrip")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
