@@ -44,14 +44,21 @@ object Curate {
       dedup: String,
       jaccard: Double,
       tokensPerLang: Long,
-      valThresholdHex: String) {
+      valThresholdHex: String,
+      shards: Int = 0) {
     require(Set("none", "exact", "fuzzy")(dedup), s"bad dedup mode: $dedup")
     require(valThresholdHex.matches("[0-9a-f]{4}"),
       s"bad valThresholdHex: $valThresholdHex")
+    require(shards >= 0, s"shards must be >= 0, got $shards")
   }
 
   val DefaultConfig: CurateConfig =
     CurateConfig(1, 1.0, "fuzzy", 0.5, 0L, "1999")
+
+  /** Fixed epoch salt for the sharded train layout: re-running the same
+    * curation reproduces the identical permutation (the reproducibility
+    * contract); later epochs re-shuffle with their own salts at load. */
+  val ShardSalt = "curate-epoch0"
 
   // ----------------------------------------------------------- config io
 
@@ -63,6 +70,7 @@ object Curate {
     tree.put("jaccard", c.jaccard)
     tree.put("tokensPerLang", c.tokensPerLang)
     tree.put("valThresholdHex", c.valThresholdHex)
+    tree.put("shards", c.shards)
     ConfigIO.writeYamlRaw(path, tree)
   }
 
@@ -80,7 +88,9 @@ object Curate {
       dedup = String.valueOf(root.get("dedup")),
       jaccard = num("jaccard"),
       tokensPerLang = num("tokensPerLang").toLong,
-      valThresholdHex = String.valueOf(root.get("valThresholdHex")))
+      valThresholdHex = String.valueOf(root.get("valThresholdHex")),
+      // absent in pre-shards configs: those keep the flat layout
+      shards = if (root.containsKey("shards")) num("shards").toInt else 0)
   }
 
   // ----------------------------------------------------------- pipeline
@@ -278,7 +288,8 @@ object Curate {
         "version" -> c.version, "minQuality" -> c.minQuality,
         "dedup" -> c.dedup, "jaccard" -> c.jaccard,
         "tokensPerLang" -> c.tokensPerLang,
-        "valThresholdHex" -> c.valThresholdHex),
+        "valThresholdHex" -> c.valThresholdHex,
+        "shards" -> c.shards),
       "funnel" -> scala.collection.immutable.ListMap(r.funnel: _*),
       "perLang" -> r.perLang.map { case (l, n, t) =>
         scala.collection.immutable.ListMap(
@@ -335,7 +346,17 @@ object Curate {
             runDelta(docs, Tables.load(spark, deltaDir, "documents"), c)
           case None => run(docs, c)
         }
-        r.train.write.mode("overwrite").parquet(s"$outDir/train")
+        // shards > 0: the train set lands globally shuffled — shard =
+        // hash mod n, rows in pseudo-random (pos) order. The window's
+        // hashpartitioning(shard) already co-locates each shard in one
+        // task, so partitionBy adds NO extra shuffle and each shard
+        // directory is written in position order. Loaders read shard
+        // dirs in index order for a reproducible epoch permutation.
+        if (c.shards > 0)
+          Sampling.shuffleShards(r.train, "doc_id", ShardSalt, c.shards)
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(s"$outDir/train")
+        else r.train.write.mode("overwrite").parquet(s"$outDir/train")
         r.`val`.write.mode("overwrite").parquet(s"$outDir/val")
         writeReport(s"$outDir/$ReportFile", c, r)
         println(s"Curated: ${r.funnel.map { case (k, v) => s"$k=$v" }

@@ -28,6 +28,47 @@ class CurateSpec extends SparkSpec {
     assert(tr.columns.sorted.toSeq == docs.columns.sorted.toSeq)
   }
 
+  test("shards > 0 writes the train set as a shuffled shard layout: same " +
+      "docs as the flat run, hive shard dirs, contiguous positions") {
+    val flat = java.nio.file.Files.createTempDirectory("curate_flat").toString
+    val shrd = java.nio.file.Files.createTempDirectory("curate_shrd").toString
+    val c = Curate.DefaultConfig.copy(dedup = "exact")
+    Curate.writeConfig(s"$flat/${Curate.ConfigFile}", c)
+    Curate.cli(spark, Array("--run", "--data", data, "--out", flat))
+    Curate.writeConfig(s"$shrd/${Curate.ConfigFile}", c.copy(shards = 4))
+    Curate.cli(spark, Array("--run", "--data", data, "--out", shrd))
+    // identical curated membership — sharding is pure layout
+    val flatIds = spark.read.parquet(s"$flat/train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sharded = spark.read.parquet(s"$shrd/train")
+    val rows = sharded.select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet == flatIds)
+    // hive-partitioned shard dirs match the shard ids, positions
+    // contiguous per shard
+    val dirs = new java.io.File(s"$shrd/train").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    val shardVals = rows.map(_._2).toSet
+    assert(dirs == shardVals.map(s => s"shard=$s"))
+    assert(shardVals.subsetOf((0 until 4).toSet) && shardVals.size >= 2)
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length.toLong),
+        s"shard $s positions not contiguous")
+    }
+    // a pre-shards config (no `shards` key) still reads, keeping the
+    // flat layout
+    val legacy = java.nio.file.Files.createTempFile("curate_legacy", ".yaml")
+    java.nio.file.Files.writeString(legacy,
+      """version: 1
+        |minQuality: 1.0
+        |dedup: exact
+        |jaccard: 0.5
+        |tokensPerLang: 0
+        |valThresholdHex: "1999"
+        |""".stripMargin)
+    assert(Curate.readConfig(legacy.toString).shards == 0)
+  }
+
   test("dedup modes nest: fuzzy ⊆ exact ⊆ none (exact dups are jaccard-1 " +
       "near-dups, so each mode can only remove more)") {
     val docs = Tables.load(spark, data, "documents")
