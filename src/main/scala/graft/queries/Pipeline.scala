@@ -715,14 +715,16 @@ object Pipeline {
     // quoting, escaping, null-vs-empty, or type mangling in a format path
     // breaks the hash. The oracle computes the same digest straight from
     // parquet, so the three formats pass iff they preserved the corpus
-    // bit-for-bit. Temp output is per-invocation under the JVM temp dir
-    // (corpus-sized on disk, metadata-scale in memory; the OS tmp reaper
-    // owns cleanup — same lifecycle as any scratch shuffle spill).
+    // bit-for-bit. Scratch output lives at a FIXED path under the JVM
+    // temp dir and every write is mode=overwrite, so repeated
+    // invocations (bench sweeps, verify reruns) reuse the same
+    // corpus-sized footprint instead of accumulating tmp copies.
     "q_format_roundtrip" -> ((s, dir) => {
       import graft.sources.Sources
       val cols = Seq("doc_id", "lang", "n_chars", "text")
       val docs = t(s, dir, "documents").select(cols.map(col): _*)
-      val base = java.nio.file.Files.createTempDirectory("graft_fmt")
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_fmt_roundtrip").toString
       Sources.writeCsv(docs, s"$base/csv")
       Sources.writeJsonLines(docs, s"$base/jsonl")
       Sources.writeOrc(docs, s"$base/orc")
