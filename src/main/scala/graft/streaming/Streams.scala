@@ -198,12 +198,11 @@ object Streams {
    * Streaming curation gate — the continuous-ingestion twin of the Curate
    * CLI's delta mode: each micro-batch of incoming documents is
    * quality-gated, PII-scrubbed, fingerprinted, and anti-joined against
-   * the broadcast fingerprint set of the existing corpus (exact delta
-   * dedup, stream-side). Entirely STATELESS — filter + projection +
-   * broadcast anti join — so per-batch cost is the batch's rows, no
-   * watermark, no state store; at 100 TB the only growing piece is the
-   * corpus fingerprint set, which is one md5 per historical doc and
-   * re-broadcasts on restart. The near-dup (MinHash) layer stays a batch
+   * the fingerprint set of the existing corpus (exact delta dedup,
+   * stream-side). Entirely STATELESS — filter + projection + anti join —
+   * so per-batch cost is the batch's rows, no watermark, no state store;
+   * at 100 TB the only growing piece is the corpus fingerprint set, one
+   * md5 per historical doc. The near-dup (MinHash) layer stays a batch
    * pass over admitted docs, exactly as `Curate.runDelta` runs it.
    *
    * `corpusFingerprints` must be a one-column `fp` frame computed with
@@ -211,16 +210,25 @@ object Streams {
    * fingerprints are taken AFTER redaction on the stream side, so corpus
    * text must be fingerprinted in its stored (already-scrubbed) form.
    * Output carries (…, text redacted, fp) for the downstream appender.
+   *
+   * `hintBroadcast` FORCES the fingerprint set executor-resident — right
+   * when it is known small (a per-tenant corpus, a recent-window set).
+   * The default leaves the strategy to the planner: a 100 TB corpus has
+   * billions of fingerprints, and force-broadcasting that set is the
+   * classic stream-side OOM — unhinted, each micro-batch runs a shuffled
+   * anti join against the (bucketable) fingerprint table instead.
    */
   def curateGate(docs: DataFrame, corpusFingerprints: DataFrame,
-      minQuality: Double): DataFrame = {
+      minQuality: Double, hintBroadcast: Boolean = false): DataFrame = {
     import graft.operators.{Dedup, TextAnalysis => TA}
+    val corpus =
+      if (hintBroadcast) org.apache.spark.sql.functions.broadcast(corpusFingerprints)
+      else corpusFingerprints
     docs.filter(col("text").isNotNull)
       .filter(TA.qualityScore(col("text")) >= minQuality)
       .withColumn("text", TA.redactPii(col("text")))
       .withColumn("fp", Dedup.fingerprint(col("text")))
-      .join(org.apache.spark.sql.functions.broadcast(corpusFingerprints),
-        Seq("fp"), "left_anti")
+      .join(corpus, Seq("fp"), "left_anti")
   }
 
   /**
