@@ -48,7 +48,10 @@ object Linkage {
     // Persisted: BOTH self-join sides consume the capped frame, and
     // without the persist each side re-runs the block census and its
     // anti-join probe (the physical plan showed four source scans).
-    // Session-lived MEMORY_AND_DISK, same convention as nearDupImpl.
+    // Freed by releaseAfterUse once the caller's first action over the
+    // pair frame completes (in resolveEntities that is CC's init probe,
+    // which materializes the persisted symmetrized edge list — after
+    // that the keyed frame has no consumer).
     // Spread first: the capBlocks census rides broadcast joins, so the
     // capped frame inherits the SCAN's partitioning — a compact table
     // arrives as one partition and the |block|²-pair expansion plus its
@@ -72,10 +75,12 @@ object Linkage {
     // the THRESHOLDED levenshtein (banded O(n·k) DP that bails once the
     // distance provably exceeds maxDist, returning -1) — not the full
     // O(n²) distance.
-    a.join(b, "__blk").filter(col("a") < col("b"))
-      .filter(abs(length(col("__na")) - length(col("__nb"))) <= maxDist)
-      .filter(levenshtein(col("__na"), col("__nb"), maxDist) >= 0)
-      .select("a", "b")
+    Scale.releaseAfterUse(
+      a.join(b, "__blk").filter(col("a") < col("b"))
+        .filter(abs(length(col("__na")) - length(col("__nb"))) <= maxDist)
+        .filter(levenshtein(col("__na"), col("__nb"), maxDist) >= 0)
+        .select("a", "b"),
+      Seq(keyed))
   }
 
   /**
