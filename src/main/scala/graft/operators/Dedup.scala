@@ -168,10 +168,9 @@ object Dedup {
     // The signature stage feeds both sides of the bucket self-join and both
     // Jaccard re-joins; without a persist Spark recomputes the shingling 4x
     // (observed 4-5x wall-clock). At cluster scale this stage would be
-    // checkpointed for the same reason. The cache is session-lived (the
-    // returned plan stays lazy, so there is no post-action unpersist hook);
-    // MEMORY_AND_DISK blocks are evictable under storage pressure, which
-    // bounds the cost of repeated invocations.
+    // checkpointed for the same reason. Freed by releaseAfterUse once the
+    // caller's first action over the pair frame completes (all four
+    // consumers sit inside that one execution).
     // The verify stage intersects the hashed shingle sets rather than the
     // shingle strings: same Jaccard (64-bit collisions over a doc's
     // shingles are negligible), long-array set ops instead of string-array
@@ -197,14 +196,16 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     val hv = withSig.select(col(idCol), col("hv"))
-    candidates
-      .join(hv.select(col(idCol).as("a"), col("hv").as("hv_a")), "a")
-      .join(hv.select(col(idCol).as("b"), col("hv").as("hv_b")), "b")
-      .withColumn("jaccard",
-        size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
-          size(array_union(col("hv_a"), col("hv_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    Scale.releaseAfterUse(
+      candidates
+        .join(hv.select(col(idCol).as("a"), col("hv").as("hv_a")), "a")
+        .join(hv.select(col(idCol).as("b"), col("hv").as("hv_b")), "b")
+        .withColumn("jaccard",
+          size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
+            size(array_union(col("hv_a"), col("hv_b"))).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a"), col("b"), col("jaccard")),
+      Seq(withSig))
   }
 
   /** Portable-family MinHash signature stage shared by the delta path:
@@ -251,16 +252,18 @@ object Dedup {
       .select(col(idCol).as("delta_id"), col("band"), col("band_sig"))
     val candidates = db.join(cb, Seq("band", "band_sig"))
       .select("delta_id", "corpus_id").distinct()
-    candidates
-      .join(ds.select(col(idCol).as("delta_id"), col("hv").as("hv_d")),
-        "delta_id")
-      .join(cs.select(col(idCol).as("corpus_id"), col("hv").as("hv_c")),
-        "corpus_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("hv_d"), col("hv_c"))).cast("double") /
-          size(array_union(col("hv_d"), col("hv_c"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("delta_id"), col("corpus_id"), col("jaccard"))
+    Scale.releaseAfterUse(
+      candidates
+        .join(ds.select(col(idCol).as("delta_id"), col("hv").as("hv_d")),
+          "delta_id")
+        .join(cs.select(col(idCol).as("corpus_id"), col("hv").as("hv_c")),
+          "corpus_id")
+        .withColumn("jaccard",
+          size(array_intersect(col("hv_d"), col("hv_c"))).cast("double") /
+            size(array_union(col("hv_d"), col("hv_c"))).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("delta_id"), col("corpus_id"), col("jaccard")),
+      Seq(cs, ds))
   }
 
   /**
@@ -497,10 +500,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col(idCol).as("a"), col(embCol).as("emb_a"), col("bucket"))
     val b = bucketed.select(col(idCol).as("b"), col(embCol).as("emb_b"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
-      .withColumn("cos", graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")))
-      .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), col("cos")).distinct()
+    Scale.releaseAfterUse(
+      a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+        .withColumn("cos", graft.functions.VectorOps.cosine(col("emb_a"), col("emb_b")))
+        .filter(col("cos") >= threshold)
+        .select(col("a"), col("b"), col("cos")).distinct(),
+      Seq(bucketed))
   }
 
   /** Default cell-size cap for [[semanticDedup]]: bounds any single
