@@ -168,13 +168,15 @@ object Pq {
           col("__cwn2")).as("__dq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qIdCol).orderBy(col("__ad"), col(idCol))
-    codes.join(broadcast(dtab), Seq("j", "code"))
-      .filter(col(idCol) =!= col(qIdCol))
-      .groupBy(col(qIdCol), col(idCol))
-      .agg(sum(col("__dq").cast("decimal(28,10)")).as("__ad"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= topK)
-      .select(col(qIdCol), col(idCol), col("rn"),
-        round(col("__ad").cast("double"), 6).as("adist"))
+    Scale.releaseAfterUse(
+      codes.join(broadcast(dtab), Seq("j", "code"))
+        .filter(col(idCol) =!= col(qIdCol))
+        .groupBy(col(qIdCol), col(idCol))
+        .agg(sum(col("__dq").cast("decimal(28,10)")).as("__ad"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= topK)
+        .select(col(qIdCol), col(idCol), col("rn"),
+          round(col("__ad").cast("double"), 6).as("adist")),
+      Seq(cb))
   }
 }

@@ -114,15 +114,17 @@ object Quality {
     val grpTot = cells.groupBy(col(groupCol)).agg(sum(col("__c")).as("__ns"))
     val binTot = cells.groupBy(col("__bin")).agg(sum(col("__c")).as("__nb"))
     val total = binTot.agg(sum(col("__nb")).as("__N"))
-    grpTot.crossJoin(broadcast(binTot)).crossJoin(broadcast(total))
-      .join(cells, Seq(groupCol, "__bin"), "left")
-      .groupBy(col(groupCol), col("__ns"), col("__N"))
-      .agg(sum(abs(dec(coalesce(col("__c"), lit(0L))) * dec(col("__N")) -
-        dec(col("__nb")) * dec(col("__ns")))).as("__num"))
-      .select(col(groupCol),
-        (col("__num").cast("double") /
-          (dec(lit(2L)) * dec(col("__N")) * dec(col("__ns"))).cast("double"))
-          .as("tvd"))
+    Scale.releaseAfterUse(
+      grpTot.crossJoin(broadcast(binTot)).crossJoin(broadcast(total))
+        .join(cells, Seq(groupCol, "__bin"), "left")
+        .groupBy(col(groupCol), col("__ns"), col("__N"))
+        .agg(sum(abs(dec(coalesce(col("__c"), lit(0L))) * dec(col("__N")) -
+          dec(col("__nb")) * dec(col("__ns")))).as("__num"))
+        .select(col(groupCol),
+          (col("__num").cast("double") /
+            (dec(lit(2L)) * dec(col("__N")) * dec(col("__ns"))).cast("double"))
+            .as("tvd")),
+      Seq(cells))
   }
 
   /**
@@ -140,10 +142,12 @@ object Quality {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val slots = cells.groupBy("event_type", "hour")
       .agg(count(lit(1)).as("slot_cells"), sum(col("n")).as("slot_sum"))
-    cells.join(broadcast(slots), Seq("event_type", "hour"))
-      .select(col("event_type"), col("day"), col("hour"), col("n"),
-        (col("n") * col("slot_cells") > lit(2) * col("slot_sum"))
-          .as("is_anomaly"))
+    Scale.releaseAfterUse(
+      cells.join(broadcast(slots), Seq("event_type", "hour"))
+        .select(col("event_type"), col("day"), col("hour"), col("n"),
+          (col("n") * col("slot_cells") > lit(2) * col("slot_sum"))
+            .as("is_anomaly")),
+      Seq(cells))
   }
 
   /**
