@@ -92,6 +92,14 @@ object Linkage {
    * (ties to the smallest id), computed as ONE max(struct) hash aggregate
    * — partial aggregation map-side, no per-entity windows.
    *
+   * Storage note: the result aggregates over a localCheckpoint-backed
+   * label table whose RDD blocks outlive this call (freeing them on the
+   * caller's first action would leave the lazy result unable to ever
+   * recompute — worse than the cached blocks). A session composing many
+   * resolutions frees them after materializing via
+   * `GraftBridge.freeCheckpoint` (the `Curate.run` pattern); the
+   * Verify/Bench harnesses sweep RDD blocks per query anyway.
+   *
    * Returns (entity, n_members, canon_id, canon_rank).
    */
   def resolveEntities(df: DataFrame, idCol: String, nameCol: String,

@@ -213,6 +213,57 @@ class ScaleSpec extends SparkSpec {
       "held frame still cached after the result action completed")
   }
 
+  test("every pair-finding / analytics operator frees its persists once " +
+      "the caller's action completes (full releaseAfterUse migration)") {
+    import spark.implicits._
+    def assertNoBlocks(label: String)(run: => Unit): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      run
+      org.apache.spark.GraftListenerBridge.waitForListeners(spark.sparkContext)
+      val deadline = System.currentTimeMillis() + 10000
+      while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"$label left persisted blocks behind")
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different text with no overlap whatsoever here now"))
+      .toDF("doc_id", "text")
+    val embs = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.91, 0.09)),
+      (3L, Seq(0.1, 0.9))).toDF("vec_id", "emb")
+    assertNoBlocks("nearDuplicates") {
+      Dedup.nearDuplicates(docs, "doc_id", "text").count(): Unit
+    }
+    assertNoBlocks("nearDuplicatesDeltaPortable") {
+      Dedup.nearDuplicatesDeltaPortable(docs, docs.filter(col("doc_id") === 2),
+        "doc_id", "text").count(): Unit
+    }
+    assertNoBlocks("embeddingNearDupsLsh") {
+      Dedup.embeddingNearDupsLsh(embs, "vec_id", "emb", 0.9,
+        Seq(Seq(1.0, -1.0))).count(): Unit
+    }
+    assertNoBlocks("blockedFuzzyPairs") {
+      graft.operators.Linkage.blockedFuzzyPairs(
+        docs.select(col("doc_id"), col("text").substr(1, 8).as("nm")),
+        "doc_id", "nm", col("nm").substr(1, 4), maxDist = 1).count(): Unit
+    }
+    assertNoBlocks("adcTopK") {
+      graft.operators.Pq.adcTopK(
+        (0L to 7L).map(i => (i, Seq(i.toDouble, 8 - i.toDouble)))
+          .toDF("vec_id", "emb"),
+        Seq((100L, Seq(1.0, 7.0))).toDF("q_id", "q_emb"),
+        topK = 3, m = 2, k = 4, dim = 2).count(): Unit
+    }
+    assertNoBlocks("driftTvd") {
+      graft.operators.Quality.driftTvd(docs, "doc_id",
+        length(col("text")).cast("long")).count(): Unit
+    }
+  }
+
   test("semanticDedup leaves no operator-owned blocks once its caller's " +
       "action completes") {
     val df = spark.createDataFrame(
