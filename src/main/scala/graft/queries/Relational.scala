@@ -672,6 +672,39 @@ object Relational {
     // capped at k rows, so the shuffle carries O(k·groups·partitions) rows
     // where the window-rank plan would shuffle the full table. Same answer
     // as the rank formulation — that's the oracle.
+    // A4/§2.10 — Misra-Gries frequent-items sketch (heavy hitters in
+    // k=16 bounded counters, mergeable map-side — the "which keys are
+    // hot" companion to CountMin's "how hot is this key"). The skewed
+    // key derives in-query (the q_join_skew convention): geometric head
+    // h0≈N/2, h1≈N/4, h2≈N/8 over a ~1000-key tail. MG's candidate set
+    // depends on merge order, but its BOUNDS are theorems — every key
+    // with true count > N/(k+1) must be present with
+    // true−N/(k+1) ≤ est ≤ true — so the query emits the verdicts for
+    // the exact top-3 keys (all far above the threshold), the HLL/GK
+    // convention: deterministic under any partitioning, and the oracle
+    // recomputes the exact side.
+    "q_freq_items" -> ((s, dir) => {
+      val kCounters = 16
+      val freq = udaf(new graft.functions.FreqItemsAgg(kCounters))
+      val keyed = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 2 === 0, lit("h0"))
+          .when(col("l_orderkey") % 4 === 1, lit("h1"))
+          .when(col("l_orderkey") % 8 === 3, lit("h2"))
+          .otherwise(concat(lit("t"), (col("l_orderkey") % 997).cast("string")))
+          .as("skey"))
+      val sketch = keyed.agg(freq(col("skey")).as("sk"),
+        count(lit(1)).as("__n"))
+      val top3 = keyed.groupBy("skey").agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("skey")).limit(3)
+      top3.crossJoin(broadcast(sketch))
+        .select(col("skey"), col("true_n"),
+          map_contains_key(col("sk"), col("skey")).as("present"),
+          (coalesce(element_at(col("sk"), col("skey")), lit(0L)) <= col("true_n") &&
+            coalesce(element_at(col("sk"), col("skey")), lit(0L)) >=
+              col("true_n") - floor(col("__n") / (kCounters + 1)))
+            .as("within_bounds"))
+        .orderBy("skey")
+    }),
     "q_topk_group" -> ((s, dir) => {
       val topk = udaf(new graft.functions.TopKAgg(3))
       t(s, dir, "lineitem")
@@ -1223,6 +1256,19 @@ object Relational {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    // MG bounds are theorems, so the oracle recomputes the exact side
+    // and expects TRUE verdicts — the q_agg_approx convention.
+    "q_freq_items" ->
+      """WITH keyed AS (
+           SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'h0'
+                       WHEN l_orderkey % 4 = 1 THEN 'h1'
+                       WHEN l_orderkey % 8 = 3 THEN 'h2'
+                       ELSE 't' || cast(l_orderkey % 997 AS VARCHAR) END AS skey
+           FROM lineitem)
+         SELECT skey, true_n, true AS present, true AS within_bounds
+         FROM (SELECT skey, count(*) AS true_n FROM keyed GROUP BY skey
+               ORDER BY true_n DESC, skey LIMIT 3)
+         ORDER BY skey""",
     "q_topk_group" ->
       """SELECT l_returnflag, rnk, price, rid FROM (
            SELECT l_returnflag, l_extendedprice AS price,

@@ -110,4 +110,41 @@ class PropertiesSpec extends AnyFunSuite {
         }
     })
   }
+
+  test("FreqItemsAgg: the Misra-Gries bounds hold on random zipf-ish " +
+      "streams under ANY chunking and merge order") {
+    // The MG guarantee — est ≤ true, est ≥ true − N/(k+1), every key
+    // above N/(k+1) present, buffer ≤ k — must survive arbitrary
+    // partial-aggregate boundaries and merge orders (what Spark's
+    // partitioning does to the stream). Random chunk sizes + shuffled
+    // merges probe exactly that.
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 12) {
+      val k = 4 + rnd.nextInt(8)
+      val n = 500 + rnd.nextInt(1500)
+      val stream = Seq.fill(n) {
+        val r = rnd.nextInt(100)
+        if (r < 40) "a" else if (r < 60) "b" else if (r < 72) "c"
+        else s"t${rnd.nextInt(40)}"
+      }
+      val truth = stream.groupBy(identity).map { case (t, xs) =>
+        t -> xs.size.toLong
+      }
+      val agg = new graft.functions.FreqItemsAgg(k)
+      val partials = stream.grouped(1 + rnd.nextInt(50)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val sketch = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+      val bound = n / (k + 1)
+      assert(sketch.size <= k, s"k=$k buffer ${sketch.size}")
+      sketch.foreach { case (t, est) =>
+        assert(est <= truth(t), s"overcount: $t est=$est true=${truth(t)}")
+        assert(est >= truth(t) - bound,
+          s"undercount past N/(k+1): $t est=$est true=${truth(t)} bound=$bound")
+      }
+      truth.foreach { case (t, c) =>
+        if (c > bound)
+          assert(sketch.contains(t), s"heavy key $t (n=$c > $bound) missing")
+      }
+    }
+  }
 }
