@@ -247,6 +247,25 @@ object Streams {
     graft.operators.CountMin.sketch(events, key)
 
   /**
+   * Streaming heavy hitters: the Misra-Gries summary
+   * ([[graft.functions.FreqItemsAgg]]) maintained over an unbounded
+   * stream — TOTAL state is one k-bounded counter map at any volume,
+   * the frequent-ITEMS twin of [[frequencySketch]]'s ≤ d·w cells
+   * (CMS answers "how often is x", this answers "which x are hot"
+   * with no candidate set). MG's bounds are merge-order theorems, so
+   * however Structured Streaming folds micro-batch partials into the
+   * state, the emitted summary obeys est ≤ true ≤ est + N/(k+1) and
+   * contains every key above N/(k+1) — StreamsSpec asserts exactly
+   * those against the stream's exact counts.
+   */
+  def heavyHitters(events: DataFrame, key: org.apache.spark.sql.Column,
+      k: Int): DataFrame =
+    events.select(key.cast("string").as("__k"))
+      .agg(org.apache.spark.sql.functions
+        .udaf(new graft.functions.FreqItemsAgg(k))
+        .apply(col("__k")).as("heavy"))
+
+  /**
    * Streaming seasonal-cell maintenance — the unbounded twin of
    * q_anomaly's cell build: (event_type, day, hour) counts over a
    * timestamp column, maintained incrementally by Structured Streaming

@@ -89,6 +89,14 @@ class PlanSpec extends SparkSpec {
       "no partial object aggregate below the first exchange")
   }
 
+  test("frequent-items sketch aggregates partially map-side (k-bounded " +
+      "buffers cross the shuffle, not the key table)") {
+    val p = plan("q_freq_items")
+    val aggs = "ObjectHashAggregate".r.findAllMatchIn(p).toSeq
+    assert(aggs.size >= 2, p.take(400))
+    assert(p.contains("freqitemsagg"), p.take(400))
+  }
+
   test("bloom decontamination filters grams in the scan stage, pre-join") {
     // formatted mode — plain toString elides the long literal-array probe
     val p = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
@@ -249,7 +257,12 @@ class PlanSpec extends SparkSpec {
       // tableChecksum grand totals (q_checksum's partial+final shape);
       // every data-sized stage (the re-read scans, the row hashing)
       // stays distributed.
-      "q_format_roundtrip")
+      "q_format_roundtrip",
+      // q_freq_items reduces to ONE k-bounded MG map: the single
+      // partition receives k-entry partial buffers, never key-table
+      // rows (that bound is the sketch's whole point, pinned by the
+      // partial-aggregate plan test).
+      "q_freq_items")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {

@@ -259,6 +259,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: one k-bounded MG map as total state, " +
+      "bounds hold against the stream's exact counts") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val k = 4
+    val q = Streams.heavyHitters(mem.toDF(), col("user_id"), k)
+      .writeStream.format("memory").queryName("mg_t")
+      .outputMode("complete").start()
+    try {
+      // skewed stream: user 1 dominates, user 2 warm, users 10-29 tail
+      val evs = (1 to 60).map { i =>
+        val u = if (i % 2 == 0) 1L else if (i % 4 == 1) 2L
+          else 10L + (i % 20)
+        Ev(ts(i), "e", u)
+      }
+      mem.addData(evs.take(30): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(30): _*)
+      q.processAllAvailable()
+      val sketch = spark.table("mg_t").head()
+        .getMap[String, Long](0).toMap
+      val truth = evs.groupBy(_.user_id).map { case (u, xs) =>
+        u.toString -> xs.size.toLong
+      }
+      val bound = evs.size / (k + 1)
+      assert(sketch.size <= k, s"state exceeded k: ${sketch.size}")
+      sketch.foreach { case (u, est) =>
+        assert(est <= truth(u) && est >= truth(u) - bound,
+          s"user $u est=$est true=${truth(u)} bound=$bound")
+      }
+      truth.foreach { case (u, c) =>
+        if (c > bound) assert(sketch.contains(u), s"heavy user $u missing")
+      }
+    } finally q.stop()
+  }
+
   test("streaming seasonal cells equal the batch cells; the shared " +
       "verdict flags the planted hour spike") {
     implicit val sql = spark.sqlContext
