@@ -32,6 +32,10 @@ class FreqItemsAgg(k: Int)
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(buf: Map[String, Long], key: String): Map[String, Long] = {
+    // null keys are ignored, not counted: a null map key cannot be
+    // encoded for the shuffle/state store (Catalyst throws), and "how
+    // often is NULL" is a count(*) question, not a heavy-hitters one
+    if (key == null) return buf
     val b = buf.updated(key, buf.getOrElse(key, 0L) + 1L)
     if (b.size <= k) b else shrink(b)
   }

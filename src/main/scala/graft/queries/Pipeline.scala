@@ -723,8 +723,12 @@ object Pipeline {
       import graft.sources.Sources
       val cols = Seq("doc_id", "lang", "n_chars", "text")
       val docs = t(s, dir, "documents").select(cols.map(col): _*)
+      // keyed by applicationId: per-session unique (no cross-process or
+      // cross-user /tmp collision), constant within a session (bench
+      // sweeps overwrite instead of accumulating)
       val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_fmt_roundtrip").toString
+        System.getProperty("java.io.tmpdir"),
+        s"graft_fmt_${s.sparkContext.applicationId}").toString
       Sources.writeCsv(docs, s"$base/csv")
       Sources.writeJsonLines(docs, s"$base/jsonl")
       Sources.writeOrc(docs, s"$base/orc")

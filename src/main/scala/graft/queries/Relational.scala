@@ -696,12 +696,15 @@ object Relational {
         count(lit(1)).as("__n"))
       val top3 = keyed.groupBy("skey").agg(count(lit(1)).as("true_n"))
         .orderBy(col("true_n").desc, col("skey")).limit(3)
+      // try_element_at, not element_at: under ANSI mode (the Spark 4
+      // default) element_at on a missing map key THROWS, so an absent
+      // key must degrade to est=0 / present=false verdicts, not a crash
+      val est = coalesce(try_element_at(col("sk"), col("skey")), lit(0L))
       top3.crossJoin(broadcast(sketch))
         .select(col("skey"), col("true_n"),
           map_contains_key(col("sk"), col("skey")).as("present"),
-          (coalesce(element_at(col("sk"), col("skey")), lit(0L)) <= col("true_n") &&
-            coalesce(element_at(col("sk"), col("skey")), lit(0L)) >=
-              col("true_n") - floor(col("__n") / (kCounters + 1)))
+          (est <= col("true_n") &&
+            est >= col("true_n") - floor(col("__n") / (kCounters + 1)))
             .as("within_bounds"))
         .orderBy("skey")
     }),

@@ -146,5 +146,11 @@ class PropertiesSpec extends AnyFunSuite {
           assert(sketch.contains(t), s"heavy key $t (n=$c > $bound) missing")
       }
     }
+    // null keys are ignored (a null map key cannot cross the Catalyst
+    // encoder; "how often is NULL" is a count(*) question)
+    val agg = new graft.functions.FreqItemsAgg(4)
+    val withNulls = Seq("a", null, "a", null, "b")
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(withNulls == Map("a" -> 2L, "b" -> 1L))
   }
 }
