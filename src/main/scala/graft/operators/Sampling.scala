@@ -93,6 +93,31 @@ object Sampling {
   }
 
   /**
+   * Deterministic repeat-upsampling — the "epochs per source" mix lever
+   * (e.g. 2.5 epochs of a high-quality source, 0.8 of a noisy one):
+   * every row emits floor(w) copies plus one more iff its hash gate
+   * passes at probability frac(w), so the per-key copy count is exactly
+   * ⌊w⌋ or ⌈w⌉, the expectation is exactly w, and the choice is a pure
+   * function of (salt, key) — reproducible forever, unlike RNG-based
+   * upsampling. w ≤ 0 drops the row (downsampling below 1 works too:
+   * w = 0.8 keeps 80%). Scan-local explode — no shuffle, no RNG state,
+   * pushes through the plan like any projection. Returns the input plus
+   * a 1-based `copy` index.
+   */
+  def repeatUpsample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      salt: String, weight: Column): org.apache.spark.sql.DataFrame = {
+    val frac = weight - floor(weight)
+    val thr = lpad(lower(hex(floor(frac * 65536).cast("long"))), 4, "0")
+    val extra = when(hashHex4(col(keyCol), salt) < thr, 1L).otherwise(0L)
+    val n = floor(weight).cast("long") + extra
+    // sequence(1, n) with n < 1 would generate DESCENDING [1..n] —
+    // guard to an empty array so non-positive counts drop the row
+    df.withColumn("copy", explode(
+      when(n >= 1L, sequence(lit(1L), n))
+        .otherwise(array().cast("array<long>"))))
+  }
+
+  /**
    * Deterministic global shuffle into training shards — the layout op
    * that randomizes a curated corpus into fixed shard files WITHOUT a
    * corpus-wide total sort. A row's shard is the 60-bit hash of

@@ -230,6 +230,17 @@ object Pipeline {
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")
     }),
+    // Scale — deterministic repeat-upsampling (the "epochs per source"
+    // mix lever): en docs repeat 2.5× in expectation (exactly 2 or 3,
+    // hash-gated), others 1.25× — the Wikipedia-gets-4-epochs recipe
+    // primitive, reproducible forever. Scan-local explode, no shuffle.
+    "q_repeat_upsample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.repeatUpsample(docs, "doc_id", "rep1",
+        when(col("lang") === "en", lit(2.5)).otherwise(lit(1.25)))
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
     // Scale — deterministic global shuffle into training shards: shard =
     // portable hash mod 8, position = in-shard rank of the full hash.
     // Shards-in-order ∘ positions-in-order is a reproducible pseudo-
@@ -1860,6 +1871,23 @@ object Pipeline {
                      cast(doc_id AS VARCHAR))), 1, 4) AS h
                  FROM documents))
          GROUP BY lang, split ORDER BY lang, split""",
+    "q_repeat_upsample" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 2.5 ELSE 1.25 END AS wt
+           FROM documents),
+         g AS (
+           SELECT doc_id, lang,
+             cast(floor(wt) AS BIGINT) +
+             CASE WHEN substring(md5(concat('rep1', '|',
+                      cast(doc_id AS VARCHAR))), 1, 4)
+                    < lpad(lower(to_hex(cast(floor((wt - floor(wt)) * 65536)
+                        AS BIGINT))), 4, '0')
+                  THEN 1 ELSE 0 END AS n
+           FROM w)
+         SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy
+         FROM g WHERE n >= 1
+         ORDER BY doc_id, copy""",
     "q_shuffle_shards" ->
       """WITH h AS (
            SELECT doc_id,

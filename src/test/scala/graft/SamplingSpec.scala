@@ -86,6 +86,35 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("repeatUpsample: per-key copies are exactly floor(w) or ceil(w), " +
+      "the mean converges to w, zero/negative weights drop the row, and " +
+      "the choice is deterministic") {
+    val n = 4000
+    val out = Sampling.repeatUpsample(ids(n), "id", "rep", lit(2.25))
+      .groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n, "no key may vanish at w >= 1")
+    assert(out.values.forall(c => c == 2L || c == 3L))
+    val mean = out.values.sum.toDouble / n
+    assert(math.abs(mean - 2.25) < 0.05, s"mean $mean")
+    // copy indices are 1..c per key
+    val copies = Sampling.repeatUpsample(ids(5), "id", "rep", lit(2.25))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    copies.groupBy(_._1).foreach { case (_, cs) =>
+      assert(cs.map(_._2).sorted.toSeq == (1L to cs.length.toLong))
+    }
+    // w <= 0 drops; 0 < w < 1 is deterministic downsampling
+    assert(Sampling.repeatUpsample(ids(100), "id", "rep", lit(0.0)).count() == 0)
+    val down = Sampling.repeatUpsample(ids(2000), "id", "rep", lit(0.5)).count()
+    assert(down > 800 && down < 1200, s"w=0.5 kept $down of 2000")
+    // deterministic under repartitioning
+    val a = Sampling.repeatUpsample(ids(500), "id", "rep", lit(1.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.repeatUpsample(ids(500).repartition(7), "id", "rep",
+      lit(1.5)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("shuffleShards is a balanced, deterministic permutation: every row " +
       "exactly once, contiguous in-shard positions, repartition-invariant") {
     val n = 2000; val shards = 8
