@@ -664,6 +664,16 @@ object Dedup {
     // union-of-two-selects would duplicate the (possibly expensive)
     // edge-finding lineage and execute it once per branch, forcing an
     // extra persist + count just to pre-materialize it.
+    // NO distinct: min-label propagation is idempotent under duplicate
+    // edges (min over a multiset ignores multiplicity), so deduping the
+    // symmetrized list would spend a full (src, dst) shuffle per CC call
+    // purely on join-width hygiene — and every in-repo edge producer
+    // (banded MinHash, blocked fuzzy pairs) already emits unique pairs.
+    // Callers feeding heavily duplicated edge lists should dedupe first;
+    // duplicates cost join fan-out only, never correctness. (Isolated
+    // min-of-2 A/B at sf0.1, on top of the probe's gains: q_entity_res
+    // 2.54→1.91s, q_dedup_cluster 1.90→1.41s, q_dedup_survivor
+    // 1.87→1.74s, q_split_leakfree 1.92→1.67s.)
     // The result persists partitioned on dst — the per-round join key —
     // so iteration rounds probe the cached layout instead of re-shuffling
     // the edge list every round. repartition by column (no explicit
@@ -675,7 +685,6 @@ object Dedup {
         struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Round 0 folds into the init aggregate: every node starts at
