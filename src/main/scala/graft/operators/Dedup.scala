@@ -410,9 +410,14 @@ object Dedup {
     * [[removeDuplicatedSpans]]; callers own `anchors`' lifecycle). */
   private def spansFromAnchors(anchors: DataFrame, idCol: String,
       w: Int): DataFrame = {
+    // "seen in >1 distinct doc" as min(id) != max(id): a single-phase
+    // min/max aggregate combines map-side in ONE shuffle, where
+    // countDistinct expands to two (dedupe on (shingle, id), then count
+    // on shingle) — same predicate, half the census shuffles (isolated
+    // min-of-2 A/B at sf0.1: q_dedup_substring 1.52→1.21s).
     val dup = anchors.groupBy(col("__sh"))
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") > 1)
+      .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
       .select(col("__sh"))
     // the run-grouping trick: consecutive positions share (pos − rank)
     val runs = Window.partitionBy(col(idCol)).orderBy(col("pos"))
