@@ -261,9 +261,11 @@ object Curation {
       .select(col(idCol), posexplode(chunksFromWords(col("__words"), w))
         .as(Seq("__pos", "__chunk")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // min(id) != max(id) ⟺ >1 distinct doc, in ONE map-side-combining
+    // shuffle instead of countDistinct's two (see Dedup.spansFromAnchors)
     val boiler = chunked.groupBy(col("__chunk"))
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") > 1)
+      .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
       .select(col("__chunk"))
     val totals = chunked.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
     val kept = chunked.join(boiler, Seq("__chunk"), "left_anti")
