@@ -281,6 +281,32 @@ object Curation {
       Seq(chunked))
   }
 
+  /** Line-level rejection phrases (case-insensitive substring match) —
+    * C4's "enable javascript" / cookie-notice rule. Shared with the
+    * oracle SQL so the two engines apply the same policy. */
+  val bannedLinePhrases: Seq[String] = Seq("javascript", "cookie policy")
+
+  /** C4's per-line keep rule: ends in terminal punctuation, has at least
+    * `minWords` whitespace-separated words, and carries none of
+    * [[bannedLinePhrases]]. Pure codegen'd predicate over one line. */
+  def keepLine(line: Column, minWords: Int): Column =
+    line.rlike("[.!?]$") &&
+      size(split(trim(line), "\\s+")) >= minWords &&
+      bannedLinePhrases.map(p => !lower(line).contains(p)).reduce(_ && _)
+
+  /**
+   * C4-style line-level filtering (Raffel et al. 2020 §2.2) — the cleanup
+   * pass between HTML extraction and document-level quality gates: split
+   * the document into lines, keep only lines that end in terminal
+   * punctuation, have ≥ `minWords` words, and mention no banned phrase
+   * (javascript/cookie boilerplate), then reassemble the survivors in
+   * order. A single scan-local higher-order `filter` over the split
+   * array — zero shuffles, zero explodes; at 100 TB this runs at scan
+   * speed inside whole-stage codegen.
+   */
+  def filterLines(text: Column, minWords: Int): Column =
+    array_join(filter(split(text, "\n"), l => keepLine(l, minWords)), "\n")
+
   /**
    * Token-budget sequence packing, first-fit by running offset: docs are
    * laid out in `orderCol` order within each `groupCol`, and a doc joins

@@ -144,6 +144,44 @@ object TextAnalysis {
       lower(regexp_extract(url, "^https?://([^/?#]+)", 1)),
       "^www\\.", "")
 
+  /** `<script>`/`<style>` elements WITH their bodies (dotall + lazy body so
+    * a `<` inside inline code cannot end the match early). Two patterns, not
+    * one backreferenced `</\1>` — RE2 engines (the DuckDB oracle's dialect)
+    * have no backreferences, and portability is the contract here. */
+  val scriptPattern = "(?is)<script[^>]*>.*?</script>"
+  val stylePattern = "(?is)<style[^>]*>.*?</style>"
+  /** Any remaining tag. Attribute values containing a raw `>` are out of
+    * scope — the same simplification the C4/WET extractors make. */
+  val tagPattern = "<[^>]*>"
+
+  /** The named entities the extractor decodes, in APPLICATION ORDER:
+    * `&amp;` must decode LAST so `&amp;lt;` yields the literal `&lt;`
+    * (single-pass unescape), never `<`. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  private def decodeEntities(c: Column): Column =
+    htmlEntities.foldLeft(c) { case (acc, (from, to)) =>
+      call_function("replace", acc, lit(from), lit(to))
+    }
+
+  /**
+   * HTML → text extraction — the stage every web corpus starts from
+   * (Common Crawl WET, C4, RefinedWeb): drop script/style elements with
+   * their contents, drop every remaining tag, decode the standard named
+   * entities, collapse whitespace runs, trim. Five codegen'd
+   * regexp/replace passes fused into one scan-local projection — zero
+   * shuffles, and the pattern constants are shared verbatim with the
+   * DuckDB oracle so the two dialects cannot drift.
+   */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, scriptPattern, " ")
+    val noStyle = regexp_replace(noScript, stylePattern, " ")
+    val noTags = regexp_replace(noStyle, tagPattern, " ")
+    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+  }
+
   /**
    * BM25 relevance ranking (Robertson/Spärck Jones; the Lucene-default
    * scoring function) of every document against a FIXED literal term set —

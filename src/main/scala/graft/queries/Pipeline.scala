@@ -37,6 +37,22 @@ object Pipeline {
     * body is ever refactored to a plain triple-quoted string. */
   private val WsSplitSql = "string_split_regex(text, '\\s+')"
 
+  /** DuckDB `replace()` chain applying TextAnalysis.htmlEntities in their
+    * declared order (amp last) — generated from the same constant the
+    * engine folds over, so the decode order cannot desynchronize. */
+  private def entityChainSql(inner: String): String =
+    TA.htmlEntities.foldLeft(inner) { case (acc, (from, to)) =>
+      s"replace($acc, '$from', '${to.replace("'", "''")}')"
+    }
+
+  /** Curation.keepLine as a DuckDB lambda-body fragment over a line `l`,
+    * banned phrases interpolated from the shared constant. */
+  private val KeepLineSql: String =
+    "regexp_matches(l, '[.!?]$') AND " +
+      "len(string_split_regex(trim(l), '\\s+')) >= 5" +
+      Curation.bannedLinePhrases
+        .map(p => s" AND NOT contains(lower(l), '$p')").mkString
+
   /** The bigram-LM scoring pipeline as a DuckDB CTE chain ending in
     * `lm(doc_id, n_bigrams, avg_logp)` — shared by q_lm_score and
     * q_ppl_bucket so the two oracles cannot desynchronize. Mirrors
@@ -331,6 +347,89 @@ object Pipeline {
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_urls"))
         .orderBy("host")
+    }),
+    // L1 — HTML → text extraction (the stage every web corpus starts
+    // from; C4/RefinedWeb §"text extraction"). The fixture text carries no
+    // markup, so the query first wraps each document in a deterministic
+    // HTML shell — script/style elements with bodies (the script body
+    // contains a raw `<` so the lazy close-tag match is actually
+    // exercised), attributes, entities incl. the &amp;lt; double-escape
+    // case — then strips it back to text. Five fused regexp/replace
+    // passes, scan-local, zero shuffles; the pattern and entity constants
+    // are shared verbatim with the oracle SQL.
+    "q_strip_html" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><title>D"), col("doc_id").cast("string"),
+          lit("</title><style type=\"text/css\">p { color: red; }</style>"),
+          lit("</head><body><h1 class=\"hd\">Doc &#39;"),
+          col("doc_id").cast("string"),
+          lit("&#39; &amp;lt;still escaped&amp;gt;</h1>\n<p>"), col("text"),
+          lit(" &amp; more &lt;tags&gt;&nbsp;end.</p>"),
+          lit("<script>var x = 1; if (x < 2) { x = 3; }</script>"),
+          lit("</body></html>")).as("html"))
+      seeded
+        .select(col("doc_id"), TA.stripHtml(col("html")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+    // L1 — C4-style line-level filtering (Raffel et al. 2020 §2.2): keep
+    // only lines ending in terminal punctuation with ≥5 words and no
+    // javascript/cookie boilerplate phrase, reassemble survivors in order.
+    // The fixture text is a single punctuation-free line, so the query
+    // seeds a deterministic five-line page per doc: a first sentence whose
+    // word count varies by doc_id (so keep counts differ across rows), a
+    // banned-phrase line, a punctuation-less fragment, a too-short line,
+    // and a long closing sentence. One scan-local higher-order filter over
+    // the split array — zero shuffles, zero explodes.
+    "q_line_filter" -> ((s, dir) => {
+      // concat, not concat_ws: `||` in the oracle propagates NULL text and
+      // concat matches that; concat_ws would silently skip the null slot.
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("Document "), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, lit(" short."))
+            .otherwise(lit(" begins with a plain first sentence.")),
+          lit("\nPlease enable JavaScript and accept our cookie policy to continue.\n"),
+          substring(col("text"), 1, 40),
+          lit("\nToo short.\n"),
+          col("text"), lit(" and that is the end.")).as("text"))
+      val lines = split(col("text"), "\n")
+      seeded.select(col("doc_id"),
+          size(lines).cast("long").as("n_lines"),
+          size(filter(lines, l => Curation.keepLine(l, 5)))
+            .cast("long").as("n_kept"),
+          Curation.filterLines(col("text"), 5).as("clean"))
+        .orderBy("doc_id")
+    }),
+    // L1 — inverted-index build (term → bounded postings + df/total_tf):
+    // the retrieval-side structure BM25 serves from, materialized as a
+    // table. One tokenize explode feeds ONE (term, doc) hash aggregate
+    // (map-side combine; persisted — it feeds both the term-stats
+    // aggregate and the postings window, and exchange reuse cannot dedupe
+    // the pruned branches); term-level df/total_tf is a second aggregate
+    // off that (vocabulary-sized, broadcast back); postings are capped at
+    // 3 docs per term via a per-term window over the ALREADY-AGGREGATED
+    // (term, doc) rows — the window's partition is at most corpus-doc
+    // sized per term and never sees raw token occurrences.
+    "q_inverted_index" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Scale.spreadForCompute(
+          t(s, dir, "documents").filter(col("text").isNotNull), col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("total_tf"))
+      val w = Window.partitionBy("term").orderBy("doc_id")
+      Scale.releaseAfterUse(
+        tf.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .join(broadcast(stats), "term")
+          .select("term", "df", "total_tf", "doc_id", "tf", "rn")
+          .orderBy("term", "doc_id"),
+        Seq(tf))
     }),
     // A6 — exact dedup by key with deterministic survivor (window-rank; the
     // dropDuplicates equivalent with a defined choice).
@@ -2003,6 +2102,67 @@ object Pipeline {
            FROM u)
          SELECT host, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
          FROM h GROUP BY host ORDER BY host""",
+    // Patterns and the entity-decode chain interpolated from TextAnalysis
+    // (scriptPattern/stylePattern/tagPattern/htmlEntities) — both dialects
+    // read the inline (?is) flags identically, and RE2's missing
+    // backreferences are exactly why the engine uses two element patterns.
+    "q_strip_html" ->
+      s"""WITH seeded AS (
+           SELECT doc_id, '<html><head><title>D' || doc_id::varchar ||
+             '</title><style type="text/css">p { color: red; }</style>' ||
+             '</head><body><h1 class="hd">Doc &#39;' || doc_id::varchar ||
+             '&#39; &amp;lt;still escaped&amp;gt;</h1>' || chr(10) ||
+             '<p>' || text ||
+             ' &amp; more &lt;tags&gt;&nbsp;end.</p>' ||
+             '<script>var x = 1; if (x < 2) { x = 3; }</script>' ||
+             '</body></html>' AS html
+           FROM documents),
+         stripped AS (
+           SELECT doc_id, trim(regexp_replace(${entityChainSql(
+        s"""regexp_replace(regexp_replace(regexp_replace(html,
+             '${TA.scriptPattern}', ' ', 'g'),
+             '${TA.stylePattern}', ' ', 'g'),
+             '${TA.tagPattern}', ' ', 'g')""")},
+             '\\s+', ' ', 'g')) AS text
+           FROM seeded)
+         SELECT doc_id, text, length(text)::bigint AS n_chars
+         FROM stripped ORDER BY doc_id""",
+    "q_line_filter" ->
+      s"""WITH seeded AS (
+           SELECT doc_id,
+             'Document ' || doc_id::varchar ||
+               CASE WHEN doc_id % 3 = 0 THEN ' short.'
+                    ELSE ' begins with a plain first sentence.' END ||
+             chr(10) ||
+             'Please enable JavaScript and accept our cookie policy to continue.' ||
+             chr(10) || substr(text, 1, 40) ||
+             chr(10) || 'Too short.' ||
+             chr(10) || text || ' and that is the end.' AS text
+           FROM documents),
+         f AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM seeded)
+         SELECT doc_id, len(ls)::bigint AS n_lines,
+           len(list_filter(ls, l -> $KeepLineSql))::bigint AS n_kept,
+           array_to_string(list_filter(ls, l -> $KeepLineSql), chr(10))
+             AS clean
+         FROM f ORDER BY doc_id""",
+    "q_inverted_index" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest($WsSplitSql) AS term
+           FROM documents WHERE text IS NOT NULL),
+         tf AS (
+           SELECT term, doc_id, count(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY term, doc_id),
+         stats AS (
+           SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS total_tf
+           FROM tf GROUP BY term),
+         ranked AS (
+           SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+           FROM tf)
+         SELECT r.term, s.df, s.total_tf, r.doc_id,
+           r.tf::bigint AS tf, r.rn::bigint AS rn
+         FROM ranked r JOIN stats s USING (term)
+         WHERE r.rn <= 3 ORDER BY r.term, r.doc_id""",
     "q_dedup_exact" ->
       """SELECT l_orderkey, l_partkey, l_quantity FROM (
            SELECT l_orderkey, l_partkey, l_quantity,

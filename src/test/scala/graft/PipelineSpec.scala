@@ -626,6 +626,89 @@ class TextAnalysisSpec extends SparkSpec {
     val re = df.select(TA.redactPii(col("t")).as("t"))
     assert(re.filter(TA.hasEmail(col("t")) || TA.hasPhone(col("t"))).count() == 0)
   }
+
+  test("stripHtml: element bodies dropped, tags dropped, entities decoded " +
+      "in order, whitespace collapsed") {
+    val df = strDf("t", Seq(
+      "<p>Hello <b>world</b></p>",
+      // raw < inside the script body must not end the element early
+      "<script>if (x < 2) { y(); }</script>after",
+      "<style a=\"b\">p { x: 1 }</style>text",
+      // &amp;lt; is a DOUBLE-escaped '<': single-pass unescape yields the
+      // literal text "&lt;", never a tag-like "<"
+      "a &amp;lt;b&amp;gt; c",
+      "x &lt;i&gt; y &amp; z &nbsp;w &quot;q&quot; &#39;s&#39;",
+      "  spaced\t\tout \n lines  "))
+    val out = df.select(TA.stripHtml(col("t"))).collect().map(_.getString(0))
+    assert(out(0) == "Hello world")
+    assert(out(1) == "after")
+    assert(out(2) == "text")
+    assert(out(3) == "a &lt;b&gt; c")
+    assert(out(4) == "x <i> y & z w \"q\" 's'")
+    assert(out(5) == "spaced out lines")
+  }
+
+  test("stripHtml on markup-free text is exactly whitespace collapse " +
+      "(300 randomized word soups)") {
+    val rnd = new scala.util.Random(13)
+    val texts = Seq.fill(300)(Seq.fill(1 + rnd.nextInt(20))(
+      rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+      .mkString(Seq(" ", "  ", "\n", "\t")(rnd.nextInt(4))))
+    val df = strDf("t", texts)
+    val same = df.select((TA.stripHtml(col("t")) <=>
+      trim(regexp_replace(col("t"), "\\s+", " "))).as("ok"))
+    assert(same.collect().forall(_.getBoolean(0)))
+  }
+
+  test("keepLine/filterLines: punctuation, min-words, and banned-phrase " +
+      "rules; survivors keep their order") {
+    import graft.operators.Curation
+    val page = Seq(
+      "This is a fine first sentence with many words.", // kept
+      "Ends with punctuation!",                          // 3 words → drop
+      "no terminal punctuation on this long line here",  // no punct → drop
+      "Please enable JAVASCRIPT to see this content.",   // banned → drop
+      "Our cookie policy applies to all visitors here.", // banned → drop
+      "Does a question count as terminal punctuation?",  // kept
+      "The closing sentence arrives at the very end.")   // kept
+      .mkString("\n")
+    val out = strDf("t", Seq(page))
+      .select(Curation.filterLines(col("t"), 5)).collect()(0).getString(0)
+    assert(out == Seq(
+      "This is a fine first sentence with many words.",
+      "Does a question count as terminal punctuation?",
+      "The closing sentence arrives at the very end.").mkString("\n"))
+    // zero survivors → empty string, not null
+    val none = strDf("t", Seq("short.\nno punct line"))
+      .select(Curation.filterLines(col("t"), 5)).collect()(0).getString(0)
+    assert(none == "")
+  }
+
+  test("filterLines law on 200 randomized pages: output lines are exactly " +
+      "the keepLine-passing input lines, in order") {
+    import graft.operators.Curation
+    val rnd = new scala.util.Random(17)
+    def line(): String = {
+      val words = Seq.fill(1 + rnd.nextInt(9))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      val punct = Seq(".", "!", "?", "", "x")(rnd.nextInt(5))
+      val banned = if (rnd.nextInt(6) == 0) " javascript" else ""
+      words.mkString(" ") + banned + punct
+    }
+    val pages = Seq.fill(200)(Seq.fill(1 + rnd.nextInt(8))(line())
+      .mkString("\n"))
+    def keepRef(l: String): Boolean =
+      l.nonEmpty && ".!?".contains(l.last) &&
+        l.trim.split("\\s+").length >= 5 &&
+        Curation.bannedLinePhrases.forall(p => !l.toLowerCase.contains(p))
+    val out = strDf("t", pages)
+      .select(col("t"), Curation.filterLines(col("t"), 5).as("f"))
+      .collect()
+    out.foreach { r =>
+      val want = r.getString(0).split("\n", -1).filter(keepRef).mkString("\n")
+      assert(r.getString(1) == want)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -460,6 +460,29 @@ class PlanSpec extends SparkSpec {
       "the host aggregate must combine map-side before the shuffle")
   }
 
+  test("HTML extraction and line filtering are codegen'd scan-local " +
+      "projections — one scan, one presentation exchange each") {
+    for (name <- Seq("q_strip_html", "q_line_filter")) {
+      val p = plan(name)
+      assert("FileScan".r.findAllIn(p).length == 1, s"$name: ${p.take(400)}")
+      assert("Exchange".r.findAllIn(p).length == 1,
+        s"$name: the regex/lambda passes must fuse into the scan " +
+          s"projection; only the orderBy may exchange — ${p.take(400)}")
+    }
+  }
+
+  test("inverted index: one tokenize scan, map-side-combined (term,doc) " +
+      "aggregate, vocabulary stats broadcast back") {
+    val p = plan("q_inverted_index")
+    // both consumers (postings window, term stats) must read the CACHED tf
+    // stage — two InMemoryTableScans, never a re-tokenized second pipeline
+    assert("InMemoryTableScan".r.findAllIn(p).length == 2,
+      "the persisted tf stage must feed both branches: " + p.take(600))
+    assert(p.contains("partial"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"),
+      "term stats are vocabulary-sized and must broadcast: " + p.take(400))
+  }
+
   test("perplexity bucketing runs ONE window pass over the per-doc score " +
       "table (document-scale), never the bigram explode") {
     val p = plan("q_ppl_bucket")
