@@ -267,6 +267,63 @@ object Dedup {
   }
 
   /**
+   * Banded-LSH recall evaluation — the dedup-modality twin of the ANN
+   * recall query (q_pq_recall): for a bounded QUERY subset, compute the
+   * exact-Jaccard ground-truth neighbor set (pairs with J ≥ `threshold`)
+   * and report, per query doc, how many of those pairs the banded MinHash
+   * candidate generation actually surfaces. This is the measurement that
+   * justifies a (numHashes, bands) choice before a 100 TB dedup run.
+   *
+   * Scale shape: ground truth is NEVER all-pairs — it runs through the
+   * shingle-hash inverted index, so per-shingle work is
+   * |queries containing s| × df(s): linear in corpus size for a bounded
+   * query set, with the query side small enough to broadcast its sizes.
+   * The candidate side is the same band self-join the production path
+   * uses. Portable md5 family throughout → fully oracle-checkable.
+   * Returns (q_id, n_true, n_caught, recall), one row per query doc with
+   * at least one true neighbor.
+   */
+  def bandedRecallPortable(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cs = portableSigStage(corpus, idCol, textCol, shingleN, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qs = portableSigStage(queries, idCol, textCol, shingleN, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ground truth via the inverted index: hv entries are DISTINCT by
+    // construction (shinglesFromWords dedups), so the per-pair match count
+    // IS the intersection size, and |A∪B| = |A| + |B| − |A∩B|.
+    val qh = qs.select(col(idCol).as("q_id"), explode(col("hv")).as("__hx"))
+    val ch = cs.select(col(idCol).as("c_id"), explode(col("hv")).as("__hx"))
+    val inter = qh.join(ch, "__hx").filter(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id").agg(count(lit(1)).as("__n_int"))
+    val qsz = qs.select(col(idCol).as("q_id"), size(col("hv")).as("__sq"))
+    val csz = cs.select(col(idCol).as("c_id"), size(col("hv")).as("__sc"))
+    val truth = inter.join(broadcast(qsz), "q_id").join(csz, "c_id")
+      .filter(col("__n_int").cast("double") /
+        (col("__sq") + col("__sc") - col("__n_int")) >= threshold)
+      .select("q_id", "c_id")
+    val rows = numHashes / bands
+    val qb = bandSignatures(qs, idCol, "sig", bands, rows)
+      .select(col(idCol).as("q_id"), col("band"), col("band_sig"))
+    val cb = bandSignatures(cs, idCol, "sig", bands, rows)
+      .select(col(idCol).as("c_id"), col("band"), col("band_sig"))
+    val cand = qb.join(cb, Seq("band", "band_sig"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
+    Scale.releaseAfterUse(
+      truth
+        .join(cand.withColumn("__hit", lit(1L)), Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
+        .withColumn("recall",
+          round(col("n_caught").cast("double") / col("n_true"), 6)),
+      Seq(cs, qs))
+  }
+
+  /**
    * Containment near-dup pairs: containment(A,B) = |A∩B| / min(|A|,|B|)
    * over shingle sets — the asymmetric cousin of Jaccard that catches
    * quote/subset relations (a short doc embedded in a long one scores

@@ -469,6 +469,20 @@ object Pipeline {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("delta_id", "corpus_id")
     }),
+    // A7 — banded-LSH recall evaluation (the dedup twin of q_pq_recall):
+    // for the doc_id < 100 query subset, exact-Jaccard ground truth at
+    // J ≥ 0.5 via the shingle-hash inverted index (never all-pairs), then
+    // per query doc the fraction of true neighbors the 16-hash/4-band
+    // candidate generation surfaces — the measurement that sizes
+    // (numHashes, bands) before a 100 TB dedup run. Portable md5 family
+    // throughout, so truth, candidates, and recall all oracle-check.
+    "q_minhash_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.bandedRecallPortable(docs, docs.filter(col("doc_id") < 100),
+          "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+          threshold = 0.5)
+        .orderBy("q_id")
+    }),
     // A7 — n-gram Jaccard similarity over blocked candidate pairs: docs
     // sharing a (lang, n_chars) block compare word-3-gram shingle sets —
     // the verify stage of fuzzy dedup, fully oracle-checkable since the
@@ -2613,6 +2627,55 @@ object Pipeline {
                         JOIN h hc ON hc.doc_id = cd.corpus_id)
          SELECT delta_id, corpus_id, round(jaccard, 6) AS jaccard FROM jac
          WHERE jaccard >= 0.5 ORDER BY delta_id, corpus_id""",
+    // Same portable MinHash CTE; ground truth from the hv inverted index
+    // (hv is distinct by construction, so the per-pair match count IS the
+    // intersection and |A∪B| = |A|+|B|−|A∩B|).
+    "q_minhash_recall" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id,
+             list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hv
+           FROM s),
+         h2 AS (SELECT doc_id, hv,
+             list_transform(hv, v -> ('0x' || substr(md5(v::VARCHAR), 1, 14))::BIGINT) AS hv2
+           FROM h),
+         sig AS (SELECT doc_id,
+             list_transform(generate_series(1, 16), k ->
+               list_min(list_transform(generate_series(1, len(hv)),
+                 j -> hv[j] + k * hv2[j]))) AS sig
+           FROM h2),
+         bands AS (
+           SELECT doc_id, b,
+             array_to_string(sig[(b-1)*4+1:(b-1)*4+4], '|') AS band_sig
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS b)),
+         qh AS (SELECT doc_id AS q_id, unnest(hv) AS hx FROM h
+                WHERE doc_id < 100),
+         ch AS (SELECT doc_id AS c_id, unnest(hv) AS hx FROM h),
+         inter AS (
+           SELECT q_id, c_id, count(*) AS n_int
+           FROM qh JOIN ch USING (hx) WHERE q_id <> c_id
+           GROUP BY q_id, c_id),
+         sz AS (SELECT doc_id, len(hv) AS sz FROM h),
+         truth AS (
+           SELECT q_id, c_id FROM inter
+           JOIN sz sq ON sq.doc_id = inter.q_id
+           JOIN sz sc ON sc.doc_id = inter.c_id
+           WHERE cast(n_int AS double) / (sq.sz + sc.sz - n_int) >= 0.5),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS q_id, y.doc_id AS c_id
+           FROM bands x JOIN bands y ON x.b = y.b AND x.band_sig = y.band_sig
+           WHERE x.doc_id < 100 AND x.doc_id <> y.doc_id)
+         SELECT t.q_id, count(*)::bigint AS n_true,
+           sum(CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END)::bigint
+             AS n_caught,
+           round(sum(CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END)::double
+             / count(*), 6) AS recall
+         FROM truth t
+         LEFT JOIN cand c ON t.q_id = c.q_id AND t.c_id = c.c_id
+         GROUP BY t.q_id ORDER BY t.q_id""",
     "q_dedup_simhash" ->
       """WITH h AS (
            SELECT doc_id, list_transform(string_split(text, ' '),

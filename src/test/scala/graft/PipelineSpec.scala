@@ -177,6 +177,32 @@ class DedupSpec extends SparkSpec {
     assert(cont.isEmpty)
   }
 
+  test("bandedRecallPortable: ground truth is banding-independent, and " +
+      "1-row bands catch everything a single 16-row band can miss") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("epsilon", "EPSILON") // J ≈ 15/21 ≥ 0.5
+    val other = "one two three four five six seven eight nine ten"
+    val corpus = docs((1L, base), (2L, near), (3L, base), (4L, other))
+    val queries = corpus.filter(col("doc_id") === 1L)
+    def run(bands: Int): (Long, Long, Long) = {
+      val rows = Dedup.bandedRecallPortable(corpus, queries, "doc_id",
+        "text", shingleN = 3, numHashes = 16, bands = bands, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.length == 1); rows.head
+    }
+    // truth for q=1 is {2 (near-dup), 3 (identical)} under EVERY banding —
+    // the ground-truth side must not depend on the candidate generation
+    val wide = run(16) // 1-row bands: ANY shared minhash family → candidate
+    assert(wide == ((1L, 2L, 2L)), s"got $wide")
+    val narrow = run(1) // one 16-row band: candidate iff ALL 16 agree
+    assert(narrow._1 == 1L && narrow._2 == 2L,
+      "truth set must be identical under the stingiest banding")
+    // the identical doc 3 always shares the full signature → caught;
+    // monotone: a 16-row band can never catch more than 1-row bands
+    assert(narrow._3 >= 1L && narrow._3 <= wide._3)
+  }
+
   test("containmentPairs scores an embedded quote ~1.0 where Jaccard stays low") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
