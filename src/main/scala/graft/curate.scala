@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Sampling, TextAnalysis => TA}
+import graft.operators.{Curation, Dedup, Sampling, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,12 @@ object Curate {
    * gate (4 hex chars, keeps ~int(hex,16)/65536 of clusters in val;
    * "0000" = everything train). The gate keys on the near-dup CLUSTER
    * label, so duplicates can never straddle the split.
+   *
+   * `stripHtml` / `lineMinWords` enable the stage-0 text cleaning (HTML →
+   * text extraction and C4 line filtering at that min-word count; 0
+   * disables) ahead of the quality gate — both scan-local transforms,
+   * with docs whose cleaned text is empty dropped. Defaults keep both
+   * off, so pre-existing configs behave unchanged.
    */
   final case class CurateConfig(
       version: Int,
@@ -45,11 +51,14 @@ object Curate {
       jaccard: Double,
       tokensPerLang: Long,
       valThresholdHex: String,
-      shards: Int = 0) {
+      shards: Int = 0,
+      stripHtml: Boolean = false,
+      lineMinWords: Int = 0) {
     require(Set("none", "exact", "fuzzy")(dedup), s"bad dedup mode: $dedup")
     require(valThresholdHex.matches("[0-9a-f]{4}"),
       s"bad valThresholdHex: $valThresholdHex")
     require(shards >= 0, s"shards must be >= 0, got $shards")
+    require(lineMinWords >= 0, s"lineMinWords must be >= 0, got $lineMinWords")
   }
 
   val DefaultConfig: CurateConfig =
@@ -71,6 +80,8 @@ object Curate {
     tree.put("tokensPerLang", c.tokensPerLang)
     tree.put("valThresholdHex", c.valThresholdHex)
     tree.put("shards", c.shards)
+    tree.put("stripHtml", c.stripHtml)
+    tree.put("lineMinWords", c.lineMinWords)
     ConfigIO.writeYamlRaw(path, tree)
   }
 
@@ -90,7 +101,15 @@ object Curate {
       tokensPerLang = num("tokensPerLang").toLong,
       valThresholdHex = String.valueOf(root.get("valThresholdHex")),
       // absent in pre-shards configs: those keep the flat layout
-      shards = if (root.containsKey("shards")) num("shards").toInt else 0)
+      shards = if (root.containsKey("shards")) num("shards").toInt else 0,
+      // both absent in pre-cleaning configs: cleaning stays off
+      stripHtml = root.get("stripHtml") match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case null => false
+        case other => sys.error(s"stripHtml must be boolean, got $other")
+      },
+      lineMinWords =
+        if (root.containsKey("lineMinWords")) num("lineMinWords").toInt else 0)
   }
 
   // ----------------------------------------------------------- pipeline
@@ -113,14 +132,37 @@ object Curate {
    * session composing many curations should `spark.catalog.clearCache()`
    * between runs.
    */
+  /** Stage 0 — text cleaning: optional HTML → text extraction, optional
+    * C4 line filtering, then drop docs whose cleaned text is empty. Both
+    * transforms are scan-local column expressions, so when enabled this
+    * stage fuses into the quality gate's scan — no extra pass. Identity
+    * when both knobs are off (pre-cleaning configs unchanged). */
+  private def cleanStage(docs: DataFrame, c: CurateConfig): DataFrame =
+    if (!c.stripHtml && c.lineMinWords <= 0) docs
+    else {
+      val base = docs.filter(col("text").isNotNull)
+      val html = if (c.stripHtml)
+        base.withColumn("text", TA.stripHtml(col("text"))) else base
+      val lined = if (c.lineMinWords > 0)
+        html.withColumn("text", Curation.filterLines(col("text"), c.lineMinWords))
+      else html
+      lined.filter(length(col("text")) > 0)
+    }
+
   def run(docs: DataFrame, c: CurateConfig): Curated = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val nIn = docs.count()
 
+    // 0. text cleaning (identity when disabled; the count is an extra
+    //    action only when a cleaning knob is actually on)
+    val cleanOn = c.stripHtml || c.lineMinWords > 0
+    val cleaned = cleanStage(docs, c)
+    val nClean = if (cleanOn) cleaned.count() else nIn
+
     // 1. quality gate (rule-based; the trained gate is scoreWithTokenWeights
     //    — swap-in, same shape)
-    val gated0 = docs.filter(col("text").isNotNull)
+    val gated0 = cleaned.filter(col("text").isNotNull)
       .withColumn("__q", TA.qualityScore(col("text")))
       .filter(col("__q") >= c.minQuality)
     // persisted: the dedup stage consumes it 2-3 times (signatures + join
@@ -195,8 +237,9 @@ object Curate {
     // after the free, split can no longer recompute its lineage.
     labels.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
     Curated(train, valDf,
-      funnel = Seq("input" -> nIn, "afterQuality" -> nGated,
-        "afterDedup" -> nDeduped, "train" -> nTrain, "val" -> nVal),
+      funnel = Seq("input" -> nIn, "afterClean" -> nClean,
+        "afterQuality" -> nGated, "afterDedup" -> nDeduped,
+        "train" -> nTrain, "val" -> nVal),
       perLang = perLang)
   }
 
@@ -221,7 +264,10 @@ object Curate {
       c: CurateConfig): Curated = {
     import org.apache.spark.storage.StorageLevel
     val nIn = delta.count()
-    val gated = delta.filter(col("text").isNotNull)
+    val cleanOn = c.stripHtml || c.lineMinWords > 0
+    val cleaned = cleanStage(delta, c)
+    val nClean = if (cleanOn) cleaned.count() else nIn
+    val gated = cleaned.filter(col("text").isNotNull)
       .filter(TA.qualityScore(col("text")) >= c.minQuality)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nGated = gated.count()
@@ -268,8 +314,9 @@ object Curate {
     gated.unpersist()
     deltaLbl.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
     Curated(train, valDf,
-      funnel = Seq("deltaInput" -> nIn, "afterQuality" -> nGated,
-        "afterDeltaDedup" -> nWithin, "afterCorpusDedup" -> (nTrain + nVal),
+      funnel = Seq("deltaInput" -> nIn, "afterClean" -> nClean,
+        "afterQuality" -> nGated, "afterDeltaDedup" -> nWithin,
+        "afterCorpusDedup" -> (nTrain + nVal),
         "train" -> nTrain, "val" -> nVal),
       perLang = perLang)
   }
@@ -289,7 +336,9 @@ object Curate {
         "dedup" -> c.dedup, "jaccard" -> c.jaccard,
         "tokensPerLang" -> c.tokensPerLang,
         "valThresholdHex" -> c.valThresholdHex,
-        "shards" -> c.shards),
+        "shards" -> c.shards,
+        "stripHtml" -> c.stripHtml,
+        "lineMinWords" -> c.lineMinWords),
       "funnel" -> scala.collection.immutable.ListMap(r.funnel: _*),
       "perLang" -> r.perLang.map { case (l, n, t) =>
         scala.collection.immutable.ListMap(

@@ -150,6 +150,13 @@ object TextAnalysis {
     * have no backreferences, and portability is the contract here. */
   val scriptPattern = "(?is)<script[^>]*>.*?</script>"
   val stylePattern = "(?is)<style[^>]*>.*?</style>"
+  /** Block-level elements (and <br>) become LINE BREAKS, not spaces — the
+    * WET-extractor behavior that makes the output consumable by the
+    * line-unit cleaning rules (Curation.filterLines). `\b` keeps `<p>`
+    * from swallowing `<pre>`; ASCII word boundaries exist in both Java
+    * regex and RE2. */
+  val blockTagPattern = "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|" +
+    "section|article|blockquote)\\b[^>]*>"
   /** Any remaining tag. Attribute values containing a raw `>` are out of
     * scope — the same simplification the C4/WET extractors make. */
   val tagPattern = "<[^>]*>"
@@ -169,17 +176,25 @@ object TextAnalysis {
   /**
    * HTML → text extraction — the stage every web corpus starts from
    * (Common Crawl WET, C4, RefinedWeb): drop script/style elements with
-   * their contents, drop every remaining tag, decode the standard named
-   * entities, collapse whitespace runs, trim. Five codegen'd
-   * regexp/replace passes fused into one scan-local projection — zero
-   * shuffles, and the pattern constants are shared verbatim with the
-   * DuckDB oracle so the two dialects cannot drift.
+   * their contents, turn block-level tags into line breaks (so the output
+   * keeps the line structure the C4 line rules — [[graft.operators
+   * .Curation.filterLines]] — operate on), drop every remaining tag,
+   * decode the standard named entities, then normalize whitespace:
+   * horizontal runs to one space, newline runs (with any surrounding
+   * spaces) to one newline, ends trimmed. All codegen'd regexp/replace
+   * passes fused into one scan-local projection — zero shuffles — and
+   * every pattern constant is shared verbatim with the DuckDB oracle so
+   * the two dialects cannot drift.
    */
   def stripHtml(html: Column): Column = {
     val noScript = regexp_replace(html, scriptPattern, " ")
     val noStyle = regexp_replace(noScript, stylePattern, " ")
-    val noTags = regexp_replace(noStyle, tagPattern, " ")
-    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+    val blocks = regexp_replace(noStyle, blockTagPattern, "\n")
+    val noTags = regexp_replace(blocks, tagPattern, " ")
+    val decoded = decodeEntities(noTags)
+    val hCollapsed = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val nlCollapsed = regexp_replace(hCollapsed, " ?(\\n ?)+", "\n")
+    regexp_replace(nlCollapsed, "^\\s+|\\s+$", "")
   }
 
   /**

@@ -2132,12 +2132,16 @@ object Pipeline {
              '</body></html>' AS html
            FROM documents),
          stripped AS (
-           SELECT doc_id, trim(regexp_replace(${entityChainSql(
-        s"""regexp_replace(regexp_replace(regexp_replace(html,
+           SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+             ${entityChainSql(
+        s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
              '${TA.scriptPattern}', ' ', 'g'),
              '${TA.stylePattern}', ' ', 'g'),
+             '${TA.blockTagPattern}', chr(10), 'g'),
              '${TA.tagPattern}', ' ', 'g')""")},
-             '\\s+', ' ', 'g')) AS text
+             '[ \\t\\r]+', ' ', 'g'),
+             ' ?(\\n ?)+', chr(10), 'g'),
+             '^\\s+|\\s+$$', '', 'g') AS text
            FROM seeded)
          SELECT doc_id, text, length(text)::bigint AS n_chars
          FROM stripped ORDER BY doc_id""",

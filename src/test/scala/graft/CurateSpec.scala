@@ -69,6 +69,55 @@ class CurateSpec extends SparkSpec {
     assert(Curate.readConfig(legacy.toString).shards == 0)
   }
 
+  test("stage-0 cleaning: HTML is stripped and junk lines dropped before " +
+      "the gate; docs cleaned to nothing leave the funnel at afterClean") {
+    val docs = Tables.load(spark, data, "documents")
+      .filter(col("text").isNotNull).limit(20)
+      // wrap every doc in an HTML shell with a banned + short junk line;
+      // the real text becomes one long terminal-punctuated line
+      .withColumn("text", concat(
+        lit("<html><body><script>var x = 1;</script>"),
+        lit("<p>Please enable javascript to continue.</p>\n"),
+        lit("<p>Too short.</p>\n<p>"), col("text"),
+        lit(" and that is the end.</p></body></html>")))
+    val c = Curate.DefaultConfig.copy(
+      dedup = "none", stripHtml = true, lineMinWords = 5)
+    val r = Curate.run(docs, c)
+    val funnel = r.funnel.toMap
+    assert(funnel("afterClean") == funnel("input"),
+      "every doc keeps its long closing sentence, so none dies at clean")
+    val texts = r.train.unionByName(r.`val`)
+      .select("text").collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    texts.foreach { t =>
+      assert(!t.contains("<") && !t.contains("javascript") &&
+        !t.contains("Too short"), t.take(120))
+      assert(t.endsWith(" and that is the end."))
+    }
+    // a doc that cleans to NOTHING (only junk lines) exits at afterClean
+    val junkOnly = docs.limit(5).withColumn("text",
+      lit("<p>Please enable javascript now.</p>\n<p>Short.</p>"))
+    val r2 = Curate.run(junkOnly, c)
+    val f2 = r2.funnel.toMap
+    assert(f2("input") == 5L && f2("afterClean") == 0L)
+    // cleaning off (default config): afterClean mirrors input — the
+    // pre-cleaning funnel shape is unchanged for existing configs
+    assert(Curate.run(docs.limit(5), Curate.DefaultConfig.copy(dedup = "none"))
+      .funnel.toMap.apply("afterClean") == 5L)
+    // legacy YAML without the cleaning keys reads them as off
+    val legacy = java.nio.file.Files.createTempFile("curate_clean", ".yaml")
+    java.nio.file.Files.writeString(legacy,
+      """version: 1
+        |minQuality: 1.0
+        |dedup: exact
+        |jaccard: 0.5
+        |tokensPerLang: 0
+        |valThresholdHex: "1999"
+        |""".stripMargin)
+    val lc = Curate.readConfig(legacy.toString)
+    assert(!lc.stripHtml && lc.lineMinWords == 0)
+  }
+
   test("dedup modes nest: fuzzy ⊆ exact ⊆ none (exact dups are jaccard-1 " +
       "near-dups, so each mode can only remove more)") {
     val docs = Tables.load(spark, data, "documents")

@@ -653,8 +653,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(re.filter(TA.hasEmail(col("t")) || TA.hasPhone(col("t"))).count() == 0)
   }
 
-  test("stripHtml: element bodies dropped, tags dropped, entities decoded " +
-      "in order, whitespace collapsed") {
+  test("stripHtml: element bodies dropped, block tags become line breaks, " +
+      "inline tags spaces, entities decoded in order, whitespace normalized") {
     val df = strDf("t", Seq(
       "<p>Hello <b>world</b></p>",
       // raw < inside the script body must not end the element early
@@ -664,26 +664,38 @@ class TextAnalysisSpec extends SparkSpec {
       // literal text "&lt;", never a tag-like "<"
       "a &amp;lt;b&amp;gt; c",
       "x &lt;i&gt; y &amp; z &nbsp;w &quot;q&quot; &#39;s&#39;",
-      "  spaced\t\tout \n lines  "))
+      "  spaced\t\tout \n lines  ",
+      // block structure survives as lines; <pre> is NOT a block tag here
+      // and must not be eaten by the <p> alternative (the \b guard)
+      "<h1>Title</h1><p>First para.</p><p>Second para.</p>",
+      "a<pre>keep</pre>b<br>c"))
     val out = df.select(TA.stripHtml(col("t"))).collect().map(_.getString(0))
     assert(out(0) == "Hello world")
     assert(out(1) == "after")
     assert(out(2) == "text")
     assert(out(3) == "a &lt;b&gt; c")
     assert(out(4) == "x <i> y & z w \"q\" 's'")
-    assert(out(5) == "spaced out lines")
+    assert(out(5) == "spaced out\nlines")
+    assert(out(6) == "Title\nFirst para.\nSecond para.")
+    assert(out(7) == "a keep b\nc")
   }
 
-  test("stripHtml on markup-free text is exactly whitespace collapse " +
-      "(300 randomized word soups)") {
+  test("stripHtml law on 300 markup-free word soups: whitespace normalized " +
+      "(no runs, no space-adjacent newlines, trimmed), content chars kept") {
     val rnd = new scala.util.Random(13)
     val texts = Seq.fill(300)(Seq.fill(1 + rnd.nextInt(20))(
       rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
-      .mkString(Seq(" ", "  ", "\n", "\t")(rnd.nextInt(4))))
-    val df = strDf("t", texts)
-    val same = df.select((TA.stripHtml(col("t")) <=>
-      trim(regexp_replace(col("t"), "\\s+", " "))).as("ok"))
-    assert(same.collect().forall(_.getBoolean(0)))
+      .mkString(Seq(" ", "  ", "\n", "\t", " \n ")(rnd.nextInt(5))))
+    val out = strDf("t", texts).select(col("t"),
+      TA.stripHtml(col("t")).as("s")).collect()
+    out.foreach { r =>
+      val (in, s) = (r.getString(0), r.getString(1))
+      assert(!s.contains("  ") && !s.contains(" \n") && !s.contains("\n "))
+      assert(!s.contains("\t") && !s.contains("\n\n"))
+      assert(s == s.trim)
+      assert(s.filterNot(_.isWhitespace) == in.filterNot(_.isWhitespace),
+        "non-whitespace content must pass through untouched")
+    }
   }
 
   test("keepLine/filterLines: punctuation, min-words, and banned-phrase " +
