@@ -754,6 +754,48 @@ object Pipeline {
             lit("val")).otherwise(lit("train")))
         .orderBy("doc_id")
     }),
+    // Curation — split-leakage AUDIT, the measurement companion to
+    // q_split_leakfree: assign the split BOTH ways (naive per-doc md5
+    // gate vs the cluster-label gate) and count, per method, the val docs
+    // with a near-dup edge into train. The cluster gate's count is zero
+    // BY CONSTRUCTION (an edge's two ends share a component, hence a gate
+    // key); the naive gate leaks wherever a near-dup pair straddles the
+    // hash boundary — this query turns that design claim into a number
+    // both engines must agree on. One edge list + one CC, shared by both
+    // methods; the audit joins are edge-scale, never doc×doc.
+    "q_split_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = nearDupEdges3(docs).select("a", "b")
+      val labels = Dedup.connectedComponents(edges, "a", "b")
+      def gate(key: org.apache.spark.sql.Column) =
+        when(graft.operators.Sampling.keepHex(key, "lfs1", "2000"),
+          lit("val")).otherwise(lit("train"))
+      val assigned = docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          gate(col("doc_id")).as("naive"),
+          gate(coalesce(col("comp"), col("doc_id"))).as("leakfree"))
+      val long = assigned.select(col("doc_id"), explode(array(
+          struct(lit("naive").as("method"), col("naive").as("split")),
+          struct(lit("leakfree").as("method"), col("leakfree").as("split"))))
+          .as("m"))
+        .select(col("doc_id"), col("m.method").as("method"),
+          col("m.split").as("split"))
+      val valCounts = long.filter(col("split") === "val")
+        .groupBy("method").agg(count(lit(1)).as("n_val"))
+      val sym = edges.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
+      val leaky = sym
+        .join(long.select(col("doc_id").as("x"), col("method"),
+          col("split").as("sx")), "x")
+        .join(long.select(col("doc_id").as("y"), col("method"),
+          col("split").as("sy")), Seq("y", "method"))
+        .filter(col("sx") === "val" && col("sy") === "train")
+        .groupBy("method").agg(countDistinct(col("x")).as("n_leaky"))
+      valCounts.join(leaky, Seq("method"), "left")
+        .na.fill(0L, Seq("n_leaky"))
+        .orderBy("method")
+    }),
     // A7 end-to-end — dedup survivor selection: each near-dup cluster
     // keeps its best document (longest n_chars, then min doc_id);
     // singletons keep themselves. Clusters + one argmax max(struct)
@@ -2907,6 +2949,61 @@ object Pipeline {
                 THEN 'val' ELSE 'train' END AS split
          FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
          ORDER BY d.doc_id""",
+    // Same edge + component CTEs as q_split_leakfree, then both gates
+    // side by side and the per-method leaky-val-doc census.
+    "q_split_audit" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         k0 AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM s),
+         k AS (SELECT * FROM k0
+               QUALIFY count(*) OVER (PARTITION BY blk) <= 4096),
+         e AS (
+           SELECT x.doc_id AS a, y.doc_id AS b
+           FROM k x JOIN k y ON x.blk = y.blk AND x.doc_id < y.doc_id
+           WHERE cast(len(list_intersect(x.sh, y.sh)) AS double) /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                 >= 0.5),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION SELECT b, a FROM e),
+         reach(src, dst) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT r.src, s2.dst FROM reach r
+           JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst),
+         labels AS (
+           SELECT src AS id, least(src, min(dst)) AS comp FROM reach
+           GROUP BY src),
+         assigned AS (
+           SELECT d.doc_id,
+             CASE WHEN substring(md5(concat('lfs1', '|',
+                    cast(d.doc_id AS VARCHAR))), 1, 4) < '2000'
+                  THEN 'val' ELSE 'train' END AS naive,
+             CASE WHEN substring(md5(concat('lfs1', '|',
+                    cast(coalesce(l.comp, d.doc_id) AS VARCHAR))), 1, 4)
+                  < '2000'
+                  THEN 'val' ELSE 'train' END AS leakfree
+           FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+         lng AS (
+           SELECT doc_id, 'naive' AS method, naive AS split FROM assigned
+           UNION ALL
+           SELECT doc_id, 'leakfree', leakfree FROM assigned),
+         valc AS (
+           SELECT method, count(*)::bigint AS n_val FROM lng
+           WHERE split = 'val' GROUP BY method),
+         leaky AS (
+           SELECT lx.method, count(DISTINCT sym.src)::bigint AS n_leaky
+           FROM sym
+           JOIN lng lx ON lx.doc_id = sym.src
+           JOIN lng ly ON ly.doc_id = sym.dst AND ly.method = lx.method
+           WHERE lx.split = 'val' AND ly.split = 'train'
+           GROUP BY lx.method)
+         SELECT v.method, v.n_val,
+           coalesce(kk.n_leaky, 0)::bigint AS n_leaky
+         FROM valc v LEFT JOIN leaky kk USING (method)
+         ORDER BY method""",
     // Same component CTE as q_dedup_cluster, then one survivor per
     // component (max n_chars, min doc_id tiebreak); singletons survive.
     "q_dedup_survivor" ->

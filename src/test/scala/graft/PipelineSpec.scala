@@ -910,6 +910,20 @@ class CurationQuerySpec extends SparkSpec {
     assert(sides == Set("train", "val"), s"degenerate split: $sides")
   }
 
+  test("split audit: the leak-free gate reports ZERO leaky val docs by " +
+      "construction; the naive per-doc gate is the one that leaks") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_split_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("naive", "leakfree"))
+    assert(rows("leakfree")._2 == 0L,
+      "an edge's two ends share a cluster label, hence a gate key — a " +
+        "leak here means the gate stopped keying on the component")
+    assert(rows("leakfree")._1 > 0L, "val side must be populated")
+    // the naive gate's count is whatever the fixture yields (possibly 0
+    // at this SF) — the audit only has to agree with the oracle there
+  }
+
   test("perplexity buckets: per language the tertiles cover every scored " +
       "doc, sizes differ by at most one, and score ranges do not overlap") {
     val dir = "/root/testdata/sf0.001"
