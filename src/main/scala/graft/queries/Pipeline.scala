@@ -705,6 +705,32 @@ object Pipeline {
           size(col("syms")).cast("long").as("n_syms"))
         .orderBy("word")
     }),
+    // L1 — tokenizer FERTILITY (tokens-per-word, per language): the
+    // measurement that drives vocabulary design — a language whose
+    // fertility runs high is under-served by the merge list and pays more
+    // context budget per word. Corpus words join the vocab's encoded
+    // symbol counts (vocabulary-sized → broadcast; the corpus side never
+    // shuffles before its per-lang partial aggregate), so the whole
+    // report costs one explode + one broadcast join + one hash aggregate.
+    // Same fixed merge list and placeholder-char oracle as q_bpe_encode.
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val enc = graft.operators.Bpe.applyMerges(
+          graft.operators.Bpe.vocab(docs, "text"),
+          Seq(("e", "r"), ("i", "n"), ("er", "s")))
+        .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+      Scale.spreadForCompute(docs.filter(col("text").isNotNull),
+          col("doc_id"))
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms")).as("n_syms"))
+        .withColumn("fertility",
+          round(col("n_syms").cast("double") / col("n_words"), 6))
+        .orderBy("lang")
+    }),
     // L1 — deflate-compressibility curation signal (Quality.
     // compressionStats): repetitive text compresses far below prose,
     // near-random text barely at all — the cheap filter word-level rules
@@ -2853,6 +2879,28 @@ object Pipeline {
            cast(length(replace(replace(replace(word, 'er', '1'), 'in', '2'),
              '1s', '3')) AS bigint) AS n_syms
          FROM vocab ORDER BY word""",
+    // Same placeholder-char merge chain as q_bpe_encode, weighted by
+    // per-language word occurrences.
+    "q_bpe_fertility" ->
+      """WITH vocab AS (
+           SELECT w AS word FROM (
+             SELECT unnest(string_split_regex(text, '\s+')) AS w
+             FROM documents WHERE text IS NOT NULL)
+           WHERE length(w) > 0 GROUP BY w),
+         enc AS (
+           SELECT word,
+             cast(length(replace(replace(replace(word, 'er', '1'),
+               'in', '2'), '1s', '3')) AS bigint) AS n_syms
+           FROM vocab),
+         wrds AS (
+           SELECT lang, unnest(string_split_regex(text, '\s+')) AS word
+           FROM documents WHERE text IS NOT NULL)
+         SELECT lang, count(*)::bigint AS n_words,
+           sum(n_syms)::bigint AS n_syms,
+           round(sum(n_syms)::double / count(*), 6) AS fertility
+         FROM wrds JOIN enc USING (word)
+         WHERE length(word) > 0
+         GROUP BY lang ORDER BY lang""",
     "q_rep_topgram" ->
       """WITH w AS (
            SELECT doc_id, length(replace(text, ' ', '')) AS wc,

@@ -483,6 +483,14 @@ class PlanSpec extends SparkSpec {
       "term stats are vocabulary-sized and must broadcast: " + p.take(400))
   }
 
+  test("BPE fertility: the encoded vocabulary broadcasts into the corpus " +
+      "word stream; the per-lang aggregate combines map-side") {
+    val p = plan("q_bpe_fertility")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocab side is vocabulary-scale and must broadcast: " + p.take(400))
+    assert(p.contains("partial"), p.take(400))
+  }
+
   test("perplexity bucketing runs ONE window pass over the per-doc score " +
       "table (document-scale), never the bigram explode") {
     val p = plan("q_ppl_bucket")

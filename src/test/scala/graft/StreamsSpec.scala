@@ -423,6 +423,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HTML extraction + line filtering: the stage-0 cleaning " +
+      "pair runs unchanged over an unbounded source (scan-local, no state)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis => TA}
+    val mem = MemoryStream[(Long, String)]
+    val cleaned = mem.toDF().toDF("doc_id", "html")
+      .select(col("doc_id"), TA.stripHtml(col("html")).as("text"))
+      .select(col("doc_id"), Curation.filterLines(col("text"), 5).as("text"))
+      .filter(length(col("text")) > 0)
+    val q = cleaned.writeStream.format("memory").queryName("strip_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "<html><body><script>var x = 1;</script>" +
+          "<p>Please enable javascript to continue.</p>" +
+          "<p>The first kept sentence has enough words.</p>" +
+          "<p>Short.</p></body></html>"),
+        (2L, "<p>Only junk here.</p><p>Please accept the cookie policy before browsing onward.</p>"))
+      q.processAllAvailable()
+      val rows = spark.table("strip_t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // doc 2 cleans to nothing and never reaches the sink
+      assert(rows == Map(1L -> "The first kept sentence has enough words."))
+    } finally q.stop()
+  }
+
   test("curateGate: gate + scrub + corpus anti-join over a stream equals " +
       "the same gate run batch; corpus dups never reach the sink") {
     implicit val sql = spark.sqlContext
