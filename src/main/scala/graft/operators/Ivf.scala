@@ -149,6 +149,35 @@ object Ivf {
     df.withColumn("ivf_cell", nearestCentroid(col(embCol), centroids))
 
   /**
+   * Per-cell index-balance report — the audit run before deploying an IVF
+   * index at scale: a hot cell makes every probe touching it pay that
+   * cell's full scan (the ANN twin of Scale.skewReport's join-key audit),
+   * and an empty cell wastes a centroid. One scan computes each vector's
+   * (cell, distance key); one map-side-combining hash aggregate yields
+   * per-cell populations and mean distance (a high mean flags a centroid
+   * that represents its members poorly). The distance key is rounded to
+   * micro-units and summed as decimal(38,0) — exact at any corpus size,
+   * shuffle-order-independent, so the report is bit-portable wherever the
+   * centroids are (fixed quantizer → fully oracle-checkable).
+   */
+  def cellBalance(df: DataFrame, embCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    if (centroids.isEmpty)
+      // empty corpus/centroids: an empty report, not an analysis error
+      return df.select(lit(0L).as("cell"), lit(0L).as("n_vecs"),
+        lit(0.0).as("mean_dist")).limit(0)
+    val best = array_min(scoredStructs(col(embCol), centroids))
+    df.select(best.getField("i").as("__cell"),
+        round(best.getField("d") * 1e6, 0).cast("long").as("__s"))
+      .groupBy("__cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("__s").cast("decimal(38,0)")).as("__ss"))
+      .select(col("__cell").cast("long").as("cell"), col("n_vecs"),
+        round(col("__ss").cast("double") / 1e6 / col("n_vecs"), 6)
+          .as("mean_dist"))
+  }
+
+  /**
    * Approximate top-k: each query probes its `nprobe` nearest cells and
    * ranks by cosine only within them.
    */

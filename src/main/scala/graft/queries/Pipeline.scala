@@ -1443,6 +1443,20 @@ object Pipeline {
           size(map_keys(m)).cast("long").as("n_keys"))
         .orderBy("event_id")
     }),
+    // L2 — IVF cell-balance audit (Ivf.cellBalance): per-cell population
+    // and mean assignment distance — the report run before deploying an
+    // ANN index at scale (a hot cell makes every probe touching it pay
+    // that cell's scan; the vector twin of q_skew_report). Fixed first-16
+    // quantizer so assignment AND the micro-unit decimal distance sums
+    // are bit-portable — the whole report oracle-checks.
+    "q_ivf_balance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      graft.operators.Ivf.cellBalance(emb, "emb", centroids)
+        .orderBy("cell")
+    }),
     // L2 — IVF approximate top-k: coarse-quantizer cells, nprobe=4 of k=16.
     // Fully oracle-checked since Ivf.train's Lloyd means became exact
     // decimal sums: the oracle SQL re-runs the whole 2-iteration training
@@ -1832,6 +1846,26 @@ object Pipeline {
                AS rn
            FROM scored)
          WHERE rn <= 10 ORDER BY q_id, rn""",
+    // Same fixed-quantizer assignment CTE as q_sim_ivf_fixed; the distance
+    // keys round to micro-units and sum as decimal, mirroring the engine.
+    "q_ivf_balance" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cnorm2
+           FROM embeddings WHERE vec_id < 16),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         assign AS (
+           SELECT vec_id, cell, d FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               -2 * list_dot_product(e.v, c.cv) + c.cnorm2 AS d,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+                 AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1)
+         SELECT cell::bigint AS cell, count(*)::bigint AS n_vecs,
+           round(sum(round(d * 1000000, 0)::decimal(38,0))::double
+             / 1000000 / count(*), 6) AS mean_dist
+         FROM assign GROUP BY cell ORDER BY cell""",
     "q_vocab_coverage" ->
       """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
                       FROM documents),

@@ -60,6 +60,24 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("cellBalance: populations agree with assign's census, sum to the " +
+      "corpus, and an empty quantizer reports an empty frame") {
+    val report = Ivf.cellBalance(emb, "emb", centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val census = Ivf.assign(emb, "emb", centroids)
+      .groupBy("ivf_cell").count()
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(report == census, "balance populations must be assign's census")
+    assert(report.values.sum == emb.count())
+    assert(Ivf.cellBalance(emb, "emb", Seq.empty).count() == 0)
+    // mean distances are finite and the key is |a-c|² shifted by -|a|²:
+    // values must be strictly less than |c|² (a·c > 0 for the fixture's
+    // non-degenerate cells is not guaranteed, so just pin finiteness)
+    Ivf.cellBalance(emb, "emb", centroids).collect().foreach { r =>
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+    }
+  }
+
   test("probing ALL cells reproduces the exact top-k") {
     val exact = Similarity.exactTopK(emb, qs, 10)
       .select("q_id", "vec_id", "rn").collect()
