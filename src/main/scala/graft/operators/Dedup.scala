@@ -200,6 +200,11 @@ object Dedup {
       candidates
         .join(hv.select(col(idCol).as("a"), col("hv").as("hv_a")), "a")
         .join(hv.select(col(idCol).as("b"), col("hv").as("hv_b")), "b")
+        // size filter (PPJoin): J ≥ t forces min/max set-size ratio ≥ t —
+        // a cheap length check ahead of the O(|A|+|B|) intersect; output
+        // provably unchanged, so no oracle mirror is needed
+        .filter(least(size(col("hv_a")), size(col("hv_b"))).cast("double") >=
+          lit(threshold) * greatest(size(col("hv_a")), size(col("hv_b"))))
         .withColumn("jaccard",
           size(array_intersect(col("hv_a"), col("hv_b"))).cast("double") /
             size(array_union(col("hv_a"), col("hv_b"))).cast("double"))
@@ -258,6 +263,9 @@ object Dedup {
           "delta_id")
         .join(cs.select(col(idCol).as("corpus_id"), col("hv").as("hv_c")),
           "corpus_id")
+        // same PPJoin size filter as nearDupImpl — output unchanged
+        .filter(least(size(col("hv_d")), size(col("hv_c"))).cast("double") >=
+          lit(threshold) * greatest(size(col("hv_d")), size(col("hv_c"))))
         .withColumn("jaccard",
           size(array_intersect(col("hv_d"), col("hv_c"))).cast("double") /
             size(array_union(col("hv_d"), col("hv_c"))).cast("double"))
