@@ -858,6 +858,35 @@ object Pipeline {
           Dedup.simHash16Portable(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
+    // Curation — SEMANTIC benchmark decontamination: the embedding-space
+    // twin of the n-gram screens (q_decontaminate catches verbatim
+    // overlap; paraphrased eval leakage needs the vector side). Every
+    // corpus vector reports its nearest benchmark vector (vec_id % 50 ==
+    // 0 slice) and whether the cosine crosses the contamination bar (0.4, the
+    // q_semdedup near-dup band — the fixture's planted geometry). The
+    // benchmark side broadcasts (eval suites are tiny); the |corpus| ×
+    // |bench| scored pairs flow straight into a map-side-combining argmax
+    // — the corpus never shuffles at pair scale. Per-pair cosines are
+    // bit-portable (the q_sim_exact argument), max/argmax are
+    // order-independent with a b_id tiebreak, so the whole screen
+    // oracle-checks.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val bench = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      corpus.crossJoin(broadcast(bench))
+        .select(col("vec_id"), col("b_id"),
+          graft.functions.VectorOps.cosine(col("emb"), col("b_emb"))
+            .as("cos"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos").as("c"), (-col("b_id")).as("nb"))).as("m"))
+        .select(col("vec_id"), (-col("m.nb")).as("b_id"),
+          round(col("m.c"), 6).as("max_cos"),
+          (col("m.c") >= 0.4).as("contaminated"))
+        .orderBy("vec_id")
+    }),
     // Curation — benchmark decontamination: training docs sharing any
     // word 4-gram with the held-out benchmark slice (doc_id % 50 == 0).
     // The benchmark gram set is broadcast; the corpus side never shuffles.
@@ -2452,6 +2481,27 @@ object Pipeline {
            round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
              AS rep_ratio
          FROM g ORDER BY doc_id""",
+    // Cosines via the same list_dot_product form every similarity oracle
+    // uses; argmax as row_number (cos desc, b_id) — the struct-max twin.
+    "q_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+         scored AS (
+           SELECT c.vec_id, b.b_id,
+             list_dot_product(c.v, b.bv) /
+               (sqrt(list_dot_product(c.v, c.v))
+                * sqrt(list_dot_product(b.bv, b.bv))) AS cos
+           FROM c CROSS JOIN b),
+         best AS (
+           SELECT vec_id, b_id, cos FROM (
+             SELECT vec_id, b_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, b_id) AS rn
+             FROM scored) WHERE rn = 1)
+         SELECT vec_id, b_id, round(cos, 6) AS max_cos,
+           cos >= 0.4 AS contaminated
+         FROM best ORDER BY vec_id""",
     "q_decontaminate" ->
       """WITH s AS (
            SELECT doc_id,

@@ -483,6 +483,17 @@ class PlanSpec extends SparkSpec {
       "term stats are vocabulary-sized and must broadcast: " + p.take(400))
   }
 
+  test("semantic decontamination: the benchmark slice broadcasts across " +
+      "one corpus scan; the argmax combines map-side") {
+    val p = plan("q_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the eval-suite side is tiny and must broadcast: " + p.take(400))
+    assert(p.contains("partial"),
+      "the per-vector argmax must combine before the shuffle: " + p.take(400))
+    assert("FileScan".r.findAllIn(p).length == 2,
+      "corpus + benchmark scans only: " + p.take(400))
+  }
+
   test("BPE fertility: the encoded vocabulary broadcasts into the corpus " +
       "word stream; the per-lang aggregate combines map-side") {
     val p = plan("q_bpe_fertility")
