@@ -277,6 +277,34 @@ object Pipeline {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
     }),
+    // L5c — deterministic source-INTERLEAVED epoch ordering: docs rank
+    // within their source by the portable md5 permutation, then take the
+    // round-robin global position (rank−1)·n_src + src_idx — the
+    // stratified complement to q_shuffle_shards' global permutation:
+    // every n_src consecutive positions touch each source at most once,
+    // so a training run sees a stable source mix at ANY batch size
+    // (unequal sources leave gaps once exhausted; positions stay unique).
+    // One window per source partition (never global); the source index
+    // comes from a source-count-sized dim that broadcasts back; n_src
+    // arrives via a one-row broadcast cross join.
+    "q_interleave" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val srcs = docs.select(col("source")).distinct()
+      val dim = srcs.withColumn("src_idx",
+        row_number().over(Window.orderBy("source")).cast("long") - 1)
+      val n = srcs.agg(count(lit(1)).as("n_src"))
+      val wIn = Window.partitionBy("source").orderBy(col("__h"), col("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("__h", Sampling.hashHexFull(col("doc_id"), "il1"))
+        .withColumn("src_rank", row_number().over(wIn).cast("long"))
+        .join(broadcast(dim), "source")
+        .crossJoin(broadcast(n))
+        .withColumn("pos",
+          (col("src_rank") - 1) * col("n_src") + col("src_idx"))
+        .select("doc_id", "source", "src_rank", "pos")
+        .orderBy("pos")
+    }),
     // End-to-end training-mix pipeline: quality-filter → exact dedup by
     // canonical fingerprint (min-doc_id survivor) → per-language hash
     // downsample (keep 1/2 of dominant 'en', 3/4 of the rest) → token
@@ -2152,6 +2180,25 @@ object Pipeline {
          SELECT doc_id, shard,
            row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
          FROM s ORDER BY shard, pos""",
+    "q_interleave" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             md5(concat('il1', '|', cast(doc_id AS VARCHAR))) AS h
+           FROM documents),
+         dim AS (
+           SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx
+           FROM (SELECT DISTINCT source FROM documents)),
+         n AS (SELECT count(*) AS n_src
+               FROM (SELECT DISTINCT source FROM documents)),
+         r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS src_rank
+           FROM d)
+         SELECT r.doc_id, r.source, r.src_rank::bigint AS src_rank,
+           ((r.src_rank - 1) * n.n_src + dim.src_idx)::bigint AS pos
+         FROM r JOIN dim USING (source) CROSS JOIN n
+         ORDER BY pos""",
     "q_train_mix" ->
       """WITH scored AS (
            SELECT doc_id, lang,

@@ -142,6 +142,25 @@ class SamplingSpec extends SparkSpec {
     assert(rows.toSet == again.toSet)
   }
 
+  test("interleave ordering: positions are unique, and every block of " +
+      "n_src consecutive positions touches each source at most once") {
+    val rows = SparkEntry.queries("q_interleave")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val nSrc = rows.map(_._2).distinct.length
+    assert(rows.length == 500 && rows.map(_._3).distinct.length == 500)
+    // round-robin law: pos div n_src is the rank level; within a level
+    // every source appears at most once, so ANY aligned batch of n_src
+    // positions sees a maximally-even source mix
+    rows.groupBy(t => t._3 / nSrc).foreach { case (lvl, rs) =>
+      assert(rs.map(_._2).distinct.length == rs.length,
+        s"level $lvl repeats a source")
+    }
+    // the in-source order is the md5 permutation, not ingest order
+    val bySrc = rows.groupBy(_._2).head._2.sortBy(_._3).map(_._1)
+    assert(bySrc != bySrc.sorted, "in-source order should look shuffled")
+  }
+
   test("shuffleShards: the permutation actually decorrelates ingest order " +
       "and different salts give different epoch orders") {
     val n = 1024
