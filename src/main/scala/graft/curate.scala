@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
  *
  *   graft.Curate --configGen --data <parquetDir> --out <dir>
  *   graft.Curate --run       --data <parquetDir> --out <dir> [--config y.yaml]
+ *   graft.Curate --audit     --data <curatedDir> --out <dir> [--jaccard 0.5]
  *
  * Every stage composes the library operators the registered queries
  * already oracle-check (qualityScore, fingerprint dedup, banded MinHash +
@@ -348,8 +349,9 @@ object Curate {
 
   // ----------------------------------------------------------- cli
 
-  private val valueFlags = Set("--data", "--out", "--config", "--delta")
-  private val boolFlags = Set("--configGen", "--run")
+  private val valueFlags =
+    Set("--data", "--out", "--config", "--delta", "--jaccard")
+  private val boolFlags = Set("--configGen", "--run", "--audit")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -370,11 +372,13 @@ object Curate {
       sys.error(s"unknown argument(s): ${unknown.mkString(" ")}")
     val modes = args.filter(boolFlags)
     if (modes.length != 1)
-      sys.error("exactly one mode required: --configGen | --run")
+      sys.error("exactly one mode required: --configGen | --run | --audit")
     // same accepted-but-ignored policy as Anonymize: a flag that does
     // nothing in this mode must fail, not silently no-op
     if (modes.head == "--configGen" && args.contains("--delta"))
       sys.error("--delta is only applicable to --run")
+    if (modes.head != "--audit" && args.contains("--jaccard"))
+      sys.error("--jaccard is only applicable to --audit")
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
     val dataDir = opt("--data").getOrElse(sys.error("--data <parquetDir> required"))
@@ -410,6 +414,30 @@ object Curate {
         writeReport(s"$outDir/$ReportFile", c, r)
         println(s"Curated: ${r.funnel.map { case (k, v) => s"$k=$v" }
           .mkString(" ")} → $outDir")
+      // `--audit --data <curatedDir>`: the post-hoc split-leakage check on
+      // an ALREADY-WRITTEN curation output (train/ + val/ parquet under
+      // --data) — the operational "trust but verify" the q_split_audit
+      // query performs on raw fixtures. Counts val docs with a banded
+      // near-dup (portable family, default J ≥ 0.5, override --jaccard)
+      // in train: O(val + collisions) via the delta path, the corpus side
+      // never self-pairs. A leak-free run reports zero; a nonzero count
+      // names the gate that let duplicates straddle the split.
+      case "--audit" =>
+        val threshold = opt("--jaccard").map(_.toDouble).getOrElse(0.5)
+        val train = spark.read.parquet(s"$dataDir/train")
+        val valDf = spark.read.parquet(s"$dataDir/val")
+        val leaks = Dedup.nearDuplicatesDeltaPortable(train, valDf,
+          "doc_id", "text", threshold = threshold)
+          .select(col("delta_id")).distinct().count()
+        val nVal = valDf.count()
+        val json = ConfigIO.toJson(Map(
+          "mode" -> "curate-audit", "jaccard" -> threshold,
+          "nTrain" -> train.count(), "nVal" -> nVal,
+          "leakyValDocs" -> leaks))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/curate.audit.json"), json)
+        println(s"Split audit: leakyValDocs=$leaks of nVal=$nVal " +
+          s"(J >= $threshold) → $outDir/curate.audit.json")
     }
   }
 }

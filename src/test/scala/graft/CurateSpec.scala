@@ -118,6 +118,38 @@ class CurateSpec extends SparkSpec {
     assert(!lc.stripHtml && lc.lineMinWords == 0)
   }
 
+  test("--audit on a curated output: the leak-free run reports zero leaky " +
+      "val docs; a deliberately contaminated val reports them") {
+    val out = java.nio.file.Files.createTempDirectory("curate_audit").toString
+    Curate.writeConfig(s"$out/${Curate.ConfigFile}",
+      Curate.DefaultConfig.copy(dedup = "fuzzy"))
+    Curate.cli(spark, Array("--run", "--data", data, "--out", out))
+    Curate.cli(spark, Array("--audit", "--data", out, "--out", out))
+    val report = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/curate.audit.json"))
+    assert(report.contains("\"leakyValDocs\":0"), report)
+    // contaminate: clone a train doc into val under a fresh id → the
+    // audit must surface exactly that leak
+    val train = spark.read.parquet(s"$out/train")
+    val one = train.orderBy("doc_id").limit(1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    spark.read.parquet(s"$out/val").unionByName(one)
+      .write.mode("overwrite").parquet(s"$out/val2")
+    val dirty = java.nio.file.Files.createTempDirectory("curate_dirty").toString
+    // lay out train/ + val/ the way --audit expects
+    train.write.parquet(s"$dirty/train")
+    spark.read.parquet(s"$out/val2").write.parquet(s"$dirty/val")
+    Curate.cli(spark, Array("--audit", "--data", dirty, "--out", dirty))
+    val dirtyReport = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dirty/curate.audit.json"))
+    assert(dirtyReport.contains("\"leakyValDocs\":1"), dirtyReport)
+    // flag policy: --jaccard outside --audit fails loudly
+    intercept[RuntimeException] {
+      Curate.cli(spark, Array("--run", "--data", data, "--out", out,
+        "--jaccard", "0.5"))
+    }
+  }
+
   test("dedup modes nest: fuzzy ⊆ exact ⊆ none (exact dups are jaccard-1 " +
       "near-dups, so each mode can only remove more)") {
     val docs = Tables.load(spark, data, "documents")

@@ -483,6 +483,23 @@ class PlanSpec extends SparkSpec {
       "term stats are vocabulary-sized and must broadcast: " + p.take(400))
   }
 
+  test("split audit and interleave stay off the scale-killer list: no " +
+      "cartesian product, shared edge stage cached, corpus windows " +
+      "partitioned") {
+    val a = plan("q_split_audit")
+    assert(!a.contains("CartesianProduct"), a.take(600))
+    assert(a.contains("InMemoryTableScan"),
+      "the near-dup edge stage must be computed once and cached: " + a.take(400))
+    val i = plan("q_interleave")
+    assert(!i.contains("CartesianProduct"), i.take(600))
+    // the per-source rank is a partitioned window; the only
+    // single-partition exchanges feed the source-count dim (20 rows) and
+    // the one-row n_src aggregate, never the corpus
+    assert(i.contains("Window"), i.take(400))
+    assert("BroadcastExchange".r.findAllIn(i).length >= 2,
+      "dim and n_src must broadcast back: " + i.take(600))
+  }
+
   test("semantic decontamination: the benchmark slice broadcasts across " +
       "one corpus scan; the argmax combines map-side") {
     val p = plan("q_decontaminate_semantic")
