@@ -305,6 +305,32 @@ object Pipeline {
         .select("doc_id", "source", "src_rank", "pos")
         .orderBy("pos")
     }),
+    // L5d — fixed-length training-WINDOW emission with document carryover:
+    // the step after q_pack_sequences' whole-doc binning — pretraining
+    // actually slices the concatenated token stream into fixed L-token
+    // windows, and a document crossing a boundary CONTINUES in the next
+    // window. Each source's stream is laid out in doc_id order (one
+    // per-source window pass, never global); a doc at [st, st+n) emits
+    // one row per overlapped window via a bounded sequence explode
+    // (⌈n/L⌉+1 rows max), with its offset and token count inside each.
+    // Pure integer arithmetic → engine-portable with no rounding at all.
+    "q_token_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          TA.tokenCountWs(col("text")).as("n_tok"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs.withColumn("st", sum(col("n_tok")).over(w) - col("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("window_id", explode(sequence(
+          expr("st div 128"), expr("(st + n_tok - 1) div 128"))))
+        .select(col("source"), col("window_id"), col("doc_id"),
+          (greatest(col("st"), col("window_id") * 128)
+            - col("window_id") * 128).as("w_start"),
+          (least(col("st") + col("n_tok"), (col("window_id") + 1) * 128)
+            - greatest(col("st"), col("window_id") * 128)).as("n_in_window"))
+        .orderBy("source", "window_id", "doc_id")
+    }),
     // End-to-end training-mix pipeline: quality-filter → exact dedup by
     // canonical fingerprint (min-doc_id survivor) → per-language hash
     // downsample (keep 1/2 of dominant 'en', 3/4 of the rest) → token
@@ -2199,6 +2225,29 @@ object Pipeline {
            ((r.src_rank - 1) * n.n_src + dim.src_idx)::bigint AS pos
          FROM r JOIN dim USING (source) CROSS JOIN n
          ORDER BY pos""",
+    // Token counts via the same \s+ splitter; window ids by integer
+    // division (// in DuckDB, div in Spark — both floor on non-negatives).
+    "q_token_windows" ->
+      """WITH d AS (
+           SELECT source, doc_id,
+             len(string_split_regex(text, '\s+'))::bigint AS n_tok
+           FROM documents WHERE text IS NOT NULL),
+         o AS (
+           SELECT source, doc_id, n_tok,
+             (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+               - n_tok)::bigint AS st
+           FROM d),
+         e AS (
+           SELECT source, doc_id, n_tok, st,
+             unnest(generate_series(st // 128, (st + n_tok - 1) // 128))
+               AS window_id
+           FROM o WHERE n_tok > 0)
+         SELECT source, window_id::bigint AS window_id, doc_id,
+           (greatest(st, window_id * 128) - window_id * 128)::bigint
+             AS w_start,
+           (least(st + n_tok, (window_id + 1) * 128)
+             - greatest(st, window_id * 128))::bigint AS n_in_window
+         FROM e ORDER BY source, window_id, doc_id""",
     "q_train_mix" ->
       """WITH scored AS (
            SELECT doc_id, lang,

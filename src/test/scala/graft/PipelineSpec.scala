@@ -910,6 +910,38 @@ class CurationQuerySpec extends SparkSpec {
     assert(sides == Set("train", "val"), s"degenerate split: $sides")
   }
 
+  test("token windows tile exactly: every window except each source's " +
+      "last sums to 128 tokens with gapless spans, and every doc's " +
+      "pieces add up to its token count") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_token_windows")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((src, w), rs) =>
+      val lastW = rows.filter(_._1 == src).map(_._2).max
+      val total = rs.map(_._5).sum
+      if (w < lastW) assert(total == 128L, s"$src window $w holds $total")
+      else assert(total <= 128L)
+      // spans tile the window without gaps or overlap, in doc order
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4,
+          s"$src window $w: gap between ${a._3} and ${b._3}")
+        case _ =>
+      }
+    }
+    // carryover actually happens on the fixture, and pieces reassemble
+    val byDoc = rows.groupBy(_._3)
+    assert(byDoc.values.exists(_.length > 1), "no doc crossed a boundary")
+    val toks = SparkEntry.queries("q_token_count")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens_ws")).toMap
+    byDoc.foreach { case (d, rs) =>
+      assert(rs.map(_._5).sum == toks(d), s"doc $d pieces do not reassemble")
+    }
+  }
+
   test("split audit: the leak-free gate reports ZERO leaky val docs by " +
       "construction; the naive per-doc gate is the one that leaks") {
     val dir = "/root/testdata/sf0.001"
