@@ -823,6 +823,25 @@ object Pipeline {
       Dedup.connectedComponents(nearDupEdges3(t(s, dir, "documents")),
         "a", "b").orderBy("id")
     }),
+    // A7 — near-dup cluster size HISTOGRAM: how much of the corpus sits
+    // in duplicate clusters of what size — the report that decides
+    // whether dedup is worth a full run (mass in size-2 pairs vs a few
+    // giant boilerplate clusters ⇒ different strategies). Singletons are
+    // docs with no edge (cluster size 1). Two hash aggregates over the
+    // shared CC labels; the heavy work (edges + CC) is the same shared
+    // stage every dedup query uses.
+    "q_cluster_hist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = Dedup.connectedComponents(nearDupEdges3(docs), "a", "b")
+      val sizes = docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(coalesce(col("comp"), col("doc_id")).as("cluster"))
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      sizes.groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("sz")).as("n_docs"))
+        .orderBy("sz")
+    }),
     // Curation — leakage-aware train/val split: documents gate on the md5
     // of their near-dup CLUSTER label (singletons: their own id), not
     // their own id, so a near-duplicate of a held-out doc can never land
@@ -3185,6 +3204,41 @@ object Pipeline {
                 THEN 'val' ELSE 'train' END AS split
          FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
          ORDER BY d.doc_id""",
+    // Same edge + component CTEs as q_split_leakfree; singleton docs form
+    // size-1 clusters via the coalesce.
+    "q_cluster_hist" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         k0 AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM s),
+         k AS (SELECT * FROM k0
+               QUALIFY count(*) OVER (PARTITION BY blk) <= 4096),
+         e AS (
+           SELECT x.doc_id AS a, y.doc_id AS b
+           FROM k x JOIN k y ON x.blk = y.blk AND x.doc_id < y.doc_id
+           WHERE cast(len(list_intersect(x.sh, y.sh)) AS double) /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                 >= 0.5),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION SELECT b, a FROM e),
+         reach(src, dst) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT r.src, s2.dst FROM reach r
+           JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst),
+         labels AS (
+           SELECT src AS id, least(src, min(dst)) AS comp FROM reach
+           GROUP BY src),
+         sizes AS (
+           SELECT coalesce(l.comp, d.doc_id) AS cluster,
+             count(*)::bigint AS sz
+           FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+           GROUP BY 1)
+         SELECT sz, count(*)::bigint AS n_clusters,
+           (count(*) * sz)::bigint AS n_docs
+         FROM sizes GROUP BY sz ORDER BY sz""",
     // Same edge + component CTEs as q_split_leakfree, then both gates
     // side by side and the per-method leaky-val-doc census.
     "q_split_audit" ->
