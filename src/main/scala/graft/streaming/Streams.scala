@@ -136,6 +136,55 @@ object Streams {
       }
   }
 
+  case class WindowPiece(source: String, window_id: Long, doc_id: Long,
+      w_start: Long, n_in_window: Long)
+
+  /**
+   * Streaming fixed-length training-window emission — the unbounded twin
+   * of the batch `q_token_windows`: per source the state is ONE long (the
+   * stream's running token offset), each arriving doc is appended at that
+   * offset and immediately emits its window pieces (a doc crossing a
+   * 128-token boundary CONTINUES in the next window). Docs lay out in
+   * doc_id order WITHIN each micro-batch (the batch query's order);
+   * across batches the layout is arrival order — the streaming contract,
+   * since a stream cannot re-order history. State stays O(1) per source
+   * at any volume; NoTimeout because the offset must persist for the
+   * life of the stream. StreamsSpec pins streamed ≡ batch on an ordered
+   * feed.
+   */
+  def tokenWindows(docs: org.apache.spark.sql.Dataset[(String, Long, Long)],
+      windowLen: Long = 128L)
+      : org.apache.spark.sql.Dataset[WindowPiece] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[WindowPiece]
+    docs.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[Long, WindowPiece](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ListBuffer.empty[WindowPiece]
+          rows.toSeq.sortBy(_._2).foreach { case (_, docId, nTok) =>
+            if (nTok > 0) {
+              val st = off
+              var w = st / windowLen
+              val lastW = (st + nTok - 1) / windowLen
+              while (w <= lastW) {
+                val lo = math.max(st, w * windowLen)
+                val hi = math.min(st + nTok, (w + 1) * windowLen)
+                out += WindowPiece(source, w, docId, lo - w * windowLen, hi - lo)
+                w += 1
+              }
+            }
+            off += nTok
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   /**
    * Running per-user event totals via transformWithState — Spark 4's
    * arbitrary-state API (typed ValueState in the RocksDB state store; the

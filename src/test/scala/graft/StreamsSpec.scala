@@ -450,6 +450,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token windows ≡ batch q_token_windows on an in-order " +
+      "feed across two micro-batches: O(1) offset state per source") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        graft.operators.TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    // batch split at the id midpoint: concatenating the two batches
+    // preserves global doc_id order per source, the batch query's layout
+    val (b1, b2) = docs.partition(_._2 < 250)
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.Streams.tokenWindows(mem.toDS())
+      .writeStream.format("memory").queryName("tok_win_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("tok_win_t").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val batch = SparkEntry.queries("q_token_windows")(
+        spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} rows vs batch ${batch.size}")
+      // carryover state survived the micro-batch boundary: some doc in b2
+      // starts mid-window (w_start > 0 in its first piece)
+      assert(streamed.exists(t => t._3 >= 250 && t._4 > 0))
+    } finally q.stop()
+  }
+
   test("curateGate: gate + scrub + corpus anti-join over a stream equals " +
       "the same gate run batch; corpus dups never reach the sink") {
     implicit val sql = spark.sqlContext
