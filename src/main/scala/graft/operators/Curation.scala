@@ -386,6 +386,52 @@ object Curation {
   }
 
   /**
+   * Pointwise mutual information over adjacent word pairs — the phrase /
+   * collocation miner (word2vec-style phrase detection): pmi(w1, w2) =
+   * ln(c12) + 2·ln(N_uni) − ln(N_big) − ln(c1) − ln(c2), every ln taken
+   * of an INTEGER count and combined as decimal(28,10) in a fixed order,
+   * so the score is a pure function of the counts — engine-portable, the
+   * bigramLmScore recipe. `minCount` floors c12 (PMI of rare pairs is
+   * noise); returns the top `k` by (rounded pmi, w1, w2) via
+   * orderBy+limit, which plans as TakeOrderedAndProject — a web-scale
+   * vocabulary never funnels through a single-task sort.
+   *
+   * Scale: ONE tokenized projection persisted for its two explodes;
+   * unigram and bigram counts are vocabulary-scale hash aggregates
+   * (map-side combine), their totals derive FROM the aggregates (no
+   * second corpus pass), and the count joins broadcast the unigram side.
+   */
+  def pmiTopK(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, k: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def lnDec(c: Column) = log(c.cast("double")).cast("decimal(28,10)")
+    val base = Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(split(col(textCol), "\\s+").as("__w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val uni = base.select(explode(col("__w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val big = base.select(explode(bigramsFromWords(col("__w"))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    val nb = big.agg(sum(col("c12")).as("nb"))
+    val scored = big.filter(col("c12") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"),
+        round((lnDec(col("c12")) + lnDec(col("nu")) + lnDec(col("nu"))
+          - lnDec(col("nb")) - lnDec(col("c1")) - lnDec(col("c2")))
+          .cast("double"), 6).as("pmi"))
+    Scale.releaseAfterUse(
+      scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k),
+      Seq(base, uni, big))
+  }
+
+  /**
    * Per-vector int8 scalar quantization: map [min, max] linearly onto
    * [-128, 127] with floor(x + 0.5) rounding (identical semantics in any
    * IEEE engine, unlike round()'s mode-dependent halves). Constant

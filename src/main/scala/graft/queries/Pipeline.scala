@@ -823,6 +823,15 @@ object Pipeline {
       Dedup.connectedComponents(nearDupEdges3(t(s, dir, "documents")),
         "a", "b").orderBy("id")
     }),
+    // L1 — PMI collocation mining (Curation.pmiTopK): the phrase-detection
+    // table (word2vec-style "new_york" merging starts here). Exact
+    // ln-of-integer-counts decimal arithmetic — the bigramLmScore recipe —
+    // so the scores are a pure function of the counts and the whole
+    // top-30 oracle-checks; TakeOrderedAndProject, never a global sort.
+    "q_pmi" -> ((s, dir) => {
+      Curation.pmiTopK(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, k = 30)
+    }),
     // A7 — near-dup cluster size HISTOGRAM: how much of the corpus sits
     // in duplicate clusters of what size — the report that decides
     // whether dedup is worth a full run (mass in size-2 pairs vs a few
@@ -3204,6 +3213,35 @@ object Pipeline {
                 THEN 'val' ELSE 'train' END AS split
          FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
          ORDER BY d.doc_id""",
+    // Exact ln-of-integers decimal combination in the SAME fixed order as
+    // the engine expression; totals derive from the aggregates.
+    "q_pmi" ->
+      """WITH ws AS (
+           SELECT string_split_regex(text, '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         toks AS (SELECT unnest(w) AS w FROM ws),
+         uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+         occ AS (
+           SELECT w[i] AS w1, w[i + 1] AS w2
+           FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                 FROM ws)),
+         big AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY w1, w2),
+         nu AS (SELECT sum(c)::bigint AS nu FROM uni),
+         nb AS (SELECT sum(c12)::bigint AS nb FROM big),
+         scored AS (
+           SELECT b.w1, b.w2, b.c12,
+             round((cast(ln(b.c12) AS decimal(28,10))
+               + cast(ln(nu.nu) AS decimal(28,10))
+               + cast(ln(nu.nu) AS decimal(28,10))
+               - cast(ln(nb.nb) AS decimal(28,10))
+               - cast(ln(u1.c) AS decimal(28,10))
+               - cast(ln(u2.c) AS decimal(28,10)))::double, 6) AS pmi
+           FROM big b
+           JOIN uni u1 ON u1.w = b.w1
+           JOIN uni u2 ON u2.w = b.w2, nu, nb
+           WHERE b.c12 >= 5)
+         SELECT w1, w2, c12::bigint AS c12, pmi FROM scored
+         ORDER BY pmi DESC, w1, w2 LIMIT 30""",
     // Same edge + component CTEs as q_split_leakfree; singleton docs form
     // size-1 clusters via the coalesce.
     "q_cluster_hist" ->
