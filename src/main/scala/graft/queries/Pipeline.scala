@@ -823,6 +823,27 @@ object Pipeline {
       Dedup.connectedComponents(nearDupEdges3(t(s, dir, "documents")),
         "a", "b").orderBy("id")
     }),
+    // L1 — per-language character-trigram profile: the table a char-ngram
+    // language identifier trains on (the production successor to
+    // q_lang_id's marker-word heuristic). Sliding substring transform →
+    // explode → (lang, gram) hash aggregate → per-lang top-5 window (the
+    // window partitions by lang, never global; the aggregate combines
+    // map-side). Short texts contribute their whole remainder as one
+    // gram — the shinglesFromWords convention, mirrored in the oracle.
+    "q_char_ngrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = Scale.spreadForCompute(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          col("doc_id"))
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1))," +
+            " i -> substring(text, i, 3))")).as("gram"))
+      val counts = grams.groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("lang").orderBy(col("c").desc, col("gram"))
+      counts.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("lang", "rn")
+    }),
     // L1 — PMI collocation mining (Curation.pmiTopK): the phrase-detection
     // table (word2vec-style "new_york" merging starts here). Exact
     // ln-of-integer-counts decimal arithmetic — the bigramLmScore recipe —
@@ -3213,6 +3234,18 @@ object Pipeline {
                 THEN 'val' ELSE 'train' END AS split
          FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
          ORDER BY d.doc_id""",
+    "q_char_ngrams" ->
+      """WITH g AS (
+           SELECT lang, unnest(list_transform(
+             generate_series(1, greatest(length(text) - 2, 1)),
+             i -> substr(text, i, 3))) AS gram
+           FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY lang, gram)
+         SELECT lang, gram, c::bigint AS c, rn::bigint AS rn FROM (
+           SELECT lang, gram, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram)
+               AS rn
+           FROM c) WHERE rn <= 5 ORDER BY lang, rn""",
     // Exact ln-of-integers decimal combination in the SAME fixed order as
     // the engine expression; totals derive from the aggregates.
     "q_pmi" ->
