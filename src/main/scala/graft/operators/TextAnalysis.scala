@@ -198,6 +198,61 @@ object TextAnalysis {
   }
 
   /**
+   * Trained char-trigram naive-Bayes language identifier — the production
+   * successor to [[langId]]'s marker-word heuristic, trained and served
+   * in one distributed pass pair. Laplace-smoothed:
+   * score(doc, lang) = Σ_occurrences ln(c_{lang,gram}+1) − n_grams·ln(t_lang+V).
+   * The decomposition is the whole trick: an UNSEEN gram's first term is
+   * ln(0+1) = 0, so the per-(doc,lang) sum needs only the grams the lang
+   * HAS (an inner join, each occurrence × ≤|langs| rows), and the unseen
+   * mass collapses into the closed-form penalty — no dense doc×vocab
+   * anything. Every ln is of an integer, summed as decimal — exact,
+   * order-independent, oracle-checkable (the bigramLmScore recipe).
+   * Ties break toward the lexicographically smallest language. Returns
+   * (idCol, actual, predicted), one row per non-null-text doc.
+   */
+  def langIdNaiveBayes(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, langCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    def lnDec(c: Column) = log(c.cast("double")).cast("decimal(28,10)")
+    val grams = Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), col(langCol).as("__actual"), explode(expr(
+        s"transform(sequence(1, greatest(length($textCol) - 2, 1))," +
+          s" i -> substring($textCol, i, 3))")).as("__g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val weights = grams.groupBy(col("__actual").as("__lang"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val langTotals = weights.groupBy("__lang").agg(sum(col("__c")).as("__t"))
+    val vocab = weights.select("__g").distinct().agg(count(lit(1)).as("__v"))
+    val docTotals = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val firstTerm = grams
+      .join(weights.withColumnRenamed("__g", "__gw"),
+        col("__g") === col("__gw"))
+      .groupBy(col(idCol), col("__lang"))
+      .agg(sum(lnDec(col("__c") + 1)).as("__s1"))
+    val base = docTotals
+      .crossJoin(broadcast(langTotals.crossJoin(vocab)
+        .select(col("__lang"), lnDec(col("__t") + col("__v")).as("__pen1"))))
+      .select(col(idCol), col("__lang"), (col("__n") * col("__pen1")).as("__pen"))
+    val scored = base.join(firstTerm, Seq(idCol, "__lang"), "left")
+      .select(col(idCol), col("__lang"),
+        (coalesce(col("__s1"), lit(0).cast("decimal(28,10)")) - col("__pen"))
+          .as("__sc"))
+    val w = Window.partitionBy(idCol).orderBy(col("__sc").desc, col("__lang"))
+    val pred = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__lang").as("predicted"))
+    Scale.releaseAfterUse(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol), col(langCol).as("actual"))
+        .join(pred, Seq(idCol)),
+      Seq(grams, weights))
+  }
+
+  /**
    * BM25 relevance ranking (Robertson/Spärck Jones; the Lucene-default
    * scoring function) of every document against a FIXED literal term set —
    * the retrieval primitive a curation pipeline uses to pull

@@ -653,6 +653,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(re.filter(TA.hasEmail(col("t")) || TA.hasPhone(col("t"))).count() == 0)
   }
 
+  test("langIdNaiveBayes separates distinct char distributions perfectly; " +
+      "every doc gets exactly one prediction") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "alpha alpha alpha beta beta alpha", "aa"),
+        Row(2L, "alpha beta alpha beta alpha beta", "aa"),
+        Row(3L, "zulu zulu yankee yankee zulu zulu", "zz"),
+        Row(4L, "yankee zulu yankee zulu zulu zulu", "zz"),
+        Row(5L, null, "aa")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+    val out = TA.langIdNaiveBayes(df, "doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length == 4, "null-text docs get no prediction row")
+    assert(out.forall(t => t._2 == t._3),
+      s"disjoint char distributions must classify perfectly: ${out.toSeq}")
+  }
+
   test("stripHtml: element bodies dropped, block tags become line breaks, " +
       "inline tags spaces, entities decoded in order, whitespace normalized") {
     val df = strDf("t", Seq(
