@@ -53,6 +53,41 @@ object Pipeline {
       Curation.bannedLinePhrases
         .map(p => s" AND NOT contains(lower(l), '$p')").mkString
 
+  /** The naive-Bayes lang-id scorer as a DuckDB CTE chain ending in
+    * `pred(doc_id, predicted)` — shared by q_langid_nb and
+    * q_langid_confusion so the two oracles cannot desynchronize. Mirrors
+    * TextAnalysis.langIdNaiveBayes: char trigrams, Laplace decomposition
+    * (unseen gram ⇒ ln(1) = 0 first term + closed-form penalty), exact
+    * decimal sums, (score desc, lang) tiebreak. */
+  private val LangIdNbCte: String =
+    """g AS (
+           SELECT doc_id, lang AS actual, unnest(list_transform(
+             generate_series(1, greatest(length(text) - 2, 1)),
+             i -> substr(text, i, 3))) AS gm
+           FROM documents WHERE text IS NOT NULL),
+         w AS (SELECT actual AS lng, gm, count(*) AS c FROM g GROUP BY 1, 2),
+         lt AS (SELECT lng, sum(c)::bigint AS t FROM w GROUP BY lng),
+         v AS (SELECT count(DISTINCT gm) AS v FROM g),
+         dt AS (SELECT doc_id, count(*)::bigint AS n FROM g GROUP BY doc_id),
+         ft AS (
+           SELECT g.doc_id, w.lng,
+             sum(cast(ln(w.c + 1) AS decimal(28,10))) AS s1
+           FROM g JOIN w ON w.gm = g.gm
+           GROUP BY g.doc_id, w.lng),
+         base AS (
+           SELECT dt.doc_id, lt.lng,
+             dt.n * cast(ln(lt.t + v.v) AS decimal(28,10)) AS pen
+           FROM dt CROSS JOIN lt CROSS JOIN v),
+         score AS (
+           SELECT b.doc_id, b.lng,
+             coalesce(f.s1, cast(0 AS decimal(28,10))) - b.pen AS sc
+           FROM base b
+           LEFT JOIN ft f ON f.doc_id = b.doc_id AND f.lng = b.lng),
+         pred AS (
+           SELECT doc_id, lng AS predicted FROM (
+             SELECT doc_id, lng, row_number() OVER (PARTITION BY doc_id
+               ORDER BY sc DESC, lng) AS rn FROM score) WHERE rn = 1)"""
+
   /** The bigram-LM scoring pipeline as a DuckDB CTE chain ending in
     * `lm(doc_id, n_bigrams, avg_logp)` — shared by q_lm_score and
     * q_ppl_bucket so the two oracles cannot desynchronize. Mirrors
@@ -835,6 +870,16 @@ object Pipeline {
           sum(when(col("predicted") === col("actual"), 1L).otherwise(0L))
             .as("n_correct"))
         .orderBy("lang")
+    }),
+    // L1 — the NB identifier's CONFUSION MATRIX (actual × predicted doc
+    // counts) — the eval artifact a model card actually shows; only
+    // observed pairs appear (sparse form). Same trained scorer as
+    // q_langid_nb, different final aggregate.
+    "q_langid_confusion" -> ((s, dir) => {
+      TA.langIdNaiveBayes(t(s, dir, "documents"), "doc_id", "text", "lang")
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual", "predicted")
     }),
     // L1 — per-language character-trigram profile: the table a char-ngram
     // language identifier trains on (the production successor to
@@ -3250,39 +3295,19 @@ object Pipeline {
     // Same decomposition as the engine: first term over (gram ⋈ lang
     // counts) only — unseen grams are ln(1) = 0 — penalty in closed form.
     "q_langid_nb" ->
-      """WITH g AS (
-           SELECT doc_id, lang AS actual, unnest(list_transform(
-             generate_series(1, greatest(length(text) - 2, 1)),
-             i -> substr(text, i, 3))) AS gm
-           FROM documents WHERE text IS NOT NULL),
-         w AS (SELECT actual AS lng, gm, count(*) AS c FROM g GROUP BY 1, 2),
-         lt AS (SELECT lng, sum(c)::bigint AS t FROM w GROUP BY lng),
-         v AS (SELECT count(DISTINCT gm) AS v FROM g),
-         dt AS (SELECT doc_id, count(*)::bigint AS n FROM g GROUP BY doc_id),
-         ft AS (
-           SELECT g.doc_id, w.lng,
-             sum(cast(ln(w.c + 1) AS decimal(28,10))) AS s1
-           FROM g JOIN w ON w.gm = g.gm
-           GROUP BY g.doc_id, w.lng),
-         base AS (
-           SELECT dt.doc_id, lt.lng,
-             dt.n * cast(ln(lt.t + v.v) AS decimal(28,10)) AS pen
-           FROM dt CROSS JOIN lt CROSS JOIN v),
-         score AS (
-           SELECT b.doc_id, b.lng,
-             coalesce(f.s1, cast(0 AS decimal(28,10))) - b.pen AS sc
-           FROM base b
-           LEFT JOIN ft f ON f.doc_id = b.doc_id AND f.lng = b.lng),
-         pred AS (
-           SELECT doc_id, lng AS predicted FROM (
-             SELECT doc_id, lng, row_number() OVER (PARTITION BY doc_id
-               ORDER BY sc DESC, lng) AS rn FROM score) WHERE rn = 1)
+      s"""WITH $LangIdNbCte
          SELECT d.lang, count(*)::bigint AS n_docs,
            sum(CASE WHEN p.predicted = d.lang THEN 1 ELSE 0 END)::bigint
              AS n_correct
          FROM documents d JOIN pred p ON p.doc_id = d.doc_id
          WHERE d.text IS NOT NULL
          GROUP BY d.lang ORDER BY lang""",
+    "q_langid_confusion" ->
+      s"""WITH $LangIdNbCte
+         SELECT d.lang AS actual, p.predicted, count(*)::bigint AS n_docs
+         FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+         WHERE d.text IS NOT NULL
+         GROUP BY 1, 2 ORDER BY actual, predicted""",
     "q_char_ngrams" ->
       """WITH g AS (
            SELECT lang, unnest(list_transform(
