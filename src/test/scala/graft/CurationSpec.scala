@@ -16,6 +16,22 @@ class CurationSpec extends SparkSpec {
         StructField("text", StringType))))
   }
 
+  test("pmiTopK ranks a planted exclusive collocation first; the count " +
+      "floor hides rare pairs") {
+    val filler = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = docs((1L to 20L).map(i =>
+      (i, s"$filler foo bar $filler")): _*)
+    val out = Curation.pmiTopK(corpus, "doc_id", "text", minCount = 5, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // foo/bar occur ONLY as the pair — maximal PMI beats every filler pair
+    assert(out.head == (("foo", "bar")), s"got ${out.toSeq}")
+    // a pair under the floor (appears once) never surfaces
+    val rare = docs((1L, s"$filler unique pairing $filler"))
+    val rareOut = Curation.pmiTopK(rare, "doc_id", "text", minCount = 5,
+      k = 50).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!rareOut.contains(("unique", "pairing")))
+  }
+
   test("contaminated flags exactly the docs sharing an n-gram with bench") {
     val bench = docs((100L, "the quick brown fox jumps over the lazy dog"))
     val train = docs(
