@@ -262,7 +262,21 @@ class PlanSpec extends SparkSpec {
       // partition receives k-entry partial buffers, never key-table
       // rows (that bound is the sketch's whole point, pinned by the
       // partial-aggregate plan test).
-      "q_freq_items")
+      "q_freq_items",
+      // q_pmi's N_uni/N_big are one-row corpus-statistics aggregates
+      // over the ALREADY-REDUCED vocabulary tables (q_bm25's shape);
+      // the count aggregates and the top-k heaps stay distributed.
+      "q_pmi",
+      // q_interleave's source DIM (≤ |sources| rows) ranks in one
+      // partition by construction, and n_src is a one-row aggregate of
+      // it; the corpus rank window partitions by source and the dim
+      // broadcasts back — no corpus rows reach a single partition.
+      "q_interleave",
+      // the NB lang-id's vocabulary size is a one-row aggregate whose
+      // distinct dedups distributed first (q_quality_train's class-totals
+      // argument); gram counts, scoring joins, and the per-doc argmax
+      // window all stay distributed.
+      "q_langid_nb", "q_langid_confusion")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
