@@ -1411,6 +1411,36 @@ object Pipeline {
         .select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
         .orderBy("lang", "doc_id")
     }),
+    // L5 — mixture PLANNING table: given a 26k-token budget and α=0.5
+    // temperature weighting, the per-language sampling rates a mixing run
+    // would execute — the knob-setting artifact reviewed before the
+    // pipeline spends anything (dominant 'en' is down-rated below 1 while
+    // small languages clip at 1.0, so both branches of the cap are
+    // oracle-exercised). Portability trick: each weight quantizes to an
+    // integer FIRST (floor(sqrt·1000)), so the cross-language total is an
+    // exact long sum and every share/rate is a fixed tree of IEEE-exact
+    // operations on deterministic operands — no float ever sums across
+    // rows. One aggregate + a one-row broadcast total.
+    "q_mix_plan" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("lang"), TA.tokenCountWs(col("text")).as("__tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+        .withColumn("wq",
+          floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
+      val tot = per.agg(sum(col("wq")).as("wsum"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("share", round(col("wq").cast("double") / col("wsum"), 6))
+        .withColumn("target_tokens",
+          floor(lit(26000.0) * col("wq").cast("double") / col("wsum"))
+            .cast("long"))
+        .withColumn("rate", round(least(lit(1.0),
+          lit(26000.0) * col("wq").cast("double") / col("wsum")
+            / col("n_tokens")), 6))
+        .select("lang", "n_docs", "n_tokens", "share", "target_tokens",
+          "rate")
+        .orderBy("lang")
+    }),
     "q_temperature_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
@@ -2106,6 +2136,22 @@ object Pipeline {
            FROM s)
          SELECT doc_id, lang, n_tokens, quality, cum_tokens FROM c
          WHERE cum_tokens <= 1500 ORDER BY lang, doc_id""",
+    // Integer-quantized weights (floor(sqrt·1000)) sum exactly; every
+    // share/rate is the same fixed IEEE expression tree as the engine's.
+    "q_mix_plan" ->
+      """WITH per AS (
+           SELECT lang, count(*)::bigint AS n_docs,
+             sum(len(string_split_regex(text, '\s+')))::bigint AS n_tokens
+           FROM documents GROUP BY lang),
+         w AS (SELECT per.*,
+             floor(sqrt(n_tokens::double) * 1000)::bigint AS wq FROM per),
+         tot AS (SELECT sum(wq)::bigint AS wsum FROM w)
+         SELECT lang, n_docs, n_tokens,
+           round(wq::double / wsum, 6) AS share,
+           floor(26000.0 * wq::double / wsum)::bigint AS target_tokens,
+           round(least(1.0, 26000.0 * wq::double / wsum / n_tokens), 6)
+             AS rate
+         FROM w CROSS JOIN tot ORDER BY lang""",
     "q_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          m AS (SELECT min(n_docs) AS n_min FROM c),

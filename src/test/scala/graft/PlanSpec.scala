@@ -276,7 +276,11 @@ class PlanSpec extends SparkSpec {
       // distinct dedups distributed first (q_quality_train's class-totals
       // argument); gram counts, scoring joins, and the per-doc argmax
       // window all stay distributed.
-      "q_langid_nb", "q_langid_confusion")
+      "q_langid_nb", "q_langid_confusion",
+      // q_mix_plan's weight total is a one-row aggregate over the
+      // ALREADY-REDUCED per-language table (≤ |langs| rows), broadcast
+      // back — the corpus-sized token aggregate stays distributed.
+      "q_mix_plan")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
