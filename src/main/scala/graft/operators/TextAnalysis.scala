@@ -227,12 +227,23 @@ object TextAnalysis {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val langTotals = weights.groupBy("__lang").agg(sum(col("__c")).as("__t"))
     val vocab = weights.select("__g").distinct().agg(count(lit(1)).as("__v"))
-    val docTotals = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val firstTerm = grams
+    // occurrences collapse to (doc, gram, multiplicity) BEFORE the lang
+    // join, so the join and the (doc, lang) aggregate see distinct grams,
+    // not raw occurrences; s1 = Σ dn·ln(c+1) is the same exact decimal.
+    // Measured A/B at sf0.1 (min-of-3, quiet window): neutral — the
+    // fixture's word soup repeats few grams per doc — kept because the
+    // join input bound becomes |distinct grams| ≤ |occurrences|, which is
+    // the term that matters on repetitive real-world text. docTotals
+    // derives from the collapsed frame — no extra corpus pass.
+    val docGrams = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__dn"))
+    val docTotals = docGrams.groupBy(col(idCol))
+      .agg(sum(col("__dn")).as("__n"))
+    val firstTerm = docGrams
       .join(weights.withColumnRenamed("__g", "__gw"),
         col("__g") === col("__gw"))
       .groupBy(col(idCol), col("__lang"))
-      .agg(sum(lnDec(col("__c") + 1)).as("__s1"))
+      .agg(sum(col("__dn") * lnDec(col("__c") + 1)).as("__s1"))
     val base = docTotals
       .crossJoin(broadcast(langTotals.crossJoin(vocab)
         .select(col("__lang"), lnDec(col("__t") + col("__v")).as("__pen1"))))
