@@ -215,31 +215,38 @@ object TextAnalysis {
       textCol: String, langCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
-    def lnDec(c: Column) = log(c.cast("double")).cast("decimal(28,10)")
-    val grams = Scale.spreadForCompute(
+    // ln at decimal(17,10): long(20,0) × decimal(17,10) → decimal(38,10)
+    // with NO precision loss under Spark's decimal multiply rule. At the
+    // previous (28,10) the product was demoted to decimal(38,6), silently
+    // rounding each term to 1e-6 — enough to flip a near-tie argmax away
+    // from the scale-10-exact DuckDB oracle. ln values here are ≤ ln of a
+    // corpus-total count (≈41 even at 1e18 grams), well inside 7 integer
+    // digits.
+    def lnDec(c: Column) = log(c.cast("double")).cast("decimal(17,10)")
+    // ONE pass over the exploded trigrams: occurrences collapse straight
+    // to (doc, lang, gram, multiplicity) — the lang column rides along
+    // for free since it is functionally dependent on the doc — and BOTH
+    // the per-language weights and the per-doc totals derive from this
+    // collapsed frame by second, much smaller aggregates (input bound
+    // |distinct (doc,gram)| ≤ |occurrences|, the term that matters on
+    // repetitive real-world text). The raw explode is never aggregated
+    // twice and never persisted.
+    val docGrams = Scale.spreadForCompute(
         docs.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol), col(langCol).as("__actual"), explode(expr(
         s"transform(sequence(1, greatest(length($textCol) - 2, 1))," +
           s" i -> substring($textCol, i, 3))")).as("__g"))
+      .groupBy(col(idCol), col("__actual"), col("__g"))
+      .agg(count(lit(1)).as("__dn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val weights = grams.groupBy(col("__actual").as("__lang"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
+    val weights = docGrams.groupBy(col("__actual").as("__lang"), col("__g"))
+      .agg(sum(col("__dn")).as("__c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val langTotals = weights.groupBy("__lang").agg(sum(col("__c")).as("__t"))
     val vocab = weights.select("__g").distinct().agg(count(lit(1)).as("__v"))
-    // occurrences collapse to (doc, gram, multiplicity) BEFORE the lang
-    // join, so the join and the (doc, lang) aggregate see distinct grams,
-    // not raw occurrences; s1 = Σ dn·ln(c+1) is the same exact decimal.
-    // Measured A/B at sf0.1 (min-of-3, quiet window): neutral — the
-    // fixture's word soup repeats few grams per doc — kept because the
-    // join input bound becomes |distinct grams| ≤ |occurrences|, which is
-    // the term that matters on repetitive real-world text. docTotals
-    // derives from the collapsed frame — no extra corpus pass.
-    val docGrams = grams.groupBy(col(idCol), col("__g"))
-      .agg(count(lit(1)).as("__dn"))
     val docTotals = docGrams.groupBy(col(idCol))
       .agg(sum(col("__dn")).as("__n"))
-    val firstTerm = docGrams
+    val firstTerm = docGrams.drop("__actual")
       .join(weights.withColumnRenamed("__g", "__gw"),
         col("__g") === col("__gw"))
       .groupBy(col(idCol), col("__lang"))
@@ -250,7 +257,7 @@ object TextAnalysis {
       .select(col(idCol), col("__lang"), (col("__n") * col("__pen1")).as("__pen"))
     val scored = base.join(firstTerm, Seq(idCol, "__lang"), "left")
       .select(col(idCol), col("__lang"),
-        (coalesce(col("__s1"), lit(0).cast("decimal(28,10)")) - col("__pen"))
+        (coalesce(col("__s1"), lit(0).cast("decimal(38,10)")) - col("__pen"))
           .as("__sc"))
     val w = Window.partitionBy(idCol).orderBy(col("__sc").desc, col("__lang"))
     val pred = scored.withColumn("__rn", row_number().over(w))
@@ -260,7 +267,7 @@ object TextAnalysis {
       docs.filter(col(textCol).isNotNull)
         .select(col(idCol), col(langCol).as("actual"))
         .join(pred, Seq(idCol)),
-      Seq(grams, weights))
+      Seq(docGrams, weights))
   }
 
   /**
