@@ -145,6 +145,76 @@ object Pq {
    * trick), so ranking and distances are bit-identical in any engine —
    * the whole search is oracle-checkable.
    */
+  /**
+   * IVF-ADC composed top-k — the production ANN shape (what FAISS calls
+   * IVFPQ): the coarse quantizer bounds CANDIDATES (each query scores only
+   * the vectors assigned to its `nprobe` nearest cells, |corpus|·nprobe/kc
+   * instead of |corpus|) and PQ bounds BYTES (the corpus side of the
+   * scoring join is only its m codes plus one cell id — the full-precision
+   * vectors are read exactly once, at index build). [[adcTopK]] is the
+   * nprobe=all degenerate case; this is what actually deploys.
+   *
+   * Shape: ONE corpus scan computes both halves of each index entry (the
+   * coarse cell via [[Ivf.nearestCentroid]] and the m subvector codes; the
+   * per-subspace argmin groupBy carries the cell along as a group
+   * constant). The query side joins its `nprobe` probed cells with its
+   * m·k ADC distance table into ONE broadcast probe table of
+   * |queries|·nprobe·m·k rows — metadata scale for the bounded query sets
+   * this signature serves; a corpus-scale query set would swap the
+   * broadcast for a hash join on the cell id, which the codes already
+   * carry. Scoring is then a single equi-join on (cell, subspace, code):
+   * a code row matches exactly one distance-table entry per probing
+   * query, so the per-(query, candidate) sum covers all m subspaces.
+   * Term-wise decimal(28,10) casts keep that sum order-independent —
+   * with a declared quantizer (e.g. [[Ivf.train]] iters=0) every step is
+   * bit-portable and the whole search oracle-checks, same as [[adcTopK]].
+   */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
+      m: Int, k: Int, dim: Int,
+      idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    val cb = fixedCodebook(corpus, idCol, embCol, m, k, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subs = Scale.spreadForCompute(
+        corpus.select(col(idCol), col(embCol)), col(idCol))
+      .withColumn("__cell", Ivf.nearestCentroid(col(embCol), centroids))
+      .select(col(idCol), col("__cell"),
+        subvectors(col(embCol), m, d).as(Seq("j", "__s")))
+    val codes = subs.join(broadcast(cb), "j")
+      .withColumn("__key",
+        lit(-2.0) * dot(col("__s"), col("__cw")) + col("__cwn2"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("__key").as("k"), col("__c").as("c"))).as("__m"),
+        max(col("__cell")).as("__cell")) // constant within the group
+      .select(col(idCol), col("__cell"), col("j"), col("__m.c").as("code"))
+    val q = queries.select(col(qIdCol), col(qEmbCol).as("__qv"))
+    val probes = q.select(col(qIdCol),
+      explode(Ivf.probeList(col("__qv"), centroids, nprobe)).as("__cell"))
+    val qsubs = q
+      .select(col(qIdCol), subvectors(col("__qv"), m, d).as(Seq("j", "__qs")))
+      .withColumn("__qn2", dot(col("__qs"), col("__qs")))
+    val dtab = qsubs.join(broadcast(cb), "j")
+      .select(col(qIdCol), col("j"), col("__c").as("code"),
+        (col("__qn2") - lit(2.0) * dot(col("__qs"), col("__cw")) +
+          col("__cwn2")).as("__dq"))
+    val probeTab = probes.join(dtab, qIdCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qIdCol).orderBy(col("__ad"), col(idCol))
+    Scale.releaseAfterUse(
+      codes.join(broadcast(probeTab), Seq("__cell", "j", "code"))
+        .filter(col(idCol) =!= col(qIdCol))
+        .groupBy(col(qIdCol), col(idCol))
+        .agg(sum(col("__dq").cast("decimal(28,10)")).as("__ad"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= topK)
+        .select(col(qIdCol), col(idCol), col("rn"),
+          round(col("__ad").cast("double"), 6).as("adist")),
+      Seq(cb))
+  }
+
   def adcTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
       m: Int, k: Int, dim: Int,
       idCol: String = "vec_id", embCol: String = "emb",

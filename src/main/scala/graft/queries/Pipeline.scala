@@ -1326,6 +1326,49 @@ object Pipeline {
           (col("n_hit").cast("double") / 10).as("recall"))
         .orderBy("q_id")
     }),
+    // L2 — IVF-ADC composed search (Pq.ivfAdcTopK): the FAISS-IVFPQ
+    // production ANN shape — the coarse quantizer bounds CANDIDATES (each
+    // query scores only its nprobe=4 of 16 cells) and PQ bounds BYTES (the
+    // corpus side of the scoring join is m=4 codes + a cell id). The fixed
+    // first-16 quantizer and first-8 codebook keep every step — cell
+    // assignment, probe ranking, per-subspace argmin, the decimal ADC
+    // sum — bit-portable, so the full composition oracle-checks, not just
+    // its halves (q_sim_ivf_fixed, q_pq_search).
+    "q_ivf_pq_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      graft.operators.Pq.ivfAdcTopK(emb, qs, centroids, nprobe = 4,
+        topK = 10, m = 4, k = 8, dim = 64)
+        .orderBy("q_id", "rn")
+    }),
+    // L2 — recall@10 of the composed IVF-ADC search against the exact
+    // cosine top-10 (the q_pq_recall recipe): the number that shows what
+    // probe-bounding costs ON TOP of quantization — reading it next to
+    // q_pq_recall separates the two loss sources before picking nprobe.
+    "q_ivf_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val adc = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids, nprobe = 4,
+        topK = 10, m = 4, k = 8, dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      exact.join(adc.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
+          "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / 10).as("recall"))
+        .orderBy("q_id")
+    }),
     // L2 — LSH-bucketed approximate top-k: exactTopK's broadcast crossJoin
     // replaced by an equi-join on the sign-LSH bucket, so per-query work is
     // proportional to its bucket's size, not |corpus| — the scale path when
@@ -1933,6 +1976,139 @@ object Pipeline {
                 FROM codes c JOIN dtab d ON d.j = c.j AND d.code = c.code
                   AND c.vec_id <> d.q_id
                 GROUP BY d.q_id, c.vec_id))
+            WHERE rn <= 10)
+          SELECT exact.q_id,
+            cast(sum(CASE WHEN adc.vec_id IS NULL THEN 0 ELSE 1 END)
+              AS bigint) AS n_hit,
+            cast(sum(CASE WHEN adc.vec_id IS NULL THEN 0 ELSE 1 END)
+              AS double) / 10 AS recall
+          FROM exact LEFT JOIN adc
+            ON exact.q_id = adc.q_id AND exact.vec_id = adc.vec_id
+          GROUP BY exact.q_id ORDER BY exact.q_id""",
+    // IVF-ADC: q_sim_ivf_fixed's assign/probes CTEs composed with
+    // q_pq_search's codes/dtab CTEs; candidates = codes whose cell is
+    // probed by the query, scored by the same decimal ADC sum.
+    "q_ivf_pq_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv,
+                  list_dot_product(v, v) AS cnorm2
+                FROM e WHERE vec_id < 16),
+          assign AS (
+            SELECT vec_id, cell FROM (
+              SELECT e.vec_id, c.cid AS cell,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+                  AS rn
+              FROM e CROSS JOIN c) WHERE rn = 1),
+          sub AS (
+            SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
+              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
+            FROM e, generate_series(0, 3) AS g(j)),
+          cb AS (
+            SELECT cast(e.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
+              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
+            FROM e, generate_series(0, 3) AS g(j)
+            WHERE vec_id < 8),
+          codes AS (
+            SELECT vec_id, j, code FROM (
+              SELECT sub.vec_id, sub.j, cb.c AS code,
+                row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                  ORDER BY -2 * list_dot_product(sub.s, cb.cw) + cb.cwn2, cb.c)
+                  AS rn
+              FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+          probes AS (
+            SELECT q_id, cell FROM (
+              SELECT q.q_id, c.cid AS cell,
+                row_number() OVER (PARTITION BY q.q_id
+                  ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2, c.cid)
+                  AS rn
+              FROM q CROSS JOIN c) WHERE rn <= 4),
+          dtab AS (
+            SELECT q.vec_id AS q_id, cb.j, cb.c AS code,
+              q.sn2 - 2 * list_dot_product(q.s, cb.cw) + cb.cwn2 AS dq
+            FROM sub q JOIN cb ON q.j = cb.j WHERE q.vec_id < 5),
+          scored AS (
+            SELECT d.q_id, co.vec_id,
+              sum(cast(d.dq AS decimal(28,10))) AS ad
+            FROM codes co
+            JOIN assign a ON a.vec_id = co.vec_id
+            JOIN probes p ON p.cell = a.cell
+            JOIN dtab d ON d.q_id = p.q_id AND d.j = co.j AND d.code = co.code
+            WHERE co.vec_id <> d.q_id
+            GROUP BY d.q_id, co.vec_id)
+          SELECT q_id, vec_id, rn, round(cast(ad AS double), 6) AS adist
+          FROM (SELECT q_id, vec_id, ad, row_number() OVER (
+                  PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM scored)
+          WHERE rn <= 10 ORDER BY q_id, rn""",
+    // recall@10 of the IVF-ADC composition vs the exact cosine top-10 —
+    // the q_pq_recall shape with the probe-bounded search substituted.
+    "q_ivf_pq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          exact AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+              FROM (
+                SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+                  list_dot_product(x.v, q.v) /
+                    (sqrt(list_dot_product(x.v, x.v))
+                     * sqrt(list_dot_product(q.v, q.v))) AS cos
+                FROM e q JOIN e x
+                  ON q.vec_id < 5 AND x.vec_id <> q.vec_id))
+            WHERE rn <= 10),
+          c AS (SELECT vec_id AS cid, v AS cv,
+                  list_dot_product(v, v) AS cnorm2
+                FROM e WHERE vec_id < 16),
+          assign AS (
+            SELECT vec_id, cell FROM (
+              SELECT e.vec_id, c.cid AS cell,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+                  AS rn
+              FROM e CROSS JOIN c) WHERE rn = 1),
+          sub AS (
+            SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
+              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
+            FROM e, generate_series(0, 3) AS g(j)),
+          cb AS (
+            SELECT cast(e.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
+              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
+            FROM e, generate_series(0, 3) AS g(j)
+            WHERE vec_id < 8),
+          codes AS (
+            SELECT vec_id, j, code FROM (
+              SELECT sub.vec_id, sub.j, cb.c AS code,
+                row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                  ORDER BY -2 * list_dot_product(sub.s, cb.cw) + cb.cwn2, cb.c)
+                  AS rn
+              FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+          probes AS (
+            SELECT q_id, cell FROM (
+              SELECT q.q_id, c.cid AS cell,
+                row_number() OVER (PARTITION BY q.q_id
+                  ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2, c.cid)
+                  AS rn
+              FROM q CROSS JOIN c) WHERE rn <= 4),
+          dtab AS (
+            SELECT q.vec_id AS q_id, cb.j, cb.c AS code,
+              q.sn2 - 2 * list_dot_product(q.s, cb.cw) + cb.cwn2 AS dq
+            FROM sub q JOIN cb ON q.j = cb.j WHERE q.vec_id < 5),
+          adc AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY ad, vec_id) AS rn
+              FROM (
+                SELECT d.q_id, co.vec_id,
+                  sum(cast(d.dq AS decimal(28,10))) AS ad
+                FROM codes co
+                JOIN assign a ON a.vec_id = co.vec_id
+                JOIN probes p ON p.cell = a.cell
+                JOIN dtab d ON d.q_id = p.q_id AND d.j = co.j
+                  AND d.code = co.code
+                WHERE co.vec_id <> d.q_id
+                GROUP BY d.q_id, co.vec_id))
             WHERE rn <= 10)
           SELECT exact.q_id,
             cast(sum(CASE WHEN adc.vec_id IS NULL THEN 0 ELSE 1 END)

@@ -150,6 +150,42 @@ class IvfSpec extends SparkSpec {
     assert(out(2)._3 == 64 * 199.5 * 199.5)
   }
 
+  test("IVF-ADC composition: probing ALL cells reproduces plain ADC " +
+      "bit-for-bit; bounded nprobe returns a subset; empty quantizer is empty") {
+    import graft.operators.Pq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val cs = Ivf.train(emb, "vec_id", "emb", k = 8, iters = 0)
+    // nprobe = every cell ⇒ the candidate bound is a no-op and the
+    // composed search must equal adcTopK exactly (ranks AND distances —
+    // the decimal ADC sum is order-independent on both paths)
+    val all = rows(Pq.ivfAdcTopK(emb, qs, cs, nprobe = 8, topK = 10,
+      m = 4, k = 8, dim = 64))
+    val plain = rows(Pq.adcTopK(emb, qs, 10, m = 4, k = 8, dim = 64))
+    assert(all == plain)
+    // bounded probes: every returned candidate must live in one of its
+    // query's probed cells — the invariant that makes the search
+    // |corpus|·nprobe/k instead of |corpus|
+    val bounded = Pq.ivfAdcTopK(emb, qs, cs, nprobe = 2, topK = 10,
+      m = 4, k = 8, dim = 64)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded.nonEmpty)
+    val cellOf = Ivf.assign(emb, "emb", cs)
+      .select("vec_id", "ivf_cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probesOf = qs.select(col("q_id"),
+        Ivf.probeList(col("q_emb"), cs, 2).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    bounded.foreach { case (q, v) =>
+      assert(probesOf(q).contains(cellOf(v)),
+        s"candidate $v of query $q is outside the probed cells")
+    }
+    assert(Pq.ivfAdcTopK(emb, qs, Seq.empty, nprobe = 4, topK = 10,
+      m = 4, k = 8, dim = 64).count() == 0)
+  }
+
   test("trained PQ codebooks never reconstruct worse than the fixed ones " +
       "(Lloyd starts FROM the fixed codebook and only descends)") {
     import graft.operators.Pq
