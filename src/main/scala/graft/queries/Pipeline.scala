@@ -1687,6 +1687,31 @@ object Pipeline {
         .select(col("vec_id"), col("cell").cast("long").as("cell"))
         .orderBy("vec_id")
     }),
+    // A7/L2 — the maxCell recall price, MEASURED (the q_minhash_recall
+    // analog for the subsplit guard): capped (maxCell=24) vs uncapped
+    // survivors per cell under the same fixed quantizer. n_missed counts
+    // survivors the cap KEEPS that the uncapped rule would drop — the
+    // (ns−1)/ns straddling-pair miss from Dedup.semanticCells' scaladoc
+    // turned into an oracle-checked number (subsplitting only ever misses
+    // drops, so capped ⊇ uncapped and the left join covers both sets).
+    "q_semdedup_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      val capped = Dedup.semanticDedup(emb, "vec_id", "emb", centroids,
+        0.4, maxCell = 24)
+      val uncapped = Dedup.semanticDedup(emb, "vec_id", "emb", centroids,
+        0.4) // DefaultMaxCell=4096 ≫ any fixture cell ⇒ subsplit count 1
+      capped
+        .join(uncapped.select(col("vec_id"), lit(1L).as("__u")),
+          Seq("vec_id"), "left")
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_capped"),
+          sum(coalesce(col("__u"), lit(0L))).as("n_uncapped"),
+          sum(when(col("__u").isNull, 1L).otherwise(0L)).as("n_missed"))
+        .orderBy("cell")
+    }),
     // L2b — SemDeDup with a TRAINED coarse quantizer at realistic k: the
     // production composition (Ivf.train's exact-decimal Lloyd means → cell
     // assignment → within-cell cosine survivor rule). k=64 on the 500-row
@@ -3758,6 +3783,61 @@ object Pipeline {
          SELECT a.vec_id, a.cell FROM assign a
          LEFT JOIN dropped d ON d.vec_id = a.vec_id
          WHERE d.vec_id IS NULL ORDER BY a.vec_id""",
+    // q_semdedup's capped CTEs plus an UNCAPPED dropped set (plain
+    // within-cell join); the per-cell diff counts the cap's missed drops.
+    "q_semdedup_recall" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cnorm2
+           FROM embeddings WHERE vec_id < 16),
+         e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+           FROM embeddings),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+                 AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         census AS (
+           SELECT cell, (count(*) + 23) // 24 AS ns
+           FROM assign GROUP BY cell),
+         sub AS (
+           SELECT a.vec_id, a.cell,
+             cast(a.cell AS VARCHAR) || '#' || cast(
+               ('0x' || substr(md5(cast(a.vec_id AS VARCHAR)), 1, 15))::BIGINT
+                 % s.ns AS VARCHAR) AS subcell
+           FROM assign a JOIN census s USING (cell)),
+         droppedc AS (
+           SELECT DISTINCT y.vec_id FROM sub x
+           JOIN sub y ON x.subcell = y.subcell AND x.vec_id < y.vec_id
+           JOIN e ex ON ex.vec_id = x.vec_id
+           JOIN e ey ON ey.vec_id = y.vec_id
+           WHERE list_dot_product(ex.v, ey.v) / (ex.nrm * ey.nrm) >= 0.4),
+         droppedu AS (
+           SELECT DISTINCT y.vec_id FROM sub x
+           JOIN sub y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           JOIN e ex ON ex.vec_id = x.vec_id
+           JOIN e ey ON ey.vec_id = y.vec_id
+           WHERE list_dot_product(ex.v, ey.v) / (ex.nrm * ey.nrm) >= 0.4),
+         capped AS (
+           SELECT a.vec_id, a.cell FROM assign a
+           LEFT JOIN droppedc d ON d.vec_id = a.vec_id
+           WHERE d.vec_id IS NULL),
+         uncapped AS (
+           SELECT a.vec_id FROM assign a
+           LEFT JOIN droppedu d ON d.vec_id = a.vec_id
+           WHERE d.vec_id IS NULL)
+         SELECT capped.cell::bigint AS cell, count(*)::bigint AS n_capped,
+           sum(CASE WHEN u.vec_id IS NULL THEN 0 ELSE 1 END)::bigint
+             AS n_uncapped,
+           sum(CASE WHEN u.vec_id IS NULL THEN 1 ELSE 0 END)::bigint
+             AS n_missed
+         FROM capped LEFT JOIN uncapped u ON u.vec_id = capped.vec_id
+         GROUP BY capped.cell ORDER BY cell""",
     // Trained-quantizer SemDeDup: the q_sim_ivf Lloyd-in-SQL technique
     // (seed = first 64 vectors, two exact-decimal-mean iterations) feeding
     // the plain within-cell survivor rule — at k=64 every fixture cell is
