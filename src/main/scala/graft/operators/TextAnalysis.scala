@@ -443,4 +443,83 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)
   }
+
+  /**
+   * BM25 retrieval for a QUERY TABLE — the real retrieval shape
+   * ([[bm25TopK]] serves one literal term set; production scores a table
+   * of queries against the corpus in one pass). Each query's candidates
+   * are exactly the documents sharing ≥ 1 term with it, found through the
+   * inverted-index core (the q_inverted_index (term, doc) tf aggregate),
+   * never a corpus × queries product.
+   *
+   * Scale shape:
+   *  1. ONE tokenize pass → the (term, doc, tf) hash aggregate, with the
+   *     doc length riding through as a group constant (the ivfAdcTopK
+   *     cell trick) — no corpus-scale doc-length join afterwards;
+   *  2. corpus stats (N, Σdl) reduce off the per-doc collapse of that
+   *     frame; per-term df aggregates only over CANDIDATE postings
+   *     (tf semi-joined to the broadcast distinct query-term set);
+   *  3. each candidate posting joins its querying q_ids and the one-row
+   *     stats broadcast; the per-(query, doc) score sums term scores as
+   *     decimal(28,10) — order-independent, oracle-exact;
+   *  4. per-query top-k via [[graft.functions.TopKAgg]]: the map-side
+   *     partial is already capped at k, so the final shuffle moves
+   *     O(k · queries · partitions) rows, not every scored candidate —
+   *     the bounded-merge property a window-rank over candidate postings
+   *     would not have. Ties break (score desc, doc id desc), TopKAgg's
+   *     deterministic order.
+   *
+   * Terms are scored once per query (duplicates in the query text are
+   * collapsed); terms absent from the corpus contribute nothing (no
+   * candidate rows). Returns (qIdCol, rnk, idCol, bm25) for documents
+   * sharing at least one term with the query.
+   */
+  def bm25BatchTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queries: org.apache.spark.sql.DataFrame,
+      qIdCol: String, qTextCol: String, topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val toks = split(col(textCol), "\\s+")
+    val tf = Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), size(toks).cast("double").as("__dl"),
+        explode(toks).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy(col("__t"), col(idCol))
+      .agg(count(lit(1)).cast("double").as("__tf"),
+        max(col("__dl")).as("__dl")) // constant within the group
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = tf.groupBy(col(idCol)).agg(max(col("__dl")).as("__d"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__d").cast("decimal(38,0)")).cast("double").as("__sumdl"))
+    val qt = queries.filter(col(qTextCol).isNotNull)
+      .select(col(qIdCol),
+        explode(array_distinct(split(col(qTextCol), "\\s+"))).as("__t"))
+      .filter(length(col("__t")) > 0)
+    val cand = tf.join(broadcast(qt.select("__t").distinct()), "__t")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfs = cand.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val termScore = idf * (col("__tf") * lit(k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("__dl") / (col("__sumdl") / col("__n"))))
+    val topk = udaf(new graft.functions.TopKAgg(topK))
+    Scale.releaseAfterUse(
+      cand.join(broadcast(dfs), "__t")
+        .join(broadcast(qt), "__t")
+        .crossJoin(broadcast(stats))
+        .select(col(qIdCol), col(idCol),
+          termScore.cast("decimal(28,10)").as("__ts"))
+        .groupBy(col(qIdCol), col(idCol))
+        .agg(sum(col("__ts")).as("__sc"))
+        .groupBy(col(qIdCol))
+        .agg(topk(col("__sc").cast("double"), col(idCol).cast("long"))
+          .as("__top"))
+        .select(col(qIdCol), posexplode(col("__top")))
+        .select(col(qIdCol), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._2").as(idCol), round(col("col._1"), 6).as("bm25")),
+      Seq(tf, cand))
+  }
 }

@@ -30,6 +30,16 @@ object Pipeline {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
+  /** The fixed query TABLE for q_bm25_batch (part of the operator
+    * definition, rendered as a VALUES clause in its oracle SQL). Query 0
+    * repeats q_bm25's term set so the two results cross-check; query 3
+    * carries a term absent from the corpus (contributes nothing). */
+  private val Bm25BatchQueries: Seq[(Long, String)] = Seq(
+    (0L, "spark window join"),
+    (1L, "data stream"),
+    (2L, "hash merge scan"),
+    (3L, "quality data"))
+
   /** The whitespace token splitter as a DuckDB fragment. Built in a
     * regular (escape-processed) string so it renders '\s+'; oracle bodies
     * interpolate this instead of spelling the backslash themselves — the
@@ -1835,6 +1845,20 @@ object Pipeline {
     "q_bm25" -> ((s, dir) => {
       TA.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, topK = 10, k1 = Bm25K1, b = Bm25B)
+    }),
+    // L1 — TABLE-driven BM25 (TextAnalysis.bm25BatchTopK): a query TABLE
+    // scored against the corpus through the inverted-index core — each
+    // query's candidates are exactly the docs sharing ≥1 term (broadcast
+    // term semi-join, never corpus × queries), term scores sum as exact
+    // decimals, and the per-query top-k is TopKAgg (map-side capped at k,
+    // so the final shuffle is O(k·queries·partitions)). Query 0 is
+    // q_bm25's term set, so its top-10 cross-checks that query.
+    "q_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Bm25BatchQueries.toDF("q_id", "qtext")
+      TA.bm25BatchTopK(t(s, dir, "documents"), "doc_id", "text",
+        qs, "q_id", "qtext", topK = 10, k1 = Bm25K1, b = Bm25B)
+        .orderBy("q_id", "rnk")
     }),
     // L2 — per-dimension embedding statistics (the normalization /
     // feature-scaling pass before clustering or PQ training): mean and
@@ -3961,6 +3985,58 @@ object Pipeline {
            FROM d, s)
          WHERE bm25 > 0
          ORDER BY bm25 DESC, doc_id LIMIT 10"""
+    },
+    // Table-driven BM25: the (term, doc, tf, dl) aggregate, corpus stats
+    // off its per-doc collapse, df over candidate postings only, the
+    // same k1/b float formula as q_bm25 per (query, doc, term) summed as
+    // decimal(28,10), ranked (double(sc) desc, doc_id desc) — TopKAgg's
+    // tiebreak. Query table rendered from the shared constant.
+    "q_bm25_batch" -> {
+      val vals = Bm25BatchQueries
+        .map { case (i, txt) => s"($i, '$txt')" }.mkString(", ")
+      val score = s"ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))" +
+        s" * (t.tf * ${Bm25K1 + 1.0})" +
+        s" / (t.tf + $Bm25K1 * (${1.0 - Bm25B}" +
+        s" + $Bm25B * t.dl / (s.sumdl / s.n)))"
+      s"""WITH q(q_id, qtext) AS (VALUES $vals),
+         tf AS (
+           SELECT term, doc_id, cast(count(*) AS double) AS tf,
+             max(dl) AS dl
+           FROM (
+             SELECT doc_id, cast(len($WsSplitSql) AS double) AS dl,
+               unnest($WsSplitSql) AS term
+             FROM documents WHERE text IS NOT NULL)
+           WHERE len(term) > 0 GROUP BY term, doc_id),
+         ds AS (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY doc_id),
+         s AS (
+           SELECT cast(count(*) AS double) AS n,
+             cast(sum(cast(dl AS decimal(38,0))) AS double) AS sumdl
+           FROM ds),
+         qt AS (
+           SELECT q_id, term FROM (
+             SELECT q_id, unnest(list_distinct(
+               string_split_regex(qtext, '\\s+'))) AS term
+             FROM q)
+           WHERE len(term) > 0),
+         f AS (
+           SELECT t.term, cast(count(*) AS double) AS df
+           FROM tf t JOIN (SELECT DISTINCT term FROM qt) x USING (term)
+           GROUP BY t.term),
+         scored AS (
+           SELECT qt.q_id, t.doc_id,
+             sum(cast($score AS decimal(28,10))) AS sc
+           FROM tf t
+           JOIN qt ON qt.term = t.term
+           JOIN f ON f.term = t.term, s
+           GROUP BY qt.q_id, t.doc_id)
+         SELECT cast(q_id AS bigint) AS q_id, rnk, doc_id,
+           round(scd, 6) AS bm25
+         FROM (
+           SELECT q_id, doc_id, cast(sc AS double) AS scd,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cast(sc AS double) DESC, doc_id DESC) AS rnk
+           FROM scored)
+         WHERE rnk <= 10 ORDER BY q_id, rnk"""
     },
     "q_embed_norm" ->
       """WITH v AS (

@@ -557,6 +557,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(two(1L) > two(2L) && two(2L) > two(3L))
   }
 
+  test("bm25BatchTopK: a one-query table reproduces bm25TopK's ranking; " +
+      "corpus-absent terms contribute nothing; no cross-query bleed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark join"),
+      (2L, "spark join x"),
+      (3L, "spark a b c d e"),
+      (4L, "other words here"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val single = TA.bm25TopK(docs, "doc_id", "text", Seq("spark", "join"),
+      topK = 10).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = TA.bm25BatchTopK(docs, "doc_id", "text",
+      Seq((0L, "spark join"), (1L, "other"), (2L, "absent spark"))
+        .toDF("q_id", "qtext"),
+      "q_id", "qtext", topK = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    // query 0 = the literal term set: same doc set, same scores to the
+    // 1e-5 the decimal term-sum rounding allows, same ranking
+    val q0 = batch.collect { case ((0L, d), (rnk, sc)) => d -> (rnk, sc) }
+    assert(q0.keySet == single.keySet)
+    q0.foreach { case (d, (_, sc)) =>
+      assert(math.abs(sc - single(d)) < 1e-5, s"doc $d: $sc vs ${single(d)}")
+    }
+    assert(q0.toSeq.sortBy(_._2._1).map(_._1) == Seq(1L, 2L, 3L))
+    // query 1 matches only doc 4; query 2's absent term adds nothing, so
+    // its candidates are exactly the spark docs
+    assert(batch.keys.collect { case (1L, d) => d }.toSet == Set(4L))
+    assert(batch.keys.collect { case (2L, d) => d }.toSet == Set(1L, 2L, 3L))
+  }
+
   test("URL extraction and host canonicalization: order kept, case folded, " +
       "www. stripped once, ports kept, non-URLs empty") {
     val df = strDf("t", Seq(

@@ -244,6 +244,11 @@ class PlanSpec extends SparkSpec {
       // per-partition scalars only (q_checksum's shape) and broadcasts
       // back; the scoring scan and top-k heaps stay distributed.
       "q_bm25",
+      // q_bm25_batch's (N, Σdl) is the same one-row corpus-statistics
+      // aggregate, taken over the per-doc collapse of the distributed
+      // (term, doc) tf frame; candidate scoring, the decimal per-
+      // (query, doc) sums, and the TopKAgg partials all stay distributed.
+      "q_bm25_batch",
       // NB training's class totals (Npos, Nneg, V) are the same one-row
       // corpus-statistics aggregate as q_bm25's: the distinct count
       // dedups distributed (shuffle on token) and the final single
