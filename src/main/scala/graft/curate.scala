@@ -375,10 +375,12 @@ object Curate {
       sys.error("exactly one mode required: --configGen | --run | --audit")
     // same accepted-but-ignored policy as Anonymize: a flag that does
     // nothing in this mode must fail, not silently no-op
-    if (modes.head == "--configGen" && args.contains("--delta"))
+    if (modes.head != "--run" && args.contains("--delta"))
       sys.error("--delta is only applicable to --run")
     if (modes.head != "--audit" && args.contains("--jaccard"))
       sys.error("--jaccard is only applicable to --audit")
+    if (modes.head == "--audit" && args.contains("--config"))
+      sys.error("--config is not read in --audit mode")
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
     val dataDir = opt("--data").getOrElse(sys.error("--data <parquetDir> required"))

@@ -153,12 +153,16 @@ object Ivf {
    * index at scale: a hot cell makes every probe touching it pay that
    * cell's full scan (the ANN twin of Scale.skewReport's join-key audit),
    * and an empty cell wastes a centroid. One scan computes each vector's
-   * (cell, distance key); one map-side-combining hash aggregate yields
-   * per-cell populations and mean distance (a high mean flags a centroid
-   * that represents its members poorly). The distance key is rounded to
-   * micro-units and summed as decimal(38,0) — exact at any corpus size,
-   * shuffle-order-independent, so the report is bit-portable wherever the
-   * centroids are (fixed quantizer → fully oracle-checkable).
+   * (cell, squared distance); one map-side-combining hash aggregate
+   * yields per-cell populations and the TRUE mean squared assignment
+   * distance |a−c|² (a high mean flags a centroid that represents its
+   * members poorly; the argmin itself still uses the cheap shifted key —
+   * adding the row-constant |a|² back only for the report costs one
+   * self-dot per row, the [[Pq.encodeWith]] err shape). Distances are
+   * rounded to micro-units and summed as decimal(38,0) — exact at any
+   * corpus size, shuffle-order-independent, so the report is
+   * bit-portable wherever the centroids are (fixed quantizer → fully
+   * oracle-checkable).
    */
   def cellBalance(df: DataFrame, embCol: String,
       centroids: Seq[Seq[Double]]): DataFrame = {
@@ -168,7 +172,8 @@ object Ivf {
         lit(0.0).as("mean_dist")).limit(0)
     val best = array_min(scoredStructs(col(embCol), centroids))
     df.select(best.getField("i").as("__cell"),
-        round(best.getField("d") * 1e6, 0).cast("long").as("__s"))
+        round((dot(col(embCol), col(embCol)) + best.getField("d")) * 1e6, 0)
+          .cast("long").as("__s"))
       .groupBy("__cell")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("__s").cast("decimal(38,0)")).as("__ss"))

@@ -55,11 +55,16 @@ object Pipeline {
       s"replace($acc, '$from', '${to.replace("'", "''")}')"
     }
 
+  /** q_line_filter's min-words threshold, shared by the engine call and
+    * [[KeepLineSql]] so the two cannot desync. */
+  private val LineFilterMinWords = 5
+
   /** Curation.keepLine as a DuckDB lambda-body fragment over a line `l`,
-    * banned phrases interpolated from the shared constant. */
-  private val KeepLineSql: String =
+    * parameterized on minWords exactly like the engine's keepLine; banned
+    * phrases interpolated from the shared constant. */
+  private def KeepLineSql(minWords: Int): String =
     "regexp_matches(l, '[.!?]$') AND " +
-      "len(string_split_regex(trim(l), '\\s+')) >= 5" +
+      s"len(string_split_regex(trim(l), '\\s+')) >= $minWords" +
       Curation.bannedLinePhrases
         .map(p => s" AND NOT contains(lower(l), '$p')").mkString
 
@@ -504,9 +509,9 @@ object Pipeline {
       val lines = split(col("text"), "\n")
       seeded.select(col("doc_id"),
           size(lines).cast("long").as("n_lines"),
-          size(filter(lines, l => Curation.keepLine(l, 5)))
+          size(filter(lines, l => Curation.keepLine(l, LineFilterMinWords)))
             .cast("long").as("n_kept"),
-          Curation.filterLines(col("text"), 5).as("clean"))
+          Curation.filterLines(col("text"), LineFilterMinWords).as("clean"))
         .orderBy("doc_id")
     }),
     // L1 — inverted-index build (term → bounded postings + df/total_tf):
@@ -2299,8 +2304,10 @@ object Pipeline {
                AS rn
            FROM scored)
          WHERE rn <= 10 ORDER BY q_id, rn""",
-    // Same fixed-quantizer assignment CTE as q_sim_ivf_fixed; the distance
-    // keys round to micro-units and sum as decimal, mirroring the engine.
+    // Same fixed-quantizer assignment CTE as q_sim_ivf_fixed; the TRUE
+    // squared distance |a|² + (−2a·c + |c|²) — |a|² added back outside
+    // the shifted rank key, the engine's exact operation order — rounds
+    // to micro-units and sums as decimal, mirroring the engine.
     "q_ivf_balance" ->
       """WITH c AS (
            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
@@ -2310,7 +2317,8 @@ object Pipeline {
          assign AS (
            SELECT vec_id, cell, d FROM (
              SELECT e.vec_id, c.cid AS cell,
-               -2 * list_dot_product(e.v, c.cv) + c.cnorm2 AS d,
+               list_dot_product(e.v, e.v)
+                 + (-2 * list_dot_product(e.v, c.cv) + c.cnorm2) AS d,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
                  AS rn
@@ -2772,8 +2780,10 @@ object Pipeline {
            FROM documents),
          f AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM seeded)
          SELECT doc_id, len(ls)::bigint AS n_lines,
-           len(list_filter(ls, l -> $KeepLineSql))::bigint AS n_kept,
-           array_to_string(list_filter(ls, l -> $KeepLineSql), chr(10))
+           len(list_filter(ls, l -> ${KeepLineSql(LineFilterMinWords)}))::bigint
+             AS n_kept,
+           array_to_string(
+             list_filter(ls, l -> ${KeepLineSql(LineFilterMinWords)}), chr(10))
              AS clean
          FROM f ORDER BY doc_id""",
     "q_inverted_index" ->

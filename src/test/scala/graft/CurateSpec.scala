@@ -245,5 +245,15 @@ class CurateSpec extends SparkSpec {
       Curate.cli(spark, Array("--configGen", "--data", data, "--out", out,
         "--delta", data))
     }
+    // the accepted-but-ignored policy covers --audit too: --delta is
+    // --run-only and --config is never read in audit mode
+    intercept[RuntimeException] {
+      Curate.cli(spark, Array("--audit", "--data", data, "--out", out,
+        "--delta", data))
+    }
+    intercept[RuntimeException] {
+      Curate.cli(spark, Array("--audit", "--data", data, "--out", out,
+        "--config", s"$out/c.yaml"))
+    }
   }
 }

@@ -70,11 +70,12 @@ class IvfSpec extends SparkSpec {
     assert(report == census, "balance populations must be assign's census")
     assert(report.values.sum == emb.count())
     assert(Ivf.cellBalance(emb, "emb", Seq.empty).count() == 0)
-    // mean distances are finite and the key is |a-c|² shifted by -|a|²:
-    // values must be strictly less than |c|² (a·c > 0 for the fixture's
-    // non-degenerate cells is not guaranteed, so just pin finiteness)
+    // mean_dist is the TRUE mean squared distance |a−c|² — finite and
+    // non-negative for every cell (the shifted rank key alone could go
+    // negative; |a|² is added back for the report)
     Ivf.cellBalance(emb, "emb", centroids).collect().foreach { r =>
       assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+      assert(r.getDouble(2) >= 0.0, s"cell ${r.getLong(0)}: ${r.getDouble(2)}")
     }
   }
 
