@@ -44,6 +44,15 @@ object Curate {
    * disables) ahead of the quality gate — both scan-local transforms,
    * with docs whose cleaned text is empty dropped. Defaults keep both
    * off, so pre-existing configs behave unchanged.
+   *
+   * `assignLang` enables the CCNet-style language-assignment stage:
+   * rows with a NULL `lang` get the argmax of the trigram naive-Bayes
+   * model trained on the batch's LABELED rows
+   * ([[TA.langIdAssign]]) before any per-language stage (token budget,
+   * per-lang report) keys on `lang`. Rows that stay unresolvable (null
+   * text, no labeled training rows) keep NULL and flow through as their
+   * own `lang` group. Off by default — pre-existing configs trust the
+   * column as-is.
    */
   final case class CurateConfig(
       version: Int,
@@ -54,7 +63,8 @@ object Curate {
       valThresholdHex: String,
       shards: Int = 0,
       stripHtml: Boolean = false,
-      lineMinWords: Int = 0) {
+      lineMinWords: Int = 0,
+      assignLang: Boolean = false) {
     require(Set("none", "exact", "fuzzy")(dedup), s"bad dedup mode: $dedup")
     require(valThresholdHex.matches("[0-9a-f]{4}"),
       s"bad valThresholdHex: $valThresholdHex")
@@ -83,6 +93,7 @@ object Curate {
     tree.put("shards", c.shards)
     tree.put("stripHtml", c.stripHtml)
     tree.put("lineMinWords", c.lineMinWords)
+    tree.put("assignLang", c.assignLang)
     ConfigIO.writeYamlRaw(path, tree)
   }
 
@@ -110,7 +121,13 @@ object Curate {
         case other => sys.error(s"stripHtml must be boolean, got $other")
       },
       lineMinWords =
-        if (root.containsKey("lineMinWords")) num("lineMinWords").toInt else 0)
+        if (root.containsKey("lineMinWords")) num("lineMinWords").toInt else 0,
+      // absent in pre-assignment configs: the lang column is trusted as-is
+      assignLang = root.get("assignLang") match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case null => false
+        case other => sys.error(s"assignLang must be boolean, got $other")
+      })
   }
 
   // ----------------------------------------------------------- pipeline
@@ -161,15 +178,21 @@ object Curate {
     val cleaned = cleanStage(docs, c)
     val nClean = if (cleanOn) cleaned.count() else nIn
 
+    // 0b. language assignment (opt-in): see assignStage
+    val (assigned, nLangFilled) = assignStage(cleaned, c)
+
     // 1. quality gate (rule-based; the trained gate is scoreWithTokenWeights
     //    — swap-in, same shape)
-    val gated0 = cleaned.filter(col("text").isNotNull)
+    val gated0 = assigned.filter(col("text").isNotNull)
       .withColumn("__q", TA.qualityScore(col("text")))
       .filter(col("__q") >= c.minQuality)
     // persisted: the dedup stage consumes it 2-3 times (signatures + join
     // back), the budget window once more
     val gated = gated0.persist(StorageLevel.MEMORY_AND_DISK)
     val nGated = gated.count()
+    // the gated persist (just materialized) now backs every downstream
+    // consumer, so the assignment stage's cache can go
+    if (c.assignLang) assigned.unpersist()
 
     // 2. dedup + cluster labels (labels drive BOTH the survivor filter and
     //    the leak-free split gate)
@@ -239,10 +262,30 @@ object Curate {
     labels.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
     Curated(train, valDf,
       funnel = Seq("input" -> nIn, "afterClean" -> nClean,
+        "langAssigned" -> nLangFilled,
         "afterQuality" -> nGated, "afterDedup" -> nDeduped,
         "train" -> nTrain, "val" -> nVal),
       perLang = perLang)
   }
+
+  /** Stage 0b — language assignment (opt-in): fill NULL `lang` with the
+    * trigram-NB argmax trained on this batch's labeled rows
+    * ([[TA.langIdAssign]]). Returns the frame plus the count of langs
+    * the model filled. When on, the result is persisted (the NB lineage
+    * — gram explode, two aggregates, scoring joins — must not recompute
+    * under every downstream action); the CALLER unpersists it once the
+    * next persisted stage materializes. Identity + 0 when off. */
+  private def assignStage(cleaned: DataFrame,
+      c: CurateConfig): (DataFrame, Long) =
+    if (!c.assignLang) (cleaned, 0L)
+    else {
+      import org.apache.spark.storage.StorageLevel
+      val a = TA.langIdAssign(cleaned, "doc_id", "text", "lang")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val filled = a.filter(col("lang").isNotNull).count() -
+        cleaned.filter(col("lang").isNotNull).count()
+      (a, filled)
+    }
 
   /**
    * Incremental curation: take a NEW batch through the funnel against an
@@ -268,10 +311,15 @@ object Curate {
     val cleanOn = c.stripHtml || c.lineMinWords > 0
     val cleaned = cleanStage(delta, c)
     val nClean = if (cleanOn) cleaned.count() else nIn
-    val gated = cleaned.filter(col("text").isNotNull)
+    // same opt-in assignment stage as run(); the model trains on the
+    // DELTA's labeled rows (batch-local — corpus-trained assignment is a
+    // TA.langIdAssign composition the caller can run upstream)
+    val (assigned, nLangFilled) = assignStage(cleaned, c)
+    val gated = assigned.filter(col("text").isNotNull)
       .filter(TA.qualityScore(col("text")) >= c.minQuality)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nGated = gated.count()
+    if (c.assignLang) assigned.unpersist()
     val (within, deltaLbl) = c.dedup match {
       case "none" => (gated, None)
       case "exact" =>
@@ -316,6 +364,7 @@ object Curate {
     deltaLbl.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
     Curated(train, valDf,
       funnel = Seq("deltaInput" -> nIn, "afterClean" -> nClean,
+        "langAssigned" -> nLangFilled,
         "afterQuality" -> nGated, "afterDeltaDedup" -> nWithin,
         "afterCorpusDedup" -> (nTrain + nVal),
         "train" -> nTrain, "val" -> nVal),
@@ -339,7 +388,8 @@ object Curate {
         "valThresholdHex" -> c.valThresholdHex,
         "shards" -> c.shards,
         "stripHtml" -> c.stripHtml,
-        "lineMinWords" -> c.lineMinWords),
+        "lineMinWords" -> c.lineMinWords,
+        "assignLang" -> c.assignLang),
       "funnel" -> scala.collection.immutable.ListMap(r.funnel: _*),
       "perLang" -> r.perLang.map { case (l, n, t) =>
         scala.collection.immutable.ListMap(

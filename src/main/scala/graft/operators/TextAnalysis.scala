@@ -212,7 +212,35 @@ object TextAnalysis {
    * (idCol, actual, predicted), one row per non-null-text doc.
    */
   def langIdNaiveBayes(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, langCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String, langCol: String): org.apache.spark.sql.DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(langCol).as("actual"))
+      .join(nbPredict(docs, idCol, textCol, langCol, unlabeledOnly = false),
+        Seq(idCol))
+
+  /**
+   * CCNet-style language ASSIGNMENT (the composition a curation pipeline
+   * runs before per-language stages): rows with a label keep it; rows
+   * with a NULL label get the argmax of the trigram-NB model trained on
+   * the labeled subset — the [[langIdNaiveBayes]] scorer with train and
+   * serve sides split. An unlabeled row whose text is null (nothing to
+   * score) or that ties nowhere keeps NULL. Returns `docs` with langCol
+   * filled, schema unchanged.
+   */
+  def langIdAssign(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, langCol: String): org.apache.spark.sql.DataFrame =
+    docs.join(nbPredict(docs, idCol, textCol, langCol, unlabeledOnly = true)
+        .withColumnRenamed("predicted", "__pred"), Seq(idCol), "left")
+      .withColumn(langCol, coalesce(col(langCol), col("__pred")))
+      .drop("__pred")
+
+  /** Shared core of [[langIdNaiveBayes]]/[[langIdAssign]]: weights train
+    * on the LABELED rows of the one collapsed gram frame; the serve side
+    * is every non-null-text row (evaluation) or only the unlabeled ones
+    * (assignment). Returns (idCol, predicted). */
+  private def nbPredict(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, langCol: String,
+      unlabeledOnly: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     // ln at decimal(17,10): long(20,0) × decimal(17,10) → decimal(38,10)
@@ -239,14 +267,17 @@ object TextAnalysis {
       .groupBy(col(idCol), col("__actual"), col("__g"))
       .agg(count(lit(1)).as("__dn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val weights = docGrams.groupBy(col("__actual").as("__lang"), col("__g"))
+    val weights = docGrams.filter(col("__actual").isNotNull)
+      .groupBy(col("__actual").as("__lang"), col("__g"))
       .agg(sum(col("__dn")).as("__c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val langTotals = weights.groupBy("__lang").agg(sum(col("__c")).as("__t"))
     val vocab = weights.select("__g").distinct().agg(count(lit(1)).as("__v"))
-    val docTotals = docGrams.groupBy(col(idCol))
+    val serveGrams =
+      if (unlabeledOnly) docGrams.filter(col("__actual").isNull) else docGrams
+    val docTotals = serveGrams.groupBy(col(idCol))
       .agg(sum(col("__dn")).as("__n"))
-    val firstTerm = docGrams.drop("__actual")
+    val firstTerm = serveGrams.drop("__actual")
       .join(weights.withColumnRenamed("__g", "__gw"),
         col("__g") === col("__gw"))
       .groupBy(col(idCol), col("__lang"))
@@ -263,11 +294,7 @@ object TextAnalysis {
     val pred = scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("__lang").as("predicted"))
-    Scale.releaseAfterUse(
-      docs.filter(col(textCol).isNotNull)
-        .select(col(idCol), col(langCol).as("actual"))
-        .join(pred, Seq(idCol)),
-      Seq(docGrams, weights))
+    Scale.releaseAfterUse(pred, Seq(docGrams, weights))
   }
 
   /**

@@ -118,6 +118,54 @@ class CurateSpec extends SparkSpec {
     assert(!lc.stripHtml && lc.lineMinWords == 0)
   }
 
+  test("assignLang stage: NULL langs filled from the labeled rows' model " +
+      "before per-lang stages, funnel + report carry the fill count, " +
+      "legacy configs keep the stage off") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "alpha alpha alpha beta beta alpha alpha beta alpha.", "aa"),
+        Row(2L, "alpha beta alpha beta alpha beta beta alpha beta.", "aa"),
+        Row(3L, "zulu zulu yankee yankee zulu zulu yankee zulu.", "zz"),
+        Row(4L, "yankee zulu yankee zulu zulu zulu yankee yankee.", "zz"),
+        Row(5L, "beta alpha beta alpha alpha beta alpha alpha.", null),
+        Row(6L, "zulu yankee zulu zulu yankee zulu zulu yankee.", null)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+    val c = Curate.DefaultConfig.copy(minQuality = 0.0, dedup = "none",
+      valThresholdHex = "0000", assignLang = true)
+    val r = Curate.run(df, c)
+    assert(r.funnel.toMap.apply("langAssigned") == 2L)
+    val langs = r.train.select("doc_id", "lang").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(langs(5L) == "aa" && langs(6L) == "zz", s"got $langs")
+    // the per-lang report groups the filled rows under their model lang —
+    // the stage ran BEFORE the per-language accounting
+    assert(r.perLang.map(p => (p._1, p._2)).toMap ==
+      Map("aa" -> 3L, "zz" -> 3L))
+    // config io round-trips the knob; the report names it
+    val out = java.nio.file.Files.createTempDirectory("curate_al").toString
+    Curate.writeConfig(s"$out/${Curate.ConfigFile}", c)
+    assert(Curate.readConfig(s"$out/${Curate.ConfigFile}") == c)
+    Curate.writeReport(s"$out/r.json", c, r)
+    val rep = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/r.json"))
+    assert(rep.contains("\"assignLang\":true") &&
+      rep.contains("\"langAssigned\":2"))
+    // a pre-assignment config (no key) keeps the stage off
+    val legacy = java.nio.file.Files.createTempFile("curate_noal", ".yaml")
+    java.nio.file.Files.writeString(legacy,
+      """version: 1
+        |minQuality: 1.0
+        |dedup: exact
+        |jaccard: 0.5
+        |tokensPerLang: 0
+        |valThresholdHex: "1999"
+        |""".stripMargin)
+    assert(!Curate.readConfig(legacy.toString).assignLang)
+  }
+
   test("--audit on a curated output: the leak-free run reports zero leaky " +
       "val docs; a deliberately contaminated val reports them") {
     val out = java.nio.file.Files.createTempDirectory("curate_audit").toString

@@ -705,6 +705,32 @@ class TextAnalysisSpec extends SparkSpec {
       s"disjoint char distributions must classify perfectly: ${out.toSeq}")
   }
 
+  test("langIdAssign fills only NULL langs from the labeled subset's " +
+      "model; labels and schema untouched, unresolvable rows keep NULL") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "alpha alpha alpha beta beta alpha", "aa"),
+        Row(2L, "zulu zulu yankee yankee zulu zulu", "zz"),
+        // unlabeled, each firmly in one training distribution
+        Row(3L, "alpha beta alpha beta alpha beta", null),
+        Row(4L, "yankee zulu yankee zulu zulu zulu", null),
+        // unlabeled + null text: nothing to score, stays NULL
+        Row(5L, null, null),
+        // LABELED rows are never rescored — the label wins even for text
+        // the model has no opinion on
+        Row(6L, "qoph qoph waw qoph waw qoph", "zz")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+    val out = TA.langIdAssign(df, "doc_id", "text", "lang")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang"),
+      "assignment returns the input schema unchanged")
+    val m = out.collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(m == Map(1L -> Some("aa"), 2L -> Some("zz"), 3L -> Some("aa"),
+      4L -> Some("zz"), 5L -> None, 6L -> Some("zz")), s"got $m")
+  }
+
   test("stripHtml: element bodies dropped, block tags become line breaks, " +
       "inline tags spaces, entities decoded in order, whitespace normalized") {
     val df = strDf("t", Seq(
