@@ -138,15 +138,20 @@ object Sampling {
   def shuffleShards(df: org.apache.spark.sql.DataFrame, keyCol: String,
       salt: String, nShards: Int): org.apache.spark.sql.DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    // same 60-bit hex→long construction as Dedup.portableHash64, but over
-    // the salted hash so shard and order derive from one md5 per row
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
     df.withColumn("__h", hashHexFull(col(keyCol), salt))
-      .withColumn("shard",
-        pmod(conv(substring(col("__h"), 1, 15), 16, 10).cast("long"),
-          lit(nShards.toLong)))
+      .withColumn("shard", shardOfHash(col("__h"), nShards))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** Shard id from a full 32-hex salted hash: the 60-bit prefix (same
+    * hex→long construction as Dedup.portableHash64) mod `nShards`.
+    * Shared by [[shuffleShards]] and the streaming
+    * [[graft.streaming.Streams.shardAppend]] so batch and stream can
+    * never disagree on a row's shard. */
+  def shardOfHash(hashHex: Column, nShards: Int): Column =
+    pmod(conv(substring(hashHex, 1, 15), 16, 10).cast("long"),
+      lit(nShards.toLong))
 }

@@ -186,6 +186,61 @@ object Streams {
   }
 
   /**
+   * Streaming shard layout — the unbounded twin of the batch
+   * [[graft.operators.Sampling.shuffleShards]]: a row's SHARD is the
+   * identical stable function (60-bit prefix of md5(salt|key) mod
+   * nShards, via the shared [[graft.operators.Sampling.shardOfHash]], so
+   * batch and stream can never disagree on where a doc lives); its
+   * POSITION is append order within the shard — state per shard is ONE
+   * long (the rows appended so far), the [[tokenWindows]] shape. Within a
+   * micro-batch rows lay out in (hash, key) order — the batch query's
+   * order — so feeding the whole corpus as one batch reproduces
+   * `shuffleShards` exactly; across batches positions are arrival-ordered
+   * (a stream cannot re-rank history — same contract as tokenWindows).
+   * Hash-uniform shard assignment means the nShards state keys balance
+   * and the per-batch sort touches |batch|/nShards rows per group.
+   * Output: the input columns (minus nothing) plus (shard, pos).
+   * NoTimeout: shard offsets persist for the life of the stream.
+   */
+  def shardAppend(docs: DataFrame, keyCol: String, salt: String,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val hashed = docs
+      .withColumn("__h",
+        graft.operators.Sampling.hashHexFull(col(keyCol), salt))
+      .withColumn("shard",
+        graft.operators.Sampling.shardOfHash(col("__h"), nShards))
+    val hIdx = hashed.schema.fieldIndex("__h")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      hashed.schema.fields.patch(hIdx, Nil, 1))
+      .add("pos", org.apache.spark.sql.types.LongType, nullable = false)
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(outSchema)
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
+      Encoders.scalaLong
+    hashed.groupByKey(_.getAs[Long]("shard"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[Long, Row](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Row], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          // (hash, key-as-string) mirrors shuffleShards' (__h, key) sort;
+          // the string form only decides genuine md5-collision ties, and
+          // equal keys hash equal anyway
+          val out = rows.toSeq
+            .sortBy(r => (r.getString(hIdx),
+              String.valueOf(r.getAs[Any](keyCol))))
+            .map { r =>
+              off += 1
+              Row.fromSeq(r.toSeq.patch(hIdx, Nil, 1) :+ off)
+            }
+          state.update(off)
+          out.iterator
+      }
+  }
+
+  /**
    * Running per-user event totals via transformWithState — Spark 4's
    * arbitrary-state API (typed ValueState in the RocksDB state store; the
    * successor to flatMapGroupsWithState). One emitted row per input event,

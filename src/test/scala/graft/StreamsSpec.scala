@@ -484,6 +484,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming shardAppend ≡ batch shuffleShards on a one-batch feed; " +
+      "across micro-batches shards are stable and positions append") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val nShards = 4
+    val salt = "epoch0"
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source")).limit(120)
+      .as[(Long, String)].collect().toSeq
+    val batch = graft.operators.Sampling.shuffleShards(
+      docs.toDF("doc_id", "source"), "doc_id", salt, nShards)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def streamRun(name: String,
+        batches: Seq[Seq[(Long, String)]]): Set[(Long, Long, Long)] = {
+      val mem = MemoryStream[(Long, String)]
+      val out = graft.streaming.Streams.shardAppend(
+        mem.toDF().toDF("doc_id", "source"), "doc_id", salt, nShards)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).select("doc_id", "shard", "pos").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+    }
+    // one micro-batch = the batch layout, bit for bit
+    assert(streamRun("shard_one_t", Seq(docs)) == batch)
+    // two micro-batches: same shard for every doc (the stable hash),
+    // batch-1 docs keep their positions (append-only), per-shard
+    // positions stay contiguous from 1
+    val (b1, b2) = docs.partition(_._1 < 250)
+    val two = streamRun("shard_two_t", Seq(b1, b2))
+    assert(two.map(t => t._1 -> t._2) == batch.map(t => t._1 -> t._2),
+      "shard assignment must not depend on batching")
+    val oneBatch1 = streamRun("shard_b1_t", Seq(b1))
+    assert(two.filter(t => b1.exists(_._1 == t._1)) == oneBatch1,
+      "earlier batches' layout is immutable under append")
+    two.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).toSeq.sorted == (1L to rs.size.toLong),
+        s"shard $s positions not contiguous")
+    }
+  }
+
   test("curateGate: gate + scrub + corpus anti-join over a stream equals " +
       "the same gate run batch; corpus dups never reach the sink") {
     implicit val sql = spark.sqlContext
