@@ -451,4 +451,86 @@ object Curation {
   def meanAbsDequantError(v: Column, q: Column, mn: Column, mx: Column): Column =
     aggregate(zip_with(v, dequantize(q, mn, mx), (x, xr) => abs(x - xr)),
       lit(0.0), (acc, e) => acc + e) / size(v)
+
+  /**
+   * DSIR-style importance weighting (Xie et al., "Data Selection for
+   * Language Models via Importance Resampling", NeurIPS 2023 — a public
+   * method): score every document by how much more likely its hashed
+   * n-gram bag is under a TARGET subcorpus's feature distribution than
+   * under the full RAW corpus's — the data-selection signal that tilts a
+   * pretraining mix toward a target domain without training a model.
+   * Features are word unigrams + consecutive bigrams hashed into
+   * `nBuckets` buckets (the paper's hashed n-gram features; collisions
+   * are part of the estimator). Both distributions are Laplace-smoothed
+   * bucket multinomials, giving per document d
+   *
+   *   log w(d) = Σ_b n_b(d) · [ ln(ct_b+1) − ln(cr_b+1)
+   *                             + ln(Tr+B) − ln(Tt+B) ]
+   *
+   * (ct/Tt = target bucket count / total, cr/Tr = raw, B = nBuckets; the
+   * smoothing penalty folds into each bucket term so the score is ONE
+   * decimal sum). Keeping the top-k by weight is the deterministic
+   * counterpart of the paper's Gumbel resampling — reproducible forever,
+   * the repo's sampling convention.
+   *
+   * Exact and portable: each ln is rounded once to decimal(17,10) (the
+   * langIdNaiveBayes recipe), the four-term combination stays decimal
+   * (max precision (20,10)), and the bucket multiplicity multiplies as
+   * decimal(9,0) — a per-doc-per-bucket bound, not a corpus bound — so
+   * every product is decimal(30,10), loss-free under Spark's rules; the
+   * sum is shuffle-order-independent and the bucket hash is the portable
+   * md5 family, so the whole selection oracle-checks bit-for-bit.
+   *
+   * Scale shape: ONE explode pass collapses straight to (doc, bucket, n)
+   * — ≤ min(doc features, nBuckets) rows per doc; the two model frames
+   * (cr, ct) aggregate that frame to ≤ nBuckets rows each and join back
+   * BROADCAST (bucket-model scale, never corpus scale); the totals ride
+   * a broadcast one-row frame. A doc only pays for buckets it touches —
+   * nothing is doc×bucket dense, nothing collects on the driver. An
+   * unseen target bucket contributes ln(0+1) = 0 via the left join, so
+   * the score join is never densified either.
+   *
+   * Returns (idCol, n_feats, log_w): n_feats = the doc's feature
+   * occurrences, log_w rendered at 6 dp from the exact decimal.
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    def lnDec(c: Column) = log(c.cast("double")).cast("decimal(17,10)")
+    val feats = Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), targetPred.as("__tgt"),
+        split(col(textCol), "\\s+").as("__w"))
+      .select(col(idCol), col("__tgt"),
+        explode(concat(col("__w"), transform(bigramsFromWords(col("__w")),
+          b => concat(b.getField("w1"), lit(" "), b.getField("w2")))))
+          .as("__feat"))
+      .withColumn("__b",
+        pmod(Dedup.portableHash64(col("__feat")), lit(nBuckets.toLong)))
+    // persisted: three aggregates consume it (cr, ct, the score join);
+    // freed by releaseAfterUse once the caller's first action completes
+    val docBuckets = feats.groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cr = docBuckets.groupBy("__b").agg(sum("__n").as("__cr"))
+    val ct = docBuckets.filter(col("__tgt"))
+      .groupBy("__b").agg(sum("__n").as("__ct"))
+    val totals = cr.agg(sum(col("__cr")).as("__tr"))
+      .crossJoin(ct.agg(sum(col("__ct")).as("__tt")))
+      .select((lnDec(col("__tr") + nBuckets) -
+        lnDec(col("__tt") + nBuckets)).as("__pen"))
+    val perDoc = docBuckets
+      .join(broadcast(cr), Seq("__b"))
+      .join(broadcast(ct), Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_feats"),
+        sum(col("__n").cast("decimal(9,0)") *
+          (lnDec(coalesce(col("__ct"), lit(0L)) + 1) -
+            lnDec(col("__cr") + 1) + col("__pen"))).as("__s"))
+    Scale.releaseAfterUse(
+      perDoc.select(col(idCol), col("n_feats"),
+        round(col("__s").cast("double"), 6).as("log_w")),
+      Seq(docBuckets))
+  }
 }

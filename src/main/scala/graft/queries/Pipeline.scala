@@ -1560,6 +1560,17 @@ object Pipeline {
       Curation.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Curation — DSIR importance-weighted data selection (hashed unigram
+    // + bigram features, Laplace-smoothed target-vs-raw bucket models,
+    // target = the English subcorpus): the top-50 docs by log importance
+    // weight. Exact decimal ln arithmetic over the portable bucket hash →
+    // the whole selection oracle-checks; TakeOrderedAndProject, never a
+    // global sort.
+    "q_dsir" -> ((s, dir) => {
+      Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === lit("en"), nBuckets = 1024)
+        .orderBy(col("log_w").desc, col("doc_id")).limit(50)
+    }),
     // Curation — CCNet-style perplexity bucketing: per language, rank docs
     // by LM score and split into head/middle/tail tertiles (ntile), then
     // report each bucket's population and exact score mass. The bucket
@@ -2477,6 +2488,41 @@ object Pipeline {
     "q_lm_score" ->
       s"""WITH $LmScoreCte
          SELECT doc_id, n_bigrams, avg_logp FROM lm ORDER BY doc_id""",
+    // Same decimal(17,10) ln rounding, the same left-to-right four-term
+    // bucket expression, and the same decimal(9,0) multiplicity product
+    // as the engine — exact decimal end to end, so the rounded scores
+    // and the top-50 cut match bit-for-bit.
+    "q_dsir" ->
+      """WITH w AS (
+           SELECT doc_id, lang, string_split_regex(text, '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         f AS (
+           SELECT doc_id, lang, unnest(list_concat(w,
+             list_transform(generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1]))) AS feat
+           FROM w),
+         db AS (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(feat), 1, 15))::BIGINT % 1024 AS b,
+             count(*)::bigint AS n
+           FROM f GROUP BY 1, 2, 3),
+         cr AS (SELECT b, sum(n)::bigint AS cr FROM db GROUP BY b),
+         ct AS (SELECT b, sum(n)::bigint AS ct FROM db
+                WHERE lang = 'en' GROUP BY b),
+         tot AS (
+           SELECT cast(ln((SELECT sum(cr) FROM cr)::bigint + 1024)
+                    AS decimal(17,10))
+                - cast(ln((SELECT sum(ct) FROM ct)::bigint + 1024)
+                    AS decimal(17,10)) AS pen),
+         pd AS (
+           SELECT db.doc_id, sum(db.n)::bigint AS n_feats,
+             sum(db.n::decimal(9,0) *
+               (cast(ln(coalesce(ct.ct, 0) + 1) AS decimal(17,10))
+                - cast(ln(cr.cr + 1) AS decimal(17,10)) + tot.pen)) AS s
+           FROM db JOIN cr ON cr.b = db.b LEFT JOIN ct ON ct.b = db.b, tot
+           GROUP BY db.doc_id)
+         SELECT doc_id, n_feats, round(s::double, 6) AS log_w
+         FROM pd ORDER BY log_w DESC, doc_id LIMIT 50""",
     "q_ppl_bucket" ->
       s"""WITH $LmScoreCte,
          lb AS (

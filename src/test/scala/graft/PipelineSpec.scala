@@ -968,6 +968,35 @@ class MultimodalSpec extends SparkSpec {
   * behavioral complement to their DuckDB oracles and PlanSpec pins). */
 class CurationQuerySpec extends SparkSpec {
 
+  test("dsirWeights ranks target-vocabulary docs above disjoint-vocab " +
+      "docs; n_feats counts unigrams + bigrams; every doc is scored") {
+    import graft.operators.Curation
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        // target subcorpus: shared fruit vocabulary
+        Row(1L, "apple banana cherry apple banana", "en"),
+        Row(2L, "banana apple apple cherry apple", "en"),
+        // raw-only docs: one target-like, one disjoint
+        Row(3L, "apple banana apple cherry banana", "fr"),
+        Row(4L, "zulu yankee xray whiskey victor", "fr"),
+        Row(5L, null, "fr")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+    val out = Curation.dsirWeights(df, "doc_id", "text",
+      col("lang") === lit("en"), nBuckets = 256).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // null-text doc 5 is unscorable; everyone else gets a weight
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // 5 unigrams + 4 bigrams
+    assert(out.values.forall(_._1 == 9L))
+    // the target-like raw doc must importance-rank above the disjoint one
+    assert(out(3L)._2 > out(4L)._2,
+      s"target-vocab doc must outrank disjoint vocab: $out")
+    // disjoint-vocab features are raw-only: every bucket term is
+    // ln(1) - ln(cr+1) + pen < pen, so its weight sits below n·pen
+    assert(out(4L)._2 < out(3L)._2 && out(1L)._2 > out(4L)._2)
+  }
+
   test("leakage-free split: near-dup cluster members never straddle " +
       "splits, and both splits are non-trivial on the fixture") {
     val dir = "/root/testdata/sf0.001"

@@ -285,7 +285,13 @@ class PlanSpec extends SparkSpec {
       // q_mix_plan's weight total is a one-row aggregate over the
       // ALREADY-REDUCED per-language table (≤ |langs| rows), broadcast
       // back — the corpus-sized token aggregate stays distributed.
-      "q_mix_plan")
+      "q_mix_plan",
+      // q_dsir's Tr/Tt totals are one-row aggregates over the
+      // ALREADY-REDUCED bucket-model tables (≤ nBuckets rows each,
+      // q_pmi's corpus-statistics shape), broadcast back with the
+      // penalty; the (doc,bucket) collapse and the score join stay
+      // distributed.
+      "q_dsir")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
