@@ -307,6 +307,146 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /**
+   * 56-bit perceptual difference hash (dHash — the classic
+   * average-gradient perceptual hash family) of an image payload: decode
+   * (24bpp BMP via [[parseBmp24]], anything else through the JDK's
+   * `javax.imageio` codecs), nearest-neighbour-sample an 8×8 Rec.601
+   * luma grid (the [[resizeBmp]] index math), then bit y·7+x =
+   * [luma(x,y) < luma(x+1,y)] — 7 horizontal gradients × 8 rows. 56 bits
+   * keeps the hash in a signed long's positive range. Near-identical
+   * images (recompression, small edits) differ in few bits; unrelated
+   * images differ in ~28. None for undecodable payloads.
+   */
+  private[graft] def dHash56Bytes(bytes: Array[Byte]): Option[Long] = {
+    val pix: Option[(Int, Int, (Int, Int) => Double)] =
+      parseBmp24(bytes).map { case (w, h, rgb) =>
+        (w, h, (x: Int, y: Int) => {
+          val s = (y * w + x) * 3
+          0.299 * (rgb(s) & 0xff) + 0.587 * (rgb(s + 1) & 0xff) +
+            0.114 * (rgb(s + 2) & 0xff)
+        })
+      }.orElse {
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))).map { img =>
+          (img.getWidth, img.getHeight, (x: Int, y: Int) => {
+            val p = img.getRGB(x, y)
+            0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+              0.114 * (p & 0xff)
+          })
+        } catch { case _: Exception => None }
+      }
+    pix.map { case (w, h, luma) =>
+      val g = Array.ofDim[Double](8, 8)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { g(y)(x) = luma(x * w / 8, y * h / 8); x += 1 }
+        y += 1
+      }
+      var hash = 0L
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 7) {
+          if (g(y)(x) < g(y)(x + 1)) hash |= 1L << (y * 7 + x)
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+  }
+
+  /** [[dHash56Bytes]] over a media frame: (idCol, dhash), undecodable
+    * payloads dropped. mapPartitions batch contract; the hash is 8 bytes
+    * per image, so everything downstream of the decode is tiny. */
+  def dHash(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          dHash56Bytes(Option(payload).getOrElse(Array.emptyByteArray))
+            .map(h => (id, h)).iterator
+        }
+      }.toDF(idCol, "dhash")
+  }
+
+  /**
+   * Image near-duplicate pairs by banded perceptual-hash Hamming
+   * distance: [[dHash]] every payload once (persisted — the decode must
+   * not run twice for the self-join), bucket each hash by its four
+   * 14-bit bands, meet pairs ONLY inside a shared (band, key) bucket,
+   * and verify bit_count(xor) ≤ `maxDist`. For maxDist ≤ 3 the banding
+   * is EXACT, not approximate: 3 flipped bits touch at most 3 of the 4
+   * bands (pigeonhole), so every qualifying pair shares a clean band.
+   * Scale: no all-pairs anywhere — candidates are bucket-local (random
+   * hashes collide on a 14-bit band with p = 2^-14; real near-dup
+   * clusters are the hot buckets, the same skew surface as MinHash
+   * banding). Returns (a, b, dist), a < b.
+   */
+  def imageNearDups(media: DataFrame, maxDist: Int = 3,
+      idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4-band bucketing is exact only for maxDist <= 3, got $maxDist")
+    val h = dHash(media, idCol, payloadCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = h.select(col(idCol), col("dhash"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("dhash"), b * 14).bitwiseAND(lit(0x3fffL))
+          .as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("dhash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    Scale.releaseAfterUse(
+      banded.alias("x").join(banded.alias("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+          expr("bit_count(x.dhash ^ y.dhash)").cast("long").as("dist"))
+        .distinct() // a pair may share several bands
+        .filter(col("dist") <= maxDist),
+      Seq(h))
+  }
+
+  /**
+   * Deterministic 8×8 BMP fabricator — the "deterministic fake" media
+   * source for oracle-checked end-to-end image runs (the container ships
+   * no image corpus): pixel bytes are 12 chained md5 blocks of
+   * ("img|<id>|<k>"), so any md5-capable engine reproduces them
+   * bit-for-bit, and every id with id % `twinEvery` == 0 also emits a
+   * NEAR-DUPLICATE twin at id + `twinOffset` whose first byte (pixel
+   * (0,0) red) is bumped by +8 mod 256 — a perturbation that can flip at
+   * most ONE dHash bit (luma(0,0) feeds only the row-0 x=0 gradient), so
+   * twins always land within any maxDist ≥ 1. The payloads go through
+   * the REAL [[writeBmp24]]/[[parseBmp24]] codec round-trip downstream.
+   */
+  def synthBmp8x8(ids: DataFrame, idCol: String, twinEvery: Int = 10,
+      twinOffset: Long = 10000000L): DataFrame = {
+    require(twinEvery >= 1, s"twinEvery must be >= 1, got $twinEvery")
+    val b = ids.select(col(idCol).cast("long").as("__base"))
+    val all = b.withColumn("__pert", lit(false))
+      .unionAll(b.filter(pmod(col("__base"), lit(twinEvery.toLong)) === 0)
+        .withColumn("__pert", lit(true)))
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    all.as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (base, pert) =>
+          val rgb = new Array[Byte](192)
+          var k = 0
+          while (k < 12) {
+            val blk = md.digest(s"img|$base|$k".getBytes("UTF-8"))
+            System.arraycopy(blk, 0, rgb, k * 16, 16)
+            k += 1
+          }
+          if (pert) rgb(0) = (((rgb(0) & 0xff) + 8) % 256).toByte
+          (if (pert) base + twinOffset else base, writeBmp24(8, 8, rgb))
+        }
+      }.toDF("media_id", "payload")
+  }
+
   /** One decoded "frame": deterministic fake features in place of pixels. */
   case class DecodedFrame(media_id: Long, frame_no: Int, feature: Double)
 

@@ -1844,6 +1844,21 @@ object Pipeline {
         .toDF("media_id", "frame_no", "feature")
         .orderBy("media_id", "frame_no")
     }),
+    // L3 — image near-duplicate detection, END TO END through the real
+    // codec: deterministic md5-pixel BMPs (every 10th doc also emits a
+    // +8-on-one-byte twin) are ENCODED (writeBmp24), DECODED back
+    // (parseBmp24), perceptually hashed (8×8 luma grid → 56-bit dHash)
+    // and banded-Hamming joined — pairs meet only inside a shared 14-bit
+    // band bucket, which is EXACT for dist ≤ 3 (pigeonhole). The oracle
+    // reproduces the pixel bytes, luma doubles, hash, and pair set
+    // arithmetically (the BMP round-trip is pixel-identity), so the
+    // whole multimodal path oracle-checks bit-for-bit.
+    "q_image_neardup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthBmp8x8(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.imageNearDups(media, maxDist = 3).orderBy("a", "b")
+    }),
     // Multimodal metadata over an opaque byte payload (documents.text bytes
     // stand in for image/audio blobs; see operators.Multimodal).
     "q_multimodal_meta" -> ((s, dir) => {
@@ -4006,6 +4021,48 @@ object Pipeline {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+    // The BMP encode→decode round-trip is pixel-identity, so the oracle
+    // computes straight from the md5 pixel bytes: same luma expression
+    // (double literals, left-to-right), same bit layout, then all-pairs
+    // Hamming — banding at dist ≤ 3 is exact, so the sets must agree.
+    "q_image_neardup" ->
+      """WITH ids AS (
+           SELECT doc_id AS media_id, doc_id AS base, false AS pert
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, doc_id, true
+           FROM documents WHERE doc_id % 10 = 0),
+         by AS (
+           SELECT i.media_id, j.j,
+             CASE WHEN j.j = 0 AND i.pert
+               THEN (('0x' || substr(md5('img|' || i.base || '|' ||
+                      (j.j // 16)), (j.j % 16) * 2 + 1, 2))::INT + 8) % 256
+               ELSE ('0x' || substr(md5('img|' || i.base || '|' ||
+                      (j.j // 16)), (j.j % 16) * 2 + 1, 2))::INT
+             END AS v
+           FROM ids i
+           CROSS JOIN (SELECT unnest(generate_series(0, 191)) AS j) j),
+         lum AS (
+           SELECT media_id, j // 3 AS p,
+             0.299::DOUBLE * max(CASE WHEN j % 3 = 0 THEN v END)
+             + 0.587::DOUBLE * max(CASE WHEN j % 3 = 1 THEN v END)
+             + 0.114::DOUBLE * max(CASE WHEN j % 3 = 2 THEN v END) AS luma
+           FROM by GROUP BY media_id, j // 3),
+         g AS (SELECT media_id, p % 8 AS x, p // 8 AS y, luma FROM lum),
+         bits AS (
+           SELECT a.media_id,
+             CASE WHEN a.luma < b.luma
+               THEN 1::BIGINT << (a.y * 7 + a.x) ELSE 0::BIGINT END AS bit
+           FROM g a JOIN g b
+             ON a.media_id = b.media_id AND a.y = b.y AND b.x = a.x + 1
+           WHERE a.x < 7),
+         h AS (SELECT media_id, sum(bit)::bigint AS dh FROM bits
+               GROUP BY media_id)
+         SELECT x.media_id AS a, y.media_id AS b,
+           bit_count(xor(x.dh, y.dh))::bigint AS dist
+         FROM h x JOIN h y ON x.media_id < y.media_id
+         WHERE bit_count(xor(x.dh, y.dh)) <= 3
+         ORDER BY a, b""",
     // Generated from Bm25Terms so engine and oracle can never drift. The
     // score replicates bm25TopK's expression tree operation-for-operation
     // (same association order), so every double matches bit-for-bit

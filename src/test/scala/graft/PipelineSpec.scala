@@ -927,6 +927,53 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(one.mean_luma - 0.299 * 255) < 1e-9) // the red pixel
   }
 
+  test("dHash56 is codec-agnostic (BMP and PNG of identical pixels hash " +
+      "equal); imageNearDups finds planted twins, drops junk, and a " +
+      "1-byte perturbation flips at most one bit") {
+    val rgb = Array.tabulate(192)(i => ((i * 37 + 11) % 256).toByte)
+    val bmp = Multimodal.writeBmp24(8, 8, rgb)
+    // the same pixels through a genuinely compressed codec
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val s = (y * 8 + x) * 3
+      img.setRGB(x, y, ((rgb(s) & 0xff) << 16) | ((rgb(s + 1) & 0xff) << 8) |
+        (rgb(s + 2) & 0xff))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val hb = Multimodal.dHash56Bytes(bmp).get
+    val hp = Multimodal.dHash56Bytes(baos.toByteArray).get
+    assert(hb == hp, "PNG and BMP of identical pixels must hash identically")
+    assert(hb >= 0L, "56-bit hash stays in the positive long range")
+
+    val pert = rgb.clone()
+    pert(0) = (((pert(0) & 0xff) + 8) % 256).toByte
+    val hq = Multimodal.dHash56Bytes(Multimodal.writeBmp24(8, 8, pert)).get
+    assert(java.lang.Long.bitCount(hb ^ hq) <= 1,
+      "a pixel-(0,0) red bump touches only the row-0 x=0 gradient")
+
+    val other = Array.tabulate(192)(i => ((i * 101 + 7) % 256).toByte)
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, bmp, "image/bmp", 8, 8),
+        Row(2L, Multimodal.writeBmp24(8, 8, pert), "image/bmp", 8, 8),
+        Row(3L, bmp, "image/bmp", 8, 8), // exact copy of 1
+        Row(4L, Multimodal.writeBmp24(8, 8, other), "image/bmp", 8, 8),
+        Row(5L, "junk bytes, not an image at all".getBytes("UTF-8"),
+          null, null, null),
+        Row(6L, null, null, null, null)),
+      Multimodal.mediaSchema)
+    val pairs = Multimodal.imageNearDups(media, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"twins and the exact copy pair up, unrelated/junk/null do not: " +
+        s"${pairs.toSeq}")
+    assert(pairs.find(p => p._1 == 1L && p._2 == 3L).get._3 == 0L,
+      "the exact copy sits at Hamming 0")
+  }
+
   test("decodeImage: REAL compressed decode via the JDK's bundled PNG/JPEG codecs") {
     import java.awt.image.BufferedImage
     // 2×2 image with known pixels, encoded to genuinely-compressed bytes
