@@ -183,6 +183,53 @@ object Ivf {
   }
 
   /**
+   * SSL-prototype data pruning (Sorscher et al., "Beyond neural scaling
+   * laws: beating power law scaling via data pruning", NeurIPS 2022 — a
+   * public method): cluster the embedding space, score each example's
+   * PROTOTYPICALITY as its squared distance to its assigned centroid,
+   * and keep only the hardest `keepFrac` of every cell — pruning the
+   * easy, redundant cluster cores that contribute least to training
+   * (the diversification half of the D4 pipeline; SemDeDup is the other
+   * half). Per-cell quotas rather than a global rank: the selection
+   * stays partition-parallel (no corpus-wide sort), is cluster-size
+   * unbiased, and ties break on the id, so the kept set is a pure
+   * function of the data.
+   *
+   * Scale shape: one spread scan computes (cell, |a−c|² in exact
+   * micro-units — the [[cellBalance]] long trick, so the ranking is
+   * bit-portable); ONE hash shuffle on the cell feeds both window
+   * functions (rank and cell size share the partitioning). With a fixed
+   * quantizer the whole audit row oracle-checks.
+   *
+   * Returns (idCol, ivf_cell, dist_e6, kept) — the full margin row, so a
+   * caller filters `kept` or inspects how close each drop was.
+   */
+  def prototypePrune(df: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Seq[Double]], keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    if (centroids.isEmpty)
+      // empty corpus/quantizer: an empty report, not an analysis error
+      return df.select(col(idCol), lit(0L).as("ivf_cell"),
+        lit(0L).as("dist_e6"), lit(true).as("kept")).limit(0)
+    import org.apache.spark.sql.expressions.Window
+    val best = array_min(scoredStructs(col(embCol), centroids))
+    val scored = Scale.spreadForCompute(df.select(col(idCol), col(embCol)),
+        col(idCol))
+      .select(col(idCol), best.getField("i").cast("long").as("ivf_cell"),
+        round((dot(col(embCol), col(embCol)) + best.getField("d")) * 1e6, 0)
+          .cast("long").as("dist_e6"))
+    val rankW = Window.partitionBy("ivf_cell")
+      .orderBy(col("dist_e6").desc, col(idCol))
+    val cellW = Window.partitionBy("ivf_cell")
+    scored.withColumn("__rn", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(cellW))
+      .withColumn("kept",
+        col("__rn") <= ceil(col("__n") * lit(keepFrac)).cast("long"))
+      .drop("__rn", "__n")
+  }
+
+  /**
    * Approximate top-k: each query probes its `nprobe` nearest cells and
    * ranks by cosine only within them.
    */

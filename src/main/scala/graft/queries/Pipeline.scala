@@ -1713,6 +1713,36 @@ object Pipeline {
         .select(col("vec_id"), col("cell").cast("long").as("cell"))
         .orderBy("vec_id")
     }),
+    // L2 — SSL-prototype pruning (Ivf.prototypePrune): per cell, keep the
+    // hardest half by exact micro-unit centroid distance. Fixed
+    // quantizer → assignment, distance, rank, and quota all
+    // oracle-check; the margin row (kept flag, not a filtered set) makes
+    // the cut itself verifiable.
+    "q_prototype_prune" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      graft.operators.Ivf.prototypePrune(emb, "vec_id", "emb", centroids,
+        keepFrac = 0.5).orderBy("vec_id")
+    }),
+    // L2 — the D4 pipeline (Tirumala et al. 2023: de-duplication +
+    // diversification): SemDeDup survivors re-scored by SSL-prototype
+    // pruning — the two-stage embedding-space curation a production
+    // pretraining mix runs. Same fixed quantizer for both stages; the
+    // oracle chains the q_semdedup CTEs with the q_prototype_prune rank.
+    "q_d4" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      val survivors = Dedup.semanticDedup(emb, "vec_id", "emb", centroids,
+        0.4, maxCell = 24)
+      graft.operators.Ivf.prototypePrune(
+        emb.join(survivors.select("vec_id"), Seq("vec_id")),
+        "vec_id", "emb", centroids, keepFrac = 0.5)
+        .orderBy("vec_id")
+    }),
     // A7/L2 — the maxCell recall price, MEASURED (the q_minhash_recall
     // analog for the subsplit guard): capped (maxCell=24) vs uncapped
     // survivors per cell under the same fixed quantizer. n_missed counts
@@ -3878,6 +3908,84 @@ object Pipeline {
          SELECT a.vec_id, a.cell FROM assign a
          LEFT JOIN dropped d ON d.vec_id = a.vec_id
          WHERE d.vec_id IS NULL ORDER BY a.vec_id""",
+    // Same fixed-quantizer assignment; the distance re-adds |a|² to the
+    // shifted key in micro-units (the q_ivf_balance rounding), then a
+    // per-cell rank against the ceil(n/2) quota.
+    "q_prototype_prune" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cnorm2
+           FROM embeddings WHERE vec_id < 16),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sc AS (
+           SELECT vec_id, cell, round((vv + d) * 1e6)::BIGINT AS dist_e6
+           FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               list_dot_product(e.v, e.v) AS vv,
+               -2 * list_dot_product(e.v, c.cv) + c.cnorm2 AS d,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+                 AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         r AS (
+           SELECT vec_id, cell AS ivf_cell, dist_e6,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY dist_e6 DESC, vec_id) AS rn,
+             count(*) OVER (PARTITION BY cell) AS n
+           FROM sc)
+         SELECT vec_id, ivf_cell, dist_e6,
+           rn <= ceil(n * 0.5)::BIGINT AS kept
+         FROM r ORDER BY vec_id""",
+    // q_semdedup's survivor CTEs feeding q_prototype_prune's rank — the
+    // D4 chain end to end.
+    "q_d4" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cnorm2
+           FROM embeddings WHERE vec_id < 16),
+         e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+           FROM embeddings),
+         assign AS (
+           SELECT vec_id, cell, vv, d FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               list_dot_product(e.v, e.v) AS vv,
+               -2 * list_dot_product(e.v, c.cv) + c.cnorm2 AS d,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+                 AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         census AS (
+           SELECT cell, (count(*) + 23) // 24 AS ns
+           FROM assign GROUP BY cell),
+         sub AS (
+           SELECT a.vec_id, a.cell,
+             cast(a.cell AS VARCHAR) || '#' || cast(
+               ('0x' || substr(md5(cast(a.vec_id AS VARCHAR)), 1, 15))::BIGINT
+                 % s.ns AS VARCHAR) AS subcell
+           FROM assign a JOIN census s USING (cell)),
+         dropped AS (
+           SELECT DISTINCT y.vec_id FROM sub x
+           JOIN sub y ON x.subcell = y.subcell AND x.vec_id < y.vec_id
+           JOIN e ex ON ex.vec_id = x.vec_id
+           JOIN e ey ON ey.vec_id = y.vec_id
+           WHERE list_dot_product(ex.v, ey.v) / (ex.nrm * ey.nrm) >= 0.4),
+         sc AS (
+           SELECT a.vec_id, a.cell, round((a.vv + a.d) * 1e6)::BIGINT AS dist_e6
+           FROM assign a
+           LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+           WHERE dr.vec_id IS NULL),
+         r AS (
+           SELECT vec_id, cell AS ivf_cell, dist_e6,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY dist_e6 DESC, vec_id) AS rn,
+             count(*) OVER (PARTITION BY cell) AS n
+           FROM sc)
+         SELECT vec_id, ivf_cell, dist_e6,
+           rn <= ceil(n * 0.5)::BIGINT AS kept
+         FROM r ORDER BY vec_id""",
     // q_semdedup's capped CTEs plus an UNCAPPED dropped set (plain
     // within-cell join); the per-cell diff counts the cap's missed drops.
     "q_semdedup_recall" ->

@@ -79,6 +79,36 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("prototypePrune keeps the per-cell hardest ceil(n·frac): planted " +
+      "one-cell geometry prunes the centroid-hugging core, quotas bind " +
+      "per cell, and empty centroids yield an empty report") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // one 2-d cell at the origin: distances 0 < 1 < 4 < 9; a second cell
+    // far away with a single member (always kept: ceil(1·0.5) = 1)
+    val rows = java.util.Arrays.asList(
+      Row(1L, Seq(0.0, 0.0)), Row(2L, Seq(1.0, 0.0)),
+      Row(3L, Seq(2.0, 0.0)), Row(4L, Seq(0.0, 3.0)),
+      Row(5L, Seq(100.0, 100.0)))
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("emb", ArrayType(DoubleType)))))
+    val cents = Seq(Seq(0.0, 0.0), Seq(100.0, 100.0))
+    val out = Ivf.prototypePrune(df, "vec_id", "emb", cents, keepFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // cell 0 holds ids 1-4 → quota ceil(4·0.5) = 2: the two FARTHEST
+    // (9.0 → id 4, 4.0 → id 3) survive; the prototypical core (0, 1) is
+    // pruned
+    assert(out(4L) == (0L, 9000000L, true) && out(3L) == (0L, 4000000L, true))
+    assert(!out(1L)._3 && !out(2L)._3)
+    assert(out(5L) == (1L, 0L, true), "a singleton cell keeps its member")
+    // degenerate quantizer: empty report with the full schema
+    val none = Ivf.prototypePrune(df, "vec_id", "emb", Seq.empty, 0.5)
+    assert(none.columns.toSeq == Seq("vec_id", "ivf_cell", "dist_e6", "kept"))
+    assert(none.count() == 0)
+  }
+
   test("probing ALL cells reproduces the exact top-k") {
     val exact = Similarity.exactTopK(emb, qs, 10)
       .select("q_id", "vec_id", "rn").collect()
