@@ -120,6 +120,45 @@ object Scale {
   }
 
   /**
+   * Interval-OVERLAP equi-ification: pairs (a, b) with a.lo ≤ b.hi AND
+   * b.lo ≤ a.hi (closed intervals), WITHOUT the plan Spark gives the raw
+   * theta join — a BroadcastNestedLoopJoin that is O(|A|·|B|) compares
+   * and a driver OOM the moment neither side broadcasts. Both sides
+   * decompose into fixed-width buckets (explode over ⌈span/width⌉+1
+   * ids), candidates meet through an ordinary EQUI join on the bucket id
+   * — hash-partitioned, AQE-splittable, sort-merge-able — and each true
+   * pair is emitted exactly ONCE by keeping only the bucket containing
+   * max(a.lo, b.lo), the overlap's first bucket (no distinct pass, no
+   * duplicate downstream work).
+   *
+   * `bucketWidth` is the fan-out/selectivity dial: each row explodes
+   * into span/width + 1 copies, and a bucket's candidates are the rows
+   * crossing it — set it near the TYPICAL interval length (p50, not
+   * max). One pathological mega-interval only linearly explodes its own
+   * row; a hot bucket splits under AQE because the join is equi. Rows
+   * with hi < lo (empty intervals) are dropped, mirroring the
+   * no-overlap semantics. Column names must be disjoint; lo/hi are
+   * numeric (callers bucket time as epoch days/seconds first).
+   */
+  def intervalJoin(a: DataFrame, b: DataFrame, aLo: String, aHi: String,
+      bLo: String, bHi: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(a.columns.intersect(b.columns).isEmpty,
+      s"column names must be disjoint, both sides have: " +
+        a.columns.intersect(b.columns).mkString(", "))
+    def bk(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / bucketWidth).cast("long")
+    val ax = a.filter(col(aHi) >= col(aLo))
+      .withColumn("__bka", explode(sequence(bk(col(aLo)), bk(col(aHi)))))
+    val bx = b.filter(col(bHi) >= col(bLo))
+      .withColumn("__bkb", explode(sequence(bk(col(bLo)), bk(col(bHi)))))
+    ax.join(bx, col("__bka") === col("__bkb") &&
+        col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        col("__bka") === bk(greatest(col(aLo), col(bLo))))
+      .drop("__bka", "__bkb")
+  }
+
+  /**
    * Skew-safe exact COUNT(DISTINCT value) per group, two-phase: phase 1
    * groups by (key, salt(value)) so a hot key's value set spreads over
    * `saltFactor` reducers; phase 2 sums the per-salt distinct counts. Still

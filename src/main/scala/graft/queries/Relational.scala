@@ -224,6 +224,30 @@ object Relational {
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy("band")
     }),
+    // J5/scale — interval×interval OVERLAP join (high-value order windows
+    // × shipment spans) through Scale.intervalJoin: bucket decomposition
+    // turns the theta join (which Spark would plan as an O(|A|·|B|)
+    // BroadcastNestedLoopJoin) into an EQUI join on bucket ids with
+    // exactly-once first-bucket emission. Aggregated per window so the
+    // output stays compact and hash-stable.
+    "q_join_interval" -> ((s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+            .as("lo_a"))
+        .withColumn("hi_a", col("lo_a") + 30L)
+      val b = t(s, dir, "lineitem").filter(col("l_suppkey") % 100 === 0)
+        .select(col("l_quantity"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+            .as("lo_b"))
+        .withColumn("hi_b", col("lo_b") + col("l_quantity").cast("long"))
+      Scale.intervalJoin(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+          bucketWidth = 32)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_overlap"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
     // J1/scale — deliberately skewed dimension join through an explicit
     // salted join: ~80% of lineitem lands on one key, the pattern that
     // serializes a plain shuffle join into one straggler task. saltedJoin
@@ -955,6 +979,25 @@ object Relational {
            AS b(lo, hi, band)
            ON l_quantity >= lo AND l_quantity < hi
          GROUP BY band ORDER BY band""",
+    // Plain theta join in the oracle — the engine's bucket decomposition
+    // must reproduce the exact overlap pair set (exactly-once emission),
+    // so the aggregates agree only if no pair is missed or doubled.
+    "q_join_interval" ->
+      """WITH a AS (
+           SELECT o_orderkey,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS lo,
+             date_diff('day', DATE '1970-01-01', o_orderdate) + 30 AS hi
+           FROM orders WHERE o_totalprice > 400000),
+         b AS (
+           SELECT l_quantity,
+             date_diff('day', DATE '1970-01-01', l_shipdate) AS lo,
+             date_diff('day', DATE '1970-01-01', l_shipdate)
+               + l_quantity::int AS hi
+           FROM lineitem WHERE l_suppkey % 100 = 0)
+         SELECT a.o_orderkey, count(*)::bigint AS n_overlap,
+           sum(l_quantity::bigint)::bigint AS sum_qty
+         FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+         GROUP BY 1 ORDER BY 1""",
     "q_join_skew" ->
       """WITH li AS (
            SELECT CASE WHEN l_orderkey % 5 <> 0 THEN 0

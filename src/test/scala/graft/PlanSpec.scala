@@ -371,6 +371,15 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"), p.take(800))
   }
 
+  test("interval join: bucket decomposition joins EQUI (hash/sort-merge " +
+      "partitionable), never the nested-loop theta plan") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("fuzzy join: block census broadcasts back (anti join), pairs meet " +
       "only inside block buckets — no cartesian, no sort-merge") {
     val p = plan("q_fuzzy_join")

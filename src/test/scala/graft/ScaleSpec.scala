@@ -24,6 +24,44 @@ class ScaleSpec extends SparkSpec {
     assert(salted.length == 91)
   }
 
+  test("intervalJoin emits every overlap pair exactly once: touching " +
+      "endpoints count, disjoint and empty intervals do not, and a pair " +
+      "spanning many shared buckets is not duplicated") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, 0L, 10L),    // overlaps b1 (contained), b2 (touching at 10)
+      (2L, 50L, 200L),  // spans many width-8 buckets with b3
+      (3L, 300L, 310L), // disjoint from everything
+      (4L, 20L, 15L))   // empty (hi < lo): dropped
+      .toDF("aid", "lo_a", "hi_a")
+    val b = Seq(
+      (11L, 2L, 3L),    // inside a1
+      (12L, 10L, 12L),  // touches a1 at exactly 10 (closed intervals)
+      (13L, 60L, 190L), // shares ~17 buckets with a2 — must emit ONCE
+      (14L, 400L, 500L))
+      .toDF("bid", "lo_b", "hi_b")
+    val got = Scale.intervalJoin(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+        bucketWidth = 8)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == Seq((1L, 11L), (1L, 12L), (2L, 13L)),
+      s"got ${got.toSeq}")
+    // exactly-once: no pair appears twice even across shared buckets
+    assert(got.distinct.length == got.length)
+    // equivalence against the plain theta join on a denser random-ish grid
+    val a2 = (0 until 40).map(i => (i.toLong, (i * 7 % 50).toLong,
+      (i * 7 % 50 + i % 13).toLong)).toDF("aid", "lo_a", "hi_a")
+    val b2 = (0 until 40).map(i => (i.toLong + 100, (i * 11 % 60).toLong,
+      (i * 11 % 60 + i % 9).toLong)).toDF("bid", "lo_b", "hi_b")
+    val fast = Scale.intervalJoin(a2, b2, "lo_a", "hi_a", "lo_b", "hi_b",
+        bucketWidth = 5)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ref = a2.join(b2, col("lo_a") <= col("hi_b") &&
+        col("lo_b") <= col("hi_a"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.sorted.toSeq == ref.sorted.toSeq)
+    assert(fast.distinct.length == fast.length)
+  }
+
   test("tableChecksum: partitioning-invariant, null-safe, change-sensitive") {
     import graft.operators.Scale
     import spark.implicits._
