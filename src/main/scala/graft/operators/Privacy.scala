@@ -238,4 +238,48 @@ object Privacy {
       % (2 * pctMille + 1)) - pctMille).cast("double") / 1000.0
     value * (lit(1.0) + eps)
   }
+
+  /**
+   * Differentially-private noisy count release (the Laplace mechanism:
+   * Dwork et al. 2006): per-group counts plus Laplace(1/ε) noise via the
+   * inverse CDF, noise = −(1/ε)·sgn(u−½)·ln(1−2|u−½|). Counts have L1
+   * sensitivity 1, so each released group satisfies ε-DP per release —
+   * ACCOUNTING across repeated releases (composition) is the caller's
+   * job.
+   *
+   * The uniform u is SEEDED from the portable hash of (salt | group key),
+   * the repo's determinism convention: the same release re-derives
+   * bit-for-bit in any md5-capable engine (audit/pipeline-test mode, and
+   * what makes the mechanism oracle-checkable). A production release
+   * against an adaptive adversary must instead draw u fresh per release
+   * (a replayable seed lets the noise be subtracted) — swap the salt for
+   * a secret per-release nonce and the mechanism is the textbook one;
+   * every other property is unchanged.
+   *
+   * Portability mechanics: u = (h + ½)/2²⁰ with h the hash mod 2²⁰ — a
+   * dyadic rational, so u, |u−½| and the ln ARGUMENT are exact in both
+   * engines; the one libm call rounds once to decimal(17,10) (the
+   * langIdNaiveBayes recipe) before returning to IEEE doubles, hiding
+   * cross-engine ulp drift; u is never exactly ½ (h+½ is non-integral)
+   * and never 0 or 1, so the ln argument stays in (0, 1]. One hash
+   * aggregate; the noise is a scan-local expression over the group row.
+   * Returns groupCols + (noisy_n rounded to 6 dp, epsilon).
+   */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      salt: String): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be > 0, got $epsilon")
+    require(groupCols.nonEmpty, "at least one group column required")
+    val key = concat_ws("|",
+      (lit(salt) +: groupCols.map(c => col(c).cast("string"))): _*)
+    val h = pmod(Dedup.portableHash64(key), lit(1048576L))
+    val ctr = (h.cast("double") + 0.5 - 524288.0) / 1048576.0
+    val sgn = when(ctr >= 0.0, lit(1.0)).otherwise(lit(-1.0))
+    val lnd = log(lit(1.0) - lit(2.0) * abs(ctr))
+      .cast("decimal(17,10)").cast("double")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) ++ Seq(
+        round(col("__n") + lit(-1.0 / epsilon) * sgn * lnd, 6).as("noisy_n"),
+        lit(epsilon).as("epsilon")): _*)
+  }
 }

@@ -85,6 +85,16 @@ object Privacy {
             .as("perturbed"))
         .orderBy("c_custkey")
     }),
+    // Laplace-mechanism noisy count release (Privacy.dpCounts): per-
+    // (source, lang) doc counts + Laplace(1/0.5) noise from a SEEDED
+    // portable-hash uniform, so the release re-derives bit-for-bit (the
+    // audit/test mode; production swaps the salt for a secret nonce —
+    // see the operator scaladoc). One hash aggregate + scan-local noise.
+    "q_dp_counts" -> ((s, dir) => {
+      P.dpCounts(t(s, dir, "documents"), Seq("source", "lang"),
+        epsilon = 0.5, salt = "dp9")
+        .orderBy("source", "lang")
+    }),
     // Table-level privacy risk report: one row summarizing both audits —
     // the "is this release safe?" number the reference's JSON report never
     // computes. Two tiny aggregates over the class tables, cross-joined.
@@ -182,6 +192,28 @@ object Privacy {
          c_acctbal * (1.0 + (cast((${hash4("noise", "c_custkey")} % 201) - 100 AS DOUBLE) / 1000.0))
            AS perturbed
          FROM customer ORDER BY c_custkey""",
+    // Same dyadic-rational uniform, decimal(17,10)-rounded ln, and
+    // multiplication order as the engine expression.
+    "q_dp_counts" ->
+      """WITH g AS (
+           SELECT source, lang, count(*)::bigint AS n
+           FROM documents GROUP BY 1, 2),
+         h AS (
+           SELECT source, lang, n,
+             ('0x' || substr(md5('dp9' || '|' || source || '|' || lang),
+               1, 15))::BIGINT % 1048576 AS hv
+           FROM g),
+         c AS (
+           SELECT source, lang, n,
+             (hv::DOUBLE + 0.5 - 524288.0) / 1048576.0 AS ctr
+           FROM h)
+         SELECT source, lang,
+           round(n + (-2.0) *
+             (CASE WHEN ctr >= 0 THEN 1.0 ELSE -1.0 END) *
+             cast(cast(ln(1.0 - 2.0 * abs(ctr)) AS decimal(17,10)) AS DOUBLE),
+             6) AS noisy_n,
+           0.5::DOUBLE AS epsilon
+         FROM c ORDER BY source, lang""",
     "q_privacy_report" ->
       """WITH k AS (
            SELECT count(*) AS n_classes,

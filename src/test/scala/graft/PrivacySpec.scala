@@ -168,4 +168,30 @@ class PrivacySpec extends SparkSpec {
     }
     ()
   }
+
+  test("dpCounts: noise is genuinely added, Laplace(1/eps)-bounded in " +
+      "practice, deterministic under one salt, different under another") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val truth = docs.groupBy("source", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    def release(salt: String) =
+      Privacy.dpCounts(docs, Seq("source", "lang"), epsilon = 0.5, salt)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+    val rel = release("dp-test")
+    assert(rel.keySet == truth.keySet)
+    assert(rel.values.forall(_._2 == 0.5))
+    val noise = rel.map { case (k, (v, _)) => v - truth(k) }
+    // Laplace(b=2): P(|x| > 40) = e^-20 — a violation means broken math,
+    // not bad luck
+    assert(noise.forall(n => math.abs(n) < 40.0), s"noise out of range")
+    // the mechanism actually perturbs (u is never exactly 1/2 → noise 0
+    // has probability ~0 across dozens of groups)
+    assert(noise.count(_ != 0.0) > noise.size / 2)
+    // replayable under the same salt, different under a fresh one
+    assert(release("dp-test") == rel)
+    assert(release("dp-other") != rel)
+  }
 }
