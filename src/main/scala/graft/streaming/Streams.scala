@@ -336,6 +336,75 @@ object Streams {
   }
 
   /**
+   * Streaming image-ingest gate — [[curateGate]]'s perceptual twin: each
+   * micro-batch of media payloads is dHashed
+   * ([[graft.operators.Multimodal.dHash]] — undecodable payloads drop at
+   * the gate) and anti-joined against the CORPUS's banded hash set, so
+   * an incoming image near-duplicating any stored one (Hamming ≤
+   * `maxDist` over the 56-bit perceptual hash) never reaches the sink.
+   * Entirely STATELESS: band explode + equi join + anti join per batch,
+   * no watermark, no state store; the only growing piece is the corpus
+   * hash set — 8 bytes per stored image, the same growth class as
+   * curateGate's fingerprints, and bucketable on (band, key) for the
+   * 100 TB case. Exact for maxDist ≤ 3 (the 4-band pigeonhole).
+   *
+   * `corpusHashes` must be a one-column `dhash` frame from
+   * [[graft.operators.Multimodal.dHash]] over the stored corpus.
+   * `hintBroadcast` forces the banded corpus set executor-resident when
+   * known small; unhinted the planner decides (the curateGate OOM
+   * argument). Returns the admitted rows of `media` with their `dhash`.
+   */
+  def imageGate(media: DataFrame, corpusHashes: DataFrame, maxDist: Int = 3,
+      idCol: String = "media_id", payloadCol: String = "payload",
+      hintBroadcast: Boolean = false): DataFrame = {
+    import graft.operators.Multimodal
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4-band bucketing is exact only for maxDist <= 3, got $maxDist")
+    def bandKey(h: org.apache.spark.sql.Column, b: Int) =
+      shiftright(h, b * 14).bitwiseAND(lit(0x3fffL))
+    // STATIC side: one (band, key) → [corpus hashes] index (aggregating
+    // the static frame is legal under any stream output mode; the array
+    // per bucket is bounded by the corpus's own near-dup multiplicity).
+    val corpusIdx = corpusHashes
+      .select(col("dhash").as("__ch"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), bandKey(col("dhash"), b).as("key"))): _*))
+        .as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(collect_list(col("__ch")).as("__chs"))
+    // STREAM side stays one row per media end to end (no explode, no
+    // stream aggregation, no stream-stream join — the hash attaches
+    // in-row via mapPartitions and each band is its own stream-static
+    // LEFT join, so the plan is append-mode legal and stateless): a
+    // probe misses ⇒ NULL array ⇒ exists() is false.
+    val outSchema = media.schema
+      .add("dhash", org.apache.spark.sql.types.LongType, nullable = false)
+    val pIdx = media.schema.fieldIndex(payloadCol)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val hashed = media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Multimodal.dHash56Bytes(Option(r.getAs[Array[Byte]](pIdx))
+            .getOrElse(Array.emptyByteArray))
+          .map(h => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ h)).iterator
+      }
+    }
+    val probed = (0 until 4).foldLeft(hashed) { (cur, b) =>
+      val idx = corpusIdx.filter(col("band") === b)
+        .select(col("key").as(s"__k$b"), col("__chs").as(s"__chs$b"))
+      val side = if (hintBroadcast)
+        org.apache.spark.sql.functions.broadcast(idx) else idx
+      cur.join(side, bandKey(col("dhash"), b) === col(s"__k$b"), "left")
+    }
+    val matched = (0 until 4).map(b =>
+        coalesce(exists(col(s"__chs$b"),
+          c => bit_count(col("dhash").bitwiseXOR(c)) <= maxDist),
+          lit(false)))
+      .reduce(_ || _)
+    probed.filter(!matched)
+      .drop((0 until 4).flatMap(b => Seq(s"__k$b", s"__chs$b")): _*)
+  }
+
+  /**
    * Streaming Count-Min maintenance: the sketch build is a plain
    * (row, bucket) groupBy-count, which Structured Streaming maintains
    * incrementally — the SAME [[graft.operators.CountMin.sketch]] plan runs

@@ -528,6 +528,47 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("imageGate: corpus near-dup images never reach the sink; novel " +
+      "images pass; undecodable payloads drop at the gate; streamed ≡ " +
+      "batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def pixels(seed: Int): Array[Byte] =
+      Array.tabulate(192)(i => ((i * seed + 11) % 256).toByte)
+    def bmp(seed: Int): Array[Byte] = Multimodal.writeBmp24(8, 8, pixels(seed))
+    val corpus = Seq((100L, bmp(37)), (101L, bmp(59)))
+      .toDF("media_id", "payload")
+    val hashes = Multimodal.dHash(corpus).select("dhash")
+    val pert = { // +8 on pixel-(0,0) red of corpus image 100: Hamming ≤ 1
+      val a = pixels(37)
+      a(0) = (((a(0) & 0xff) + 8) % 256).toByte
+      Multimodal.writeBmp24(8, 8, a)
+    }
+    val incoming = Seq(
+      (1L, bmp(37)),  // exact corpus dup → dropped
+      (2L, pert),     // perceptual near-dup → dropped
+      (3L, bmp(97)),  // novel → admitted
+      (4L, "junk bytes, not an image".getBytes("UTF-8"))) // undecodable
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val gated = Streams.imageGate(
+      mem.toDF().toDF("media_id", "payload"), hashes)
+    val q = gated.writeStream.format("memory").queryName("img_gate_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val admitted = spark.table("img_gate_t").select("media_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(3L), s"admitted $admitted")
+      // streamed ≡ batch: the same gate over the same rows as a plain frame
+      val batch = Streams.imageGate(
+        incoming.toDF("media_id", "payload"), hashes)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(batch == admitted)
+    } finally q.stop()
+  }
+
   test("curateGate: gate + scrub + corpus anti-join over a stream equals " +
       "the same gate run batch; corpus dups never reach the sink") {
     implicit val sql = spark.sqlContext
