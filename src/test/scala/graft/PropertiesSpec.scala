@@ -153,4 +153,52 @@ class PropertiesSpec extends AnyFunSuite {
       .foldLeft(agg.zero)(agg.reduce)
     assert(withNulls == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("BMP codec law: writeBmp24 ∘ parseBmp24 is pixel-identity for any " +
+      "size (including the padded non-multiple-of-4 row widths)") {
+    import graft.operators.Multimodal
+    val gen = for {
+      w <- Gen.choose(1, 13)
+      h <- Gen.choose(1, 13)
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield (w, h, px.map(_.toByte).toArray)
+    check(Prop.forAll(gen) { case (w, h, rgb) =>
+      Multimodal.parseBmp24(Multimodal.writeBmp24(w, h, rgb)) match {
+        case Some((pw, ph, prgb)) =>
+          pw == w && ph == h && prgb.sameElements(rgb)
+        case None => false
+      }
+    })
+  }
+
+  test("dHash laws: total + deterministic on any 8×8 image, one perturbed " +
+      "pixel flips ≤ 2 bits, and ANY pair within Hamming 3 shares a " +
+      "clean 14-bit band (the pigeonhole the near-dup join relies on)") {
+    import graft.operators.Multimodal
+    val img = Gen.listOfN(192, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+    val tweak = for {
+      rgb <- img
+      i <- Gen.choose(0, 191)
+      d <- Gen.choose(1, 255)
+    } yield (rgb, i, d)
+    check(Prop.forAll(tweak) { case (rgb, i, d) =>
+      val h1 = Multimodal.dHash56Bytes(Multimodal.writeBmp24(8, 8, rgb)).get
+      val h1b = Multimodal.dHash56Bytes(Multimodal.writeBmp24(8, 8, rgb)).get
+      val p = rgb.clone(); p(i) = (((p(i) & 0xff) + d) % 256).toByte
+      val h2 = Multimodal.dHash56Bytes(Multimodal.writeBmp24(8, 8, p)).get
+      // a pixel (x,y) feeds at most the (x−1,y) and (x,y) gradients
+      h1 == h1b && h1 >= 0L && java.lang.Long.bitCount(h1 ^ h2) <= 2
+    })
+    // pigeonhole: ≤ 3 flipped bits leave ≥ 1 of the 4 bands untouched
+    val flips = for {
+      h <- Gen.choose(0L, (1L << 56) - 1)
+      n <- Gen.choose(0, 3)
+      bits <- Gen.listOfN(n, Gen.choose(0, 55))
+    } yield (h, bits)
+    check(Prop.forAll(flips) { case (h, bits) =>
+      val h2 = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+      (0 until 4).exists(b =>
+        ((h >> (b * 14)) & 0x3fff) == ((h2 >> (b * 14)) & 0x3fff))
+    })
+  }
 }
