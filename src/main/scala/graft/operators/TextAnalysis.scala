@@ -549,4 +549,89 @@ object TextAnalysis {
           col("col._2").as(idCol), round(col("col._1"), 6).as("bm25")),
       Seq(tf, cand))
   }
+
+  /**
+   * Inverted-index build: (term, df, total_tf, doc_id, tf, rn) with
+   * postings capped at `maxPostings` docs per term in doc-id order (the
+   * smallest ids — see [[indexDelta]] for why that order matters). One
+   * tokenize explode feeds ONE (term, doc) hash aggregate (map-side
+   * combine; persisted — it feeds both the term-stats aggregate and the
+   * postings window); term-level df/total_tf is a second,
+   * vocabulary-sized aggregate broadcast back; the postings window
+   * partitions per term over ALREADY-AGGREGATED rows, never raw
+   * occurrences.
+   */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxPostings: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val tf = Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("total_tf"))
+    val w = Window.partitionBy("term").orderBy(idCol)
+    Scale.releaseAfterUse(
+      tf.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= maxPostings)
+        .join(broadcast(stats), "term")
+        .select(col("term"), col("df"), col("total_tf"), col(idCol),
+          col("tf"), col("rn")),
+      Seq(tf))
+  }
+
+  /**
+   * Incremental inverted-index maintenance — the retrieval twin of
+   * Scale.mergeCounts: fold a NEW batch into an EXISTING index WITHOUT
+   * re-tokenizing the corpus. Cost is O(delta tokens + |index|), and the
+   * index term is itself bounded (≤ maxPostings rows/term + one stats
+   * row), so a daily batch against a 100 TB corpus never touches the
+   * corpus again.
+   *
+   * Exactness contract: df/total_tf merge by addition unconditionally;
+   * the capped postings merge EXACTLY when delta doc ids are all larger
+   * than indexed ones (append-only monotone ids — the delta-batch
+   * convention): the old postings hold each term's maxPostings SMALLEST
+   * ids, so the merged smallest-ids set can only draw from old postings
+   * first, then delta. mergeIndex(index(A), B) ≡ index(A ∪ B)
+   * bit-for-bit under that contract — q_index_delta proves it against a
+   * full-rebuild oracle.
+   */
+  def indexDelta(index: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      maxPostings: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val deltaTf = Scale.spreadForCompute(
+        delta.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaStats = deltaTf.groupBy("term")
+      .agg(count(lit(1)).as("__dfd"), sum("tf").cast("long").as("__ttfd"))
+    // every indexed term carries ≥ 1 posting row (df ≥ 1 ⇒ rn = 1
+    // exists), so the stats project loses nothing
+    val oldStats = index.filter(col("rn") === 1)
+      .select(col("term"), col("df"), col("total_tf"))
+    val stats = oldStats.join(deltaStats, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__dfd"), lit(0L)))
+          .as("df"),
+        (coalesce(col("total_tf"), lit(0L)) +
+          coalesce(col("__ttfd"), lit(0L))).as("total_tf"))
+    val w = Window.partitionBy("term").orderBy(idCol)
+    Scale.releaseAfterUse(
+      index.select(col("term"), col(idCol), col("tf"))
+        .unionAll(deltaTf)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= maxPostings)
+        .join(broadcast(stats), "term")
+        .select(col("term"), col("df"), col("total_tf"), col(idCol),
+          col("tf"), col("rn")),
+      Seq(deltaTf))
+  }
 }

@@ -525,23 +525,22 @@ object Pipeline {
     // (term, doc) rows — the window's partition is at most corpus-doc
     // sized per term and never sees raw token occurrences.
     "q_inverted_index" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val tf = Scale.spreadForCompute(
-          t(s, dir, "documents").filter(col("text").isNotNull), col("doc_id"))
-        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
-        .filter(length(col("term")) > 0)
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = tf.groupBy("term")
-        .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("total_tf"))
-      val w = Window.partitionBy("term").orderBy("doc_id")
-      Scale.releaseAfterUse(
-        tf.withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 3)
-          .join(broadcast(stats), "term")
-          .select("term", "df", "total_tf", "doc_id", "tf", "rn")
-          .orderBy("term", "doc_id"),
-        Seq(tf))
+      TA.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 3).orderBy("term", "doc_id")
+    }),
+    // L1/Scale — INCREMENTAL index maintenance (TextAnalysis.indexDelta,
+    // the retrieval twin of q_merge_counts): the corpus splits at the
+    // doc-id midpoint, the old half is indexed, the new half folds in
+    // WITHOUT re-tokenizing the old corpus — and the oracle is a FULL
+    // REBUILD over everything, so the merge ≡ rebuild equivalence is the
+    // thing being checked, not just the merge's own arithmetic.
+    "q_index_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = TA.invertedIndex(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", maxPostings = 3)
+      TA.indexDelta(old, docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", maxPostings = 3)
+        .orderBy("term", "doc_id")
     }),
     // A6 — exact dedup by key with deterministic survivor (window-rank; the
     // dropDuplicates equivalent with a defined choice).
@@ -2878,6 +2877,27 @@ object Pipeline {
              AS clean
          FROM f ORDER BY doc_id""",
     "q_inverted_index" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest($WsSplitSql) AS term
+           FROM documents WHERE text IS NOT NULL),
+         tf AS (
+           SELECT term, doc_id, count(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY term, doc_id),
+         stats AS (
+           SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS total_tf
+           FROM tf GROUP BY term),
+         ranked AS (
+           SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+           FROM tf)
+         SELECT r.term, s.df, s.total_tf, r.doc_id,
+           r.tf::bigint AS tf, r.rn::bigint AS rn
+         FROM ranked r JOIN stats s USING (term)
+         WHERE r.rn <= 3 ORDER BY r.term, r.doc_id""",
+    // Deliberately the FULL-REBUILD query over all documents: the engine
+    // side merges an old index with the delta batch, so a green row here
+    // proves indexDelta(index(old), new) ≡ index(old ∪ new) bit-for-bit.
+    "q_index_delta" ->
       s"""WITH toks AS (
            SELECT doc_id, unnest($WsSplitSql) AS term
            FROM documents WHERE text IS NOT NULL),
