@@ -154,4 +154,36 @@ object Sampling {
   def shardOfHash(hashHex: Column, nShards: Int): Column =
     pmod(conv(substring(hashHex, 1, 15), 16, 10).cast("long"),
       lit(nShards.toLong))
+
+  /**
+   * Gumbel-top-k weighted sampling WITHOUT replacement (Gumbel-max
+   * trick; Vieira 2014, and the sampler DSIR's importance resampling
+   * specifies): rank rows by score + Gumbel noise and keep the top k —
+   * exactly equivalent to drawing k rows without replacement with
+   * probability ∝ exp(score). The Gumbel is SEEDED from the portable
+   * hash of (salt | key), the repo's sampling convention: the draw
+   * re-derives bit-for-bit forever and in any md5-capable engine, and
+   * disjoint salts give independent draws.
+   *
+   * Portability: u = (h + ½)/2²⁰ is a dyadic rational (exact in IEEE),
+   * u ∈ (0,1) strictly, g = −ln(−ln(u)) takes ONE inner libm ln rounded
+   * to decimal(17,10) (the langIdNaiveBayes recipe) before the outer ln,
+   * which is rounded the same way — cross-engine ulp drift dies at each
+   * rounding. The perturbed key ranks as a double; ties (measure zero)
+   * break on `keyCol`. Plans as TakeOrderedAndProject — no global sort.
+   * Returns the input plus the perturbed `gumbel_key`.
+   */
+  def gumbelTopK(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      score: Column, salt: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = pmod(graft.operators.Dedup.portableHash64(
+      concat(lit(salt), lit("|"), col(keyCol).cast("string"))),
+      lit(1048576L))
+    val u = (h.cast("double") + 0.5) / 1048576.0
+    def lnDec(c: Column) = log(c).cast("decimal(17,10)").cast("double")
+    val gumbel = -lnDec(-lnDec(u))
+    df.withColumn("gumbel_key", round(score + gumbel, 6))
+      .orderBy(col("gumbel_key").desc, col(keyCol))
+      .limit(k)
+  }
 }

@@ -74,6 +74,44 @@ object Pipeline {
     * TextAnalysis.langIdNaiveBayes: char trigrams, Laplace decomposition
     * (unseen gram ⇒ ln(1) = 0 first term + closed-form penalty), exact
     * decimal sums, (score desc, lang) tiebreak. */
+  /** The DSIR weighting pipeline as a DuckDB CTE chain ending in
+    * `weights(doc_id, n_feats, log_w)` — shared by q_dsir and
+    * q_dsir_resample so the two oracles cannot desynchronize. Mirrors
+    * Curation.dsirWeights: same decimal(17,10) ln rounding, same
+    * left-to-right four-term bucket expression, same decimal(9,0)
+    * multiplicity product. */
+  private val DsirCte: String =
+    """w AS (
+           SELECT doc_id, lang, string_split_regex(text, '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         f AS (
+           SELECT doc_id, lang, unnest(list_concat(w,
+             list_transform(generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1]))) AS feat
+           FROM w),
+         db AS (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(feat), 1, 15))::BIGINT % 1024 AS b,
+             count(*)::bigint AS n
+           FROM f GROUP BY 1, 2, 3),
+         cr AS (SELECT b, sum(n)::bigint AS cr FROM db GROUP BY b),
+         ct AS (SELECT b, sum(n)::bigint AS ct FROM db
+                WHERE lang = 'en' GROUP BY b),
+         tot AS (
+           SELECT cast(ln((SELECT sum(cr) FROM cr)::bigint + 1024)
+                    AS decimal(17,10))
+                - cast(ln((SELECT sum(ct) FROM ct)::bigint + 1024)
+                    AS decimal(17,10)) AS pen),
+         pd AS (
+           SELECT db.doc_id, sum(db.n)::bigint AS n_feats,
+             sum(db.n::decimal(9,0) *
+               (cast(ln(coalesce(ct.ct, 0) + 1) AS decimal(17,10))
+                - cast(ln(cr.cr + 1) AS decimal(17,10)) + tot.pen)) AS s
+           FROM db JOIN cr ON cr.b = db.b LEFT JOIN ct ON ct.b = db.b, tot
+           GROUP BY db.doc_id),
+         weights AS (
+           SELECT doc_id, n_feats, round(s::double, 6) AS log_w FROM pd)"""
+
   private val LangIdNbCte: String =
     """g AS (
            SELECT doc_id, lang AS actual, unnest(list_transform(
@@ -1570,6 +1608,17 @@ object Pipeline {
         col("lang") === lit("en"), nBuckets = 1024)
         .orderBy(col("log_w").desc, col("doc_id")).limit(50)
     }),
+    // Curation — the DSIR RESAMPLER (Sampling.gumbelTopK over the same
+    // weights): Gumbel-top-k = a without-replacement draw with
+    // p ∝ exp(log_w), seeded so the training subset re-derives forever.
+    "q_dsir_resample" -> ((s, dir) => {
+      Sampling.gumbelTopK(
+        Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === lit("en"), nBuckets = 1024),
+        "doc_id", col("log_w"), salt = "dsir-draw", k = 50)
+        .select("doc_id", "n_feats", "log_w", "gumbel_key")
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
+    }),
     // Curation — CCNet-style perplexity bucketing: per language, rank docs
     // by LM score and split into head/middle/tail tertiles (ntile), then
     // report each bucket's population and exact score mass. The bucket
@@ -2532,41 +2581,29 @@ object Pipeline {
     "q_lm_score" ->
       s"""WITH $LmScoreCte
          SELECT doc_id, n_bigrams, avg_logp FROM lm ORDER BY doc_id""",
-    // Same decimal(17,10) ln rounding, the same left-to-right four-term
-    // bucket expression, and the same decimal(9,0) multiplicity product
-    // as the engine — exact decimal end to end, so the rounded scores
-    // and the top-50 cut match bit-for-bit.
+    // Exact decimal end to end (see DsirCte), so the rounded scores and
+    // the top-50 cut match bit-for-bit.
     "q_dsir" ->
-      """WITH w AS (
-           SELECT doc_id, lang, string_split_regex(text, '\s+') AS w
-           FROM documents WHERE text IS NOT NULL),
-         f AS (
-           SELECT doc_id, lang, unnest(list_concat(w,
-             list_transform(generate_series(1, len(w) - 1),
-               i -> w[i] || ' ' || w[i + 1]))) AS feat
-           FROM w),
-         db AS (
-           SELECT doc_id, lang,
-             ('0x' || substr(md5(feat), 1, 15))::BIGINT % 1024 AS b,
-             count(*)::bigint AS n
-           FROM f GROUP BY 1, 2, 3),
-         cr AS (SELECT b, sum(n)::bigint AS cr FROM db GROUP BY b),
-         ct AS (SELECT b, sum(n)::bigint AS ct FROM db
-                WHERE lang = 'en' GROUP BY b),
-         tot AS (
-           SELECT cast(ln((SELECT sum(cr) FROM cr)::bigint + 1024)
-                    AS decimal(17,10))
-                - cast(ln((SELECT sum(ct) FROM ct)::bigint + 1024)
-                    AS decimal(17,10)) AS pen),
-         pd AS (
-           SELECT db.doc_id, sum(db.n)::bigint AS n_feats,
-             sum(db.n::decimal(9,0) *
-               (cast(ln(coalesce(ct.ct, 0) + 1) AS decimal(17,10))
-                - cast(ln(cr.cr + 1) AS decimal(17,10)) + tot.pen)) AS s
-           FROM db JOIN cr ON cr.b = db.b LEFT JOIN ct ON ct.b = db.b, tot
-           GROUP BY db.doc_id)
-         SELECT doc_id, n_feats, round(s::double, 6) AS log_w
-         FROM pd ORDER BY log_w DESC, doc_id LIMIT 50""",
+      s"""WITH $DsirCte
+         SELECT doc_id, n_feats, log_w
+         FROM weights ORDER BY log_w DESC, doc_id LIMIT 50""",
+    // The same weights perturbed by the seeded Gumbel (one dyadic
+    // uniform, two decimal(17,10)-rounded lns in the engine's exact
+    // nesting) — the Gumbel-top-k draw IS sampling without replacement
+    // with p ∝ exp(log_w).
+    "q_dsir_resample" ->
+      s"""WITH $DsirCte,
+         g AS (
+           SELECT doc_id, n_feats, log_w,
+             round(log_w + (-(cast(cast(ln(
+               -(cast(cast(ln(
+                 ((('0x' || substr(md5('dsir-draw' || '|' || doc_id),
+                    1, 15))::BIGINT % 1048576)::DOUBLE + 0.5) / 1048576.0
+               ) AS decimal(17,10)) AS DOUBLE))
+             ) AS decimal(17,10)) AS DOUBLE))), 6) AS gumbel_key
+           FROM weights)
+         SELECT doc_id, n_feats, log_w, gumbel_key FROM g
+         ORDER BY gumbel_key DESC, doc_id LIMIT 50""",
     "q_ppl_bucket" ->
       s"""WITH $LmScoreCte,
          lb AS (

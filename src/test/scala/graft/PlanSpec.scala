@@ -290,8 +290,9 @@ class PlanSpec extends SparkSpec {
       // ALREADY-REDUCED bucket-model tables (≤ nBuckets rows each,
       // q_pmi's corpus-statistics shape), broadcast back with the
       // penalty; the (doc,bucket) collapse and the score join stay
-      // distributed.
-      "q_dsir")
+      // distributed. The resampler adds only a scan-local Gumbel +
+      // TakeOrdered on top of the same weights.
+      "q_dsir", "q_dsir_resample")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {

@@ -187,4 +187,25 @@ class SamplingSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("rangepartitioning"), plan)
   }
+
+  test("gumbelTopK: deterministic per salt, dominated by a large enough " +
+      "score gap, sensitive to the salt, and plans as TakeOrdered") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 100 rows with mildly varying scores + one runaway winner: a score
+    // gap far above the Gumbel spread (its seeded range here is about
+    // [-2.7, 14.6]) must always be drawn
+    val df = ((1 to 100).map(i => (i.toLong, (i % 7).toDouble)) :+
+      (999L, 1000.0)).toDF("id", "score")
+    def draw(salt: String) = Sampling.gumbelTopK(df, "id", col("score"),
+      salt, k = 10).select("id").collect().map(_.getLong(0)).toSeq
+    val d1 = draw("s1")
+    assert(d1.length == 10 && d1.distinct.length == 10)
+    assert(d1.contains(999L), "a dominating score must always be kept")
+    assert(draw("s1") == d1, "same salt ⇒ identical draw forever")
+    assert(draw("s2") != d1, "independent salts ⇒ different draws")
+    val plan = Sampling.gumbelTopK(df, "id", col("score"), "s1", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
 }
