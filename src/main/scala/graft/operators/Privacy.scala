@@ -269,6 +269,45 @@ object Privacy {
       salt: String): DataFrame = {
     require(epsilon > 0.0, s"epsilon must be > 0, got $epsilon")
     require(groupCols.nonEmpty, "at least one group column required")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) ++ Seq(
+        round(col("__n") +
+          laplaceNoise(groupCols, 1.0 / epsilon, salt), 6).as("noisy_n"),
+        lit(epsilon).as("epsilon")): _*)
+  }
+
+  /**
+   * Differentially-private noisy SUM release with contribution bounding:
+   * each row's value clips to [0, `clip`] before summing (L1 sensitivity
+   * = clip), then Laplace(clip/ε) noise is added per group — the
+   * companion of [[dpCounts]]; the pair yields a DP mean. The clipped
+   * values sum as decimal(18,6), so the pre-noise total is
+   * shuffle-order-independent and exact for inputs of ≤ 6 decimals
+   * (money scales); the same seeded-uniform caveat and per-release ε
+   * accounting as dpCounts apply. Returns groupCols + (noisy_sum,
+   * epsilon, clip).
+   */
+  def dpSum(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      clip: Double, epsilon: Double, salt: String): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be > 0, got $epsilon")
+    require(clip > 0.0, s"clip must be > 0, got $clip")
+    require(groupCols.nonEmpty, "at least one group column required")
+    val clipped = least(greatest(col(valueCol).cast("double"), lit(0.0)),
+      lit(clip))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(clipped.cast("decimal(18,6)")).cast("double").as("__s"))
+      .select(groupCols.map(col) ++ Seq(
+        round(col("__s") +
+          laplaceNoise(groupCols, clip / epsilon, salt), 6).as("noisy_sum"),
+        lit(epsilon).as("epsilon"), lit(clip).as("clip")): _*)
+  }
+
+  /** Shared Laplace(b) noise for the DP releases: inverse CDF over the
+    * seeded dyadic uniform of (salt | group key) — see [[dpCounts]]'s
+    * scaladoc for the portability and seeding analysis. */
+  private def laplaceNoise(groupCols: Seq[String], b: Double,
+      salt: String): Column = {
     val key = concat_ws("|",
       (lit(salt) +: groupCols.map(c => col(c).cast("string"))): _*)
     val h = pmod(Dedup.portableHash64(key), lit(1048576L))
@@ -276,10 +315,6 @@ object Privacy {
     val sgn = when(ctr >= 0.0, lit(1.0)).otherwise(lit(-1.0))
     val lnd = log(lit(1.0) - lit(2.0) * abs(ctr))
       .cast("decimal(17,10)").cast("double")
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-      .select(groupCols.map(col) ++ Seq(
-        round(col("__n") + lit(-1.0 / epsilon) * sgn * lnd, 6).as("noisy_n"),
-        lit(epsilon).as("epsilon")): _*)
+    lit(-b) * sgn * lnd
   }
 }

@@ -95,6 +95,14 @@ object Privacy {
         epsilon = 0.5, salt = "dp9")
         .orderBy("source", "lang")
     }),
+    // The DP SUM companion (Privacy.dpSum): acctbal clipped to [0, 5000]
+    // (sensitivity = clip), summed as exact decimal, Laplace(clip/eps)
+    // noise under its own salt. Counts + sums make a DP mean.
+    "q_dp_sums" -> ((s, dir) => {
+      P.dpSum(t(s, dir, "customer"), Seq("c_mktsegment"), "c_acctbal",
+        clip = 5000.0, epsilon = 0.5, salt = "dps9")
+        .orderBy("c_mktsegment")
+    }),
     // Table-level privacy risk report: one row summarizing both audits —
     // the "is this release safe?" number the reference's JSON report never
     // computes. Two tiny aggregates over the class tables, cross-joined.
@@ -214,6 +222,28 @@ object Privacy {
              6) AS noisy_n,
            0.5::DOUBLE AS epsilon
          FROM c ORDER BY source, lang""",
+    "q_dp_sums" ->
+      """WITH g AS (
+           SELECT c_mktsegment,
+             cast(sum(cast(least(greatest(c_acctbal, 0.0), 5000.0)
+               AS decimal(18,6))) AS DOUBLE) AS s
+           FROM customer GROUP BY 1),
+         h AS (
+           SELECT c_mktsegment, s,
+             ('0x' || substr(md5('dps9' || '|' || c_mktsegment),
+               1, 15))::BIGINT % 1048576 AS hv
+           FROM g),
+         c AS (
+           SELECT c_mktsegment, s,
+             (hv::DOUBLE + 0.5 - 524288.0) / 1048576.0 AS ctr
+           FROM h)
+         SELECT c_mktsegment,
+           round(s + (-10000.0) *
+             (CASE WHEN ctr >= 0 THEN 1.0 ELSE -1.0 END) *
+             cast(cast(ln(1.0 - 2.0 * abs(ctr)) AS decimal(17,10)) AS DOUBLE),
+             6) AS noisy_sum,
+           0.5::DOUBLE AS epsilon, 5000.0::DOUBLE AS clip
+         FROM c ORDER BY c_mktsegment""",
     "q_privacy_report" ->
       """WITH k AS (
            SELECT count(*) AS n_classes,

@@ -194,4 +194,24 @@ class PrivacySpec extends SparkSpec {
     assert(release("dp-test") == rel)
     assert(release("dp-other") != rel)
   }
+
+  test("dpSum: contribution bounding caps any single row's influence at " +
+      "clip; noise scales with clip/eps; deterministic per salt") {
+    import spark.implicits._
+    val base = Seq(("a", 100.0), ("a", 200.0), ("a", -50.0), ("b", 10.0))
+      .toDF("g", "v")
+    def rel(df: org.apache.spark.sql.DataFrame) =
+      Privacy.dpSum(df, Seq("g"), "v", clip = 150.0, epsilon = 1.0, "dps-t")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r0 = rel(base)
+    // clipped truth: a = 100 + 150 + 0 = 250, b = 10; Laplace(150)
+    // noise at the seeded u stays well under 150·30
+    assert(math.abs(r0("a") - 250.0) < 4500.0)
+    // a 1e9 outlier joins group a but moves the release by AT MOST clip
+    // (the noise term is unchanged — same group key, same salt)
+    val spiked = rel(base.unionAll(Seq(("a", 1e9)).toDF("g", "v")))
+    assert(math.abs(spiked("a") - r0("a") - 150.0) < 1e-6)
+    assert(spiked("b") == r0("b"))
+    assert(rel(base) == r0, "seeded release replays exactly")
+  }
 }
