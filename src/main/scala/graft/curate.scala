@@ -53,6 +53,15 @@ object Curate {
    * text, no labeled training rows) keep NULL and flow through as their
    * own `lang` group. Off by default — pre-existing configs trust the
    * column as-is.
+   *
+   * `dsirTargetLang` (non-empty = on) enables DSIR data selection after
+   * dedup: every surviving doc scores its importance weight against the
+   * target-language subcorpus model ([[Curation.dsirWeights]]) and only
+   * docs with `log_w >= dsirMinLogW` continue — a scan-local threshold
+   * filter, deliberately NOT a global top-k (a corpus-wide rank is a
+   * driver-bounded merge at 100 TB; pick the threshold from a q_dsir
+   * weight report instead). Docs with no features (whitespace-only
+   * text) carry no weight and drop with the stage on.
    */
   final case class CurateConfig(
       version: Int,
@@ -64,7 +73,9 @@ object Curate {
       shards: Int = 0,
       stripHtml: Boolean = false,
       lineMinWords: Int = 0,
-      assignLang: Boolean = false) {
+      assignLang: Boolean = false,
+      dsirTargetLang: String = "",
+      dsirMinLogW: Double = 0.0) {
     require(Set("none", "exact", "fuzzy")(dedup), s"bad dedup mode: $dedup")
     require(valThresholdHex.matches("[0-9a-f]{4}"),
       s"bad valThresholdHex: $valThresholdHex")
@@ -94,6 +105,8 @@ object Curate {
     tree.put("stripHtml", c.stripHtml)
     tree.put("lineMinWords", c.lineMinWords)
     tree.put("assignLang", c.assignLang)
+    tree.put("dsirTargetLang", c.dsirTargetLang)
+    tree.put("dsirMinLogW", c.dsirMinLogW)
     ConfigIO.writeYamlRaw(path, tree)
   }
 
@@ -127,7 +140,14 @@ object Curate {
         case b: java.lang.Boolean => b.booleanValue()
         case null => false
         case other => sys.error(s"assignLang must be boolean, got $other")
-      })
+      },
+      // both absent in pre-selection configs: the DSIR stage stays off
+      dsirTargetLang = root.get("dsirTargetLang") match {
+        case null => ""
+        case s => String.valueOf(s)
+      },
+      dsirMinLogW =
+        if (root.containsKey("dsirMinLogW")) num("dsirMinLogW") else 0.0)
   }
 
   // ----------------------------------------------------------- pipeline
@@ -213,14 +233,27 @@ object Curate {
     }
     val nDeduped = deduped.count()
 
+    // 2b. DSIR data selection (opt-in): importance weight vs the target-
+    //    language model, scan-local threshold keep (see CurateConfig)
+    val (selected, nSelected) =
+      if (c.dsirTargetLang.isEmpty) (deduped, nDeduped)
+      else {
+        val keep = Curation.dsirWeights(deduped, "doc_id", "text",
+            col("lang") === c.dsirTargetLang, nBuckets = 1024)
+          .filter(col("log_w") >= c.dsirMinLogW)
+          .select("doc_id")
+        val sel = deduped.join(keep, Seq("doc_id"), "left_semi")
+        (sel, sel.count())
+      }
+
     // 3. token-budget mix (quality order, doc_id tiebreak — q_token_budget's
     //    exact shape)
     val budgeted =
-      if (c.tokensPerLang <= 0L) deduped
+      if (c.tokensPerLang <= 0L) selected
       else {
         val w = Window.partitionBy("lang")
           .orderBy(col("__q").desc, col("doc_id"))
-        deduped
+        selected
           .withColumn("__tok", TA.tokenCountWs(col("text")))
           .withColumn("__cum", sum(col("__tok")).over(w))
           .filter(col("__cum") <= c.tokensPerLang)
@@ -264,6 +297,7 @@ object Curate {
       funnel = Seq("input" -> nIn, "afterClean" -> nClean,
         "langAssigned" -> nLangFilled,
         "afterQuality" -> nGated, "afterDedup" -> nDeduped,
+        "afterDsir" -> nSelected,
         "train" -> nTrain, "val" -> nVal),
       perLang = perLang)
   }
@@ -297,7 +331,9 @@ object Curate {
    * anti join; none: skipped) → the same deterministic md5 split gate.
    * The token budget is deliberately NOT applied here: budgets are
    * corpus-level invariants, so admitting a delta under them requires the
-   * corpus totals — re-run the full [[run]] to re-budget.
+   * corpus totals — re-run the full [[run]] to re-budget. DSIR selection
+   * is skipped for the same reason (its raw model should be the corpus,
+   * not the batch) — re-run the full [[run]] to re-select.
    *
    * Leak note: a delta doc near-duplicating the corpus is REMOVED (not
    * just co-assigned), and within-delta clusters keep one survivor, so
@@ -389,7 +425,9 @@ object Curate {
         "shards" -> c.shards,
         "stripHtml" -> c.stripHtml,
         "lineMinWords" -> c.lineMinWords,
-        "assignLang" -> c.assignLang),
+        "assignLang" -> c.assignLang,
+        "dsirTargetLang" -> c.dsirTargetLang,
+        "dsirMinLogW" -> c.dsirMinLogW),
       "funnel" -> scala.collection.immutable.ListMap(r.funnel: _*),
       "perLang" -> r.perLang.map { case (l, n, t) =>
         scala.collection.immutable.ListMap(

@@ -166,6 +166,44 @@ class CurateSpec extends SparkSpec {
     assert(!Curate.readConfig(legacy.toString).assignLang)
   }
 
+  test("dsir stage: target-vocabulary docs survive the weight threshold, " +
+      "off-distribution docs drop, funnel + config round-trip carry it") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        // en target: fruit vocabulary
+        Row(1L, "apple banana cherry apple banana apple cherry apple.", "en"),
+        Row(2L, "banana apple apple cherry apple banana banana apple.", "en"),
+        // target-like raw doc: should clear a 0.0 threshold easily
+        Row(3L, "apple banana apple cherry banana apple apple banana.", "fr"),
+        // disjoint vocabulary: strongly negative weight, dropped
+        Row(4L, "zulu yankee xray whiskey victor uniform tango sierra.", "fr")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+    // derive the threshold from the weights themselves (at toy counts the
+    // Laplace smoothing shifts all weights negative — the RANKING is the
+    // stable signal, exactly why the operator reports weights and the
+    // config takes a threshold read off that report)
+    val wts = graft.operators.Curation.dsirWeights(df, "doc_id", "text",
+        col("lang") === "en", 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(wts(3L) > wts(4L),
+      s"target-vocab doc must outweigh the disjoint one: $wts")
+    val c = Curate.DefaultConfig.copy(minQuality = 0.0, dedup = "none",
+      valThresholdHex = "0000", dsirTargetLang = "en",
+      dsirMinLogW = (wts(3L) + wts(4L)) / 2)
+    val r = Curate.run(df, c)
+    val kept = r.train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L), s"kept $kept")
+    assert(r.funnel.toMap.apply("afterDsir") == 3L)
+    // config io round-trips the knobs; legacy configs keep the stage off
+    val p = java.nio.file.Files.createTempFile("curate_dsir", ".yaml").toString
+    Curate.writeConfig(p, c)
+    assert(Curate.readConfig(p) == c)
+    assert(Curate.readConfig(p).dsirTargetLang == "en")
+  }
+
   test("--audit on a curated output: the leak-free run reports zero leaky " +
       "val docs; a deliberately contaminated val reports them") {
     val out = java.nio.file.Files.createTempDirectory("curate_audit").toString
