@@ -304,6 +304,17 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"single-partition exchanges in: $offenders")
   }
 
+  test("no query plans an unhinted CartesianProduct — every cross join in " +
+      "the registry is a broadcast of a bounded side") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("decontamination broadcasts the benchmark gram set (semi join, " +
       "no corpus shuffle before the probe)") {
     val p = plan("q_decontaminate")
