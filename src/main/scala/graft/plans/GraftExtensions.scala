@@ -49,5 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn1(ext, "graft_lang_id", TA.langId)
     fn1(ext, "graft_redact_pii", TA.redactPii)
     fn1(ext, "graft_canonical_host", TA.canonicalHost)
+    fn1(ext, "graft_strip_html", TA.stripHtml)
+    fn1(ext, "graft_simhash", Dedup.simHash16Portable)
   }
 }

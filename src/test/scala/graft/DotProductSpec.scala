@@ -55,6 +55,15 @@ class DotProductSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_quality('a', 'b')").collect()
     }
+    // round-9 additions: HTML extraction and the portable SimHash
+    val r2 = spark.sql(
+      """SELECT graft_strip_html('<p>Hello <b>world</b></p>') AS txt,
+                graft_simhash('a b a') AS sh1,
+                graft_simhash('a b a') AS sh2""").collect().head
+    assert(r2.getAs[String]("txt") == "Hello world")
+    assert(r2.getAs[Long]("sh1") == r2.getAs[Long]("sh2"))
+    assert(r2.getAs[Long]("sh1") >= 0L &&
+      r2.getAs[Long]("sh1") < (1L << 16))
   }
 
   test("null array → null; length mismatch dots the common prefix") {
