@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed PCA over an embedding column — the linear-projection half of
+ * embedding hygiene in a training-data pipeline (FAISS runs exactly this as
+ * its PCA/OPQ pre-transform before PQ; curation uses the first component as
+ * a cheap "dominant direction" score for outlier screens and decorrelation
+ * audits). REF has no vector analytics at all (its surface is masking); this
+ * extends SURVEY §2.9-L2 the way Ivf/Pq do.
+ *
+ * Everything is expressed as metadata-scale DataFrame algebra — there is no
+ * driver-side matrix anywhere, and every float decision happens inside the
+ * proven Spark↔DuckDB-portable repertoire (exact decimal sums; IEEE ops on
+ * identical doubles; `round(x*1e6, 0)` micro-unit quantization — the
+ * [[Ivf.cellBalance]] trick), so the whole pipeline oracle-checks:
+ *
+ *  1. ONE corpus pass aggregates the second moments: each row explodes to
+ *     its dim·(dim+1)/2 upper-triangle products plus dim singletons, and a
+ *     map-side-combining hash aggregate reduces them to dim²-scale exact
+ *     decimal sums (2,144 groups at dim=64). At production dims the explode
+ *     is O(dim²) per row — that is what an exact covariance costs in ANY
+ *     engine (the map-side combine keeps shuffle traffic at dim² cells per
+ *     task, independent of row count); past dim≈1k you subsample rows first
+ *     (covariance estimation error shrinks as 1/√n, so a 1% sample of a
+ *     100 TB corpus is still overkill) — the orchestration is unchanged.
+ *  2. The covariance matrix materializes as a (i, j, c) frame quantized to
+ *     integer micro-units: from there on ALL arithmetic is exact integer
+ *     decimal — immune to association order, shuffle order, and engine
+ *     summation differences.
+ *  3. Two power-iteration steps from the deterministic seed e₀ run as tiny
+ *     broadcast joins over that frame (v₂ = C·(C·e₀), exact integers). Two
+ *     exact steps from a fixed seed make the DIRECTION a pure function of
+ *     the data — the convergence/accuracy trade is declared, not hidden:
+ *     more steps only sharpen the estimate and drop into the same shape.
+ *  4. v₂ re-quantizes to micro-units of its max component (`q`, ≤1e6 —
+ *     keeping every later product inside decimal(38) whatever the data
+ *     magnitude), and each vector's projection is an exact decimal dot
+ *     with `q` via one posexplode + broadcast join, normalized by |q| only
+ *     at the final double division.
+ *
+ * Degenerate inputs (empty corpus, single row, zero variance) produce a
+ * zero direction; the projection then reports 0.0 rather than NaN, and the
+ * variance report guards its divisions the same way.
+ */
+object Pca {
+
+  /**
+   * Second-moment sums: (i, j, s = Σ vᵢ·vⱼ exact decimal, n) for the
+   * upper triangle, plus (i, -1, Σ vᵢ, n) first-moment rows — ONE exploded
+   * map-side-combining aggregate over the corpus, dim²-scale output.
+   * `embCol` must be array<double> ([[graft.functions.VectorOps.asDouble]]).
+   */
+  private def moments(df: DataFrame, embCol: String, dim: Int): DataFrame = {
+    val v = col(embCol)
+    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(v, i + 1) * element_at(v, j + 1)).as("p")))))
+    val firsts = transform(sequence(lit(0), lit(dim - 1)), i =>
+      struct(i.as("i"), lit(-1).as("j"), element_at(v, i + 1).as("p")))
+    df.filter(v.isNotNull)
+      .select(explode(concat(pairs, firsts)).as("__e"))
+      .groupBy(col("__e.i").as("i"), col("__e.j").as("j"))
+      .agg(sum(col("__e.p").cast("decimal(28,10)")).as("s"),
+        count(lit(1)).as("n"))
+  }
+
+  /**
+   * Full covariance matrix as (i, j, c) with c = round(cov·1e6) in integer
+   * micro-units — the upper triangle computed from the (persisted) moments
+   * frame, mirrored below the diagonal. The only float arithmetic is the
+   * fixed-order (Sᵢⱼ − Sᵢ·Sⱼ/n)/n expression over exact decimal sums — IEEE
+   * doubles both engines reproduce bit-for-bit.
+   */
+  private def covFull(m: DataFrame): DataFrame = {
+    val si = m.filter(col("j") === -1).select(col("i").as("k"), col("s").as("sk"))
+    val cov = m.filter(col("j") >= 0)
+      .join(broadcast(si), col("i") === col("k"))
+      .drop("k").withColumnRenamed("sk", "si")
+      .join(broadcast(si), col("j") === col("k"))
+      .drop("k").withColumnRenamed("sk", "sj")
+      .select(col("i"), col("j"),
+        round((col("s").cast("double")
+          - col("si").cast("double") * col("sj").cast("double")
+            / col("n").cast("double")) / col("n").cast("double") * 1e6, 0)
+          .cast("decimal(12,0)").as("c"))
+    cov.unionByName(cov.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("c")))
+  }
+
+  /**
+   * First principal DIRECTION, re-quantized to micro-units of its max
+   * component: (i, q decimal(7,0)). v₂ = C·(C·e₀) in exact integer decimal
+   * (tiny broadcast joins over the dim²-row matrix frame); the single
+   * re-quantizing division is double-exact on identical inputs. A zero
+   * matrix (or one whose column 0 is zero) yields q = 0 everywhere.
+   */
+  private def direction(covf: DataFrame): DataFrame = {
+    val v1 = covf.filter(col("j") === 0)
+      .select(col("i").as("k1"), col("c").as("w1"))
+    val v2 = covf.join(broadcast(v1), col("j") === col("k1"))
+      .groupBy("i")
+      .agg(sum(col("c").cast("decimal(12,0)") * col("w1").cast("decimal(12,0)"))
+        .as("w2"))
+    val mx = v2.agg(max(abs(col("w2"))).as("mx"))
+    v2.crossJoin(broadcast(mx))
+      .select(col("i"),
+        when(col("mx") === 0, lit(0).cast("decimal(7,0)"))
+          .otherwise(round(col("w2").cast("double") / col("mx").cast("double")
+            * 1e6, 0).cast("decimal(7,0)")).as("q"))
+  }
+
+  /**
+   * Per-vector projection onto the first principal direction:
+   * (idCol, pc1 = v·q / |q| rounded to 6 dp), one row per non-null vector.
+   * The dot is an exact decimal sum (posexplode + broadcast direction
+   * join — the standard distributed-projection shape, map-side combined);
+   * |q| enters once, at the final double division. pc1 = 0.0 when the
+   * direction is degenerate-zero.
+   */
+  def projectPc1(df: DataFrame, idCol: String, embCol: String,
+      dim: Int): DataFrame = {
+    val m = moments(df, embCol, dim).persist(StorageLevel.MEMORY_AND_DISK)
+    val dir = direction(covFull(m))
+    val n2 = dir.agg(sum(col("q") * col("q")).as("n2"))
+    val proj = Scale.spreadForCompute(
+        df.filter(col(embCol).isNotNull).select(col(idCol), col(embCol)),
+        col(idCol))
+      .select(col(idCol), posexplode(col(embCol)).as(Seq("__pos", "__x")))
+      .join(broadcast(dir), col("__pos") === col("i"))
+      .groupBy(idCol)
+      .agg(sum(col("__x").cast("decimal(17,10)") * col("q").cast("decimal(7,0)"))
+        .as("__s"))
+      .crossJoin(broadcast(n2))
+      .select(col(idCol),
+        when(col("n2") === 0, lit(0.0))
+          .otherwise(round(col("__s").cast("double")
+            / sqrt(col("n2").cast("double")), 6)).as("pc1"))
+    Scale.releaseAfterUse(proj, Seq(m))
+  }
+
+  /**
+   * One-row spectrum report: (lambda1, trace, frac) — the Rayleigh-quotient
+   * estimate of the top eigenvalue over the quantized direction, the total
+   * variance, and the explained-variance fraction (the number that decides
+   * whether a PCA pre-transform is worth running before PQ, and how many
+   * components a whitening step should keep). Exact integer numerator/
+   * denominator (v₃ = C·q as one more tiny join), doubles only in the
+   * final divisions; degenerate inputs report 0.0 rather than NaN.
+   */
+  def varianceExplained(df: DataFrame, embCol: String, dim: Int): DataFrame = {
+    val m = moments(df, embCol, dim).persist(StorageLevel.MEMORY_AND_DISK)
+    val covf = covFull(m)
+    val dir = direction(covf)
+    val v3 = covf.join(broadcast(dir.select(col("i").as("k3"), col("q"))),
+        col("j") === col("k3"))
+      .groupBy("i")
+      .agg(sum(col("c").cast("decimal(12,0)") * col("q").cast("decimal(8,0)"))
+        .as("w3"))
+    val num = dir.join(broadcast(v3), "i")
+      .agg(sum(col("q").cast("decimal(8,0)") * col("w3")).as("num"))
+    val den = dir.agg(sum(col("q") * col("q")).as("den"))
+    val tr = covf.filter(col("i") === col("j")).agg(sum(col("c")).as("tr"))
+    val out = num.crossJoin(broadcast(den)).crossJoin(broadcast(tr))
+      .select(
+        when(col("den") === 0, lit(0.0))
+          .otherwise(round(col("num").cast("double") / col("den").cast("double")
+            / 1e6, 6)).as("lambda1"),
+        round(col("tr").cast("double") / 1e6, 6).as("trace"),
+        when(col("den") === 0 || col("tr") === 0, lit(0.0))
+          .otherwise(round(col("num").cast("double") / col("den").cast("double")
+            / col("tr").cast("double"), 6)).as("frac"))
+    Scale.releaseAfterUse(out, Seq(m))
+  }
+}

@@ -1857,6 +1857,29 @@ object Pipeline {
       graft.operators.Ivf.cellBalance(emb, "emb", centroids)
         .orderBy("cell")
     }),
+    // L2 — distributed PCA projection (Pca.projectPc1): each vector's
+    // coordinate along the corpus's first principal direction — the linear
+    // pre-transform FAISS runs before PQ, and curation's cheap dominant-
+    // direction outlier score. One exploded-moments pass (exact decimal
+    // sums) → micro-unit integer covariance frame → two exact integer
+    // power steps as metadata-scale joins (no driver matrix anywhere) →
+    // broadcast-direction projection. Every float decision is in the
+    // proven-portable repertoire, so the whole pipeline oracle-checks.
+    "q_embed_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      graft.operators.Pca.projectPc1(emb, "vec_id", "emb", dim = 64)
+        .orderBy("vec_id")
+    }),
+    // L2 — PCA spectrum report (Pca.varianceExplained): Rayleigh estimate
+    // of the top eigenvalue, total variance, and the explained fraction —
+    // the one-row audit that decides whether a PCA/whitening pre-transform
+    // is worth running before PQ (a near-isotropic spectrum says no).
+    "q_pca_variance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      graft.operators.Pca.varianceExplained(emb, "emb", dim = 64)
+    }),
     // L2 — IVF approximate top-k: coarse-quantizer cells, nprobe=4 of k=16.
     // Fully oracle-checked since Ivf.train's Lloyd means became exact
     // decimal sums: the oracle SQL re-runs the whole 2-iteration training
@@ -2431,6 +2454,110 @@ object Pipeline {
            round(sum(round(d * 1000000, 0)::decimal(38,0))::double
              / 1000000 / count(*), 6) AS mean_dist
          FROM assign GROUP BY cell ORDER BY cell""",
+    // PCA: the oracle re-runs the WHOLE pipeline — exact-decimal moments,
+    // micro-unit integer covariance, two exact integer power steps, the
+    // re-quantized direction, and the exact-decimal projection — because
+    // every float decision on the Spark side is a fixed-order IEEE
+    // expression over exact inputs (the q_sim_ivf Lloyd argument). dim=64
+    // is pinned on both sides, like q_ivf_pq_search.
+    "q_embed_pca" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE embedding IS NOT NULL),
+         idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         m AS (
+           SELECT i, j, sum(cast(p AS decimal(28,10))) AS s, count(*) AS n
+           FROM (
+             SELECT a.i AS i, b.i AS j, e.v[a.i+1] * e.v[b.i+1] AS p
+             FROM e, idx a, idx b WHERE b.i >= a.i
+             UNION ALL
+             SELECT a.i AS i, -1 AS j, e.v[a.i+1] AS p FROM e, idx a
+           ) GROUP BY i, j),
+         si AS (SELECT i, s FROM m WHERE j = -1),
+         cov AS (
+           SELECT m.i, m.j,
+             cast(round((cast(m.s AS double) - cast(a.s AS double)
+               * cast(b.s AS double) / cast(m.n AS double))
+               / cast(m.n AS double) * 1000000, 0) AS decimal(12,0)) AS c
+           FROM m JOIN si a ON a.i = m.i JOIN si b ON b.i = m.j
+           WHERE m.j >= 0),
+         covf AS (SELECT i, j, c FROM cov
+                  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
+         v1 AS (SELECT i AS k1, c AS w1 FROM covf WHERE j = 0),
+         v2 AS (SELECT covf.i,
+                  sum(cast(covf.c AS decimal(12,0))
+                    * cast(v1.w1 AS decimal(12,0))) AS w2
+                FROM covf JOIN v1 ON covf.j = v1.k1 GROUP BY covf.i),
+         mx AS (SELECT max(abs(w2)) AS mx FROM v2),
+         dir AS (SELECT v2.i,
+                   CASE WHEN mx.mx = 0 THEN cast(0 AS decimal(7,0))
+                        ELSE cast(round(cast(v2.w2 AS double)
+                          / cast(mx.mx AS double) * 1000000, 0)
+                          AS decimal(7,0)) END AS q
+                 FROM v2 CROSS JOIN mx),
+         n2 AS (SELECT sum(q * q) AS n2 FROM dir),
+         x AS (SELECT vec_id, unnest(v) AS x,
+                 unnest(generate_series(0, len(v) - 1)) AS pos FROM e),
+         proj AS (SELECT x.vec_id,
+                    sum(cast(x.x AS decimal(17,10))
+                      * cast(dir.q AS decimal(7,0))) AS s
+                  FROM x JOIN dir ON dir.i = x.pos GROUP BY x.vec_id)
+         SELECT p.vec_id,
+           CASE WHEN n2.n2 = 0 THEN 0.0
+                ELSE round(cast(p.s AS double) / sqrt(cast(n2.n2 AS double)), 6)
+           END AS pc1
+         FROM proj p CROSS JOIN n2 ORDER BY p.vec_id""",
+    "q_pca_variance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE embedding IS NOT NULL),
+         idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         m AS (
+           SELECT i, j, sum(cast(p AS decimal(28,10))) AS s, count(*) AS n
+           FROM (
+             SELECT a.i AS i, b.i AS j, e.v[a.i+1] * e.v[b.i+1] AS p
+             FROM e, idx a, idx b WHERE b.i >= a.i
+             UNION ALL
+             SELECT a.i AS i, -1 AS j, e.v[a.i+1] AS p FROM e, idx a
+           ) GROUP BY i, j),
+         si AS (SELECT i, s FROM m WHERE j = -1),
+         cov AS (
+           SELECT m.i, m.j,
+             cast(round((cast(m.s AS double) - cast(a.s AS double)
+               * cast(b.s AS double) / cast(m.n AS double))
+               / cast(m.n AS double) * 1000000, 0) AS decimal(12,0)) AS c
+           FROM m JOIN si a ON a.i = m.i JOIN si b ON b.i = m.j
+           WHERE m.j >= 0),
+         covf AS (SELECT i, j, c FROM cov
+                  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
+         v1 AS (SELECT i AS k1, c AS w1 FROM covf WHERE j = 0),
+         v2 AS (SELECT covf.i,
+                  sum(cast(covf.c AS decimal(12,0))
+                    * cast(v1.w1 AS decimal(12,0))) AS w2
+                FROM covf JOIN v1 ON covf.j = v1.k1 GROUP BY covf.i),
+         mx AS (SELECT max(abs(w2)) AS mx FROM v2),
+         dir AS (SELECT v2.i,
+                   CASE WHEN mx.mx = 0 THEN cast(0 AS decimal(7,0))
+                        ELSE cast(round(cast(v2.w2 AS double)
+                          / cast(mx.mx AS double) * 1000000, 0)
+                          AS decimal(7,0)) END AS q
+                 FROM v2 CROSS JOIN mx),
+         v3 AS (SELECT covf.i,
+                  sum(cast(covf.c AS decimal(12,0))
+                    * cast(dir.q AS decimal(8,0))) AS w3
+                FROM covf JOIN dir ON covf.j = dir.i GROUP BY covf.i),
+         num AS (SELECT sum(cast(dir.q AS decimal(8,0))
+                   * cast(v3.w3 AS decimal(30,0))) AS num
+                 FROM dir JOIN v3 ON v3.i = dir.i),
+         den AS (SELECT sum(q * q) AS den FROM dir),
+         tr AS (SELECT sum(c) AS tr FROM covf WHERE i = j)
+         SELECT
+           CASE WHEN den.den = 0 THEN 0.0
+                ELSE round(cast(num.num AS double) / cast(den.den AS double)
+                  / 1000000, 6) END AS lambda1,
+           round(cast(tr.tr AS double) / 1000000, 6) AS trace,
+           CASE WHEN den.den = 0 OR tr.tr = 0 THEN 0.0
+                ELSE round(cast(num.num AS double) / cast(den.den AS double)
+                  / cast(tr.tr AS double), 6) END AS frac
+         FROM num CROSS JOIN den CROSS JOIN tr ORDER BY lambda1""",
     "q_vocab_coverage" ->
       """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
                       FROM documents),

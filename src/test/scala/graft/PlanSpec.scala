@@ -292,7 +292,14 @@ class PlanSpec extends SparkSpec {
       // penalty; the (doc,bucket) collapse and the score join stay
       // distributed. The resampler adds only a scan-local Gumbel +
       // TakeOrdered on top of the same weights.
-      "q_dsir", "q_dsir_resample")
+      "q_dsir", "q_dsir_resample",
+      // PCA's power-iteration scalars (max|v2|, |q|^2, the Rayleigh
+      // numerator/denominator, the trace) are one-row aggregates over the
+      // ALREADY-REDUCED dim- and dim^2-row matrix frames (64 / 4,160 rows
+      // whatever the corpus size); the corpus-scale stages — the moments
+      // explode and the projection — are map-side-combining hash
+      // aggregates that stay distributed.
+      "q_embed_pca", "q_pca_variance")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
