@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing:
+ * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+ * algorithm): hash every k-char gram of the normalized text, slide a
+ * w-hash window, and keep each window's minimum hash. The selected set is
+ * a LOCAL fingerprint: any substring shared between two documents of
+ * length ≥ w + k − 1 chars is guaranteed to contribute at least one
+ * shared fingerprint, at an expected density of 2/(w+1) fingerprints per
+ * gram — position-robust (unlike [[Dedup.duplicatedSpans]]' fixed
+ * anchors) and threshold-guaranteed (unlike MinHash, which is
+ * probabilistic in the OVERLAP, not just the sample). REF has no
+ * fingerprinting surface (its 966 LoC are masking); this extends
+ * SURVEY §2.9-L1 dedup the way containment/substring dedup do.
+ *
+ * Scale shape: fingerprint SELECTION is entirely scan-local — one
+ * projection computes the gram-hash array and a second selects window
+ * minima with higher-order array functions, so a 100 TB corpus pays zero
+ * shuffle until the (doc, fingerprint) rows census-aggregate. The window
+ * scan is O(m·w) comparisons per doc (w is a small constant; the md5s
+ * are O(m) — what gram hashing costs in any engine). Detection then
+ * bucket-joins on the fingerprint value with the [[Dedup.capBlocks]]
+ * boilerplate guard, never all-pairs.
+ *
+ * Portability: gram hashes are [[Dedup.portableHash64]] (md5-derived), the
+ * window minimum breaks hash ties toward the RIGHTMOST position (the
+ * paper's rule, expressed as array_min over (h, −pos) structs), and
+ * selection is a pure function of the text — so the full pipeline,
+ * selection included, is re-runnable in any md5-capable engine and
+ * oracle-checks bit-for-bit.
+ */
+object Winnow {
+
+  /** Default gram length / window width: t = w + k − 1 = 39 chars is the
+    * guaranteed-detection threshold — half a sentence of verbatim overlap,
+    * long enough that small-vocabulary prose doesn't alias (k=12 grams
+    * over a 60-word vocabulary collide across most doc pairs; measured on
+    * the fixture: 22.8k spurious pairs at k=12 vs 27 true ones at k=24). */
+  val DefaultK = 24
+  val DefaultW = 16
+
+  /** Whitespace-collapsed lowercase text — [[Dedup.fingerprint]]'s
+    * canonicalization, shared so exact and local fingerprints agree on
+    * what "the text" is. */
+  private def canon(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /**
+   * Per-document winnowed fingerprints: (idCol, fp, pos) — the selected
+   * gram hashes with their 1-based positions in the canonical text,
+   * distinct per document. Documents shorter than k chars (nothing to
+   * gram) emit no rows. Entirely scan-local: the only shuffle is
+   * [[Scale.spreadForCompute]]'s width fix for compact fixture scans.
+   */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
+    val spread = Scale.spreadForCompute(
+      docs.filter(col(textCol).isNotNull &&
+        length(canon(col(textCol))) >= k), col(idCol))
+    // gram-hash array in its own projection: multi-referenced (size +
+    // slice) and expensive (one md5 per gram), so Catalyst keeps it
+    // materialized rather than recomputing per consumer
+    val grams = spread
+      .select(col(idCol), canon(col(textCol)).as("__t"))
+      .select(col(idCol), transform(
+        sequence(lit(1), length(col("__t")) - lit(k - 1)),
+        i => struct(
+          Dedup.portableHash64(col("__t").substr(i, lit(k))).as("h"),
+          (-i).as("ni"))).as("__hs"))
+    // each window's min struct = (smallest hash, rightmost position):
+    // struct comparison is field-lexicographic, and ni = −pos makes the
+    // tie-break pick the largest pos — the paper's selection rule
+    val nw = greatest(size(col("__hs")) - lit(w - 1), lit(1))
+    grams
+      .select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(1), nw),
+        j => array_min(slice(col("__hs"), j, lit(w)))))).as("__fp"))
+      .select(col(idCol), col("__fp.h").as("fp"),
+        (-col("__fp.ni")).cast("long").as("pos"))
+  }
+
+  /**
+   * MOSS-style overlap detection: document pairs sharing ≥ `minShared`
+   * winnowed fingerprints, with the shared count — (id_a, id_b,
+   * n_shared), id_a < id_b. Fingerprints shared by more than `maxBlock`
+   * documents are boilerplate (license headers, navigation chrome) and
+   * are census-dropped before pairing ([[Dedup.capBlocks]]), bounding any
+   * bucket's pair expansion; everything else is an equi-join on the
+   * fingerprint value — never all-pairs, so detection cost is
+   * O(Σ bucket²) over honest buckets only.
+   */
+  def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultK, w: Int = DefaultW, minShared: Int = 3,
+      maxBlock: Int = 64): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = Dedup.capBlocks(fp, "fp", maxBlock)
+    val pairs = kept.select(col(idCol).as("id_a"), col("fp"))
+      .join(kept.select(col(idCol).as("id_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    Scale.releaseAfterUse(pairs, Seq(fp))
+  }
+}

@@ -59,6 +59,53 @@ object Pipeline {
     * [[KeepLineSql]] so the two cannot desync. */
   private val LineFilterMinWords = 5
 
+  /** q_winnow_overlap's shared-fingerprint threshold and boilerplate
+    * census cap — part of the operator definition, shared by the engine
+    * call and [[WinnowSql]]. */
+  private val WinnowMinShared = 3
+  private val WinnowMaxBlock = 64
+
+  /** Shared winnowing oracle prelude: canonical text → k-gram portable
+    * hashes → window minima (rightmost tie-break recovered as max(pos)
+    * among each window's min-hash grams) → fingerprint/pair frames.
+    * k and w interpolate from [[graft.operators.Winnow]]'s constants so
+    * the oracle re-runs the engine's exact selection. */
+  private def WinnowSql(select: String): String = {
+    val k = graft.operators.Winnow.DefaultK
+    val w = graft.operators.Winnow.DefaultW
+    s"""WITH d AS (
+           SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+           FROM documents WHERE text IS NOT NULL),
+         dk AS (SELECT doc_id, t, length(t) - ${k - 1} AS m FROM d
+                WHERE length(t) >= $k),
+         gh AS (
+           SELECT doc_id, i,
+             ('0x' || substr(md5(substring(t, i, $k)), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, t, unnest(generate_series(1, m)) AS i
+                 FROM dk)),
+         win AS (SELECT doc_id,
+                   unnest(generate_series(1, greatest(m - ${w - 1}, 1))) AS j
+                 FROM dk),
+         wmin AS (
+           SELECT w.doc_id, w.j, min(g.h) AS h
+           FROM win w JOIN gh g ON g.doc_id = w.doc_id
+             AND g.i BETWEEN w.j AND w.j + ${w - 1}
+           GROUP BY w.doc_id, w.j),
+         fp0 AS (
+           SELECT m.doc_id, m.h, max(g.i) AS pos
+           FROM wmin m JOIN gh g ON g.doc_id = m.doc_id AND g.h = m.h
+             AND g.i BETWEEN m.j AND m.j + ${w - 1}
+           GROUP BY m.doc_id, m.j, m.h),
+         fps AS (SELECT DISTINCT doc_id, h FROM wmin),
+         cens AS (SELECT h FROM fps GROUP BY h
+                  HAVING count(*) <= $WinnowMaxBlock),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           FROM fps a JOIN cens USING (h) JOIN fps b USING (h)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         $select"""
+  }
+
   /** Curation.keepLine as a DuckDB lambda-body fragment over a line `l`,
     * parameterized on minWords exactly like the engine's keepLine; banned
     * phrases interpolated from the shared constant. */
@@ -700,6 +747,25 @@ object Pipeline {
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           col("clean_text"))
         .orderBy("doc_id")
+    }),
+    // A7/L1 — winnowed fingerprints (the MOSS local-fingerprint modality):
+    // each doc's window-min gram hashes with positions. Selection is
+    // entirely scan-local (higher-order array functions over the portable
+    // md5 gram hashes — zero shuffle before the dump); any ≥39-char shared
+    // substring is guaranteed a shared fingerprint. See Winnow.
+    "q_winnow_fp" -> ((s, dir) => {
+      graft.operators.Winnow.fingerprints(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "pos", "fp")
+    }),
+    // A7/L1 — MOSS overlap detection over those fingerprints: pairs
+    // sharing ≥ 3, via a capped census join on the fingerprint value
+    // (boilerplate fps census-dropped at 64 docs) — never all-pairs.
+    "q_winnow_overlap" -> ((s, dir) => {
+      graft.operators.Winnow.overlapPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          minShared = WinnowMinShared, maxBlock = WinnowMaxBlock)
+        .orderBy("id_a", "id_b")
     }),
     // L1 — TF-IDF: top-3 terms per doc. tf and df are two hash aggregates
     // off one tokenize pass; N arrives via a broadcast one-row cross join
@@ -3183,6 +3249,18 @@ object Pipeline {
            count(*) AS n_anchors
          FROM flagged GROUP BY doc_id, grp
          ORDER BY doc_id, span_start""",
+    // Winnowing re-run relationally: per-doc k-grams with the portable
+    // md5 hash, window minima via a (doc, window) x (doc, gram) range
+    // join with rightmost tie-break recovered as max(pos) among the
+    // window's min-hash grams — the same selected set the engine's
+    // scan-local array_min produces. Parameters interpolate from the
+    // Winnow constants so the two sides cannot desync.
+    "q_winnow_fp" -> WinnowSql(
+      """SELECT DISTINCT doc_id, h AS fp, pos::BIGINT AS pos FROM fp0
+         ORDER BY doc_id, pos, fp"""),
+    "q_winnow_overlap" -> WinnowSql(
+      s"""SELECT id_a, id_b, n_shared FROM pairs
+          WHERE n_shared >= $WinnowMinShared ORDER BY id_a, id_b"""),
     // Same spans, then removal: every covered word position anti-joins
     // out of the token list and survivors reassemble in position order.
     "q_dedup_substring_clean" ->

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Winnow
+
+/** Winnowing fingerprint selection and MOSS overlap detection. */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("guarantee: a shared substring of >= w+k-1 chars yields at least " +
+      "one shared fingerprint, whatever its position") {
+    val k = 8; val w = 4 // threshold t = 11 chars
+    val shared = "the quick brown fox jumps over the lazy dog" // 44 chars
+    val a = s"$shared and then some completely different tail content here"
+    val b = s"unrelated prefix text first then $shared"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(df, "doc_id", "text", k, w)
+    val fa = fp.filter($"doc_id" === 1L).select("fp").as[Long].collect().toSet
+    val fb = fp.filter($"doc_id" === 2L).select("fp").as[Long].collect().toSet
+    assert((fa & fb).nonEmpty, "planted 44-char overlap produced no shared fp")
+  }
+
+  test("density: every w consecutive windows select at least one " +
+      "fingerprint, and never more than one per window") {
+    val k = 8; val w = 4
+    val text = "word soup " * 20 + (1 to 30).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val m = text.toLowerCase.replaceAll("\\s+", " ").length - k + 1
+    val nw = math.max(m - w + 1, 1)
+    val nFps = Winnow.fingerprints(df, "doc_id", "text", k, w).count()
+    assert(nFps <= nw)
+    // one selected (hash, pos) can be the min of at most w windows
+    assert(nFps >= math.ceil(nw.toDouble / w).toLong, s"$nFps < $nw/$w")
+  }
+
+  test("tie-break: equal window-min hashes select the RIGHTMOST position " +
+      "(the paper's rule)") {
+    // "aaaaaaa": every 2-gram is "aa" (same hash); window j of width 4
+    // must select its rightmost slot j+3
+    val df = Seq((1L, "aaaaaaa")).toDF("doc_id", "text")
+    val got = Winnow.fingerprints(df, "doc_id", "text", k = 2, w = 4)
+      .select("pos").as[Long].collect().toSet
+    // 6 grams, 3 windows at j=1,2,3 -> rightmost slots 4,5,6
+    assert(got == Set(4L, 5L, 6L))
+  }
+
+  test("overlap: a planted near-dup pair is detected; unrelated docs are " +
+      "not, and sub-threshold docs emit no fingerprints") {
+    val shared = "all work and no play makes jack a dull boy " * 3
+    val docs = Seq(
+      (1L, shared + "ending one for the first document variant"),
+      (2L, "different opening for the second one " + shared),
+      (3L, "completely unrelated content about query optimizers and joins"),
+      (4L, "short")) // < k chars after canon: no grams, no fingerprints
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Winnow.overlapPairs(df, "doc_id", "text",
+        minShared = 3, maxBlock = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    assert(Winnow.fingerprints(df.filter($"doc_id" === 4L),
+      "doc_id", "text").count() == 0L)
+  }
+
+  test("boilerplate cap: a fingerprint shared by more than maxBlock docs " +
+      "is census-dropped before pairing") {
+    val boiler = "this exact license header appears on every single file " +
+      "in the corpus and must not explode the pair join"
+    val df = (1L to 10L).map(i => (i, boiler)).toDF("doc_id", "text")
+    // every fp is in all 10 docs; cap at 9 drops them all -> no pairs
+    assert(Winnow.overlapPairs(df, "doc_id", "text",
+      minShared = 1, maxBlock = 9).count() == 0L)
+    // raising the cap restores detection
+    assert(Winnow.overlapPairs(df, "doc_id", "text",
+      minShared = 1, maxBlock = 10).count() == 45L)
+  }
+}
