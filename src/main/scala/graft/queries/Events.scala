@@ -283,6 +283,20 @@ object Events {
         Seq(col("ts"), col("event_id")))
       graft.operators.Graph.triangles(edges)
         .orderBy("a", "b", "c")
+    }),
+    // Bounded-radius harmonic centrality on the same transition graph —
+    // the Common Crawl host-ranking signal (Boldi & Vigna 2014), radius 3,
+    // exact lcm-scaled integers (h_scaled = 6n1 + 3n2 + 2n3) so ranks are
+    // bit-portable. Three reverse-BFS rounds, each one frontier⋈edges join
+    // + distinct + visited anti-join, all keyed on the node.
+    "q_harmonic" -> ((s, dir) => {
+      val edges = graft.operators.Graph.transitionEdges(
+        t(s, dir, "events"), "user_id", "event_type",
+        Seq(col("ts"), col("event_id")))
+      graft.operators.Graph.harmonicCentrality(edges, 3)
+        .select(col("node").as("event_type"), col("n1"), col("n2"),
+          col("n3"), col("h_scaled"))
+        .orderBy("event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -518,5 +532,46 @@ object Events {
            FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b)
          SELECT w.a, w.b, w.c FROM wedge w
          WHERE EXISTS (SELECT 1 FROM und u WHERE u.a = w.b AND u.b = w.c)
-         ORDER BY a, b, c""")
+         ORDER BY a, b, c""",
+    // Harmonic centrality re-run as three unrolled reverse-BFS rounds:
+    // distance-r node sets via EXCEPT against earlier rounds and the
+    // identity, exact integer lcm(1..3)-scaled sum — Graph.harmonic-
+    // Centrality verbatim.
+    "q_harmonic" ->
+      """WITH seq AS (
+           SELECT event_type AS dst,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS src
+           FROM events),
+         edges AS (SELECT DISTINCT src, dst FROM seq WHERE src IS NOT NULL),
+         nodes AS (SELECT src AS node FROM edges
+                   UNION SELECT dst FROM edges),
+         e AS (SELECT DISTINCT dst AS v, src AS u FROM edges
+               WHERE src <> dst),
+         d1 AS (SELECT v, u FROM e),
+         v2 AS (SELECT DISTINCT d1.v AS v, e2.u AS u
+                FROM d1 JOIN e AS e2 ON e2.v = d1.u),
+         d2 AS (SELECT v, u FROM v2
+                EXCEPT SELECT v, u FROM d1
+                EXCEPT SELECT node, node FROM nodes),
+         v3 AS (SELECT DISTINCT d2.v AS v, e3.u AS u
+                FROM d2 JOIN e AS e3 ON e3.v = d2.u),
+         d3 AS (SELECT v, u FROM v3
+                EXCEPT SELECT v, u FROM d2
+                EXCEPT SELECT v, u FROM d1
+                EXCEPT SELECT node, node FROM nodes),
+         c1 AS (SELECT v, count(*) AS n FROM d1 GROUP BY v),
+         c2 AS (SELECT v, count(*) AS n FROM d2 GROUP BY v),
+         c3 AS (SELECT v, count(*) AS n FROM d3 GROUP BY v)
+         SELECT n.node AS event_type,
+           coalesce(c1.n, 0)::BIGINT AS n1,
+           coalesce(c2.n, 0)::BIGINT AS n2,
+           coalesce(c3.n, 0)::BIGINT AS n3,
+           (coalesce(c1.n, 0) * 6 + coalesce(c2.n, 0) * 3
+             + coalesce(c3.n, 0) * 2)::BIGINT AS h_scaled
+         FROM nodes n
+         LEFT JOIN c1 ON c1.v = n.node
+         LEFT JOIN c2 ON c2.v = n.node
+         LEFT JOIN c3 ON c3.v = n.node
+         ORDER BY event_type""")
 }

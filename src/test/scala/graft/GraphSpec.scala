@@ -99,4 +99,45 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(got == Set(("a", "b", "c"), ("b", "c", "d")))
   }
+
+  test("harmonicCentrality: exact per-radius counts on a directed path " +
+      "a->b->c->d->e, truncated at radius 3") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w")
+    val got = Graph.harmonicCentrality(edges, 3).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // d(u,v) along the path; radius-3 truncation drops a->e (distance 4)
+    assert(got("a") == (0L, 0L, 0L, 0L))
+    assert(got("b") == (1L, 0L, 0L, 6L))
+    assert(got("c") == (1L, 1L, 0L, 9L))
+    assert(got("d") == (1L, 1L, 1L, 11L))
+    assert(got("e") == (1L, 1L, 1L, 11L)) // a at distance 4: dropped
+  }
+
+  test("harmonicCentrality: a star's hub collects every spoke at " +
+      "distance 1; spokes reach nothing (directed toward the hub)") {
+    import spark.implicits._
+    val edges = (1 to 50).map(i => (f"s$i%02d", "hub", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.harmonicCentrality(edges, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got("hub") == 50L * 6)
+    assert((1 to 50).forall(i => got(f"s$i%02d") == 0L))
+  }
+
+  test("harmonicCentrality: cycles and self-loops do not double-count " +
+      "(distance sets are exact, not walk counts)") {
+    import spark.implicits._
+    // 3-cycle with a self-loop: every node reaches both others once
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "a"))
+      .map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w")
+    val got = Graph.harmonicCentrality(edges, 3).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    Seq("a", "b", "c").foreach { n =>
+      assert(got(n) == (1L, 1L, 0L, 9L), s"node $n: ${got(n)}")
+    }
+  }
 }
