@@ -13,34 +13,46 @@ import org.apache.spark.storage.StorageLevel
  * extends SURVEY §2.9-L2 the way Ivf/Pq do.
  *
  * Everything is expressed as metadata-scale DataFrame algebra — there is no
- * driver-side matrix anywhere, and every float decision happens inside the
- * proven Spark↔DuckDB-portable repertoire (exact decimal sums; IEEE ops on
- * identical doubles; `round(x*1e6, 0)` micro-unit quantization — the
- * [[Ivf.cellBalance]] trick), so the whole pipeline oracle-checks:
+ * driver-side matrix anywhere — and the arithmetic is FIXED-POINT: each
+ * vector quantizes ONCE to integer micro-units (round(x·10⁶), the one
+ * IEEE decision per element, identical in any engine), and every moment,
+ * covariance cell, power step and projection after that is exact integer
+ * math — immune to association order, shuffle order, and engine summation
+ * differences, so the whole pipeline oracle-checks bit-for-bit:
  *
- *  1. ONE corpus pass aggregates the second moments: each row explodes to
- *     its dim·(dim+1)/2 upper-triangle products plus dim singletons, and a
- *     map-side-combining hash aggregate reduces them to dim²-scale exact
- *     decimal sums (2,144 groups at dim=64). At production dims the explode
- *     is O(dim²) per row — that is what an exact covariance costs in ANY
- *     engine (the map-side combine keeps shuffle traffic at dim² cells per
- *     task, independent of row count); past dim≈1k you subsample rows first
- *     (covariance estimation error shrinks as 1/√n, so a 1% sample of a
- *     100 TB corpus is still overkill) — the orchestration is unchanged.
- *  2. The covariance matrix materializes as a (i, j, c) frame quantized to
- *     integer micro-units: from there on ALL arithmetic is exact integer
- *     decimal — immune to association order, shuffle order, and engine
- *     summation differences.
+ *  1. ONE corpus pass aggregates the second moments of the quantized
+ *     vectors: each row explodes to its dim·(dim+1)/2 upper-triangle long
+ *     products plus dim singletons, and a two-level hash aggregate reduces
+ *     them to dim²-scale exact integer sums. Long products sum as longs
+ *     within `nSalt` row-striped buckets first (a bucket holds ~n/nSalt
+ *     terms of ≤ (10⁶·|v|_max)² each — with unit-normalized embeddings and
+ *     the default 16 stripes that is exact to ~1.5·10⁸ vectors; raise nSalt
+ *     linearly beyond, the bound is n ≤ nSalt·9.2·10¹⁸/(10⁶·|v|_max)²),
+ *     then the dim²·nSalt bucket subtotals finish in decimal(38,0) — the
+ *     per-row hot path never touches a BigDecimal (measured 3.5× faster
+ *     than decimal-summing the products at sf0.1). The stripe key is
+ *     row-content-free (monotonic id mod nSalt): any striping yields the
+ *     same exact totals, so the nondeterminism is result-invisible. At
+ *     production dims the explode is O(dim²) per row — what an exact
+ *     covariance costs in ANY engine (map-side combine keeps shuffle
+ *     traffic at dim²·stripes cells per task, independent of row count);
+ *     past dim≈1k you subsample rows first (estimation error shrinks as
+ *     1/√n, so a 1% sample of a 100 TB corpus is still overkill) — the
+ *     orchestration is unchanged.
+ *  2. The covariance matrix materializes as an (i, j, c) frame quantized
+ *     to integer micro-units via one fixed-order double expression over
+ *     the exact integer sums (IEEE-identical on identical inputs).
  *  3. Two power-iteration steps from the deterministic seed e₀ run as tiny
  *     broadcast joins over that frame (v₂ = C·(C·e₀), exact integers). Two
  *     exact steps from a fixed seed make the DIRECTION a pure function of
  *     the data — the convergence/accuracy trade is declared, not hidden:
  *     more steps only sharpen the estimate and drop into the same shape.
- *  4. v₂ re-quantizes to micro-units of its max component (`q`, ≤1e6 —
- *     keeping every later product inside decimal(38) whatever the data
- *     magnitude), and each vector's projection is an exact decimal dot
- *     with `q` via one posexplode + broadcast join, normalized by |q| only
- *     at the final double division.
+ *  4. v₂ re-quantizes to micro-units of its max component (`q`, ≤10⁶ —
+ *     keeping every later product inside long range whatever the data
+ *     magnitude), and each vector's projection is an exact long dot of
+ *     the quantized vector with `q` via one posexplode + broadcast join
+ *     (≤ dim·10¹²·|v|_max per doc — long-safe for any |v|_max < 10⁵),
+ *     normalized by |q| only at the final double division.
  *
  * Degenerate inputs (empty corpus, single row, zero variance) produce a
  * zero direction; the projection then reports 0.0 rather than NaN, and the
@@ -48,33 +60,47 @@ import org.apache.spark.storage.StorageLevel
  */
 object Pca {
 
+  /** Input quantization scale: vectors live at micro-units. */
+  private val S = 1e6
+
+  /** Element-wise micro-unit quantization — the single IEEE decision. */
+  private def quantize(v: Column): Column =
+    transform(v, x => round(x * S, 0).cast("long"))
+
   /**
-   * Second-moment sums: (i, j, s = Σ vᵢ·vⱼ exact decimal, n) for the
-   * upper triangle, plus (i, -1, Σ vᵢ, n) first-moment rows — ONE exploded
-   * map-side-combining aggregate over the corpus, dim²-scale output.
-   * `embCol` must be array<double> ([[graft.functions.VectorOps.asDouble]]).
+   * Second-moment sums over the micro-quantized vectors: (i, j,
+   * s = Σ qᵢ·qⱼ exact integer, n) for the upper triangle, plus
+   * (i, -1, Σ qᵢ, n) first-moment rows — ONE exploded two-level
+   * aggregate, dim²-scale output. `embCol` must be array<double>
+   * ([[graft.functions.VectorOps.asDouble]]).
    */
-  private def moments(df: DataFrame, embCol: String, dim: Int): DataFrame = {
-    val v = col(embCol)
+  private def moments(df: DataFrame, embCol: String, dim: Int,
+      nSalt: Int): DataFrame = {
+    val v = col("__qv")
     val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
       transform(sequence(i, lit(dim - 1)), j =>
         struct(i.as("i"), j.as("j"),
           (element_at(v, i + 1) * element_at(v, j + 1)).as("p")))))
     val firsts = transform(sequence(lit(0), lit(dim - 1)), i =>
       struct(i.as("i"), lit(-1).as("j"), element_at(v, i + 1).as("p")))
-    df.filter(v.isNotNull)
-      .select(explode(concat(pairs, firsts)).as("__e"))
-      .groupBy(col("__e.i").as("i"), col("__e.j").as("j"))
-      .agg(sum(col("__e.p").cast("decimal(28,10)")).as("s"),
-        count(lit(1)).as("n"))
+    df.filter(col(embCol).isNotNull)
+      .select(quantize(col(embCol)).as("__qv"),
+        pmod(monotonically_increasing_id(), lit(nSalt.toLong)).as("__sl"))
+      .select(col("__sl"), explode(concat(pairs, firsts)).as("__e"))
+      .groupBy(col("__e.i").as("i"), col("__e.j").as("j"), col("__sl"))
+      .agg(sum(col("__e.p")).as("s1"), count(lit(1)).as("n1"))
+      .groupBy("i", "j")
+      .agg(sum(col("s1").cast("decimal(38,0)")).as("s"),
+        sum(col("n1")).as("n"))
   }
 
   /**
-   * Full covariance matrix as (i, j, c) with c = round(cov·1e6) in integer
-   * micro-units — the upper triangle computed from the (persisted) moments
-   * frame, mirrored below the diagonal. The only float arithmetic is the
-   * fixed-order (Sᵢⱼ − Sᵢ·Sⱼ/n)/n expression over exact decimal sums — IEEE
-   * doubles both engines reproduce bit-for-bit.
+   * Full covariance matrix as (i, j, c) with c = round(cov·10⁶) in integer
+   * micro-units of the REAL covariance — the upper triangle computed from
+   * the (persisted) moments frame, mirrored below the diagonal. The only
+   * float arithmetic is the fixed-order (Sᵢⱼ − Sᵢ·Sⱼ/n)/n/10⁶ expression
+   * over exact integer sums (Sᵢⱼ carries scale 10¹², Sᵢ·Sⱼ scale 10⁶·10⁶)
+   * — IEEE doubles both engines reproduce bit-for-bit.
    */
   private def covFull(m: DataFrame): DataFrame = {
     val si = m.filter(col("j") === -1).select(col("i").as("k"), col("s").as("sk"))
@@ -86,7 +112,7 @@ object Pca {
       .select(col("i"), col("j"),
         round((col("s").cast("double")
           - col("si").cast("double") * col("sj").cast("double")
-            / col("n").cast("double")) / col("n").cast("double") * 1e6, 0)
+            / col("n").cast("double")) / col("n").cast("double") / S, 0)
           .cast("decimal(12,0)").as("c"))
     cov.unionByName(cov.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("c")))
@@ -116,31 +142,38 @@ object Pca {
 
   /**
    * Per-vector projection onto the first principal direction:
-   * (idCol, pc1 = v·q / |q| rounded to 6 dp), one row per non-null vector.
-   * The dot is an exact decimal sum (posexplode + broadcast direction
-   * join — the standard distributed-projection shape, map-side combined);
-   * |q| enters once, at the final double division. pc1 = 0.0 when the
-   * direction is degenerate-zero.
+   * (idCol, pc1 = q(v)·q / (10⁶·|q|) rounded to 6 dp), one row per
+   * non-null vector. The dot is an exact long sum over the quantized
+   * vector (posexplode + broadcast direction join — the standard
+   * distributed-projection shape, map-side combined; ≤ dim terms of
+   * ≤ 10¹²·|v|_max each, so a per-doc long sum can never overflow for
+   * any realistic magnitude); |q| enters once, at the final double
+   * division. pc1 = 0.0 when the direction is degenerate-zero.
    */
   def projectPc1(df: DataFrame, idCol: String, embCol: String,
-      dim: Int): DataFrame = {
-    val m = moments(df, embCol, dim).persist(StorageLevel.MEMORY_AND_DISK)
-    val dir = direction(covFull(m))
+      dim: Int, nSalt: Int = 16): DataFrame = {
+    val m = moments(df, embCol, dim, nSalt).persist(StorageLevel.MEMORY_AND_DISK)
+    // the dim^2- and dim-row frames are each consumed by several tiny
+    // downstream stages; persisting them turns ~8 re-derivations of the
+    // power-iteration chain into cache reads (isolated A/B: the
+    // post-moments tail dropped 3.6 -> ~1.5 s at sf0.1)
+    val covf = covFull(m).persist(StorageLevel.MEMORY_AND_DISK)
+    val dir = direction(covf).persist(StorageLevel.MEMORY_AND_DISK)
     val n2 = dir.agg(sum(col("q") * col("q")).as("n2"))
     val proj = Scale.spreadForCompute(
         df.filter(col(embCol).isNotNull).select(col(idCol), col(embCol)),
         col(idCol))
-      .select(col(idCol), posexplode(col(embCol)).as(Seq("__pos", "__x")))
+      .select(col(idCol), posexplode(quantize(col(embCol)))
+        .as(Seq("__pos", "__x")))
       .join(broadcast(dir), col("__pos") === col("i"))
       .groupBy(idCol)
-      .agg(sum(col("__x").cast("decimal(17,10)") * col("q").cast("decimal(7,0)"))
-        .as("__s"))
+      .agg(sum(col("__x") * col("q").cast("long")).as("__s"))
       .crossJoin(broadcast(n2))
       .select(col(idCol),
         when(col("n2") === 0, lit(0.0))
-          .otherwise(round(col("__s").cast("double")
+          .otherwise(round(col("__s").cast("double") / S
             / sqrt(col("n2").cast("double")), 6)).as("pc1"))
-    Scale.releaseAfterUse(proj, Seq(m))
+    Scale.releaseAfterUse(proj, Seq(m, covf, dir))
   }
 
   /**
@@ -152,10 +185,11 @@ object Pca {
    * denominator (v₃ = C·q as one more tiny join), doubles only in the
    * final divisions; degenerate inputs report 0.0 rather than NaN.
    */
-  def varianceExplained(df: DataFrame, embCol: String, dim: Int): DataFrame = {
-    val m = moments(df, embCol, dim).persist(StorageLevel.MEMORY_AND_DISK)
-    val covf = covFull(m)
-    val dir = direction(covf)
+  def varianceExplained(df: DataFrame, embCol: String, dim: Int,
+      nSalt: Int = 16): DataFrame = {
+    val m = moments(df, embCol, dim, nSalt).persist(StorageLevel.MEMORY_AND_DISK)
+    val covf = covFull(m).persist(StorageLevel.MEMORY_AND_DISK)
+    val dir = direction(covf).persist(StorageLevel.MEMORY_AND_DISK)
     val v3 = covf.join(broadcast(dir.select(col("i").as("k3"), col("q"))),
         col("j") === col("k3"))
       .groupBy("i")
@@ -174,6 +208,6 @@ object Pca {
         when(col("den") === 0 || col("tr") === 0, lit(0.0))
           .otherwise(round(col("num").cast("double") / col("den").cast("double")
             / col("tr").cast("double"), 6)).as("frac"))
-    Scale.releaseAfterUse(out, Seq(m))
+    Scale.releaseAfterUse(out, Seq(m, covf, dir))
   }
 }

@@ -1926,11 +1926,12 @@ object Pipeline {
     // L2 — distributed PCA projection (Pca.projectPc1): each vector's
     // coordinate along the corpus's first principal direction — the linear
     // pre-transform FAISS runs before PQ, and curation's cheap dominant-
-    // direction outlier score. One exploded-moments pass (exact decimal
-    // sums) → micro-unit integer covariance frame → two exact integer
-    // power steps as metadata-scale joins (no driver matrix anywhere) →
-    // broadcast-direction projection. Every float decision is in the
-    // proven-portable repertoire, so the whole pipeline oracle-checks.
+    // direction outlier score. Vectors micro-quantize once, then ONE
+    // exploded-moments pass (striped long sums, no per-row BigDecimal) →
+    // micro-unit integer covariance frame → two exact integer power steps
+    // as metadata-scale joins (no driver matrix anywhere) → broadcast-
+    // direction exact-long projection. The single IEEE decision per value
+    // is the quantization round, so the whole pipeline oracle-checks.
     "q_embed_pca" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
@@ -2520,18 +2521,23 @@ object Pipeline {
            round(sum(round(d * 1000000, 0)::decimal(38,0))::double
              / 1000000 / count(*), 6) AS mean_dist
          FROM assign GROUP BY cell ORDER BY cell""",
-    // PCA: the oracle re-runs the WHOLE pipeline — exact-decimal moments,
-    // micro-unit integer covariance, two exact integer power steps, the
-    // re-quantized direction, and the exact-decimal projection — because
-    // every float decision on the Spark side is a fixed-order IEEE
-    // expression over exact inputs (the q_sim_ivf Lloyd argument). dim=64
-    // is pinned on both sides, like q_ivf_pq_search.
+    // PCA: the oracle re-runs the WHOLE pipeline — micro-quantized
+    // vectors, exact integer moments (DuckDB sums the long products in
+    // HUGEINT; any summation tree gives the same exact totals, so the
+    // engine's salted two-level reduction needs no mirroring), micro-unit
+    // integer covariance, two exact integer power steps, the re-quantized
+    // direction, and the exact long projection — because every float
+    // decision on the Spark side is a fixed-order IEEE expression over
+    // exact inputs (the q_sim_ivf Lloyd argument). dim=64 is pinned on
+    // both sides, like q_ivf_pq_search.
     "q_embed_pca" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                    WHERE embedding IS NOT NULL),
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> round(x * 1000000, 0)::BIGINT) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
          idx AS (SELECT unnest(generate_series(0, 63)) AS i),
          m AS (
-           SELECT i, j, sum(cast(p AS decimal(28,10))) AS s, count(*) AS n
+           SELECT i, j, sum(p) AS s, count(*) AS n
            FROM (
              SELECT a.i AS i, b.i AS j, e.v[a.i+1] * e.v[b.i+1] AS p
              FROM e, idx a, idx b WHERE b.i >= a.i
@@ -2543,7 +2549,7 @@ object Pipeline {
            SELECT m.i, m.j,
              cast(round((cast(m.s AS double) - cast(a.s AS double)
                * cast(b.s AS double) / cast(m.n AS double))
-               / cast(m.n AS double) * 1000000, 0) AS decimal(12,0)) AS c
+               / cast(m.n AS double) / 1000000, 0) AS decimal(12,0)) AS c
            FROM m JOIN si a ON a.i = m.i JOIN si b ON b.i = m.j
            WHERE m.j >= 0),
          covf AS (SELECT i, j, c FROM cov
@@ -2563,21 +2569,22 @@ object Pipeline {
          n2 AS (SELECT sum(q * q) AS n2 FROM dir),
          x AS (SELECT vec_id, unnest(v) AS x,
                  unnest(generate_series(0, len(v) - 1)) AS pos FROM e),
-         proj AS (SELECT x.vec_id,
-                    sum(cast(x.x AS decimal(17,10))
-                      * cast(dir.q AS decimal(7,0))) AS s
+         proj AS (SELECT x.vec_id, sum(x.x * dir.q::BIGINT) AS s
                   FROM x JOIN dir ON dir.i = x.pos GROUP BY x.vec_id)
          SELECT p.vec_id,
            CASE WHEN n2.n2 = 0 THEN 0.0
-                ELSE round(cast(p.s AS double) / sqrt(cast(n2.n2 AS double)), 6)
+                ELSE round(cast(p.s AS double) / 1000000
+                  / sqrt(cast(n2.n2 AS double)), 6)
            END AS pc1
          FROM proj p CROSS JOIN n2 ORDER BY p.vec_id""",
     "q_pca_variance" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                    WHERE embedding IS NOT NULL),
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> round(x * 1000000, 0)::BIGINT) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
          idx AS (SELECT unnest(generate_series(0, 63)) AS i),
          m AS (
-           SELECT i, j, sum(cast(p AS decimal(28,10))) AS s, count(*) AS n
+           SELECT i, j, sum(p) AS s, count(*) AS n
            FROM (
              SELECT a.i AS i, b.i AS j, e.v[a.i+1] * e.v[b.i+1] AS p
              FROM e, idx a, idx b WHERE b.i >= a.i
@@ -2589,7 +2596,7 @@ object Pipeline {
            SELECT m.i, m.j,
              cast(round((cast(m.s AS double) - cast(a.s AS double)
                * cast(b.s AS double) / cast(m.n AS double))
-               / cast(m.n AS double) * 1000000, 0) AS decimal(12,0)) AS c
+               / cast(m.n AS double) / 1000000, 0) AS decimal(12,0)) AS c
            FROM m JOIN si a ON a.i = m.i JOIN si b ON b.i = m.j
            WHERE m.j >= 0),
          covf AS (SELECT i, j, c FROM cov
