@@ -65,6 +65,39 @@ object Pipeline {
   private val WinnowMinShared = 3
   private val WinnowMaxBlock = 64
 
+  /** KMV sketch size for q_kmv_card / q_kmv_overlap — 16 keeps the
+    * estimator ACTIVE at sf0.01 (25 docs per source > k), so the oracle
+    * exercises the (k−1)·2⁶⁰/h₍ₖ₎ path, not just the exact-small branch. */
+  private val KmvK = 16
+
+  /** Shared KMV oracle prelude: distinct per-source fingerprint hashes
+    * (portable md5-of-md5), per-source rank, the ≤ k sketch rows, and the
+    * pairwise merged sketches — Sketch.kmv/kmvJaccardPairs re-run
+    * relationally with k interpolated from [[KmvK]]. */
+  private def KmvSql(select: String): String =
+    s"""WITH fh AS (
+           SELECT DISTINCT source,
+             ('0x' || substr(md5(md5(regexp_replace(lower(text),
+               '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS h
+           FROM documents WHERE text IS NOT NULL),
+         rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+                  count(*) OVER (PARTITION BY source) AS nd
+                FROM fh),
+         sk AS (SELECT source, h, rn, nd FROM rk WHERE rn <= $KmvK),
+         srcs AS (SELECT DISTINCT source FROM sk),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b
+                   FROM srcs a JOIN srcs b ON a.source < b.source),
+         un AS (SELECT DISTINCT p.src_a, p.src_b, s.h
+                FROM pairs p JOIN sk s
+                  ON s.source = p.src_a OR s.source = p.src_b),
+         mg AS (SELECT src_a, src_b, h,
+                  row_number() OVER (PARTITION BY src_a, src_b
+                    ORDER BY h) AS rn
+                FROM un),
+         mk AS (SELECT src_a, src_b, h FROM mg WHERE rn <= $KmvK)
+         $select"""
+
   /** Shared winnowing oracle prelude: canonical text → k-gram portable
     * hashes → window minima (rightmost tie-break recovered as max(pos)
     * among each window's min-hash grams) → fingerprint/pair frames.
@@ -1214,6 +1247,33 @@ object Pipeline {
     // emitted unrounded (bit-identical in any IEEE engine).
     "q_source_overlap" -> ((s, dir) => {
       Curation.sourceOverlap(t(s, dir, "documents"), "source", "text", 3)
+        .orderBy("src_a", "src_b")
+    }),
+    // L1/§2.9 — KMV distinct sketches, the ESTIMATION path beside
+    // q_source_overlap's exact shingle join: per-source k-minimum-value
+    // sketch (bounded MinKAgg state, map-side capped at k) + the unbiased
+    // (k−1)·2⁶⁰/h₍ₖ₎ cardinality estimate next to the exact count. A
+    // sketch is a pure function of the set — bit-portable, unlike HLL
+    // registers — so the whole estimator oracle-checks.
+    "q_kmv_card" -> ((s, dir) => {
+      val h = graft.operators.Sketch.fingerprintHashes(
+        t(s, dir, "documents"), "source", "text")
+      graft.operators.Sketch.kmv(h, "source", KmvK)
+        .select(col("source"), col("n_distinct"),
+          graft.operators.Sketch.kmvEstimate(col("sketch"), KmvK)
+            .as("kmv_est"))
+        .orderBy("source")
+    }),
+    // L1/§2.9 — every pairwise source-overlap estimate from O(k) state
+    // per source: merged sketches rebuilt relationally (per-pair rank),
+    // shared counts via semi-joins, Jaccard = shared/merged — the
+    // 100 TB answer to "which sources duplicate each other" without
+    // touching the corpus twice.
+    "q_kmv_overlap" -> ((s, dir) => {
+      val h = graft.operators.Sketch.fingerprintHashes(
+        t(s, dir, "documents"), "source", "text")
+      val sk = graft.operators.Sketch.kmv(h, "source", KmvK)
+      graft.operators.Sketch.kmvJaccardPairs(sk, "source", KmvK)
         .orderBy("src_a", "src_b")
     }),
     // S9-extension — the non-parquet format layer, oracle-checked END-TO-
@@ -3426,6 +3486,34 @@ object Pipeline {
            cast(n_shared AS double) / (ta.n + tb.n - n_shared) AS jaccard
          FROM p JOIN tot ta ON ta.g = src_a JOIN tot tb ON tb.g = src_b
          ORDER BY src_a, src_b""",
+    // KMV: the sketch is the k smallest distinct hashes — re-derivable by
+    // a plain rank, so the oracle re-runs the estimator end-to-end. The
+    // 2^60 literal is a power of two: exactly representable, and
+    // 15.0 * 2^60 / h is one fixed-order double expression both engines
+    // evaluate identically.
+    "q_kmv_card" -> KmvSql(
+      s"""SELECT source, max(nd)::BIGINT AS n_distinct,
+            CASE WHEN max(nd) < $KmvK THEN max(nd)::DOUBLE
+                 ELSE round(${KmvK - 1}.0 * 1152921504606846976.0
+                   / max(CASE WHEN rn = $KmvK THEN h END)::DOUBLE, 6)
+            END AS kmv_est
+          FROM sk GROUP BY source ORDER BY source"""),
+    "q_kmv_overlap" -> KmvSql(
+      """SELECT g.src_a, g.src_b, g.n_merged,
+           coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+           round(coalesce(sh.n_shared, 0)::DOUBLE
+             / g.n_merged::DOUBLE, 6) AS jaccard_est
+         FROM (SELECT src_a, src_b, count(*) AS n_merged
+               FROM mk GROUP BY 1, 2) g
+         LEFT JOIN (
+           SELECT m.src_a, m.src_b, count(*) AS n_shared
+           FROM mk m
+           WHERE EXISTS (SELECT 1 FROM sk x
+                         WHERE x.source = m.src_a AND x.h = m.h)
+             AND EXISTS (SELECT 1 FROM sk y
+                         WHERE y.source = m.src_b AND y.h = m.h)
+           GROUP BY 1, 2) sh USING (src_a, src_b)
+         ORDER BY src_a, src_b"""),
     // The round-trip is correct iff every format's digest equals the one
     // computed straight from parquet — so the oracle is that digest,
     // cross-joined onto the three format labels.
