@@ -66,6 +66,17 @@ object Sketch {
       .otherwise(round(lit((k - 1).toDouble) * lit(HashSpace)
         / element_at(sketch, k).cast("double"), 6))
 
+  /** Scalar twin of [[kmvEstimate]] for streaming state
+    * ([[graft.streaming.Streams.kmvSketch]]): same branch structure and
+    * the same rounding Spark's `round` applies to doubles
+    * (BigDecimal.valueOf + HALF_UP), so streamed and batch estimates are
+    * bit-identical on identical sketches. */
+  def estimateScalar(sketch: Seq[Long], k: Int): Double =
+    if (sketch.size < k) sketch.size.toDouble
+    else java.math.BigDecimal.valueOf((k - 1).toDouble * HashSpace
+      / sketch.last.toDouble)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /**
    * All pairwise overlap estimates from per-group sketches: (src_a,
    * src_b, n_merged, n_shared, jaccard_est) for every group pair a < b.

@@ -240,6 +240,52 @@ object Streams {
       }
   }
 
+  case class KmvUpdate(source: String, n_seen: Long, sketch: Seq[Long],
+      est: Double)
+  case class KmvSt(sketch: Seq[Long], n: Long)
+
+  /**
+   * Streaming KMV sketch maintenance — the unbounded twin of the batch
+   * [[graft.operators.Sketch.kmv]]: per group the state is the ascending
+   * ≤ k sketch (k longs, bounded at ANY volume) plus a row counter.
+   * Arriving hashes fold in by sorted-merge-dedup, which preserves the
+   * invariant "the k smallest DISTINCT values seen" with no
+   * distinct-tracking state: a duplicate of a value still in the sketch
+   * dedups against it, and a duplicate of an EVICTED value is ≥ the
+   * current k-th minimum, so it cannot re-enter. The KMV merge is
+   * commutative and idempotent, so the streamed sketch equals the batch
+   * sketch under ANY arrival order, chunking, or duplication — a
+   * stronger streamed ≡ batch contract than [[tokenWindows]] /
+   * [[shardAppend]], which pin ordered feeds only (StreamsSpec feeds
+   * shuffled duplicated chunks and still pins equality). Emits one row
+   * per touched group per micro-batch with the running count, the
+   * sketch, and the same (k−1)·2⁶⁰/h₍ₖ₎ estimate the batch column
+   * computes ([[graft.operators.Sketch.estimateScalar]] — shared
+   * rounding, bit-identical). NoTimeout: a distinct sketch must remember
+   * the stream's whole life.
+   */
+  def kmvSketch(hashes: org.apache.spark.sql.Dataset[(String, Long)],
+      k: Int): org.apache.spark.sql.Dataset[KmvUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    require(k > 0, s"k must be positive: $k")
+    implicit val stateEnc = Encoders.product[KmvSt]
+    implicit val outEnc = Encoders.product[KmvUpdate]
+    hashes.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[KmvSt, KmvUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long)],
+         state: GroupState[KmvSt]) =>
+          val st = state.getOption.getOrElse(KmvSt(Nil, 0L))
+          val incoming = rows.map(_._2).toSeq
+          val sketch = (st.sketch ++ incoming).distinct.sorted.take(k)
+          val n = st.n + incoming.size
+          state.update(KmvSt(sketch, n))
+          Iterator.single(KmvUpdate(source, n, sketch,
+            graft.operators.Sketch.estimateScalar(sketch, k)))
+      }
+  }
+
   /**
    * Running per-user event totals via transformWithState — Spark 4's
    * arbitrary-state API (typed ValueState in the RocksDB state store; the

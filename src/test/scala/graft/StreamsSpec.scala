@@ -607,4 +607,49 @@ class StreamsSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("kmvSketch: streamed sketch + estimate equal batch kmv under " +
+      "shuffled, duplicated, chunked arrival (order-free merge)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Sketch
+    val k = 32
+    val texts = (1 to 300).map(i => (s"s${i % 3}", s"stream doc $i"))
+      .toDF("source", "text")
+    val batchSk = Sketch.kmv(
+        Sketch.fingerprintHashes(texts, "source", "text"), "source", k)
+      .select(col("source"), col("sketch"),
+        Sketch.kmvEstimate(col("sketch"), k).as("est"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getSeq[Long](1).toList, r.getDouble(2))).toMap
+    // raw per-row hashes WITH duplicates (no distinct): the stream must
+    // dedup by construction
+    val raw = texts.select(col("source"),
+        graft.operators.Dedup.portableHash64(
+          graft.operators.Dedup.fingerprint(col("text"))).as("h"))
+      .as[(String, Long)].collect().toSeq
+    val feed = new scala.util.Random(7).shuffle(raw ++ raw.take(150))
+    val (c1, rest) = feed.splitAt(140)
+    val (c2, c3) = rest.splitAt(160)
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.Streams.kmvSketch(mem.toDS(), k)
+      .writeStream.format("memory").queryName("kmv_t")
+      .outputMode("append").start()
+    try {
+      Seq(c1, c2, c3).foreach { c =>
+        mem.addData(c: _*); q.processAllAvailable()
+      }
+      val fin = spark.table("kmv_t").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList,
+          r.getDouble(3)))
+        .groupBy(_._1).map { case (s, rows) => s -> rows.maxBy(_._2) }
+      fin.foreach { case (s, (_, nSeen, sketch, est)) =>
+        assert(nSeen == raw.count(_._1 == s) + raw.take(150).count(_._1 == s))
+        assert(sketch == batchSk(s)._1, s"sketch mismatch for $s")
+        assert(est == batchSk(s)._2, s"estimate mismatch for $s")
+      }
+      assert(fin.size == 3)
+    } finally q.stop()
+  }
 }
