@@ -119,14 +119,23 @@ object Pca {
   }
 
   /**
-   * First principal DIRECTION, re-quantized to micro-units of its max
-   * component: (i, q decimal(7,0)). v₂ = C·(C·e₀) in exact integer decimal
-   * (tiny broadcast joins over the dim²-row matrix frame); the single
+   * Top principal DIRECTION of an integer matrix frame, re-quantized to
+   * micro-units of its max component: (i, q decimal(7,0)). The power seed
+   * is e_s for s = argmax of the DIAGONAL (largest remaining variance
+   * coordinate, ties to the smallest index) — data-driven, deterministic,
+   * and never orthogonal to the top eigenvector in practice (the fixed-e₀
+   * seed degenerates exactly when the matrix has nothing on coordinate 0,
+   * which is the common case for a DEFLATED matrix whose first component
+   * lay along e₀). v₂ = C·(C·e_s) in exact integer decimal (tiny
+   * broadcast joins over the dim²-row matrix frame); the single
    * re-quantizing division is double-exact on identical inputs. A zero
-   * matrix (or one whose column 0 is zero) yields q = 0 everywhere.
+   * matrix yields q = 0 everywhere.
    */
   private def direction(covf: DataFrame): DataFrame = {
-    val v1 = covf.filter(col("j") === 0)
+    val sd = covf.filter(col("i") === col("j"))
+      .agg(max(struct(col("c"), (-col("i")).as("ni"))).as("m"))
+      .select((-col("m.ni")).as("sd"))
+    val v1 = covf.crossJoin(broadcast(sd)).filter(col("j") === col("sd"))
       .select(col("i").as("k1"), col("c").as("w1"))
     val v2 = covf.join(broadcast(v1), col("j") === col("k1"))
       .groupBy("i")
@@ -174,6 +183,76 @@ object Pca {
           .otherwise(round(col("__s").cast("double") / S
             / sqrt(col("n2").cast("double")), 6)).as("pc1"))
     Scale.releaseAfterUse(proj, Seq(m, covf, dir))
+  }
+
+  /**
+   * Hotelling deflation on the integer frames: C' = C − λ̂₁·(q qᵀ)/|q|²,
+   * with λ̂₁ = num/den the Rayleigh pieces (exact integers) — each cell
+   * subtracts one fixed-order rounded double term, so the deflated matrix
+   * is again an exact integer micro-unit frame and [[direction]] runs on
+   * it unchanged. A zero direction (den = 0) deflates nothing.
+   */
+  private def deflate(covf: DataFrame, dir: DataFrame): DataFrame = {
+    val v3 = covf.join(broadcast(dir.select(col("i").as("k3"), col("q"))),
+        col("j") === col("k3"))
+      .groupBy("i")
+      .agg(sum(col("c").cast("decimal(12,0)") * col("q").cast("decimal(8,0)"))
+        .as("w3"))
+    val num = dir.join(broadcast(v3), "i")
+      .agg(sum(col("q").cast("decimal(8,0)") * col("w3")).as("num"))
+    val den = dir.agg(sum(col("q") * col("q")).as("den"))
+    val t = when(col("den") === 0, lit(0.0))
+      .otherwise(col("num").cast("double") / col("den").cast("double")
+        * col("qi").cast("double") * col("qj").cast("double")
+        / col("den").cast("double"))
+    covf
+      .join(broadcast(dir.select(col("i"), col("q").as("qi"))), Seq("i"))
+      .join(broadcast(dir.select(col("i").as("j"), col("q").as("qj"))),
+        Seq("j"))
+      .crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .select(col("i"), col("j"),
+        (col("c").cast("decimal(13,0)") - round(t, 0).cast("decimal(13,0)"))
+          .cast("decimal(12,0)").as("c"))
+  }
+
+  /**
+   * Per-vector projection onto the TOP TWO principal directions:
+   * (idCol, pc1, pc2) — [[projectPc1]] plus one Hotelling deflation and a
+   * second power run; both dots come out of ONE posexplode + broadcast
+   * join + hash aggregate (the corpus is scanned once for both
+   * components). The standard PCA-scatter / whitening-front-end shape;
+   * components beyond the second repeat the same deflate-and-project
+   * step. pc2 = 0.0 when the deflated spectrum is degenerate-zero.
+   */
+  def projectTop2(df: DataFrame, idCol: String, embCol: String,
+      dim: Int, nSalt: Int = 16): DataFrame = {
+    val m = moments(df, embCol, dim, nSalt).persist(StorageLevel.MEMORY_AND_DISK)
+    val covf = covFull(m).persist(StorageLevel.MEMORY_AND_DISK)
+    val dir1 = direction(covf).persist(StorageLevel.MEMORY_AND_DISK)
+    val covf2 = deflate(covf, dir1).persist(StorageLevel.MEMORY_AND_DISK)
+    val dir2 = direction(covf2).persist(StorageLevel.MEMORY_AND_DISK)
+    val n21 = dir1.agg(sum(col("q") * col("q")).as("n21"))
+    val n22 = dir2.agg(sum(col("q") * col("q")).as("n22"))
+    val both = dir1.select(col("i"), col("q").as("q1"))
+      .join(dir2.select(col("i"), col("q").as("q2")), Seq("i"))
+    val proj = Scale.spreadForCompute(
+        df.filter(col(embCol).isNotNull).select(col(idCol), col(embCol)),
+        col(idCol))
+      .select(col(idCol), posexplode(quantize(col(embCol)))
+        .as(Seq("__pos", "__x")))
+      .join(broadcast(both), col("__pos") === col("i"))
+      .groupBy(idCol)
+      .agg(sum(col("__x") * col("q1").cast("long")).as("__s1"),
+        sum(col("__x") * col("q2").cast("long")).as("__s2"))
+      .crossJoin(broadcast(n21)).crossJoin(broadcast(n22))
+      .select(col(idCol),
+        when(col("n21") === 0, lit(0.0))
+          .otherwise(round(col("__s1").cast("double") / S
+            / sqrt(col("n21").cast("double")), 6)).as("pc1"),
+        when(col("n22") === 0, lit(0.0))
+          .otherwise(round(col("__s2").cast("double") / S
+            / sqrt(col("n22").cast("double")), 6)).as("pc2"))
+    Scale.releaseAfterUse(proj, Seq(m, covf, dir1, covf2, dir2))
   }
 
   /**

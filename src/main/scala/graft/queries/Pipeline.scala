@@ -65,6 +65,99 @@ object Pipeline {
   private val WinnowMinShared = 3
   private val WinnowMaxBlock = 64
 
+  /** Shared PCA oracle prelude (dim pinned at 64, the q_embed_pca family):
+    * micro-quantized vectors, exact integer moments, micro-unit covariance,
+    * argmax-diagonal-seeded power iteration, the Rayleigh pieces, ONE
+    * Hotelling deflation with the second power run, and both projections —
+    * Pca re-run relationally so the three queries cannot desync. DuckDB
+    * sums the long products in HUGEINT: exact integer totals are
+    * summation-order independent, so the engine's salted two-level
+    * reduction needs no mirroring. Unreferenced CTEs cost nothing. */
+  private def PcaSql(select: String): String =
+    s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> round(x * 1000000, 0)::BIGINT) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+         m AS (
+           SELECT i, j, sum(p) AS s, count(*) AS n
+           FROM (
+             SELECT a.i AS i, b.i AS j, e.v[a.i+1] * e.v[b.i+1] AS p
+             FROM e, idx a, idx b WHERE b.i >= a.i
+             UNION ALL
+             SELECT a.i AS i, -1 AS j, e.v[a.i+1] AS p FROM e, idx a
+           ) GROUP BY i, j),
+         si AS (SELECT i, s FROM m WHERE j = -1),
+         cov AS (
+           SELECT m.i, m.j,
+             cast(round((cast(m.s AS double) - cast(a.s AS double)
+               * cast(b.s AS double) / cast(m.n AS double))
+               / cast(m.n AS double) / 1000000, 0) AS decimal(12,0)) AS c
+           FROM m JOIN si a ON a.i = m.i JOIN si b ON b.i = m.j
+           WHERE m.j >= 0),
+         covf AS (SELECT i, j, c FROM cov
+                  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
+         sd1 AS (SELECT i FROM (
+                   SELECT i, row_number() OVER (ORDER BY c DESC, i) AS rn
+                   FROM covf WHERE i = j) WHERE rn = 1),
+         v1 AS (SELECT covf.i AS k1, covf.c AS w1
+                FROM covf JOIN sd1 ON covf.j = sd1.i),
+         v2 AS (SELECT covf.i,
+                  sum(cast(covf.c AS decimal(12,0))
+                    * cast(v1.w1 AS decimal(12,0))) AS w2
+                FROM covf JOIN v1 ON covf.j = v1.k1 GROUP BY covf.i),
+         mx AS (SELECT max(abs(w2)) AS mx FROM v2),
+         dir AS (SELECT v2.i,
+                   CASE WHEN mx.mx = 0 THEN cast(0 AS decimal(7,0))
+                        ELSE cast(round(cast(v2.w2 AS double)
+                          / cast(mx.mx AS double) * 1000000, 0)
+                          AS decimal(7,0)) END AS q
+                 FROM v2 CROSS JOIN mx),
+         n2 AS (SELECT sum(q * q) AS n2 FROM dir),
+         v3 AS (SELECT covf.i,
+                  sum(cast(covf.c AS decimal(12,0))
+                    * cast(dir.q AS decimal(8,0))) AS w3
+                FROM covf JOIN dir ON covf.j = dir.i GROUP BY covf.i),
+         num AS (SELECT sum(cast(dir.q AS decimal(8,0))
+                   * cast(v3.w3 AS decimal(30,0))) AS num
+                 FROM dir JOIN v3 ON v3.i = dir.i),
+         den AS (SELECT sum(q * q) AS den FROM dir),
+         tr AS (SELECT sum(c) AS tr FROM covf WHERE i = j),
+         cov2 AS (
+           SELECT f.i, f.j,
+             cast(cast(f.c AS decimal(13,0)) - cast(round(
+               CASE WHEN den.den = 0 THEN 0.0
+                    ELSE cast(num.num AS double) / cast(den.den AS double)
+                      * cast(a.q AS double) * cast(b.q AS double)
+                      / cast(den.den AS double) END, 0)
+               AS decimal(13,0)) AS decimal(12,0)) AS c
+           FROM covf f JOIN dir a ON a.i = f.i JOIN dir b ON b.i = f.j
+           CROSS JOIN num CROSS JOIN den),
+         sd2 AS (SELECT i FROM (
+                   SELECT i, row_number() OVER (ORDER BY c DESC, i) AS rn
+                   FROM cov2 WHERE i = j) WHERE rn = 1),
+         v1b AS (SELECT cov2.i AS k1, cov2.c AS w1
+                 FROM cov2 JOIN sd2 ON cov2.j = sd2.i),
+         v2b AS (SELECT cov2.i,
+                   sum(cast(cov2.c AS decimal(12,0))
+                     * cast(v1b.w1 AS decimal(12,0))) AS w2
+                 FROM cov2 JOIN v1b ON cov2.j = v1b.k1 GROUP BY cov2.i),
+         mxb AS (SELECT max(abs(w2)) AS mx FROM v2b),
+         dir2 AS (SELECT v2b.i,
+                    CASE WHEN mxb.mx = 0 THEN cast(0 AS decimal(7,0))
+                         ELSE cast(round(cast(v2b.w2 AS double)
+                           / cast(mxb.mx AS double) * 1000000, 0)
+                           AS decimal(7,0)) END AS q2
+                  FROM v2b CROSS JOIN mxb),
+         n2b AS (SELECT sum(q2 * q2) AS n2b FROM dir2),
+         x AS (SELECT vec_id, unnest(v) AS x,
+                 unnest(generate_series(0, len(v) - 1)) AS pos FROM e),
+         proj AS (SELECT x.vec_id, sum(x.x * dir.q::BIGINT) AS s
+                  FROM x JOIN dir ON dir.i = x.pos GROUP BY x.vec_id),
+         proj2 AS (SELECT x.vec_id, sum(x.x * dir2.q2::BIGINT) AS s2
+                   FROM x JOIN dir2 ON dir2.i = x.pos GROUP BY x.vec_id)
+         $select"""
+
   /** KMV sketch size for q_kmv_card / q_kmv_overlap — 16 keeps the
     * estimator ACTIVE at sf0.01 (25 docs per source > k), so the oracle
     * exercises the (k−1)·2⁶⁰/h₍ₖ₎ path, not just the exact-small branch. */
@@ -1998,6 +2091,15 @@ object Pipeline {
       graft.operators.Pca.projectPc1(emb, "vec_id", "emb", dim = 64)
         .orderBy("vec_id")
     }),
+    // L2 — top-2 PCA scatter (Pca.projectTop2): one Hotelling deflation
+    // + a second power run; both component dots come out of ONE corpus
+    // scan. pc1 is bit-identical to q_embed_pca's (same direction math).
+    "q_pca_top2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      graft.operators.Pca.projectTop2(emb, "vec_id", "emb", dim = 64)
+        .orderBy("vec_id")
+    }),
     // L2 — PCA spectrum report (Pca.varianceExplained): Rayleigh estimate
     // of the top eigenvalue, total variance, and the explained fraction —
     // the one-row audit that decides whether a PCA/whitening pre-transform
@@ -2581,108 +2683,30 @@ object Pipeline {
            round(sum(round(d * 1000000, 0)::decimal(38,0))::double
              / 1000000 / count(*), 6) AS mean_dist
          FROM assign GROUP BY cell ORDER BY cell""",
-    // PCA: the oracle re-runs the WHOLE pipeline — micro-quantized
-    // vectors, exact integer moments (DuckDB sums the long products in
-    // HUGEINT; any summation tree gives the same exact totals, so the
-    // engine's salted two-level reduction needs no mirroring), micro-unit
-    // integer covariance, two exact integer power steps, the re-quantized
-    // direction, and the exact long projection — because every float
-    // decision on the Spark side is a fixed-order IEEE expression over
-    // exact inputs (the q_sim_ivf Lloyd argument). dim=64 is pinned on
-    // both sides, like q_ivf_pq_search.
-    "q_embed_pca" ->
-      """WITH e AS (SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-               x -> round(x * 1000000, 0)::BIGINT) AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
-         idx AS (SELECT unnest(generate_series(0, 63)) AS i),
-         m AS (
-           SELECT i, j, sum(p) AS s, count(*) AS n
-           FROM (
-             SELECT a.i AS i, b.i AS j, e.v[a.i+1] * e.v[b.i+1] AS p
-             FROM e, idx a, idx b WHERE b.i >= a.i
-             UNION ALL
-             SELECT a.i AS i, -1 AS j, e.v[a.i+1] AS p FROM e, idx a
-           ) GROUP BY i, j),
-         si AS (SELECT i, s FROM m WHERE j = -1),
-         cov AS (
-           SELECT m.i, m.j,
-             cast(round((cast(m.s AS double) - cast(a.s AS double)
-               * cast(b.s AS double) / cast(m.n AS double))
-               / cast(m.n AS double) / 1000000, 0) AS decimal(12,0)) AS c
-           FROM m JOIN si a ON a.i = m.i JOIN si b ON b.i = m.j
-           WHERE m.j >= 0),
-         covf AS (SELECT i, j, c FROM cov
-                  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
-         v1 AS (SELECT i AS k1, c AS w1 FROM covf WHERE j = 0),
-         v2 AS (SELECT covf.i,
-                  sum(cast(covf.c AS decimal(12,0))
-                    * cast(v1.w1 AS decimal(12,0))) AS w2
-                FROM covf JOIN v1 ON covf.j = v1.k1 GROUP BY covf.i),
-         mx AS (SELECT max(abs(w2)) AS mx FROM v2),
-         dir AS (SELECT v2.i,
-                   CASE WHEN mx.mx = 0 THEN cast(0 AS decimal(7,0))
-                        ELSE cast(round(cast(v2.w2 AS double)
-                          / cast(mx.mx AS double) * 1000000, 0)
-                          AS decimal(7,0)) END AS q
-                 FROM v2 CROSS JOIN mx),
-         n2 AS (SELECT sum(q * q) AS n2 FROM dir),
-         x AS (SELECT vec_id, unnest(v) AS x,
-                 unnest(generate_series(0, len(v) - 1)) AS pos FROM e),
-         proj AS (SELECT x.vec_id, sum(x.x * dir.q::BIGINT) AS s
-                  FROM x JOIN dir ON dir.i = x.pos GROUP BY x.vec_id)
-         SELECT p.vec_id,
+    // PCA family: one shared relational re-run (see PcaSql) — the oracle
+    // executes the engine's exact pipeline, deflation included, so all
+    // three queries hash-match bit-for-bit.
+    "q_embed_pca" -> PcaSql(
+      """SELECT p.vec_id,
            CASE WHEN n2.n2 = 0 THEN 0.0
                 ELSE round(cast(p.s AS double) / 1000000
                   / sqrt(cast(n2.n2 AS double)), 6)
            END AS pc1
-         FROM proj p CROSS JOIN n2 ORDER BY p.vec_id""",
-    "q_pca_variance" ->
-      """WITH e AS (SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-               x -> round(x * 1000000, 0)::BIGINT) AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
-         idx AS (SELECT unnest(generate_series(0, 63)) AS i),
-         m AS (
-           SELECT i, j, sum(p) AS s, count(*) AS n
-           FROM (
-             SELECT a.i AS i, b.i AS j, e.v[a.i+1] * e.v[b.i+1] AS p
-             FROM e, idx a, idx b WHERE b.i >= a.i
-             UNION ALL
-             SELECT a.i AS i, -1 AS j, e.v[a.i+1] AS p FROM e, idx a
-           ) GROUP BY i, j),
-         si AS (SELECT i, s FROM m WHERE j = -1),
-         cov AS (
-           SELECT m.i, m.j,
-             cast(round((cast(m.s AS double) - cast(a.s AS double)
-               * cast(b.s AS double) / cast(m.n AS double))
-               / cast(m.n AS double) / 1000000, 0) AS decimal(12,0)) AS c
-           FROM m JOIN si a ON a.i = m.i JOIN si b ON b.i = m.j
-           WHERE m.j >= 0),
-         covf AS (SELECT i, j, c FROM cov
-                  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
-         v1 AS (SELECT i AS k1, c AS w1 FROM covf WHERE j = 0),
-         v2 AS (SELECT covf.i,
-                  sum(cast(covf.c AS decimal(12,0))
-                    * cast(v1.w1 AS decimal(12,0))) AS w2
-                FROM covf JOIN v1 ON covf.j = v1.k1 GROUP BY covf.i),
-         mx AS (SELECT max(abs(w2)) AS mx FROM v2),
-         dir AS (SELECT v2.i,
-                   CASE WHEN mx.mx = 0 THEN cast(0 AS decimal(7,0))
-                        ELSE cast(round(cast(v2.w2 AS double)
-                          / cast(mx.mx AS double) * 1000000, 0)
-                          AS decimal(7,0)) END AS q
-                 FROM v2 CROSS JOIN mx),
-         v3 AS (SELECT covf.i,
-                  sum(cast(covf.c AS decimal(12,0))
-                    * cast(dir.q AS decimal(8,0))) AS w3
-                FROM covf JOIN dir ON covf.j = dir.i GROUP BY covf.i),
-         num AS (SELECT sum(cast(dir.q AS decimal(8,0))
-                   * cast(v3.w3 AS decimal(30,0))) AS num
-                 FROM dir JOIN v3 ON v3.i = dir.i),
-         den AS (SELECT sum(q * q) AS den FROM dir),
-         tr AS (SELECT sum(c) AS tr FROM covf WHERE i = j)
-         SELECT
+         FROM proj p CROSS JOIN n2 ORDER BY p.vec_id"""),
+    "q_pca_top2" -> PcaSql(
+      """SELECT p.vec_id,
+           CASE WHEN n2.n2 = 0 THEN 0.0
+                ELSE round(cast(p.s AS double) / 1000000
+                  / sqrt(cast(n2.n2 AS double)), 6)
+           END AS pc1,
+           CASE WHEN n2b.n2b = 0 THEN 0.0
+                ELSE round(cast(p2.s2 AS double) / 1000000
+                  / sqrt(cast(n2b.n2b AS double)), 6)
+           END AS pc2
+         FROM proj p JOIN proj2 p2 ON p2.vec_id = p.vec_id
+         CROSS JOIN n2 CROSS JOIN n2b ORDER BY p.vec_id"""),
+    "q_pca_variance" -> PcaSql(
+      """SELECT
            CASE WHEN den.den = 0 THEN 0.0
                 ELSE round(cast(num.num AS double) / cast(den.den AS double)
                   / 1000000, 6) END AS lambda1,
@@ -2690,7 +2714,7 @@ object Pipeline {
            CASE WHEN den.den = 0 OR tr.tr = 0 THEN 0.0
                 ELSE round(cast(num.num AS double) / cast(den.den AS double)
                   / cast(tr.tr AS double), 6) END AS frac
-         FROM num CROSS JOIN den CROSS JOIN tr ORDER BY lambda1""",
+         FROM num CROSS JOIN den CROSS JOIN tr ORDER BY lambda1"""),
     "q_vocab_coverage" ->
       """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
                       FROM documents),

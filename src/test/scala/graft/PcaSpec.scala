@@ -37,6 +37,56 @@ class PcaSpec extends SparkSpec {
     assert(v.getAs[Double]("lambda1") <= v.getAs[Double]("trace") + 1e-6)
   }
 
+  test("projectTop2: planted orthogonal components split onto pc1/pc2; " +
+      "rank-1 data degenerates pc2 to 0.0") {
+    import spark.implicits._
+    val dim = 8
+    // dim0 carries spread +-20, dim3 an independent +-2 pattern: pc1 must
+    // follow dim0, pc2 dim3 (up to sign), and pc1 == projectPc1's pc1
+    val rows = (0 until 40).map { k =>
+      val v = Array.fill(dim)(0.0)
+      v(0) = (k - 20).toDouble
+      v(3) = ((k * 7) % 5 - 2).toDouble
+      (k.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "emb")
+    val top2 = Pca.projectTop2(df, "vec_id", "emb", dim)
+      .orderBy("vec_id").collect()
+    val pc1 = top2.map(_.getAs[Double]("pc1"))
+    val pc2 = top2.map(_.getAs[Double]("pc2"))
+    val base = Pca.projectPc1(df, "vec_id", "emb", dim)
+      .orderBy("vec_id").collect().map(_.getAs[Double]("pc1"))
+    assert(pc1.toSeq == base.toSeq, "pc1 must match projectPc1 exactly")
+    // pc2 recovers the dim3 pattern: same value for same v(3), monotone
+    // in v(3) up to one global sign
+    // pc2 recovers the dim3 pattern up to the quantized direction's tiny
+    // e0 leakage: rows sharing v(3) cluster tightly (spread << the
+    // between-group range), and group means are monotone in v(3)
+    val byU = rows.map(_._2(3)).zip(pc2)
+    val grouped = byU.groupBy(_._1).map { case (u, vs) =>
+      u -> vs.map(_._2) }
+    val range = pc2.max - pc2.min
+    assert(range > 0.5, s"pc2 flat: range $range")
+    grouped.foreach { case (u, vs) =>
+      assert(vs.max - vs.min < 0.1 * range,
+        s"pc2 cluster for v3=$u too wide: ${vs.min}..${vs.max}")
+    }
+    val ordered = grouped.toSeq.sortBy(_._1)
+      .map { case (_, vs) => vs.sum / vs.size }
+    val sign = math.signum(ordered.last - ordered.head)
+    assert(sign != 0.0)
+    ordered.sliding(2).foreach { case Seq(a, b) =>
+      assert(sign * (b - a) > 0, s"pc2 means not monotone in v(3): $a -> $b")
+    }
+    // rank-1 corpus: nothing left after deflation
+    val flat = (0 until 30).map { k =>
+      val v = Array.fill(dim)(0.0); v(2) = k.toDouble; (k.toLong, v.toSeq)
+    }.toDF("vec_id", "emb")
+    val deg = Pca.projectTop2(flat, "vec_id", "emb", dim).collect()
+    assert(deg.forall(r => math.abs(r.getAs[Double]("pc2")) < 1e-3),
+      "rank-1 data must leave pc2 ~ 0")
+  }
+
   test("zero-variance corpus: zero direction, pc1 = 0.0, guarded report") {
     import spark.implicits._
     val df = (0 until 10).map(i => (i.toLong, Seq.fill(4)(2.5))).toDF("vec_id", "emb")

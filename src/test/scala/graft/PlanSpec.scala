@@ -299,7 +299,7 @@ class PlanSpec extends SparkSpec {
       // whatever the corpus size); the corpus-scale stages — the moments
       // explode and the projection — are map-side-combining hash
       // aggregates that stay distributed.
-      "q_embed_pca", "q_pca_variance")
+      "q_embed_pca", "q_pca_variance", "q_pca_top2")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
