@@ -199,7 +199,7 @@ object Pipeline {
   private def WinnowSql(select: String): String = {
     val k = graft.operators.Winnow.DefaultK
     val w = graft.operators.Winnow.DefaultW
-    s"""WITH d AS (
+    s"""WITH RECURSIVE d AS (
            SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
            FROM documents WHERE text IS NOT NULL),
          dk AS (SELECT doc_id, t, length(t) - ${k - 1} AS m FROM d
@@ -892,6 +892,17 @@ object Pipeline {
           t(s, dir, "documents"), "doc_id", "text",
           minShared = WinnowMinShared, maxBlock = WinnowMaxBlock)
         .orderBy("id_a", "id_b")
+    }),
+    // A7/L1 — winnow near-dup CLUSTERS: the overlap pairs close into
+    // components with the shared min-label CC (the q_dedup_cluster
+    // composition over the local-fingerprint modality).
+    "q_winnow_cluster" -> ((s, dir) => {
+      val pairs = graft.operators.Winnow.overlapPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        minShared = WinnowMinShared, maxBlock = WinnowMaxBlock)
+      Dedup.connectedComponents(
+          pairs.select(col("id_a").as("a"), col("id_b").as("b")), "a", "b")
+        .orderBy("id")
     }),
     // L1 — TF-IDF: top-3 terms per doc. tf and df are two hash aggregates
     // off one tokenize pass; N arrives via a broadcast one-row cross join
@@ -3352,6 +3363,20 @@ object Pipeline {
     "q_winnow_overlap" -> WinnowSql(
       s"""SELECT id_a, id_b, n_shared FROM pairs
           WHERE n_shared >= $WinnowMinShared ORDER BY id_a, id_b"""),
+    // Overlap pairs closed into components by the recursive-reach CTE
+    // (the q_dedup_cluster recipe).
+    "q_winnow_cluster" -> WinnowSql(
+      s""", ge AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   WHERE n_shared >= $WinnowMinShared),
+          sym AS (SELECT a AS src, b AS dst FROM ge
+                  UNION SELECT b, a FROM ge),
+          reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s2.dst FROM reach r
+            JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst)
+          SELECT src AS id, least(src, min(dst)) AS comp FROM reach
+          GROUP BY src ORDER BY id"""),
     // Same spans, then removal: every covered word position anti-joins
     // out of the token list and survivors reassemble in position order.
     "q_dedup_substring_clean" ->
