@@ -61,6 +61,43 @@ object Tables {
     names.map(n => n -> load(spark, dir, n)).toMap
 
   /**
+   * Bucketed materialization — the layout-aware join primitive: write `df`
+   * as a bucketed (and per-bucket sorted) catalog table at an explicit
+   * external path and read it back. Spark records bucket metadata only in
+   * the catalog (a path-based parquet write cannot carry it), so this is
+   * the one write shape whose scans report
+   * `HashPartitioning(bucketCols, nBuckets)` — two tables bucketed on
+   * their join keys with EQUAL bucket counts then join with NO shuffle on
+   * either side (EnsureRequirements sees both sides co-partitioned
+   * through the join keys). Per-bucket sort order aids row-group
+   * min-max skipping; Spark 3+ only ELIDES the SMJ sorts behind the
+   * legacy `bucketedTableScan.outputOrdering` flag, so a cheap
+   * partition-local sort remains — the shuffle is the scale cost and it
+   * is gone. At 100 TB this is THE repeated-join strategy: pay
+   * one layout write, then every subsequent join/aggregate on the bucket
+   * key is exchange-free. Overwrite-safe for re-runs (external table is
+   * dropped and re-created).
+   */
+  def bucketed(spark: SparkSession, df: DataFrame, table: String,
+      path: String, bucketCols: Seq[String], sortCols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    require(bucketCols.nonEmpty && nBuckets > 0)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // one file per bucket (hash-repartition on the bucket key first):
+    // without it every input partition writes its own slice of every
+    // bucket — input-partitions × nBuckets small files — and the
+    // per-file sortBy order fragments with them
+    val one = df.repartition(nBuckets,
+      bucketCols.map(org.apache.spark.sql.functions.col): _*)
+    val w = one.write.format("parquet").mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.drop(1): _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.drop(1): _*)
+     else w).saveAsTable(table)
+    spark.table(table)
+  }
+
+  /**
    * Catalog by directory listing — any `<table>.parquet` under `dir`, sorted
    * by name (the reference's information_schema scan orders by table_name,
    * `schema-reader.ts:22`). Listing is driver-side metadata only.

@@ -189,6 +189,28 @@ object Relational {
         .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    // J7 — bucketed co-located join: both sides materialize as catalog
+    // tables bucketed on the join key (8 buckets, per-bucket sorted), so
+    // the merge join needs NO shuffle on either side — scans report
+    // HashPartitioning(key, 8) and EnsureRequirements wires them
+    // straight into the join (PlanSpec pins the exchange-free shape).
+    // The one-layout-write-then-every-join-is-free strategy a 100 TB
+    // fact table lives by. Scratch path keyed by applicationId, the
+    // q_format_roundtrip convention.
+    "q_join_bucketed" -> ((s, dir) => {
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_bkt_${s.sparkContext.applicationId}").toString
+      val o = graft.Tables.bucketed(s, t(s, dir, "orders"), "b_orders",
+        s"$base/orders", Seq("o_custkey"), Seq("o_custkey"), 8)
+      val c = graft.Tables.bucketed(s, t(s, dir, "customer"), "b_customer",
+        s"$base/customer", Seq("c_custkey"), Seq("c_custkey"), 8)
+      o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }),
     // J3 — left semi: orders containing any near-max-quantity item.
     "q_join_semi" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -963,6 +985,13 @@ object Relational {
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
          ORDER BY o_orderkey""",
+    // Bucketing is a physical-layout property — the logical result is a
+    // plain join+aggregate, which is exactly what the oracle checks.
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

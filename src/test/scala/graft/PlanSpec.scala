@@ -28,6 +28,35 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_smj").contains("SortMergeJoin"))
   }
 
+  test("bucketed co-located join: NO exchange on either side (scans " +
+      "report the bucket hash partitioning)") {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bkt_spec_${spark.sparkContext.applicationId}").toString
+    val o = graft.Tables.bucketed(spark,
+      Tables.load(spark, dir, "orders"), "b_orders_spec",
+      s"$base/orders", Seq("o_custkey"), Seq("o_custkey"), 8)
+    val c = graft.Tables.bucketed(spark,
+      Tables.load(spark, dir, "customer"), "b_customer_spec",
+      s"$base/customer", Seq("c_custkey"), Seq("c_custkey"), 8)
+    val joined = o.hint("merge")
+      .join(c, col("o_custkey") === col("c_custkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(400))
+    assert(!p.contains("Exchange"),
+      "bucketed join must not shuffle either side")
+    assert(p.contains("Bucketed: true") &&
+      p.contains("SelectedBucketsCount: 8 out of 8"), p.take(400))
+    // (the residual per-bucket Sort is partition-local — Spark 3+ only
+    // trusts written sort order behind the legacy
+    // bucketedTableScan.outputOrdering flag; the shuffle is the scale
+    // cost and it is gone)
+    // and the result is the plain join, layout-invisible
+    assert(joined.count() ==
+      Tables.load(spark, dir, "orders").join(
+        Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey")).count())
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"))
