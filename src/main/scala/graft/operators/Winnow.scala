@@ -94,6 +94,34 @@ object Winnow {
    * fingerprint value — never all-pairs, so detection cost is
    * O(Σ bucket²) over honest buckets only.
    */
+  /**
+   * Incremental overlap check — a DELTA batch of new documents against an
+   * existing corpus, the [[Dedup.nearDuplicatesDeltaPortable]] shape for
+   * the local-fingerprint modality (plagiarism-screening submissions,
+   * admitting a crawl increment): (delta_id, corpus_id, n_shared) for
+   * delta docs sharing ≥ `minShared` fingerprints with a corpus doc.
+   * Cost is O(delta + collisions): the corpus side is fingerprinted once
+   * (in production, materialized once and reused across batches — the
+   * frame this returns joins against is exactly that index), boilerplate
+   * fingerprints census-capped on the CORPUS side, and the only join is
+   * delta-fps ⋈ corpus-fps on the fingerprint value.
+   */
+  def deltaOverlap(corpus: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, k: Int = DefaultK, w: Int = DefaultW,
+      minShared: Int = 3, maxBlock: Int = 64): DataFrame = {
+    val cfp = fingerprints(corpus, idCol, textCol, k, w)
+      .select(col(idCol).as("corpus_id"), col("fp")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = Dedup.capBlocks(cfp, "fp", maxBlock)
+    val dfp = fingerprints(delta, idCol, textCol, k, w)
+      .select(col(idCol).as("delta_id"), col("fp")).distinct()
+    val out = dfp.join(kept, "fp")
+      .groupBy("delta_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    Scale.releaseAfterUse(out, Seq(cfp))
+  }
+
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultK, w: Int = DefaultW, minShared: Int = 3,
       maxBlock: Int = 64): DataFrame = {

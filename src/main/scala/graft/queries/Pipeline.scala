@@ -65,6 +65,10 @@ object Pipeline {
   private val WinnowMinShared = 3
   private val WinnowMaxBlock = 64
 
+  /** q_winnow_delta's corpus/delta doc_id split point (part of the query
+    * definition, shared with its oracle SQL). */
+  private val WinnowDeltaSplit = 400
+
   /** Shared PCA oracle prelude (dim pinned at 64, the q_embed_pca family):
     * micro-quantized vectors, exact integer moments, micro-unit covariance,
     * argmax-diagonal-seeded power iteration, the Rayleigh pieces, ONE
@@ -892,6 +896,20 @@ object Pipeline {
           t(s, dir, "documents"), "doc_id", "text",
           minShared = WinnowMinShared, maxBlock = WinnowMaxBlock)
         .orderBy("id_a", "id_b")
+    }),
+    // A7/L1 — incremental winnow screening: a delta batch (doc_id >= 400)
+    // against the standing corpus — delta-fps joined onto the (reusable)
+    // corpus fingerprint index, O(delta + collisions), the
+    // nearDuplicatesDeltaPortable shape for the local-fingerprint
+    // modality. See Winnow.deltaOverlap.
+    "q_winnow_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Winnow.deltaOverlap(
+          docs.filter(col("doc_id") < WinnowDeltaSplit),
+          docs.filter(col("doc_id") >= WinnowDeltaSplit),
+          "doc_id", "text",
+          minShared = WinnowMinShared, maxBlock = WinnowMaxBlock)
+        .orderBy("delta_id", "corpus_id")
     }),
     // A7/L1 — winnow near-dup CLUSTERS: the overlap pairs close into
     // components with the shared min-label CC (the q_dedup_cluster
@@ -3363,6 +3381,20 @@ object Pipeline {
     "q_winnow_overlap" -> WinnowSql(
       s"""SELECT id_a, id_b, n_shared FROM pairs
           WHERE n_shared >= $WinnowMinShared ORDER BY id_a, id_b"""),
+    // Delta screening: per-doc fingerprints split by the shared doc_id
+    // threshold; census cap on the CORPUS side only, then one equi-join.
+    "q_winnow_delta" -> WinnowSql(
+      s""", cd AS (SELECT doc_id, h FROM fps WHERE doc_id < $WinnowDeltaSplit),
+          dd AS (SELECT doc_id, h FROM fps WHERE doc_id >= $WinnowDeltaSplit),
+          cen2 AS (SELECT h FROM cd GROUP BY h
+                   HAVING count(*) <= $WinnowMaxBlock),
+          p2 AS (SELECT dd.doc_id AS delta_id, cd.doc_id AS corpus_id,
+                   count(*) AS n_shared
+                 FROM dd JOIN cen2 USING (h) JOIN cd USING (h)
+                 GROUP BY 1, 2)
+          SELECT delta_id, corpus_id, n_shared FROM p2
+          WHERE n_shared >= $WinnowMinShared
+          ORDER BY delta_id, corpus_id"""),
     // Overlap pairs closed into components by the recursive-reach CTE
     // (the q_dedup_cluster recipe).
     "q_winnow_cluster" -> WinnowSql(

@@ -60,6 +60,31 @@ class WinnowSpec extends SparkSpec {
       "doc_id", "text").count() == 0L)
   }
 
+  test("deltaOverlap: a delta doc is matched against the corpus doc it " +
+      "plagiarizes, corpus boilerplate is capped on the corpus side") {
+    val shared = "the three laws of robotics state that a robot may not " +
+      "injure a human being or through inaction allow harm"
+    val corpus = Seq(
+      (1L, shared + " plus the corpus framing around the original passage"),
+      (2L, "a completely different corpus document about stream joins"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, "new submission quoting verbatim: " + shared),
+      (101L, "an original new document with nothing copied at all"))
+      .toDF("doc_id", "text")
+    val got = Winnow.deltaOverlap(corpus, delta, "doc_id", "text",
+        minShared = 2, maxBlock = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 1L)))
+    // boilerplate: the same header across 12 corpus docs, cap 10 — a
+    // delta copy of it must match nothing
+    val boiler = "standard license header repeated across the whole corpus"
+    val bigCorpus = (1L to 12L).map((_, boiler)).toDF("doc_id", "text")
+    val d2 = Seq((200L, boiler)).toDF("doc_id", "text")
+    assert(Winnow.deltaOverlap(bigCorpus, d2, "doc_id", "text",
+      minShared = 1, maxBlock = 10).count() == 0L)
+  }
+
   test("boilerplate cap: a fingerprint shared by more than maxBlock docs " +
       "is census-dropped before pairing") {
     val boiler = "this exact license header appears on every single file " +
