@@ -92,15 +92,20 @@ object Dedup {
    * oracle-checkable against a second engine. Costs ~3x xxhash64, so the
    * scale default for the operators stays xxhash64; prefer this family
    * when cross-engine verification matters more than hash throughput.
+   * Computed by the codegen'd [[graft.functions.PortableHash]] expression
+   * (bit-identical to `conv(substring(md5(x),1,15),16,10)`, ~1.4× cheaper —
+   * no hex-string intermediates; PortableHashSpec pins the equivalence).
    */
   def portableHash64(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftBridge.column(graft.functions.PortableHash(
+      org.apache.spark.sql.GraftBridge.expression(c.cast("string")), 15))
 
   /** Second independent portable hash, for double-hashing families: md5
     * of the base hash's decimal rendering, truncated to 56 bits (14 hex
     * digits) so `k * h2` stays overflow-free for k <= 16. */
   def portableHash56b(h: Column): Column =
-    conv(substring(md5(h.cast("string")), 1, 14), 16, 10).cast("long")
+    org.apache.spark.sql.GraftBridge.column(graft.functions.PortableHash(
+      org.apache.spark.sql.GraftBridge.expression(h.cast("string")), 14))
 
   /**
    * Portable MinHash signature via double hashing (Kirsch–Mitzenmacher):
