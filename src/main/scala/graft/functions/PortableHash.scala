@@ -61,9 +61,18 @@ object PortableHash {
     * `parseLong(hexDigest.take(hexLen), 16)` yields, without ever
     * materializing the hex string. */
   def hash(s: UTF8String, hexLen: Int): Long = {
+    val b = s.getBytes
+    hashBytes(b, 0, b.length, hexLen)
+  }
+
+  /** [[hash]] over a byte range — lets gram-scanning expressions
+    * ([[WinnowFps]]) hash m substrings with zero per-gram allocation. */
+  private[functions] def hashBytes(b: Array[Byte], off: Int, len: Int,
+      hexLen: Int): Long = {
     val d = digest.get()
     d.reset()
-    val bytes = d.digest(s.getBytes)
+    d.update(b, off, len)
+    val bytes = d.digest()
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }

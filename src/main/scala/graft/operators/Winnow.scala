@@ -18,12 +18,11 @@ import org.apache.spark.storage.StorageLevel
  * fingerprinting surface (its 966 LoC are masking); this extends
  * SURVEY §2.9-L1 dedup the way containment/substring dedup do.
  *
- * Scale shape: fingerprint SELECTION is entirely scan-local — one
- * projection computes the gram-hash array and a second selects window
- * minima with higher-order array functions, so a 100 TB corpus pays zero
- * shuffle until the (doc, fingerprint) rows census-aggregate. The window
- * scan is O(m·w) comparisons per doc (w is a small constant; the md5s
- * are O(m) — what gram hashing costs in any engine). Detection then
+ * Scale shape: fingerprint SELECTION is entirely scan-local — ONE
+ * codegen'd O(m) pass per document ([[graft.functions.WinnowFps]]:
+ * byte-range gram md5s with zero per-gram allocation + a monotonic deque
+ * for the sliding minima), so a 100 TB corpus pays zero shuffle until
+ * the (doc, fingerprint) rows census-aggregate. Detection then
  * bucket-joins on the fingerprint value with the [[Dedup.capBlocks]]
  * boilerplate guard, never all-pairs.
  *
@@ -62,26 +61,49 @@ object Winnow {
     val spread = Scale.spreadForCompute(
       docs.filter(col(textCol).isNotNull &&
         length(canon(col(textCol))) >= k), col(idCol))
-    // gram-hash array in its own projection: multi-referenced (size +
-    // slice) and expensive (one md5 per gram), so Catalyst keeps it
-    // materialized rather than recomputing per consumer
-    val grams = spread
-      .select(col(idCol), canon(col(textCol)).as("__t"))
-      .select(col(idCol), transform(
-        sequence(lit(1), length(col("__t")) - lit(k - 1)),
-        i => struct(
-          Dedup.portableHash64(col("__t").substr(i, lit(k))).as("h"),
-          (-i).as("ni"))).as("__hs"))
-    // each window's min struct = (smallest hash, rightmost position):
-    // struct comparison is field-lexicographic, and ni = −pos makes the
-    // tie-break pick the largest pos — the paper's selection rule
-    val nw = greatest(size(col("__hs")) - lit(w - 1), lit(1))
-    grams
-      .select(col(idCol), explode(array_distinct(transform(
-        sequence(lit(1), nw),
-        j => array_min(slice(col("__hs"), j, lit(w)))))).as("__fp"))
-      .select(col(idCol), col("__fp.h").as("fp"),
-        (-col("__fp.ni")).cast("long").as("pos"))
+    // selection runs as ONE codegen'd O(m) pass (byte-range gram hashes +
+    // monotonic-deque sliding minima — graft.functions.WinnowFps); the
+    // composed higher-order formulation it is bit-equal to is kept below
+    // for WinnowSpec's equivalence property
+    val sel = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WinnowFps(
+        org.apache.spark.sql.GraftBridge.expression(canon(col(textCol))),
+        k, w))
+    spread
+      .select(col(idCol), explode(sel).as("__fp"))
+      .select(col(idCol), col("__fp.fp").as("fp"), col("__fp.pos").as("pos"))
+  }
+
+  /** The original composed higher-order-function selection — per-window
+    * `array_min(slice(...))` over (h, −pos) structs, `array_distinct`,
+    * one md5 per gram via `substr`. Kept as the independent reference
+    * implementation WinnowSpec pins [[graft.functions.WinnowFps]]'s
+    * bit-equivalence against (same role the conv/substring/md5 composition
+    * plays for PortableHash). Returns array<struct<fp, pos>>; like
+    * WinnowFps it is total — texts shorter than k grams yield an empty
+    * array (guarded explicitly, because `sequence(1, m)` with m < 1 counts
+    * DOWN and would fabricate negative-position grams). */
+  private[graft] def fingerprintArrayComposed(text: Column, k: Int,
+      w: Int): Column = {
+    val t = canon(text)
+    val hs = transform(
+      sequence(lit(1), length(t) - lit(k - 1)),
+      i => struct(Dedup.portableHash64(t.substr(i, lit(k))).as("h"),
+        (-i).as("ni")))
+    // bind the gram-hash array ONCE as a lambda variable (single-element
+    // outer transform): higher-order functions always eval interpreted, and
+    // the Column DSL inlines `hs` at each reference site — the m window
+    // slices would each recompute the whole O(m)-md5 array (O(m²) total)
+    val sel = flatten(transform(array(hs), a => {
+      val nw = greatest(size(a) - lit(w - 1), lit(1))
+      transform(
+        array_distinct(transform(sequence(lit(1), nw),
+          j => array_min(slice(a, j, lit(w))))),
+        s => struct(s.getField("h").as("fp"),
+          (-s.getField("ni")).cast("long").as("pos")))
+    }))
+    when(length(t) >= lit(k), sel)
+      .otherwise(array().cast("array<struct<fp:bigint,pos:bigint>>"))
   }
 
   /**
@@ -136,5 +158,36 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
     Scale.releaseAfterUse(pairs, Seq(fp))
+  }
+
+  /**
+   * Fingerprint-density measurement — the oracle-checked number behind
+   * the 2/(w+1) expected-density claim (Schleimer et al. 2003, §3;
+   * ≈ 117,647 ppm at the default w=16). ONE row: doc count, total
+   * selected fingerprints, total grams, and the corpus/min/max per-doc
+   * densities in parts-per-million — all integer arithmetic
+   * (scaled floor-div), so the report hash-matches across engines. The
+   * companion to q_minhash_recall/q_semdedup_recall: it sizes w before a
+   * run (density drives index size and join fan-in) the way those size
+   * bands and maxCell.
+   */
+  def densityReport(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
+    val perDoc = fingerprints(docs, idCol, textCol, k, w)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__nfp"))
+    val grams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        (length(canon(col(textCol))) - lit(k - 1)).cast("long").as("__m"))
+      .filter(col("__m") >= 1)
+    perDoc.join(grams, Seq(idCol))
+      .select(col("__nfp"), col("__m"),
+        expr("__nfp * 1000000L div __m").as("__ppm"))
+      .agg(count(lit(1)).as("n_docs"), sum("__nfp").as("total_fps"),
+        sum("__m").as("total_grams"),
+        min("__ppm").as("min_ppm"), max("__ppm").as("max_ppm"))
+      .select(col("n_docs"), col("total_fps"), col("total_grams"),
+        expr("total_fps * 1000000L div total_grams").as("density_ppm"),
+        col("min_ppm"), col("max_ppm"))
   }
 }

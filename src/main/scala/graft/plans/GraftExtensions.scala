@@ -51,5 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn1(ext, "graft_canonical_host", TA.canonicalHost)
     fn1(ext, "graft_strip_html", TA.stripHtml)
     fn1(ext, "graft_simhash", Dedup.simHash16Portable)
+    // the portable 60-bit hash itself, SQL-first (the engine's
+    // cross-engine verification primitive)
+    fn1(ext, "graft_portable_hash", Dedup.portableHash64)
   }
 }

@@ -922,6 +922,15 @@ object Pipeline {
           pairs.select(col("id_a").as("a"), col("id_b").as("b")), "a", "b")
         .orderBy("id")
     }),
+    // A7/L1 — the winnowing DENSITY claim measured: selected fingerprints
+    // per gram in ppm vs the paper's 2/(w+1) expectation (≈117,647 at
+    // w=16) — the q_minhash_recall analog for the local-fingerprint
+    // modality. Density sizes the fp index and the overlap join fan-in
+    // before a run; integer floor-div arithmetic only, one row.
+    "q_winnow_density" -> ((s, dir) => {
+      graft.operators.Winnow.densityReport(
+        t(s, dir, "documents"), "doc_id", "text")
+    }),
     // L1 — TF-IDF: top-3 terms per doc. tf and df are two hash aggregates
     // off one tokenize pass; N arrives via a broadcast one-row cross join
     // (no driver collect); ranking is a per-doc window. Ties break on the
@@ -3409,6 +3418,19 @@ object Pipeline {
             JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst)
           SELECT src AS id, least(src, min(dst)) AS comp FROM reach
           GROUP BY src ORDER BY id"""),
+    // The density measurement off the same selection CTEs: distinct
+    // selected (h, pos) per doc over the doc's gram count, ppm floor-div.
+    "q_winnow_density" -> WinnowSql(
+      """, fpd AS (SELECT DISTINCT doc_id, h, pos FROM fp0),
+          perdoc AS (
+            SELECT f.doc_id, count(*)::BIGINT AS nfp, max(d2.m)::BIGINT AS m
+            FROM fpd f JOIN dk d2 USING (doc_id) GROUP BY f.doc_id)
+          SELECT count(*)::BIGINT AS n_docs, sum(nfp)::BIGINT AS total_fps,
+            sum(m)::BIGINT AS total_grams,
+            ((sum(nfp) * 1000000) // sum(m))::BIGINT AS density_ppm,
+            min((nfp * 1000000) // m)::BIGINT AS min_ppm,
+            max((nfp * 1000000) // m)::BIGINT AS max_ppm
+          FROM perdoc ORDER BY n_docs"""),
     // Same spans, then removal: every covered word position anti-joins
     // out of the token list and survivors reassemble in position order.
     "q_dedup_substring_clean" ->

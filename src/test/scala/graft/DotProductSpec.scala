@@ -64,6 +64,12 @@ class DotProductSpec extends SparkSpec {
     assert(r2.getAs[Long]("sh1") == r2.getAs[Long]("sh2"))
     assert(r2.getAs[Long]("sh1") >= 0L &&
       r2.getAs[Long]("sh1") < (1L << 16))
+    // the portable hash primitive, SQL-first — equals the md5-prefix form
+    val r3 = spark.sql(
+      """SELECT graft_portable_hash('abc') AS fast,
+                cast(conv(substring(md5('abc'), 1, 15), 16, 10)
+                  AS bigint) AS slow""").collect().head
+    assert(r3.getAs[Long]("fast") == r3.getAs[Long]("slow"))
   }
 
   test("null array → null; length mismatch dots the common prefix") {

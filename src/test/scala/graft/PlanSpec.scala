@@ -328,7 +328,11 @@ class PlanSpec extends SparkSpec {
       // whatever the corpus size); the corpus-scale stages — the moments
       // explode and the projection — are map-side-combining hash
       // aggregates that stay distributed.
-      "q_embed_pca", "q_pca_variance", "q_pca_top2")
+      "q_embed_pca", "q_pca_variance", "q_pca_top2",
+      // q_winnow_density's report is one row summed from the distributed
+      // per-doc fingerprint counts (q_checksum's partial+final shape);
+      // selection and the per-doc aggregate stay distributed.
+      "q_winnow_density")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {

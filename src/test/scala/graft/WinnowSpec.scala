@@ -6,6 +6,33 @@ import graft.operators.Winnow
 class WinnowSpec extends SparkSpec {
   import spark.implicits._
 
+  test("codegen'd WinnowFps selection is bit-identical to the composed " +
+      "higher-order formulation on fixture texts and adversarial strings") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val adversarial = Seq(
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // all-tie windows
+      "naïve café über schön — unicode grams cross byte boundaries here",
+      "日本語のテキストで文字とバイトの境界がずれる場合の検査です長めに",
+      "short", "exactly twenty-four chars!!", "x" * 500,
+      "MiXeD Case   with\t\twhitespace\n\ncollapsing and   runs")
+    val fixture = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).as[String].collect().toSeq.filter(_ != null)
+    val probe = (adversarial ++ fixture).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    Seq((24, 16), (8, 4), (2, 4), (3, 1)).foreach { case (k, w) =>
+      val fast = Winnow.fingerprints(probe, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val slow = probe
+        .select(col("doc_id"),
+          explode(Winnow.fingerprintArrayComposed(col("text"), k, w))
+            .as("f"))
+        .select(col("doc_id"), col("f.fp"), col("f.pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == slow, s"k=$k w=$w: ${(fast diff slow).take(3)} vs " +
+        s"${(slow diff fast).take(3)}")
+    }
+  }
+
   test("guarantee: a shared substring of >= w+k-1 chars yields at least " +
       "one shared fingerprint, whatever its position") {
     val k = 8; val w = 4 // threshold t = 11 chars
@@ -96,5 +123,28 @@ class WinnowSpec extends SparkSpec {
     // raising the cap restores detection
     assert(Winnow.overlapPairs(df, "doc_id", "text",
       minShared = 1, maxBlock = 10).count() == 45L)
+  }
+
+  test("densityReport: totals reconcile with fingerprints, per-doc density " +
+      "obeys the 1/w..1 bounds, and corpus density tracks 2/(w+1)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val k = Winnow.DefaultK; val w = Winnow.DefaultW
+    val r = Winnow.densityReport(docs, "doc_id", "text", k, w).collect().head
+    val nDocs = r.getAs[Long]("n_docs")
+    val fps = r.getAs[Long]("total_fps")
+    val grams = r.getAs[Long]("total_grams")
+    assert(nDocs > 0 && fps ==
+      Winnow.fingerprints(docs, "doc_id", "text", k, w).count())
+    // winnowing selects at most one fp per gram, and roughly one per w
+    // grams at worst (the exact floor is (m-w+1)/(w·m), slightly under
+    // 1/w for short docs) — assert a halved-1/w floor with that margin
+    assert(r.getAs[Long]("min_ppm") > 1000000L / (2 * w))
+    assert(r.getAs[Long]("max_ppm") <= 1000000L)
+    // the paper's expected density for random hashes is 2/(w+1): real text
+    // is not adversarial, so the corpus-wide figure lands near it
+    val ppm = r.getAs[Long]("density_ppm")
+    assert(ppm == fps * 1000000L / grams)
+    assert(ppm > 80000L && ppm < 180000L, s"density $ppm ppm vs 2/(w+1)=" +
+      (2000000L / (w + 1)))
   }
 }
