@@ -307,6 +307,62 @@ object Curation {
   def filterLines(text: Column, minWords: Int): Column =
     array_join(filter(split(text, "\n"), l => keepLine(l, minWords)), "\n")
 
+  /** The Gopher stop-word presence set (Rae et al. 2021, Table A1): a
+    * document must contain at least two of these as space-delimited
+    * lowercase words. Shared with the oracle SQL so the two engines
+    * apply the same policy. */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher document-level quality rules (Rae et al. 2021, "Scaling
+   * Language Models: Methods, Analysis & Insights from Training Gopher",
+   * Table A1) — the document-shape complement to [[filterLines]] (C4's
+   * line rules) and TextAnalysis.repetitionRatio (Gopher's repetition
+   * section): word-count bounds, mean-word-length band, symbol-to-word
+   * ratios (# and ...), bullet-start / ellipsis-end line fractions,
+   * alphabetic-word fraction, stop-word presence, and the all-rules
+   * verdict. Every rule is integer arithmetic over scan-local counts —
+   * thresholds cross-multiplied, never divided — so the flags hash-match
+   * across engines, and the whole report is ONE codegen'd projection:
+   * zero shuffles, zero explodes, scan speed at 100 TB.
+   */
+  def gopherFlags(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col("__t")
+    def cntSub(sub: String): Column = // non-overlapping occurrence count
+      ((length(t) - length(expr(s"replace(__t, '$sub', '')")))
+        / sub.length).cast("long") // removed length is a multiple: exact
+    val nw = size(split(t, "\\s+")).cast("long")
+    val wchars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val lines = split(t, "\n")
+    val nl = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* " ||
+        substring(l, 1, 1) === "•")).cast("long")
+    val nEllEnd = size(filter(lines, l => l.like("%..."))).cast("long")
+    val nAlpha = size(filter(split(t, "\\s+"),
+      w => w.rlike("[A-Za-z]"))).cast("long")
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val stopHits = gopherStopWords
+      .map(s => when(padded.contains(s" $s "), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__t"))
+      .select(col(idCol), nw.as("n_words"),
+        nw.between(minWords, maxWords).as("r_word_count"),
+        (wchars >= nw * 3 && wchars <= nw * 10).as("r_mean_len"),
+        (cntSub("#") * 10 <= nw && cntSub("...") * 10 <= nw).as("r_symbol"),
+        (nBullet * 10 <= nl * 9).as("r_bullet"),
+        (nEllEnd * 10 <= nl * 3).as("r_ellipsis"),
+        (nAlpha * 5 >= nw * 4).as("r_alpha"),
+        (stopHits >= 2).as("r_stop"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stop"))
+  }
+
   /**
    * Token-budget sequence packing, first-fit by running offset: docs are
    * laid out in `orderCol` order within each `groupCol`, and a doc joins

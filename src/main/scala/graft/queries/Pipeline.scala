@@ -729,6 +729,27 @@ object Pipeline {
           Curation.filterLines(col("text"), LineFilterMinWords).as("clean"))
         .orderBy("doc_id")
     }),
+    // L1 — Gopher document-shape rules (Rae et al. 2021, Table A1): the
+    // document-level complement to q_line_filter (C4 line rules) and
+    // q_rep_ratio (Gopher's repetition section). The fixture text is one
+    // clean line, so doc_id mod-6 classes seed each failure mode — hash
+    // spam, ellipsis spam, bullet walls, ellipsis-ended lines,
+    // numeric-word floods — and every rule provably fires on some docs.
+    // One codegen'd projection, integer cross-multiplied thresholds.
+    "q_gopher_rules" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 6 === 0, concat(lit(" "), repeat(lit("# "), 8)))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit(" "), repeat(lit("... "), 8)))
+          .when(col("doc_id") % 6 === 2, repeat(lit("\n- bullet item"), 12))
+          .when(col("doc_id") % 6 === 3,
+            repeat(lit("\ntrailing thought..."), 9))
+          .when(col("doc_id") % 6 === 4,
+            concat(lit(" "), repeat(lit("12345 "), 60)))
+          .otherwise(lit(""))).as("text"))
+      Curation.gopherFlags(seeded, "doc_id", "text").orderBy("doc_id")
+    }),
     // L1 — inverted-index build (term → bounded postings + df/total_tf):
     // the retrieval-side structure BM25 serves from, materialized as a
     // table. One tokenize explode feeds ONE (term, doc) hash aggregate
@@ -3235,6 +3256,52 @@ object Pipeline {
              list_filter(ls, l -> ${KeepLineSql(LineFilterMinWords)}), chr(10))
              AS clean
          FROM f ORDER BY doc_id""",
+    // Gopher rules re-run relationally: the same mod-6 seeding, the same
+    // integer cross-multiplied thresholds, the stop-word set interpolated
+    // from the shared constant so the two sides cannot desync.
+    "q_gopher_rules" ->
+      s"""WITH seeded AS (
+           SELECT doc_id, text ||
+             CASE doc_id % 6
+               WHEN 0 THEN ' ' || repeat('# ', 8)
+               WHEN 1 THEN ' ' || repeat('... ', 8)
+               WHEN 2 THEN repeat(chr(10) || '- bullet item', 12)
+               WHEN 3 THEN repeat(chr(10) || 'trailing thought...', 9)
+               WHEN 4 THEN ' ' || repeat('12345 ', 60)
+               ELSE '' END AS text
+           FROM documents WHERE text IS NOT NULL),
+         m AS (
+           SELECT doc_id,
+             len(string_split_regex(text, '\\s+'))::BIGINT AS nw,
+             length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS wchars,
+             (length(text) - length(replace(text, '#', '')))::BIGINT AS nhash,
+             ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+               AS nell,
+             len(string_split(text, chr(10)))::BIGINT AS nl,
+             len(list_filter(string_split(text, chr(10)),
+               l -> l[1:2] = '- ' OR l[1:2] = '* ' OR l[1:1] = '•'))::BIGINT
+               AS nbullet,
+             len(list_filter(string_split(text, chr(10)),
+               l -> l LIKE '%...'))::BIGINT AS nellend,
+             len(list_filter(string_split_regex(text, '\\s+'),
+               w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS nalpha,
+             (${Curation.gopherStopWords.map(s =>
+               s"(CASE WHEN contains(' ' || lower(text) || ' ', ' $s ')" +
+                 " THEN 1 ELSE 0 END)").mkString(" + ")}) AS shits
+           FROM seeded)
+         SELECT doc_id, nw AS n_words,
+           nw BETWEEN 50 AND 100000 AS r_word_count,
+           wchars >= nw * 3 AND wchars <= nw * 10 AS r_mean_len,
+           nhash * 10 <= nw AND nell * 10 <= nw AS r_symbol,
+           nbullet * 10 <= nl * 9 AS r_bullet,
+           nellend * 10 <= nl * 3 AS r_ellipsis,
+           nalpha * 5 >= nw * 4 AS r_alpha,
+           shits >= 2 AS r_stop,
+           (nw BETWEEN 50 AND 100000) AND wchars >= nw * 3
+             AND wchars <= nw * 10 AND nhash * 10 <= nw AND nell * 10 <= nw
+             AND nbullet * 10 <= nl * 9 AND nellend * 10 <= nl * 3
+             AND nalpha * 5 >= nw * 4 AND shits >= 2 AS keep
+         FROM m ORDER BY doc_id""",
     "q_inverted_index" ->
       s"""WITH toks AS (
            SELECT doc_id, unnest($WsSplitSql) AS term

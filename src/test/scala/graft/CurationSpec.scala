@@ -16,6 +16,35 @@ class CurationSpec extends SparkSpec {
         StructField("text", StringType))))
   }
 
+  test("gopherFlags: each Table-A1 rule fires on its planted failure " +
+      "mode and a clean document passes them all") {
+    val good = Seq.fill(3)("the quality of training data and the care " +
+      "that models have with it really matters for everyone involved " +
+      "today.").mkString(" ")
+    val d = docs(
+      1L -> good,
+      2L -> "short doc.",
+      3L -> (good + " # # # # # # # #"),
+      4L -> (Seq.fill(10)("- bullet line").mkString("\n") + "\nend"),
+      5L -> (Seq.fill(4)("so it goes...").mkString("\n") + "\nend"),
+      6L -> (good + " " + Seq.fill(60)("12345").mkString(" ")),
+      7L -> Seq.fill(10)("zebra quokka lorem ipsum dolor amet")
+        .mkString(" "),
+      8L -> Seq.fill(30)("ab cd").mkString(" "))
+    val out = Curation.gopherFlags(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("r_word_count"))
+    assert(!out(3L).getAs[Boolean]("r_symbol") &&
+      out(3L).getAs[Boolean]("r_word_count"))
+    assert(!out(4L).getAs[Boolean]("r_bullet"))
+    assert(!out(5L).getAs[Boolean]("r_ellipsis"))
+    assert(!out(6L).getAs[Boolean]("r_alpha"))
+    assert(!out(7L).getAs[Boolean]("r_stop"))
+    assert(!out(8L).getAs[Boolean]("r_mean_len"))
+    assert(out.values.count(!_.getAs[Boolean]("keep")) == 7)
+  }
+
   test("pmiTopK ranks a planted exclusive collocation first; the count " +
       "floor hides rare pairs") {
     val filler = "the quick brown fox jumps over the lazy dog again and again"
