@@ -159,17 +159,31 @@ object Pca {
    * any realistic magnitude); |q| enters once, at the final double
    * division. pc1 = 0.0 when the direction is degenerate-zero.
    */
+  /** Materialize a dim- or dim²-row frame as a flat LogicalRDD leaf.
+    * The power-iteration chain is ~10 tiny stages each referencing its
+    * predecessors several times, every broadcast in it plans as its own
+    * job, and AQE re-optimizes per stage — with persist() alone (which
+    * caches blocks but keeps the LOGICAL plan) Catalyst re-walks the
+    * whole deepening lineage on every one of those jobs, and q_pca_top2
+    * spent 90+ s of a 97 s run in the OPTIMIZER at sf0.1. Eager
+    * localCheckpoint truncates the lineage so each stage plans over a
+    * constant-size tree — the connectedComponents rhythm
+    * ([[Dedup.connectedComponents]]); on a cluster, reliable
+    * `checkpoint()` is the fault-tolerant variant. (Isolated min-of-3
+    * A/B at sf0.1: q_pca_top2 97.6 → 5.2 s standalone; the residual is
+    * ~35 metadata-scale jobs' scheduling, not compute or planning.) */
+  private def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+
   def projectPc1(df: DataFrame, idCol: String, embCol: String,
       dim: Int, nSalt: Int = 16): DataFrame = {
+    // moments backs covFull's three self-references for the one eager
+    // checkpoint job, then frees — nothing downstream sees its lineage
     val m = moments(df, embCol, dim, nSalt).persist(StorageLevel.MEMORY_AND_DISK)
-    // the dim^2- and dim-row frames are each consumed by several tiny
-    // downstream stages; persisting them turns ~8 re-derivations of the
-    // power-iteration chain into cache reads (isolated A/B: the
-    // post-moments tail dropped 3.6 -> ~1.5 s at sf0.1)
-    val covf = covFull(m).persist(StorageLevel.MEMORY_AND_DISK)
-    val dir = direction(covf).persist(StorageLevel.MEMORY_AND_DISK)
+    val covf = pin(covFull(m))
+    m.unpersist(false)
+    val dir = pin(direction(covf))
     val n2 = dir.agg(sum(col("q") * col("q")).as("n2"))
-    val proj = Scale.spreadForCompute(
+    Scale.spreadForCompute(
         df.filter(col(embCol).isNotNull).select(col(idCol), col(embCol)),
         col(idCol))
       .select(col(idCol), posexplode(quantize(col(embCol)))
@@ -182,7 +196,6 @@ object Pca {
         when(col("n2") === 0, lit(0.0))
           .otherwise(round(col("__s").cast("double") / S
             / sqrt(col("n2").cast("double")), 6)).as("pc1"))
-    Scale.releaseAfterUse(proj, Seq(m, covf, dir))
   }
 
   /**
@@ -227,15 +240,16 @@ object Pca {
   def projectTop2(df: DataFrame, idCol: String, embCol: String,
       dim: Int, nSalt: Int = 16): DataFrame = {
     val m = moments(df, embCol, dim, nSalt).persist(StorageLevel.MEMORY_AND_DISK)
-    val covf = covFull(m).persist(StorageLevel.MEMORY_AND_DISK)
-    val dir1 = direction(covf).persist(StorageLevel.MEMORY_AND_DISK)
-    val covf2 = deflate(covf, dir1).persist(StorageLevel.MEMORY_AND_DISK)
-    val dir2 = direction(covf2).persist(StorageLevel.MEMORY_AND_DISK)
+    val covf = pin(covFull(m))
+    m.unpersist(false)
+    val dir1 = pin(direction(covf))
+    val covf2 = pin(deflate(covf, dir1))
+    val dir2 = pin(direction(covf2))
     val n21 = dir1.agg(sum(col("q") * col("q")).as("n21"))
     val n22 = dir2.agg(sum(col("q") * col("q")).as("n22"))
     val both = dir1.select(col("i"), col("q").as("q1"))
       .join(dir2.select(col("i"), col("q").as("q2")), Seq("i"))
-    val proj = Scale.spreadForCompute(
+    Scale.spreadForCompute(
         df.filter(col(embCol).isNotNull).select(col(idCol), col(embCol)),
         col(idCol))
       .select(col(idCol), posexplode(quantize(col(embCol)))
@@ -252,7 +266,6 @@ object Pca {
         when(col("n22") === 0, lit(0.0))
           .otherwise(round(col("__s2").cast("double") / S
             / sqrt(col("n22").cast("double")), 6)).as("pc2"))
-    Scale.releaseAfterUse(proj, Seq(m, covf, dir1, covf2, dir2))
   }
 
   /**
@@ -267,8 +280,9 @@ object Pca {
   def varianceExplained(df: DataFrame, embCol: String, dim: Int,
       nSalt: Int = 16): DataFrame = {
     val m = moments(df, embCol, dim, nSalt).persist(StorageLevel.MEMORY_AND_DISK)
-    val covf = covFull(m).persist(StorageLevel.MEMORY_AND_DISK)
-    val dir = direction(covf).persist(StorageLevel.MEMORY_AND_DISK)
+    val covf = pin(covFull(m))
+    m.unpersist(false)
+    val dir = pin(direction(covf))
     val v3 = covf.join(broadcast(dir.select(col("i").as("k3"), col("q"))),
         col("j") === col("k3"))
       .groupBy("i")
@@ -287,6 +301,6 @@ object Pca {
         when(col("den") === 0 || col("tr") === 0, lit(0.0))
           .otherwise(round(col("num").cast("double") / col("den").cast("double")
             / col("tr").cast("double"), 6)).as("frac"))
-    Scale.releaseAfterUse(out, Seq(m, covf, dir))
+    out
   }
 }
