@@ -1,8 +1,10 @@
 package graft.operators
 
+import java.math.{BigDecimal => JBig, RoundingMode}
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types._
 
 /**
  * Distributed PCA over an embedding column — the linear-projection half of
@@ -12,47 +14,54 @@ import org.apache.spark.storage.StorageLevel
  * audits). REF has no vector analytics at all (its surface is masking); this
  * extends SURVEY §2.9-L2 the way Ivf/Pq do.
  *
- * Everything is expressed as metadata-scale DataFrame algebra — there is no
- * driver-side matrix anywhere — and the arithmetic is FIXED-POINT: each
- * vector quantizes ONCE to integer micro-units (round(x·10⁶), the one
- * IEEE decision per element, identical in any engine), and every moment,
- * covariance cell, power step and projection after that is exact integer
- * math — immune to association order, shuffle order, and engine summation
- * differences, so the whole pipeline oracle-checks bit-for-bit:
+ * Architecture: the corpus is touched by EXACTLY TWO distributed passes —
+ * (1) one moments aggregate that reduces the data to the
+ * dim·(dim+3)/2 exact integer second/first-moment sums, and (2) one
+ * scan-local projection whose direction vectors are plan literals. Between
+ * them, the covariance build, power iteration, Hotelling deflation, and
+ * the Rayleigh spectrum run on the DRIVER over the collected dim²-cell
+ * integer matrix — metadata-scale whatever the corpus size (64² = 4,096
+ * cells here; even dim = 1k is 16 MB), the same bounded-collect pattern as
+ * [[Ivf.train]]'s k×dim Lloyd means, and exactly where FAISS solves its
+ * eigenproblem. The previous all-DataFrame power iteration planned ~35
+ * metadata-scale jobs per query; at 1,000 executors those are pure
+ * scheduler latency — an sf0.1 isolated A/B measured the eigen-solve's
+ * job chain at 3-4× the cost of the two real passes.
  *
- *  1. ONE corpus pass aggregates the second moments of the quantized
- *     vectors: each row explodes to its dim·(dim+1)/2 upper-triangle long
- *     products plus dim singletons, and a two-level hash aggregate reduces
- *     them to dim²-scale exact integer sums. Long products sum as longs
- *     within `nSalt` row-striped buckets first (a bucket holds ~n/nSalt
- *     terms of ≤ (10⁶·|v|_max)² each — with unit-normalized embeddings and
- *     the default 16 stripes that is exact to ~1.5·10⁸ vectors; raise nSalt
- *     linearly beyond, the bound is n ≤ nSalt·9.2·10¹⁸/(10⁶·|v|_max)²),
- *     then the dim²·nSalt bucket subtotals finish in decimal(38,0) — the
- *     per-row hot path never touches a BigDecimal (measured 3.5× faster
- *     than decimal-summing the products at sf0.1). The stripe key is
- *     row-content-free (monotonic id mod nSalt): any striping yields the
- *     same exact totals, so the nondeterminism is result-invisible. At
- *     production dims the explode is O(dim²) per row — what an exact
- *     covariance costs in ANY engine (map-side combine keeps shuffle
- *     traffic at dim²·stripes cells per task, independent of row count);
- *     past dim≈1k you subsample rows first (estimation error shrinks as
- *     1/√n, so a 1% sample of a 100 TB corpus is still overkill) — the
- *     orchestration is unchanged.
- *  2. The covariance matrix materializes as an (i, j, c) frame quantized
- *     to integer micro-units via one fixed-order double expression over
- *     the exact integer sums (IEEE-identical on identical inputs).
- *  3. Two power-iteration steps from the deterministic seed e₀ run as tiny
- *     broadcast joins over that frame (v₂ = C·(C·e₀), exact integers). Two
- *     exact steps from a fixed seed make the DIRECTION a pure function of
- *     the data — the convergence/accuracy trade is declared, not hidden:
- *     more steps only sharpen the estimate and drop into the same shape.
- *  4. v₂ re-quantizes to micro-units of its max component (`q`, ≤10⁶ —
- *     keeping every later product inside long range whatever the data
- *     magnitude), and each vector's projection is an exact long dot of
- *     the quantized vector with `q` via one posexplode + broadcast join
- *     (≤ dim·10¹²·|v|_max per doc — long-safe for any |v|_max < 10⁵),
- *     normalized by |q| only at the final double division.
+ * The arithmetic is FIXED-POINT and replicated bit-for-bit between the
+ * driver and the DuckDB oracle: each vector quantizes ONCE to integer
+ * micro-units (round(x·10⁶), the one IEEE decision per element), and every
+ * moment, covariance cell, power step and projection after that is exact
+ * integer math — immune to association order, shuffle order, and engine
+ * summation differences. The few double steps (covariance normalization,
+ * direction re-quantization, deflation term, final reports) are
+ * fixed-order expressions over exact integers, reproduced on the driver
+ * with the same IEEE ops Spark's codegen would emit (java
+ * `BigDecimal.valueOf` HALF_UP rounding = Spark `round`; decimal→double =
+ * `BigDecimal.doubleValue`), so the whole pipeline oracle-checks.
+ *
+ * Moments pass detail: one object-hash aggregate of
+ * [[graft.functions.MomentsAgg]] buffers — each task accumulates the
+ * dim·(dim+3)/2-cell long buffer in place (the dim²/2 multiply-add loop,
+ * no per-row allocation; an earlier dim²-struct explode formulation
+ * spent its time building 4.3M short-lived structs at sf0.1), and the
+ * shuffle carries `nSalt` buffers total. Products sum as longs within
+ * the nSalt row-striped groups (a stripe holds ~n/nSalt terms of
+ * ≤ (10⁶·|v|_max)² each — with unit-normalized embeddings and the
+ * default 16 stripes that is exact to ~1.5·10⁸ vectors; raise nSalt
+ * linearly beyond), then the stripe subtotals finish in decimal(38,0) —
+ * the per-row hot path never touches a BigDecimal. The stripe key is
+ * row-content-free (monotonic id mod nSalt): any striping yields the
+ * same exact totals. The update loop is O(dim²) per row — what an exact
+ * covariance costs in ANY engine; past dim≈1k you subsample rows first
+ * (estimation error shrinks as 1/√n, so a 1% sample of a 100 TB corpus
+ * is still overkill).
+ *
+ * Projection pass detail: with the re-quantized direction(s) as literal
+ * arrays, each row's component is an exact long dot via
+ * `aggregate(zip_with(...))` — scan-local, zero joins, zero explode, zero
+ * shuffle (≤ dim terms of ≤ 10¹²·|v|_max each, long-safe for any
+ * |v|_max < 10⁵); the final double division happens once per row.
  *
  * Degenerate inputs (empty corpus, single row, zero variance) produce a
  * zero direction; the projection then reports 0.0 rather than NaN, and the
@@ -68,204 +77,215 @@ object Pca {
     transform(v, x => round(x * S, 0).cast("long"))
 
   /**
-   * Second-moment sums over the micro-quantized vectors: (i, j,
-   * s = Σ qᵢ·qⱼ exact integer, n) for the upper triangle, plus
-   * (i, -1, Σ qᵢ, n) first-moment rows — ONE exploded two-level
-   * aggregate, dim²-scale output. `embCol` must be array<double>
+   * Second-moment sums over the micro-quantized vectors, as ONE
+   * object-hash aggregate of [[graft.functions.MomentsAgg]] buffers over
+   * the `nSalt` row stripes, finished by a decimal(38,0) sum per flat
+   * buffer cell: (__p flat cell index, s exact integer sum). Flat layout
+   * is MomentsAgg's: upper-triangle pair products, then first moments,
+   * then the row count. `embCol` must be array<double>
    * ([[graft.functions.VectorOps.asDouble]]).
    */
   private def moments(df: DataFrame, embCol: String, dim: Int,
       nSalt: Int): DataFrame = {
-    val v = col("__qv")
-    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(v, i + 1) * element_at(v, j + 1)).as("p")))))
-    val firsts = transform(sequence(lit(0), lit(dim - 1)), i =>
-      struct(i.as("i"), lit(-1).as("j"), element_at(v, i + 1).as("p")))
-    df.filter(col(embCol).isNotNull)
+    val magg = udaf(new graft.functions.MomentsAgg(dim))
+    Scale.spreadForCompute(df.filter(col(embCol).isNotNull), col(embCol))
       .select(quantize(col(embCol)).as("__qv"),
         pmod(monotonically_increasing_id(), lit(nSalt.toLong)).as("__sl"))
-      .select(col("__sl"), explode(concat(pairs, firsts)).as("__e"))
-      .groupBy(col("__e.i").as("i"), col("__e.j").as("j"), col("__sl"))
-      .agg(sum(col("__e.p")).as("s1"), count(lit(1)).as("n1"))
-      .groupBy("i", "j")
-      .agg(sum(col("s1").cast("decimal(38,0)")).as("s"),
-        sum(col("n1")).as("n"))
+      .groupBy("__sl").agg(magg(col("__qv")).as("__m"))
+      .select(posexplode(col("__m")).as(Seq("__p", "__v")))
+      .groupBy("__p")
+      .agg(sum(col("__v").cast("decimal(38,0)")).as("s"))
+  }
+
+  /** Spark `round(double, scale)` replicated exactly: java
+    * `BigDecimal.valueOf` (shortest-decimal) then HALF_UP — NOT Scala's
+    * `BigDecimal(double)` exact-binary constructor. */
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    JBig.valueOf(x).setScale(scale, RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark/DuckDB decimal(38,0)→double cast replicated exactly. */
+  private def toD(b: BigInt): Double = new JBig(b.bigInteger).doubleValue()
+
+  /** Driver-side eigen state: the full symmetric covariance matrix in
+    * integer micro-units plus the current direction's exact pieces. */
+  private final case class Mat(c: Array[Array[Long]], dim: Int)
+
+  /** Collect the moments frame and decode MomentsAgg's flat layout:
+    * (upper-triangle second moments, first moments, n). None when the
+    * corpus had no non-null vectors. */
+  private def collectMoments(df: DataFrame, embCol: String, dim: Int,
+      nSalt: Int): Option[(Array[Array[BigInt]], Array[BigInt], Long)] = {
+    val rows = moments(df, embCol, dim, nSalt).collect()
+    if (rows.isEmpty) return None
+    val pairCells = dim * (dim + 1) / 2
+    val iOf = new Array[Int](pairCells)
+    val jOf = new Array[Int](pairCells)
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      iOf(idx) = i; jOf(idx) = j; idx += 1
+    }
+    val s2 = Array.fill(dim, dim)(BigInt(0))
+    val s1 = Array.fill(dim)(BigInt(0))
+    var n = 0L
+    rows.foreach { r =>
+      val p = r.getInt(0)
+      val s = BigInt(r.getDecimal(1).toBigInteger)
+      if (p < pairCells) {
+        s2(iOf(p))(jOf(p)) = s; s2(jOf(p))(iOf(p)) = s
+      } else if (p < pairCells + dim) s1(p - pairCells) = s
+      else n = s.toLong
+    }
+    Some((s2, s1, n))
+  }
+
+  /** Covariance in integer micro-units of the REAL covariance:
+    * c = round((Sᵢⱼ − Sᵢ·Sⱼ/n)/n/10⁶) — the fixed-order double expression
+    * over exact integer sums, identical to the oracle's. */
+  private def covMatrix(s2: Array[Array[BigInt]], s1: Array[BigInt],
+      n: Long, dim: Int): Mat = {
+    val nd = n.toDouble
+    val c = Array.fill(dim, dim)(0L)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = roundHalfUp(
+          (toD(s2(i)(j)) - toD(s1(i)) * toD(s1(j)) / nd) / nd / S, 0).toLong
+        c(i)(j) = v; c(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+    Mat(c, dim)
   }
 
   /**
-   * Full covariance matrix as (i, j, c) with c = round(cov·10⁶) in integer
-   * micro-units of the REAL covariance — the upper triangle computed from
-   * the (persisted) moments frame, mirrored below the diagonal. The only
-   * float arithmetic is the fixed-order (Sᵢⱼ − Sᵢ·Sⱼ/n)/n/10⁶ expression
-   * over exact integer sums (Sᵢⱼ carries scale 10¹², Sᵢ·Sⱼ scale 10⁶·10⁶)
-   * — IEEE doubles both engines reproduce bit-for-bit.
+   * Top principal DIRECTION of an integer matrix, re-quantized to
+   * micro-units of its max component. The power seed is e_s for s =
+   * argmax of the DIAGONAL (largest remaining variance coordinate, ties
+   * to the smallest index) — data-driven, deterministic, and never
+   * orthogonal to the top eigenvector in practice (a fixed-e₀ seed
+   * degenerates exactly when the matrix has nothing on coordinate 0,
+   * the common case for a DEFLATED matrix whose first component lay
+   * along e₀). v₂ = C·(C·e_s) in exact integer arithmetic; the single
+   * re-quantizing division is double-exact on identical inputs. Two
+   * exact steps from a fixed seed make the direction a pure function of
+   * the data — the convergence/accuracy trade is declared, not hidden.
+   * A zero matrix yields q = 0 everywhere.
    */
-  private def covFull(m: DataFrame): DataFrame = {
-    val si = m.filter(col("j") === -1).select(col("i").as("k"), col("s").as("sk"))
-    val cov = m.filter(col("j") >= 0)
-      .join(broadcast(si), col("i") === col("k"))
-      .drop("k").withColumnRenamed("sk", "si")
-      .join(broadcast(si), col("j") === col("k"))
-      .drop("k").withColumnRenamed("sk", "sj")
-      .select(col("i"), col("j"),
-        round((col("s").cast("double")
-          - col("si").cast("double") * col("sj").cast("double")
-            / col("n").cast("double")) / col("n").cast("double") / S, 0)
-          .cast("decimal(12,0)").as("c"))
-    cov.unionByName(cov.filter(col("i") =!= col("j"))
-      .select(col("j").as("i"), col("i").as("j"), col("c")))
+  private def direction(m: Mat): Array[Long] = {
+    val dim = m.dim
+    var sd = 0
+    var best = Long.MinValue
+    var i = 0
+    while (i < dim) {
+      if (m.c(i)(i) > best) { best = m.c(i)(i); sd = i }
+      i += 1
+    }
+    val w1 = Array.tabulate(dim)(k => m.c(k)(sd))
+    val w2 = Array.tabulate(dim) { k =>
+      var acc = BigInt(0)
+      var j = 0
+      while (j < dim) { acc += BigInt(m.c(k)(j)) * BigInt(w1(j)); j += 1 }
+      acc
+    }
+    val mx = w2.map(_.abs).max
+    if (mx == 0) Array.fill(dim)(0L)
+    else w2.map(w => roundHalfUp(toD(w) / toD(mx) * S, 0).toLong)
   }
 
-  /**
-   * Top principal DIRECTION of an integer matrix frame, re-quantized to
-   * micro-units of its max component: (i, q decimal(7,0)). The power seed
-   * is e_s for s = argmax of the DIAGONAL (largest remaining variance
-   * coordinate, ties to the smallest index) — data-driven, deterministic,
-   * and never orthogonal to the top eigenvector in practice (the fixed-e₀
-   * seed degenerates exactly when the matrix has nothing on coordinate 0,
-   * which is the common case for a DEFLATED matrix whose first component
-   * lay along e₀). v₂ = C·(C·e_s) in exact integer decimal (tiny
-   * broadcast joins over the dim²-row matrix frame); the single
-   * re-quantizing division is double-exact on identical inputs. A zero
-   * matrix yields q = 0 everywhere.
-   */
-  private def direction(covf: DataFrame): DataFrame = {
-    val sd = covf.filter(col("i") === col("j"))
-      .agg(max(struct(col("c"), (-col("i")).as("ni"))).as("m"))
-      .select((-col("m.ni")).as("sd"))
-    val v1 = covf.crossJoin(broadcast(sd)).filter(col("j") === col("sd"))
-      .select(col("i").as("k1"), col("c").as("w1"))
-    val v2 = covf.join(broadcast(v1), col("j") === col("k1"))
-      .groupBy("i")
-      .agg(sum(col("c").cast("decimal(12,0)") * col("w1").cast("decimal(12,0)"))
-        .as("w2"))
-    val mx = v2.agg(max(abs(col("w2"))).as("mx"))
-    v2.crossJoin(broadcast(mx))
-      .select(col("i"),
-        when(col("mx") === 0, lit(0).cast("decimal(7,0)"))
-          .otherwise(round(col("w2").cast("double") / col("mx").cast("double")
-            * 1e6, 0).cast("decimal(7,0)")).as("q"))
+  /** Rayleigh pieces of direction q over matrix m: (num = qᵀCq exact,
+    * den = |q|² exact). */
+  private def rayleigh(m: Mat, q: Array[Long]): (BigInt, Long) = {
+    val dim = m.dim
+    var num = BigInt(0)
+    var den = 0L
+    var i = 0
+    while (i < dim) {
+      var v3 = BigInt(0)
+      var j = 0
+      while (j < dim) { v3 += BigInt(m.c(i)(j)) * BigInt(q(j)); j += 1 }
+      num += BigInt(q(i)) * v3
+      den += q(i) * q(i)
+      i += 1
+    }
+    (num, den)
   }
+
+  /** Hotelling deflation C' = C − λ̂₁·(q qᵀ)/|q|²: each cell subtracts one
+    * fixed-order rounded double term (num/den·qᵢ·qⱼ/den), so the deflated
+    * matrix is again exact integer micro-units. A zero direction
+    * (den = 0) deflates nothing. */
+  private def deflate(m: Mat, q: Array[Long], num: BigInt,
+      den: Long): Mat = {
+    if (den == 0L) return m
+    val dim = m.dim
+    val numD = toD(num); val denD = den.toDouble
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      val t = numD / denD * q(i).toDouble * q(j).toDouble / denD
+      m.c(i)(j) - roundHalfUp(t, 0).toLong
+    }
+    Mat(c, dim)
+  }
+
+  /** Exact long dot of the quantized vector with a literal direction —
+    * scan-local `aggregate(zip_with(...))`, no join, no explode; length
+    * mismatches contribute 0 (the old broadcast-join semantics). */
+  private def dotLit(embCol: String, q: Array[Long]): Column =
+    aggregate(
+      zip_with(quantize(col(embCol)), typedlit(q.toSeq),
+        (x, y) => coalesce(x * y, lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** pc score column: s/10⁶/√n2 rounded to 6 dp, 0.0 on a degenerate
+    * direction — the same fixed-order expression the oracle runs. */
+  private def pcCol(s: Column, n2: Long): Column =
+    if (n2 == 0L) lit(0.0)
+    else round(s.cast("double") / S / lit(math.sqrt(n2.toDouble)), 6)
+
+  private def solveTop(df: DataFrame, embCol: String, dim: Int,
+      nSalt: Int): (Array[Long], Long, Mat) =
+    collectMoments(df, embCol, dim, nSalt) match {
+      case None =>
+        (Array.fill(dim)(0L), 0L, Mat(Array.fill(dim, dim)(0L), dim))
+      case Some((s2, s1, n)) =>
+        val m = covMatrix(s2, s1, n, dim)
+        val q = direction(m)
+        (q, q.map(x => x * x).sum, m)
+    }
 
   /**
    * Per-vector projection onto the first principal direction:
    * (idCol, pc1 = q(v)·q / (10⁶·|q|) rounded to 6 dp), one row per
-   * non-null vector. The dot is an exact long sum over the quantized
-   * vector (posexplode + broadcast direction join — the standard
-   * distributed-projection shape, map-side combined; ≤ dim terms of
-   * ≤ 10¹²·|v|_max each, so a per-doc long sum can never overflow for
-   * any realistic magnitude); |q| enters once, at the final double
-   * division. pc1 = 0.0 when the direction is degenerate-zero.
+   * non-null vector — ONE scan-local pass, the direction a plan literal.
+   * pc1 = 0.0 when the direction is degenerate-zero.
    */
-  /** Materialize a dim- or dim²-row frame as a flat LogicalRDD leaf.
-    * The power-iteration chain is ~10 tiny stages each referencing its
-    * predecessors several times, every broadcast in it plans as its own
-    * job, and AQE re-optimizes per stage — with persist() alone (which
-    * caches blocks but keeps the LOGICAL plan) Catalyst re-walks the
-    * whole deepening lineage on every one of those jobs, and q_pca_top2
-    * spent 90+ s of a 97 s run in the OPTIMIZER at sf0.1. Eager
-    * localCheckpoint truncates the lineage so each stage plans over a
-    * constant-size tree — the connectedComponents rhythm
-    * ([[Dedup.connectedComponents]]); on a cluster, reliable
-    * `checkpoint()` is the fault-tolerant variant. (Isolated min-of-3
-    * A/B at sf0.1: q_pca_top2 97.6 → 5.2 s standalone; the residual is
-    * ~35 metadata-scale jobs' scheduling, not compute or planning.) */
-  private def pin(df: DataFrame): DataFrame = df.localCheckpoint()
-
   def projectPc1(df: DataFrame, idCol: String, embCol: String,
       dim: Int, nSalt: Int = 16): DataFrame = {
-    // moments backs covFull's three self-references for the one eager
-    // checkpoint job, then frees — nothing downstream sees its lineage
-    val m = moments(df, embCol, dim, nSalt).persist(StorageLevel.MEMORY_AND_DISK)
-    val covf = pin(covFull(m))
-    m.unpersist(false)
-    val dir = pin(direction(covf))
-    val n2 = dir.agg(sum(col("q") * col("q")).as("n2"))
-    Scale.spreadForCompute(
-        df.filter(col(embCol).isNotNull).select(col(idCol), col(embCol)),
-        col(idCol))
-      .select(col(idCol), posexplode(quantize(col(embCol)))
-        .as(Seq("__pos", "__x")))
-      .join(broadcast(dir), col("__pos") === col("i"))
-      .groupBy(idCol)
-      .agg(sum(col("__x") * col("q").cast("long")).as("__s"))
-      .crossJoin(broadcast(n2))
-      .select(col(idCol),
-        when(col("n2") === 0, lit(0.0))
-          .otherwise(round(col("__s").cast("double") / S
-            / sqrt(col("n2").cast("double")), 6)).as("pc1"))
-  }
-
-  /**
-   * Hotelling deflation on the integer frames: C' = C − λ̂₁·(q qᵀ)/|q|²,
-   * with λ̂₁ = num/den the Rayleigh pieces (exact integers) — each cell
-   * subtracts one fixed-order rounded double term, so the deflated matrix
-   * is again an exact integer micro-unit frame and [[direction]] runs on
-   * it unchanged. A zero direction (den = 0) deflates nothing.
-   */
-  private def deflate(covf: DataFrame, dir: DataFrame): DataFrame = {
-    val v3 = covf.join(broadcast(dir.select(col("i").as("k3"), col("q"))),
-        col("j") === col("k3"))
-      .groupBy("i")
-      .agg(sum(col("c").cast("decimal(12,0)") * col("q").cast("decimal(8,0)"))
-        .as("w3"))
-    val num = dir.join(broadcast(v3), "i")
-      .agg(sum(col("q").cast("decimal(8,0)") * col("w3")).as("num"))
-    val den = dir.agg(sum(col("q") * col("q")).as("den"))
-    val t = when(col("den") === 0, lit(0.0))
-      .otherwise(col("num").cast("double") / col("den").cast("double")
-        * col("qi").cast("double") * col("qj").cast("double")
-        / col("den").cast("double"))
-    covf
-      .join(broadcast(dir.select(col("i"), col("q").as("qi"))), Seq("i"))
-      .join(broadcast(dir.select(col("i").as("j"), col("q").as("qj"))),
-        Seq("j"))
-      .crossJoin(broadcast(num)).crossJoin(broadcast(den))
-      .select(col("i"), col("j"),
-        (col("c").cast("decimal(13,0)") - round(t, 0).cast("decimal(13,0)"))
-          .cast("decimal(12,0)").as("c"))
+    val (q, n2, _) = solveTop(df, embCol, dim, nSalt)
+    df.filter(col(embCol).isNotNull)
+      .select(col(idCol), pcCol(dotLit(embCol, q), n2).as("pc1"))
   }
 
   /**
    * Per-vector projection onto the TOP TWO principal directions:
    * (idCol, pc1, pc2) — [[projectPc1]] plus one Hotelling deflation and a
-   * second power run; both dots come out of ONE posexplode + broadcast
-   * join + hash aggregate (the corpus is scanned once for both
-   * components). The standard PCA-scatter / whitening-front-end shape;
-   * components beyond the second repeat the same deflate-and-project
-   * step. pc2 = 0.0 when the deflated spectrum is degenerate-zero.
+   * second power run on the driver matrix; both dots come out of the ONE
+   * scan-local pass. The standard PCA-scatter / whitening-front-end
+   * shape; components beyond the second repeat the same
+   * deflate-and-project step. pc2 = 0.0 when the deflated spectrum is
+   * degenerate-zero.
    */
   def projectTop2(df: DataFrame, idCol: String, embCol: String,
       dim: Int, nSalt: Int = 16): DataFrame = {
-    val m = moments(df, embCol, dim, nSalt).persist(StorageLevel.MEMORY_AND_DISK)
-    val covf = pin(covFull(m))
-    m.unpersist(false)
-    val dir1 = pin(direction(covf))
-    val covf2 = pin(deflate(covf, dir1))
-    val dir2 = pin(direction(covf2))
-    val n21 = dir1.agg(sum(col("q") * col("q")).as("n21"))
-    val n22 = dir2.agg(sum(col("q") * col("q")).as("n22"))
-    val both = dir1.select(col("i"), col("q").as("q1"))
-      .join(dir2.select(col("i"), col("q").as("q2")), Seq("i"))
-    Scale.spreadForCompute(
-        df.filter(col(embCol).isNotNull).select(col(idCol), col(embCol)),
-        col(idCol))
-      .select(col(idCol), posexplode(quantize(col(embCol)))
-        .as(Seq("__pos", "__x")))
-      .join(broadcast(both), col("__pos") === col("i"))
-      .groupBy(idCol)
-      .agg(sum(col("__x") * col("q1").cast("long")).as("__s1"),
-        sum(col("__x") * col("q2").cast("long")).as("__s2"))
-      .crossJoin(broadcast(n21)).crossJoin(broadcast(n22))
+    val (q1, n21, m) = solveTop(df, embCol, dim, nSalt)
+    val (num, den) = rayleigh(m, q1)
+    val q2 = direction(deflate(m, q1, num, den))
+    val n22 = q2.map(x => x * x).sum
+    df.filter(col(embCol).isNotNull)
       .select(col(idCol),
-        when(col("n21") === 0, lit(0.0))
-          .otherwise(round(col("__s1").cast("double") / S
-            / sqrt(col("n21").cast("double")), 6)).as("pc1"),
-        when(col("n22") === 0, lit(0.0))
-          .otherwise(round(col("__s2").cast("double") / S
-            / sqrt(col("n22").cast("double")), 6)).as("pc2"))
+        pcCol(dotLit(embCol, q1), n21).as("pc1"),
+        pcCol(dotLit(embCol, q2), n22).as("pc2"))
   }
 
   /**
@@ -274,33 +294,35 @@ object Pca {
    * variance, and the explained-variance fraction (the number that decides
    * whether a PCA pre-transform is worth running before PQ, and how many
    * components a whitening step should keep). Exact integer numerator/
-   * denominator (v₃ = C·q as one more tiny join), doubles only in the
-   * final divisions; degenerate inputs report 0.0 rather than NaN.
+   * denominator on the driver matrix, doubles only in the final
+   * divisions; degenerate inputs report 0.0 rather than NaN; an empty
+   * corpus reports the all-null row (the aggregate-of-nothing shape).
    */
   def varianceExplained(df: DataFrame, embCol: String, dim: Int,
       nSalt: Int = 16): DataFrame = {
-    val m = moments(df, embCol, dim, nSalt).persist(StorageLevel.MEMORY_AND_DISK)
-    val covf = pin(covFull(m))
-    m.unpersist(false)
-    val dir = pin(direction(covf))
-    val v3 = covf.join(broadcast(dir.select(col("i").as("k3"), col("q"))),
-        col("j") === col("k3"))
-      .groupBy("i")
-      .agg(sum(col("c").cast("decimal(12,0)") * col("q").cast("decimal(8,0)"))
-        .as("w3"))
-    val num = dir.join(broadcast(v3), "i")
-      .agg(sum(col("q").cast("decimal(8,0)") * col("w3")).as("num"))
-    val den = dir.agg(sum(col("q") * col("q")).as("den"))
-    val tr = covf.filter(col("i") === col("j")).agg(sum(col("c")).as("tr"))
-    val out = num.crossJoin(broadcast(den)).crossJoin(broadcast(tr))
-      .select(
-        when(col("den") === 0, lit(0.0))
-          .otherwise(round(col("num").cast("double") / col("den").cast("double")
-            / 1e6, 6)).as("lambda1"),
-        round(col("tr").cast("double") / 1e6, 6).as("trace"),
-        when(col("den") === 0 || col("tr") === 0, lit(0.0))
-          .otherwise(round(col("num").cast("double") / col("den").cast("double")
-            / col("tr").cast("double"), 6)).as("frac"))
-    out
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("lambda1", DoubleType), StructField("trace", DoubleType),
+      StructField("frac", DoubleType)))
+    val row = collectMoments(df, embCol, dim, nSalt) match {
+      case None => org.apache.spark.sql.Row(null, null, null)
+      case Some((s2, s1, n)) =>
+        val m = covMatrix(s2, s1, n, dim)
+        val q = direction(m)
+        val (num, den) = rayleigh(m, q)
+        var tr = 0L
+        var i = 0
+        while (i < dim) { tr += m.c(i)(i); i += 1 }
+        val lambda1 =
+          if (den == 0L) 0.0
+          else roundHalfUp(toD(num) / den.toDouble / S, 6)
+        val trace = roundHalfUp(tr.toDouble / S, 6)
+        val frac =
+          if (den == 0L || tr == 0L) 0.0
+          else roundHalfUp(toD(num) / den.toDouble / tr.toDouble, 6)
+        org.apache.spark.sql.Row(lambda1, trace, frac)
+    }
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
   }
 }

@@ -322,12 +322,12 @@ class PlanSpec extends SparkSpec {
       // distributed. The resampler adds only a scan-local Gumbel +
       // TakeOrdered on top of the same weights.
       "q_dsir", "q_dsir_resample",
-      // PCA's power-iteration scalars (max|v2|, |q|^2, the Rayleigh
-      // numerator/denominator, the trace) are one-row aggregates over the
-      // ALREADY-REDUCED dim- and dim^2-row matrix frames (64 / 4,160 rows
-      // whatever the corpus size); the corpus-scale stages — the moments
-      // explode and the projection — are map-side-combining hash
-      // aggregates that stay distributed.
+      // PCA's eigen-solve runs on the driver over the collected
+      // dim^2-cell matrix (Ivf's bounded-collect pattern); the two
+      // corpus passes — the MomentsAgg reduction and the literal-
+      // direction projection — stay distributed. Kept on the allowlist
+      // for the moments finish (nSalt-row buffer-cell aggregate, bounded
+      // whatever the corpus size).
       "q_embed_pca", "q_pca_variance", "q_pca_top2",
       // q_winnow_density's report is one row summed from the distributed
       // per-doc fingerprint counts (q_checksum's partial+final shape);
