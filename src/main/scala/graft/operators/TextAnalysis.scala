@@ -584,6 +584,61 @@ object TextAnalysis {
   }
 
   /**
+   * Two-stage retrieval — BM25 candidate generation, then exact
+   * embedding-cosine reranking of the candidates (the production RAG /
+   * search shape: a cheap lexical recall stage bounds the candidate set,
+   * an expensive semantic precision stage re-orders only that set).
+   *
+   * Stage 1 is [[bm25BatchTopK]] capped at `candK` per query (its TopKAgg
+   * map-side bound), with self-retrieval dropped AFTER the cap — a query
+   * document that retrieves itself spends one candidate slot, the
+   * standard leave-one-in-then-mask evaluation convention. Stage 2
+   * touches ONLY candidate-scale rows: the ≤ |queries|·candK candidate
+   * list broadcasts into one embeddings scan (semi-join shape, never an
+   * embeddings shuffle), queries' own vectors come from a second bounded
+   * broadcast, and the rerank window partitions per query over ≤ candK
+   * rows. At 100 TB the corpus is touched exactly twice — the stage-1
+   * (term, doc) aggregate and the one embeddings probe — and everything
+   * between is candidate-scale.
+   *
+   * Query ids must live in the embedding id space (`queries[qIdCol]` ∈
+   * `emb[embIdCol]`); candidates without an embedding drop out of the
+   * rerank (inner probe) — at production scale the embedding store
+   * covers the corpus, and a missing vector is exactly a row you cannot
+   * rerank. Cosine is [[graft.functions.VectorOps.cosine]] (the DotProduct
+   * expression — left-to-right IEEE, oracle-portable). Returns
+   * (qIdCol, rnk, idCol, bm25, cosine): rerank position, the stage-1
+   * score it arrived with, and the cosine that placed it.
+   */
+  def retrieveRerank(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queries: org.apache.spark.sql.DataFrame,
+      qIdCol: String, qTextCol: String,
+      emb: org.apache.spark.sql.DataFrame, embIdCol: String,
+      embCol: String, candK: Int, topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = bm25BatchTopK(docs, idCol, textCol, queries, qIdCol,
+        qTextCol, candK, k1, b)
+      .filter(col(idCol) =!= col(qIdCol))
+      .drop("rnk")
+    val candE = emb.join(broadcast(cands), col(embIdCol) === col(idCol))
+      .drop(embIdCol)
+    val qe = emb
+      .join(broadcast(queries.select(col(qIdCol).as("__qe"))),
+        col(embIdCol) === col("__qe"))
+      .select(col("__qe"), col(embCol).as("__qemb"))
+    val w = Window.partitionBy(qIdCol)
+      .orderBy(col("__cos").desc, col(idCol))
+    candE.join(broadcast(qe), col(qIdCol) === col("__qe"))
+      .withColumn("__cos",
+        graft.functions.VectorOps.cosine(col(embCol), col("__qemb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col(qIdCol), col("rnk"), col(idCol), col("bm25"),
+        round(col("__cos"), 6).as("cosine"))
+  }
+
+  /**
    * Incremental inverted-index maintenance — the retrieval twin of
    * Scale.mergeCounts: fold a NEW batch into an EXISTING index WITHOUT
    * re-tokenizing the corpus. Cost is O(delta tokens + |index|), and the

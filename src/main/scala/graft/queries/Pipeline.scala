@@ -40,6 +40,12 @@ object Pipeline {
     (2L, "hash merge scan"),
     (3L, "quality data"))
 
+  /** q_retrieve_rerank's stage sizes (part of the operator definition,
+    * shared with its oracle SQL): candK bounds the lexical recall stage,
+    * topK the reranked output. */
+  private val RerankCandK = 20
+  private val RerankTopK = 5
+
   /** The whitespace token splitter as a DuckDB fragment. Built in a
     * regular (escape-processed) string so it renders '\s+'; oracle bodies
     * interpolate this instead of spelling the backslash themselves — the
@@ -2278,6 +2284,24 @@ object Pipeline {
       val qs = Bm25BatchQueries.toDF("q_id", "qtext")
       TA.bm25BatchTopK(t(s, dir, "documents"), "doc_id", "text",
         qs, "q_id", "qtext", topK = 10, k1 = Bm25K1, b = Bm25B)
+        .orderBy("q_id", "rnk")
+    }),
+    // L1/L2 — two-stage retrieval (TextAnalysis.retrieveRerank): BM25
+    // recall capped at candK per query, exact embedding-cosine rerank of
+    // ONLY those candidates — the production RAG shape. Queries are the
+    // first three documents (their own text as the query, their vec_id
+    // embedding as the rerank anchor); self-retrieval masked after the
+    // cap. Corpus touched twice (term aggregate + one embeddings probe);
+    // everything between is candidate-scale broadcasts.
+    "q_retrieve_rerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 3 && col("text").isNotNull)
+        .select(col("doc_id").as("q_id"), col("text").as("qtext"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      TA.retrieveRerank(docs, "doc_id", "text", qs, "q_id", "qtext",
+        emb, "vec_id", "emb", candK = RerankCandK, topK = RerankTopK,
+        k1 = Bm25K1, b = Bm25B)
         .orderBy("q_id", "rnk")
     }),
     // L2 — per-dimension embedding statistics (the normalization /
@@ -4785,6 +4809,71 @@ object Pipeline {
                ORDER BY cast(sc AS double) DESC, doc_id DESC) AS rnk
            FROM scored)
          WHERE rnk <= 10 ORDER BY q_id, rnk"""
+    },
+    // Two-stage retrieval: q_bm25_batch's candidate pipeline with the
+    // query table drawn from documents (doc_id < 3), capped at RerankCandK,
+    // self-retrieval masked after the cap, then the exact-cosine rerank
+    // over embeddings (q_sim_exact's list_dot_product formulation) ranked
+    // (cos desc, doc_id) and cut to RerankTopK.
+    "q_retrieve_rerank" -> {
+      val score = s"ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))" +
+        s" * (t.tf * ${Bm25K1 + 1.0})" +
+        s" / (t.tf + $Bm25K1 * (${1.0 - Bm25B}" +
+        s" + $Bm25B * t.dl / (s.sumdl / s.n)))"
+      s"""WITH q AS (
+           SELECT doc_id AS q_id, text AS qtext FROM documents
+           WHERE doc_id < 3 AND text IS NOT NULL),
+         tf AS (
+           SELECT term, doc_id, cast(count(*) AS double) AS tf,
+             max(dl) AS dl
+           FROM (
+             SELECT doc_id, cast(len($WsSplitSql) AS double) AS dl,
+               unnest($WsSplitSql) AS term
+             FROM documents WHERE text IS NOT NULL)
+           WHERE len(term) > 0 GROUP BY term, doc_id),
+         ds AS (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY doc_id),
+         s AS (
+           SELECT cast(count(*) AS double) AS n,
+             cast(sum(cast(dl AS decimal(38,0))) AS double) AS sumdl
+           FROM ds),
+         qt AS (
+           SELECT q_id, term FROM (
+             SELECT q_id, unnest(list_distinct(
+               string_split_regex(qtext, '\\s+'))) AS term
+             FROM q)
+           WHERE len(term) > 0),
+         f AS (
+           SELECT t.term, cast(count(*) AS double) AS df
+           FROM tf t JOIN (SELECT DISTINCT term FROM qt) x USING (term)
+           GROUP BY t.term),
+         scored AS (
+           SELECT qt.q_id, t.doc_id,
+             sum(cast($score AS decimal(28,10))) AS sc
+           FROM tf t
+           JOIN qt ON qt.term = t.term
+           JOIN f ON f.term = t.term, s
+           GROUP BY qt.q_id, t.doc_id),
+         cand AS (
+           SELECT q_id, doc_id, round(scd, 6) AS bm25 FROM (
+             SELECT q_id, doc_id, cast(sc AS double) AS scd,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cast(sc AS double) DESC, doc_id DESC) AS crnk
+             FROM scored)
+           WHERE crnk <= $RerankCandK AND doc_id <> q_id),
+         rr AS (
+           SELECT c.q_id, c.doc_id, c.bm25,
+             list_dot_product(e.embedding::DOUBLE[], g.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(g.embedding::DOUBLE[], g.embedding::DOUBLE[]))) AS cos
+           FROM cand c
+           JOIN embeddings e ON e.vec_id = c.doc_id
+           JOIN embeddings g ON g.vec_id = c.q_id)
+         SELECT q_id, rnk, doc_id, bm25, round(cos, 6) AS cosine FROM (
+           SELECT q_id, doc_id, bm25, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, doc_id) AS rnk
+           FROM rr)
+         WHERE rnk <= $RerankTopK ORDER BY q_id, rnk"""
     },
     "q_embed_norm" ->
       """WITH v AS (
