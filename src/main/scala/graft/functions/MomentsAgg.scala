@@ -24,26 +24,34 @@ import org.apache.spark.sql.expressions.Aggregator
  * Elements past `dim` are ignored; index pairs past a SHORT vector's
  * length contribute nothing while the row still counts — exactly the
  * null-product semantics of the element_at formulation and the oracle's
- * list indexing.
+ * list indexing. The input is `Seq[java.lang.Long]` (not `Seq[Long]`) so
+ * a NULL ELEMENT inside a vector deserializes instead of NPE-ing: any
+ * product or first moment touching a null element is skipped while the
+ * row still counts — again the element_at/sum() semantics.
  */
 class MomentsAgg(dim: Int)
-    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    extends Aggregator[Seq[java.lang.Long], Array[Long], Seq[Long]] {
   require(dim > 0, s"dim must be positive: $dim")
 
   private val pairCells = dim * (dim + 1) / 2
 
   override def zero: Array[Long] = new Array[Long](pairCells + dim + 1)
 
-  override def reduce(b: Array[Long], v: Seq[Long]): Array[Long] = {
+  override def reduce(b: Array[Long], v: Seq[java.lang.Long]): Array[Long] = {
     val a = v.toArray
     val n = math.min(a.length, dim)
     var i = 0
     var idx = 0
-    while (i < dim) {
-      if (i < n) {
-        val vi = a(i)
+    while (i < n) {
+      val bi = a(i)
+      if (bi != null) {
+        val vi = bi.longValue
         var j = i
-        while (j < n) { b(idx + j - i) += vi * a(j); j += 1 }
+        while (j < n) {
+          val bj = a(j)
+          if (bj != null) b(idx + j - i) += vi * bj.longValue
+          j += 1
+        }
         b(pairCells + i) += vi
       }
       idx += dim - i

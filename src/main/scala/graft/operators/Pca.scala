@@ -88,7 +88,12 @@ object Pca {
   private def moments(df: DataFrame, embCol: String, dim: Int,
       nSalt: Int): DataFrame = {
     val magg = udaf(new graft.functions.MomentsAgg(dim))
-    Scale.spreadForCompute(df.filter(col(embCol).isNotNull), col(embCol))
+    // Round-robin spread, NOT hash-of-vector: hashing every embedding just
+    // to widen a narrow scan is wasted CPU, and a duplicate-heavy corpus
+    // would pile all clones of a vector onto one partition. The downstream
+    // stripe totals finish in exact decimal, so placement is free to be
+    // arbitrary.
+    Scale.spreadRoundRobin(df.filter(col(embCol).isNotNull))
       .select(quantize(col(embCol)).as("__qv"),
         pmod(monotonically_increasing_id(), lit(nSalt.toLong)).as("__sl"))
       .groupBy("__sl").agg(magg(col("__qv")).as("__m"))
@@ -263,7 +268,10 @@ object Pca {
   def projectPc1(df: DataFrame, idCol: String, embCol: String,
       dim: Int, nSalt: Int = 16): DataFrame = {
     val (q, n2, _) = solveTop(df, embCol, dim, nSalt)
-    df.filter(col(embCol).isNotNull)
+    // size > 0 alongside isNotNull: the oracle's unnest+join projection
+    // emits NO row for an empty vector, and dotLit's zip_with would
+    // otherwise pad one out to pc1 = 0.0 — a rows/hash desync in waiting.
+    df.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
       .select(col(idCol), pcCol(dotLit(embCol, q), n2).as("pc1"))
   }
 
@@ -282,7 +290,7 @@ object Pca {
     val (num, den) = rayleigh(m, q1)
     val q2 = direction(deflate(m, q1, num, den))
     val n22 = q2.map(x => x * x).sum
-    df.filter(col(embCol).isNotNull)
+    df.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
       .select(col(idCol),
         pcCol(dotLit(embCol, q1), n21).as("pc1"),
         pcCol(dotLit(embCol, q2), n22).as("pc2"))

@@ -25,6 +25,19 @@ object Scale {
     else df
 
   /**
+   * Round-robin variant of [[spreadForCompute]] for stages whose result is
+   * placement-independent (exact-decimal finishes, commutative merges):
+   * widens a narrow scan WITHOUT hashing a key column. Use it when the
+   * only natural key is a wide value column (an embedding, a text body) —
+   * hashing those wastes CPU and, on a duplicate-heavy corpus, piles all
+   * clones onto one partition, exactly the skew the spread exists to fix.
+   */
+  def spreadRoundRobin(df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
+  /**
    * Free operator-held persisted stages once the caller's FIRST action
    * over `result` completes — the lazy-result analogue of `Ivf.train`'s
    * persist → try/finally → unpersist (which only works because train is

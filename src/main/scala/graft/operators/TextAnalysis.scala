@@ -617,6 +617,17 @@ object TextAnalysis {
       embCol: String, candK: Int, topK: Int,
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Fail misuse at the door, not with an ambiguous-reference analysis
+    // error three joins deep: the corpus/query/embedding id columns must
+    // be mutually distinct (the self-mask and the candidate joins compare
+    // them by name), and no caller column may shadow an internal name.
+    require(idCol != qIdCol && idCol != embIdCol,
+      s"idCol '$idCol' must differ from qIdCol '$qIdCol' and embIdCol '$embIdCol'")
+    val reserved = Set("__qe", "__qemb", "__cos", "rnk", "bm25")
+    val clash = Set(idCol, textCol, qIdCol, qTextCol, embIdCol, embCol)
+      .intersect(reserved)
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with retrieveRerank internals ($reserved)")
     val cands = bm25BatchTopK(docs, idCol, textCol, queries, qIdCol,
         qTextCol, candK, k1, b)
       .filter(col(idCol) =!= col(qIdCol))

@@ -114,4 +114,22 @@ class PcaSpec extends SparkSpec {
     assert(frac <= 1.0 + 1e-9)
     assert(frac >= 1.0 / 64 - 1e-3)
   }
+
+  test("degenerate vectors: null elements skipped (no NPE), empty vectors " +
+      "dropped from the projection, short vectors projected") {
+    import spark.implicits._
+    val rows: Seq[(Long, Seq[java.lang.Double])] = Seq(
+      (0L, Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0)),
+      (1L, Seq[java.lang.Double](2.0, null, 1.0, 0.0)),
+      (2L, Seq.empty[java.lang.Double]),
+      (3L, Seq[java.lang.Double](0.5, 1.5)))
+    val df = rows.toDF("vec_id", "emb")
+    // the moments pass must not NPE on the null element, and the empty
+    // vector must not pad a pc=0.0 row out of zip_with (the oracle's
+    // unnest+join emits no row for it)
+    val out = Pca.projectTop2(df, "vec_id", "emb", 4).orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 3L))
+    val v = Pca.varianceExplained(df, "emb", 4).collect().head
+    assert(v.getAs[Double]("trace") >= 0.0)
+  }
 }

@@ -825,6 +825,25 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getString(1) == want)
     }
   }
+
+  test("retrieveRerank fails fast on column-name misuse") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta")).toDF("id", "text")
+    val emb = Seq((1L, Seq(1.0, 0.0))).toDF("vid", "emb")
+    // qIdCol == idCol would make the self-mask and candidate joins ambiguous
+    val e1 = intercept[IllegalArgumentException] {
+      TA.retrieveRerank(docs, "id", "text", docs, "id", "text",
+        emb, "vid", "emb", candK = 5, topK = 3)
+    }
+    assert(e1.getMessage.contains("must differ"))
+    // a caller column shadowing an internal name must be rejected by name
+    val qs = Seq((2L, "alpha")).toDF("bm25", "qt")
+    val e2 = intercept[IllegalArgumentException] {
+      TA.retrieveRerank(docs, "id", "text", qs, "bm25", "qt",
+        emb, "vid", "emb", candK = 5, topK = 3)
+    }
+    assert(e2.getMessage.contains("bm25"))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
