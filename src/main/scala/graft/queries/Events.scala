@@ -297,6 +297,36 @@ object Events {
         .select(col("node").as("event_type"), col("n1"), col("n2"),
           col("n3"), col("h_scaled"))
         .orderBy("event_type")
+    }),
+    // Hierarchy — bounded ancestor closure by pointer doubling (Spark has
+    // no recursive CTE; the oracle runs DuckDB's WITH RECURSIVE over the
+    // same parent table). The hierarchy is the dense binary referral tree
+    // parent(u) = u div 2 over the event user population — derived from
+    // real ids, deterministic, max depth ≈ log₂|users|. log₂(depth)
+    // closure self-joins instead of depth-many recursive rounds.
+    "q_tree_paths" -> ((s, dir) => {
+      val parents = t(s, dir, "events").select(col("user_id")).distinct()
+        .select(col("user_id").as("node"),
+          when(col("user_id") > 0, expr("user_id div 2")).as("parent"))
+      graft.operators.Hierarchy.ancestors(parents, "node", "parent", 16)
+        .orderBy("node", "dist")
+    }),
+    // Hierarchy — subtree rollup over the same tree: per node, the number
+    // of subtree users that produced events and their total event count —
+    // the org-chart/category-tree aggregate every warehouse builds with a
+    // recursive CTE, here ONE closure + ONE hash aggregate on the
+    // ancestor. Self included; users without events still report a row.
+    "q_tree_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val parents = ev.select(col("user_id")).distinct()
+        .select(col("user_id").as("node"),
+          when(col("user_id") > 0, expr("user_id div 2")).as("parent"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Hierarchy.subtreeAgg(parents, "node", "parent",
+          perUser, "user_id", "n_events", 16)
+        .select(col("node"), col("n_desc"), col("sum_value").as("subtree_events"))
+        .orderBy("node")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -573,5 +603,40 @@ object Events {
          LEFT JOIN c1 ON c1.v = n.node
          LEFT JOIN c2 ON c2.v = n.node
          LEFT JOIN c3 ON c3.v = n.node
-         ORDER BY event_type""")
+         ORDER BY event_type""",
+    "q_tree_paths" ->
+      """WITH RECURSIVE parents AS (
+           SELECT DISTINCT user_id AS node,
+             CASE WHEN user_id > 0 THEN user_id // 2 END AS parent
+           FROM events),
+         anc AS (
+           SELECT node, parent AS anc, cast(1 AS BIGINT) AS dist
+           FROM parents WHERE parent IS NOT NULL
+           UNION ALL
+           SELECT a.node, p.parent, a.dist + 1
+           FROM anc a JOIN parents p ON p.node = a.anc
+           WHERE p.parent IS NOT NULL AND a.dist < 16)
+         SELECT node, anc, dist FROM anc ORDER BY node, dist""",
+    "q_tree_rollup" ->
+      """WITH RECURSIVE parents AS (
+           SELECT DISTINCT user_id AS node,
+             CASE WHEN user_id > 0 THEN user_id // 2 END AS parent
+           FROM events),
+         anc AS (
+           SELECT node, parent AS anc, cast(1 AS BIGINT) AS dist
+           FROM parents WHERE parent IS NOT NULL
+           UNION ALL
+           SELECT a.node, p.parent, a.dist + 1
+           FROM anc a JOIN parents p ON p.node = a.anc
+           WHERE p.parent IS NOT NULL AND a.dist < 16),
+         pairs AS (
+           SELECT anc AS node, node AS descn FROM anc
+           UNION ALL SELECT node, node FROM parents),
+         per_user AS (
+           SELECT user_id, cast(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1)
+         SELECT p.node, cast(count(u.n_events) AS BIGINT) AS n_desc,
+           cast(sum(u.n_events) AS BIGINT) AS subtree_events
+         FROM pairs p LEFT JOIN per_user u ON u.user_id = p.descn
+         GROUP BY 1 ORDER BY p.node""")
 }
