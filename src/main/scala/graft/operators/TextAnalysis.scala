@@ -700,4 +700,45 @@ object TextAnalysis {
           col("tf"), col("rn")),
       Seq(deltaTf))
   }
+
+  /**
+   * TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+   * the token co-occurrence graph. Tokens are lowercased words stripped
+   * to [a-z0-9], kept at length ≥ `minLen`; an edge joins each pair of
+   * tokens ADJACENT IN THE SURVIVING SEQUENCE (gaps left by dropped
+   * tokens collapse — the standard windowed-cooccurrence convention at
+   * window 2), self-pairs dropped, both directions materialized so
+   * [[Graph.pageRank]]'s directed walk is symmetric. Ranks are that
+   * operator's exact scaled integers, so the whole pipeline
+   * oracle-checks. Returns the corpus-global top `topN` (term, rank).
+   *
+   * Scale: tokenize + strip is scan-local; the co-occurrence aggregate is
+   * ONE hash shuffle on (src, dst) at vocabulary-pair scale (≪ corpus
+   * tokens after the map-side combine); pageRank runs `iters` bounded
+   * joins over that edge list; top-N is a TakeOrderedAndProject, never a
+   * global sort.
+   */
+  def textrankKeywords(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minLen: Int = 3, iters: Int = 2,
+      topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol).as("__d"),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("__p", "__w")))
+      .select(col("__d"), col("__p"),
+        regexp_replace(col("__w"), "[^a-z0-9]", "").as("__t"))
+      .filter(length(col("__t")) >= minLen)
+    val w = Window.partitionBy("__d").orderBy("__p")
+    val pairs = toks.withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") =!= col("__t"))
+      .select(col("__prev").as("src"), col("__t").as("dst"))
+    val edges = pairs
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    Graph.pageRank(edges, iters)
+      .orderBy(col("rank").desc, col("node"))
+      .select(col("node").as("term"), col("rank"))
+      .limit(topN)
+  }
 }

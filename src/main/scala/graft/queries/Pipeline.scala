@@ -1220,6 +1220,16 @@ object Pipeline {
       Curation.pmiTopK(t(s, dir, "documents"), "doc_id", "text",
         minCount = 5, k = 30)
     }),
+    // L1 — TextRank keywords (TextAnalysis.textrankKeywords): PageRank
+    // over the token co-occurrence graph — the unsupervised keyword table
+    // (Mihalcea & Tarau 2004). Integer-exact ranks via Graph.pageRank, so
+    // the full pipeline (tokenize → strip → adjacency → 2 PR rounds →
+    // top-20) oracle-checks bit-for-bit.
+    "q_textrank" -> ((s, dir) => {
+      graft.operators.TextAnalysis.textrankKeywords(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("rank").desc, col("term"))
+    }),
     // A7 — near-dup cluster size HISTOGRAM: how much of the corpus sits
     // in duplicate clusters of what size — the report that decides
     // whether dedup is worth a full run (mass in size-2 pairs vs a few
@@ -4272,6 +4282,52 @@ object Pipeline {
            WHERE b.c12 >= 5)
          SELECT w1, w2, c12::bigint AS c12, pmi FROM scored
          ORDER BY pmi DESC, w1, w2 LIMIT 30""",
+    // TextRank = the q_pagerank oracle's integer PR rounds over a
+    // co-occurrence edge list built from surviving-token adjacency.
+    "q_textrank" ->
+      """WITH t0 AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         tok AS (
+           SELECT doc_id, pos, regexp_replace(tk, '[^a-z0-9]', '', 'g') AS t
+           FROM (SELECT doc_id, unnest(w) AS tk,
+                   unnest(generate_series(1, len(w))) AS pos FROM t0)),
+         ft AS (SELECT doc_id, pos, t FROM tok WHERE length(t) >= 3),
+         seq AS (SELECT t AS dst,
+             lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS src
+           FROM ft),
+         p AS (SELECT src, dst FROM seq
+               WHERE src IS NOT NULL AND src <> dst),
+         edges AS (SELECT src, dst, cast(count(*) AS BIGINT) AS w
+           FROM (SELECT src, dst FROM p
+                 UNION ALL SELECT dst AS src, src AS dst FROM p)
+           GROUP BY 1, 2),
+         outw AS (SELECT src, cast(sum(w) AS BIGINT) AS outw
+           FROM edges GROUP BY 1),
+         nodes AS (SELECT src AS node FROM edges
+           UNION SELECT dst FROM edges),
+         r0 AS (SELECT node, cast(1000000000000 AS BIGINT) AS rank
+           FROM nodes),
+         c1 AS (
+           SELECT e.dst AS node, cast(sum(
+             (r.rank::HUGEINT * 85 * e.w) // (100 * o.outw::HUGEINT)
+             ) AS BIGINT) AS s
+           FROM edges e JOIN outw o ON e.src = o.src
+             JOIN r0 r ON r.node = e.src GROUP BY 1),
+         r1 AS (SELECT n.node,
+             cast(150000000000 + coalesce(c1.s, 0) AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+         c2 AS (
+           SELECT e.dst AS node, cast(sum(
+             (r.rank::HUGEINT * 85 * e.w) // (100 * o.outw::HUGEINT)
+             ) AS BIGINT) AS s
+           FROM edges e JOIN outw o ON e.src = o.src
+             JOIN r1 r ON r.node = e.src GROUP BY 1),
+         r2 AS (SELECT n.node,
+             cast(150000000000 + coalesce(c2.s, 0) AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN c2 ON n.node = c2.node)
+         SELECT node AS term, rank FROM r2
+         ORDER BY rank DESC, term LIMIT 20""",
     // Same edge + component CTEs as q_split_leakfree; singleton docs form
     // size-1 clusters via the coalesce.
     "q_cluster_hist" ->

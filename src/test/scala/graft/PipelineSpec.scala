@@ -826,6 +826,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("textrankKeywords: a hub token co-occurring with everything ranks " +
+      "first; short/stripped tokens never appear") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha Hub beta hub gamma HUB delta"),
+      (2L, "epsilon hub zeta hub, eta"),
+      (3L, "is at to of")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .textrankKeywords(docs, "doc_id", "text", minLen = 3, iters = 2,
+        topN = 10)
+      .collect()
+    assert(out.head.getString(0) == "hub", out.map(_.getString(0)).toSeq)
+    // every term survived the [a-z0-9] strip + length filter
+    assert(out.forall(r => r.getString(0).matches("[a-z0-9]{3,}")))
+    // stopword-only doc 3 contributes tokens but none beat the hub
+    assert(out.map(_.getLong(1)).toSeq ==
+      out.map(_.getLong(1)).sorted.reverse.toSeq)
+  }
+
   test("retrieveRerank fails fast on column-name misuse") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta")).toDF("id", "text")
