@@ -121,4 +121,68 @@ object Similarity {
       col(idCol) =!= col(qIdCol)), embCol, qEmbCol)
     rankTopK(scored, qIdCol, idCol, k)
   }
+
+  /**
+   * Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+   * from each query's top-`candK` cosine candidates, greedily pick `k`
+   * maximizing `lambda·rel − mu·max_{s∈picked} cos(c, s)` — the
+   * diversified re-rank every retrieval/few-shot sampler runs so the
+   * result set is not k near-copies of the best hit. The first pick
+   * scores `lambda·rel` (empty-set diversity term = 0), ties break on
+   * the candidate id. `lambda`/`mu` are independent parameters (NOT
+   * mu = 1−lambda computed here) so the caller — and the oracle —
+   * control the exact double literals.
+   *
+   * Scale shape: candidates come from [[exactTopK]] (swap in the
+   * LSH/IVF candidate source at 100 TB exactly as [[lshTopK]] does);
+   * everything after is candidate-scale — |queries|·candK rows joined
+   * per round against the ≤ |queries|·k broadcast picked set, one max
+   * aggregate, one per-query argmax window. k−1 bounded rounds, picks
+   * persisted and freed via [[Scale.releaseAfterUse]].
+   */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, candK: Int, k: Int,
+      lambda: Double = 0.7, mu: Double = 0.3,
+      idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    require(k >= 1 && candK >= k, s"need candK >= k >= 1: candK=$candK k=$k")
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val cands = exactTopK(corpus, queries, candK, idCol, embCol, qIdCol,
+        qEmbCol)
+      .select(col(qIdCol), col(idCol), col("cos").as("__rel"),
+        col(embCol).as("__cemb"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    held += cands
+    var all = cands.filter(col("rn") === 1)
+      .select(col(qIdCol), col(idCol), lit(1L).as("pick"),
+        (lit(lambda) * col("__rel")).as("score"), col("__cemb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    held += all
+    (2 to k).foreach { r =>
+      val selEmb = all.select(col(qIdCol).as("__q2"), col("__cemb").as("__semb"))
+      val remaining = cands
+        .join(all.select(col(qIdCol), col(idCol)), Seq(qIdCol, idCol),
+          "left_anti")
+      val maxSim = remaining
+        .join(broadcast(selEmb), col(qIdCol) === col("__q2"))
+        .select(col(qIdCol), col(idCol),
+          graft.functions.VectorOps.cosine(col("__cemb"), col("__semb"))
+            .as("__s"))
+        .groupBy(qIdCol, idCol).agg(max(col("__s")).as("__ms"))
+      val w = Window.partitionBy(qIdCol)
+        .orderBy(col("__mmr").desc, col(idCol))
+      val pick = remaining.join(maxSim, Seq(qIdCol, idCol))
+        .withColumn("__mmr",
+          lit(lambda) * col("__rel") - lit(mu) * col("__ms"))
+        .withColumn("__prn", row_number().over(w))
+        .filter(col("__prn") === 1)
+        .select(col(qIdCol), col(idCol), lit(r.toLong).as("pick"),
+          col("__mmr").as("score"), col("__cemb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      held += pick
+      all = all.unionByName(pick)
+    }
+    Scale.releaseAfterUse(
+      all.select(col(qIdCol), col("pick"), col(idCol), col("score")),
+      held.toSeq)
+  }
 }

@@ -1600,6 +1600,23 @@ object Pipeline {
           round(col("cos"), 6).as("cosine"))
         .orderBy("q_id", "rn")
     }),
+    // L2 — MMR diversified selection (Similarity.mmrSelect): 3 greedy
+    // picks from each query's top-10 candidates at λ=0.7/μ=0.3 — the
+    // retrieval re-rank that stops the result set being k near-copies of
+    // the best hit. Candidate cosines, the pairwise diversity penalty,
+    // and all three argmax rounds oracle-check at full double precision
+    // (same portable dot-product argument as q_sim_exact); only the
+    // reported score rounds.
+    "q_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.mmrSelect(emb, qs, candK = 10, k = 3)
+        .select(col("q_id"), col("pick"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("q_id", "pick")
+    }),
     // L2 — sign-LSH bucket histogram: the scale path's candidate profile.
     // Oracle-checked: the seeded hyperplane basis is part of the operator
     // definition, so the oracle SQL carries the same plane literals and
@@ -3407,6 +3424,65 @@ object Pipeline {
                ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
            WHERE cos < 0.35)
          WHERE rn <= 10 ORDER BY q_id, rn""",
+    // MMR: the q_sim_exact candidate CTE + three unrolled greedy rounds.
+    // λ/μ are written as the exact literals the Spark side uses.
+    "q_mmr" ->
+      """WITH cand AS (
+           SELECT q_id, vec_id, cos, rn FROM (
+             SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, vec_id) AS rn
+             FROM (
+               SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS cos
+               FROM embeddings q JOIN embeddings e
+                 ON q.vec_id < 5 AND e.vec_id <> q.vec_id))
+           WHERE rn <= 10),
+         s1 AS (SELECT q_id, vec_id, 0.7::DOUBLE * cos AS score
+                FROM cand WHERE rn = 1),
+         m2 AS (
+           SELECT c.q_id, c.vec_id,
+             0.7::DOUBLE * c.cos - 0.3::DOUBLE * max(
+               list_dot_product(ec.embedding::DOUBLE[], es.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(ec.embedding::DOUBLE[], ec.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(es.embedding::DOUBLE[], es.embedding::DOUBLE[])))) AS mmr
+           FROM cand c
+           JOIN s1 ON s1.q_id = c.q_id AND s1.vec_id <> c.vec_id
+           JOIN embeddings ec ON ec.vec_id = c.vec_id
+           JOIN embeddings es ON es.vec_id = s1.vec_id
+           GROUP BY c.q_id, c.vec_id, c.cos),
+         s2 AS (SELECT q_id, vec_id, mmr AS score FROM (
+                  SELECT q_id, vec_id, mmr, row_number() OVER (
+                    PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS prn
+                  FROM m2) WHERE prn = 1),
+         sel12 AS (SELECT q_id, vec_id FROM s1
+                   UNION ALL SELECT q_id, vec_id FROM s2),
+         m3 AS (
+           SELECT c.q_id, c.vec_id,
+             0.7::DOUBLE * c.cos - 0.3::DOUBLE * max(
+               list_dot_product(ec.embedding::DOUBLE[], es.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(ec.embedding::DOUBLE[], ec.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(es.embedding::DOUBLE[], es.embedding::DOUBLE[])))) AS mmr
+           FROM cand c
+           JOIN sel12 s ON s.q_id = c.q_id
+           JOIN embeddings ec ON ec.vec_id = c.vec_id
+           JOIN embeddings es ON es.vec_id = s.vec_id
+           WHERE NOT EXISTS (SELECT 1 FROM sel12 x
+             WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+           GROUP BY c.q_id, c.vec_id, c.cos),
+         s3 AS (SELECT q_id, vec_id, mmr AS score FROM (
+                  SELECT q_id, vec_id, mmr, row_number() OVER (
+                    PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS prn
+                  FROM m3) WHERE prn = 1)
+         SELECT q_id, pick, vec_id, round(score, 6) AS score FROM (
+           SELECT q_id, cast(1 AS BIGINT) AS pick, vec_id, score FROM s1
+           UNION ALL
+           SELECT q_id, cast(2 AS BIGINT), vec_id, score FROM s2
+           UNION ALL
+           SELECT q_id, cast(3 AS BIGINT), vec_id, score FROM s3)
+         ORDER BY q_id, pick""",
     "q_dedup_ngram" ->
       """WITH s AS (
            SELECT doc_id, lang, n_chars,

@@ -826,6 +826,44 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("mmrSelect matches a driver-side greedy MMR reference exactly " +
+      "and diversifies away from near-clones") {
+    import spark.implicits._
+    // corpus: a near-clone pair along e0 and two progressively off-axis
+    // vectors; query slightly off e0 so relevance != pairwise similarity
+    val vecs = Map(
+      10L -> Seq(1.0, 0.0, 0.0), 11L -> Seq(0.98, 0.05, 0.0),
+      12L -> Seq(0.6, 0.8, 0.0), 13L -> Seq(0.5, 0.0, 0.9))
+    val corpus = vecs.toSeq.toDF("vec_id", "emb")
+    val qv = Seq(1.0, 0.1, 0.1)
+    val qs = Seq((99L, qv)).toDF("q_id", "q_emb")
+    val (lam, mu) = (0.5, 0.5)
+    val out = Similarity.mmrSelect(corpus, qs, candK = 4, k = 3, lam, mu)
+      .orderBy("pick").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    // driver-side reference with the same sequential-dot cosine
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val rel = vecs.map { case (id, v) => id -> cos(v, qv) }
+    var picked = Vector.empty[(Long, Double)]
+    (1 to 3).foreach { _ =>
+      val cand = vecs.keySet -- picked.map(_._1)
+      val scored = cand.toSeq.map { id =>
+        val pen = if (picked.isEmpty) 0.0
+          else picked.map(p => cos(vecs(id), vecs(p._1))).max
+        (id, lam * rel(id) - mu * pen)
+      }
+      picked :+= scored.minBy { case (id, s) => (-s, id) }
+    }
+    assert(out.toSeq == picked,
+      s"spark=${out.toSeq} reference=$picked")
+    // and the near-clone of pick 1 must NOT be pick 2 despite having the
+    // 2nd-best relevance — the diversity penalty must push it out
+    assert(out(1)._1 != 10L && out(1)._1 != 11L)
+  }
+
   test("textrankKeywords: a hub token co-occurring with everything ranks " +
       "first; short/stripped tokens never appear") {
     import spark.implicits._
