@@ -79,4 +79,35 @@ object Layout {
     outFs.listStatus(outQ)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
+
+  /**
+   * Compaction PLAN — the relational (and oracle-checkable) half of
+   * [[compact]], and the same sorted-fill rule Spark's own
+   * FilePartition packing approximates: within each `groupCol` (a
+   * partition directory), walk items in `orderCol` order (the listing
+   * order) and assign bin = exclusive-prefix-bytes div `targetBytes`.
+   * A straddling item lands in the bin its prefix opened, so every bin
+   * holds < target bytes of prefix plus at most one overhang — the
+   * bounded-overfill convention. Returns one row per (group, bin) with
+   * the item count and byte total: the work list a compactor executes
+   * and the report that says whether compaction is worth running.
+   *
+   * Scale: ONE window partitioned by the directory group (never a global
+   * sort) + ONE hash aggregate; input is file METADATA — rows per file,
+   * not per record — so this plans a 100 TB table from listing-scale
+   * input.
+   */
+  def compactionBins(files: DataFrame, groupCol: String, orderCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    files
+      .withColumn("__pre", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__pre div ${targetBytes}L"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col(sizeCol)).as("bytes"))
+  }
 }

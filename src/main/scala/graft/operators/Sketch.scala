@@ -90,6 +90,21 @@ object Sketch {
    */
   def kmvJaccardPairs(sketches: DataFrame, groupCol: String,
       k: Int): DataFrame = {
+    val (mg, _, shared) = mergedSketchRows(sketches, groupCol, k)
+    mg.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_merged"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_merged"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double")
+          / col("n_merged").cast("double"), 6).as("jaccard_est"))
+  }
+
+  /** Shared pair-merge core of [[kmvJaccardPairs]]/[[kmvSetPairs]]: for
+    * every ordered group pair, the merged sketch's rows (src_a, src_b, h,
+    * __rn ≤ k — the k smallest of A∪B rebuilt relationally), the ranked
+    * frame itself, and the per-pair shared-hash counts. */
+  private def mergedSketchRows(sketches: DataFrame, groupCol: String,
+      k: Int): (DataFrame, DataFrame, DataFrame) = {
     val rows = sketches
       .select(col(groupCol), explode(col("sketch")).as("h"))
     val a = rows.select(col(groupCol).as("src_a"), col("h"))
@@ -108,11 +123,35 @@ object Sketch {
       .join(a, Seq("src_a", "h"), "left_semi")
       .join(b, Seq("src_b", "h"), "left_semi")
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
-    mg.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_merged"))
-      .join(shared, Seq("src_a", "src_b"), "left")
-      .select(col("src_a"), col("src_b"), col("n_merged"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)).cast("double")
-          / col("n_merged").cast("double"), 6).as("jaccard_est"))
+    (mg, pairs, shared)
+  }
+
+  /**
+   * KMV SET ALGEBRA: pairwise |A ∪ B| and |A ∩ B| estimates from the same
+   * O(k)-per-group sketches — the other half of [[kmvJaccardPairs]]'s
+   * report, closing the sketch family (cardinality / jaccard / union /
+   * intersection). union_est applies [[kmvEstimate]]'s exact rule to the
+   * merged sketch (exact count while the merge is incomplete, else
+   * (k−1)·2⁶⁰/h₍ₖ₎); inter_est is the standard composed estimator
+   * round((n_shared/n_merged) · union_est, 6) — the Jaccard estimate
+   * scaled onto the union estimate, fixed operation order so it is
+   * engine-portable. Same relational merge, no list dialect anywhere.
+   */
+  def kmvSetPairs(sketches: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val (mg, _, shared) = mergedSketchRows(sketches, groupCol, k)
+    val agg = mg.groupBy("src_a", "src_b").agg(
+      count(lit(1)).as("n_merged"),
+      max(when(col("__rn") === k, col("h"))).as("__hk"))
+    val unionEst = when(col("n_merged") < k, col("n_merged").cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(HashSpace)
+        / col("__hk").cast("double"), 6))
+    agg.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), unionEst.as("union_est"),
+        coalesce(col("n_shared"), lit(0L)).cast("double").as("__ns"),
+        col("n_merged").cast("double").as("__nm"))
+      .select(col("src_a"), col("src_b"), col("union_est"),
+        round(col("__ns") / col("__nm") * col("union_est"), 6)
+          .as("inter_est"))
   }
 }

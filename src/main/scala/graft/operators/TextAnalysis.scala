@@ -702,6 +702,50 @@ object TextAnalysis {
   }
 
   /**
+   * Zipf power-law fit of the token frequency spectrum: OLS slope and
+   * intercept of ln(freq) over ln(rank) across the top `topRanks` ranks —
+   * the corpus-health number (natural text sits near slope −1; template
+   * spam and boilerplate floods bend it). ln values quantize to integer
+   * micro-units (the PCA recipe — round(ln·10⁶), the one IEEE decision),
+   * the five OLS sums are then EXACT integer aggregates, and the
+   * closed-form slope/intercept are one fixed-order double expression
+   * each — so the whole fit oracle-checks. Returns one row
+   * (n_ranks, slope, intercept) with intercept reported in ln units.
+   *
+   * Scale: tokenize + frequency count is one hash aggregate; the ranked
+   * head is TakeOrderedAndProject (top-R by count, never a global sort);
+   * only the R-row head crosses a single partition — metadata scale by
+   * construction.
+   */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topRanks: Int = 200): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topRanks >= 2, s"need at least 2 ranks to fit: $topRanks")
+    val freq = Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t")).limit(topRanks)
+    val w = Window.orderBy(col("__c").desc, col("__t"))
+    def q(c: Column) = round(log(c.cast("double")) * lit(1e6), 0).cast("long")
+    val sums = freq.withColumn("__r", row_number().over(w).cast("long"))
+      .select(q(col("__r")).as("__x"), q(col("__c")).as("__y"))
+      .agg(count(lit(1)).as("n_ranks"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    val n = col("n_ranks").cast("double")
+    val (sx, sy, sxy, sxx) = (col("__sx").cast("double"),
+      col("__sy").cast("double"), col("__sxy").cast("double"),
+      col("__sxx").cast("double"))
+    sums
+      .withColumn("__slope", (n * sxy - sx * sy) / (n * sxx - sx * sx))
+      .select(col("n_ranks"), round(col("__slope"), 6).as("slope"),
+        round((sy - col("__slope") * sx) / n / lit(1e6), 6).as("intercept"))
+  }
+
+  /**
    * TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
    * the token co-occurrence graph. Tokens are lowercased words stripped
    * to [a-z0-9], kept at length ≥ `minLen`; an edge joins each pair of

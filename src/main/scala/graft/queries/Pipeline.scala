@@ -1230,6 +1230,15 @@ object Pipeline {
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("rank").desc, col("term"))
     }),
+    // L1 — Zipf power-law fit (TextAnalysis.zipfFit): OLS of ln(freq) on
+    // ln(rank) over the top-200 token ranks — the one-row corpus-health
+    // report (natural text ≈ slope −1). Integer-micro-unit ln (the PCA
+    // quantize recipe) makes the five OLS sums exact, so the fit
+    // oracle-checks to the last rounded digit.
+    "q_zipf_slope" -> ((s, dir) => {
+      graft.operators.TextAnalysis.zipfFit(
+        t(s, dir, "documents"), "doc_id", "text", topRanks = 200)
+    }),
     // A7 — near-dup cluster size HISTOGRAM: how much of the corpus sits
     // in duplicate clusters of what size — the report that decides
     // whether dedup is worth a full run (mass in size-2 pairs vs a few
@@ -1442,6 +1451,17 @@ object Pipeline {
         t(s, dir, "documents"), "source", "text")
       val sk = graft.operators.Sketch.kmv(h, "source", KmvK)
       graft.operators.Sketch.kmvJaccardPairs(sk, "source", KmvK)
+        .orderBy("src_a", "src_b")
+    }),
+    // L1/§2.9 — KMV set algebra (Sketch.kmvSetPairs): pairwise union and
+    // intersection CARDINALITY estimates from the same O(k) sketches —
+    // the numbers a mix planner needs ("how many NEW docs does adding
+    // source B bring") that jaccard alone doesn't give.
+    "q_kmv_union" -> ((s, dir) => {
+      val h = graft.operators.Sketch.fingerprintHashes(
+        t(s, dir, "documents"), "source", "text")
+      val sk = graft.operators.Sketch.kmv(h, "source", KmvK)
+      graft.operators.Sketch.kmvSetPairs(sk, "source", KmvK)
         .orderBy("src_a", "src_b")
     }),
     // S9-extension — the non-parquet format layer, oracle-checked END-TO-
@@ -3794,6 +3814,28 @@ object Pipeline {
                          WHERE y.source = m.src_b AND y.h = m.h)
            GROUP BY 1, 2) sh USING (src_a, src_b)
          ORDER BY src_a, src_b"""),
+    "q_kmv_union" -> KmvSql(
+      s"""SELECT src_a, src_b, union_est,
+            round(ns / nm * union_est, 6) AS inter_est
+          FROM (
+            SELECT g.src_a, g.src_b,
+              CASE WHEN g.n_merged < $KmvK THEN g.n_merged::DOUBLE
+                   ELSE round(${KmvK - 1}.0 * 1152921504606846976.0
+                     / g.hk::DOUBLE, 6) END AS union_est,
+              coalesce(sh.n_shared, 0)::DOUBLE AS ns,
+              g.n_merged::DOUBLE AS nm
+            FROM (SELECT src_a, src_b, count(*) AS n_merged,
+                    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+                  FROM mg WHERE rn <= $KmvK GROUP BY 1, 2) g
+            LEFT JOIN (
+              SELECT m.src_a, m.src_b, count(*) AS n_shared
+              FROM mk m
+              WHERE EXISTS (SELECT 1 FROM sk x
+                            WHERE x.source = m.src_a AND x.h = m.h)
+                AND EXISTS (SELECT 1 FROM sk y
+                            WHERE y.source = m.src_b AND y.h = m.h)
+              GROUP BY 1, 2) sh USING (src_a, src_b))
+          ORDER BY src_a, src_b"""),
     // The round-trip is correct iff every format's digest equals the one
     // computed straight from parquet — so the oracle is that digest,
     // cross-joined onto the three format labels.
@@ -4404,6 +4446,35 @@ object Pipeline {
            FROM nodes n LEFT JOIN c2 ON n.node = c2.node)
          SELECT node AS term, rank FROM r2
          ORDER BY rank DESC, term LIMIT 20""",
+    "q_zipf_slope" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+           FROM documents WHERE text IS NOT NULL),
+         freq AS (
+           SELECT t, count(*) AS c FROM toks WHERE length(t) > 0 GROUP BY t),
+         head AS (
+           SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+           FROM freq QUALIFY r <= 200),
+         xy AS (
+           SELECT round(ln(r::DOUBLE) * 1000000, 0)::BIGINT AS x,
+             round(ln(c::DOUBLE) * 1000000, 0)::BIGINT AS y
+           FROM head),
+         s AS (
+           SELECT cast(count(*) AS BIGINT) AS n_ranks,
+             cast(sum(x) AS BIGINT) AS sx, cast(sum(y) AS BIGINT) AS sy,
+             cast(sum(x * y) AS BIGINT) AS sxy,
+             cast(sum(x * x) AS BIGINT) AS sxx
+           FROM xy),
+         f AS (
+           SELECT n_ranks, sx, sy,
+             (n_ranks::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n_ranks::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+               AS slope
+           FROM s)
+         SELECT n_ranks, round(slope, 6) AS slope,
+           round((sy::DOUBLE - slope * sx::DOUBLE) / n_ranks::DOUBLE
+             / 1000000.0, 6) AS intercept
+         FROM f""",
     // Same edge + component CTEs as q_split_leakfree; singleton docs form
     // size-1 clusters via the coalesce.
     "q_cluster_hist" ->

@@ -581,6 +581,18 @@ object Relational {
         .groupBy(a("k").as("k")).agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("k"))
     }),
+    // Layout — compaction plan (Layout.compactionBins): sorted-fill bin
+    // assignment of size-carrying items to ~target-byte output bins, per
+    // source directory — the work list behind Layout.compact and the
+    // small-file report that decides whether to run it. Window per group
+    // + one hash aggregate over metadata-scale rows.
+    "q_compact_bins" -> ((s, dir) => {
+      graft.operators.Layout.compactionBins(
+          t(s, dir, "documents")
+            .select(col("source"), col("doc_id"), col("n_chars")),
+          "source", "doc_id", "n_chars", targetBytes = 8192L)
+        .orderBy("source", "bin")
+    }),
     // Layout — Morton z-values over (custkey, orderkey): the clustering key
     // for two-dimensional range pruning (Layout.zorderWrite sorts by it).
     "q_zorder" -> ((s, dir) => {
@@ -1233,6 +1245,16 @@ object Relational {
          SELECT a.k, count(*) AS n FROM a JOIN b
          ON a.k IS NOT DISTINCT FROM b.k
          GROUP BY a.k ORDER BY a.k NULLS FIRST""",
+    "q_compact_bins" ->
+      """WITH pre AS (
+           SELECT source, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+           FROM documents)
+         SELECT source, cast(p // 8192 AS BIGINT) AS bin,
+           cast(count(*) AS BIGINT) AS n_files,
+           cast(sum(n_chars) AS BIGINT) AS bytes
+         FROM pre GROUP BY 1, 2 ORDER BY source, bin""",
     "q_zorder" -> {
       // the same bit interleave, unrolled to portable SQL
       val zTerms = (0 until 16).flatMap(i => Seq(

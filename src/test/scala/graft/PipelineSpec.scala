@@ -826,6 +826,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("zipfFit: a planted 1/rank spectrum fits slope ~ -1 and matches a " +
+      "driver-side OLS on the same quantized points") {
+    import spark.implicits._
+    // freq(r) = round(600/r) for 6 tokens -> near-perfect Zipf
+    val freqs = (1 to 6).map(r => (s"tok$r", math.round(600.0 / r).toInt))
+    val text = freqs.flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.zipfFit(docs, "doc_id", "text",
+      topRanks = 6).collect().head
+    assert(out.getAs[Long]("n_ranks") == 6L)
+    val slope = out.getAs[Double]("slope")
+    assert(slope > -1.02 && slope < -0.98, s"slope $slope")
+    // driver-side OLS over the same ln-microunit quantization
+    val pts = freqs.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(math.log(i + 1.0) * 1e6),
+        math.round(math.log(c.toDouble) * 1e6))
+    }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - want) < 1e-6, s"spark $slope vs driver $want")
+  }
+
   test("mmrSelect matches a driver-side greedy MMR reference exactly " +
       "and diversifies away from near-clones") {
     import spark.implicits._

@@ -332,7 +332,11 @@ class PlanSpec extends SparkSpec {
       // q_winnow_density's report is one row summed from the distributed
       // per-doc fingerprint counts (q_checksum's partial+final shape);
       // selection and the per-doc aggregate stay distributed.
-      "q_winnow_density")
+      "q_winnow_density",
+      // q_zipf_slope ranks only the TakeOrderedAndProject 200-row head
+      // (bounded whatever the corpus size) and finishes with a one-row
+      // OLS aggregate; the vocabulary count stays distributed.
+      "q_zipf_slope")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {

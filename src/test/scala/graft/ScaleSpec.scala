@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Scale, Similarity}
+import graft.operators.{Dedup, Layout, Scale, Similarity}
 import graft.functions.VectorOps
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
@@ -505,5 +505,20 @@ class ScaleSpec extends SparkSpec {
     assert(out == Seq(
       ("id", 3L, 2L, 2L, "1", "2"),
       ("s", 3L, 3L, 2L, "x", "y")))
+  }
+
+  test("compactionBins: sorted fill per group, straddler stays in the " +
+      "bin its prefix opened, groups pack independently") {
+    import spark.implicits._
+    // group a: sizes 6,6,6 at target 10 -> prefixes 0,6,12 -> bins 0,0,1
+    // group b: one oversized item -> its own bin 0
+    val files = Seq(
+      ("a", 1L, 6L), ("a", 2L, 6L), ("a", 3L, 6L), ("b", 1L, 25L))
+      .toDF("g", "ord", "bytes")
+    val out = Layout.compactionBins(files, "g", "ord", "bytes", 10L)
+      .orderBy("g", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 2L, 12L), ("a", 1L, 1L, 6L), ("b", 0L, 1L, 25L)))
   }
 }

@@ -61,6 +61,30 @@ class SketchSpec extends SparkSpec {
       s"a-b estimate ${got(("a", "b"))}")
   }
 
+  test("set algebra: complete merges report EXACT union and intersection; " +
+      "large merges estimate within KMV error") {
+    // small sources: |A|=6, |B|=6, |A∩B|=3 -> union 9 < k=16, so the
+    // merged sketch is the exact union set and inter_est = n_shared
+    val shared = (1 to 3).map(i => s"shared doc $i")
+    val rows = (shared ++ (1 to 3).map(i => s"a only $i")).map(("a", _)) ++
+      (shared ++ (1 to 3).map(i => s"b only $i")).map(("b", _))
+    val sk = Sketch.kmv(hashesOf(rows), "source", k = 16)
+    val got = Sketch.kmvSetPairs(sk, "source", k = 16).collect().head
+    assert(got.getAs[Double]("union_est") == 9.0)
+    assert(got.getAs[Double]("inter_est") == 3.0)
+    // large sources: true union 600, inter 200 -> estimates in range
+    val big = ((1 to 200).map(i => s"s $i") ++ (1 to 200).map(i => s"x $i"))
+      .map(("a", _)) ++
+      ((1 to 200).map(i => s"s $i") ++ (1 to 200).map(i => s"y $i"))
+        .map(("b", _))
+    val skb = Sketch.kmv(hashesOf(big), "source", k = 64)
+    val g2 = Sketch.kmvSetPairs(skb, "source", k = 64).collect().head
+    val u = g2.getAs[Double]("union_est")
+    val i2 = g2.getAs[Double]("inter_est")
+    assert(u > 350 && u < 900, s"union estimate $u far from 600")
+    assert(i2 > 60 && i2 < 400, s"inter estimate $i2 far from 200")
+  }
+
   test("map-side bound: the aggregate buffer never exceeds k (MinKAgg " +
       "merge keeps k smallest of both halves)") {
     val agg = new graft.functions.MinKAgg(4)
