@@ -523,4 +523,44 @@ object Streams {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
       .drop("__rkey")
   }
+
+  /**
+   * Streaming inverted-index maintenance — the retrieval twin of
+   * [[shardAppend]]'s layout family: each micro-batch of an APPEND-ONLY
+   * document stream folds into a maintained index via
+   * [[graft.operators.TextAnalysis.indexDelta]], so the corpus is
+   * tokenized exactly once, batch by batch, and the serving index is
+   * always ≤ maxPostings rows per term plus stats. Inherits indexDelta's
+   * exactness contract: batch doc ids must be larger than all already
+   * indexed ids (the append-only monotone-id convention), under which the
+   * maintained index is bit-identical to a full rebuild — the spec pins
+   * streamed ≡ batch.
+   *
+   * Between batches the state is the index frame itself,
+   * `localCheckpoint`ed so lineage stays one delta deep instead of
+   * growing with the stream. After every batch the maintained frame and
+   * the epoch id are handed to `onUpdate` (write it to the serving store,
+   * swap a pointer). Returns the writer — caller starts/stops the query.
+   */
+  def indexMaintain(docs: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int)(onUpdate: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("term", StringType), StructField("df", LongType),
+      StructField("total_tf", LongType),
+      StructField(idCol, docs.schema(idCol).dataType),
+      StructField("tf", LongType), StructField("rn", LongType)))
+    var index = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epoch: Long) =>
+        index = graft.operators.TextAnalysis
+          .indexDelta(index, batch, idCol, textCol, maxPostings)
+          .localCheckpoint()
+        onUpdate(index, epoch)
+    }
+  }
 }

@@ -528,6 +528,38 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming indexMaintain ≡ batch invertedIndex after every epoch " +
+      "on an append-only monotone-id feed (capped postings included)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val all = Seq(
+      (1L, "spark index spark"), (2L, "index maintenance"),
+      (3L, "spark streaming"), (4L, "spark spark spark"),
+      (5L, "maintenance window"), (6L, "index spark window"),
+      (7L, "fresh terms arrive"), (8L, "spark window arrive"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "df", "total_tf", "doc_id", "tf", "rn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val mem = MemoryStream[(Long, String)]
+    var latest = Set.empty[(String, Long, Long, Long, Long, Long)]
+    // maxPostings = 2 so the cap-merge path (old smallest ids win) runs
+    val q = graft.streaming.Streams.indexMaintain(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 2) {
+        (idx, _) => latest = snap(idx)
+      }.start()
+    try {
+      Seq(all.take(3), all.slice(3, 6), all.drop(6)).zipWithIndex
+        .foreach { case (b, i) =>
+          mem.addData(b: _*); q.processAllAvailable()
+          val upto = all.take(3 * i + 3).toDF("doc_id", "text")
+          val want = snap(graft.operators.TextAnalysis
+            .invertedIndex(upto, "doc_id", "text", 2))
+          assert(latest == want, s"epoch $i diverged from full rebuild")
+        }
+    } finally q.stop()
+  }
+
   test("imageGate: corpus near-dup images never reach the sink; novel " +
       "images pass; undecodable payloads drop at the gate; streamed ≡ " +
       "batch") {
