@@ -442,6 +442,58 @@ object Curation {
   }
 
   /**
+   * Interpolated Kneser-Ney bigram score (d = 0.75) — the stronger
+   * perplexity-filter signal next to [[bigramLmScore]]'s add-one baseline:
+   * P(w2|w1) = [max(c₁₂−d, 0) + d·N₁₊(w1,·)·P_cont(w2)] / c(w1), with the
+   * continuation prior P_cont(w2) = N₁₊(·,w2)/N_types. Multiplying
+   * through by 4 (d = 3/4) makes numerator and denominator INTEGERS —
+   * num = max(4c₁₂−3,0)·N_types + 3·N₁₊(w1,·)·N₁₊(·,w2),
+   * den = 4·c(w1)·N_types — so each bigram's term is ln(int) − ln(int)
+   * at fixed decimal scale, the proven engine-portable recipe; the
+   * discount, the continuation distribution, everything oracle-checks.
+   *
+   * Scale: same shape as [[bigramLmScore]] — the persisted bigram
+   * occurrence explode feeds one (w1,w2) aggregate, from which the
+   * context counts, both continuation-diversity counts, and the one-row
+   * type total all derive (vocabulary-scale aggregates); scoring joins
+   * occurrences back by key with AQE on the stopword skew. No window, no
+   * driver state.
+   */
+  def knBigramScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val occ = Scale.spreadForCompute(docs, col(idCol))
+      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
+      .select(col(idCol), explode(bigramsFromWords(col("__w"))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // big feeds FOUR consumers (n1p, n1m, the type total, scoring join)
+    val big = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = occ.groupBy("w1").agg(count(lit(1)).as("cc"))
+    val n1p = big.groupBy("w1").agg(count(lit(1)).as("n1p"))
+    val n1m = big.groupBy("w2").agg(count(lit(1)).as("n1m"))
+    val nt = big.agg(count(lit(1)).as("nt"))
+    def dec38(c: Column) = c.cast("decimal(38,0)")
+    def lnDec(c: Column) = log(c.cast("double")).cast("decimal(28,10)")
+    // decimal(38,0) products: 4·c·N_types overflows a long at a 100 TB
+    // corpus (1e13 tokens × 1e12 types); exact decimals do not
+    val num = dec38(greatest(col("cb") * 4 - 3, lit(0L))) * dec38(col("nt")) +
+      dec38(col("n1p")) * dec38(col("n1m")) * 3
+    val den = dec38(col("cc") * 4) * dec38(col("nt"))
+    Scale.releaseAfterUse(
+      occ.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
+        .join(n1p, Seq("w1")).join(n1m, Seq("w2"))
+        .crossJoin(broadcast(nt))
+        .select(col(idCol), (lnDec(num) - lnDec(den)).as("__term"))
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("__s"))
+        .select(col(idCol), col("n_bigrams"),
+          round(col("__s").cast("double") / col("n_bigrams"), 6)
+            .as("avg_logp")),
+      Seq(occ, big))
+  }
+
+  /**
    * Pointwise mutual information over adjacent word pairs — the phrase /
    * collocation miner (word2vec-style phrase detection): pmi(w1, w2) =
    * ln(c12) + 2·ln(N_uni) − ln(N_big) − ln(c1) − ln(c2), every ln taken

@@ -702,6 +702,32 @@ object TextAnalysis {
   }
 
   /**
+   * Flesch reading-ease counts and score — the readability signal
+   * curation recipes gate on (very low scores flag legalese/boilerplate,
+   * implausibly high ones flag token soup). Heuristic syllables = vowel
+   * groups `[aeiouy]+` in the lowercased text (whitespace breaks groups,
+   * so per-text equals per-word counting); sentences = `[.!?]+` runs,
+   * floored at 1; words = nonempty whitespace tokens. All three counts
+   * are exact integers and the score is one fixed-order double formula,
+   * so the whole thing oracle-checks. Scan-local codegen'd expressions —
+   * no shuffle, no UDF. Zero-word rows report a null score.
+   */
+  def fleschCounts(text: Column): (Column, Column, Column) = (
+    size(filter(split(text, "\\s+"), w => length(w) > 0)).cast("long"),
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long"),
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long"))
+
+  /** Flesch reading ease from the [[fleschCounts]] integers:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words). */
+  def fleschScore(nWords: Column, nSents: Column, nSyll: Column): Column =
+    when(nWords === 0, lit(null).cast("double"))
+      .otherwise(round(lit(206.835)
+        - lit(1.015) * (nWords.cast("double") / nSents.cast("double"))
+        - lit(84.6) * (nSyll.cast("double") / nWords.cast("double")), 6))
+
+  /**
    * Zipf power-law fit of the token frequency spectrum: OLS slope and
    * intercept of ln(freq) over ln(rank) across the top `topRanks` ranks —
    * the corpus-health number (natural text sits near slope −1; template

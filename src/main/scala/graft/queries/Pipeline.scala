@@ -1239,6 +1239,20 @@ object Pipeline {
       graft.operators.TextAnalysis.zipfFit(
         t(s, dir, "documents"), "doc_id", "text", topRanks = 200)
     }),
+    // L1 — Flesch reading ease (TextAnalysis.fleschCounts/fleschScore):
+    // exact integer word/sentence/vowel-group counts + one fixed-order
+    // double formula per doc — scan-only codegen'd readability, the gate
+    // signal next to q_gopher_rules/q_text_quality.
+    "q_readability" -> ((s, dir) => {
+      import graft.operators.TextAnalysis._
+      val (w, sn, sy) = fleschCounts(col("text"))
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), w.as("n_words"), sn.as("n_sents"),
+          sy.as("n_syll"))
+        .withColumn("flesch",
+          fleschScore(col("n_words"), col("n_sents"), col("n_syll")))
+        .orderBy("doc_id")
+    }),
     // A7 — near-dup cluster size HISTOGRAM: how much of the corpus sits
     // in duplicate clusters of what size — the report that decides
     // whether dedup is worth a full run (mass in size-2 pairs vs a few
@@ -1926,6 +1940,15 @@ object Pipeline {
     // → bit-reproducible across engines.
     "q_lm_score" -> ((s, dir) => {
       Curation.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // Curation — interpolated Kneser-Ney bigram score (d=0.75): the
+    // stronger perplexity-filter signal (continuation counts, not raw
+    // frequency, drive the backoff — "san francisco" vs "the francisco").
+    // The ×4 integerization keeps every ln over an integer, so the whole
+    // smoothed model oracle-checks like q_lm_score does.
+    "q_lm_kn" -> ((s, dir) => {
+      Curation.knBigramScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
     // Curation — DSIR importance-weighted data selection (hashed unigram
@@ -2994,6 +3017,30 @@ object Pipeline {
          FROM est e JOIN exact USING (suppkey) ORDER BY suppkey""",
     "q_lm_score" ->
       s"""WITH $LmScoreCte
+         SELECT doc_id, n_bigrams, avg_logp FROM lm ORDER BY doc_id""",
+    "q_lm_kn" ->
+      s"""WITH w AS (
+           SELECT doc_id, $WsSplitSql AS w FROM documents),
+         occ AS (
+           SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i FROM w)),
+         big AS (SELECT w1, w2, count(*) AS cb FROM occ GROUP BY w1, w2),
+         ctx AS (SELECT w1, count(*) AS cc FROM occ GROUP BY w1),
+         np AS (SELECT w1, count(*) AS n1p FROM big GROUP BY w1),
+         nm AS (SELECT w2, count(*) AS n1m FROM big GROUP BY w2),
+         nt AS (SELECT count(*)::HUGEINT AS nt FROM big),
+         t AS (SELECT o.doc_id,
+                 cast(ln(greatest(b.cb * 4 - 3, 0)::HUGEINT * nt.nt
+                   + p.n1p::HUGEINT * m.n1m * 3) AS decimal(28,10))
+                 - cast(ln(c.cc::HUGEINT * 4 * nt.nt) AS decimal(28,10))
+                   AS term
+               FROM occ o JOIN big b USING (w1, w2) JOIN ctx c USING (w1)
+                 JOIN np p USING (w1) JOIN nm m USING (w2), nt),
+         lm AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             round(cast(sum(term) AS double) / count(*), 6) AS avg_logp
+           FROM t GROUP BY doc_id)
          SELECT doc_id, n_bigrams, avg_logp FROM lm ORDER BY doc_id""",
     // Exact decimal end to end (see DsirCte), so the rounded scores and
     // the top-50 cut match bit-for-bit.
@@ -4475,6 +4522,23 @@ object Pipeline {
            round((sy::DOUBLE - slope * sx::DOUBLE) / n_ranks::DOUBLE
              / 1000000.0, 6) AS intercept
          FROM f""",
+    "q_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+             cast(len(list_filter(string_split_regex(text, '\s+'),
+               w -> length(w) > 0)) AS BIGINT) AS n_words,
+             cast(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sents,
+             cast(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syll
+           FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, n_words, n_sents, n_syll,
+           CASE WHEN n_words = 0 THEN NULL
+                ELSE round(206.835
+                  - 1.015 * (n_words::DOUBLE / n_sents::DOUBLE)
+                  - 84.6 * (n_syll::DOUBLE / n_words::DOUBLE), 6)
+           END AS flesch
+         FROM c ORDER BY doc_id""",
     // Same edge + component CTEs as q_split_leakfree; singleton docs form
     // size-1 clusters via the coalesce.
     "q_cluster_hist" ->

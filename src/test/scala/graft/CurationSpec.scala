@@ -161,6 +161,23 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2)     // repeated bigrams beat hapaxes
   }
 
+  test("knBigramScore: hand-computed Kneser-Ney probabilities (d=0.75) " +
+      "and the continuation-count effect") {
+    // corpus: "a b", "a b", "a c" -> c(a,b)=2 c(a,c)=1 c(a)=3,
+    // N1+(a,·)=2, N1+(·,b)=N1+(·,c)=1, types=2
+    // P(b|a) = (max(2-.75,0) + .75·2·(1/2))/3 = 2/3;  P(c|a) = 1/3
+    val d = docs((1L, "a b"), (2L, "a b"), (3L, "a c"))
+    val out = Curation.knBigramScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._1 == 1L && out(3L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - math.log(2.0 / 3)) < 1e-4, out(1L).toString)
+    assert(math.abs(out(3L)._2 - math.log(1.0 / 3)) < 1e-4, out(3L).toString)
+    // within one context, observed-bigram probabilities + discount mass
+    // behave: better-attested bigram scores strictly higher
+    assert(out(1L)._2 > out(3L)._2)
+  }
+
   test("chunks: non-overlapping, order-preserving, trailing partial kept") {
     val out = docs((1L, "a b c d e f g"))
       .select(Curation.chunks(col("text"), 3).as("c"))
