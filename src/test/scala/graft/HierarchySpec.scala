@@ -34,6 +34,35 @@ class HierarchySpec extends SparkSpec {
     assert(out == Set((2L, 1L, 1L), (3L, 1L, 1L), (11L, 10L, 1L)))
   }
 
+  test("randomized forests: closure equals the brute-force parent walk " +
+      "(8 seeded shapes × random maxDepth)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { _ =>
+      val n = 2 + rnd.nextInt(28)
+      // parent(i) < i or none — guaranteed acyclic forest
+      val parents = (0 until n).map { i =>
+        (i.toLong,
+          if (i == 0 || rnd.nextInt(4) == 0) None
+          else Some(rnd.nextInt(i).toLong))
+      }
+      val maxDepth = 1 + rnd.nextInt(8)
+      val got = Hierarchy.ancestors(parents.toDF("node", "parent"),
+          "node", "parent", maxDepth).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val pmap = parents.collect { case (k, Some(p)) => k -> p }.toMap
+      val want = parents.map(_._1).flatMap { k =>
+        var cur = pmap.get(k)
+        var d = 1L
+        var acc = List.empty[(Long, Long, Long)]
+        while (cur.isDefined && d <= maxDepth) {
+          acc ::= ((k, cur.get, d)); cur = pmap.get(cur.get); d += 1
+        }
+        acc
+      }.toSet
+      assert(got == want, s"n=$n maxDepth=$maxDepth")
+    }
+  }
+
   test("subtreeAgg: descendants + self, measureless nodes count zero") {
     val parents = Seq(
       (1L, None), (2L, Some(1L)), (3L, Some(1L)), (4L, Some(2L)))

@@ -826,6 +826,38 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("mmrSelect law: 4 seeded random corpora match the driver greedy " +
+      "reference pick-for-pick") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    (1 to 4).foreach { trial =>
+      val vecs = (0 until 6).map(i =>
+        i.toLong -> Seq.fill(3)(rnd.nextDouble() * 2 - 1)).toMap
+      val qv = Seq.fill(3)(rnd.nextDouble() * 2 - 1)
+      val out = Similarity.mmrSelect(
+          vecs.toSeq.toDF("vec_id", "emb"),
+          Seq((99L, qv)).toDF("q_id", "q_emb"),
+          candK = 6, k = 3, lambda = 0.6, mu = 0.4)
+        .orderBy("pick").collect().map(r => (r.getLong(2), r.getDouble(3)))
+      val rel = vecs.map { case (id, v) => id -> cos(v, qv) }
+      var picked = Vector.empty[(Long, Double)]
+      (1 to 3).foreach { _ =>
+        val cand = vecs.keySet -- picked.map(_._1)
+        val scored = cand.toSeq.map { id =>
+          val pen = if (picked.isEmpty) 0.0
+            else picked.map(p => cos(vecs(id), vecs(p._1))).max
+          (id, 0.6 * rel(id) - 0.4 * pen)
+        }
+        picked :+= scored.minBy { case (id, s) => (-s, id) }
+      }
+      assert(out.toSeq == picked, s"trial $trial")
+    }
+  }
+
   test("zipfFit: a planted 1/rank spectrum fits slope ~ -1 and matches a " +
       "driver-side OLS on the same quantized points") {
     import spark.implicits._

@@ -278,6 +278,14 @@ class PlanSpec extends SparkSpec {
       // (term, doc) tf frame; candidate scoring, the decimal per-
       // (query, doc) sums, and the TopKAgg partials all stay distributed.
       "q_bm25_batch",
+      // q_retrieve_rerank's stage 1 IS q_bm25_batch, so it inherits the
+      // same one-row (N, Σdl) corpus-statistics aggregate; the rerank
+      // stage windows per query over candidate-scale rows, distributed.
+      "q_retrieve_rerank",
+      // q_lm_kn's N_types is the q_lm_score vocabulary-size shape: ONE
+      // count over the already-reduced bigram-type aggregate, partials
+      // distributed, broadcast back into the scoring join.
+      "q_lm_kn",
       // NB training's class totals (Npos, Nneg, V) are the same one-row
       // corpus-statistics aggregate as q_bm25's: the distinct count
       // dedups distributed (shuffle on token) and the final single
