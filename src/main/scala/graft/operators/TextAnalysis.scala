@@ -234,6 +234,24 @@ object TextAnalysis {
       .withColumn(langCol, coalesce(col(langCol), col("__pred")))
       .drop("__pred")
 
+  /**
+   * Exploded char trigrams as (keepCols..., `as`): ONE primitive-int
+   * position explode + a codegen'd `substring` — measured ~2× the
+   * interpreted `transform(sequence → substring)` array form it replaces
+   * (higher-order lambdas don't enter whole-stage codegen, and the
+   * per-doc string-array allocation is gone; the int sequence is a
+   * primitive array). Empty/short texts emit their one partial gram,
+   * exactly like the array form, so oracles are unchanged.
+   */
+  def explodeTrigrams(df: org.apache.spark.sql.DataFrame,
+      keepCols: Seq[String], textCol: String,
+      as: String): org.apache.spark.sql.DataFrame =
+    df.select(keepCols.map(col) ++ Seq(col(textCol),
+        explode(expr(s"sequence(1, greatest(length($textCol) - 2, 1))"))
+          .as("__tp")): _*)
+      .select(keepCols.map(col) :+
+        expr(s"substring($textCol, __tp, 3)").as(as): _*)
+
   /** Shared core of [[langIdNaiveBayes]]/[[langIdAssign]]: weights train
     * on the LABELED rows of the one collapsed gram frame; the serve side
     * is every non-null-text row (evaluation) or only the unlabeled ones
@@ -259,11 +277,11 @@ object TextAnalysis {
     // |distinct (doc,gram)| ≤ |occurrences|, the term that matters on
     // repetitive real-world text). The raw explode is never aggregated
     // twice and never persisted.
-    val docGrams = Scale.spreadForCompute(
-        docs.filter(col(textCol).isNotNull), col(idCol))
-      .select(col(idCol), col(langCol).as("__actual"), explode(expr(
-        s"transform(sequence(1, greatest(length($textCol) - 2, 1))," +
-          s" i -> substring($textCol, i, 3))")).as("__g"))
+    val docGrams = explodeTrigrams(
+        Scale.spreadForCompute(docs.filter(col(textCol).isNotNull),
+          col(idCol))
+          .select(col(idCol), col(langCol).as("__actual"), col(textCol)),
+        Seq(idCol, "__actual"), textCol, "__g")
       .groupBy(col(idCol), col("__actual"), col("__g"))
       .agg(count(lit(1)).as("__dn"))
       .persist(StorageLevel.MEMORY_AND_DISK)

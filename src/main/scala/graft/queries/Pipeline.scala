@@ -1199,12 +1199,11 @@ object Pipeline {
     // gram — the shinglesFromWords convention, mirrored in the oracle.
     "q_char_ngrams" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val grams = Scale.spreadForCompute(
+      val grams = graft.operators.TextAnalysis.explodeTrigrams(
+        Scale.spreadForCompute(
           t(s, dir, "documents").filter(col("text").isNotNull),
-          col("doc_id"))
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, greatest(length(text) - 2, 1))," +
-            " i -> substring(text, i, 3))")).as("gram"))
+          col("doc_id")).select(col("lang"), col("text")),
+        Seq("lang"), "text", "gram")
       val counts = grams.groupBy("lang", "gram").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("lang").orderBy(col("c").desc, col("gram"))
       counts.withColumn("rn", row_number().over(w).cast("long"))
