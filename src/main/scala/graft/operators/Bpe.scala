@@ -49,9 +49,17 @@ object Bpe {
     symbolPairCounts(vocabDf.select(col("freq"),
       filter(split(col("word"), ""), s => s =!= lit("")).as("syms")))
 
-  /** Pair counts over an already-symbolized (syms, freq) table. */
+  /** Pair counts over an already-symbolized (syms, freq) table. Position
+    * explode + codegen'd element_at, not the interpreted [[adjacentPairs]]
+    * transform — same pairs, multiplicity kept (the trigram lesson, see
+    * TextAnalysis.explodeTrigrams). */
   def symbolPairCounts(symsDf: DataFrame): DataFrame =
-    symsDf.select(col("freq"), explode(adjacentPairs(col("syms"))).as("pair"))
+    symsDf.filter(size(col("syms")) >= 2)
+      .select(col("freq"), col("syms"),
+        explode(expr("sequence(1, size(syms) - 1)")).as("__bp"))
+      .select(col("freq"), expr(
+        "concat_ws(' ', element_at(syms, __bp), element_at(syms, __bp + 1))")
+        .as("pair"))
       .groupBy("pair").agg(sum(col("freq")).as("n"))
 
   /** Greedy left-to-right merge of one (a, b) pair inside a symbol array

@@ -393,6 +393,21 @@ object Curation {
           element_at(words, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
 
+  /** Exploded bigram occurrences (keepCols..., w1, w2) — the fast path of
+    * `explode(bigramsFromWords(...))`: a primitive-int position explode
+    * plus codegen'd element_at lookups (the higher-order transform is
+    * interpreted and allocates a struct array per doc — the trigram
+    * lesson, see TextAnalysis.explodeTrigrams). Arrays with fewer than
+    * two words emit nothing, exactly like bigramsFromWords. */
+  def explodeBigrams(df: DataFrame, keepCols: Seq[String],
+      wordsCol: String): DataFrame =
+    df.filter(size(col(wordsCol)) >= 2)
+      .select(keepCols.map(col) ++ Seq(col(wordsCol),
+        explode(expr(s"sequence(1, size($wordsCol) - 1)")).as("__bp")): _*)
+      .select(keepCols.map(col) ++ Seq(
+        expr(s"element_at($wordsCol, __bp)").as("w1"),
+        expr(s"element_at($wordsCol, __bp + 1)").as("w2")): _*)
+
   /**
    * Bigram language-model quality score — the CCNet-style perplexity
    * filter signal: the corpus itself is the LM (bigram and context counts
@@ -417,10 +432,10 @@ object Curation {
     // Persisted: THREE consumers (bigram counts, context counts, and the
     // scoring join) would each re-run the tokenize+explode otherwise;
     // freed by releaseAfterUse once the caller's first action completes.
-    val occ = Scale.spreadForCompute(docs, col(idCol))
-      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
-      .select(col(idCol), explode(bigramsFromWords(col("__w"))).as("__bg"))
-      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val occ = explodeBigrams(
+        Scale.spreadForCompute(docs, col(idCol))
+          .select(col(idCol), split(col(textCol), "\\s+").as("__w")),
+        Seq(idCol), "__w")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val ctx = occ.groupBy("w1").agg(count(lit(1)).as("cc"))
@@ -461,10 +476,10 @@ object Curation {
    */
   def knBigramScore(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val occ = Scale.spreadForCompute(docs, col(idCol))
-      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
-      .select(col(idCol), explode(bigramsFromWords(col("__w"))).as("__bg"))
-      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val occ = explodeBigrams(
+        Scale.spreadForCompute(docs, col(idCol))
+          .select(col(idCol), split(col(textCol), "\\s+").as("__w")),
+        Seq(idCol), "__w")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // big feeds FOUR consumers (n1p, n1m, the type total, scoring join)
     val big = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
@@ -520,8 +535,7 @@ object Curation {
     val uni = base.select(explode(col("__w")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val big = base.select(explode(bigramsFromWords(col("__w"))).as("__bg"))
-      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val big = explodeBigrams(base, Seq.empty, "__w")
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nu = uni.agg(sum(col("c")).as("nu"))
