@@ -623,10 +623,16 @@ object Curation {
         docs.filter(col(textCol).isNotNull), col(idCol))
       .select(col(idCol), targetPred.as("__tgt"),
         split(col(textCol), "\\s+").as("__w"))
-      .select(col(idCol), col("__tgt"),
-        explode(concat(col("__w"), transform(bigramsFromWords(col("__w")),
-          b => concat(b.getField("w1"), lit(" "), b.getField("w2")))))
-          .as("__feat"))
+      // position explode over 1..2n−1 (n unigrams then n−1 bigrams),
+      // features built by codegen'd element_at — the interpreted
+      // transform+concat array form allocated 2n−1 strings per doc twice
+      .select(col(idCol), col("__tgt"), col("__w"),
+        explode(expr("sequence(1, 2 * size(__w) - 1)")).as("__fp"))
+      .select(col(idCol), col("__tgt"), expr(
+        """CASE WHEN __fp <= size(__w) THEN element_at(__w, __fp)
+           ELSE concat(element_at(__w, __fp - size(__w)), ' ',
+                       element_at(__w, __fp - size(__w) + 1)) END""")
+        .as("__feat"))
       .withColumn("__b",
         pmod(Dedup.portableHash64(col("__feat")), lit(nBuckets.toLong)))
     // persisted: three aggregates consume it (cr, ct, the score join);
