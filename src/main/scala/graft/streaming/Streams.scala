@@ -542,6 +542,37 @@ object Streams {
    * the epoch id are handed to `onUpdate` (write it to the serving store,
    * swap a pointer). Returns the writer — caller starts/stops the query.
    */
+  /**
+   * Streaming drift monitor — the observability twin of
+   * [[graft.operators.Quality.driftTvd]]: each micro-batch's
+   * (group, bin) counts fold into a maintained cell table via
+   * [[graft.operators.Scale.mergeCounts]] — state is ≤ groups×bins COUNT
+   * rows however long the stream runs, localCheckpointed one delta deep —
+   * and the per-group total-variation report recomputes from cells only
+   * (never the raw stream). Count merging is associative and commutative,
+   * so the maintained report is bit-identical to the batch report over
+   * everything seen, under ANY batching — the spec pins it. `onUpdate`
+   * receives (tvd report, epoch) after every batch: the alerting hook.
+   */
+  def driftMonitor(events: DataFrame, groupCol: String,
+      bin: org.apache.spark.sql.Column)(onUpdate: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var cells: Option[DataFrame] = None
+    events.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epoch: Long) =>
+        val b = batch.groupBy(col(groupCol), bin.as("__bin"))
+          .agg(count(lit(1)).as("__c"))
+        cells = Some((cells match {
+          case Some(c) => graft.operators.Scale
+            .mergeCounts(c, b, Seq(groupCol, "__bin"), "__c")
+          case None => b
+        }).localCheckpoint())
+        onUpdate(graft.operators.Quality
+          .driftTvdFromCells(cells.get, groupCol), epoch)
+    }
+  }
+
   def indexMaintain(docs: DataFrame, idCol: String, textCol: String,
       maxPostings: Int)(onUpdate: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

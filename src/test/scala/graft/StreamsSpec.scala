@@ -560,6 +560,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming driftMonitor ≡ batch driftTvd over everything seen, " +
+      "after every epoch and under any batching") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val all = (1 to 90).map { i =>
+      (if (i % 3 == 0) "a" else "b", (i % 7).toLong)
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val mem = MemoryStream[(String, Long)]
+    var latest = Set.empty[(String, Double)]
+    val q = graft.streaming.Streams.driftMonitor(
+        mem.toDF().toDF("src", "v"), "src", col("v") % 4) {
+        (rep, _) => latest = snap(rep)
+      }.start()
+    try {
+      Seq(all.take(10), all.slice(10, 55), all.drop(55)).zipWithIndex
+        .foreach { case (b, i) =>
+          mem.addData(b: _*); q.processAllAvailable()
+          val upto = all.take(Seq(10, 55, 90)(i)).toDF("src", "v")
+          val want = snap(operators.Quality.driftTvd(upto, "src",
+            col("v") % 4))
+          assert(latest == want, s"epoch $i diverged from batch TVD")
+        }
+    } finally q.stop()
+  }
+
   test("imageGate: corpus near-dup images never reach the sink; novel " +
       "images pass; undecodable payloads drop at the gate; streamed ≡ " +
       "batch") {
