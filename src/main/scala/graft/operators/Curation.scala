@@ -457,6 +457,27 @@ object Curation {
   }
 
   /**
+   * Source-fair quality gate (the FineWeb-style per-source quantile
+   * threshold): keep each group's top `keepFrac` of rows by score —
+   * thresholding on the WITHIN-SOURCE quantile instead of one global
+   * cut, so a uniformly-lower-scoring source is trimmed, not erased,
+   * and a high-scoring source cannot crowd everyone else out of the
+   * token budget. percent_rank over (score desc nulls last, tieCol) is
+   * deterministic and engine-portable ((rank−1)/(n−1), exact small
+   * rationals). One window partitioned by the group — never a global
+   * sort; the 100 TB shape is per-source parallel.
+   */
+  def fairGate(df: DataFrame, groupCol: String, scoreCol: String,
+      tieCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1]: $keepFrac")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc_nulls_last, col(tieCol))
+    df.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= keepFrac)
+  }
+
+  /**
    * Interpolated Kneser-Ney bigram score (d = 0.75) — the stronger
    * perplexity-filter signal next to [[bigramLmScore]]'s add-one baseline:
    * P(w2|w1) = [max(c₁₂−d, 0) + d·N₁₊(w1,·)·P_cont(w2)] / c(w1), with the

@@ -1252,6 +1252,22 @@ object Pipeline {
           fleschScore(col("n_words"), col("n_sents"), col("n_syll")))
         .orderBy("doc_id")
     }),
+    // L1 — source-fair curation gate (Curation.fairGate): keep each
+    // source's top half by readability — the per-source quantile
+    // threshold (FineWeb-style) that trims a weak source without erasing
+    // it and stops a strong one crowding out the mix. One per-source
+    // window, exact percent_rank, fully oracle-checked.
+    "q_fair_gate" -> ((s, dir) => {
+      import graft.operators.TextAnalysis._
+      val (w, sn, sy) = fleschCounts(col("text"))
+      val scored = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          fleschScore(w, sn, sy).as("flesch"))
+      Curation.fairGate(scored, "source", "flesch", "doc_id", 0.5)
+        .select(col("source"), col("doc_id"), col("flesch"),
+          round(col("pr"), 6).as("pr"))
+        .orderBy("source", "doc_id")
+    }),
     // A7 — near-dup cluster size HISTOGRAM: how much of the corpus sits
     // in duplicate clusters of what size — the report that decides
     // whether dedup is worth a full run (mass in size-2 pairs vs a few
@@ -4538,6 +4554,27 @@ object Pipeline {
                   - 84.6 * (n_syll::DOUBLE / n_words::DOUBLE), 6)
            END AS flesch
          FROM c ORDER BY doc_id""",
+    "q_fair_gate" ->
+      """WITH c AS (
+           SELECT source, doc_id,
+             CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                    w -> length(w) > 0)) = 0 THEN NULL
+                  ELSE round(206.835
+                    - 1.015 * (len(list_filter(string_split_regex(text, '\s+'),
+                        w -> length(w) > 0))::DOUBLE
+                      / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE)
+                    - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+                      / len(list_filter(string_split_regex(text, '\s+'),
+                          w -> length(w) > 0))::DOUBLE), 6)
+             END AS flesch
+           FROM documents WHERE text IS NOT NULL),
+         r AS (
+           SELECT source, doc_id, flesch,
+             percent_rank() OVER (PARTITION BY source
+               ORDER BY flesch DESC NULLS LAST, doc_id) AS pr
+           FROM c)
+         SELECT source, doc_id, flesch, round(pr, 6) AS pr
+         FROM r WHERE pr <= 0.5 ORDER BY source, doc_id""",
     // Same edge + component CTEs as q_split_leakfree; singleton docs form
     // size-1 clusters via the coalesce.
     "q_cluster_hist" ->
