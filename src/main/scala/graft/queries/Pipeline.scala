@@ -1781,6 +1781,32 @@ object Pipeline {
           (col("n_hit").cast("double") / 10).as("recall"))
         .orderBy("q_id")
     }),
+    // L2 — IVF TUNING CURVE: recall@10 per query at nprobe ∈ {1, 2, 4}
+    // against exact top-10 — the number that picks nprobe before a
+    // production ANN run (the measurement twin of q_ivf_balance). Fixed
+    // first-16 quantizer, so every probe ranking reproduces in SQL and
+    // the whole curve oracle-checks; per-query aggregation keeps the
+    // verdict distributed.
+    "q_ivf_recall_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      Seq(1, 2, 4).map { np =>
+        val ivf = graft.operators.Ivf.topK(emb, qs, centroids, k = 10,
+            nprobe = np)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
+        exact.join(ivf, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+          .select(lit(np.toLong).as("nprobe"), col("q_id"), col("n_hit"),
+            (col("n_hit").cast("double") / 10).as("recall"))
+      }.reduce(_.unionByName(_)).orderBy("nprobe", "q_id")
+    }),
     // L2 — LSH-bucketed approximate top-k: exactTopK's broadcast crossJoin
     // replaced by an equi-join on the sign-LSH bucket, so per-query work is
     // proportional to its bucket's size, not |corpus| — the scale path when
@@ -2828,6 +2854,69 @@ object Pipeline {
                AS rn
            FROM scored)
          WHERE rn <= 10 ORDER BY q_id, rn""",
+    // The q_sim_ivf_fixed CTEs shared across three probe widths + the
+    // q_sim_exact truth, hit-joined per query — the whole tuning curve
+    // from one oracle.
+    "q_ivf_recall_curve" -> {
+      val branches = Seq(1, 2, 4).map { np =>
+        s"""s$np AS (
+             SELECT q_id, vec_id FROM (
+               SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, vec_id) AS rn
+               FROM (
+                 SELECT q.q_id, e.vec_id,
+                   list_dot_product(e.v, q.qv) /
+                     (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+                 FROM pr p
+                 JOIN assign a ON a.cell = p.cell
+                 JOIN e ON e.vec_id = a.vec_id
+                 JOIN q ON q.q_id = p.q_id
+                 WHERE p.rn <= $np AND e.vec_id <> q.q_id))
+             WHERE rn <= 10),
+           h$np AS (
+             SELECT ex.q_id, cast($np AS BIGINT) AS nprobe,
+               cast(sum(CASE WHEN s$np.vec_id IS NULL THEN 0 ELSE 1 END)
+                 AS BIGINT) AS n_hit
+             FROM ex LEFT JOIN s$np
+               ON s$np.q_id = ex.q_id AND s$np.vec_id = ex.vec_id
+             GROUP BY ex.q_id)"""
+      }.mkString(",\n")
+      val unions = Seq(1, 2, 4).map(np =>
+        s"SELECT nprobe, q_id, n_hit FROM h$np").mkString(" UNION ALL ")
+      s"""WITH c AS (
+           SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cnorm2
+           FROM embeddings WHERE vec_id < 16),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+                 AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         pr AS (
+           SELECT q.q_id, c.cid AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2, c.cid)
+               AS rn
+           FROM q CROSS JOIN c),
+         ex AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(e.v, q.qv) /
+                   (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id)
+                 AS rn
+             FROM e JOIN q ON e.vec_id <> q.q_id) WHERE rn <= 10),
+         $branches
+         SELECT nprobe, q_id, n_hit, n_hit::DOUBLE / 10 AS recall
+         FROM ($unions) ORDER BY nprobe, q_id"""
+    },
     // Same fixed-quantizer assignment CTE as q_sim_ivf_fixed; the TRUE
     // squared distance |a|² + (−2a·c + |c|²) — |a|² added back outside
     // the shifted rank key, the engine's exact operation order — rounds
