@@ -491,6 +491,28 @@ object Relational {
     // Value-tied rows land in the same bin by construction (unlike ntile,
     // which splits ties by arbitrary row order): bin(v) = ⌊10·cum_below(v)
     // / total⌋ + 1, all-integer, exact, engine-portable.
+    // Stats — exact WEIGHTED lower median per group: the smallest value
+    // whose cumulative weight reaches half the group total (integer
+    // cents/quantities, so the comparison 2·cum ≥ tot is exact — no
+    // percentile interpolation dialect to mirror). One grouped pre-
+    // aggregate + two shared-partition windows + a min-struct pick: the
+    // same order-stats shape as q_quantile_bins, per-group parallel.
+    "q_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("rf", "cents").agg(sum(col("qty")).as("w"))
+      val run = Window.partitionBy("rf").orderBy("cents")
+      val whole = Window.partitionBy("rf")
+      vals.withColumn("cum", sum(col("w")).over(run))
+        .withColumn("tot", sum(col("w")).over(whole))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("rf")
+        .agg((min(col("cents")) / lit(100.0)).as("w_median"))
+        .orderBy("rf")
+    }),
     "q_quantile_bins" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val vals = t(s, dir, "customer")
@@ -1190,6 +1212,20 @@ object Relational {
          percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
          percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_weighted_median" ->
+      """WITH vals AS (
+           SELECT l_returnflag AS rf,
+             cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS BIGINT)
+               AS cents,
+             cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT rf, cents,
+             sum(w) OVER (PARTITION BY rf ORDER BY cents) AS cum,
+             sum(w) OVER (PARTITION BY rf) AS tot
+           FROM vals)
+         SELECT rf, min(cents) / 100.0 AS w_median
+         FROM c WHERE cum * 2 >= tot GROUP BY rf ORDER BY rf""",
     "q_quantile_bins" ->
       """WITH vals AS (
            SELECT c_mktsegment AS seg,
