@@ -298,6 +298,44 @@ object Events {
           col("n3"), col("h_scaled"))
         .orderBy("event_type")
     }),
+    // Paths — top-20 most-travelled 3-step event paths: two lags over the
+    // per-user ordered stream (ONE shuffle + shared sort), count per
+    // (a, b, c), TakeOrderedAndProject — the product-analytics "common
+    // journeys" table next to q_funnel/q_pagerank.
+    "q_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("c"),
+          lag(col("event_type"), 1).over(w).as("b"),
+          lag(col("event_type"), 2).over(w).as("a"))
+        .filter(col("a").isNotNull)
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+        .limit(20)
+    }),
+    // Bursts — buckets whose count crosses 2× the trailing-3-bucket mean,
+    // flagged by exact integer cross-multiplication (n·3 > prev3·2 — no
+    // division, engine-portable), only where a full 3-bucket history
+    // exists. Per-type windows over ALREADY-AGGREGATED bucket counts —
+    // the anomaly row a rate monitor alerts on.
+    "q_burst" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val buckets = t(s, dir, "events")
+        .groupBy(expr("(ts div 300000000000) * 300").as("bucket_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("bucket_start")
+        .rowsBetween(-3, -1)
+      buckets
+        .withColumn("prev3", sum(col("n")).over(w))
+        .withColumn("prev_cnt", count(col("n")).over(w))
+        .filter(col("prev_cnt") === 3 && col("n") * 3 > col("prev3") * 2)
+        .select(col("event_type"), col("bucket_start"), col("n"),
+          col("prev3"))
+        .orderBy("event_type", "bucket_start")
+    }),
     // Hierarchy — bounded ancestor closure by pointer doubling (Spark has
     // no recursive CTE; the oracle runs DuckDB's WITH RECURSIVE over the
     // same parent table). The hierarchy is the dense binary referral tree
@@ -604,6 +642,33 @@ object Events {
          LEFT JOIN c2 ON c2.v = n.node
          LEFT JOIN c3 ON c3.v = n.node
          ORDER BY event_type""",
+    "q_paths" ->
+      """WITH s AS (
+           SELECT event_type AS c,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS b,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS a
+           FROM events)
+         SELECT a, b, c, cast(count(*) AS BIGINT) AS n
+         FROM s WHERE a IS NOT NULL GROUP BY 1, 2, 3
+         ORDER BY n DESC, a, b, c LIMIT 20""",
+    "q_burst" ->
+      """WITH b AS (
+           SELECT (epoch_ns(ts) // 300000000000) * 300 AS bucket_start,
+             event_type, cast(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, bucket_start, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev3,
+             count(n) OVER (PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_cnt
+           FROM b)
+         SELECT event_type, cast(bucket_start AS BIGINT) AS bucket_start,
+           n, cast(prev3 AS BIGINT) AS prev3
+         FROM t WHERE prev_cnt = 3 AND n * 3 > prev3 * 2
+         ORDER BY event_type, bucket_start""",
     "q_tree_paths" ->
       """WITH RECURSIVE parents AS (
            SELECT DISTINCT user_id AS node,
