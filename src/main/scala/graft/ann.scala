@@ -1,0 +1,144 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.{Ivf, Pq}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * ANN index CLI — build an IVF-PQ index ONCE over an embeddings table,
+ * then serve cosine-surrogate (ADC) top-k from the persisted artifacts
+ * without ever re-touching raw vectors; the production property that
+ * makes ANN viable at 100 TB (index = m small ints + a cell id per
+ * vector, ~1-2% of fp32 vectors at the default geometry).
+ *
+ *   graft.Ann --build  --data <embeddings.parquet> --out <indexDir>
+ *             [--k 16] [--iters 2] [--m 4] [--codes 8] [--dim 64]
+ *             [--id vec_id] [--vec embedding]
+ *   graft.Ann --search --index <indexDir> --data <queries.parquet>
+ *             --out <resultDir> [--topk 10] [--nprobe 4]
+ *             [--id vec_id] [--vec embedding]
+ *
+ * Artifacts (all plain parquet + one JSON, any engine can read them):
+ *   centroids.parquet  (cell INT, vec ARRAY<double>)   — k rows
+ *   codebook.parquet   (j, c, cw ARRAY<double>, cwn2)  — m·codes rows
+ *   codes.parquet      (<id>, cell, j, code)           — m rows/vector
+ *   ann.meta.json      geometry + column names
+ *
+ * Build = [[Ivf.train]] (exact-decimal Lloyd) + [[Pq.buildIndex]];
+ * serve = [[Pq.searchIndex]] — the same code paths the oracle-checked
+ * q_ivf_pq_search / q_ivf_recall_curve queries run, so the CLI adds
+ * orchestration, not new semantics (AnnSpec pins served ≡ fused
+ * bit-for-bit).
+ */
+object Ann {
+  val MetaFile = "ann.meta.json"
+
+  final case class Meta(k: Int, iters: Int, m: Int, codes: Int, dim: Int,
+      idCol: String)
+
+  private def writeMeta(dir: String, m: Meta): Unit = {
+    val json =
+      s"""{"k":${m.k},"iters":${m.iters},"m":${m.m},"codes":${m.codes},""" +
+        s""""dim":${m.dim},"idCol":"${m.idCol}"}"""
+    val p = java.nio.file.Paths.get(dir, MetaFile)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+  }
+
+  private def readMeta(dir: String): Meta = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, MetaFile)), "UTF-8")
+    def int(k: String) =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+    def str(k: String) =
+      (""""""" + k + """":"([^"]*)"""").r.findFirstMatchIn(s).get.group(1)
+    Meta(int("k"), int("iters"), int("m"), int("codes"), int("dim"),
+      str("idCol"))
+  }
+
+  /** Build the index directory from an embeddings parquet. Returns the
+    * number of indexed vectors. */
+  def build(spark: SparkSession, dataPath: String, outDir: String,
+      k: Int, iters: Int, m: Int, codes: Int, dim: Int,
+      idCol: String, vecCol: String): Long = {
+    val emb = spark.read.parquet(dataPath)
+      .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
+      .filter(col("emb").isNotNull && size(col("emb")) > 0)
+    val centroids = Ivf.train(emb, idCol, "emb", k, iters)
+    val (codesDf, cb) = Pq.buildIndex(emb, centroids, m, codes, dim, idCol,
+      "emb")
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/centroids.parquet")
+    cb.select(col("j"), col("__c").as("c"), col("__cw").as("cw"),
+        col("__cwn2").as("cwn2"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/codebook.parquet")
+    codesDf.select(col(idCol), col("__cell").as("cell"), col("j"),
+        col("code"))
+      .write.mode("overwrite").parquet(s"$outDir/codes.parquet")
+    writeMeta(outDir, Meta(k, iters, m, codes, dim, idCol))
+    spark.read.parquet(s"$outDir/codes.parquet")
+      .select(col(idCol)).distinct().count()
+  }
+
+  /** Serve top-k from a built index; the result is also returned. */
+  def search(spark: SparkSession, indexDir: String, queriesPath: String,
+      outDir: Option[String], topK: Int, nprobe: Int,
+      qIdCol: String, qVecCol: String): DataFrame = {
+    val meta = readMeta(indexDir)
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
+      .select(col("j"), col("c").as("__c"), col("cw").as("__cw"),
+        col("cwn2").as("__cwn2"))
+    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
+      .select(col(meta.idCol), col("cell").as("__cell"), col("j"),
+        col("code"))
+    val qs = spark.read.parquet(queriesPath)
+      .select(col(qIdCol).as("q_id"),
+        VectorOps.asDouble(col(qVecCol)).as("q_emb"))
+      .filter(col("q_emb").isNotNull && size(col("q_emb")) > 0)
+    val out = Pq.searchIndex(codes, cb, qs, centroids, nprobe, topK,
+      meta.m, meta.dim, meta.idCol)
+    outDir.foreach(d =>
+      out.write.mode("overwrite").parquet(s"$d/ann_results.parquet"))
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val flags = args.filter(_.startsWith("--")).map(_.drop(2)).toSet
+    def opt(name: String): Option[String] = {
+      val i = args.indexOf(s"--$name")
+      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
+    def intOpt(name: String, dflt: Int) = opt(name).map(_.toInt).getOrElse(dflt)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      if (flags("build")) {
+        val n = build(spark, opt("data").get, opt("out").get,
+          intOpt("k", 16), intOpt("iters", 2), intOpt("m", 4),
+          intOpt("codes", 8), intOpt("dim", 64),
+          opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"))
+        println(s"""{"built":$n,"index":"${opt("out").get}"}""")
+      } else if (flags("search")) {
+        val res = search(spark, opt("index").get, opt("data").get,
+          opt("out"), intOpt("topk", 10), intOpt("nprobe", 4),
+          opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"))
+        println(s"""{"results":${res.count()}}""")
+      } else {
+        System.err.println("usage: graft.Ann --build|--search ... (see scaladoc)")
+        sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+}

@@ -174,10 +174,28 @@ object Pq {
       m: Int, k: Int, dim: Int,
       idCol: String = "vec_id", embCol: String = "emb",
       qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    val (codes, cb) = buildIndex(corpus, centroids, m, k, dim, idCol, embCol)
+    val cbp = cb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Scale.releaseAfterUse(
+      searchIndex(codes, cbp, queries, centroids, nprobe, topK, m, dim,
+        idCol, qIdCol, qEmbCol),
+      Seq(cbp))
+  }
+
+  /**
+   * The INDEX-BUILD half of [[ivfAdcTopK]], factored so the artifacts can
+   * persist (see `graft.Ann`): returns (codes, codebook) — codes =
+   * (idCol, __cell, j, code), one row per vector per subspace, the whole
+   * 100 TB corpus reduced to m small ints + a cell id per vector;
+   * codebook = (j, __c, __cw, __cwn2), m·k rows. Build once, serve
+   * forever — [[searchIndex]] never touches raw vectors again.
+   */
+  def buildIndex(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      m: Int, k: Int, dim: Int, idCol: String = "vec_id",
+      embCol: String = "emb"): (DataFrame, DataFrame) = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val d = dim / m
     val cb = fixedCodebook(corpus, idCol, embCol, m, k, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val subs = Scale.spreadForCompute(
         corpus.select(col(idCol), col(embCol)), col(idCol))
       .withColumn("__cell", Ivf.nearestCentroid(col(embCol), centroids))
@@ -190,29 +208,44 @@ object Pq {
       .agg(min(struct(col("__key").as("k"), col("__c").as("c"))).as("__m"),
         max(col("__cell")).as("__cell")) // constant within the group
       .select(col(idCol), col("__cell"), col("j"), col("__m.c").as("code"))
+    (codes, cb)
+  }
+
+  /**
+   * The SERVE half of [[ivfAdcTopK]]: ADC top-k over an ALREADY-BUILT
+   * index — stored codes + codebook + the centroid matrix answer queries
+   * without re-encoding or re-scanning the corpus (the production
+   * property: index a 100 TB corpus once, serve queries from codes-only
+   * artifacts). Bit-identical to the fused path: same probe list, same
+   * broadcast distance table, same decimal ADC sum and id tie-break.
+   */
+  def searchIndex(codes: DataFrame, codebook: DataFrame,
+      queries: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int,
+      topK: Int, m: Int, dim: Int, idCol: String = "vec_id",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
     val q = queries.select(col(qIdCol), col(qEmbCol).as("__qv"))
     val probes = q.select(col(qIdCol),
       explode(Ivf.probeList(col("__qv"), centroids, nprobe)).as("__cell"))
     val qsubs = q
       .select(col(qIdCol), subvectors(col("__qv"), m, d).as(Seq("j", "__qs")))
       .withColumn("__qn2", dot(col("__qs"), col("__qs")))
-    val dtab = qsubs.join(broadcast(cb), "j")
+    val dtab = qsubs.join(broadcast(codebook), "j")
       .select(col(qIdCol), col("j"), col("__c").as("code"),
         (col("__qn2") - lit(2.0) * dot(col("__qs"), col("__cw")) +
           col("__cwn2")).as("__dq"))
     val probeTab = probes.join(dtab, qIdCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qIdCol).orderBy(col("__ad"), col(idCol))
-    Scale.releaseAfterUse(
-      codes.join(broadcast(probeTab), Seq("__cell", "j", "code"))
-        .filter(col(idCol) =!= col(qIdCol))
-        .groupBy(col(qIdCol), col(idCol))
-        .agg(sum(col("__dq").cast("decimal(28,10)")).as("__ad"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= topK)
-        .select(col(qIdCol), col(idCol), col("rn"),
-          round(col("__ad").cast("double"), 6).as("adist")),
-      Seq(cb))
+    codes.join(broadcast(probeTab), Seq("__cell", "j", "code"))
+      .filter(col(idCol) =!= col(qIdCol))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("__dq").cast("decimal(28,10)")).as("__ad"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col(qIdCol), col(idCol), col("rn"),
+        round(col("__ad").cast("double"), 6).as("adist"))
   }
 
   def adcTopK(corpus: DataFrame, queries: DataFrame, topK: Int,

@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** graft.Ann index CLI: build artifacts, serve from codes only. */
+class AnnSpec extends SparkSpec {
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_ann_$tag").toString
+
+  test("served results from the persisted index are bit-identical to the " +
+      "fused ivfAdcTopK path, and the index holds codes, not vectors") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmp("idx")
+    val outd = tmp("out")
+    val n = Ann.build(spark, data, idx, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding")
+    assert(n > 0)
+    // the served path reads ONLY the artifacts
+    val served = Ann.search(spark, idx, data, Some(outd), topK = 5,
+        nprobe = 3, qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // the fused path with the SAME centroids (loaded from the index)
+    val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val emb = spark.read.parquet(data)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val fused = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids,
+        nprobe = 3, topK = 5, m = 4, k = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(served.filter(_._1 < 4) == fused, "served must equal fused")
+    // artifact shape: codes are small ints + cell, never raw vectors
+    val codes = spark.read.parquet(s"$idx/codes.parquet")
+    assert(codes.columns.toSet == Set("vec_id", "cell", "j", "code"))
+    // the written results round-trip
+    val rt = spark.read.parquet(s"$outd/ann_results.parquet")
+    assert(rt.count() > 0)
+  }
+}

@@ -178,6 +178,26 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2)
   }
 
+  test("fairGate laws: keep(0.3) ⊆ keep(0.7); per-group keep count is " +
+      "floor(f·(n−1))+1; groups gate independently") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for (g <- Seq("a", "b", "c"); i <- 1 to (5 + rnd.nextInt(8)))
+      yield (g, i.toLong, rnd.nextDouble())
+    val df = rows.toDF("src", "id", "score")
+    def kept(f: Double) = Curation.fairGate(df, "src", "score", "id", f)
+      .select("src", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    val k3 = kept(0.3); val k7 = kept(0.7)
+    assert(k3.subsetOf(k7), "larger keepFrac must be a superset")
+    val sizes = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    k3.groupBy(_._1).foreach { case (g, s) =>
+      val n = sizes(g)
+      assert(s.size == math.floor(0.3 * (n - 1)).toInt + 1,
+        s"group $g n=$n kept=${s.size}")
+    }
+  }
+
   test("chunks: non-overlapping, order-preserving, trailing partial kept") {
     val out = docs((1L, "a b c d e f g"))
       .select(Curation.chunks(col("text"), 3).as("c"))
