@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
  *
  *   graft.Ann --build  --data <embeddings.parquet> --out <indexDir>
  *             [--k 16] [--iters 2] [--m 4] [--codes 8] [--dim 64]
- *             [--id vec_id] [--vec embedding]
+ *             [--id vec_id] [--vec embedding] [--trained]
  *   graft.Ann --search --index <indexDir> --data <queries.parquet>
  *             --out <resultDir> [--topk 10] [--nprobe 4]
  *             [--id vec_id] [--vec embedding]
@@ -58,16 +58,43 @@ object Ann {
   }
 
   /** Build the index directory from an embeddings parquet. Returns the
-    * number of indexed vectors. */
+    * number of indexed vectors. `trained = true` uses per-subspace
+    * Lloyd-trained codebooks (`Pq.trainCodebooks` + the scan-local literal
+    * encoder) — the production default for corpora whose ids are not the
+    * dense 0..k−1 the fixed quantizer's contract requires; `false` keeps
+    * the fixed first-k codebook (the declared-quantizer convention the
+    * oracle-checked queries use). */
   def build(spark: SparkSession, dataPath: String, outDir: String,
       k: Int, iters: Int, m: Int, codes: Int, dim: Int,
-      idCol: String, vecCol: String): Long = {
+      idCol: String, vecCol: String, trained: Boolean = false): Long = {
     val emb = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
     val centroids = Ivf.train(emb, idCol, "emb", k, iters)
-    val (codesDf, cb) = Pq.buildIndex(emb, centroids, m, codes, dim, idCol,
-      "emb")
+    val (codesDf, cb) =
+      if (!trained) {
+        val (cd, cbDf) = Pq.buildIndex(emb, centroids, m, codes, dim,
+          idCol, "emb")
+        (cd.select(col(idCol), col("__cell").as("cell"), col("j"),
+          col("code")), cbDf)
+      } else {
+        import spark.implicits._
+        val books = Pq.trainCodebooks(emb, idCol, "emb", m, codes, dim,
+          iters)
+        // driver-side |cw|² uses the same left-to-right sum the codegen'd
+        // dot expression computes, so serve-time ADC sees exact values
+        val cbDf = books.zipWithIndex.flatMap { case (cbJ, j) =>
+          cbJ.zipWithIndex.map { case (w, c) =>
+            (j, c, w, w.foldLeft(0.0)((s, x) => s + x * x))
+          }
+        }.toDF("j", "__c", "__cw", "__cwn2")
+        val withCell = emb.withColumn("cell",
+          Ivf.nearestCentroid(col("emb"), centroids))
+        val cd = Pq.encodeWith(withCell, idCol, "emb", books)
+          .join(withCell.select(col(idCol), col("cell")), idCol)
+          .select(col(idCol), col("cell"), col("j"), col("code"))
+        (cd, cbDf)
+      }
     import spark.implicits._
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cell", "vec")
@@ -77,9 +104,7 @@ object Ann {
         col("__cwn2").as("cwn2"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/codebook.parquet")
-    codesDf.select(col(idCol), col("__cell").as("cell"), col("j"),
-        col("code"))
-      .write.mode("overwrite").parquet(s"$outDir/codes.parquet")
+    codesDf.write.mode("overwrite").parquet(s"$outDir/codes.parquet")
     writeMeta(outDir, Meta(k, iters, m, codes, dim, idCol))
     spark.read.parquet(s"$outDir/codes.parquet")
       .select(col(idCol)).distinct().count()
@@ -128,7 +153,8 @@ object Ann {
         val n = build(spark, opt("data").get, opt("out").get,
           intOpt("k", 16), intOpt("iters", 2), intOpt("m", 4),
           intOpt("codes", 8), intOpt("dim", 64),
-          opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"))
+          opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"),
+          trained = flags("trained"))
         println(s"""{"built":$n,"index":"${opt("out").get}"}""")
       } else if (flags("search")) {
         val res = search(spark, opt("index").get, opt("data").get,

@@ -42,4 +42,24 @@ class AnnSpec extends SparkSpec {
     val rt = spark.read.parquet(s"$outd/ann_results.parquet")
     assert(rt.count() > 0)
   }
+
+  test("trained build: codebooks from per-subspace Lloyd, served ranks " +
+      "are contiguous and ADC distances non-decreasing per query") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmp("trained")
+    val n = Ann.build(spark, data, idx, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding", trained = true)
+    assert(n > 0)
+    val res = Ann.search(spark, idx, data, None, topK = 5, nprobe = 3,
+        qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4).orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(res.nonEmpty)
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).toSeq == (1L to rows.length.toLong),
+        s"query $q ranks not contiguous")
+      assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq,
+        s"query $q distances not ascending")
+    }
+  }
 }
