@@ -75,12 +75,15 @@ object Curate {
       lineMinWords: Int = 0,
       assignLang: Boolean = false,
       dsirTargetLang: String = "",
-      dsirMinLogW: Double = 0.0) {
+      dsirMinLogW: Double = 0.0,
+      fairGateFrac: Double = 0.0) {
     require(Set("none", "exact", "fuzzy")(dedup), s"bad dedup mode: $dedup")
     require(valThresholdHex.matches("[0-9a-f]{4}"),
       s"bad valThresholdHex: $valThresholdHex")
     require(shards >= 0, s"shards must be >= 0, got $shards")
     require(lineMinWords >= 0, s"lineMinWords must be >= 0, got $lineMinWords")
+    require(fairGateFrac >= 0.0 && fairGateFrac <= 1.0,
+      s"fairGateFrac must be in [0, 1], got $fairGateFrac")
   }
 
   val DefaultConfig: CurateConfig =
@@ -107,6 +110,7 @@ object Curate {
     tree.put("assignLang", c.assignLang)
     tree.put("dsirTargetLang", c.dsirTargetLang)
     tree.put("dsirMinLogW", c.dsirMinLogW)
+    tree.put("fairGateFrac", c.fairGateFrac)
     ConfigIO.writeYamlRaw(path, tree)
   }
 
@@ -147,7 +151,10 @@ object Curate {
         case s => String.valueOf(s)
       },
       dsirMinLogW =
-        if (root.containsKey("dsirMinLogW")) num("dsirMinLogW") else 0.0)
+        if (root.containsKey("dsirMinLogW")) num("dsirMinLogW") else 0.0,
+      // absent in pre-fair-gate configs: the per-source gate stays off
+      fairGateFrac =
+        if (root.containsKey("fairGateFrac")) num("fairGateFrac") else 0.0)
   }
 
   // ----------------------------------------------------------- pipeline
@@ -214,22 +221,37 @@ object Curate {
     // consumer, so the assignment stage's cache can go
     if (c.assignLang) assigned.unpersist()
 
+    // 1b. source-fair gate (opt-in): keep each source's top fairGateFrac
+    //     by the SAME quality score the absolute gate used — per-source
+    //     quantile thresholding (Curation.fairGate), so a weak source is
+    //     trimmed instead of erased and a strong one cannot crowd the
+    //     budget. Full-batch only: a delta batch's within-batch quantile
+    //     is not the corpus quantile, so the delta path keeps the
+    //     absolute gate. fairGateFrac in (0,1) enables; 0/1 = off.
+    val (faired, nFaired) =
+      if (c.fairGateFrac <= 0.0 || c.fairGateFrac >= 1.0) (gated, nGated)
+      else {
+        val f = Curation.fairGate(gated, "source", "__q", "doc_id",
+          c.fairGateFrac).drop("pr")
+        (f, f.count())
+      }
+
     // 2. dedup + cluster labels (labels drive BOTH the survivor filter and
     //    the leak-free split gate)
     val (deduped, labels) = c.dedup match {
-      case "none" => (gated, None)
+      case "none" => (faired, None)
       case "exact" =>
         (Dedup.exactByKey(
-          gated.withColumn("__fp", Dedup.fingerprint(col("text"))),
+          faired.withColumn("__fp", Dedup.fingerprint(col("text"))),
           Seq("__fp"), Seq(col("doc_id"))).drop("__fp"), None)
       case "fuzzy" =>
-        val edges = Dedup.nearDuplicates(gated, "doc_id", "text",
+        val edges = Dedup.nearDuplicates(faired, "doc_id", "text",
           threshold = c.jaccard)
         // connectedComponents returns a localCheckpoint-backed frame — its
         // blocks already cache the labels, so a persist() on top would
         // store the rows twice. Freed below once `split` is materialized.
         val lbl = Dedup.connectedComponents(edges, "a", "b")
-        (within0(gated, lbl), Some(lbl))
+        (within0(faired, lbl), Some(lbl))
     }
     val nDeduped = deduped.count()
 
@@ -296,7 +318,8 @@ object Curate {
     Curated(train, valDf,
       funnel = Seq("input" -> nIn, "afterClean" -> nClean,
         "langAssigned" -> nLangFilled,
-        "afterQuality" -> nGated, "afterDedup" -> nDeduped,
+        "afterQuality" -> nGated, "afterFairGate" -> nFaired,
+        "afterDedup" -> nDeduped,
         "afterDsir" -> nSelected,
         "train" -> nTrain, "val" -> nVal),
       perLang = perLang)

@@ -69,6 +69,29 @@ class CurateSpec extends SparkSpec {
     assert(Curate.readConfig(legacy.toString).shards == 0)
   }
 
+  test("fairGate stage: keeps floor(f·(n−1))+1 per source after the " +
+      "quality gate; off by default; config round-trips the fraction") {
+    val docs = Tables.load(spark, data, "documents")
+      .filter(col("text").isNotNull).limit(40)
+    val base = Curate.DefaultConfig.copy(dedup = "none", minQuality = 0.0)
+    val off = Curate.run(docs, base)
+    val on = Curate.run(docs, base.copy(fairGateFrac = 0.5))
+    val offF = off.funnel.toMap
+    val onF = on.funnel.toMap
+    assert(offF("afterFairGate") == offF("afterQuality"),
+      "frac 0.0 must be a no-op")
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getLong(1).toInt)
+    val want = perSource.map(n => math.floor(0.5 * (n - 1)).toInt + 1).sum
+    assert(onF("afterFairGate") == want.toLong,
+      s"per-source keep counts: got ${onF("afterFairGate")}, want $want")
+    assert(onF("afterFairGate") <= onF("afterQuality"))
+    // config io round-trip
+    val p = java.nio.file.Files.createTempFile("curate_fair", ".yaml")
+    Curate.writeConfig(p.toString, base.copy(fairGateFrac = 0.25))
+    assert(Curate.readConfig(p.toString).fairGateFrac == 0.25)
+  }
+
   test("stage-0 cleaning: HTML is stripped and junk lines dropped before " +
       "the gate; docs cleaned to nothing leave the funnel at afterClean") {
     val docs = Tables.load(spark, data, "documents")
