@@ -259,7 +259,6 @@ object TextAnalysis {
   private def nbPredict(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, langCol: String,
       unlabeledOnly: Boolean): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     // ln at decimal(17,10): long(20,0) × decimal(17,10) → decimal(38,10)
     // with NO precision loss under Spark's decimal multiply rule. At the
@@ -293,8 +292,16 @@ object TextAnalysis {
     val vocab = weights.select("__g").distinct().agg(count(lit(1)).as("__v"))
     val serveGrams =
       if (unlabeledOnly) docGrams.filter(col("__actual").isNull) else docGrams
-    val docTotals = serveGrams.groupBy(col(idCol))
-      .agg(sum(col("__dn")).as("__n"))
+    // Per-doc gram totals WITHOUT another pass over the gram frame: the
+    // explode emits exactly one row per position 1..greatest(len−2, 1),
+    // so Σ__dn per doc IS that closed form — one cheap scan of the doc
+    // table replaces a shuffle+aggregate over the collapsed grams.
+    val serveDocs =
+      if (unlabeledOnly)
+        docs.filter(col(textCol).isNotNull && col(langCol).isNull)
+      else docs.filter(col(textCol).isNotNull)
+    val docTotals = serveDocs.select(col(idCol),
+      greatest(length(col(textCol)) - 2, lit(1)).cast("long").as("__n"))
     val firstTerm = serveGrams.drop("__actual")
       .join(weights.withColumnRenamed("__g", "__gw"),
         col("__g") === col("__gw"))
@@ -308,10 +315,14 @@ object TextAnalysis {
       .select(col(idCol), col("__lang"),
         (coalesce(col("__s1"), lit(0).cast("decimal(38,10)")) - col("__pen"))
           .as("__sc"))
-    val w = Window.partitionBy(idCol).orderBy(col("__sc").desc, col("__lang"))
-    val pred = scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("__lang").as("predicted"))
+    // argmax as a map-side-combining min(struct(−score, lang)) — the
+    // (score desc, lang asc) pick without a window's exchange+sort;
+    // decimal negation is exact, struct comparison is field-lexicographic
+    val pred = scored
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__sc")).as("n"), col("__lang").as("l")))
+        .as("__m"))
+      .select(col(idCol), col("__m").getField("l").as("predicted"))
     Scale.releaseAfterUse(pred, Seq(docGrams, weights))
   }
 
