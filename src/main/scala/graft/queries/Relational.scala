@@ -505,9 +505,14 @@ object Relational {
           col("l_quantity").cast("long").as("qty"))
         .groupBy("rf", "cents").agg(sum(col("qty")).as("w"))
       val run = Window.partitionBy("rf").orderBy("cents")
-      val whole = Window.partitionBy("rf")
+      // group totals via a map-side-combined aggregate + broadcast join,
+      // NOT a whole-partition window: the running window already pays the
+      // per-group sort (inherent to an exact median; few groups ⇒ few
+      // window tasks — the approx path at extreme group counts is
+      // percentile_approx), so don't add a second full pass over it
+      val tots = vals.groupBy("rf").agg(sum(col("w")).as("tot"))
       vals.withColumn("cum", sum(col("w")).over(run))
-        .withColumn("tot", sum(col("w")).over(whole))
+        .join(broadcast(tots), "rf")
         .filter(col("cum") * 2 >= col("tot"))
         .groupBy("rf")
         .agg((min(col("cents")) / lit(100.0)).as("w_median"))
