@@ -304,6 +304,29 @@ class ScaleSpec extends SparkSpec {
       graft.operators.Quality.driftTvd(docs, "doc_id",
         length(col("text")).cast("long")).count(): Unit
     }
+    assertNoBlocks("Hierarchy.ancestors") {
+      import spark.implicits._
+      graft.operators.Hierarchy.ancestors(
+        Seq((1L, None), (2L, Some(1L)), (3L, Some(2L)))
+          .toDF("node", "parent"), "node", "parent", 4).count(): Unit
+    }
+    assertNoBlocks("Similarity.mmrSelect") {
+      Similarity.mmrSelect(embs,
+        Seq((99L, Seq(1.0, 0.2))).toDF("q_id", "q_emb"),
+        candK = 3, k = 2).count(): Unit
+    }
+    assertNoBlocks("knBigramScore") {
+      graft.operators.Curation.knBigramScore(docs, "doc_id", "text")
+        .count(): Unit
+    }
+    assertNoBlocks("ivfAdcTopK") {
+      graft.operators.Pq.ivfAdcTopK(
+        (0L to 7L).map(i => (i, Seq(i.toDouble, 8 - i.toDouble)))
+          .toDF("vec_id", "emb"),
+        Seq((100L, Seq(1.0, 7.0))).toDF("q_id", "q_emb"),
+        centroids = Seq(Seq(1.0, 7.0), Seq(7.0, 1.0)), nprobe = 1,
+        topK = 3, m = 2, k = 4, dim = 2).count(): Unit
+    }
   }
 
   test("semanticDedup leaves no operator-owned blocks once its caller's " +
