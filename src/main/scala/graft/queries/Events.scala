@@ -298,6 +298,42 @@ object Events {
           col("n3"), col("h_scaled"))
         .orderBy("event_type")
     }),
+    // Attribution — linear multi-touch: every view/click inside the hour
+    // before a user's NEXT purchase shares that purchase's value equally
+    // (credit = value·10⁶ div n in exact integer micro-cents, remainder
+    // dropped — engine-portable, no decimal-division dialect). The
+    // conversion lookup is ONE descending per-user window carrying the
+    // last-seen purchase (ignoreNulls last over strictly-later rows), so
+    // there is no touch×purchase join anywhere — the 100 TB shape.
+    "q_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val horizonNs = 3600000000000L // 1 hour in nanos
+      val wDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), (dec2(col("value")) * 100).cast("long").as("__c"))
+      val touches = ev
+        .withColumn("__cv", last(
+          when(col("event_type") === "purchase",
+            struct(col("ts").as("t"), col("event_id").as("e"),
+              col("__c").as("c"))), ignoreNulls = true).over(wDesc))
+        .filter(col("event_type").isin("view", "click") &&
+          col("__cv").isNotNull &&
+          col("__cv.t") - col("ts") <= horizonNs)
+        .select(col("event_type").as("channel"),
+          col("__cv.e").as("__conv"), col("__cv.c").as("__cc"))
+      val perConv = touches.groupBy("__conv").agg(count(lit(1)).as("__n"))
+      touches.join(perConv, "__conv")
+        .select(col("channel"),
+          expr("__cc * 1000000L div __n").as("__micro"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"), sum(col("__micro")).as("__m"))
+        .select(col("channel"), col("n_touches"),
+          round(col("__m").cast("double") / 1e8, 6).as("attributed"))
+        .orderBy("channel")
+    }),
     // Paths — top-20 most-travelled 3-step event paths: two lags over the
     // per-user ordered stream (ONE shuffle + shared sort), count per
     // (a, b, c), TakeOrderedAndProject — the product-analytics "common
@@ -642,6 +678,31 @@ object Events {
          LEFT JOIN c2 ON c2.v = n.node
          LEFT JOIN c3 ON c3.v = n.node
          ORDER BY event_type""",
+    "q_attribution" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type,
+             cast(cast(value AS decimal(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         nx AS (
+           SELECT event_type, tn,
+             last_value(CASE WHEN event_type = 'purchase' THEN
+                 struct_pack(t := tn, e := event_id, c := c) END
+               IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY tn DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cv
+           FROM ev),
+         touch AS (
+           SELECT event_type AS channel, cv.e AS conv, cv.c AS cc
+           FROM nx
+           WHERE event_type IN ('view', 'click') AND cv IS NOT NULL
+             AND cv.t - tn <= 3600000000000),
+         n AS (SELECT conv, count(*) AS n FROM touch GROUP BY conv),
+         cr AS (
+           SELECT t.channel, (t.cc * 1000000) // n.n AS micro
+           FROM touch t JOIN n USING (conv))
+         SELECT channel, cast(count(*) AS BIGINT) AS n_touches,
+           round(cast(sum(micro) AS DOUBLE) / 100000000.0, 6) AS attributed
+         FROM cr GROUP BY 1 ORDER BY channel""",
     "q_paths" ->
       """WITH s AS (
            SELECT event_type AS c,
