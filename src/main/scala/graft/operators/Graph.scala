@@ -56,6 +56,16 @@ object Graph {
       .union(edges.select(col("dst"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val teleport = 15L * scale / 100L
+    // A node with NO in-edges is exactly teleport from iteration 1 on,
+    // and a node WITH in-edges always receives a contribution row (ranks
+    // stay positive, so the grouped sum exists even when quotients floor
+    // to 0) — so each iteration is contrib ∪ this constant frame, not a
+    // nodes-left-join: one join fewer per iteration, same ranks.
+    val noIn = nodes
+      .join(edges.select(col("dst").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .select(col("node"), lit(teleport).as("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rank = nodes.select(col("node"), lit(scale).as("rank"))
     (1 to iters).foreach { _ =>
       val contrib = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
@@ -63,11 +73,11 @@ object Graph {
           expr("CAST((CAST(rank AS DECIMAL(38,0)) * 85 * w) div " +
             "(100 * CAST(outw AS DECIMAL(38,0))) AS BIGINT)").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__s"))
-      rank = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + coalesce(col("__s"), lit(0L))).as("rank"))
+      rank = contrib
+        .select(col("node"), (lit(teleport) + col("__s")).as("rank"))
+        .unionByName(noIn)
     }
-    Scale.releaseAfterUse(rank, Seq(e, nodes))
+    Scale.releaseAfterUse(rank, Seq(e, nodes, noIn))
   }
 
   /** Degree-oriented directed view of a canonical (a < b) edge list:
