@@ -334,6 +334,47 @@ object Events {
           round(col("__m").cast("double") / 1e8, 6).as("attributed"))
         .orderBy("channel")
     }),
+    // Attribution, time-decay variant: the 8 most recent touches before
+    // the conversion carry dyadic weights 2^(8−rank) (most recent
+    // heaviest — the EWMA trick), credit = value·10⁶·w div Σw in exact
+    // integers, so even the decay schedule oracle-checks. Same
+    // no-pair-join conversion lookup as q_attribution.
+    "q_attribution_decay" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val horizonNs = 3600000000000L
+      val wDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), (dec2(col("value")) * 100).cast("long").as("__c"))
+      val touches = ev
+        .withColumn("__cv", last(
+          when(col("event_type") === "purchase",
+            struct(col("ts").as("t"), col("event_id").as("e"),
+              col("__c").as("c"))), ignoreNulls = true).over(wDesc))
+        .filter(col("event_type").isin("view", "click") &&
+          col("__cv").isNotNull &&
+          col("__cv.t") - col("ts") <= horizonNs)
+        .select(col("event_type").as("channel"), col("ts"),
+          col("event_id"), col("__cv.e").as("__conv"),
+          col("__cv.c").as("__cc"))
+      val wConv = Window.partitionBy("__conv")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val ranked = touches
+        .withColumn("__rn", row_number().over(wConv))
+        .filter(col("__rn") <= 8)
+        .withColumn("__w", expr("CAST(1 AS BIGINT) << (8 - __rn)"))
+      val tot = ranked.groupBy("__conv").agg(sum(col("__w")).as("__tw"))
+      ranked.join(tot, "__conv")
+        .select(col("channel"),
+          expr("__cc * 1000000L * __w div __tw").as("__micro"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"), sum(col("__micro")).as("__m"))
+        .select(col("channel"), col("n_touches"),
+          round(col("__m").cast("double") / 1e8, 6).as("attributed"))
+        .orderBy("channel")
+    }),
     // Paths — top-20 most-travelled 3-step event paths: two lags over the
     // per-user ordered stream (ONE shuffle + shared sort), count per
     // (a, b, c), TakeOrderedAndProject — the product-analytics "common
@@ -700,6 +741,38 @@ object Events {
          cr AS (
            SELECT t.channel, (t.cc * 1000000) // n.n AS micro
            FROM touch t JOIN n USING (conv))
+         SELECT channel, cast(count(*) AS BIGINT) AS n_touches,
+           round(cast(sum(micro) AS DOUBLE) / 100000000.0, 6) AS attributed
+         FROM cr GROUP BY 1 ORDER BY channel""",
+    "q_attribution_decay" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type,
+             cast(cast(value AS decimal(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         nx AS (
+           SELECT event_type, tn, event_id,
+             last_value(CASE WHEN event_type = 'purchase' THEN
+                 struct_pack(t := tn, e := event_id, c := c) END
+               IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY tn DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cv
+           FROM ev),
+         touch AS (
+           SELECT event_type AS channel, tn, event_id,
+             cv.e AS conv, cv.c AS cc
+           FROM nx
+           WHERE event_type IN ('view', 'click') AND cv IS NOT NULL
+             AND cv.t - tn <= 3600000000000),
+         rk AS (
+           SELECT channel, conv, cc,
+             (1::BIGINT << (8 - rn)) AS w
+           FROM (SELECT *, row_number() OVER (PARTITION BY conv
+                   ORDER BY tn DESC, event_id DESC) AS rn FROM touch)
+           WHERE rn <= 8),
+         tw AS (SELECT conv, sum(w)::BIGINT AS tw FROM rk GROUP BY conv),
+         cr AS (
+           SELECT r.channel, (r.cc * 1000000 * r.w) // t.tw AS micro
+           FROM rk r JOIN tw t USING (conv))
          SELECT channel, cast(count(*) AS BIGINT) AS n_touches,
            round(cast(sum(micro) AS DOUBLE) / 100000000.0, 6) AS attributed
          FROM cr GROUP BY 1 ORDER BY channel""",

@@ -1352,6 +1352,29 @@ object Pipeline {
     // keeps its best document (longest n_chars, then min doc_id);
     // singletons keep themselves. Clusters + one argmax max(struct)
     // aggregate — partial aggregation map-side, no corpus-wide window.
+    // A7 — golden-record construction (the MDM merge step after dedup):
+    // per near-dup cluster, ONE merged record — canonical id (min),
+    // richest text length (max), member count, and the distinct
+    // lang/source spread (a >1 spread flags cross-source duplication the
+    // mix planner must know about). Shares the dedup family's CC labels;
+    // one hash aggregate over label-joined docs, singletons merge with
+    // themselves via the label coalesce.
+    "q_golden_record" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = Dedup.connectedComponents(nearDupEdges3(docs), "a", "b")
+      val d = docs.select(col("doc_id"), col("n_chars"), col("lang"),
+        col("source"))
+      d.join(labels, d("doc_id") === labels("id"), "left")
+        .select(coalesce(col("comp"), col("doc_id")).as("grp"),
+          col("doc_id"), col("n_chars"), col("lang"), col("source"))
+        .groupBy("grp")
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_members"),
+          max(col("n_chars")).as("best_n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("grp")
+    }),
     "q_dedup_survivor" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val labels = Dedup.connectedComponents(nearDupEdges3(docs), "a", "b")
@@ -4787,6 +4810,40 @@ object Pipeline {
                ORDER BY d.n_chars DESC, d.doc_id) AS rn
            FROM documents d LEFT JOIN labels l ON d.doc_id = l.id)
          WHERE rn = 1 ORDER BY grp""",
+    // Same cluster CTEs; the merge aggregates instead of the argmax pick.
+    "q_golden_record" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         k0 AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM s),
+         k AS (SELECT * FROM k0
+               QUALIFY count(*) OVER (PARTITION BY blk) <= 4096),
+         e AS (
+           SELECT x.doc_id AS a, y.doc_id AS b
+           FROM k x JOIN k y ON x.blk = y.blk AND x.doc_id < y.doc_id
+           WHERE cast(len(list_intersect(x.sh, y.sh)) AS double) /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                 >= 0.5),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION SELECT b, a FROM e),
+         reach(src, dst) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT r.src, s2.dst FROM reach r
+           JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst),
+         labels AS (
+           SELECT src AS id, least(src, min(dst)) AS comp FROM reach
+           GROUP BY src)
+         SELECT coalesce(l.comp, d.doc_id) AS grp,
+           cast(min(d.doc_id) AS BIGINT) AS canonical_id,
+           cast(count(*) AS BIGINT) AS n_members,
+           cast(max(d.n_chars) AS BIGINT) AS best_n_chars,
+           cast(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           cast(count(DISTINCT d.source) AS BIGINT) AS n_sources
+         FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+         GROUP BY 1 ORDER BY grp""",
     "q_explode" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
