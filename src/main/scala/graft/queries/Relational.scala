@@ -354,6 +354,48 @@ object Relational {
           col("best").as("o_orderkey"))
         .orderBy("event_id")
     }),
+    // J6c — NEAREST-neighbor temporal join (|Δt| minimized, either
+    // direction — sensor alignment / closest-order enrichment): the
+    // union-timeline trick run BOTH ways. One shuffle; two windows over
+    // the same partitioning carry the best ≤ and best ≥ candidate per
+    // event (same-instant orders sort key-descending so the running last
+    // lands on the SMALLEST key — the (|Δ|, key) tie-break needs it), and
+    // least(struct) picks the winner. O(events + orders), never the
+    // O(events × orders-per-user) pair join the oracle runs.
+    "q_join_nearest" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), tsSec("ts").as("t"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast("long").as("okey"))
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").cast("long").as("t"),
+          lit(0).as("tag"),
+          lit(null).cast("long").as("event_id"),
+          col("o_orderkey").as("okey"))
+      def cand(w: org.apache.spark.sql.expressions.WindowSpec) =
+        last(when(col("tag") === 0,
+          struct(col("t").as("ot"), col("okey").as("k"))),
+          ignoreNulls = true).over(w)
+      val wPrev = Window.partitionBy("user_id")
+        .orderBy(col("t").asc, col("tag").asc, col("okey").desc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id")
+        .orderBy(col("t").desc, col("tag").asc, col("okey").desc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = e.unionByName(o)
+        .withColumn("__p", cand(wPrev))
+        .withColumn("__n", cand(wNext))
+        .filter(col("tag") === 1)
+      val pd = when(col("__p").isNotNull,
+        struct(abs(col("t") - col("__p.ot")).as("d"), col("__p.k").as("k")))
+      val nd = when(col("__n").isNotNull,
+        struct(abs(col("t") - col("__n.ot")).as("d"), col("__n.k").as("k")))
+      scored.withColumn("__b", least(pd, nd))
+        .filter(col("__b").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("__b.k").as("o_orderkey"), col("__b.d").as("gap_s"))
+        .orderBy("event_id")
+    }),
     // A3 — TPC-H Q1-style pricing summary (partial+final hash aggregate).
     "q_agg_group" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1172,6 +1214,17 @@ object Relational {
                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
            FROM events e
            JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "q_join_nearest" ->
+      """SELECT event_id, user_id, o_orderkey, gap_s FROM (
+           SELECT e.event_id, e.user_id, o.o_orderkey,
+             abs(epoch_ns(e.ts) // 1000000000
+               - cast(epoch(o.o_orderdate) AS BIGINT)) AS gap_s,
+             row_number() OVER (PARTITION BY e.event_id ORDER BY
+               abs(epoch_ns(e.ts) // 1000000000
+                 - cast(epoch(o.o_orderdate) AS BIGINT)),
+               o.o_orderkey) AS rn
+           FROM events e JOIN orders o ON e.user_id = o.o_custkey)
          WHERE rn = 1 ORDER BY event_id""",
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
