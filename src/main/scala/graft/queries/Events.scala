@@ -298,6 +298,24 @@ object Events {
           col("n3"), col("h_scaled"))
         .orderBy("event_type")
     }),
+    // Funnel latency — minutes from a user's FIRST view to their first
+    // purchase at-or-after it, bucketed into a distributed histogram
+    // (exact integer nanos div, no global order statistics): the
+    // time-to-convert distribution next to q_funnel's conversion counts.
+    "q_conversion_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("__v"))
+      ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("__v"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("__p"), min(col("__v")).as("__fv"))
+        .select(expr("(__p - __fv) div 60000000000").as("latency_min"))
+        .groupBy("latency_min").agg(count(lit(1)).as("n_users"))
+        .orderBy("latency_min")
+    }),
     // Attribution — linear multi-touch: every view/click inside the hour
     // before a user's NEXT purchase shares that purchase's value equally
     // (credit = value·10⁶ div n in exact integer micro-cents, remainder
@@ -719,6 +737,18 @@ object Events {
          LEFT JOIN c2 ON c2.v = n.node
          LEFT JOIN c3 ON c3.v = n.node
          ORDER BY event_type""",
+    "q_conversion_latency" ->
+      """WITH v AS (
+           SELECT user_id, min(epoch_ns(ts)) AS fv FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         p AS (
+           SELECT e.user_id, min(epoch_ns(e.ts)) AS fp, min(v.fv) AS fv
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= v.fv
+           GROUP BY e.user_id)
+         SELECT cast((fp - fv) // 60000000000 AS BIGINT) AS latency_min,
+           cast(count(*) AS BIGINT) AS n_users
+         FROM p GROUP BY 1 ORDER BY latency_min""",
     "q_attribution" ->
       """WITH ev AS (
            SELECT user_id, epoch_ns(ts) AS tn, event_id, event_type,
