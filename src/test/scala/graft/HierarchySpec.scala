@@ -60,6 +60,21 @@ class HierarchySpec extends SparkSpec {
         acc
       }.toSet
       assert(got == want, s"n=$n maxDepth=$maxDepth")
+      // subtreeAgg law on the same forest: each node's rollup equals the
+      // brute-force sum over {self} ∪ {descendants within maxDepth}
+      val values = (0 until n).map(i => (i.toLong, (i * 7 + 1).toLong))
+      val agg = Hierarchy.subtreeAgg(parents.toDF("node", "parent"),
+          "node", "parent", values.toDF("k", "v"), "k", "v", maxDepth)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val desc = want.groupBy(_._2).view
+        .mapValues(_.map(_._1).toSet).toMap // anc -> descendants
+      values.foreach { case (node, _) =>
+        val members = desc.getOrElse(node, Set.empty) + node
+        val vs = values.filter(p => members(p._1)).map(_._2)
+        assert(agg(node) == ((vs.size.toLong, vs.sum)),
+          s"rollup mismatch at node=$node n=$n maxDepth=$maxDepth")
+      }
     }
   }
 

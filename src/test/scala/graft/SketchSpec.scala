@@ -83,6 +83,13 @@ class SketchSpec extends SparkSpec {
     val i2 = g2.getAs[Double]("inter_est")
     assert(u > 350 && u < 900, s"union estimate $u far from 600")
     assert(i2 > 60 && i2 < 400, s"inter estimate $i2 far from 200")
+    // identical sources: merged sketch == each side's, so union and
+    // intersection estimates coincide (jaccard 1 scales union by 1)
+    val same = ((1 to 100).map(i => s"doc $i")).flatMap(t =>
+      Seq(("a", t), ("b", t)))
+    val sks = Sketch.kmv(hashesOf(same), "source", k = 32)
+    val g3 = Sketch.kmvSetPairs(sks, "source", k = 32).collect().head
+    assert(g3.getAs[Double]("union_est") == g3.getAs[Double]("inter_est"))
   }
 
   test("map-side bound: the aggregate buffer never exceeds k (MinKAgg " +
