@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
  *             [--id vec_id] [--vec embedding] [--trained]
  *   graft.Ann --search --index <indexDir> --data <queries.parquet>
  *             --out <resultDir> [--topk 10] [--nprobe 4]
- *             [--id vec_id] [--vec embedding]
+ *             [--id vec_id] [--vec embedding] [--no-self-filter]
+ *
+ * By default --search excludes any corpus vector whose id equals the
+ * query id (the self-exclusion recall-eval convention — right when the
+ * queries ARE corpus rows). When the query file's id space is unrelated
+ * to the corpus, pass --no-self-filter or a numeric collision silently
+ * drops a true neighbor.
  *
  * Artifacts (all plain parquet + one JSON, any engine can read them):
  *   centroids.parquet  (cell INT, vec ARRAY<double>)   — k rows
@@ -37,7 +43,14 @@ object Ann {
   final case class Meta(k: Int, iters: Int, m: Int, codes: Int, dim: Int,
       idCol: String)
 
+  // idCol round-trips through the hand-rolled JSON below unescaped, so it
+  // must be a plain identifier — rejected HERE, at build time, with a clear
+  // message instead of a corrupt meta file or an opaque regex miss at serve
+  private val SafeIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+
   private def writeMeta(dir: String, m: Meta): Unit = {
+    require(SafeIdent.pattern.matcher(m.idCol).matches(),
+      s"idCol must match [A-Za-z_][A-Za-z0-9_]*: '${m.idCol}'")
     val json =
       s"""{"k":${m.k},"iters":${m.iters},"m":${m.m},"codes":${m.codes},""" +
         s""""dim":${m.dim},"idCol":"${m.idCol}"}"""
@@ -49,10 +62,14 @@ object Ann {
   private def readMeta(dir: String): Meta = {
     val s = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, MetaFile)), "UTF-8")
+    def miss(k: String) = throw new IllegalArgumentException(
+      s"$dir/$MetaFile is not a graft.Ann index meta (missing '$k'): $s")
     def int(k: String) =
-      s""""$k":(-?\\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(s)
+        .getOrElse(miss(k)).group(1).toInt
     def str(k: String) =
-      (""""""" + k + """":"([^"]*)"""").r.findFirstMatchIn(s).get.group(1)
+      (""""""" + k + """":"([^"]*)"""").r.findFirstMatchIn(s)
+        .getOrElse(miss(k)).group(1)
     Meta(int("k"), int("iters"), int("m"), int("codes"), int("dim"),
       str("idCol"))
   }
@@ -110,10 +127,12 @@ object Ann {
       .select(col(idCol)).distinct().count()
   }
 
-  /** Serve top-k from a built index; the result is also returned. */
+  /** Serve top-k from a built index; the result is also returned.
+    * `selfFilter` — see the usage scaladoc above (--no-self-filter). */
   def search(spark: SparkSession, indexDir: String, queriesPath: String,
       outDir: Option[String], topK: Int, nprobe: Int,
-      qIdCol: String, qVecCol: String): DataFrame = {
+      qIdCol: String, qVecCol: String,
+      selfFilter: Boolean = true): DataFrame = {
     val meta = readMeta(indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
       .orderBy("cell").collect()
@@ -129,7 +148,7 @@ object Ann {
         VectorOps.asDouble(col(qVecCol)).as("q_emb"))
       .filter(col("q_emb").isNotNull && size(col("q_emb")) > 0)
     val out = Pq.searchIndex(codes, cb, qs, centroids, nprobe, topK,
-      meta.m, meta.dim, meta.idCol)
+      meta.m, meta.dim, meta.idCol, selfFilter = selfFilter)
     outDir.foreach(d =>
       out.write.mode("overwrite").parquet(s"$d/ann_results.parquet"))
     out
@@ -159,7 +178,8 @@ object Ann {
       } else if (flags("search")) {
         val res = search(spark, opt("index").get, opt("data").get,
           opt("out"), intOpt("topk", 10), intOpt("nprobe", 4),
-          opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"))
+          opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"),
+          selfFilter = !flags("no-self-filter"))
         println(s"""{"results":${res.count()}}""")
       } else {
         System.err.println("usage: graft.Ann --build|--search ... (see scaladoc)")

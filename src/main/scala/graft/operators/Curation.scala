@@ -512,7 +512,11 @@ object Curation {
     def dec38(c: Column) = c.cast("decimal(38,0)")
     def lnDec(c: Column) = log(c.cast("double")).cast("decimal(28,10)")
     // decimal(38,0) products: 4·c·N_types overflows a long at a 100 TB
-    // corpus (1e13 tokens × 1e12 types); exact decimals do not
+    // corpus (1e13 tokens × 1e12 types); exact decimals do not — up to
+    // Spark's precision-38 cap. Beyond ~1e38 (den = 4·c(w1)·N_types, so
+    // c(w1)·N_types > 2.5e37; any larger ×4-style re-integerization hits
+    // it sooner) the multiply NULLs under non-ANSI mode instead of
+    // staying exact; the guard below turns that into a loud error.
     val num = dec38(greatest(col("cb") * 4 - 3, lit(0L))) * dec38(col("nt")) +
       dec38(col("n1p")) * dec38(col("n1m")) * 3
     val den = dec38(col("cc") * 4) * dec38(col("nt"))
@@ -520,7 +524,14 @@ object Curation {
       occ.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
         .join(n1p, Seq("w1")).join(n1m, Seq("w2"))
         .crossJoin(broadcast(nt))
-        .select(col(idCol), (lnDec(num) - lnDec(den)).as("__term"))
+        // counts are inner-join non-null, so a null product can ONLY be
+        // the precision-38 overflow above — fail loudly instead of
+        // letting sum() skip the null term
+        .select(col(idCol),
+          when(num.isNull || den.isNull, raise_error(lit(
+            "knBigramScore: decimal(38,0) product overflow — corpus " +
+              "exceeds the ~1e38 exact-integer ceiling (see scaladoc)")))
+            .otherwise(lnDec(num) - lnDec(den)).as("__term"))
         .groupBy(idCol)
         .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("__s"))
         .select(col(idCol), col("n_bigrams"),

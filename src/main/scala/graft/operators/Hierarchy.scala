@@ -63,14 +63,21 @@ object Hierarchy {
    * `maxDepth` hops — the closure from [[ancestors]] extended with the
    * trivial self pair, joined to the measure, one hash aggregate on the
    * ancestor. Nodes absent from `values` contribute nothing; nodes whose
-   * subtree is empty still report their own row. Returns (node, n_desc,
-   * sum_value) where n_desc counts subtree nodes that HAVE a measure row.
+   * subtree is empty still report their own row. The self frame is the
+   * DISTINCT union of nodeCol and parentCol values, so with the common
+   * child→parent-only table shape (roots never appear as node rows) a
+   * root still counts its own measure — and a node listed both ways
+   * counts itself exactly once. Returns (node, n_desc, sum_value) where
+   * n_desc counts subtree nodes that HAVE a measure row.
    */
   def subtreeAgg(parents: DataFrame, nodeCol: String, parentCol: String,
       values: DataFrame, keyCol: String, valueCol: String,
       maxDepth: Int): DataFrame = {
-    val self = parents.select(col(nodeCol).as("node"),
-      col(nodeCol).as("__desc"))
+    val self = parents.select(col(nodeCol).as("node"))
+      .unionByName(parents.filter(col(parentCol).isNotNull)
+        .select(col(parentCol).as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("__desc"))
     val pairs = ancestors(parents, nodeCol, parentCol, maxDepth)
       .select(col("anc").as("node"), col("node").as("__desc"))
       .unionByName(self)

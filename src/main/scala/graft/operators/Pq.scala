@@ -218,11 +218,18 @@ object Pq {
    * property: index a 100 TB corpus once, serve queries from codes-only
    * artifacts). Bit-identical to the fused path: same probe list, same
    * broadcast distance table, same decimal ADC sum and id tie-break.
+   *
+   * `selfFilter` (default true) drops corpus rows whose id equals the
+   * query id — right when queries ARE corpus rows (the recall-eval
+   * convention every q_ivf_pq_* query uses); pass false when the query
+   * id space is unrelated to the corpus ids, or an external query that
+   * happens to collide numerically would silently lose a neighbor.
    */
   def searchIndex(codes: DataFrame, codebook: DataFrame,
       queries: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int,
       topK: Int, m: Int, dim: Int, idCol: String = "vec_id",
-      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb",
+      selfFilter: Boolean = true): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val d = dim / m
     val q = queries.select(col(qIdCol), col(qEmbCol).as("__qv"))
@@ -239,7 +246,7 @@ object Pq {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qIdCol).orderBy(col("__ad"), col(idCol))
     codes.join(broadcast(probeTab), Seq("__cell", "j", "code"))
-      .filter(col(idCol) =!= col(qIdCol))
+      .filter(if (selfFilter) col(idCol) =!= col(qIdCol) else lit(true))
       .groupBy(col(qIdCol), col(idCol))
       .agg(sum(col("__dq").cast("decimal(28,10)")).as("__ad"))
       .withColumn("rn", row_number().over(w).cast("long"))

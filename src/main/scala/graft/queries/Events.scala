@@ -860,7 +860,9 @@ object Events {
            WHERE p.parent IS NOT NULL AND a.dist < 16),
          pairs AS (
            SELECT anc AS node, node AS descn FROM anc
-           UNION ALL SELECT node, node FROM parents),
+           UNION ALL
+           SELECT n, n FROM (SELECT node AS n FROM parents
+             UNION SELECT parent FROM parents WHERE parent IS NOT NULL)),
          per_user AS (
            SELECT user_id, cast(count(*) AS BIGINT) AS n_events
            FROM events GROUP BY 1)

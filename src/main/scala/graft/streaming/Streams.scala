@@ -525,24 +525,6 @@ object Streams {
   }
 
   /**
-   * Streaming inverted-index maintenance — the retrieval twin of
-   * [[shardAppend]]'s layout family: each micro-batch of an APPEND-ONLY
-   * document stream folds into a maintained index via
-   * [[graft.operators.TextAnalysis.indexDelta]], so the corpus is
-   * tokenized exactly once, batch by batch, and the serving index is
-   * always ≤ maxPostings rows per term plus stats. Inherits indexDelta's
-   * exactness contract: batch doc ids must be larger than all already
-   * indexed ids (the append-only monotone-id convention), under which the
-   * maintained index is bit-identical to a full rebuild — the spec pins
-   * streamed ≡ batch.
-   *
-   * Between batches the state is the index frame itself,
-   * `localCheckpoint`ed so lineage stays one delta deep instead of
-   * growing with the stream. After every batch the maintained frame and
-   * the epoch id are handed to `onUpdate` (write it to the serving store,
-   * swap a pointer). Returns the writer — caller starts/stops the query.
-   */
-  /**
    * Streaming drift monitor — the observability twin of
    * [[graft.operators.Quality.driftTvd]]: each micro-batch's
    * (group, bin) counts fold into a maintained cell table via
@@ -573,6 +555,24 @@ object Streams {
     }
   }
 
+  /**
+   * Streaming inverted-index maintenance — the retrieval twin of
+   * [[shardAppend]]'s layout family: each micro-batch of an APPEND-ONLY
+   * document stream folds into a maintained index via
+   * [[graft.operators.TextAnalysis.indexDelta]], so the corpus is
+   * tokenized exactly once, batch by batch, and the serving index is
+   * always ≤ maxPostings rows per term plus stats. Inherits indexDelta's
+   * exactness contract: batch doc ids must be larger than all already
+   * indexed ids (the append-only monotone-id convention), under which the
+   * maintained index is bit-identical to a full rebuild — the spec pins
+   * streamed ≡ batch.
+   *
+   * Between batches the state is the index frame itself,
+   * `localCheckpoint`ed so lineage stays one delta deep instead of
+   * growing with the stream. After every batch the maintained frame and
+   * the epoch id are handed to `onUpdate` (write it to the serving store,
+   * swap a pointer). Returns the writer — caller starts/stops the query.
+   */
   def indexMaintain(docs: DataFrame, idCol: String, textCol: String,
       maxPostings: Int)(onUpdate: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

@@ -1,9 +1,11 @@
-package graft
+package graft.tools
+
+import graft.SparkEntry
 
 import org.apache.spark.sql.SparkSession
 
 /**
- * Plan inspector: `runMain graft.Explain <sfDir> <query...>` prints each
+ * Plan inspector: `Test/runMain graft.tools.Explain <sfDir> <query...>` prints each
  * query's formatted physical plan — the review loop for shuffle/broadcast/
  * pushdown decisions that PlanSpec then pins as regressions-proof asserts.
  */

@@ -1,9 +1,11 @@
-package graft
+package graft.tools
+
+import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /**
- * Overhead probe: `runMain graft.JobCount <query> [sfDir]` warms the
+ * Overhead probe: `Test/runMain graft.tools.JobCount <query> [sfDir]` warms the
  * query at sf0.001, then runs it once and prints wall-clock + Spark
  * job/stage counts — the companion to [[Explain]] for deciding whether a
  * slow small-scale number is data work or fixed per-job overhead (an
