@@ -567,9 +567,12 @@ object Relational {
           (dec2(col("c_acctbal")) * 100).cast("long").as("cents"))
         .groupBy("seg", "cents").agg(count(lit(1)).as("cnt"))
       val run = Window.partitionBy("seg").orderBy("cents")
-      val whole = Window.partitionBy("seg")
+      // group totals via aggregate + broadcast join, not a second
+      // whole-partition window over the per-group sort — the
+      // q_weighted_median pattern (7e84411, 1.92→1.48s A/B there)
+      val tots = vals.groupBy("seg").agg(sum(col("cnt")).as("tot"))
       vals.withColumn("cum", sum(col("cnt")).over(run))
-        .withColumn("tot", sum(col("cnt")).over(whole))
+        .join(broadcast(tots), "seg")
         .withColumn("bin", expr("((cum - cnt) * 10 div tot) + 1"))
         .groupBy("seg", "bin")
         .agg(sum(col("cnt")).as("n"),

@@ -425,13 +425,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("equi-depth bins window over the aggregated value table, not rows " +
-      "(partial+final aggregate below the per-segment window)") {
+      "(one running window; group totals broadcast, not a second " +
+      "whole-partition window)") {
     val p = plan("q_quantile_bins")
-    // rows collapse to (segment, value) counts BEFORE the decile windows
-    // (cum + tot share one per-segment exchange): the partial aggregate
-    // prints BELOW the windows (parents first)
+    // rows collapse to (segment, value) counts BEFORE the decile window,
+    // and the group totals arrive via a map-side-combined aggregate +
+    // broadcast join (the q_weighted_median pattern) — exactly ONE
+    // Window operator, no whole-partition buffering of the value table
     assert(p.contains("partial"), p.take(800))
-    assert("Window\\b".r.findAllIn(p).length == 2, p.take(800))
+    assert("Window\\b".r.findAllIn(p).length == 1, p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(p.indexOf("Window") < p.lastIndexOf("HashAggregate"), p.take(800))
   }
 
