@@ -18,12 +18,21 @@ import org.apache.spark.sql.functions._
  *   graft.Ann --search --index <indexDir> --data <queries.parquet>
  *             --out <resultDir> [--topk 10] [--nprobe 4]
  *             [--id vec_id] [--vec embedding] [--no-self-filter]
+ *             [--refine <c> --raw <embeddings.parquet>]
  *
  * By default --search excludes any corpus vector whose id equals the
  * query id (the self-exclusion recall-eval convention — right when the
  * queries ARE corpus rows). When the query file's id space is unrelated
  * to the corpus, pass --no-self-filter or a numeric collision silently
  * drops a true neighbor.
+ *
+ * --refine c turns on the FAISS IndexRefine serving shape: ADC proposes
+ * the top-c candidates per query from codes only, then the refine stage
+ * fetches JUST those vectors from --raw (one candidate-scale broadcast
+ * probe — the raw store is never scanned per query) and re-ranks by
+ * exact cosine to --topk. The oracle-checked q_ivf_pq_rerank /
+ * q_ivf_pq_rerank_recall queries run this exact composition and measure
+ * its recall lift over codes-only ranking at equal nprobe.
  *
  * Artifacts (all plain parquet + one JSON, any engine can read them):
  *   centroids.parquet  (cell INT, vec ARRAY<double>)   — k rows
@@ -128,11 +137,14 @@ object Ann {
   }
 
   /** Serve top-k from a built index; the result is also returned.
-    * `selfFilter` — see the usage scaladoc above (--no-self-filter). */
+    * `selfFilter` — see the usage scaladoc above (--no-self-filter).
+    * `refine` = (candC, rawPath) turns on the exact-cosine refine stage
+    * over the top-candC ADC candidates (--refine/--raw). */
   def search(spark: SparkSession, indexDir: String, queriesPath: String,
       outDir: Option[String], topK: Int, nprobe: Int,
       qIdCol: String, qVecCol: String,
-      selfFilter: Boolean = true): DataFrame = {
+      selfFilter: Boolean = true,
+      refine: Option[(Int, String)] = None): DataFrame = {
     val meta = readMeta(indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
       .orderBy("cell").collect()
@@ -147,8 +159,26 @@ object Ann {
       .select(col(qIdCol).as("q_id"),
         VectorOps.asDouble(col(qVecCol)).as("q_emb"))
       .filter(col("q_emb").isNotNull && size(col("q_emb")) > 0)
-    val out = Pq.searchIndex(codes, cb, qs, centroids, nprobe, topK,
+    val adcK = refine.map(_._1).getOrElse(topK)
+    require(adcK >= topK,
+      s"--refine candidate depth $adcK must be >= --topk $topK")
+    val adc = Pq.searchIndex(codes, cb, qs, centroids, nprobe, adcK,
       meta.m, meta.dim, meta.idCol, selfFilter = selfFilter)
+    val out = refine match {
+      case None => adc
+      case Some((_, rawPath)) =>
+        val raw = spark.read.parquet(rawPath)
+          .select(col(meta.idCol),
+            VectorOps.asDouble(col(qVecCol)).as("__remb"))
+          .filter(col("__remb").isNotNull && size(col("__remb")) > 0)
+        graft.operators.Similarity.refineTopK(
+            adc.select(col("q_id"), col(meta.idCol), col("adist")),
+            raw, qs, topK,
+            idCol = meta.idCol, embCol = "__remb",
+            qIdCol = "q_id", qEmbCol = "q_emb")
+          .select(col("q_id"), col(meta.idCol), col("rn"), col("adist"),
+            round(col("cos"), 6).as("cosine"))
+    }
     outDir.foreach(d =>
       out.write.mode("overwrite").parquet(s"$d/ann_results.parquet"))
     out
@@ -176,10 +206,12 @@ object Ann {
           trained = flags("trained"))
         println(s"""{"built":$n,"index":"${opt("out").get}"}""")
       } else if (flags("search")) {
+        val refine = opt("refine").map(c => (c.toInt,
+          opt("raw").getOrElse(sys.error("--refine requires --raw <path>"))))
         val res = search(spark, opt("index").get, opt("data").get,
           opt("out"), intOpt("topk", 10), intOpt("nprobe", 4),
           opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"),
-          selfFilter = !flags("no-self-filter"))
+          selfFilter = !flags("no-self-filter"), refine = refine)
         println(s"""{"results":${res.count()}}""")
       } else {
         System.err.println("usage: graft.Ann --build|--search ... (see scaladoc)")

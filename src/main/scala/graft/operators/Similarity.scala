@@ -77,6 +77,37 @@ object Similarity {
   }
 
   /**
+   * Exact-cosine refinement of an ANN candidate list — the FAISS
+   * IndexRefine serving shape: an approximate stage (ADC codes, LSH
+   * buckets, BM25) proposes candidate ids per query; this fetches ONLY
+   * those vectors from the corpus (the candidate list broadcasts into
+   * ONE corpus scan — the corpus is never rescanned per query),
+   * recomputes the EXACT cosine against the query vectors, and re-ranks
+   * to `topK`. At 100 TB the refine cost is |queries|·candC vector
+   * fetches against a single embeddings probe — independent of corpus
+   * size — and the rerank window partitions per query over ≤ candC rows.
+   *
+   * `cands` needs (qIdCol, idCol); any extra columns (e.g. the
+   * approximate distance the candidate arrived with) ride through to the
+   * output, the [[graft.operators.TextAnalysis.retrieveRerank]] bm25
+   * convention. Candidates without a corpus vector drop out (inner
+   * probe); no self-filter is applied — refine exactly what the
+   * candidate stage proposed. Returns cands' columns + (cos, rn).
+   */
+  def refineTopK(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+      topK: Int, idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    val fetched = corpus
+      .select(col(idCol), col(embCol), l2Norm(col(embCol)).as("__norm"))
+      .join(broadcast(cands), Seq(idCol))
+    val q = queries.select(col(qIdCol), col(qEmbCol),
+      l2Norm(col(qEmbCol)).as("__qnorm"))
+    val scored = withCos(fetched.join(broadcast(q), Seq(qIdCol)),
+      embCol, qEmbCol)
+    rankTopK(scored, qIdCol, idCol, topK).drop(embCol, qEmbCol)
+  }
+
+  /**
    * Deterministic random hyperplanes: `n` planes of dimension `dim`, seeded
    * Gaussian — the projection basis is part of the operator definition, so
    * signatures are reproducible across runs and engines.

@@ -1804,6 +1804,56 @@ object Pipeline {
           (col("n_hit").cast("double") / 10).as("recall"))
         .orderBy("q_id")
     }),
+    // L2 — IVF-PQ + exact refine (Similarity.refineTopK): the FULL FAISS
+    // serving shape — ADC proposes top-20 per query from codes only, the
+    // refine stage fetches JUST those 20 vectors (one candidate-scale
+    // broadcast probe into embeddings) and re-ranks by exact cosine to
+    // top-10. Corpus full-precision vectors are read once at index build
+    // and once per candidate here — never per (query, corpus) pair. The
+    // ADC distance each candidate arrived with rides through (adist),
+    // like retrieveRerank's bm25.
+    "q_ivf_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      val cands = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids,
+          nprobe = 4, topK = 20, m = 4, k = 8, dim = 64)
+        .select(col("q_id"), col("vec_id"), col("adist"))
+      Similarity.refineTopK(cands, emb, qs, topK = 10)
+        .select(col("q_id"), col("rn"), col("vec_id"), col("adist"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("q_id", "rn")
+    }),
+    // L2 — recall@10 of the refined IVF-PQ search vs exact cosine top-10
+    // (the q_ivf_pq_recall recipe): read next to q_ivf_pq_recall at the
+    // same nprobe, the delta IS the refine stage's lift — quantization
+    // error stops costing rank order once the top-20 candidates are
+    // re-scored exactly; only neighbours ADC missed entirely still hurt.
+    "q_ivf_pq_rerank_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val cands = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids,
+          nprobe = 4, topK = 20, m = 4, k = 8, dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      val refined = Similarity.refineTopK(cands, emb, qs, topK = 10)
+        .select(col("q_id"), col("vec_id"))
+      exact.join(refined.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
+          "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / 10).as("recall"))
+        .orderBy("q_id")
+    }),
     // L2 — IVF TUNING CURVE: recall@10 per query at nprobe ∈ {1, 2, 4}
     // against exact top-10 — the number that picks nprobe before a
     // production ANN run (the measurement twin of q_ivf_balance). Fixed
@@ -2438,6 +2488,41 @@ object Pipeline {
         k1 = Bm25K1, b = Bm25B)
         .orderBy("q_id", "rnk")
     }),
+    // L1/L2 — recall@RerankTopK of the two-stage retriever vs the exact
+    // cosine top-RerankTopK per query — the quality row every other
+    // approximate stage already has (q_pq_recall, q_minhash_recall,
+    // q_ivf_recall_curve): the number that sizes candK. The rerank
+    // cosine is exact, so any miss is BM25 candidate generation failing
+    // to surface a true semantic neighbour within candK; raise candK
+    // until this plateaus. Truth and pipeline share the embedding id
+    // space (queries are docs 0..2 anchored at their vec_id). On THIS
+    // fixture text and embeddings are independently synthesized, so the
+    // expected value is the chance-overlap floor ≈ topK·candK/N ≈ 0 —
+    // the row measures exactly that (and the oracle agrees); on a real
+    // corpus, where lexical and semantic neighbours correlate, the same
+    // row is the candK-sizing curve.
+    "q_rerank_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qsD = docs.filter(col("doc_id") < 3 && col("text").isNotNull)
+        .select(col("doc_id").as("q_id"), col("text").as("qtext"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val picked = TA.retrieveRerank(docs, "doc_id", "text", qsD, "q_id",
+          "qtext", emb, "vec_id", "emb", candK = RerankCandK,
+          topK = RerankTopK, k1 = Bm25K1, b = Bm25B)
+        .select(col("q_id"), col("doc_id").as("vec_id"))
+      val qsE = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val exact = Similarity.exactTopK(emb, qsE, RerankTopK)
+        .select(col("q_id"), col("vec_id"))
+      exact.join(picked.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
+          "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / RerankTopK).as("recall"))
+        .orderBy("q_id")
+    }),
     // L2 — per-dimension embedding statistics (the normalization /
     // feature-scaling pass before clustering or PQ training): mean and
     // std of every coordinate. posexplode → ONE hash aggregate on the
@@ -2480,6 +2565,163 @@ object Pipeline {
       s"(CASE WHEN list_dot_product($embExpr::DOUBLE[], $lits::DOUBLE[]) >= 0" +
         s" THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ") + " AS BIGINT)"
+
+  /**
+   * Shared DuckDB CTE chain for the fixed-quantizer IVF-PQ family
+   * (q_ivf_pq_search / _recall / _rerank / _rerank_recall): first-16
+   * centroids, first-8 per-subspace codebook, nprobe=4 probes for the
+   * vec_id < 5 query set, the decimal ADC sum, ending in `adcranked`
+   * (q_id, vec_id, ad, rn) — consumers cut at their candidate depth.
+   * `e` (embeddings as DOUBLE[]) is also the base for [[embExactCte]].
+   */
+  private val IvfPqAdcCtes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       c AS (SELECT vec_id AS cid, v AS cv,
+               list_dot_product(v, v) AS cnorm2
+             FROM e WHERE vec_id < 16),
+       assign AS (
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
+               AS rn
+           FROM e CROSS JOIN c) WHERE rn = 1),
+       sub AS (
+         SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
+           list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
+         FROM e, generate_series(0, 3) AS g(j)),
+       cb AS (
+         SELECT cast(e.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
+           list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
+         FROM e, generate_series(0, 3) AS g(j)
+         WHERE vec_id < 8),
+       codes AS (
+         SELECT vec_id, j, code FROM (
+           SELECT sub.vec_id, sub.j, cb.c AS code,
+             row_number() OVER (PARTITION BY sub.vec_id, sub.j
+               ORDER BY -2 * list_dot_product(sub.s, cb.cw) + cb.cwn2, cb.c)
+               AS rn
+           FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       probes AS (
+         SELECT q_id, cell FROM (
+           SELECT q.q_id, c.cid AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2, c.cid)
+               AS rn
+           FROM q CROSS JOIN c) WHERE rn <= 4),
+       dtab AS (
+         SELECT q.vec_id AS q_id, cb.j, cb.c AS code,
+           q.sn2 - 2 * list_dot_product(q.s, cb.cw) + cb.cwn2 AS dq
+         FROM sub q JOIN cb ON q.j = cb.j WHERE q.vec_id < 5),
+       adcscored AS (
+         SELECT d.q_id, co.vec_id,
+           sum(cast(d.dq AS decimal(28,10))) AS ad
+         FROM codes co
+         JOIN assign a ON a.vec_id = co.vec_id
+         JOIN probes p ON p.cell = a.cell
+         JOIN dtab d ON d.q_id = p.q_id AND d.j = co.j AND d.code = co.code
+         WHERE co.vec_id <> d.q_id
+         GROUP BY d.q_id, co.vec_id),
+       adcranked AS (
+         SELECT q_id, vec_id, ad, row_number() OVER (
+           PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adcscored)"""
+
+  /** The exact cosine top-`k` CTE over `e` for queries vec_id < `maxQ` —
+    * the truth side of every recall row (the q_sim_exact formulation). */
+  private def embExactCte(maxQ: Int, k: Int): String =
+    s"""exact AS (
+         SELECT q_id, vec_id FROM (
+           SELECT q_id, vec_id, row_number() OVER (
+             PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+           FROM (
+             SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+               list_dot_product(x.v, q.v) /
+                 (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(q.v, q.v))) AS cos
+             FROM e q JOIN e x
+               ON q.vec_id < $maxQ AND x.vec_id <> q.vec_id))
+         WHERE rn <= $k)"""
+
+  /** recall@`k` tail: exact top-k LEFT JOIN the approximate id set
+    * `approx` (q_id, vec_id), overlap counted, one exact int division. */
+  private def recallTailSql(approx: String, k: Int): String =
+    s"""SELECT exact.q_id,
+         cast(sum(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END)
+           AS bigint) AS n_hit,
+         cast(sum(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END)
+           AS double) / $k AS recall
+       FROM exact LEFT JOIN $approx r
+         ON exact.q_id = r.q_id AND exact.vec_id = r.vec_id
+       GROUP BY exact.q_id ORDER BY exact.q_id"""
+
+  /**
+   * Shared DuckDB CTE chain for the two-stage retriever
+   * (q_retrieve_rerank / q_rerank_recall): the q_bm25_batch candidate
+   * pipeline with queries drawn from documents (doc_id < 3), capped at
+   * RerankCandK with self-retrieval masked after the cap, then the
+   * exact-cosine rerank over embeddings — ending in `rrk`
+   * (q_id, doc_id, bm25, cos, rnk).
+   */
+  private val RerankPipelineCtes: String = {
+    val score = s"ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))" +
+      s" * (t.tf * ${Bm25K1 + 1.0})" +
+      s" / (t.tf + $Bm25K1 * (${1.0 - Bm25B}" +
+      s" + $Bm25B * t.dl / (s.sumdl / s.n)))"
+    s"""WITH q AS (
+         SELECT doc_id AS q_id, text AS qtext FROM documents
+         WHERE doc_id < 3 AND text IS NOT NULL),
+       tf AS (
+         SELECT term, doc_id, cast(count(*) AS double) AS tf,
+           max(dl) AS dl
+         FROM (
+           SELECT doc_id, cast(len($WsSplitSql) AS double) AS dl,
+             unnest($WsSplitSql) AS term
+           FROM documents WHERE text IS NOT NULL)
+         WHERE len(term) > 0 GROUP BY term, doc_id),
+       ds AS (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY doc_id),
+       s AS (
+         SELECT cast(count(*) AS double) AS n,
+           cast(sum(cast(dl AS decimal(38,0))) AS double) AS sumdl
+         FROM ds),
+       qt AS (
+         SELECT q_id, term FROM (
+           SELECT q_id, unnest(list_distinct(
+             string_split_regex(qtext, '\\s+'))) AS term
+           FROM q)
+         WHERE len(term) > 0),
+       f AS (
+         SELECT t.term, cast(count(*) AS double) AS df
+         FROM tf t JOIN (SELECT DISTINCT term FROM qt) x USING (term)
+         GROUP BY t.term),
+       scored AS (
+         SELECT qt.q_id, t.doc_id,
+           sum(cast($score AS decimal(28,10))) AS sc
+         FROM tf t
+         JOIN qt ON qt.term = t.term
+         JOIN f ON f.term = t.term, s
+         GROUP BY qt.q_id, t.doc_id),
+       cand AS (
+         SELECT q_id, doc_id, round(scd, 6) AS bm25 FROM (
+           SELECT q_id, doc_id, cast(sc AS double) AS scd,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cast(sc AS double) DESC, doc_id DESC) AS crnk
+           FROM scored)
+         WHERE crnk <= $RerankCandK AND doc_id <> q_id),
+       rr AS (
+         SELECT c.q_id, c.doc_id, c.bm25,
+           list_dot_product(ce.embedding::DOUBLE[], g.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(g.embedding::DOUBLE[], g.embedding::DOUBLE[]))) AS cos
+         FROM cand c
+         JOIN embeddings ce ON ce.vec_id = c.doc_id
+         JOIN embeddings g ON g.vec_id = c.q_id),
+       rrk AS (
+         SELECT q_id, doc_id, bm25, cos,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, doc_id) AS rnk
+         FROM rr)"""
+  }
 
   val oracles: Map[String, String] = Map(
     "q_sim_lsh" -> {
@@ -2612,139 +2854,59 @@ object Pipeline {
           FROM exact LEFT JOIN adc
             ON exact.q_id = adc.q_id AND exact.vec_id = adc.vec_id
           GROUP BY exact.q_id ORDER BY exact.q_id""",
-    // IVF-ADC: q_sim_ivf_fixed's assign/probes CTEs composed with
-    // q_pq_search's codes/dtab CTEs; candidates = codes whose cell is
-    // probed by the query, scored by the same decimal ADC sum.
+    // IVF-ADC: the shared fixed-quantizer CTE chain cut at rn <= 10.
     "q_ivf_pq_search" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          c AS (SELECT vec_id AS cid, v AS cv,
-                  list_dot_product(v, v) AS cnorm2
-                FROM e WHERE vec_id < 16),
-          assign AS (
-            SELECT vec_id, cell FROM (
-              SELECT e.vec_id, c.cid AS cell,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
-                  AS rn
-              FROM e CROSS JOIN c) WHERE rn = 1),
-          sub AS (
-            SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
-              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
-            FROM e, generate_series(0, 3) AS g(j)),
-          cb AS (
-            SELECT cast(e.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
-              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
-            FROM e, generate_series(0, 3) AS g(j)
-            WHERE vec_id < 8),
-          codes AS (
-            SELECT vec_id, j, code FROM (
-              SELECT sub.vec_id, sub.j, cb.c AS code,
-                row_number() OVER (PARTITION BY sub.vec_id, sub.j
-                  ORDER BY -2 * list_dot_product(sub.s, cb.cw) + cb.cwn2, cb.c)
-                  AS rn
-              FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
-          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
-          probes AS (
-            SELECT q_id, cell FROM (
-              SELECT q.q_id, c.cid AS cell,
-                row_number() OVER (PARTITION BY q.q_id
-                  ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2, c.cid)
-                  AS rn
-              FROM q CROSS JOIN c) WHERE rn <= 4),
-          dtab AS (
-            SELECT q.vec_id AS q_id, cb.j, cb.c AS code,
-              q.sn2 - 2 * list_dot_product(q.s, cb.cw) + cb.cwn2 AS dq
-            FROM sub q JOIN cb ON q.j = cb.j WHERE q.vec_id < 5),
-          scored AS (
-            SELECT d.q_id, co.vec_id,
-              sum(cast(d.dq AS decimal(28,10))) AS ad
-            FROM codes co
-            JOIN assign a ON a.vec_id = co.vec_id
-            JOIN probes p ON p.cell = a.cell
-            JOIN dtab d ON d.q_id = p.q_id AND d.j = co.j AND d.code = co.code
-            WHERE co.vec_id <> d.q_id
-            GROUP BY d.q_id, co.vec_id)
+      s"""$IvfPqAdcCtes
           SELECT q_id, vec_id, rn, round(cast(ad AS double), 6) AS adist
-          FROM (SELECT q_id, vec_id, ad, row_number() OVER (
-                  PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM scored)
-          WHERE rn <= 10 ORDER BY q_id, rn""",
+          FROM adcranked WHERE rn <= 10 ORDER BY q_id, rn""",
     // recall@10 of the IVF-ADC composition vs the exact cosine top-10 —
     // the q_pq_recall shape with the probe-bounded search substituted.
     "q_ivf_pq_recall" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          exact AS (
+      s"""$IvfPqAdcCtes,
+          ${embExactCte(5, 10)},
+          adc AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 10)
+          ${recallTailSql("adc", 10)}""",
+    // IVF-PQ + exact refine: ADC top-20 candidates re-scored by the
+    // exact cosine (the q_sim_exact formulation) and re-cut to top-10;
+    // the candidate's ADC distance rides through.
+    "q_ivf_pq_rerank" ->
+      s"""$IvfPqAdcCtes,
+          cand AS (
+            SELECT q_id, vec_id, round(cast(ad AS double), 6) AS adist
+            FROM adcranked WHERE rn <= 20),
+          rr AS (
+            SELECT c.q_id, c.vec_id, c.adist,
+              list_dot_product(x.v, g.v) /
+                (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(g.v, g.v))) AS cos
+            FROM cand c
+            JOIN e x ON x.vec_id = c.vec_id
+            JOIN e g ON g.vec_id = c.q_id)
+          SELECT q_id, rn, vec_id, adist, round(cos, 6) AS cosine FROM (
+            SELECT q_id, vec_id, adist, cos,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY cos DESC, vec_id) AS rn
+            FROM rr)
+          WHERE rn <= 10 ORDER BY q_id, rn""",
+    // recall@10 of the refined IVF-PQ search — read against
+    // q_ivf_pq_recall at the same nprobe, the delta is the refine lift.
+    "q_ivf_pq_rerank_recall" ->
+      s"""$IvfPqAdcCtes,
+          ${embExactCte(5, 10)},
+          cand AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 20),
+          refined AS (
             SELECT q_id, vec_id FROM (
-              SELECT q_id, vec_id, row_number() OVER (
-                PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
-              FROM (
-                SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
-                  list_dot_product(x.v, q.v) /
+              SELECT c.q_id, c.vec_id,
+                row_number() OVER (PARTITION BY c.q_id ORDER BY
+                  list_dot_product(x.v, g.v) /
                     (sqrt(list_dot_product(x.v, x.v))
-                     * sqrt(list_dot_product(q.v, q.v))) AS cos
-                FROM e q JOIN e x
-                  ON q.vec_id < 5 AND x.vec_id <> q.vec_id))
-            WHERE rn <= 10),
-          c AS (SELECT vec_id AS cid, v AS cv,
-                  list_dot_product(v, v) AS cnorm2
-                FROM e WHERE vec_id < 16),
-          assign AS (
-            SELECT vec_id, cell FROM (
-              SELECT e.vec_id, c.cid AS cell,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2, c.cid)
-                  AS rn
-              FROM e CROSS JOIN c) WHERE rn = 1),
-          sub AS (
-            SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
-              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
-            FROM e, generate_series(0, 3) AS g(j)),
-          cb AS (
-            SELECT cast(e.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
-              list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
-            FROM e, generate_series(0, 3) AS g(j)
-            WHERE vec_id < 8),
-          codes AS (
-            SELECT vec_id, j, code FROM (
-              SELECT sub.vec_id, sub.j, cb.c AS code,
-                row_number() OVER (PARTITION BY sub.vec_id, sub.j
-                  ORDER BY -2 * list_dot_product(sub.s, cb.cw) + cb.cwn2, cb.c)
-                  AS rn
-              FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
-          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
-          probes AS (
-            SELECT q_id, cell FROM (
-              SELECT q.q_id, c.cid AS cell,
-                row_number() OVER (PARTITION BY q.q_id
-                  ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2, c.cid)
-                  AS rn
-              FROM q CROSS JOIN c) WHERE rn <= 4),
-          dtab AS (
-            SELECT q.vec_id AS q_id, cb.j, cb.c AS code,
-              q.sn2 - 2 * list_dot_product(q.s, cb.cw) + cb.cwn2 AS dq
-            FROM sub q JOIN cb ON q.j = cb.j WHERE q.vec_id < 5),
-          adc AS (
-            SELECT q_id, vec_id FROM (
-              SELECT q_id, vec_id, row_number() OVER (
-                PARTITION BY q_id ORDER BY ad, vec_id) AS rn
-              FROM (
-                SELECT d.q_id, co.vec_id,
-                  sum(cast(d.dq AS decimal(28,10))) AS ad
-                FROM codes co
-                JOIN assign a ON a.vec_id = co.vec_id
-                JOIN probes p ON p.cell = a.cell
-                JOIN dtab d ON d.q_id = p.q_id AND d.j = co.j
-                  AND d.code = co.code
-                WHERE co.vec_id <> d.q_id
-                GROUP BY d.q_id, co.vec_id))
+                     * sqrt(list_dot_product(g.v, g.v))) DESC,
+                  c.vec_id) AS rn
+              FROM cand c
+              JOIN e x ON x.vec_id = c.vec_id
+              JOIN e g ON g.vec_id = c.q_id)
             WHERE rn <= 10)
-          SELECT exact.q_id,
-            cast(sum(CASE WHEN adc.vec_id IS NULL THEN 0 ELSE 1 END)
-              AS bigint) AS n_hit,
-            cast(sum(CASE WHEN adc.vec_id IS NULL THEN 0 ELSE 1 END)
-              AS double) / 10 AS recall
-          FROM exact LEFT JOIN adc
-            ON exact.q_id = adc.q_id AND exact.vec_id = adc.vec_id
-          GROUP BY exact.q_id ORDER BY exact.q_id""",
+          ${recallTailSql("refined", 10)}""",
     // lshTopK = q_sim_exact's scoring/ranking restricted to bucket-equal
     // candidates: same plane literals as the engine, same cosine and
     // row_number shape as the q_sim_exact oracle.
@@ -5259,71 +5421,24 @@ object Pipeline {
            FROM scored)
          WHERE rnk <= 10 ORDER BY q_id, rnk"""
     },
-    // Two-stage retrieval: q_bm25_batch's candidate pipeline with the
-    // query table drawn from documents (doc_id < 3), capped at RerankCandK,
-    // self-retrieval masked after the cap, then the exact-cosine rerank
-    // over embeddings (q_sim_exact's list_dot_product formulation) ranked
-    // (cos desc, doc_id) and cut to RerankTopK.
-    "q_retrieve_rerank" -> {
-      val score = s"ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))" +
-        s" * (t.tf * ${Bm25K1 + 1.0})" +
-        s" / (t.tf + $Bm25K1 * (${1.0 - Bm25B}" +
-        s" + $Bm25B * t.dl / (s.sumdl / s.n)))"
-      s"""WITH q AS (
-           SELECT doc_id AS q_id, text AS qtext FROM documents
-           WHERE doc_id < 3 AND text IS NOT NULL),
-         tf AS (
-           SELECT term, doc_id, cast(count(*) AS double) AS tf,
-             max(dl) AS dl
-           FROM (
-             SELECT doc_id, cast(len($WsSplitSql) AS double) AS dl,
-               unnest($WsSplitSql) AS term
-             FROM documents WHERE text IS NOT NULL)
-           WHERE len(term) > 0 GROUP BY term, doc_id),
-         ds AS (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY doc_id),
-         s AS (
-           SELECT cast(count(*) AS double) AS n,
-             cast(sum(cast(dl AS decimal(38,0))) AS double) AS sumdl
-           FROM ds),
-         qt AS (
-           SELECT q_id, term FROM (
-             SELECT q_id, unnest(list_distinct(
-               string_split_regex(qtext, '\\s+'))) AS term
-             FROM q)
-           WHERE len(term) > 0),
-         f AS (
-           SELECT t.term, cast(count(*) AS double) AS df
-           FROM tf t JOIN (SELECT DISTINCT term FROM qt) x USING (term)
-           GROUP BY t.term),
-         scored AS (
-           SELECT qt.q_id, t.doc_id,
-             sum(cast($score AS decimal(28,10))) AS sc
-           FROM tf t
-           JOIN qt ON qt.term = t.term
-           JOIN f ON f.term = t.term, s
-           GROUP BY qt.q_id, t.doc_id),
-         cand AS (
-           SELECT q_id, doc_id, round(scd, 6) AS bm25 FROM (
-             SELECT q_id, doc_id, cast(sc AS double) AS scd,
-               row_number() OVER (PARTITION BY q_id
-                 ORDER BY cast(sc AS double) DESC, doc_id DESC) AS crnk
-             FROM scored)
-           WHERE crnk <= $RerankCandK AND doc_id <> q_id),
-         rr AS (
-           SELECT c.q_id, c.doc_id, c.bm25,
-             list_dot_product(e.embedding::DOUBLE[], g.embedding::DOUBLE[]) /
-               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(g.embedding::DOUBLE[], g.embedding::DOUBLE[]))) AS cos
-           FROM cand c
-           JOIN embeddings e ON e.vec_id = c.doc_id
-           JOIN embeddings g ON g.vec_id = c.q_id)
-         SELECT q_id, rnk, doc_id, bm25, round(cos, 6) AS cosine FROM (
-           SELECT q_id, doc_id, bm25, cos,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY cos DESC, doc_id) AS rnk
-           FROM rr)
-         WHERE rnk <= $RerankTopK ORDER BY q_id, rnk"""
-    },
+    // Two-stage retrieval: the shared rerank CTE chain cut at RerankTopK.
+    "q_retrieve_rerank" ->
+      s"""$RerankPipelineCtes
+         SELECT q_id, rnk, doc_id, bm25, round(cos, 6) AS cosine
+         FROM rrk WHERE rnk <= $RerankTopK ORDER BY q_id, rnk""",
+    // recall@RerankTopK of the two-stage retriever vs the exact cosine
+    // top-RerankTopK (truth anchored at the query docs' vec_ids) — the
+    // number that sizes candK: the rerank cosine is exact, so any miss
+    // is BM25 candidate generation failing to surface a true semantic
+    // neighbour within candK.
+    "q_rerank_recall" ->
+      s"""$RerankPipelineCtes,
+         picked AS (
+           SELECT q_id, doc_id AS vec_id FROM rrk
+           WHERE rnk <= $RerankTopK),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ${embExactCte(3, RerankTopK)}
+         ${recallTailSql("picked", RerankTopK)}""",
     "q_embed_norm" ->
       """WITH v AS (
            SELECT i - 1 AS dim,

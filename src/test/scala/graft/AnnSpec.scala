@@ -43,6 +43,60 @@ class AnnSpec extends SparkSpec {
     assert(rt.count() > 0)
   }
 
+  test("refineTopK law: refined over the full non-self candidate set " +
+      "equals exactTopK") {
+    // with EVERY non-self pair offered as a candidate, exact-cosine
+    // refinement must reproduce brute-force exactTopK bit-for-bit —
+    // candidate bounding is the ONLY approximation in the serving shape
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      .limit(60)
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val allPairs = emb.select(col("vec_id"))
+      .crossJoin(qs.select(col("q_id")))
+      .filter(col("vec_id") =!= col("q_id"))
+    val refined = graft.operators.Similarity
+      .refineTopK(allPairs, emb, qs, topK = 5)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("cos"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = graft.operators.Similarity.exactTopK(emb, qs, 5)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("cos"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(refined == exact)
+  }
+
+  test("--refine serving path equals the fused ADC->refineTopK " +
+      "composition bit-for-bit") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmp("refidx")
+    Ann.build(spark, data, idx, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding")
+    val served = Ann.search(spark, idx, data, None, topK = 5, nprobe = 3,
+        qIdCol = "vec_id", qVecCol = "embedding",
+        refine = Some((15, data)))
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val emb = spark.read.parquet(data)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val cands = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids,
+        nprobe = 3, topK = 15, m = 4, k = 8, dim = 64)
+      .select(col("q_id"), col("vec_id"), col("adist"))
+    val fused = graft.operators.Similarity.refineTopK(cands, emb, qs, 5)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("adist"),
+        round(col("cos"), 6).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(served == fused, "refined serve must equal fused refine")
+  }
+
   test("trained build: codebooks from per-subspace Lloyd, served ranks " +
       "are contiguous and ADC distances non-decreasing per query") {
     val data = "/root/testdata/sf0.001/embeddings.parquet"

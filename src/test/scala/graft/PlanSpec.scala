@@ -282,6 +282,11 @@ class PlanSpec extends SparkSpec {
       // same one-row (N, Σdl) corpus-statistics aggregate; the rerank
       // stage windows per query over candidate-scale rows, distributed.
       "q_retrieve_rerank",
+      // q_rerank_recall composes q_retrieve_rerank (whose stage-1 corpus
+      // statistics are the allowlisted one-row aggregate above) with the
+      // exact-cosine truth side; the recall aggregate itself groups by
+      // q_id and stays distributed.
+      "q_rerank_recall",
       // q_lm_kn's N_types is the q_lm_score vocabulary-size shape: ONE
       // count over the already-reduced bigram-type aggregate, partials
       // distributed, broadcast back into the scoring join.
