@@ -556,6 +556,53 @@ object Streams {
   }
 
   /**
+   * Streaming ANN ingest — the vector-index twin of [[indexMaintain]]:
+   * each micro-batch of an APPEND-ONLY embedding stream is assigned its
+   * IVF cell and PQ codes against FROZEN centroids + codebooks (the
+   * `graft.Ann` build artifacts) and folded into the maintained codes
+   * frame, so a new vector becomes searchable without ever re-encoding
+   * the corpus. Encoding is [[graft.operators.Pq.encodeWith]] — the
+   * codebooks are plan literals, so the per-batch cost is one scan-local
+   * projection plus a batch-scale cell join; nothing corpus-scale runs
+   * per batch.
+   *
+   * Exactness contract (the [[indexMaintain]] convention): with the
+   * quantizers frozen, encoding is per-row pure, so the maintained frame
+   * is bit-identical to `Pq.buildIndex` re-run over everything seen —
+   * PROVIDED buildIndex's fixed-codebook seed rows (ids 0..k−1) live in
+   * the `initial` corpus, i.e. streamed ids are appended after the build
+   * (the monotone-id convention). The spec pins maintained ≡ rebuild
+   * after every epoch.
+   *
+   * `initial` is the codes frame of an existing index ((idCol, cell, j,
+   * code), e.g. `graft.Ann`'s codes.parquet); between batches the state
+   * is the codes frame itself, localCheckpointed one delta deep. After
+   * every batch `onUpdate` receives (codes, epoch) — write it under the
+   * index directory, swap the serving pointer.
+   */
+  def annAppend(vectors: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      initial: DataFrame)(onUpdate: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var codes = initial
+      .select(col(idCol), col("cell"), col("j"), col("code"))
+    vectors.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epoch: Long) =>
+        val clean = batch.select(col(idCol), col(embCol))
+          .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+        val withCell = clean.withColumn("cell",
+          graft.operators.Ivf.nearestCentroid(col(embCol), centroids))
+        val fresh = graft.operators.Pq
+          .encodeWith(withCell, idCol, embCol, codebooks)
+          .join(withCell.select(col(idCol), col("cell")), Seq(idCol))
+          .select(col(idCol), col("cell"), col("j"), col("code"))
+        codes = codes.unionByName(fresh).localCheckpoint()
+        onUpdate(codes, epoch)
+    }
+  }
+
+  /**
    * Streaming inverted-index maintenance — the retrieval twin of
    * [[shardAppend]]'s layout family: each micro-batch of an APPEND-ONLY
    * document stream folds into a maintained index via

@@ -560,6 +560,60 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming annAppend ≡ Pq.buildIndex rebuild after every epoch " +
+      "on an append-only monotone-id vector feed (frozen quantizers)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.VectorOps
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      .orderBy("vec_id").limit(40)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    // initial corpus = ids 0..15 — contains the k=8 codebook seed rows,
+    // so buildIndex over any union keeps the SAME fixed codebook (the
+    // monotone-id contract annAppend documents)
+    val (initial, streamed) = all.toSeq.partition(_._1 < 16)
+    val initDf = initial.toDF("vec_id", "emb")
+    val centroids = graft.operators.Ivf.train(initDf, "vec_id", "emb",
+      k = 4, iters = 1)
+    val (codes0, cb) = graft.operators.Pq.buildIndex(initDf, centroids,
+      m = 4, k = 8, dim = 64, idCol = "vec_id", embCol = "emb")
+    // freeze the codebooks as literals, exactly what Ann --build persists
+    val books: Seq[Seq[Seq[Double]]] = {
+      val rows = cb.select(col("j"), col("__c"), col("__cw")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      (0 until 4).map(j => rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.get(1).asInstanceOf[Number].longValue(),
+        r.get(2).asInstanceOf[Number].longValue(),
+        r.get(3).asInstanceOf[Number].longValue())).toSet
+    val mem = MemoryStream[(Long, Seq[Double])]
+    var latest = Set.empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.Streams.annAppend(
+        mem.toDF().toDF("vec_id", "emb"), "vec_id", "emb",
+        centroids, books,
+        codes0.select(col("vec_id"), col("__cell").as("cell"),
+          col("j"), col("code"))) { (c, _) => latest = snap(c) }
+      .start()
+    try {
+      val batches = Seq(streamed.take(8), streamed.slice(8, 13),
+        streamed.drop(13))
+      var seen = initial
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*); q.processAllAvailable()
+        seen = seen ++ b
+        val want = snap(graft.operators.Pq.buildIndex(
+            seen.toDF("vec_id", "emb"), centroids, m = 4, k = 8,
+            dim = 64, idCol = "vec_id", embCol = "emb")._1
+          .select(col("vec_id"), col("__cell"), col("j"), col("code")))
+        assert(latest == want, s"epoch $i diverged from full rebuild")
+      }
+    } finally q.stop()
+  }
+
   test("streaming driftMonitor ≡ batch driftTvd over everything seen, " +
       "after every epoch and under any batching") {
     implicit val sql = spark.sqlContext
