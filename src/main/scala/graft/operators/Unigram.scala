@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Unigram-LM tokenizer training (Kudo 2018, the SentencePiece unigram
+ * model) — the second production tokenizer beside [[Bpe]]: instead of
+ * greedily growing merges, a CANDIDATE piece vocabulary is scored as a
+ * unigram language model and each word is segmented by Viterbi into its
+ * maximum-likelihood piece sequence; piece counts from that segmentation
+ * re-estimate the model (the hard-EM variant of the paper's E step —
+ * Viterbi counts instead of full forward-backward expectations, the
+ * standard practical simplification).
+ *
+ * Scale shape (the [[Bpe.train]] argument): the corpus collapses to the
+ * word-frequency vocabulary first — ONE hash aggregate, after which
+ * corpus size never matters again. Candidate counting is a bounded
+ * position explode over that vocabulary; Viterbi is a bounded dynamic
+ * program unrolled as `maxWordLen` vocabulary-scale rounds (each ONE
+ * piece-cost broadcast join + ONE min-struct aggregate — never a
+ * per-row UDF, never driver state beyond the loop counter), and the
+ * backward walk is the same number of equi-join rounds against the
+ * persisted forward frames. Piece costs broadcast (a minCount-floored
+ * piece vocabulary is bounded); per-round frames persist and free via
+ * [[Scale.releaseAfterUse]].
+ *
+ * Determinism & oracle portability: costs are INTEGER micro-nats —
+ * cost(x) = round((ln(total) − ln(cnt(x))) · 1e6) with each ln taken of
+ * an integer and rounded once to decimal(17,10) (the bigramLmScore
+ * recipe) — so DP sums are exact longs, the argmin tie-break is
+ * (cost, shortest-piece j), and the whole trainer — candidates, both
+ * Viterbi passes, the EM recount, the final scores — reproduces
+ * bit-for-bit in any engine; q_unigram_lm oracle-checks it end to end
+ * against an unrolled-DP SQL translation.
+ *
+ * Bounded-DP contract: words longer than `maxWordLen` characters are
+ * excluded from training (the fixture's words are 100% ≤ 8 chars; a real
+ * corpus picks maxWordLen at its word-length tail exactly as
+ * SentencePiece caps sentence length). Single-character pieces are
+ * always kept regardless of `minCount`, so every word is segmentable
+ * and the DP always completes.
+ */
+object Unigram {
+
+  private val Lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** ln of an integer-valued column, rounded once to decimal(17,10) —
+    * the engine-portable ln recipe shared with Curation.bigramLmScore. */
+  private def lnDec(c: org.apache.spark.sql.Column) =
+    log(c.cast("double")).cast("decimal(17,10)")
+
+  /** The word-frequency vocabulary restricted to the bounded-DP window:
+    * (word, freq), words of 1..maxWordLen characters. */
+  def boundedVocab(docs: DataFrame, textCol: String,
+      maxWordLen: Int): DataFrame =
+    Bpe.vocab(docs, textCol).filter(length(col("word")) <= maxWordLen)
+
+  /**
+   * Candidate pieces: every substring of length 1..maxPieceLen of every
+   * vocabulary word, counted with the word's corpus frequency
+   * (multiplicity kept — a substring occurring twice in a word counts
+   * twice). Pieces below `minCount` are dropped EXCEPT single characters
+   * (the segmentability floor). One bounded double position-explode over
+   * the vocabulary + one hash aggregate.
+   */
+  def candidatePieces(vocab: DataFrame, maxPieceLen: Int,
+      minCount: Long): DataFrame =
+    vocab
+      .select(col("word"), col("freq"),
+        explode(expr("sequence(1, length(word))")).as("__s"))
+      .select(col("word"), col("freq"), col("__s"),
+        explode(expr(
+          s"sequence(1, least($maxPieceLen, length(word) - __s + 1))"))
+          .as("__j"))
+      .select(expr("substring(word, __s, __j)").as("piece"), col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .filter(col("cnt") >= minCount || length(col("piece")) === 1)
+
+  /** Integer micro-nat costs from a (piece, cnt) table:
+    * cost = round((ln Σcnt − ln cnt) · 1e6) — exact decimals throughout,
+    * so DP sums are exact longs in any engine. */
+  def pieceCosts(pieces: DataFrame): DataFrame = {
+    val tot = pieces.agg(sum(col("cnt")).as("__t"))
+    pieces.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        round((lnDec(col("__t")) - lnDec(col("cnt"))) * lit(1000000), 0)
+          .cast("long").as("cost"))
+  }
+
+  /**
+   * Viterbi segmentation of every vocabulary word under `costs`
+   * ((piece, cost) micro-nats): returns one (word, freq, piece) row per
+   * chosen piece occurrence. Forward pass: maxWordLen rounds, round i
+   * computing the best segmentation cost of each word's i-char prefix
+   * from the ≤ maxPieceLen previous rounds (one broadcast cost join +
+   * one min(struct(cost, j)) aggregate — ties prefer the SHORTER final
+   * piece, deterministically). Backward pass: the same number of
+   * equi-join rounds re-reading the persisted forward frames to emit
+   * the argmin path. All frames are vocabulary-scale; persists freed
+   * via releaseAfterUse once the caller's first action completes.
+   */
+  def viterbiSegment(vocab: DataFrame, costs: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= 1,
+      s"need maxPieceLen/maxWordLen >= 1: $maxPieceLen/$maxWordLen")
+    val words = vocab.filter(
+      length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
+    // Rounds are localCheckpoint'ed (eager), not persisted: B(i)'s plan
+    // references up to maxPieceLen earlier rounds, so a mere persist
+    // keeps a lineage tree that grows TRIBONACCI-fast in i and Catalyst
+    // optimization hangs before any data moves (the connectedComponents
+    // lesson, Dedup.scala:768). A checkpointed round is a flat
+    // LogicalRDD — every round's plan is constant-size, at the cost of
+    // one vocabulary-scale job per round (bounded: maxWordLen rounds).
+    // forward: best(i) = min over j of best(i-j) + cost(word[i-j+1 .. i])
+    val B = new Array[DataFrame](maxWordLen + 1)
+    B(0) = words.select(col("word"), lit(0L).as("best"), lit(0).as("jpick"))
+      .localCheckpoint()
+    for (i <- 1 to maxWordLen) {
+      val cand = (1 to math.min(maxPieceLen, i)).map { j =>
+        B(i - j).filter(length(col("word")) >= i)
+          .select(col("word"), col("best"), lit(j).as("__j"),
+            expr(s"substring(word, ${i - j + 1}, $j)").as("piece"))
+      }.reduce(_ unionByName _)
+        .join(broadcast(costs), "piece")
+        .select(col("word"), (col("best") + col("cost")).as("__b"),
+          col("__j"))
+      B(i) = cand.groupBy("word")
+        .agg(min(struct(col("__b"), col("__j"))).as("__m"))
+        .select(col("word"), col("__m.__b").as("best"),
+          col("__m.__j").as("jpick"))
+        .localCheckpoint()
+    }
+    val ball = (1 to maxWordLen).map(i =>
+      B(i).select(col("word"), lit(i).as("pos"), col("jpick")))
+      .reduce(_ unionByName _)
+    // backward: walk the argmin path, emitting the chosen piece per hop;
+    // each step is checkpointed for the same two-consumer reason
+    var state = words.select(col("word"), col("freq"),
+      length(col("word")).as("pos"))
+    val segs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (_ <- 1 to maxWordLen) {
+      val step = state.filter(col("pos") > 0)
+        .join(ball, Seq("word", "pos"))
+        .localCheckpoint()
+      segs += step.select(col("word"), col("freq"),
+        expr("substring(word, pos - jpick + 1, jpick)").as("piece"))
+      state = step.select(col("word"), col("freq"),
+        (col("pos") - col("jpick")).as("pos"))
+    }
+    segs.reduce(_ unionByName _)
+  }
+
+  /**
+   * One hard-EM round over the corpus: candidate counts → initial costs
+   * → Viterbi segmentation → piece re-count. Returns (piece, n, cost)
+   * where n is the frequency-weighted count of the piece in the
+   * maximum-likelihood segmentation and cost its UPDATED micro-nat
+   * score — the trained model (further rounds fold the same two steps).
+   */
+  def trainOnce(docs: DataFrame, textCol: String, maxPieceLen: Int,
+      maxWordLen: Int, minCount: Long): DataFrame = {
+    val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
+    val cand = candidatePieces(voc, maxPieceLen, minCount).persist(Lvl)
+    val seg = viterbiSegment(voc, pieceCosts(cand), maxPieceLen, maxWordLen)
+    val n1 = seg.groupBy("piece").agg(sum(col("freq")).as("n"))
+    Scale.releaseAfterUse(
+      pieceCosts(n1.withColumnRenamed("n", "cnt"))
+        .join(n1, "piece")
+        .select(col("piece"), col("n"), col("cost")),
+      Seq(voc, cand))
+  }
+
+  /**
+   * Per-language fertility of the TRAINED unigram tokenizer (pieces per
+   * word over the corpus, frequency-weighted through the word join) —
+   * the q_bpe_fertility shape, so the two tokenizer families compare
+   * row-for-row. Words above maxWordLen are outside the bounded-DP
+   * contract and excluded from both numerator and denominator.
+   */
+  def fertility(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, maxPieceLen: Int, maxWordLen: Int,
+      minCount: Long): DataFrame = {
+    val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
+    val cand = candidatePieces(voc, maxPieceLen, minCount).persist(Lvl)
+    val seg = viterbiSegment(voc, pieceCosts(cand), maxPieceLen, maxWordLen)
+    val perWord = seg.groupBy("word")
+      .agg(count(lit(1)).as("n_pieces"))
+    Scale.releaseAfterUse(
+      Scale.spreadForCompute(docs.filter(col(textCol).isNotNull),
+          col(idCol))
+        .select(col(langCol).as("lang"),
+          explode(split(col(textCol), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0 &&
+          length(col("word")) <= maxWordLen)
+        .join(broadcast(perWord), "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .withColumn("fertility",
+          round(col("n_pieces").cast("double") / col("n_words"), 6))
+        .orderBy("lang"),
+      Seq(voc, cand))
+  }
+}

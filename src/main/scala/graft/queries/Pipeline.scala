@@ -173,6 +173,90 @@ object Pipeline {
     * exercises the (k−1)·2⁶⁰/h₍ₖ₎ path, not just the exact-small branch. */
   private val KmvK = 16
 
+  /** Unigram-LM tokenizer geometry (Unigram.trainOnce): pieces of
+    * 1..3 chars, bounded-DP word window of 8 chars (covers 100% of the
+    * fixture's words), piece floor of 2 weighted occurrences. */
+  private val UniPieceLen = 3
+  private val UniWordLen = 8
+  private val UniMinCount = 2L
+
+  /**
+   * DuckDB CTE chain for the unigram-LM trainer: the bounded Viterbi DP
+   * unrolled position-by-position (b1..bW forward, x/p/s1..W backward —
+   * the SQL twin of Unigram.viterbiSegment's round loop, generated by
+   * the same indices), ending in `seg` (the argmin segmentation),
+   * `n1` (hard-EM piece recounts) and `tot1`. Integer micro-nat costs
+   * make every DP sum an exact BIGINT both engines agree on.
+   */
+  private def unigramCtes: String = {
+    val L = UniPieceLen; val W = UniWordLen
+    def bi(i: Int): String = {
+      val branches = (1 to math.min(L, i)).map { j =>
+        s"""SELECT p.word, p.best + c.cost AS b, $j AS j
+            FROM b${i - j} p JOIN cost c
+              ON c.piece = substr(p.word, ${i - j + 1}, $j)
+            WHERE len(p.word) >= $i"""
+      }.mkString("\n UNION ALL\n")
+      s"""b$i AS MATERIALIZED (
+         SELECT word, best, jpick FROM (
+           SELECT word, b AS best, j AS jpick,
+             row_number() OVER (PARTITION BY word ORDER BY b, j) AS rn
+           FROM ($branches))
+         WHERE rn = 1)"""
+    }
+    val backward = (1 to W).map { r =>
+      s"""x$r AS MATERIALIZED (
+           SELECT s.word, s.freq, s.pos, b.jpick
+           FROM s${r - 1} s JOIN ball b
+             ON b.word = s.word AND b.pos = s.pos
+           WHERE s.pos > 0),
+         p$r AS (
+           SELECT word, freq,
+             substr(word, pos - jpick + 1, jpick) AS piece
+           FROM x$r),
+         s$r AS (SELECT word, freq, pos - jpick AS pos FROM x$r)"""
+    }.mkString(",\n")
+    val ballUnion = (1 to W)
+      .map(i => s"SELECT word, $i AS pos, jpick FROM b$i")
+      .mkString(" UNION ALL ")
+    val segUnion = (1 to W)
+      .map(i => s"SELECT word, freq, piece FROM p$i")
+      .mkString(" UNION ALL ")
+    s"""WITH voc AS MATERIALIZED (
+         SELECT word, cast(count(*) AS BIGINT) AS freq FROM (
+           SELECT unnest($WsSplitSql) AS word
+           FROM documents WHERE text IS NOT NULL)
+         WHERE len(word) > 0 AND len(word) <= $W GROUP BY word),
+       cand AS (
+         SELECT piece, cast(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT substr(word, s, j) AS piece, freq
+           FROM voc,
+             generate_series(1, $W) AS gs(s),
+             generate_series(1, $L) AS gj(j)
+           WHERE s <= len(word) AND s + j - 1 <= len(word))
+         GROUP BY piece),
+       kept AS (
+         SELECT piece, cnt FROM cand
+         WHERE cnt >= $UniMinCount OR len(piece) = 1),
+       tot AS (SELECT cast(sum(cnt) AS BIGINT) AS t FROM kept),
+       cost AS MATERIALIZED (
+         SELECT piece,
+           cast(round((cast(ln(t) AS decimal(17,10))
+             - cast(ln(cnt) AS decimal(17,10))) * 1000000, 0) AS BIGINT)
+             AS cost
+         FROM kept, tot),
+       b0 AS (SELECT word, cast(0 AS BIGINT) AS best, 0 AS jpick FROM voc),
+       ${(1 to W).map(bi).mkString(",\n")},
+       ball AS MATERIALIZED ($ballUnion),
+       s0 AS (SELECT word, freq, len(word) AS pos FROM voc),
+       $backward,
+       seg AS MATERIALIZED ($segUnion),
+       n1 AS (
+         SELECT piece, cast(sum(freq) AS BIGINT) AS n
+         FROM seg GROUP BY piece),
+       tot1 AS (SELECT cast(sum(n) AS BIGINT) AS t FROM n1)"""
+  }
+
   /** Shared KMV oracle prelude: distinct per-source fingerprint hashes
     * (portable md5-of-md5), per-source rank, the ≤ k sketch rows, and the
     * pairwise merged sketches — Sketch.kmv/kmvJaccardPairs re-run
@@ -1136,6 +1220,28 @@ object Pipeline {
         .withColumn("fertility",
           round(col("n_syms").cast("double") / col("n_words"), 6))
         .orderBy("lang")
+    }),
+    // L1x — unigram-LM tokenizer training (Unigram.trainOnce): one
+    // hard-EM round — candidate substring counts, integer micro-nat
+    // costs, bounded Viterbi segmentation (8 forward + 8 backward
+    // vocabulary-scale rounds), piece recount, updated scores. Top-30
+    // pieces by trained count; every step exact-integer or
+    // once-rounded-decimal, so the whole trainer oracle-checks against
+    // the unrolled-DP SQL.
+    "q_unigram_lm" -> ((s, dir) => {
+      graft.operators.Unigram.trainOnce(t(s, dir, "documents"), "text",
+          maxPieceLen = UniPieceLen, maxWordLen = UniWordLen,
+          minCount = UniMinCount)
+        .orderBy(col("n").desc, col("piece"))
+        .limit(30)
+    }),
+    // L1x — trained-unigram fertility per language, the q_bpe_fertility
+    // shape so the two tokenizer families compare row-for-row (pieces
+    // per word, frequency-weighted through the word join).
+    "q_unigram_fertility" -> ((s, dir) => {
+      graft.operators.Unigram.fertility(t(s, dir, "documents"),
+        "doc_id", "text", "lang", maxPieceLen = UniPieceLen,
+        maxWordLen = UniWordLen, minCount = UniMinCount)
     }),
     // L1 — deflate-compressibility curation signal (Quality.
     // compressionStats): repetitive text compresses far below prose,
@@ -4582,6 +4688,29 @@ object Pipeline {
            round(sum(n_syms)::double / count(*), 6) AS fertility
          FROM wrds JOIN enc USING (word)
          WHERE length(word) > 0
+         GROUP BY lang ORDER BY lang""",
+    "q_unigram_lm" ->
+      s"""$unigramCtes
+         SELECT piece, n,
+           cast(round((cast(ln(t) AS decimal(17,10))
+             - cast(ln(n) AS decimal(17,10))) * 1000000, 0) AS BIGINT)
+             AS cost
+         FROM n1, tot1 ORDER BY n DESC, piece LIMIT 30""",
+    "q_unigram_fertility" ->
+      s"""$unigramCtes,
+         pw AS (
+           SELECT word, cast(count(*) AS BIGINT) AS n_pieces
+           FROM seg GROUP BY word),
+         wl AS (
+           SELECT lang, word FROM (
+             SELECT lang, unnest($WsSplitSql) AS word
+             FROM documents WHERE text IS NOT NULL)
+           WHERE len(word) > 0 AND len(word) <= $UniWordLen)
+         SELECT lang, cast(count(*) AS BIGINT) AS n_words,
+           cast(sum(p.n_pieces) AS BIGINT) AS n_pieces,
+           round(cast(sum(p.n_pieces) AS double) / count(*), 6)
+             AS fertility
+         FROM wl JOIN pw p USING (word)
          GROUP BY lang ORDER BY lang""",
     "q_rep_topgram" ->
       """WITH w AS (

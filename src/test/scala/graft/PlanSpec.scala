@@ -349,7 +349,13 @@ class PlanSpec extends SparkSpec {
       // q_zipf_slope ranks only the TakeOrderedAndProject 200-row head
       // (bounded whatever the corpus size) and finishes with a one-row
       // OLS aggregate; the vocabulary count stays distributed.
-      "q_zipf_slope")
+      "q_zipf_slope",
+      // q_unigram_lm's micro-nat normalizer is a one-row total over the
+      // ALREADY-REDUCED piece-count table (q_pmi's corpus-statistics
+      // shape), broadcast back; candidate counting, both Viterbi passes,
+      // and the EM recount all stay distributed (per-round frames are
+      // vocabulary-scale localCheckpoints).
+      "q_unigram_lm")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {

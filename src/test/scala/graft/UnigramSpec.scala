@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.Unigram
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training (operators/Unigram.scala): candidate
+  * counting, the bounded Viterbi DP (hand-computed + brute-force law),
+  * the deterministic tie-break, and the hard-EM recount. */
+class UnigramSpec extends SparkSpec {
+
+  private def costDf(m: Map[String, Long]) = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(m.toSeq.sortBy(_._1)
+        .map { case (p, c) => org.apache.spark.sql.Row(p, c) }: _*),
+      StructType(Seq(StructField("piece", StringType),
+        StructField("cost", LongType))))
+  }
+
+  private def vocabDf(m: Map[String, Long]) = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(m.toSeq.sortBy(_._1)
+        .map { case (w, f) => org.apache.spark.sql.Row(w, f) }: _*),
+      StructType(Seq(StructField("word", StringType),
+        StructField("freq", LongType))))
+  }
+
+  private def segPieces(words: Map[String, Long],
+      costs: Map[String, Long], maxPieceLen: Int): Map[String, Seq[String]] =
+    Unigram.viterbiSegment(vocabDf(words), costDf(costs), maxPieceLen, 8)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+
+  test("viterbiSegment picks the cheaper segmentation") {
+    // ab+ab = 300 beats a+b+a+b = 400 and mixed = 350
+    val got = segPieces(Map("abab" -> 1L),
+      Map("a" -> 100L, "b" -> 100L, "ab" -> 150L), 2)
+    assert(got("abab") == Seq("ab", "ab"))
+  }
+
+  test("viterbiSegment tie-break prefers the shorter final piece") {
+    // ab+ab = a+b+a+b = 400: at every position the (cost, j) struct min
+    // picks the smaller j, so the single-char path wins deterministically
+    val got = segPieces(Map("abab" -> 1L),
+      Map("a" -> 100L, "b" -> 100L, "ab" -> 200L), 2)
+    assert(got("abab") == Seq("a", "a", "b", "b"))
+  }
+
+  test("viterbiSegment matches a driver-side brute-force DP with the " +
+      "same tie-break on random vocabularies") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abc"
+    val words = (1 to 25).map { _ =>
+      (1 to (1 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(3))).mkString
+    }.distinct.map(w => w -> (1L + rnd.nextInt(5))).toMap
+    val L = 3
+    // candidate pieces from the operator itself (single chars guaranteed)
+    val cand = Unigram.candidatePieces(vocabDf(words), L, minCount = 2L)
+    val costs = Unigram.pieceCosts(cand).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference DP: best(i) = min over j of (best(i-j) + cost, j),
+    // smaller j on ties — then walk back emitting the chosen pieces
+    def reference(w: String): Seq[String] = {
+      val best = Array.fill(w.length + 1)((Long.MaxValue, 0))
+      best(0) = (0L, 0)
+      for (i <- 1 to w.length) {
+        val picks = (1 to math.min(L, i)).flatMap { j =>
+          val piece = w.substring(i - j, i)
+          costs.get(piece).filter(_ => best(i - j)._1 != Long.MaxValue)
+            .map(c => (best(i - j)._1 + c, j))
+        }
+        if (picks.nonEmpty) best(i) = picks.min
+      }
+      var pos = w.length
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (pos > 0) {
+        val j = best(pos)._2
+        out += w.substring(pos - j, pos); pos -= j
+      }
+      out.toSeq.sorted
+    }
+    val got = segPieces(words, costs, L)
+    words.keys.foreach { w =>
+      assert(got(w) == reference(w), s"word $w diverged from reference DP")
+    }
+  }
+
+  test("trainOnce conserves weighted character mass and recounts from " +
+      "the segmentation") {
+    val docs = strDf("text", Seq("aba ab aba", "ab b ab ab"))
+    val out = Unigram.trainOnce(docs, "text", maxPieceLen = 2,
+      maxWordLen = 8, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // Σ n(piece)·len(piece) = Σ freq(word)·len(word): aba×2, ab×4, b×1
+    val charMass = out.map { case (p, n, _) => n * p.length }.sum
+    assert(charMass == 2L * 3 + 4L * 2 + 1L * 1)
+    // counts are positive and costs are valid micro-nats of the recount:
+    // more frequent pieces never cost more
+    val byN = out.sortBy(-_._2).toSeq
+    byN.sliding(2).foreach {
+      case Seq((_, n1, c1), (_, n2, c2)) =>
+        if (n1 > n2) assert(c1 < c2)
+        else if (n1 == n2) assert(c1 == c2)
+      case _ => ()
+    }
+  }
+
+  test("fertility: bounded per word by construction and matches a " +
+      "hand-counted corpus") {
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "aba ab", "en"),
+        org.apache.spark.sql.Row(2L, "ab ab b", "fr")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType))))
+    val out = Unigram.fertility(docs, "doc_id", "text", "lang",
+        maxPieceLen = 2, maxWordLen = 8, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (_, nWords, nPieces) =>
+      assert(nPieces >= nWords && nPieces <= nWords * 8)
+    }
+    assert(out.map(_._1).toSeq == Seq("en", "fr"))
+  }
+}
