@@ -173,6 +173,49 @@ object Unigram {
   }
 
   /**
+   * Vocabulary pruning (the Kudo trainer's shrink step, with a tractable
+   * loss bound): every multi-character piece is scored by the corpus
+   * log-likelihood loss of removing it, UPPER-BOUNDED by falling its
+   * occurrences back to single characters — loss(x) = n(x) · (Σ_{c∈x}
+   * cost(c) − cost(x)), exact integer micro-nats (the true loss
+   * re-segments optimally and can only be smaller; the bound ranks
+   * identically when piece interactions are weak, and is computable in
+   * ONE scan + one broadcast char-cost join instead of a per-piece DP).
+   * Keeps the `keepPieces` highest-loss multi-char pieces (ties on the
+   * piece string) plus ALL single characters — the segmentability floor,
+   * so the pruned model still covers every word. `charCosts` supplies
+   * the single-character fallback costs ((piece, cost) — pass the
+   * CANDIDATE-stage [[pieceCosts]] output, which provably contains every
+   * corpus character; the trained frame alone may lack characters that
+   * no optimal segmentation used). Returns (piece, n, cost, loss) for
+   * the kept vocabulary; re-training against it is another
+   * [[viterbiSegment]] round, exactly the Kudo loop.
+   */
+  def pruneVocab(trained: DataFrame, charCosts: DataFrame,
+      keepPieces: Int): DataFrame = {
+    require(keepPieces >= 0, s"keepPieces must be >= 0: $keepPieces")
+    val chars = charCosts.filter(length(col("piece")) === 1)
+      .select(col("piece").as("__c"), col("cost").as("__ccost"))
+    val multi = trained.filter(length(col("piece")) > 1)
+      .select(col("piece"), col("n"), col("cost"),
+        explode(expr("sequence(1, length(piece))")).as("__s"))
+      .select(col("piece"), col("n"), col("cost"),
+        expr("substring(piece, __s, 1)").as("__c"))
+      .join(broadcast(chars), "__c")
+      .groupBy("piece")
+      .agg(max(col("n")).as("n"), max(col("cost")).as("cost"),
+        sum(col("__ccost")).as("__alt"))
+      .select(col("piece"), col("n"), col("cost"),
+        (col("n") * (col("__alt") - col("cost"))).as("loss"))
+      .orderBy(col("loss").desc, col("piece"))
+      .limit(keepPieces)
+    trained.filter(length(col("piece")) === 1)
+      .select(col("piece"), col("n"), col("cost"),
+        lit(null).cast("long").as("loss"))
+      .unionByName(multi)
+  }
+
+  /**
    * Per-language fertility of the TRAINED unigram tokenizer (pieces per
    * word over the corpus, frequency-weighted through the word join) —
    * the q_bpe_fertility shape, so the two tokenizer families compare

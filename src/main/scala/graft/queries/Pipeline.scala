@@ -1243,6 +1243,24 @@ object Pipeline {
         "doc_id", "text", "lang", maxPieceLen = UniPieceLen,
         maxWordLen = UniWordLen, minCount = UniMinCount)
     }),
+    // L1y — unigram vocabulary pruning (Unigram.pruneVocab, the Kudo
+    // shrink step): every trained multi-char piece scored by the exact
+    // integer loss bound n·(Σ char costs − cost) — the corpus-cost
+    // increase if its occurrences fall back to single characters — and
+    // the top 10 kept beside ALL single chars (the segmentability
+    // floor). One scan + one broadcast char-cost join; no per-piece DP.
+    "q_unigram_prune" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val charCosts = graft.operators.Unigram.pieceCosts(
+        graft.operators.Unigram.candidatePieces(
+          graft.operators.Unigram.boundedVocab(docs, "text", UniWordLen),
+          UniPieceLen, UniMinCount))
+      val trained = graft.operators.Unigram.trainOnce(docs, "text",
+        UniPieceLen, UniWordLen, UniMinCount)
+      graft.operators.Unigram.pruneVocab(trained, charCosts,
+          keepPieces = 10)
+        .orderBy(col("loss").desc_nulls_last, col("piece"))
+    }),
     // L1 — deflate-compressibility curation signal (Quality.
     // compressionStats): repetitive text compresses far below prose,
     // near-random text barely at all — the cheap filter word-level rules
@@ -4712,6 +4730,36 @@ object Pipeline {
              AS fertility
          FROM wl JOIN pw p USING (word)
          GROUP BY lang ORDER BY lang""",
+    "q_unigram_prune" ->
+      s"""$unigramCtes,
+         tcost AS (
+           SELECT piece, n,
+             cast(round((cast(ln(t) AS decimal(17,10))
+               - cast(ln(n) AS decimal(17,10))) * 1000000, 0) AS BIGINT)
+               AS cost
+           FROM n1, tot1),
+         ccost AS (
+           SELECT piece AS c, cost AS ccost FROM cost
+           WHERE len(piece) = 1),
+         multiexp AS (
+           SELECT t.piece, t.n, t.cost, substr(t.piece, s, 1) AS c
+           FROM tcost t, generate_series(1, $UniPieceLen) AS gs(s)
+           WHERE len(t.piece) > 1 AND s <= len(t.piece)),
+         multi AS (
+           SELECT piece, n, cost, n * (alt - cost) AS loss FROM (
+             SELECT m.piece, max(m.n) AS n, max(m.cost) AS cost,
+               cast(sum(cc.ccost) AS BIGINT) AS alt
+             FROM multiexp m JOIN ccost cc ON cc.c = m.c
+             GROUP BY m.piece)),
+         kept_multi AS (
+           SELECT piece, n, cost, loss FROM multi
+           ORDER BY loss DESC, piece LIMIT 10)
+         SELECT piece, n, cost, loss FROM (
+           SELECT piece, n, cost, cast(NULL AS BIGINT) AS loss
+           FROM tcost WHERE len(piece) = 1
+           UNION ALL
+           SELECT piece, n, cost, loss FROM kept_multi)
+         ORDER BY loss DESC NULLS LAST, piece""",
     "q_rep_topgram" ->
       """WITH w AS (
            SELECT doc_id, length(replace(text, ' ', '')) AS wc,

@@ -354,8 +354,10 @@ class PlanSpec extends SparkSpec {
       // ALREADY-REDUCED piece-count table (q_pmi's corpus-statistics
       // shape), broadcast back; candidate counting, both Viterbi passes,
       // and the EM recount all stay distributed (per-round frames are
-      // vocabulary-scale localCheckpoints).
-      "q_unigram_lm")
+      // vocabulary-scale localCheckpoints). q_unigram_prune adds the
+      // candidate-stage normalizer (same shape) plus a 10-row
+      // TakeOrdered head — piece-model scale, never corpus scale.
+      "q_unigram_lm", "q_unigram_prune")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {

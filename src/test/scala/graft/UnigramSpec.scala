@@ -107,6 +107,26 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("pruneVocab: keeps all single chars, ranks multi pieces by the " +
+      "single-char fallback loss, and hand-checks the loss formula") {
+    import org.apache.spark.sql.types._
+    def df(rows: Seq[(String, Long, Long)]) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (p, n, c) =>
+        org.apache.spark.sql.Row(p, n, c) }: _*),
+      StructType(Seq(StructField("piece", StringType),
+        StructField("n", LongType), StructField("cost", LongType))))
+    val trained = df(Seq(("a", 5L, 100L), ("b", 3L, 200L),
+      ("ab", 4L, 250L), ("ba", 2L, 260L), ("aa", 1L, 180L)))
+    val out = Unigram.pruneVocab(trained, trained, keepPieces = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    // losses: ab → 4·(100+200−250)=200; ba → 2·(200+100−260)=80;
+    // aa → 1·(100+100−180)=20 → top-2 keeps ab, ba; chars always kept
+    assert(out == Set(
+      ("a", 5L, 100L, None), ("b", 3L, 200L, None),
+      ("ab", 4L, 250L, Some(200L)), ("ba", 2L, 260L, Some(80L))))
+  }
+
   test("fertility: bounded per word by construction and matches a " +
       "hand-counted corpus") {
     val docs = spark.createDataFrame(
