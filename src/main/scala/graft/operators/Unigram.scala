@@ -106,13 +106,17 @@ object Unigram {
       s"need maxPieceLen/maxWordLen >= 1: $maxPieceLen/$maxWordLen")
     val words = vocab.filter(
       length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
-    // Rounds are localCheckpoint'ed (eager), not persisted: B(i)'s plan
-    // references up to maxPieceLen earlier rounds, so a mere persist
-    // keeps a lineage tree that grows TRIBONACCI-fast in i and Catalyst
-    // optimization hangs before any data moves (the connectedComponents
-    // lesson, Dedup.scala:768). A checkpointed round is a flat
-    // LogicalRDD — every round's plan is constant-size, at the cost of
-    // one vocabulary-scale job per round (bounded: maxWordLen rounds).
+    // Every round is localCheckpoint'ed (eager), never merely
+    // persisted: B(i)'s plan references up to maxPieceLen earlier
+    // rounds, so unbroken lineage grows TRIBONACCI-fast in i and
+    // Catalyst optimization hangs before any data moves (the
+    // connectedComponents lesson, Dedup.scala:768). A checkpointed
+    // round is a flat LogicalRDD — constant-size plans at the cost of
+    // one vocabulary-scale job per round. (A two-round checkpoint
+    // window was tried and REJECTED: the unflattened odd rounds nest
+    // into `ball`, which every backward step replicates, and Catalyst
+    // analysis blew past 10 minutes where this version runs in
+    // seconds — the A/B is in the commit message.)
     // forward: best(i) = min over j of best(i-j) + cost(word[i-j+1 .. i])
     val B = new Array[DataFrame](maxWordLen + 1)
     B(0) = words.select(col("word"), lit(0L).as("best"), lit(0).as("jpick"))
@@ -126,17 +130,21 @@ object Unigram {
         .join(broadcast(costs), "piece")
         .select(col("word"), (col("best") + col("cost")).as("__b"),
           col("__j"))
-      B(i) = cand.groupBy("word")
+      val bi = cand.groupBy("word")
         .agg(min(struct(col("__b"), col("__j"))).as("__m"))
         .select(col("word"), col("__m.__b").as("best"),
           col("__m.__j").as("jpick"))
-        .localCheckpoint()
+      B(i) = bi.localCheckpoint()
     }
     val ball = (1 to maxWordLen).map(i =>
       B(i).select(col("word"), lit(i).as("pos"), col("jpick")))
       .reduce(_ unionByName _)
-    // backward: walk the argmin path, emitting the chosen piece per hop;
-    // each step is checkpointed for the same two-consumer reason
+    // backward: walk the argmin path, emitting the chosen piece per hop.
+    // Each step IS checkpointed: it has two consumers (the piece emit
+    // and the next state), and leaving the chain lazy re-plans every
+    // earlier step's ball-join per union branch — O(maxWordLen²)
+    // SHUFFLE joins in one action, measured 8.5s vs 3.6s for this
+    // checkpointed form on q_unigram_lm at sf0.1 (isolated min-of-3).
     var state = words.select(col("word"), col("freq"),
       length(col("word")).as("pos"))
     val segs = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -169,6 +177,25 @@ object Unigram {
       pieceCosts(n1.withColumnRenamed("n", "cnt"))
         .join(n1, "piece")
         .select(col("piece"), col("n"), col("cost")),
+      Seq(voc, cand))
+  }
+
+  /**
+   * [[trainOnce]] + [[pruneVocab]] fused so the candidate stage (vocab
+   * scan, substring counts, initial costs) runs ONCE — the shape the
+   * full Kudo loop uses (train, prune, re-train against the survivors).
+   */
+  def trainAndPrune(docs: DataFrame, textCol: String, maxPieceLen: Int,
+      maxWordLen: Int, minCount: Long, keepPieces: Int): DataFrame = {
+    val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
+    val cand = candidatePieces(voc, maxPieceLen, minCount).persist(Lvl)
+    val cc = pieceCosts(cand)
+    val seg = viterbiSegment(voc, cc, maxPieceLen, maxWordLen)
+    val n1 = seg.groupBy("piece").agg(sum(col("freq")).as("n"))
+    val trained = pieceCosts(n1.withColumnRenamed("n", "cnt"))
+      .join(n1, "piece")
+      .select(col("piece"), col("n"), col("cost"))
+    Scale.releaseAfterUse(pruneVocab(trained, cc, keepPieces),
       Seq(voc, cand))
   }
 

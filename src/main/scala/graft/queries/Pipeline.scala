@@ -1250,15 +1250,8 @@ object Pipeline {
     // the top 10 kept beside ALL single chars (the segmentability
     // floor). One scan + one broadcast char-cost join; no per-piece DP.
     "q_unigram_prune" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val charCosts = graft.operators.Unigram.pieceCosts(
-        graft.operators.Unigram.candidatePieces(
-          graft.operators.Unigram.boundedVocab(docs, "text", UniWordLen),
-          UniPieceLen, UniMinCount))
-      val trained = graft.operators.Unigram.trainOnce(docs, "text",
-        UniPieceLen, UniWordLen, UniMinCount)
-      graft.operators.Unigram.pruneVocab(trained, charCosts,
-          keepPieces = 10)
+      graft.operators.Unigram.trainAndPrune(t(s, dir, "documents"),
+          "text", UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10)
         .orderBy(col("loss").desc_nulls_last, col("piece"))
     }),
     // L1 — deflate-compressibility curation signal (Quality.
