@@ -186,4 +186,62 @@ object Sampling {
       .orderBy(col("gumbel_key").desc, col(keyCol))
       .limit(k)
   }
+
+  /**
+   * Length-bucketed sequence packing — the no-split packing pass a
+   * training pipeline runs when documents must NOT cross sequence
+   * boundaries (SFT examples, contrastive pairs; the cross-boundary
+   * concat-and-split variant is [[graft.queries.Pipeline]]'s
+   * q_token_windows). Each document's token count rounds UP to its
+   * power-of-two length bucket (capped at `capacity`); within a
+   * (shard, bucket) every document occupies the same slot width, so
+   * exactly ⌊capacity / bucket⌋ documents pack per sequence and the
+   * assignment is ONE row_number window divided by that constant — a
+   * fully relational packing with EXACT padding accounting, no
+   * sequential first-fit fold (whose bin state cannot be expressed as a
+   * window). Documents longer than `capacity` are excluded (the
+   * caller's truncation policy runs first, documented like
+   * [[graft.operators.Unigram]]'s bounded-DP contract).
+   *
+   * Determinism: the shard is the portable salted hash ([[shardOfHash]]
+   * — batch/stream agree), in-bucket order is (token count desc, key) —
+   * a pure function of the corpus, reproducible in any md5-capable
+   * engine. Scale: ONE hash shuffle on (shard, bucket) + per-group
+   * windows over |corpus|/(nShards·buckets) rows; nShards is the
+   * parallelism knob exactly as in [[shuffleShards]].
+   *
+   * Returns the input plus (shard, bucket, seq_id, slot) — the physical
+   * training-sequence assignment; aggregate over (shard, bucket,
+   * seq_id) for the padding-efficiency report.
+   */
+  def packSequences(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      tokenCol: String, salt: String, nShards: Int,
+      capacity: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(capacity >= 1 && (capacity & (capacity - 1)) == 0,
+      s"capacity must be a positive power of two, got $capacity")
+    // power-of-two bucket as a generated when-cascade: log2+ceil would
+    // ride each engine's libm; ≤ log2(capacity)+1 exact comparisons
+    val buckets = Iterator.iterate(1)(_ * 2)
+      .takeWhile(_ <= capacity).toSeq
+    val bucket = buckets.tail.foldLeft(
+        when(col(tokenCol) <= 1, lit(1))) { (acc, b) =>
+      acc.when(col(tokenCol) <= b, lit(b))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("bucket"))
+      .orderBy(col(tokenCol).desc, col(keyCol))
+    df.filter(col(tokenCol) >= 1 && col(tokenCol) <= capacity)
+      .withColumn("shard",
+        shardOfHash(hashHexFull(col(keyCol), salt), nShards))
+      .withColumn("bucket", bucket)
+      .withColumn("__rn", row_number().over(w) - 1)
+      // per-sequence slots = capacity div bucket (both powers of two,
+      // so the division is exact); `div`/`%` keep it integer arithmetic
+      .withColumn("seq_id",
+        expr(s"(__rn * bucket) div $capacity").cast("long"))
+      .withColumn("slot",
+        expr(s"__rn % ($capacity div bucket)").cast("long"))
+      .drop("__rn")
+  }
 }

@@ -635,6 +635,24 @@ object Pipeline {
     // L5c — deterministic source-INTERLEAVED epoch ordering: docs rank
     // within their source by the portable md5 permutation, then take the
     // round-robin global position (rank−1)·n_src + src_idx — the
+    // L5h — length-bucketed sequence packing (Sampling.packSequences):
+    // the no-split training-batch packer — token counts round up to
+    // power-of-two buckets, so each (shard, bucket) packs exactly
+    // capacity/bucket docs per sequence via ONE row_number window;
+    // exact padding accounting, deterministic portable-hash shards,
+    // no sequential first-fit fold. Per-sequence report with padding.
+    "q_seq_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TA.tokenCountWs(col("text")).as("n_tokens"))
+      graft.operators.Sampling.packSequences(docs, "doc_id", "n_tokens",
+          "pack1", nShards = 4, capacity = 128)
+        .groupBy("shard", "bucket", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("used_tokens"))
+        .withColumn("padding", lit(128L) - col("used_tokens"))
+        .orderBy("shard", "bucket", "seq_id")
+    }),
     // stratified complement to q_shuffle_shards' global permutation:
     // every n_src consecutive positions touch each source at most once,
     // so a training run sees a stable source mix at ANY batch size
@@ -2640,6 +2658,53 @@ object Pipeline {
           (col("n_hit").cast("double") / RerankTopK).as("recall"))
         .orderBy("q_id")
     }),
+    // L1/L2 — nDCG@10 of BM25 candidate ordering, graded by the exact
+    // cosine to the query's embedding (gain = (cos+1)/2): the GRADED
+    // retrieval-quality row beside q_rerank_recall's binary one — how
+    // close stage-1 ordering already is to the semantic ideal over the
+    // same candidate pool. Discounts are 1/log2(pos+1) with each ln
+    // once-rounded to decimal(17,10) (the engine-portability recipe);
+    // per-position terms sum as decimal(28,10), order-independent.
+    "q_retrieval_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val qsD = docs.filter(col("doc_id") < 3 && col("text").isNotNull)
+        .select(col("doc_id").as("q_id"), col("text").as("qtext"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val cands = TA.bm25BatchTopK(docs, "doc_id", "text", qsD, "q_id",
+          "qtext", RerankCandK, Bm25K1, Bm25B)
+        .filter(col("doc_id") =!= col("q_id"))
+      val pos = cands.withColumn("pos",
+          row_number().over(Window.partitionBy("q_id").orderBy("rnk")))
+        .filter(col("pos") <= 10)
+        .select(col("q_id"), col("doc_id"), col("pos"))
+      val candE = emb.join(broadcast(pos), col("vec_id") === col("doc_id"))
+        .drop("vec_id")
+      val qe = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("__qe"), col("emb").as("__qemb"))
+      def lnDec10(c: org.apache.spark.sql.Column) =
+        log(c.cast("double")).cast("decimal(17,10)").cast("double")
+      val scored = candE.join(broadcast(qe), col("q_id") === col("__qe"))
+        .withColumn("cos", graft.functions.VectorOps.cosine(col("emb"),
+          col("__qemb")))
+        .withColumn("gain", (col("cos") + lit(1.0)) / lit(2.0))
+        .withColumn("ipos", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("doc_id"))))
+      def term(p: org.apache.spark.sql.Column) =
+        (col("gain") / (lnDec10(p + lit(1)) / lnDec10(lit(2))))
+          .cast("decimal(28,10)")
+      scored
+        .groupBy("q_id")
+        .agg(sum(term(col("pos"))).as("__dcg"),
+          sum(term(col("ipos"))).as("__idcg"))
+        .select(col("q_id"),
+          round(col("__dcg").cast("double"), 6).as("dcg"),
+          round(col("__idcg").cast("double"), 6).as("idcg"),
+          round(col("__dcg").cast("double") /
+            col("__idcg").cast("double"), 6).as("ndcg"))
+        .orderBy("q_id")
+    }),
     // L2 — per-dimension embedding statistics (the normalization /
     // feature-scaling pass before clustering or PQ training): mean and
     // std of every coordinate. posexplode → ONE hash aggregate on the
@@ -2819,14 +2884,14 @@ object Pipeline {
          JOIN f ON f.term = t.term, s
          GROUP BY qt.q_id, t.doc_id),
        cand AS (
-         SELECT q_id, doc_id, round(scd, 6) AS bm25 FROM (
+         SELECT q_id, doc_id, crnk, round(scd, 6) AS bm25 FROM (
            SELECT q_id, doc_id, cast(sc AS double) AS scd,
              row_number() OVER (PARTITION BY q_id
                ORDER BY cast(sc AS double) DESC, doc_id DESC) AS crnk
            FROM scored)
          WHERE crnk <= $RerankCandK AND doc_id <> q_id),
        rr AS (
-         SELECT c.q_id, c.doc_id, c.bm25,
+         SELECT c.q_id, c.doc_id, c.crnk, c.bm25,
            list_dot_product(ce.embedding::DOUBLE[], g.embedding::DOUBLE[]) /
              (sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))
               * sqrt(list_dot_product(g.embedding::DOUBLE[], g.embedding::DOUBLE[]))) AS cos
@@ -3586,6 +3651,31 @@ object Pipeline {
          SELECT doc_id, shard,
            row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
          FROM s ORDER BY shard, pos""",
+    "q_seq_pack" ->
+      """WITH d AS (
+           SELECT doc_id,
+             len(string_split_regex(text, '\s+')) AS n_tokens,
+             md5(concat('pack1', '|', cast(doc_id AS VARCHAR))) AS hh
+           FROM documents WHERE text IS NOT NULL),
+         b AS (
+           SELECT doc_id, n_tokens,
+             ('0x' || substr(hh, 1, 15))::BIGINT % 4 AS shard,
+             CASE WHEN n_tokens <= 1 THEN 1 WHEN n_tokens <= 2 THEN 2
+               WHEN n_tokens <= 4 THEN 4 WHEN n_tokens <= 8 THEN 8
+               WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+               WHEN n_tokens <= 64 THEN 64 ELSE 128 END AS bucket
+           FROM d WHERE n_tokens >= 1 AND n_tokens <= 128),
+         r AS (
+           SELECT shard, bucket, n_tokens,
+             row_number() OVER (PARTITION BY shard, bucket
+               ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+           FROM b)
+         SELECT shard, bucket, (rn * bucket) // 128 AS seq_id,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(n_tokens) AS BIGINT) AS used_tokens,
+           cast(128 - sum(n_tokens) AS BIGINT) AS padding
+         FROM r GROUP BY shard, bucket, (rn * bucket) // 128
+         ORDER BY shard, bucket, seq_id""",
     "q_interleave" ->
       """WITH d AS (
            SELECT doc_id, source,
@@ -5609,6 +5699,35 @@ object Pipeline {
          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          ${embExactCte(3, RerankTopK)}
          ${recallTailSql("picked", RerankTopK)}""",
+    // nDCG@10 over the same rerank CTE chain: positions by stage-1 crnk
+    // (self-masked re-rank), gains (cos+1)/2, decimal-rounded lns.
+    "q_retrieval_ndcg" ->
+      s"""$RerankPipelineCtes,
+         pos AS (
+           SELECT q_id, doc_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY crnk) AS pos
+           FROM rr QUALIFY pos <= 10),
+         ideal AS (
+           SELECT q_id, doc_id, cos, pos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, doc_id) AS ipos
+           FROM pos),
+         terms AS (
+           SELECT q_id,
+             cast(((cos + 1) / 2) /
+               (cast(cast(ln(pos + 1) AS decimal(17,10)) AS double) /
+                cast(cast(ln(2) AS decimal(17,10)) AS double))
+               AS decimal(28,10)) AS t,
+             cast(((cos + 1) / 2) /
+               (cast(cast(ln(ipos + 1) AS decimal(17,10)) AS double) /
+                cast(cast(ln(2) AS decimal(17,10)) AS double))
+               AS decimal(28,10)) AS it
+           FROM ideal)
+         SELECT q_id, round(cast(sum(t) AS double), 6) AS dcg,
+           round(cast(sum(it) AS double), 6) AS idcg,
+           round(cast(sum(t) AS double) / cast(sum(it) AS double), 6)
+             AS ndcg
+         FROM terms GROUP BY q_id ORDER BY q_id""",
     "q_embed_norm" ->
       """WITH v AS (
            SELECT i - 1 AS dim,

@@ -97,6 +97,42 @@ class AnnSpec extends SparkSpec {
     assert(served == fused, "refined serve must equal fused refine")
   }
 
+  test("refine dominance law: refined recall >= codes-only recall per " +
+      "query (refined top-k is the optimal k-subset of the candidates)") {
+    // THEOREM, not just an observation: refined picks the candidate
+    // set's cosine-top-k; if a true top-k member in the candidates is
+    // dropped, the k candidates that beat it have higher cosine and are
+    // therefore true top-k members themselves — so refined overlap can
+    // never be below the overlap of ANY k-subset, including ADC's.
+    import graft.operators.{Pq, Similarity}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+      k = 8, iters = 0)
+    val truth = Similarity.exactTopK(emb, qs, 10)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val cands = Pq.ivfAdcTopK(emb, qs, centroids, nprobe = 3, topK = 20,
+      m = 4, k = 8, dim = 64)
+    val adcTop = cands.filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val refined = Similarity.refineTopK(
+        cands.select(col("q_id"), col("vec_id")), emb, qs, 10)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    truth.keys.foreach { q =>
+      val rRec = refined.getOrElse(q, Set.empty).count(truth(q)) // hits
+      val aRec = adcTop.getOrElse(q, Set.empty).count(truth(q))
+      assert(rRec >= aRec, s"query $q: refined $rRec < adc $aRec")
+    }
+  }
+
   test("trained build: codebooks from per-subspace Lloyd, served ranks " +
       "are contiguous and ADC distances non-decreasing per query") {
     val data = "/root/testdata/sf0.001/embeddings.parquet"

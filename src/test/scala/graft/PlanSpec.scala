@@ -285,8 +285,9 @@ class PlanSpec extends SparkSpec {
       // q_rerank_recall composes q_retrieve_rerank (whose stage-1 corpus
       // statistics are the allowlisted one-row aggregate above) with the
       // exact-cosine truth side; the recall aggregate itself groups by
-      // q_id and stays distributed.
-      "q_rerank_recall",
+      // q_id and stays distributed. q_retrieval_ndcg rides the same
+      // stage-1 statistics; its DCG aggregates group by q_id.
+      "q_rerank_recall", "q_retrieval_ndcg",
       // q_lm_kn's N_types is the q_lm_score vocabulary-size shape: ONE
       // count over the already-reduced bigram-type aggregate, partials
       // distributed, broadcast back into the scoring join.

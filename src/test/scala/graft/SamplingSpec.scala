@@ -208,4 +208,37 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
+
+  test("packSequences: every doc packed once, no sequence over capacity, " +
+      "uniform slot widths, all-but-last sequences full per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 300L).map(i => (i, 1L + rnd.nextInt(128)))
+      .toDF("id", "toks")
+    val out = Sampling.packSequences(docs, "id", "toks", "s", nShards = 3,
+        capacity = 128)
+      .select("id", "toks", "shard", "bucket", "seq_id", "slot")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == 300 && out.map(_._1).distinct.length == 300,
+      "every doc assigned exactly once")
+    out.foreach { case (_, t, _, b, _, _) =>
+      assert(t <= b && (b == 1 || t > b / 2), "bucket is the tight pow2")
+    }
+    out.groupBy { case (_, _, sh, b, q, _) => (sh, b, q) }
+      .foreach { case ((_, b, _), rows) =>
+        assert(rows.length <= 128 / b, "sequence over capacity")
+        assert(rows.map(_._6).sorted.toSeq ==
+          (0L until rows.length.toLong), "slots contiguous from 0")
+      }
+    // within each (shard, bucket) only the LAST seq_id may be partial
+    out.groupBy { case (_, _, sh, b, _, _) => (sh, b) }
+      .foreach { case ((_, b), rows) =>
+        val bySeq = rows.groupBy(_._5).view.mapValues(_.size).toMap
+        val last = bySeq.keys.max
+        bySeq.foreach { case (q, n) =>
+          if (q != last) assert(n == 128 / b, s"non-final seq $q partial")
+        }
+      }
+  }
 }
