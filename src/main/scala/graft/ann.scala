@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
  *             --out <resultDir> [--topk 10] [--nprobe 4]
  *             [--id vec_id] [--vec embedding] [--no-self-filter]
  *             [--refine <c> --raw <embeddings.parquet>]
+ *   graft.Ann --append --index <indexDir> --data <new.parquet>
+ *             [--vec embedding]
+ *
+ * --append folds NEW vectors into an existing index without touching
+ * the indexed corpus: cell assignment + PQ codes against the FROZEN
+ * persisted centroids/codebook (`Pq.encodeWith` literals — scan-local),
+ * appended to codes.parquet. Under the monotone-id convention (the
+ * build corpus holds the codebook seed ids) the grown index is
+ * bit-identical to a full rebuild over the union — the same contract
+ * [[graft.streaming.Streams.annAppend]] pins per epoch; AnnSpec pins
+ * the CLI path end-to-end (append ≡ rebuild, searches agree).
  *
  * By default --search excludes any corpus vector whose id equals the
  * query id (the self-exclusion recall-eval convention — right when the
@@ -136,6 +147,36 @@ object Ann {
       .select(col(idCol)).distinct().count()
   }
 
+  /** Fold new vectors into an existing index against its FROZEN
+    * quantizers (--append): assign cells, PQ-encode with the persisted
+    * codebook as plan literals, append to codes.parquet. Returns the
+    * number of vectors appended. Exact under the monotone-id contract
+    * (see the usage scaladoc). */
+  def append(spark: SparkSession, indexDir: String,
+      dataPath: String, vecCol: String): Long = {
+    val meta = readMeta(indexDir)
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val cbRows = spark.read.parquet(s"$indexDir/codebook.parquet")
+      .select(col("j"), col("c"), col("cw")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val books: Seq[Seq[Seq[Double]]] = (0 until meta.m).map(j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq)
+    val fresh = spark.read.parquet(dataPath)
+      .select(col(meta.idCol), VectorOps.asDouble(col(vecCol)).as("__e"))
+      .filter(col("__e").isNotNull && size(col("__e")) > 0)
+      .withColumn("cell", Ivf.nearestCentroid(col("__e"), centroids))
+    val codes = Pq.encodeWith(fresh, meta.idCol, "__e", books)
+      .join(fresh.select(col(meta.idCol), col("cell")), Seq(meta.idCol))
+      .select(col(meta.idCol), col("cell"), col("j"), col("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = codes.select(col(meta.idCol)).distinct().count()
+    codes.write.mode("append").parquet(s"$indexDir/codes.parquet")
+    codes.unpersist()
+    n
+  }
+
   /** Serve top-k from a built index; the result is also returned.
     * `selfFilter` — see the usage scaladoc above (--no-self-filter).
     * `refine` = (candC, rawPath) turns on the exact-cosine refine stage
@@ -213,8 +254,13 @@ object Ann {
           opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"),
           selfFilter = !flags("no-self-filter"), refine = refine)
         println(s"""{"results":${res.count()}}""")
+      } else if (flags("append")) {
+        val n = append(spark, opt("index").get, opt("data").get,
+          opt("vec").getOrElse("embedding"))
+        println(s"""{"appended":$n,"index":"${opt("index").get}"}""")
       } else {
-        System.err.println("usage: graft.Ann --build|--search ... (see scaladoc)")
+        System.err.println(
+          "usage: graft.Ann --build|--search|--append ... (see scaladoc)")
         sys.exit(2)
       }
     } finally spark.stop()

@@ -133,6 +133,46 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("--append grows the index ≡ a full rebuild over the union " +
+      "(frozen quantizers, monotone ids)") {
+    val idxA = tmp("appA")
+    val splitA = tmp("splitA"); val splitB = tmp("splitB"); val full = tmp("full")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // initial corpus holds ids 0..29 — includes the k=8 codebook seeds
+    emb.filter(col("vec_id") < 30).write.mode("overwrite").parquet(splitA)
+    emb.filter(col("vec_id") >= 30 && col("vec_id") < 60)
+      .write.mode("overwrite").parquet(splitB)
+    emb.filter(col("vec_id") < 60).write.mode("overwrite").parquet(full)
+    Ann.build(spark, splitA, idxA, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding")
+    val n = Ann.append(spark, idxA, splitB, "embedding")
+    assert(n == 30)
+    // rebuild over the union with the SAME centroids (copy artifacts,
+    // re-encode everything through the build path)
+    val centroids = spark.read.parquet(s"$idxA/centroids.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val fullEmb = spark.read.parquet(full)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+    val (rebuilt, _) = graft.operators.Pq.buildIndex(fullEmb, centroids,
+      m = 4, k = 8, dim = 64, idCol = "vec_id", embCol = "emb")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue(),
+        r.get(2).asInstanceOf[Number].longValue(),
+        r.get(3).asInstanceOf[Number].longValue())).toSet
+    val grown = snap(spark.read.parquet(s"$idxA/codes.parquet")
+      .select(col("vec_id"), col("cell"), col("j"), col("code")))
+    val want = snap(rebuilt.select(col("vec_id"), col("__cell"),
+      col("j"), col("code")))
+    assert(grown == want, "appended index must equal the union rebuild")
+    // the grown index serves the union corpus (appended ids retrievable)
+    val served = Ann.search(spark, idxA, full, None, topK = 5,
+        nprobe = 3, qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.nonEmpty && served.exists(_._2 >= 30),
+      "appended vectors must be retrievable from the grown index")
+  }
+
   test("trained build: codebooks from per-subspace Lloyd, served ranks " +
       "are contiguous and ADC distances non-decreasing per query") {
     val data = "/root/testdata/sf0.001/embeddings.parquet"
