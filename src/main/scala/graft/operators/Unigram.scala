@@ -254,7 +254,26 @@ object Unigram {
       minCount: Long): DataFrame = {
     val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
     val cand = candidatePieces(voc, maxPieceLen, minCount).persist(Lvl)
-    val seg = viterbiSegment(voc, pieceCosts(cand), maxPieceLen, maxWordLen)
+    Scale.releaseAfterUse(
+      fertilityUnder(docs, idCol, textCol, langCol, pieceCosts(cand),
+        maxPieceLen, maxWordLen),
+      Seq(voc, cand))
+  }
+
+  /**
+   * [[fertility]] under an EXPLICIT piece-cost model ((piece, cost)
+   * micro-nats) — the evaluation half of the Kudo loop: re-segment the
+   * corpus with a trained or PRUNED vocabulary and read the fertility
+   * delta row-for-row against the candidate-model baseline. The model
+   * must contain every corpus character (all exported models do — the
+   * segmentability floor); words above maxWordLen stay outside the
+   * bounded-DP contract as everywhere else.
+   */
+  def fertilityUnder(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, costs: DataFrame, maxPieceLen: Int,
+      maxWordLen: Int): DataFrame = {
+    val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
+    val seg = viterbiSegment(voc, costs, maxPieceLen, maxWordLen)
     val perWord = seg.groupBy("word")
       .agg(count(lit(1)).as("n_pieces"))
     Scale.releaseAfterUse(
@@ -271,6 +290,6 @@ object Unigram {
         .withColumn("fertility",
           round(col("n_pieces").cast("double") / col("n_words"), 6))
         .orderBy("lang"),
-      Seq(voc, cand))
+      Seq(voc))
   }
 }

@@ -188,16 +188,21 @@ object Pipeline {
    * `n1` (hard-EM piece recounts) and `tot1`. Integer micro-nat costs
    * make every DP sum an exact BIGINT both engines agree on.
    */
-  private def unigramCtes: String = {
+  /** The unrolled Viterbi-DP CTE block (forward b, ball, backward
+    * x/p/s, final seg) under cost table `costName`, CTE names prefixed
+    * with `pfx` so two models can segment in one statement (the Kudo
+    * retrain evaluation). MATERIALIZED throughout — DuckDB inlines
+    * plain CTEs and the recursive references blow up file handles. */
+  private def unigramDpCtes(pfx: String, costName: String): String = {
     val L = UniPieceLen; val W = UniWordLen
     def bi(i: Int): String = {
       val branches = (1 to math.min(L, i)).map { j =>
         s"""SELECT p.word, p.best + c.cost AS b, $j AS j
-            FROM b${i - j} p JOIN cost c
+            FROM $pfx""" + s"""b${i - j} p JOIN $costName c
               ON c.piece = substr(p.word, ${i - j + 1}, $j)
             WHERE len(p.word) >= $i"""
       }.mkString("\n UNION ALL\n")
-      s"""b$i AS MATERIALIZED (
+      s"""${pfx}b$i AS MATERIALIZED (
          SELECT word, best, jpick FROM (
            SELECT word, b AS best, j AS jpick,
              row_number() OVER (PARTITION BY word ORDER BY b, j) AS rn
@@ -205,23 +210,34 @@ object Pipeline {
          WHERE rn = 1)"""
     }
     val backward = (1 to W).map { r =>
-      s"""x$r AS MATERIALIZED (
+      s"""${pfx}x$r AS MATERIALIZED (
            SELECT s.word, s.freq, s.pos, b.jpick
-           FROM s${r - 1} s JOIN ball b
+           FROM ${pfx}s${r - 1} s JOIN ${pfx}ball b
              ON b.word = s.word AND b.pos = s.pos
            WHERE s.pos > 0),
-         p$r AS (
+         ${pfx}p$r AS (
            SELECT word, freq,
              substr(word, pos - jpick + 1, jpick) AS piece
-           FROM x$r),
-         s$r AS (SELECT word, freq, pos - jpick AS pos FROM x$r)"""
+           FROM ${pfx}x$r),
+         ${pfx}s$r AS (SELECT word, freq, pos - jpick AS pos FROM ${pfx}x$r)"""
     }.mkString(",\n")
     val ballUnion = (1 to W)
-      .map(i => s"SELECT word, $i AS pos, jpick FROM b$i")
+      .map(i => s"SELECT word, $i AS pos, jpick FROM ${pfx}b$i")
       .mkString(" UNION ALL ")
     val segUnion = (1 to W)
-      .map(i => s"SELECT word, freq, piece FROM p$i")
+      .map(i => s"SELECT word, freq, piece FROM ${pfx}p$i")
       .mkString(" UNION ALL ")
+    s"""${pfx}b0 AS (SELECT word, cast(0 AS BIGINT) AS best, 0 AS jpick
+           FROM voc),
+       ${(1 to W).map(bi).mkString(",\n")},
+       ${pfx}ball AS MATERIALIZED ($ballUnion),
+       ${pfx}s0 AS (SELECT word, freq, len(word) AS pos FROM voc),
+       $backward,
+       ${pfx}seg AS MATERIALIZED ($segUnion)"""
+  }
+
+  private def unigramCtes: String = {
+    val L = UniPieceLen; val W = UniWordLen
     s"""WITH voc AS MATERIALIZED (
          SELECT word, cast(count(*) AS BIGINT) AS freq FROM (
            SELECT unnest($WsSplitSql) AS word
@@ -245,12 +261,7 @@ object Pipeline {
              - cast(ln(cnt) AS decimal(17,10))) * 1000000, 0) AS BIGINT)
              AS cost
          FROM kept, tot),
-       b0 AS (SELECT word, cast(0 AS BIGINT) AS best, 0 AS jpick FROM voc),
-       ${(1 to W).map(bi).mkString(",\n")},
-       ball AS MATERIALIZED ($ballUnion),
-       s0 AS (SELECT word, freq, len(word) AS pos FROM voc),
-       $backward,
-       seg AS MATERIALIZED ($segUnion),
+       ${unigramDpCtes("", "cost")},
        n1 AS (
          SELECT piece, cast(sum(freq) AS BIGINT) AS n
          FROM seg GROUP BY piece),
@@ -1271,6 +1282,19 @@ object Pipeline {
       graft.operators.Unigram.trainAndPrune(t(s, dir, "documents"),
           "text", UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10)
         .orderBy(col("loss").desc_nulls_last, col("piece"))
+    }),
+    // L1y — the Kudo loop CLOSED: per-language fertility under the
+    // PRUNED vocabulary (Unigram.fertilityUnder over trainAndPrune's
+    // survivors) — read row-for-row against q_unigram_fertility, the
+    // delta is what the shrink step costs in pieces-per-word. Same
+    // bounded DP, pruned cost model.
+    "q_unigram_retrain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pruned = graft.operators.Unigram.trainAndPrune(docs, "text",
+          UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10)
+        .select(col("piece"), col("cost"))
+      graft.operators.Unigram.fertilityUnder(docs, "doc_id", "text",
+        "lang", pruned, UniPieceLen, UniWordLen)
     }),
     // L1 — deflate-compressibility curation signal (Quality.
     // compressionStats): repetitive text compresses far below prose,
@@ -4843,6 +4867,53 @@ object Pipeline {
            UNION ALL
            SELECT piece, n, cost, loss FROM kept_multi)
          ORDER BY loss DESC NULLS LAST, piece""",
+    // Retrain fertility: the prune CTEs produce cost2 (chars + kept
+    // multi at their TRAINED costs), a second prefixed DP block
+    // re-segments, and the per-language report mirrors
+    // q_unigram_fertility.
+    "q_unigram_retrain" ->
+      s"""$unigramCtes,
+         tcost AS MATERIALIZED (
+           SELECT piece, n,
+             cast(round((cast(ln(t) AS decimal(17,10))
+               - cast(ln(n) AS decimal(17,10))) * 1000000, 0) AS BIGINT)
+               AS cost
+           FROM n1, tot1),
+         ccost AS (
+           SELECT piece AS c, cost AS ccost FROM cost
+           WHERE len(piece) = 1),
+         multiexp AS (
+           SELECT t.piece, t.n, t.cost, substr(t.piece, s, 1) AS c
+           FROM tcost t, generate_series(1, $UniPieceLen) AS gs(s)
+           WHERE len(t.piece) > 1 AND s <= len(t.piece)),
+         multi AS (
+           SELECT piece, n, cost, n * (alt - cost) AS loss FROM (
+             SELECT m.piece, max(m.n) AS n, max(m.cost) AS cost,
+               cast(sum(cc.ccost) AS BIGINT) AS alt
+             FROM multiexp m JOIN ccost cc ON cc.c = m.c
+             GROUP BY m.piece)),
+         kept_multi AS (
+           SELECT piece, n, cost, loss FROM multi
+           ORDER BY loss DESC, piece LIMIT 10),
+         cost2 AS MATERIALIZED (
+           SELECT piece, cost FROM tcost WHERE len(piece) = 1
+           UNION ALL
+           SELECT piece, cost FROM kept_multi),
+         ${unigramDpCtes("r", "cost2")},
+         pw AS (
+           SELECT word, cast(count(*) AS BIGINT) AS n_pieces
+           FROM rseg GROUP BY word),
+         wl AS (
+           SELECT lang, word FROM (
+             SELECT lang, unnest($WsSplitSql) AS word
+             FROM documents WHERE text IS NOT NULL)
+           WHERE len(word) > 0 AND len(word) <= $UniWordLen)
+         SELECT lang, cast(count(*) AS BIGINT) AS n_words,
+           cast(sum(p.n_pieces) AS BIGINT) AS n_pieces,
+           round(cast(sum(p.n_pieces) AS double) / count(*), 6)
+             AS fertility
+         FROM wl JOIN pw p USING (word)
+         GROUP BY lang ORDER BY lang""",
     "q_rep_topgram" ->
       """WITH w AS (
            SELECT doc_id, length(replace(text, ' ', '')) AS wc,

@@ -358,7 +358,7 @@ class PlanSpec extends SparkSpec {
       // vocabulary-scale localCheckpoints). q_unigram_prune adds the
       // candidate-stage normalizer (same shape) plus a 10-row
       // TakeOrdered head — piece-model scale, never corpus scale.
-      "q_unigram_lm", "q_unigram_prune")
+      "q_unigram_lm", "q_unigram_prune", "q_unigram_retrain")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
