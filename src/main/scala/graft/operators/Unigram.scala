@@ -100,44 +100,85 @@ object Unigram {
    * the argmin path. All frames are vocabulary-scale; persists freed
    * via releaseAfterUse once the caller's first action completes.
    */
-  def viterbiSegment(vocab: DataFrame, costs: DataFrame,
-      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+  /**
+   * The forward DP shared by [[viterbiSegment]] and [[viterbiCounts]]:
+   * returns (bounded words frame, per-position frames B(i) holding
+   * (word, best, jpick, np) — optimal prefix cost, the chosen final
+   * piece length, and the PIECE COUNT of the optimal prefix path, which
+   * rides the same (cost, j) argmin so counts need no backward walk).
+   *
+   * Every round is localCheckpoint'ed (eager), never merely persisted:
+   * B(i)'s plan references up to maxPieceLen earlier rounds, so
+   * unbroken lineage grows TRIBONACCI-fast in i and Catalyst
+   * optimization hangs before any data moves (the connectedComponents
+   * lesson, Dedup.scala:768). A checkpointed round is a flat
+   * LogicalRDD — constant-size plans at the cost of one
+   * vocabulary-scale job per round. (A two-round checkpoint window was
+   * tried and REJECTED: the unflattened odd rounds nest into the
+   * backward pass's ball union and Catalyst analysis blew past 10
+   * minutes where this version runs in seconds.) The cost model is
+   * checkpointed ONCE — it broadcasts into every round, and for the
+   * retrain path its upstream is a whole training pass (17.8s → 9.3s
+   * isolated min-of-3 on q_unigram_retrain at sf0.1 from that line).
+   */
+  private def forwardDp(vocab: DataFrame, costs: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): (DataFrame, Array[DataFrame]) = {
     require(maxPieceLen >= 1 && maxWordLen >= 1,
       s"need maxPieceLen/maxWordLen >= 1: $maxPieceLen/$maxWordLen")
+    val costsCp = costs.localCheckpoint()
     val words = vocab.filter(
       length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
-    // Every round is localCheckpoint'ed (eager), never merely
-    // persisted: B(i)'s plan references up to maxPieceLen earlier
-    // rounds, so unbroken lineage grows TRIBONACCI-fast in i and
-    // Catalyst optimization hangs before any data moves (the
-    // connectedComponents lesson, Dedup.scala:768). A checkpointed
-    // round is a flat LogicalRDD — constant-size plans at the cost of
-    // one vocabulary-scale job per round. (A two-round checkpoint
-    // window was tried and REJECTED: the unflattened odd rounds nest
-    // into `ball`, which every backward step replicates, and Catalyst
-    // analysis blew past 10 minutes where this version runs in
-    // seconds — the A/B is in the commit message.)
     // forward: best(i) = min over j of best(i-j) + cost(word[i-j+1 .. i])
     val B = new Array[DataFrame](maxWordLen + 1)
-    B(0) = words.select(col("word"), lit(0L).as("best"), lit(0).as("jpick"))
+    B(0) = words.select(col("word"), lit(0L).as("best"), lit(0).as("jpick"),
+        lit(0L).as("np"))
       .localCheckpoint()
     for (i <- 1 to maxWordLen) {
       val cand = (1 to math.min(maxPieceLen, i)).map { j =>
         B(i - j).filter(length(col("word")) >= i)
-          .select(col("word"), col("best"), lit(j).as("__j"),
+          .select(col("word"), col("best"), lit(j).as("__j"), col("np"),
             expr(s"substring(word, ${i - j + 1}, $j)").as("piece"))
       }.reduce(_ unionByName _)
-        .join(broadcast(costs), "piece")
+        .join(broadcast(costsCp), "piece")
         .select(col("word"), (col("best") + col("cost")).as("__b"),
-          col("__j"))
+          col("__j"), col("np"))
+      // np rides the (cost, j) argmin — j is unique per branch, so the
+      // struct min never reaches the count field
       val bi = cand.groupBy("word")
-        .agg(min(struct(col("__b"), col("__j"))).as("__m"))
+        .agg(min(struct(col("__b"), col("__j"),
+          (col("np") + 1L).as("__n"))).as("__m"))
         .select(col("word"), col("__m.__b").as("best"),
-          col("__m.__j").as("jpick"))
+          col("__m.__j").as("jpick"), col("__m.__n").as("np"))
       B(i) = bi.localCheckpoint()
     }
-    val ball = (1 to maxWordLen).map(i =>
-      B(i).select(col("word"), lit(i).as("pos"), col("jpick")))
+    (words, B)
+  }
+
+  /**
+   * Optimal-path piece count per word WITHOUT the backward walk — the
+   * fertility half of the DP: np rides the forward argmin, so the count
+   * at each word's full length IS its segmentation size. Returns
+   * (word, freq, n_pieces). Used by [[fertilityUnder]]; callers that
+   * need the actual pieces (the EM recount) pay for [[viterbiSegment]].
+   */
+  def viterbiCounts(vocab: DataFrame, costs: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val (words, b) = forwardDp(vocab, costs, maxPieceLen, maxWordLen)
+    val ends = (1 to maxWordLen).map(i =>
+      b(i).select(col("word"), lit(i).as("pos"), col("np")))
+      .reduce(_ unionByName _)
+    words.select(col("word"), col("freq"),
+        length(col("word")).as("pos"))
+      .join(ends, Seq("word", "pos"))
+      .select(col("word"), col("freq"), col("np").as("n_pieces"))
+  }
+
+  def viterbiSegment(vocab: DataFrame, costs: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val (words, b) = forwardDp(vocab, costs, maxPieceLen, maxWordLen)
+    val maxW = b.length - 1
+    val ball = (1 to maxW).map(i =>
+      b(i).select(col("word"), lit(i).as("pos"), col("jpick")))
       .reduce(_ unionByName _)
     // backward: walk the argmin path, emitting the chosen piece per hop.
     // Each step IS checkpointed: it has two consumers (the piece emit
@@ -148,7 +189,7 @@ object Unigram {
     var state = words.select(col("word"), col("freq"),
       length(col("word")).as("pos"))
     val segs = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    for (_ <- 1 to maxWordLen) {
+    for (_ <- 1 to maxW) {
       val step = state.filter(col("pos") > 0)
         .join(ball, Seq("word", "pos"))
         .localCheckpoint()
@@ -192,9 +233,12 @@ object Unigram {
     val cc = pieceCosts(cand)
     val seg = viterbiSegment(voc, cc, maxPieceLen, maxWordLen)
     val n1 = seg.groupBy("piece").agg(sum(col("freq")).as("n"))
+    // piece-model scale, but pruneVocab reads it three times (chars
+    // branch, the loss aggregate, the union) — flatten it once
     val trained = pieceCosts(n1.withColumnRenamed("n", "cnt"))
       .join(n1, "piece")
       .select(col("piece"), col("n"), col("cost"))
+      .localCheckpoint()
     Scale.releaseAfterUse(pruneVocab(trained, cc, keepPieces),
       Seq(voc, cand))
   }
@@ -273,9 +317,9 @@ object Unigram {
       langCol: String, costs: DataFrame, maxPieceLen: Int,
       maxWordLen: Int): DataFrame = {
     val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
-    val seg = viterbiSegment(voc, costs, maxPieceLen, maxWordLen)
-    val perWord = seg.groupBy("word")
-      .agg(count(lit(1)).as("n_pieces"))
+    // counts only — the forward-DP np field, no backward walk
+    val perWord = viterbiCounts(voc, costs, maxPieceLen, maxWordLen)
+      .select(col("word"), col("n_pieces"))
     Scale.releaseAfterUse(
       Scale.spreadForCompute(docs.filter(col(textCol).isNotNull),
           col(idCol))
