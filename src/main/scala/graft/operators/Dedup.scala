@@ -337,6 +337,71 @@ object Dedup {
   }
 
   /**
+   * Banding TUNING CURVE — [[bandedRecallPortable]] swept over band
+   * counts (the q_ivf_recall_curve pattern for the dedup modality): the
+   * signature stage and the exact-Jaccard ground truth compute ONCE and
+   * persist; each band configuration re-slices the SAME signatures
+   * (rows = numHashes / bands) and pays only its candidate self-join.
+   * More bands (shorter band signatures) catches more true pairs AND
+   * more false candidates — this curve is the recall side of that
+   * trade, the number that picks `bands` before a 100 TB run. Returns
+   * (bands, q_id, n_true, n_caught, recall).
+   */
+  def bandedRecallCurvePortable(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      numHashes: Int = 16, bandsList: Seq[Int] = Seq(2, 4, 8),
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(bandsList.nonEmpty && bandsList.forall(b =>
+      b >= 1 && numHashes % b == 0),
+      s"every bands value must divide numHashes=$numHashes: $bandsList")
+    val cs = portableSigStage(corpus, idCol, textCol, shingleN, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qs = portableSigStage(queries, idCol, textCol, shingleN, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qh = qs.select(col(idCol).as("q_id"), explode(col("hv")).as("__hx"))
+    val ch = cs.select(col(idCol).as("c_id"), explode(col("hv")).as("__hx"))
+    val inter = qh.join(ch, "__hx").filter(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id").agg(count(lit(1)).as("__n_int"))
+    val qsz = qs.select(col(idCol).as("q_id"), size(col("hv")).as("__sq"))
+    val csz = cs.select(col(idCol).as("c_id"), size(col("hv")).as("__sc"))
+    val truth = inter.join(broadcast(qsz), "q_id").join(csz, "c_id")
+      .filter(col("__n_int").cast("double") /
+        (col("__sq") + col("__sc") - col("__n_int")) >= threshold)
+      .select("q_id", "c_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val released = scala.collection.mutable.ArrayBuffer[DataFrame](
+      cs, qs, truth)
+    val out = bandsList.map { b =>
+      val rows = numHashes / b
+      val qb = bandSignatures(qs, idCol, "sig", b, rows)
+        .select(col(idCol).as("q_id"), col("band"), col("band_sig"))
+      val cb = bandSignatures(cs, idCol, "sig", b, rows)
+        .select(col(idCol).as("c_id"), col("band"), col("band_sig"))
+      val cand = qb.join(cb, Seq("band", "band_sig"))
+        .filter(col("q_id") =!= col("c_id"))
+        .select("q_id", "c_id").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      released += cand
+      // the COST side of the trade: candidates the verify stage must pay
+      // for — grows with bands while recall saturates
+      val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+      truth
+        .join(cand.withColumn("__hit", lit(1L)), Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
+        .join(broadcast(nCand), Seq("q_id"), "left")
+        .select(lit(b.toLong).as("bands"), col("q_id"), col("n_true"),
+          col("n_caught"),
+          round(col("n_caught").cast("double") / col("n_true"), 6)
+            .as("recall"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+    }.reduce(_ unionByName _)
+    Scale.releaseAfterUse(out, released.toSeq)
+  }
+
+  /**
    * Containment near-dup pairs: containment(A,B) = |A∩B| / min(|A|,|B|)
    * over shingle sets — the asymmetric cousin of Jaccard that catches
    * quote/subset relations (a short doc embedded in a long one scores

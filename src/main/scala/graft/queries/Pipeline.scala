@@ -949,6 +949,19 @@ object Pipeline {
           threshold = 0.5)
         .orderBy("q_id")
     }),
+    // A7 — banding TUNING CURVE: q_minhash_recall swept over bands ∈
+    // {2, 4, 8} of the SAME 16 minhashes (the q_ivf_recall_curve
+    // pattern) — signatures and exact-Jaccard truth compute once, each
+    // configuration pays only its candidate self-join. The recall side
+    // of the bands trade that sizes the banding before a 100 TB run.
+    "q_minhash_band_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.bandedRecallCurvePortable(docs,
+          docs.filter(col("doc_id") < 100), "doc_id", "text",
+          shingleN = 3, numHashes = 16, bandsList = Seq(2, 4, 8),
+          threshold = 0.5)
+        .orderBy("bands", "q_id")
+    }),
     // A7 — n-gram Jaccard similarity over blocked candidate pairs: docs
     // sharing a (lang, n_chars) block compare word-3-gram shingle sets —
     // the verify stage of fuzzy dedup, fully oracle-checkable since the
@@ -4661,6 +4674,100 @@ object Pipeline {
          FROM truth t
          LEFT JOIN cand c ON t.q_id = c.q_id AND t.c_id = c.c_id
          GROUP BY t.q_id ORDER BY t.q_id""",
+    "q_minhash_band_curve" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         h AS (SELECT doc_id,
+             list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hv
+           FROM s),
+         h2 AS (SELECT doc_id, hv,
+             list_transform(hv, v -> ('0x' || substr(md5(v::VARCHAR), 1, 14))::BIGINT) AS hv2
+           FROM h),
+         sig AS (SELECT doc_id,
+             list_transform(generate_series(1, 16), k ->
+               list_min(list_transform(generate_series(1, len(hv)),
+                 j -> hv[j] + k * hv2[j]))) AS sig
+           FROM h2),
+         qh AS (SELECT doc_id AS q_id, unnest(hv) AS hx FROM h
+                WHERE doc_id < 100),
+         ch AS (SELECT doc_id AS c_id, unnest(hv) AS hx FROM h),
+         inter AS (
+           SELECT q_id, c_id, count(*) AS n_int
+           FROM qh JOIN ch USING (hx) WHERE q_id <> c_id
+           GROUP BY q_id, c_id),
+         sz AS (SELECT doc_id, len(hv) AS sz FROM h),
+         truth AS MATERIALIZED (
+           SELECT q_id, c_id FROM inter
+           JOIN sz sq ON sq.doc_id = inter.q_id
+           JOIN sz sc ON sc.doc_id = inter.c_id
+           WHERE cast(n_int AS double) / (sq.sz + sc.sz - n_int) >= 0.5),
+         bands2 AS (
+           SELECT doc_id, b,
+             array_to_string(sig[(b-1)*8+1:(b-1)*8+8], '|') AS band_sig
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS b)),
+         cand2 AS (
+           SELECT DISTINCT x.doc_id AS q_id, y.doc_id AS c_id
+           FROM bands2 x JOIN bands2 y
+             ON x.b = y.b AND x.band_sig = y.band_sig
+           WHERE x.doc_id < 100 AND x.doc_id <> y.doc_id),
+         bands4 AS (
+           SELECT doc_id, b,
+             array_to_string(sig[(b-1)*4+1:(b-1)*4+4], '|') AS band_sig
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS b)),
+         cand4 AS (
+           SELECT DISTINCT x.doc_id AS q_id, y.doc_id AS c_id
+           FROM bands4 x JOIN bands4 y
+             ON x.b = y.b AND x.band_sig = y.band_sig
+           WHERE x.doc_id < 100 AND x.doc_id <> y.doc_id),
+         bands8 AS (
+           SELECT doc_id, b,
+             array_to_string(sig[(b-1)*2+1:(b-1)*2+2], '|') AS band_sig
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS b)),
+         cand8 AS (
+           SELECT DISTINCT x.doc_id AS q_id, y.doc_id AS c_id
+           FROM bands8 x JOIN bands8 y
+             ON x.b = y.b AND x.band_sig = y.band_sig
+           WHERE x.doc_id < 100 AND x.doc_id <> y.doc_id)
+         SELECT * FROM (
+         SELECT 2 AS bands, t.q_id, count(*)::bigint AS n_true,
+           sum(CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END)::bigint
+             AS n_caught,
+           round(sum(CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END)::double
+             / count(*), 6) AS recall,
+           coalesce(any_value(nc.n_cand), 0)::bigint AS n_cand
+         FROM truth t
+         LEFT JOIN cand2 c ON t.q_id = c.q_id AND t.c_id = c.c_id
+         LEFT JOIN (SELECT q_id, count(*)::bigint AS n_cand
+                    FROM cand2 GROUP BY q_id) nc ON nc.q_id = t.q_id
+         GROUP BY t.q_id
+ UNION ALL 
+         SELECT 4 AS bands, t.q_id, count(*)::bigint AS n_true,
+           sum(CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END)::bigint
+             AS n_caught,
+           round(sum(CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END)::double
+             / count(*), 6) AS recall,
+           coalesce(any_value(nc.n_cand), 0)::bigint AS n_cand
+         FROM truth t
+         LEFT JOIN cand4 c ON t.q_id = c.q_id AND t.c_id = c.c_id
+         LEFT JOIN (SELECT q_id, count(*)::bigint AS n_cand
+                    FROM cand4 GROUP BY q_id) nc ON nc.q_id = t.q_id
+         GROUP BY t.q_id
+ UNION ALL 
+         SELECT 8 AS bands, t.q_id, count(*)::bigint AS n_true,
+           sum(CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END)::bigint
+             AS n_caught,
+           round(sum(CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END)::double
+             / count(*), 6) AS recall,
+           coalesce(any_value(nc.n_cand), 0)::bigint AS n_cand
+         FROM truth t
+         LEFT JOIN cand8 c ON t.q_id = c.q_id AND t.c_id = c.c_id
+         LEFT JOIN (SELECT q_id, count(*)::bigint AS n_cand
+                    FROM cand8 GROUP BY q_id) nc ON nc.q_id = t.q_id
+         GROUP BY t.q_id)
+         ORDER BY bands, q_id""",
     "q_dedup_simhash" ->
       """WITH h AS (
            SELECT doc_id, list_transform(string_split(text, ' '),

@@ -203,6 +203,36 @@ class DedupSpec extends SparkSpec {
     assert(narrow._3 >= 1L && narrow._3 <= wide._3)
   }
 
+  test("bandedRecallCurvePortable: recall monotone over NESTED bandings " +
+      "(finer aligned bands have superset candidates) and truth is shared") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("epsilon", "EPSILON")
+    val near2 = base.replace("tau", "TAU")
+    val other = "one two three four five six seven eight nine ten"
+    val corpus = docs((1L, base), (2L, near), (3L, base), (4L, other),
+      (5L, near2))
+    val out = Dedup.bandedRecallCurvePortable(corpus,
+        corpus.filter(col("doc_id") <= 2L), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bandsList = Seq(1, 2, 4, 8, 16),
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    val byQ = out.groupBy(_._2)
+    byQ.foreach { case (q, rows) =>
+      // n_true identical across the curve: truth never depends on banding
+      assert(rows.map(_._3).distinct.length == 1, s"q=$q truth varies")
+      val sorted = rows.sortBy(_._1) // ascending bands = finer banding
+      // 1 | 2 | 4 | 8 | 16 are aligned nested splits of the 16-hash
+      // signature, so candidates only GROW with bands: n_caught and
+      // n_cand are both monotone non-decreasing
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"q=$q n_caught not monotone in bands")
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sorted.toSeq,
+        s"q=$q n_cand not monotone in bands")
+    }
+  }
+
   test("containmentPairs scores an embedded quote ~1.0 where Jaccard stays low") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
