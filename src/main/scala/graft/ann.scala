@@ -112,8 +112,11 @@ object Ann {
       if (!trained) {
         val (cd, cbDf) = Pq.buildIndex(emb, centroids, m, codes, dim,
           idCol, "emb")
-        (cd.select(col(idCol), col("__cell").as("cell"), col("j"),
-          col("code")), cbDf)
+        // artifact schema is j: long (what encodeWith emits) — the fixed
+        // path's posexplode int must cast or --append's long-j files sit
+        // beside int-j files and the mixed parquet schema fails to read
+        (cd.select(col(idCol), col("__cell").as("cell"),
+          col("j").cast("long").as("j"), col("code")), cbDf)
       } else {
         import spark.implicits._
         val books = Pq.trainCodebooks(emb, idCol, "emb", m, codes, dim,

@@ -48,9 +48,11 @@ class AnnSpec extends SparkSpec {
     // with EVERY non-self pair offered as a candidate, exact-cosine
     // refinement must reproduce brute-force exactTopK bit-for-bit —
     // candidate bounding is the ONLY approximation in the serving shape
+    // deterministic subset — an unordered limit() can resolve to
+    // DIFFERENT rows between the refined and exact evaluations
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
-      .limit(60)
+      .filter(col("vec_id") < 60)
     val qs = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val allPairs = emb.select(col("vec_id"))
