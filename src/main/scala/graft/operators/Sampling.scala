@@ -214,20 +214,27 @@ object Sampling {
    * training-sequence assignment; aggregate over (shard, bucket,
    * seq_id) for the padding-efficiency report.
    */
+  /** Power-of-two length bucket as a generated when-cascade: log2+ceil
+    * would ride each engine's libm; ≤ log2(capacity)+1 exact
+    * comparisons. Shared by [[packSequences]] and the streaming
+    * [[graft.streaming.Streams.packAppend]] so batch and stream can
+    * never disagree on a document's bucket. */
+  def pow2Bucket(tokenCol: Column, capacity: Int): Column = {
+    require(capacity >= 1 && (capacity & (capacity - 1)) == 0,
+      s"capacity must be a positive power of two, got $capacity")
+    val buckets = Iterator.iterate(1)(_ * 2)
+      .takeWhile(_ <= capacity).toSeq
+    buckets.tail.foldLeft(
+        when(tokenCol <= 1, lit(1))) { (acc, b) =>
+      acc.when(tokenCol <= b, lit(b))
+    }
+  }
+
   def packSequences(df: org.apache.spark.sql.DataFrame, keyCol: String,
       tokenCol: String, salt: String, nShards: Int,
       capacity: Int): org.apache.spark.sql.DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    require(capacity >= 1 && (capacity & (capacity - 1)) == 0,
-      s"capacity must be a positive power of two, got $capacity")
-    // power-of-two bucket as a generated when-cascade: log2+ceil would
-    // ride each engine's libm; ≤ log2(capacity)+1 exact comparisons
-    val buckets = Iterator.iterate(1)(_ * 2)
-      .takeWhile(_ <= capacity).toSeq
-    val bucket = buckets.tail.foldLeft(
-        when(col(tokenCol) <= 1, lit(1))) { (acc, b) =>
-      acc.when(col(tokenCol) <= b, lit(b))
-    }
+    val bucket = pow2Bucket(col(tokenCol), capacity)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"), col("bucket"))
       .orderBy(col(tokenCol).desc, col(keyCol))

@@ -240,6 +240,81 @@ object Streams {
       }
   }
 
+  /**
+   * Streaming sequence packing — the unbounded twin of
+   * [[graft.operators.Sampling.packSequences]] (the [[shardAppend]]
+   * pattern): each arriving document is bucketed (the SHARED
+   * [[graft.operators.Sampling.pow2Bucket]] cascade — batch and stream
+   * can never disagree) and appended to its (shard, bucket) group's
+   * running position, from which seq_id/slot derive by the same integer
+   * arithmetic. State is ONE long per (shard, bucket) — ≤
+   * nShards·(log2 capacity + 1) counters however long the stream runs.
+   *
+   * Exactness: uniform slot widths make sequence COUNT and total
+   * padding order-INdependent (⌈n/perSeq⌉ sequences whatever the
+   * arrival order), so the per-group aggregate report is ≡ batch after
+   * every epoch under ANY batching — the spec pins it. Row-level
+   * assignments match batch exactly for a single-batch feed (the
+   * in-batch sort mirrors packSequences' (tokens desc, key) order);
+   * across batches the stream packs in arrival order, the streaming
+   * trade shardAppend documents.
+   */
+  def packAppend(docs: DataFrame, keyCol: String, tokenCol: String,
+      salt: String, nShards: Int, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val bucketed = docs
+      .filter(col(tokenCol) >= 1 && col(tokenCol) <= capacity)
+      .withColumn("shard", graft.operators.Sampling.shardOfHash(
+        graft.operators.Sampling.hashHexFull(col(keyCol), salt), nShards))
+      .withColumn("bucket",
+        graft.operators.Sampling.pow2Bucket(col(tokenCol), capacity))
+    val outSchema = bucketed.schema
+      .add("seq_id", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("slot", org.apache.spark.sql.types.LongType, nullable = false)
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(outSchema)
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
+      Encoders.scalaLong
+    val tokIdx = bucketed.schema.fieldIndex(tokenCol)
+    val bktIdx = bucketed.schema.fieldIndex("bucket")
+    bucketed.groupByKey(r =>
+        (r.getAs[Long]("shard"), r.getAs[Int]("bucket")))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
+      .flatMapGroupsWithState[Long, Row](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: (Long, Int), rows: Iterator[Row], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          // in-batch order mirrors packSequences' (tokens desc, key) —
+          // the key tie-break must use the column's NATIVE ordering
+          // (numeric keys compared as strings would put "119" < "17")
+          def keyLt(a: Any, b: Any): Boolean = (a, b) match {
+            case (x: Number, y: Number) =>
+              if (x.longValue() != y.longValue())
+                x.longValue() < y.longValue()
+              else x.doubleValue() < y.doubleValue()
+            case (x, y) => String.valueOf(x) < String.valueOf(y)
+          }
+          val out = rows.toSeq
+            .sortWith { (x, y) =>
+              val tx = x.getAs[Number](tokIdx).longValue()
+              val ty = y.getAs[Number](tokIdx).longValue()
+              if (tx != ty) tx > ty
+              else keyLt(x.getAs[Any](keyCol), y.getAs[Any](keyCol))
+            }
+            .map { r =>
+              val b = r.getInt(bktIdx).toLong
+              val seq = off * b / capacity
+              val slot = off % (capacity / b)
+              off += 1
+              Row.fromSeq(r.toSeq :+ seq :+ slot)
+            }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   case class KmvUpdate(source: String, n_seen: Long, sketch: Seq[Long],
       est: Double)
   case class KmvSt(sketch: Seq[Long], n: Long)

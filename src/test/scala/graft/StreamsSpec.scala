@@ -614,6 +614,57 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming packAppend: single-batch feed ≡ batch packSequences " +
+      "bit-for-bit; per-group packing report ≡ batch under any batching") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val all = (1L to 120L).map(i => (i, 1L + rnd.nextInt(64))).toSeq
+    def report(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("shard", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_seqs"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    def runStream(batches: Seq[Seq[(Long, Long)]]) = {
+      val mem = MemoryStream[(Long, Long)]
+      val q = graft.streaming.Streams.packAppend(
+          mem.toDF().toDF("id", "toks"), "id", "toks", "s",
+          nShards = 3, capacity = 64)
+        .writeStream.format("memory").queryName("pack_t")
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table("pack_t")
+    }
+    val batch = graft.operators.Sampling.packSequences(
+      all.toDF("id", "toks"), "id", "toks", "s", nShards = 3,
+      capacity = 64)
+    // (1) ONE batch: row-level assignments identical to the batch op
+    val oneShot = runStream(Seq(all))
+      .select("id", "shard", "bucket", "seq_id", "slot")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = batch.select("id", "shard", "bucket", "seq_id", "slot")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(oneShot == want, "single-batch stream must equal batch op")
+    spark.sql("DROP TABLE IF EXISTS pack_t")
+    // (2) THREE uneven batches: arrival order differs, but uniform slot
+    // widths make sequence count and fill order-independent per group
+    val streamed = runStream(Seq(all.take(17), all.slice(17, 80),
+      all.drop(80)))
+    assert(report(streamed) == report(batch),
+      "per-group packing report must be batching-independent")
+    // capacity law holds for the streamed assignment too
+    streamed.groupBy("shard", "bucket", "seq_id")
+      .agg(count(lit(1)).as("n"), max(col("bucket")).as("b"))
+      .collect().foreach { r =>
+        assert(r.getLong(3) <= 64 / r.getInt(4), "sequence over capacity")
+      }
+  }
+
   test("streaming driftMonitor ≡ batch driftTvd over everything seen, " +
       "after every epoch and under any batching") {
     implicit val sql = spark.sqlContext
