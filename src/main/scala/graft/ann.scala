@@ -60,6 +60,16 @@ import org.apache.spark.sql.functions._
 object Ann {
   val MetaFile = "ann.meta.json"
 
+  /** Fail fast (scan-local `raise_error`, no extra job) on any vector
+    * whose length ≠ the index dim: DotProduct truncates to min(len), so
+    * a wrong-dimension vector would SILENTLY write wrong cell/code rows
+    * — fatal for --append, which mutates a persisted serving artifact. */
+  private def requireDim(vec: org.apache.spark.sql.Column, dim: Int,
+      what: String): org.apache.spark.sql.Column =
+    when(size(vec) === dim, vec).otherwise(raise_error(concat(
+      lit(s"$what: vector dim must be $dim, got "),
+      size(vec).cast("string"))))
+
   final case class Meta(k: Int, iters: Int, m: Int, codes: Int, dim: Int,
       idCol: String)
 
@@ -107,6 +117,7 @@ object Ann {
     val emb = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
+      .withColumn("emb", requireDim(col("emb"), dim, "Ann --build"))
     val centroids = Ivf.train(emb, idCol, "emb", k, iters)
     val (codesDf, cb) =
       if (!trained) {
@@ -169,6 +180,7 @@ object Ann {
     val fresh = spark.read.parquet(dataPath)
       .select(col(meta.idCol), VectorOps.asDouble(col(vecCol)).as("__e"))
       .filter(col("__e").isNotNull && size(col("__e")) > 0)
+      .withColumn("__e", requireDim(col("__e"), meta.dim, "Ann --append"))
       .withColumn("cell", Ivf.nearestCentroid(col("__e"), centroids))
     val codes = Pq.encodeWith(fresh, meta.idCol, "__e", books)
       .join(fresh.select(col(meta.idCol), col("cell")), Seq(meta.idCol))
@@ -203,6 +215,7 @@ object Ann {
       .select(col(qIdCol).as("q_id"),
         VectorOps.asDouble(col(qVecCol)).as("q_emb"))
       .filter(col("q_emb").isNotNull && size(col("q_emb")) > 0)
+      .withColumn("q_emb", requireDim(col("q_emb"), meta.dim, "Ann --search"))
     val adcK = refine.map(_._1).getOrElse(topK)
     require(adcK >= topK,
       s"--refine candidate depth $adcK must be >= --topk $topK")

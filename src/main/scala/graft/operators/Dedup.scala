@@ -345,7 +345,9 @@ object Dedup {
    * More bands (shorter band signatures) catches more true pairs AND
    * more false candidates — this curve is the recall side of that
    * trade, the number that picks `bands` before a 100 TB run. Returns
-   * (bands, q_id, n_true, n_caught, recall).
+   * (bands, q_id, n_true, n_caught, recall, n_cand) — n_cand is the
+   * COST side of the trade: candidates this banding makes the verify
+   * stage pay for.
    */
   def bandedRecallCurvePortable(corpus: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,

@@ -17,12 +17,12 @@ import org.apache.spark.sql.functions._
  * word-frequency vocabulary first — ONE hash aggregate, after which
  * corpus size never matters again. Candidate counting is a bounded
  * position explode over that vocabulary; Viterbi is a bounded dynamic
- * program unrolled as `maxWordLen` vocabulary-scale rounds (each ONE
- * piece-cost broadcast join + ONE min-struct aggregate — never a
- * per-row UDF, never driver state beyond the loop counter), and the
- * backward walk is the same number of equi-join rounds against the
- * persisted forward frames. Piece costs broadcast (a minCount-floored
- * piece vocabulary is bounded); per-round frames persist and free via
+ * program FUSED scan-local (see [[dpStates]]): one substring explode,
+ * ONE piece-cost broadcast join, one pivot aggregate, then both the
+ * forward DP and the backward walk as pure codegen'd column
+ * expressions — never a per-row UDF, no per-round jobs, no
+ * checkpoints. Piece costs broadcast (a minCount-floored piece
+ * vocabulary is bounded); the vocabulary frames persist and free via
  * [[Scale.releaseAfterUse]].
  *
  * Determinism & oracle portability: costs are INTEGER micro-nats —
@@ -44,6 +44,11 @@ import org.apache.spark.sql.functions._
 object Unigram {
 
   private val Lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Unreachable-prefix sentinel cost: far above any real path
+    * (maxWordLen · ln(corpus) · 1e6 ≲ 10⁹) yet small enough that
+    * `sentinel.b + cost` can never overflow a long. */
+  private val Inf = Long.MaxValue / 4
 
   /** ln of an integer-valued column, rounded once to decimal(17,10) —
     * the engine-portable ln recipe shared with Curation.bigramLmScore. */
@@ -89,116 +94,138 @@ object Unigram {
   }
 
   /**
-   * Viterbi segmentation of every vocabulary word under `costs`
-   * ((piece, cost) micro-nats): returns one (word, freq, piece) row per
-   * chosen piece occurrence. Forward pass: maxWordLen rounds, round i
-   * computing the best segmentation cost of each word's i-char prefix
-   * from the ≤ maxPieceLen previous rounds (one broadcast cost join +
-   * one min(struct(cost, j)) aggregate — ties prefer the SHORTER final
-   * piece, deterministically). Backward pass: the same number of
-   * equi-join rounds re-reading the persisted forward frames to emit
-   * the argmin path. All frames are vocabulary-scale; persists freed
-   * via releaseAfterUse once the caller's first action completes.
-   */
-  /**
-   * The forward DP shared by [[viterbiSegment]] and [[viterbiCounts]]:
-   * returns (bounded words frame, per-position frames B(i) holding
-   * (word, best, jpick, np) — optimal prefix cost, the chosen final
-   * piece length, and the PIECE COUNT of the optimal prefix path, which
-   * rides the same (cost, j) argmin so counts need no backward walk).
+   * The SCAN-LOCAL fused Viterbi DP shared by [[viterbiSegment]] and
+   * [[viterbiCounts]]: one bounded (position, length) substring explode
+   * over the vocabulary, ONE broadcast cost join, one hash aggregate
+   * folding each word's ≤ maxWordLen·maxPieceLen matched edges into a
+   * small per-word cost MAP (key i·1000+j = the piece ENDING at
+   * position i with length j), then the whole forward DP as ONE bounded
+   * `aggregate` fold over positions 1..len: state(i) = least over j of
+   * (best(i−j)+cost, j, np(i−j)+1) — struct comparison is
+   * lexicographic, so ties on cost prefer the SHORTER final piece
+   * exactly as the round-based min(struct) did, and j is unique per
+   * candidate so the count field never decides. Returns the per-word
+   * frame with `__st` = the array of len+1 state structs (index p+1 =
+   * prefix p). An UNREACHABLE prefix is the sentinel (b = [[Inf]],
+   * j = 0, n = 0), NEVER a null struct: real path costs are bounded by
+   * maxWordLen · ln(corpus) micro-nats ≪ Inf, so `least` always
+   * prefers reachable candidates, and a word the model cannot segment
+   * ends with b = Inf at full length and is dropped by both consumers —
+   * the same drop semantics as the round design's inner joins. (Null
+   * unreachable states were tried first and REJECTED: Spark's generated
+   * unsafe-projection/predicate code NPEs reading a struct field of a
+   * null element of a higher-order-function result — the sentinel keeps
+   * every struct non-null so claimed and actual nullability agree.)
    *
-   * Every round is localCheckpoint'ed (eager), never merely persisted:
-   * B(i)'s plan references up to maxPieceLen earlier rounds, so
-   * unbroken lineage grows TRIBONACCI-fast in i and Catalyst
-   * optimization hangs before any data moves (the connectedComponents
-   * lesson, Dedup.scala:768). A checkpointed round is a flat
-   * LogicalRDD — constant-size plans at the cost of one
-   * vocabulary-scale job per round. (A two-round checkpoint window was
-   * tried and REJECTED: the unflattened odd rounds nest into the
-   * backward pass's ball union and Catalyst analysis blew past 10
-   * minutes where this version runs in seconds.) The cost model is
-   * checkpointed ONCE — it broadcasts into every round, and for the
-   * retrain path its upstream is a whole training pass (17.8s → 9.3s
-   * isolated min-of-3 on q_unigram_retrain at sf0.1 from that line).
+   * This replaces the round-11 design of maxWordLen localCheckpoint'ed
+   * vocabulary-scale join+aggregate ROUNDS per DP block (plus the same
+   * number of backward-walk joins): the entire DP is now ~3 stages
+   * (vocab aggregate, edge join + map aggregate, fold projection), no
+   * checkpoints, no per-round jobs. The fold lambda is interpreted
+   * (higher-order functions don't codegen) but runs O(maxWordLen ·
+   * maxPieceLen) tiny struct ops per VOCABULARY row — the measured
+   * win over the round design is the deleted job/shuffle cascade:
+   * isolated min-of-4 at sf0.1, old → fused: q_unigram_lm 3.99 → 1.24s,
+   * q_unigram_prune 4.28 → 1.94s, q_unigram_retrain 7.97 → 2.51s,
+   * q_unigram_fertility 3.25 → 1.28s (~2.8× family-wide), all four
+   * unrolled-CTE oracles hash-matching unchanged.
+   * A chained-column codegen variant (state per named column) was tried
+   * and REJECTED: the optimizer inlines the chain through filter
+   * pushdown/project collapse and the predicate tree grows
+   * tribonacci-fast — 25 MiB task binaries at this geometry, OOM in
+   * codegen on the retrain path's nested model.
    */
-  private def forwardDp(vocab: DataFrame, costs: DataFrame,
-      maxPieceLen: Int, maxWordLen: Int): (DataFrame, Array[DataFrame]) = {
+  private def dpStates(vocab: DataFrame, costs: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
     require(maxPieceLen >= 1 && maxWordLen >= 1,
       s"need maxPieceLen/maxWordLen >= 1: $maxPieceLen/$maxWordLen")
-    val costsCp = costs.localCheckpoint()
+    require(maxPieceLen < 1000, s"edge-map key is i*1000+j: $maxPieceLen")
     val words = vocab.filter(
       length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
-    // forward: best(i) = min over j of best(i-j) + cost(word[i-j+1 .. i])
-    val B = new Array[DataFrame](maxWordLen + 1)
-    B(0) = words.select(col("word"), lit(0L).as("best"), lit(0).as("jpick"),
-        lit(0L).as("np"))
-      .localCheckpoint()
-    for (i <- 1 to maxWordLen) {
-      val cand = (1 to math.min(maxPieceLen, i)).map { j =>
-        B(i - j).filter(length(col("word")) >= i)
-          .select(col("word"), col("best"), lit(j).as("__j"), col("np"),
-            expr(s"substring(word, ${i - j + 1}, $j)").as("piece"))
-      }.reduce(_ unionByName _)
-        .join(broadcast(costsCp), "piece")
-        .select(col("word"), (col("best") + col("cost")).as("__b"),
-          col("__j"), col("np"))
-      // np rides the (cost, j) argmin — j is unique per branch, so the
-      // struct min never reaches the count field
-      val bi = cand.groupBy("word")
-        .agg(min(struct(col("__b"), col("__j"),
-          (col("np") + 1L).as("__n"))).as("__m"))
-        .select(col("word"), col("__m.__b").as("best"),
-          col("__m.__j").as("jpick"), col("__m.__n").as("np"))
-      B(i) = bi.localCheckpoint()
-    }
-    (words, B)
+    val edges = words
+      .select(col("word"), col("freq"),
+        explode(expr("sequence(1, length(word))")).as("__i"))
+      .select(col("word"), col("freq"), col("__i"),
+        explode(expr(s"sequence(1, least($maxPieceLen, __i))")).as("__j"))
+      .select(col("word"), col("freq"), col("__i"), col("__j"),
+        expr("substring(word, __i - __j + 1, __j)").as("piece"))
+      .join(broadcast(costs.select(col("piece"), col("cost"))), "piece")
+    val cm = edges.groupBy(col("word"), col("freq"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("__i") * 1000 + col("__j")).as("k"),
+        col("cost").as("v")))).as("__cm"))
+    val inf = lit(Inf)
+    val sentinel = struct(inf.as("b"), lit(0).as("j"), lit(0L).as("n"))
+    val zero = array(struct(lit(0L).as("b"), lit(0).as("j"),
+      lit(0L).as("n")))
+    val states = aggregate(expr("sequence(1, length(word))"), zero,
+      (acc: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) => {
+        val cands = (1 to maxPieceLen).map { j =>
+          // the value branch only evaluates under i >= j, so the
+          // element_at index i-j+1 is always >= 1 (ANSI-safe)
+          when(i >= j, {
+            val prev = element_at(acc, i - j + 1)
+            val cc = try_element_at(col("__cm"), i * 1000 + j)
+            when(cc.isNotNull && prev.getField("b") < inf,
+              struct((prev.getField("b") + cc).as("b"), lit(j).as("j"),
+                (prev.getField("n") + lit(1L)).as("n")))
+              .otherwise(sentinel)
+          }).otherwise(sentinel)
+        }
+        concat(acc, array(
+          if (cands.size == 1) cands.head else least(cands: _*)))
+      })
+    cm.withColumn("__st", states)
   }
 
   /**
    * Optimal-path piece count per word WITHOUT the backward walk — the
-   * fertility half of the DP: np rides the forward argmin, so the count
-   * at each word's full length IS its segmentation size. Returns
-   * (word, freq, n_pieces). Used by [[fertilityUnder]]; callers that
-   * need the actual pieces (the EM recount) pay for [[viterbiSegment]].
+   * fertility half of the DP: the count rides the forward argmin, so
+   * the state at each word's full length holds its segmentation size.
+   * Returns (word, freq, n_pieces). Used by [[fertilityUnder]]; callers
+   * that need the actual pieces (the EM recount) pay [[viterbiSegment]].
    */
   def viterbiCounts(vocab: DataFrame, costs: DataFrame,
-      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
-    val (words, b) = forwardDp(vocab, costs, maxPieceLen, maxWordLen)
-    val ends = (1 to maxWordLen).map(i =>
-      b(i).select(col("word"), lit(i).as("pos"), col("np")))
-      .reduce(_ unionByName _)
-    words.select(col("word"), col("freq"),
-        length(col("word")).as("pos"))
-      .join(ends, Seq("word", "pos"))
-      .select(col("word"), col("freq"), col("np").as("n_pieces"))
-  }
+      maxPieceLen: Int, maxWordLen: Int): DataFrame =
+    dpStates(vocab, costs, maxPieceLen, maxWordLen)
+      .withColumn("__fin",
+        element_at(col("__st"), length(col("word")) + 1))
+      // unsegmentable = the Inf sentinel at full length (never null)
+      .filter(col("__fin").getField("b") < Inf)
+      .select(col("word"), col("freq"),
+        col("__fin").getField("n").as("n_pieces"))
 
+  /**
+   * Viterbi segmentation of every vocabulary word under `costs`
+   * ((piece, cost) micro-nats): one (word, freq, piece) row per chosen
+   * piece occurrence. The backward walk is ALSO one bounded `aggregate`
+   * fold over [[dpStates]]' state array: pos₀ = length(word); each of
+   * ≤ maxWordLen hops reads the picked piece length at the current
+   * position, emits substring(word, pos−j+1, j), and steps down; a
+   * finished (pos = 0) or unsegmentable (sentinel state, j = 0) walk
+   * passes its accumulator through unchanged, so unreachable words
+   * yield an empty piece array that explode drops. No joins, no
+   * checkpoints — the walk never leaves the scan.
+   */
   def viterbiSegment(vocab: DataFrame, costs: DataFrame,
       maxPieceLen: Int, maxWordLen: Int): DataFrame = {
-    val (words, b) = forwardDp(vocab, costs, maxPieceLen, maxWordLen)
-    val maxW = b.length - 1
-    val ball = (1 to maxW).map(i =>
-      b(i).select(col("word"), lit(i).as("pos"), col("jpick")))
-      .reduce(_ unionByName _)
-    // backward: walk the argmin path, emitting the chosen piece per hop.
-    // Each step IS checkpointed: it has two consumers (the piece emit
-    // and the next state), and leaving the chain lazy re-plans every
-    // earlier step's ball-join per union branch — O(maxWordLen²)
-    // SHUFFLE joins in one action, measured 8.5s vs 3.6s for this
-    // checkpointed form on q_unigram_lm at sf0.1 (isolated min-of-3).
-    var state = words.select(col("word"), col("freq"),
-      length(col("word")).as("pos"))
-    val segs = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    for (_ <- 1 to maxW) {
-      val step = state.filter(col("pos") > 0)
-        .join(ball, Seq("word", "pos"))
-        .localCheckpoint()
-      segs += step.select(col("word"), col("freq"),
-        expr("substring(word, pos - jpick + 1, jpick)").as("piece"))
-      state = step.select(col("word"), col("freq"),
-        (col("pos") - col("jpick")).as("pos"))
-    }
-    segs.reduce(_ unionByName _)
+    val df = dpStates(vocab, costs, maxPieceLen, maxWordLen)
+    val walkZero = struct(length(col("word")).as("pos"),
+      expr("cast(array() as array<string>)").as("pcs"))
+    val walk = aggregate(expr(s"sequence(1, $maxWordLen)"), walkZero,
+      (st: org.apache.spark.sql.Column, _: org.apache.spark.sql.Column) => {
+        val pos = st.getField("pos")
+        // index pos+1 is always in [1, len+1]: pos starts at len and
+        // only decreases by the picked j <= pos (ANSI-safe)
+        val jk = element_at(col("__st"), pos + 1).getField("j")
+        when(pos >= 1 && jk >= 1,
+          struct((pos - jk).as("pos"),
+            array_append(st.getField("pcs"),
+              col("word").substr(pos - jk + 1, jk)).as("pcs")))
+          .otherwise(st)
+      })
+    df.select(col("word"), col("freq"),
+      explode(walk.getField("pcs")).as("piece"))
   }
 
   /**
@@ -308,11 +335,59 @@ object Unigram {
    * [[fertility]] under an EXPLICIT piece-cost model ((piece, cost)
    * micro-nats) — the evaluation half of the Kudo loop: re-segment the
    * corpus with a trained or PRUNED vocabulary and read the fertility
-   * delta row-for-row against the candidate-model baseline. The model
-   * must contain every corpus character (all exported models do — the
-   * segmentability floor); words above maxWordLen stay outside the
-   * bounded-DP contract as everywhere else.
+   * delta row-for-row against the candidate-model baseline. Trained /
+   * pruned models keep only pieces USED in some optimal segmentation,
+   * so a character always covered by multi-char pieces may be absent;
+   * words the model cannot segment at all are excluded from both the
+   * fertility numerator and denominator (engine and oracle agree on the
+   * exclusion). Words above maxWordLen stay outside the bounded-DP
+   * contract as everywhere else — see [[fertilityOov]] for the
+   * char-fallback serving path that segments them anyway.
    */
+  /**
+   * TOTAL serving-side fertility — [[fertilityUnder]] plus the OOV
+   * char-level fallback every real corpus needs: a word OUTSIDE the
+   * bounded-DP window (length > maxWordLen) or UNSEGMENTABLE under the
+   * model (a pruned model may lack characters) is served as its
+   * character sequence — n_pieces = length(word), the SentencePiece
+   * byte/char-fallback convention with unknown characters as UNK
+   * pieces — so every word segments and none drops from the report
+   * (the totality contract UnigramSpec pins). The single-char floor
+   * makes the fallback exactly expressible in SQL (`coalesce(dp_count,
+   * len(word))`), so q_unigram_oov oracle-checks this path end to end.
+   * Emits (lang, n_words, n_pieces, n_fallback, fertility) —
+   * n_fallback counts the words served by the fallback, the number
+   * that says how much of the corpus the bounded window actually
+   * covers. Same scale shape as [[fertilityUnder]]: the DP runs on the
+   * bounded word vocabulary once, the corpus pass is one explode +
+   * one broadcast left join.
+   */
+  def fertilityOov(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, costs: DataFrame, maxPieceLen: Int,
+      maxWordLen: Int): DataFrame = {
+    val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
+    val perWord = viterbiCounts(voc, costs, maxPieceLen, maxWordLen)
+      .select(col("word"), col("n_pieces"))
+    Scale.releaseAfterUse(
+      Scale.spreadForCompute(docs.filter(col(textCol).isNotNull),
+          col(idCol))
+        .select(col(langCol).as("lang"),
+          explode(split(col(textCol), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(perWord), Seq("word"), "left")
+        .withColumn("__np",
+          coalesce(col("n_pieces"), length(col("word")).cast("long")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("__np")).as("n_pieces"),
+          sum(when(col("n_pieces").isNull, 1L).otherwise(0L))
+            .as("n_fallback"))
+        .withColumn("fertility",
+          round(col("n_pieces").cast("double") / col("n_words"), 6))
+        .orderBy("lang"),
+      Seq(voc))
+  }
+
   def fertilityUnder(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, costs: DataFrame, maxPieceLen: Int,
       maxWordLen: Int): DataFrame = {

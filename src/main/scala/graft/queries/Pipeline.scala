@@ -180,6 +180,11 @@ object Pipeline {
   private val UniWordLen = 8
   private val UniMinCount = 2L
 
+  /** Serving window for q_unigram_oov — DELIBERATELY below UniWordLen
+    * so the fixture (whose words are all ≤ 8 chars) actually exercises
+    * the out-of-window char fallback, not just the unsegmentable one. */
+  private val UniOovWordLen = 6
+
   /**
    * DuckDB CTE chain for the unigram-LM trainer: the bounded Viterbi DP
    * unrolled position-by-position (b1..bW forward, x/p/s1..W backward —
@@ -193,8 +198,9 @@ object Pipeline {
     * with `pfx` so two models can segment in one statement (the Kudo
     * retrain evaluation). MATERIALIZED throughout — DuckDB inlines
     * plain CTEs and the recursive references blow up file handles. */
-  private def unigramDpCtes(pfx: String, costName: String): String = {
-    val L = UniPieceLen; val W = UniWordLen
+  private def unigramDpCtes(pfx: String, costName: String,
+      w: Int = UniWordLen): String = {
+    val L = UniPieceLen; val W = w
     def bi(i: Int): String = {
       val branches = (1 to math.min(L, i)).map { j =>
         s"""SELECT p.word, p.best + c.cost AS b, $j AS j
@@ -643,9 +649,6 @@ object Pipeline {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
     }),
-    // L5c — deterministic source-INTERLEAVED epoch ordering: docs rank
-    // within their source by the portable md5 permutation, then take the
-    // round-robin global position (rank−1)·n_src + src_idx — the
     // L5h — length-bucketed sequence packing (Sampling.packSequences):
     // the no-split training-batch packer — token counts round up to
     // power-of-two buckets, so each (shard, bucket) packs exactly
@@ -664,6 +667,9 @@ object Pipeline {
         .withColumn("padding", lit(128L) - col("used_tokens"))
         .orderBy("shard", "bucket", "seq_id")
     }),
+    // L5c — deterministic source-INTERLEAVED epoch ordering: docs rank
+    // within their source by the portable md5 permutation, then take the
+    // round-robin global position (rank−1)·n_src + src_idx — the
     // stratified complement to q_shuffle_shards' global permutation:
     // every n_src consecutive positions touch each source at most once,
     // so a training run sees a stable source mix at ANY batch size
@@ -1308,6 +1314,22 @@ object Pipeline {
         .select(col("piece"), col("cost"))
       graft.operators.Unigram.fertilityUnder(docs, "doc_id", "text",
         "lang", pruned, UniPieceLen, UniWordLen)
+    }),
+    // L1y — TOTAL serving fertility with the OOV char fallback
+    // (Unigram.fertilityOov): the PRUNED model served at a window
+    // (UniOovWordLen) below the training window, so both fallback
+    // classes fire — out-of-window words AND words the pruned
+    // vocabulary can no longer segment — each counted as its character
+    // sequence (n_pieces = len, the SentencePiece char-fallback
+    // convention). n_fallback measures how much of the corpus the
+    // bounded window actually covers; no word ever drops.
+    "q_unigram_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pruned = graft.operators.Unigram.trainAndPrune(docs, "text",
+          UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10)
+        .select(col("piece"), col("cost"))
+      graft.operators.Unigram.fertilityOov(docs, "doc_id", "text",
+        "lang", pruned, UniPieceLen, UniOovWordLen)
     }),
     // L1 — deflate-compressibility curation signal (Quality.
     // compressionStats): repetitive text compresses far below prose,
@@ -5020,6 +5042,57 @@ object Pipeline {
            round(cast(sum(p.n_pieces) AS double) / count(*), 6)
              AS fertility
          FROM wl JOIN pw p USING (word)
+         GROUP BY lang ORDER BY lang""",
+    // OOV serving fertility: the retrain chain's pruned model (cost2)
+    // re-segmented through a SHORTER DP window (UniOovWordLen), then a
+    // LEFT join + char-count coalesce — words missing from the DP
+    // output (too long for the window, or unsegmentable under the
+    // pruned vocabulary) fall back to len(word) pieces.
+    "q_unigram_oov" ->
+      s"""$unigramCtes,
+         tcost AS MATERIALIZED (
+           SELECT piece, n,
+             cast(round((cast(ln(t) AS decimal(17,10))
+               - cast(ln(n) AS decimal(17,10))) * 1000000, 0) AS BIGINT)
+               AS cost
+           FROM n1, tot1),
+         ccost AS (
+           SELECT piece AS c, cost AS ccost FROM cost
+           WHERE len(piece) = 1),
+         multiexp AS (
+           SELECT t.piece, t.n, t.cost, substr(t.piece, s, 1) AS c
+           FROM tcost t, generate_series(1, $UniPieceLen) AS gs(s)
+           WHERE len(t.piece) > 1 AND s <= len(t.piece)),
+         multi AS (
+           SELECT piece, n, cost, n * (alt - cost) AS loss FROM (
+             SELECT m.piece, max(m.n) AS n, max(m.cost) AS cost,
+               cast(sum(cc.ccost) AS BIGINT) AS alt
+             FROM multiexp m JOIN ccost cc ON cc.c = m.c
+             GROUP BY m.piece)),
+         kept_multi AS (
+           SELECT piece, n, cost, loss FROM multi
+           ORDER BY loss DESC, piece LIMIT 10),
+         cost2 AS MATERIALIZED (
+           SELECT piece, cost FROM tcost WHERE len(piece) = 1
+           UNION ALL
+           SELECT piece, cost FROM kept_multi),
+         ${unigramDpCtes("v", "cost2", UniOovWordLen)},
+         pw AS (
+           SELECT word, cast(count(*) AS BIGINT) AS n_pieces
+           FROM vseg GROUP BY word),
+         wl AS (
+           SELECT lang, word FROM (
+             SELECT lang, unnest($WsSplitSql) AS word
+             FROM documents WHERE text IS NOT NULL)
+           WHERE len(word) > 0)
+         SELECT lang, cast(count(*) AS BIGINT) AS n_words,
+           cast(sum(coalesce(p.n_pieces, len(word))) AS BIGINT)
+             AS n_pieces,
+           cast(sum(CASE WHEN p.n_pieces IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fallback,
+           round(cast(sum(coalesce(p.n_pieces, len(word))) AS double)
+             / count(*), 6) AS fertility
+         FROM wl LEFT JOIN pw p USING (word)
          GROUP BY lang ORDER BY lang""",
     "q_rep_topgram" ->
       """WITH w AS (

@@ -287,13 +287,22 @@ object Streams {
         (_: (Long, Int), rows: Iterator[Row], state: GroupState[Long]) =>
           var off = state.getOption.getOrElse(0L)
           // in-batch order mirrors packSequences' (tokens desc, key) —
-          // the key tie-break must use the column's NATIVE ordering
-          // (numeric keys compared as strings would put "119" < "17")
+          // the key tie-break must use the column's NATIVE Spark ordering:
+          // numerics numerically (strings would put "119" < "17"), strings
+          // as UNSIGNED UTF-8 BYTES (UTF8String — Java's UTF-16 char '<'
+          // diverges on supplementary planes), everything else (date,
+          // decimal, timestamp) via its own Comparable
           def keyLt(a: Any, b: Any): Boolean = (a, b) match {
             case (x: Number, y: Number) =>
               if (x.longValue() != y.longValue())
                 x.longValue() < y.longValue()
               else x.doubleValue() < y.doubleValue()
+            case (x: String, y: String) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(x)
+                .compareTo(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+            case (x: Comparable[_], y) if x.getClass == y.getClass =>
+              x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
             case (x, y) => String.valueOf(x) < String.valueOf(y)
           }
           val out = rows.toSeq

@@ -87,6 +87,44 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("unsegmentable words drop from counts AND segmentation (the " +
+      "pruned-model serving path — regression for the codegen NPE on " +
+      "null DP states)") {
+    // model lacks 'c'/'d': "cd" and "abcd" are unsegmentable; "ab"
+    // segments as the single piece (150 < 100+100)
+    val vocab = vocabDf(Map("ab" -> 1L, "cd" -> 2L, "abcd" -> 3L))
+    val costs = Map("a" -> 100L, "b" -> 100L, "ab" -> 150L)
+    val counts = Unigram.viterbiCounts(vocab, costDf(costs), 2, 8)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(counts == Map("ab" -> 1L))
+    val seg = Unigram.viterbiSegment(vocab, costDf(costs), 2, 8)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(seg.toSeq == Seq(("ab", "ab")))
+  }
+
+  test("fertilityOov is TOTAL: every word is counted, and both fallback " +
+      "classes (out-of-window, unsegmentable) serve as char sequences") {
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "abcdefghij ab xq", "en")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType))))
+    val costs = Map("a" -> 100L, "b" -> 100L, "ab" -> 150L)
+    val out = Unigram.fertilityOov(docs, "doc_id", "text", "lang",
+        costDf(costs), maxPieceLen = 2, maxWordLen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // "abcdefghij": len 10 > window 4 -> 10 char pieces (fallback);
+    // "ab": in-window, DP picks the single piece (150 < 200);
+    // "xq": in-window but unsegmentable (no x/q costs) -> 2 (fallback)
+    assert(out.toSeq == Seq(("en", 3L, 13L, 2L)))
+  }
+
   test("trainOnce conserves weighted character mass and recounts from " +
       "the segmentation") {
     val docs = strDf("text", Seq("aba ab aba", "ab b ab ab"))
