@@ -388,6 +388,34 @@ object Unigram {
       Seq(voc))
   }
 
+  /**
+   * Per-DOCUMENT total token count under an explicit piece-cost model
+   * with the [[fertilityOov]] char fallback — the tokenize stage of a
+   * training-data PREPARE pipeline (q_prepare_e2e): every document gets
+   * a count (totality), words outside the window or unsegmentable under
+   * the model count their characters. Returns (idCol, n_tokens). Same
+   * scale shape as [[fertilityOov]]: the DP runs once on the bounded
+   * word vocabulary, the corpus pass is one explode + one broadcast
+   * left join + one doc-key aggregate.
+   */
+  def tokenCountsOov(docs: DataFrame, idCol: String, textCol: String,
+      costs: DataFrame, maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
+    val perWord = viterbiCounts(voc, costs, maxPieceLen, maxWordLen)
+      .select(col("word"), col("n_pieces"))
+    Scale.releaseAfterUse(
+      Scale.spreadForCompute(docs.filter(col(textCol).isNotNull),
+          col(idCol))
+        .select(col(idCol),
+          explode(split(col(textCol), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(perWord), Seq("word"), "left")
+        .groupBy(idCol)
+        .agg(sum(coalesce(col("n_pieces"),
+          length(col("word")).cast("long"))).as("n_tokens")),
+      Seq(voc))
+  }
+
   def fertilityUnder(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, costs: DataFrame, maxPieceLen: Int,
       maxWordLen: Int): DataFrame = {

@@ -1772,6 +1772,42 @@ object Pipeline {
         .na.fill(0L, Seq("n_quality", "n_unique", "n_clean"))
         .orderBy("lang")
     }),
+    // Pipeline — the end-to-end training-data PREPARE composition
+    // (q_curate_e2e's sibling for the mechanics half): quality gate
+    // (≥ 20 ws tokens) → unigram TOKENIZE under the trained+pruned
+    // model with the OOV char fallback (total — every gated doc gets a
+    // count) → length-bucketed sequence PACKING (4 shards, capacity
+    // 128) → shard-INTERLEAVED consumption order (sequences rank
+    // within their shard by (bucket, seq_id); global pos round-robins
+    // shards — the q_interleave formula with shards as sources). Each
+    // stage is an already-oracle-checked operator; this query pins
+    // their COMPOSITION end to end, one row per packed sequence in
+    // consumption order. The tokenizer trains on the FULL corpus (a
+    // tokenizer is an upstream artifact shared across data cuts);
+    // the gate decides only which docs get packed.
+    "q_prepare_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val gated = docs.filter(col("text").isNotNull &&
+        size(split(col("text"), "\\s+")) >= 20)
+      val pruned = graft.operators.Unigram.trainAndPrune(docs, "text",
+          UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10)
+        .select(col("piece"), col("cost"))
+      val counts = graft.operators.Unigram.tokenCountsOov(gated,
+        "doc_id", "text", pruned, UniPieceLen, UniOovWordLen)
+      val seqs = graft.operators.Sampling.packSequences(counts, "doc_id",
+          "n_tokens", "prep1", nShards = 4, capacity = 128)
+        .groupBy("shard", "bucket", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("used_tokens"))
+        .withColumn("padding", lit(128L) - col("used_tokens"))
+      val w = Window.partitionBy("shard").orderBy("bucket", "seq_id")
+      seqs.withColumn("srank", row_number().over(w).cast("long"))
+        .withColumn("pos", (col("srank") - 1) * 4 + col("shard"))
+        .select("pos", "shard", "bucket", "seq_id", "n_docs",
+          "used_tokens", "padding")
+        .orderBy("pos")
+    }),
     // Curation — the TRAINED model gate composed into the funnel: NB
     // log-odds weights (trained in-plan, never collected) gate docs at
     // margin ≥ 0, survivors dedup by canonical fingerprint, per-lang
@@ -1981,6 +2017,38 @@ object Pipeline {
     "q_ivf_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val adc = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids, nprobe = 4,
+        topK = 10, m = 4, k = 8, dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      exact.join(adc.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
+          "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / 10).as("recall"))
+        .orderBy("q_id")
+    }),
+    // L2 — OPQ-STYLE ROTATED IVF-PQ recall (Opq.rotate ∘ the
+    // q_ivf_pq_recall pipeline): the Walsh–Hadamard rotation spreads
+    // the corpus' dominant-direction energy evenly across the m=4 PQ
+    // subspaces BEFORE the codebooks see it — the standard recall lift
+    // at equal code budget (measured: mean recall@10 0.36 → 0.42 at
+    // sf0.01, 0.26 → 0.30 at sf0.1, same nprobe=4). Exact-integer WHT
+    // over micro-quantized vectors keeps the whole rotated pipeline
+    // bit-portable; the exact-cosine truth is computed in the rotated
+    // space, which the isometry law (OpqSpec) pins equal to the
+    // original space's ranking.
+    "q_opq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.operators.Opq.rotate(
+            VectorOps.asDouble(col("embedding")), 64).as("emb"))
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
       val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
@@ -2815,8 +2883,29 @@ object Pipeline {
    * (q_id, vec_id, ad, rn) — consumers cut at their candidate depth.
    * `e` (embeddings as DOUBLE[]) is also the base for [[embExactCte]].
    */
-  private val IvfPqAdcCtes: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private val IvfPqAdcCtes: String = ivfPqAdcCtes(
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)")
+
+  /** The Walsh–Hadamard-rotated `e` CTE (q_opq_recall): micro-quantized
+    * integers, the exact ± sums via bit_count parity — addition-order
+    * free, so a plain SUM reproduces the engine's integer butterfly —
+    * and the one fixed-order rescale by √64·10⁶ (Opq.rotate's recipe). */
+  private val OpqRotatedECtes: String =
+    """qv AS (
+         SELECT vec_id, gs.i AS pos,
+           CAST(round(embedding[gs.i] * 1000000, 0) AS BIGINT) AS q
+         FROM embeddings, generate_series(1, 64) AS gs(i)),
+       rotl AS (
+         SELECT v.vec_id, i.i AS pos,
+           sum(CASE WHEN bit_count((i.i - 1) & (v.pos - 1)) % 2 = 0
+               THEN v.q ELSE -v.q END) AS rw
+         FROM qv v, generate_series(1, 64) AS i(i)
+         GROUP BY v.vec_id, i.i),
+       e AS (SELECT vec_id, list(rw / 8000000.0 ORDER BY pos) AS v
+             FROM rotl GROUP BY vec_id)"""
+
+  private def ivfPqAdcCtes(eDef: String): String =
+    s"""WITH $eDef,
        c AS (SELECT vec_id AS cid, v AS cv,
                list_dot_product(v, v) AS cnorm2
              FROM e WHERE vec_id < 16),
@@ -3104,6 +3193,14 @@ object Pipeline {
     // the q_pq_recall shape with the probe-bounded search substituted.
     "q_ivf_pq_recall" ->
       s"""$IvfPqAdcCtes,
+          ${embExactCte(5, 10)},
+          adc AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 10)
+          ${recallTailSql("adc", 10)}""",
+    // recall@10 of the SAME pipeline over Walsh–Hadamard-rotated
+    // vectors — read against q_ivf_pq_recall at equal nprobe, the
+    // delta is the OPQ-style rotation's lift.
+    "q_opq_recall" ->
+      s"""${ivfPqAdcCtes(OpqRotatedECtes)},
           ${embExactCte(5, 10)},
           adc AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 10)
           ${recallTailSql("adc", 10)}""",
@@ -5094,6 +5191,85 @@ object Pipeline {
              / count(*), 6) AS fertility
          FROM wl LEFT JOIN pw p USING (word)
          GROUP BY lang ORDER BY lang""",
+    // Prepare composition: the q_unigram_oov model+serving CTEs feed a
+    // per-DOC token count over the gated corpus, then the q_seq_pack
+    // packing formulas (salt 'prep1') and the q_interleave position
+    // formula with shards as sources.
+    "q_prepare_e2e" ->
+      s"""$unigramCtes,
+         tcost AS MATERIALIZED (
+           SELECT piece, n,
+             cast(round((cast(ln(t) AS decimal(17,10))
+               - cast(ln(n) AS decimal(17,10))) * 1000000, 0) AS BIGINT)
+               AS cost
+           FROM n1, tot1),
+         ccost AS (
+           SELECT piece AS c, cost AS ccost FROM cost
+           WHERE len(piece) = 1),
+         multiexp AS (
+           SELECT t.piece, t.n, t.cost, substr(t.piece, s, 1) AS c
+           FROM tcost t, generate_series(1, $UniPieceLen) AS gs(s)
+           WHERE len(t.piece) > 1 AND s <= len(t.piece)),
+         multi AS (
+           SELECT piece, n, cost, n * (alt - cost) AS loss FROM (
+             SELECT m.piece, max(m.n) AS n, max(m.cost) AS cost,
+               cast(sum(cc.ccost) AS BIGINT) AS alt
+             FROM multiexp m JOIN ccost cc ON cc.c = m.c
+             GROUP BY m.piece)),
+         kept_multi AS (
+           SELECT piece, n, cost, loss FROM multi
+           ORDER BY loss DESC, piece LIMIT 10),
+         cost2 AS MATERIALIZED (
+           SELECT piece, cost FROM tcost WHERE len(piece) = 1
+           UNION ALL
+           SELECT piece, cost FROM kept_multi),
+         ${unigramDpCtes("v", "cost2", UniOovWordLen)},
+         pw AS (
+           SELECT word, cast(count(*) AS BIGINT) AS n_pieces
+           FROM vseg GROUP BY word),
+         gated AS (
+           SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL
+             AND len(string_split_regex(text, '\\s+')) >= 20),
+         dw AS (
+           SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\\s+'))
+               AS word
+             FROM gated)
+           WHERE len(word) > 0),
+         tc AS (
+           SELECT doc_id,
+             cast(sum(coalesce(p.n_pieces, len(word))) AS BIGINT)
+               AS n_tokens
+           FROM dw LEFT JOIN pw p USING (word)
+           GROUP BY doc_id),
+         pk AS (
+           SELECT doc_id, n_tokens,
+             ('0x' || substr(md5(concat('prep1', '|',
+               cast(doc_id AS VARCHAR))), 1, 15))::BIGINT % 4 AS shard,
+             CASE WHEN n_tokens <= 1 THEN 1 WHEN n_tokens <= 2 THEN 2
+               WHEN n_tokens <= 4 THEN 4 WHEN n_tokens <= 8 THEN 8
+               WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+               WHEN n_tokens <= 64 THEN 64 ELSE 128 END AS bucket
+           FROM tc WHERE n_tokens >= 1 AND n_tokens <= 128),
+         pr AS (
+           SELECT shard, bucket, n_tokens,
+             row_number() OVER (PARTITION BY shard, bucket
+               ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+           FROM pk),
+         sq AS (
+           SELECT shard, bucket, (rn * bucket) // 128 AS seq_id,
+             cast(count(*) AS BIGINT) AS n_docs,
+             cast(sum(n_tokens) AS BIGINT) AS used_tokens,
+             cast(128 - sum(n_tokens) AS BIGINT) AS padding
+           FROM pr GROUP BY shard, bucket, (rn * bucket) // 128)
+         SELECT ((srank - 1) * 4 + shard)::bigint AS pos, shard, bucket,
+           seq_id, n_docs, used_tokens, padding FROM (
+           SELECT shard, bucket, seq_id, n_docs, used_tokens, padding,
+             row_number() OVER (PARTITION BY shard
+               ORDER BY bucket, seq_id) AS srank
+           FROM sq)
+         ORDER BY pos""",
     "q_rep_topgram" ->
       """WITH w AS (
            SELECT doc_id, length(replace(text, ' ', '')) AS wc,

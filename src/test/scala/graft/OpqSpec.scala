@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Opq, Similarity}
+import org.apache.spark.sql.functions._
+
+/** OPQ-style Walsh–Hadamard rotation (operators/Opq.scala): the sign
+  * matrix, the exact-integer involution, and the isometry law that
+  * makes the rotated pipeline's truth side equal the original's. */
+class OpqSpec extends SparkSpec {
+
+  private def vecDf(rows: Seq[(Long, Seq[Double])]) = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v) }: _*),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("emb", ArrayType(DoubleType)))))
+  }
+
+  test("rotate matches the explicit (-1)^popcount((i-1)&(j-1)) matrix " +
+      "at dim 4") {
+    val v = Seq(1.0, 2.0, 3.0, 4.0)
+    val got = vecDf(Seq((0L, v)))
+      .select(Opq.rotate(col("emb"), 4).as("r"))
+      .collect()(0).getSeq[Double](0)
+    val s = 2.0 * 1e6 // sqrt(4) * quantization scale
+    val q = v.map(x => math.round(x * 1e6))
+    val want = (0 until 4).map { i =>
+      (0 until 4).map { j =>
+        val sign = if (Integer.bitCount(i & j) % 2 == 0) 1L else -1L
+        sign * q(j)
+      }.sum / s
+    }
+    assert(got == want)
+  }
+
+  test("involution: rotating twice recovers the vector up to the two " +
+      "quantizations (H·H = dim·I)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 8L).map(i =>
+      (i, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val back = vecDf(rows)
+      .select(col("vec_id"),
+        Opq.rotate(Opq.rotate(col("emb"), 16), 16).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (id, v) =>
+      v.zip(back(id)).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 2e-6, s"vec $id: $x vs $y")
+      }
+    }
+  }
+
+  test("isometry: norms are preserved and the exact cosine top-k in " +
+      "rotated space equals the original space's") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 30L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val emb = vecDf(rows)
+    val rot = emb.select(col("vec_id"), Opq.rotate(col("emb"), 8).as("emb"))
+    // norm preservation (Parseval) within quantization noise
+    val norms = emb.join(rot.withColumnRenamed("emb", "remb"), "vec_id")
+      .select(
+        aggregate(col("emb"), lit(0.0), (a, x) => a + x * x).as("n"),
+        aggregate(col("remb"), lit(0.0), (a, x) => a + x * x).as("rn"))
+      .collect()
+    norms.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-4))
+    // ranking preservation: exact top-5 neighbour sets agree per query
+    def top(df: org.apache.spark.sql.DataFrame) = {
+      val qs = df.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.exactTopK(df, qs, 5)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(top(emb) == top(rot))
+  }
+}

@@ -241,4 +241,37 @@ class SamplingSpec extends SparkSpec {
         }
       }
   }
+
+  test("prepare composition (q_prepare_e2e): gate monotone, packing " +
+      "exact, positions round-robin the shards") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_prepare_e2e")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    // packing accounting: used + padding = capacity, bucket capacity kept
+    out.foreach { case (_, _, b, _, nDocs, used, pad) =>
+      assert(used + pad == 128L && pad >= 0L, s"padding accounting: $used/$pad")
+      assert(nDocs >= 1L && nDocs <= 128L / b, s"capacity: $nDocs docs at bucket $b")
+    }
+    // interleave: pos unique; within a shard pos ≡ shard (mod 4) and the
+    // ranks are contiguous from 0
+    assert(out.map(_._1).distinct.length == out.length, "pos not unique")
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ranks = rows.map { case (pos, _, _, _, _, _, _) =>
+        assert(pos % 4 == shard, s"pos $pos off shard $shard's comb")
+        pos / 4
+      }.sorted.toSeq
+      assert(ranks == (0L until rows.length.toLong),
+        s"shard $shard ranks not contiguous")
+    }
+    // gate monotone: packed docs <= gated docs <= all docs
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nGated = docs.filter(col("text").isNotNull &&
+      size(split(col("text"), "\\s+")) >= 20).count()
+    val nPacked = out.map(_._5).sum
+    assert(nPacked <= nGated && nGated <= docs.count(),
+      s"funnel: $nPacked packed, $nGated gated")
+  }
 }
