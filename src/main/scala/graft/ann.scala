@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
  *
  *   graft.Ann --build  --data <embeddings.parquet> --out <indexDir>
  *             [--k 16] [--iters 2] [--m 4] [--codes 8] [--dim 64]
- *             [--id vec_id] [--vec embedding] [--trained]
+ *             [--id vec_id] [--vec embedding] [--trained] [--rotate]
  *   graft.Ann --search --index <indexDir> --data <queries.parquet>
  *             --out <resultDir> [--topk 10] [--nprobe 4]
  *             [--id vec_id] [--vec embedding] [--no-self-filter]
@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
  * queries ARE corpus rows). When the query file's id space is unrelated
  * to the corpus, pass --no-self-filter or a numeric collision silently
  * drops a true neighbor.
+ *
+ * --rotate builds the index in the Walsh–Hadamard-rotated space
+ * ([[graft.operators.Opq]] — the OPQ-style recall lift at equal code
+ * budget, measured by q_opq_recall). The rotation is recorded in the
+ * meta, and --search/--append/--refine rotate their inputs to match
+ * automatically — a rotated artifact serves plain queries with no
+ * caller-side changes (cosine is isometric under the rotation).
  *
  * --refine c turns on the FAISS IndexRefine serving shape: ADC proposes
  * the top-c candidates per query from codes only, then the refine stage
@@ -70,8 +77,15 @@ object Ann {
       lit(s"$what: vector dim must be $dim, got "),
       size(vec).cast("string"))))
 
+  /** `rot` = 1 when the index lives in the Walsh–Hadamard-rotated space
+    * ([[graft.operators.Opq.rotate]], --rotate at build): every vector —
+    * build corpus, appended rows, serve-time queries, refine raws — is
+    * rotated with the SAME deterministic matrix before touching the
+    * quantizers, so the artifact stays self-describing and a
+    * plain-space search against a rotated index is impossible by
+    * construction. Absent in pre-rotation metas (reads as 0). */
   final case class Meta(k: Int, iters: Int, m: Int, codes: Int, dim: Int,
-      idCol: String)
+      idCol: String, rot: Int = 0)
 
   // idCol round-trips through the hand-rolled JSON below unescaped, so it
   // must be a plain identifier — rejected HERE, at build time, with a clear
@@ -83,7 +97,7 @@ object Ann {
       s"idCol must match [A-Za-z_][A-Za-z0-9_]*: '${m.idCol}'")
     val json =
       s"""{"k":${m.k},"iters":${m.iters},"m":${m.m},"codes":${m.codes},""" +
-        s""""dim":${m.dim},"idCol":"${m.idCol}"}"""
+        s""""dim":${m.dim},"rot":${m.rot},"idCol":"${m.idCol}"}"""
     val p = java.nio.file.Paths.get(dir, MetaFile)
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))
@@ -100,9 +114,18 @@ object Ann {
     def str(k: String) =
       (""""""" + k + """":"([^"]*)"""").r.findFirstMatchIn(s)
         .getOrElse(miss(k)).group(1)
+    val rot = s""""rot":(-?\\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(0)
     Meta(int("k"), int("iters"), int("m"), int("codes"), int("dim"),
-      str("idCol"))
+      str("idCol"), rot)
   }
+
+  /** Apply the index's declared space to a validated vector column:
+    * identity for a plain index, [[graft.operators.Opq.rotate]] when
+    * the meta says the quantizers were trained in rotated space. */
+  private def toIndexSpace(vec: org.apache.spark.sql.Column, dim: Int,
+      rot: Int): org.apache.spark.sql.Column =
+    if (rot == 0) vec else graft.operators.Opq.rotate(vec, dim)
 
   /** Build the index directory from an embeddings parquet. Returns the
     * number of indexed vectors. `trained = true` uses per-subspace
@@ -113,11 +136,14 @@ object Ann {
     * oracle-checked queries use). */
   def build(spark: SparkSession, dataPath: String, outDir: String,
       k: Int, iters: Int, m: Int, codes: Int, dim: Int,
-      idCol: String, vecCol: String, trained: Boolean = false): Long = {
+      idCol: String, vecCol: String, trained: Boolean = false,
+      rotate: Boolean = false): Long = {
+    val rot = if (rotate) 1 else 0
     val emb = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
-      .withColumn("emb", requireDim(col("emb"), dim, "Ann --build"))
+      .withColumn("emb",
+        toIndexSpace(requireDim(col("emb"), dim, "Ann --build"), dim, rot))
     val centroids = Ivf.train(emb, idCol, "emb", k, iters)
     val (codesDf, cb) =
       if (!trained) {
@@ -156,7 +182,7 @@ object Ann {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/codebook.parquet")
     codesDf.write.mode("overwrite").parquet(s"$outDir/codes.parquet")
-    writeMeta(outDir, Meta(k, iters, m, codes, dim, idCol))
+    writeMeta(outDir, Meta(k, iters, m, codes, dim, idCol, rot))
     spark.read.parquet(s"$outDir/codes.parquet")
       .select(col(idCol)).distinct().count()
   }
@@ -180,7 +206,9 @@ object Ann {
     val fresh = spark.read.parquet(dataPath)
       .select(col(meta.idCol), VectorOps.asDouble(col(vecCol)).as("__e"))
       .filter(col("__e").isNotNull && size(col("__e")) > 0)
-      .withColumn("__e", requireDim(col("__e"), meta.dim, "Ann --append"))
+      .withColumn("__e", toIndexSpace(
+        requireDim(col("__e"), meta.dim, "Ann --append"),
+        meta.dim, meta.rot))
       .withColumn("cell", Ivf.nearestCentroid(col("__e"), centroids))
     val codes = Pq.encodeWith(fresh, meta.idCol, "__e", books)
       .join(fresh.select(col(meta.idCol), col("cell")), Seq(meta.idCol))
@@ -215,7 +243,9 @@ object Ann {
       .select(col(qIdCol).as("q_id"),
         VectorOps.asDouble(col(qVecCol)).as("q_emb"))
       .filter(col("q_emb").isNotNull && size(col("q_emb")) > 0)
-      .withColumn("q_emb", requireDim(col("q_emb"), meta.dim, "Ann --search"))
+      .withColumn("q_emb", toIndexSpace(
+        requireDim(col("q_emb"), meta.dim, "Ann --search"),
+        meta.dim, meta.rot))
     val adcK = refine.map(_._1).getOrElse(topK)
     require(adcK >= topK,
       s"--refine candidate depth $adcK must be >= --topk $topK")
@@ -228,6 +258,12 @@ object Ann {
           .select(col(meta.idCol),
             VectorOps.asDouble(col(qVecCol)).as("__remb"))
           .filter(col("__remb").isNotNull && size(col("__remb")) > 0)
+          // refine compares against the ALREADY-ROTATED queries, so the
+          // raw store enters the same space (cosine is isometric under
+          // the rotation — OpqSpec — so the refined ranking is the
+          // plain-space ranking either way)
+          .withColumn("__remb",
+            toIndexSpace(col("__remb"), meta.dim, meta.rot))
         graft.operators.Similarity.refineTopK(
             adc.select(col("q_id"), col(meta.idCol), col("adist")),
             raw, qs, topK,
@@ -260,7 +296,7 @@ object Ann {
           intOpt("k", 16), intOpt("iters", 2), intOpt("m", 4),
           intOpt("codes", 8), intOpt("dim", 64),
           opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"),
-          trained = flags("trained"))
+          trained = flags("trained"), rotate = flags("rotate"))
         println(s"""{"built":$n,"index":"${opt("out").get}"}""")
       } else if (flags("search")) {
         val refine = opt("refine").map(c => (c.toInt,

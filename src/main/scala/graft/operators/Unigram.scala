@@ -254,8 +254,14 @@ object Unigram {
    * full Kudo loop uses (train, prune, re-train against the survivors).
    */
   def trainAndPrune(docs: DataFrame, textCol: String, maxPieceLen: Int,
-      maxWordLen: Int, minCount: Long, keepPieces: Int): DataFrame = {
-    val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
+      maxWordLen: Int, minCount: Long, keepPieces: Int,
+      vocab: Option[DataFrame] = None): DataFrame = {
+    // `vocab` = an already-persisted boundedVocab(docs, textCol,
+    // maxWordLen) when the CALLER also consumes it (the Kudo loop
+    // re-segments with the same vocabulary) — one corpus scan instead
+    // of two; ownership (the release hook) stays with the caller then
+    val voc = vocab.getOrElse(
+      boundedVocab(docs, textCol, maxWordLen).persist(Lvl))
     val cand = candidatePieces(voc, maxPieceLen, minCount).persist(Lvl)
     val cc = pieceCosts(cand)
     val seg = viterbiSegment(voc, cc, maxPieceLen, maxWordLen)
@@ -267,7 +273,7 @@ object Unigram {
       .select(col("piece"), col("n"), col("cost"))
       .localCheckpoint()
     Scale.releaseAfterUse(pruneVocab(trained, cc, keepPieces),
-      Seq(voc, cand))
+      if (vocab.isEmpty) Seq(voc, cand) else Seq(cand))
   }
 
   /**
@@ -327,7 +333,7 @@ object Unigram {
     val cand = candidatePieces(voc, maxPieceLen, minCount).persist(Lvl)
     Scale.releaseAfterUse(
       fertilityUnder(docs, idCol, textCol, langCol, pieceCosts(cand),
-        maxPieceLen, maxWordLen),
+        maxPieceLen, maxWordLen, vocab = Some(voc)),
       Seq(voc, cand))
   }
 
@@ -418,8 +424,9 @@ object Unigram {
 
   def fertilityUnder(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, costs: DataFrame, maxPieceLen: Int,
-      maxWordLen: Int): DataFrame = {
-    val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
+      maxWordLen: Int, vocab: Option[DataFrame] = None): DataFrame = {
+    val voc = vocab.getOrElse(
+      boundedVocab(docs, textCol, maxWordLen).persist(Lvl))
     // counts only — the forward-DP np field, no backward walk
     val perWord = viterbiCounts(voc, costs, maxPieceLen, maxWordLen)
       .select(col("word"), col("n_pieces"))
@@ -437,6 +444,6 @@ object Unigram {
         .withColumn("fertility",
           round(col("n_pieces").cast("double") / col("n_words"), 6))
         .orderBy("lang"),
-      Seq(voc))
+      if (vocab.isEmpty) Seq(voc) else Seq.empty)
   }
 }

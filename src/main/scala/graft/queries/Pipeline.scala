@@ -1309,11 +1309,19 @@ object Pipeline {
     // bounded DP, pruned cost model.
     "q_unigram_retrain" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // ONE persisted vocabulary feeds both the trainer and the
+      // re-segmentation — the Kudo loop touches the corpus word-agg once
+      val voc = graft.operators.Unigram.boundedVocab(docs, "text",
+          UniWordLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pruned = graft.operators.Unigram.trainAndPrune(docs, "text",
-          UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10)
+          UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10,
+          vocab = Some(voc))
         .select(col("piece"), col("cost"))
-      graft.operators.Unigram.fertilityUnder(docs, "doc_id", "text",
-        "lang", pruned, UniPieceLen, UniWordLen)
+      graft.operators.Scale.releaseAfterUse(
+        graft.operators.Unigram.fertilityUnder(docs, "doc_id", "text",
+          "lang", pruned, UniPieceLen, UniWordLen, vocab = Some(voc)),
+        Seq(voc))
     }),
     // L1y — TOTAL serving fertility with the OOV char fallback
     // (Unigram.fertilityOov): the PRUNED model served at a window

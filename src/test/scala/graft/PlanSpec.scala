@@ -354,11 +354,15 @@ class PlanSpec extends SparkSpec {
       // q_unigram_lm's micro-nat normalizer is a one-row total over the
       // ALREADY-REDUCED piece-count table (q_pmi's corpus-statistics
       // shape), broadcast back; candidate counting, both Viterbi passes,
-      // and the EM recount all stay distributed (per-round frames are
-      // vocabulary-scale localCheckpoints). q_unigram_prune adds the
-      // candidate-stage normalizer (same shape) plus a 10-row
-      // TakeOrdered head — piece-model scale, never corpus scale.
-      "q_unigram_lm", "q_unigram_prune", "q_unigram_retrain")
+      // and the EM recount all stay distributed. q_unigram_prune adds
+      // the candidate-stage normalizer (same shape) plus a 10-row
+      // TakeOrdered head — piece-model scale, never corpus scale. The
+      // other unigram consumers carry the SAME bounded normalizer: the
+      // r11 round-based DP hid it behind per-round localCheckpoints
+      // (plan truncation), the r12 fused DP keeps one visible lineage —
+      // the exchange is piece-model-scale either way.
+      "q_unigram_lm", "q_unigram_prune", "q_unigram_retrain",
+      "q_unigram_fertility", "q_unigram_oov", "q_prepare_e2e")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
