@@ -693,4 +693,29 @@ object Curation {
         round(col("__s").cast("double"), 6).as("log_w")),
       Seq(docBuckets))
   }
+
+  /**
+   * SEMANTIC benchmark decontamination — the embedding-space complement
+   * of the n-gram [[contaminated]] scan (modern eval hygiene runs both:
+   * n-gram overlap catches verbatim leaks, embedding similarity catches
+   * paraphrased/translated ones): every train row's maximum cosine to
+   * ANY benchmark embedding, as (idCol, max_cos); the caller thresholds
+   * and reports. Exact path: the benchmark side broadcasts (eval suites
+   * are bounded by construction — thousands of rows, not corpus-scale)
+   * and each train vector scores against it in one scan-local pass
+   * (`crossJoin(broadcast)` plans a BroadcastNestedLoopJoin, never a
+   * CartesianProduct); max over doubles is order-free and the cosine is
+   * the bit-portable sequential dot, so the whole scan oracle-checks.
+   * At 100 TB with a LARGE benchmark side, the IVF-cell-bounded
+   * variant ([[Dedup.semanticDedup]]'s candidate shape) is the
+   * documented swap — same verdict, bounded pair work.
+   */
+  def semanticContamination(train: DataFrame, bench: DataFrame,
+      idCol: String, embCol: String): DataFrame =
+    train.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(bench.select(col(embCol).as("__bemb"))))
+      .withColumn("__cos",
+        graft.functions.VectorOps.cosine(col(embCol), col("__bemb")))
+      .groupBy(idCol)
+      .agg(max(col("__cos")).as("max_cos"))
 }

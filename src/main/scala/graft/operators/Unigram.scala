@@ -370,8 +370,14 @@ object Unigram {
    */
   def fertilityOov(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, costs: DataFrame, maxPieceLen: Int,
-      maxWordLen: Int): DataFrame = {
-    val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
+      maxWordLen: Int, vocab: Option[DataFrame] = None): DataFrame = {
+    // `vocab` may be any SUPERSET word frame (e.g. the trainer's
+    // persisted window-8 vocabulary when serving at window 6): the DP
+    // depends only on the word SET within the window — dpStates
+    // re-filters to maxWordLen, per-word counts are model-determined,
+    // and the corpus-side left join picks only the words it meets
+    val voc = vocab.getOrElse(
+      boundedVocab(docs, textCol, maxWordLen).persist(Lvl))
     val perWord = viterbiCounts(voc, costs, maxPieceLen, maxWordLen)
       .select(col("word"), col("n_pieces"))
     Scale.releaseAfterUse(
@@ -391,7 +397,7 @@ object Unigram {
         .withColumn("fertility",
           round(col("n_pieces").cast("double") / col("n_words"), 6))
         .orderBy("lang"),
-      Seq(voc))
+      if (vocab.isEmpty) Seq(voc) else Seq.empty)
   }
 
   /**
@@ -405,8 +411,11 @@ object Unigram {
    * left join + one doc-key aggregate.
    */
   def tokenCountsOov(docs: DataFrame, idCol: String, textCol: String,
-      costs: DataFrame, maxPieceLen: Int, maxWordLen: Int): DataFrame = {
-    val voc = boundedVocab(docs, textCol, maxWordLen).persist(Lvl)
+      costs: DataFrame, maxPieceLen: Int, maxWordLen: Int,
+      vocab: Option[DataFrame] = None): DataFrame = {
+    // same superset-vocab contract as [[fertilityOov]]
+    val voc = vocab.getOrElse(
+      boundedVocab(docs, textCol, maxWordLen).persist(Lvl))
     val perWord = viterbiCounts(voc, costs, maxPieceLen, maxWordLen)
       .select(col("word"), col("n_pieces"))
     Scale.releaseAfterUse(
@@ -419,7 +428,7 @@ object Unigram {
         .groupBy(idCol)
         .agg(sum(coalesce(col("n_pieces"),
           length(col("word")).cast("long"))).as("n_tokens")),
-      Seq(voc))
+      if (vocab.isEmpty) Seq(voc) else Seq.empty)
   }
 
   def fertilityUnder(docs: DataFrame, idCol: String, textCol: String,

@@ -51,17 +51,21 @@ object Prepare {
       size(split(col("text"), "\\s+")) >= minTokens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nGated = gated.count()
+    // the trainer's full-corpus vocabulary is a SUPERSET of the gated
+    // corpus' words, so both serving passes below reuse it
+    val voc = Unigram.boundedVocab(docs, "text", wordLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = Unigram.trainAndPrune(docs, "text", pieceLen, wordLen,
-        minCount, keepPieces)
+        minCount, keepPieces, vocab = Some(voc))
       .select(col("piece"), col("cost"))
       .localCheckpoint() // model-scale; three consumers below
     model.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/model.parquet")
     // fallback share: the coverage number for the (window, model) pair
     val fb = Unigram.fertilityOov(gated, "doc_id", "text", "lang",
-      model, pieceLen, window)
+      model, pieceLen, window, vocab = Some(voc))
     val counts = Unigram.tokenCountsOov(gated, "doc_id", "text", model,
-        pieceLen, window)
+        pieceLen, window, vocab = Some(voc))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val packed = Sampling.packSequences(counts, "doc_id", "n_tokens",
       salt, shards, capacity)
@@ -92,7 +96,7 @@ object Prepare {
       (if (r.isNullAt(0)) 0L else r.getLong(0),
         if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    counts.unpersist(); gated.unpersist()
+    counts.unpersist(); gated.unpersist(); voc.unpersist()
     Report(nDocs, nGated, nPacked, nOversize, nSeq, pad, nF, nW)
   }
 

@@ -1333,11 +1333,19 @@ object Pipeline {
     // bounded window actually covers; no word ever drops.
     "q_unigram_oov" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // ONE persisted training-window vocabulary serves both the trainer
+      // and the window-6 serving DP (superset-vocab contract)
+      val voc = graft.operators.Unigram.boundedVocab(docs, "text",
+          UniWordLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pruned = graft.operators.Unigram.trainAndPrune(docs, "text",
-          UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10)
+          UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10,
+          vocab = Some(voc))
         .select(col("piece"), col("cost"))
-      graft.operators.Unigram.fertilityOov(docs, "doc_id", "text",
-        "lang", pruned, UniPieceLen, UniOovWordLen)
+      graft.operators.Scale.releaseAfterUse(
+        graft.operators.Unigram.fertilityOov(docs, "doc_id", "text",
+          "lang", pruned, UniPieceLen, UniOovWordLen, vocab = Some(voc)),
+        Seq(voc))
     }),
     // L1 — deflate-compressibility curation signal (Quality.
     // compressionStats): repetitive text compresses far below prose,
@@ -1653,6 +1661,35 @@ object Pipeline {
         "doc_id", "text", n = 4)
         .orderBy("doc_id")
     }),
+    // Curation — the semantic screen as a per-language FUNNEL
+    // (Curation.semanticContamination): every train doc's max cosine to
+    // any src19 benchmark embedding, thresholded into per-lang counts —
+    // the reporting twin of q_decontaminate_semantic's per-vector rows
+    // (that query keeps the %50 bench slice and the nearest-b_id
+    // verdict; this one keys the funnel on the q_curate_e2e src19
+    // eval-suite convention). τ = 0.40 is calibrated to the
+    // fixture's similarity range (max cross-source cosine ≈ 0.44; a
+    // production run against true duplicates sits at ≥ 0.95); the
+    // benchmark side broadcasts, max-cos is order-free, and the cosine
+    // is the bit-portable sequential dot, so the verdict oracle-checks.
+    "q_decontaminate_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          VectorOps.asDouble(col("embedding")).as("emb"))
+      val bench = docs.filter(col("source") === "src19").join(emb, "doc_id")
+      val train = docs.filter(col("source") =!= "src19").join(emb, "doc_id")
+      val mc = Curation.semanticContamination(train, bench, "doc_id", "emb")
+      train.select("doc_id", "lang").join(mc, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("max_cos") >= 0.40, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          round(max(col("max_cos")), 6).as("max_cos"))
+        .withColumn("n_clean", col("n_train") - col("n_contaminated"))
+        .orderBy("lang")
+    }),
     // Curation — cross-document boilerplate: 10-word chunks occurring in
     // more than one distinct doc (headers/footers/license blocks).
     "q_dedup_chunk" -> ((s, dir) => {
@@ -1798,11 +1835,18 @@ object Pipeline {
       val docs = t(s, dir, "documents")
       val gated = docs.filter(col("text").isNotNull &&
         size(split(col("text"), "\\s+")) >= 20)
+      // the trainer's full-corpus vocabulary is a SUPERSET of the gated
+      // corpus' words, so the serving DP reuses it (one corpus word-agg)
+      val voc = graft.operators.Unigram.boundedVocab(docs, "text",
+          UniWordLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pruned = graft.operators.Unigram.trainAndPrune(docs, "text",
-          UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10)
+          UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10,
+          vocab = Some(voc))
         .select(col("piece"), col("cost"))
       val counts = graft.operators.Unigram.tokenCountsOov(gated,
-        "doc_id", "text", pruned, UniPieceLen, UniOovWordLen)
+        "doc_id", "text", pruned, UniPieceLen, UniOovWordLen,
+        vocab = Some(voc))
       val seqs = graft.operators.Sampling.packSequences(counts, "doc_id",
           "n_tokens", "prep1", nShards = 4, capacity = 128)
         .groupBy("shard", "bucket", "seq_id")
@@ -1810,11 +1854,13 @@ object Pipeline {
           sum(col("n_tokens")).as("used_tokens"))
         .withColumn("padding", lit(128L) - col("used_tokens"))
       val w = Window.partitionBy("shard").orderBy("bucket", "seq_id")
-      seqs.withColumn("srank", row_number().over(w).cast("long"))
-        .withColumn("pos", (col("srank") - 1) * 4 + col("shard"))
-        .select("pos", "shard", "bucket", "seq_id", "n_docs",
-          "used_tokens", "padding")
-        .orderBy("pos")
+      graft.operators.Scale.releaseAfterUse(
+        seqs.withColumn("srank", row_number().over(w).cast("long"))
+          .withColumn("pos", (col("srank") - 1) * 4 + col("shard"))
+          .select("pos", "shard", "bucket", "seq_id", "n_docs",
+            "used_tokens", "padding")
+          .orderBy("pos"),
+        Seq(voc))
     }),
     // Curation — the TRAINED model gate composed into the funnel: NB
     // log-odds weights (trained in-plan, never collected) gate docs at
@@ -2073,6 +2119,28 @@ object Pipeline {
         .select(col("q_id"), col("n_hit"),
           (col("n_hit").cast("double") / 10).as("recall"))
         .orderBy("q_id")
+    }),
+    // L2 — the rotation's effect as a per-subspace number
+    // (q_opq_recall's measurement twin): total PQ quantization error
+    // per subspace, plain vs rotated. PQ quantizes subspaces
+    // independently, so this row shows how the rotation REDISTRIBUTES
+    // error across them (total energy is preserved — the isometry law;
+    // at sf0.01 the redistribution drops 3 of 4 subspaces and the
+    // recall lift follows). Decimal error sums (each per-row err is a
+    // once-rounded double) keep both columns bit-portable, so the whole
+    // comparison oracle-checks.
+    "q_opq_balance" -> ((s, dir) => {
+      val embP = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val embR = embP.select(col("vec_id"),
+        graft.operators.Opq.rotate(col("emb"), 64).as("emb"))
+      def byJ(e: DataFrame, out: String) =
+        graft.operators.Pq.encodeFixed(e, "vec_id", "emb",
+            m = 4, k = 8, dim = 64)
+          .groupBy("j")
+          .agg(sum(col("err").cast("decimal(28,10)")).as(out))
+      byJ(embP, "err_plain").join(byJ(embR, "err_rot"), Seq("j"))
+        .orderBy("j")
     }),
     // L2 — IVF-PQ + exact refine (Similarity.refineTopK): the FULL FAISS
     // serving shape — ADC proposes top-20 per query from codes only, the
@@ -2901,7 +2969,7 @@ object Pipeline {
   private val OpqRotatedECtes: String =
     """qv AS (
          SELECT vec_id, gs.i AS pos,
-           CAST(round(embedding[gs.i] * 1000000, 0) AS BIGINT) AS q
+           CAST(round(embedding[gs.i]::DOUBLE * 1000000, 0) AS BIGINT) AS q
          FROM embeddings, generate_series(1, 64) AS gs(i)),
        rotl AS (
          SELECT v.vec_id, i.i AS pos,
@@ -3204,6 +3272,67 @@ object Pipeline {
           ${embExactCte(5, 10)},
           adc AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 10)
           ${recallTailSql("adc", 10)}""",
+    // Per-subspace PQ error totals, plain vs rotated — both encode
+    // passes share the fixed-codebook argmin shape; decimal sums keep
+    // the cross-row totals order-free.
+    "q_opq_balance" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         qv AS (
+           SELECT vec_id, gs.i AS pos,
+             CAST(round(embedding[gs.i]::DOUBLE * 1000000, 0) AS BIGINT) AS q
+           FROM embeddings, generate_series(1, 64) AS gs(i)),
+         rotl AS (
+           SELECT v.vec_id, i.i AS pos,
+             sum(CASE WHEN bit_count((i.i - 1) & (v.pos - 1)) % 2 = 0
+                 THEN v.q ELSE -v.q END) AS rw
+           FROM qv v, generate_series(1, 64) AS i(i)
+           GROUP BY v.vec_id, i.i),
+         e2 AS (SELECT vec_id, list(rw / 8000000.0 ORDER BY pos) AS v
+               FROM rotl GROUP BY vec_id),
+         subp AS (
+           SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
+             list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
+           FROM e, generate_series(0, 3) AS g(j)),
+         cbp AS (
+           SELECT cast(e.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
+             list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
+           FROM e, generate_series(0, 3) AS g(j)
+           WHERE vec_id < 8),
+         encp AS (
+           SELECT vec_id, j, round(sn2 + key, 6) AS err FROM (
+             SELECT subp.vec_id, subp.j, subp.sn2,
+               -2 * list_dot_product(subp.s, cbp.cw) + cbp.cwn2
+                 AS key,
+               row_number() OVER (PARTITION BY subp.vec_id, subp.j
+                 ORDER BY -2 * list_dot_product(subp.s, cbp.cw) + cbp.cwn2,
+                   cbp.c) AS rn
+             FROM subp JOIN cbp ON subp.j = cbp.j) WHERE rn = 1),
+         subr AS (
+           SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
+             list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
+           FROM e2, generate_series(0, 3) AS g(j)),
+         cbr AS (
+           SELECT cast(e2.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
+             list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
+           FROM e2, generate_series(0, 3) AS g(j)
+           WHERE vec_id < 8),
+         encr AS (
+           SELECT vec_id, j, round(sn2 + key, 6) AS err FROM (
+             SELECT subr.vec_id, subr.j, subr.sn2,
+               -2 * list_dot_product(subr.s, cbr.cw) + cbr.cwn2
+                 AS key,
+               row_number() OVER (PARTITION BY subr.vec_id, subr.j
+                 ORDER BY -2 * list_dot_product(subr.s, cbr.cw) + cbr.cwn2,
+                   cbr.c) AS rn
+             FROM subr JOIN cbr ON subr.j = cbr.j) WHERE rn = 1)
+         SELECT p.j, p.err_plain, r.err_rot FROM
+           (SELECT j, sum(cast(err AS decimal(28,10))) AS err_plain
+            FROM encp GROUP BY j) p
+         JOIN
+           (SELECT j, sum(cast(err AS decimal(28,10))) AS err_rot
+            FROM encr GROUP BY j) r
+         USING (j) ORDER BY j""",
     // recall@10 of the SAME pipeline over Walsh–Hadamard-rotated
     // vectors — read against q_ivf_pq_recall at equal nprobe, the
     // delta is the OPQ-style rotation's lift.
@@ -4441,6 +4570,30 @@ object Pipeline {
          SELECT DISTINCT doc_id FROM grams
          WHERE gram IN (SELECT gram FROM bench)
          ORDER BY doc_id""",
+    // Semantic-decontamination funnel: exact cosine vs the broadcast
+    // src19 benchmark side, max per train doc, per-lang counts at τ = 0.40.
+    "q_decontaminate_funnel" ->
+      """WITH e AS (
+           SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+         d AS (SELECT doc_id, lang, source FROM documents),
+         b AS (SELECT e.v FROM e JOIN d USING (doc_id)
+               WHERE d.source = 'src19'),
+         tr AS (SELECT e.doc_id, d.lang, e.v FROM e JOIN d USING (doc_id)
+                WHERE d.source <> 'src19'),
+         mc AS (
+           SELECT tr.doc_id, tr.lang,
+             max(list_dot_product(tr.v, b.v)
+               / (sqrt(list_dot_product(tr.v, tr.v))
+                  * sqrt(list_dot_product(b.v, b.v)))) AS m
+           FROM tr CROSS JOIN b GROUP BY tr.doc_id, tr.lang)
+         SELECT lang, cast(count(*) AS BIGINT) AS n_train,
+           cast(sum(CASE WHEN m >= 0.40 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(max(m), 6) AS max_cos,
+           cast(count(*) - sum(CASE WHEN m >= 0.40 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clean
+         FROM mc GROUP BY lang ORDER BY lang""",
     "q_dedup_chunk" ->
       """WITH c AS (
            SELECT doc_id,

@@ -261,4 +261,25 @@ class CurationSpec extends SparkSpec {
       .select("qv").collect().head
     assert(row.getSeq[Int](0).forall(_ == -128))
   }
+
+  test("semanticContamination: a planted copy of a benchmark vector " +
+      "scores max_cos 1.0, an orthogonal one scores 0.0") {
+    import org.apache.spark.sql.types._
+    def vecs(rows: Seq[(Long, Seq[Double])]) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v) }: _*),
+      StructType(Seq(StructField("id", LongType),
+        StructField("emb", ArrayType(DoubleType)))))
+    val bench = vecs(Seq((100L, Seq(1.0, 0.0, 0.0)),
+      (101L, Seq(0.0, 1.0, 0.0))))
+    val train = vecs(Seq(
+      (1L, Seq(2.0, 0.0, 0.0)),   // scaled copy of bench 100 -> cos 1
+      (2L, Seq(0.0, 0.0, 5.0)),   // orthogonal to both -> cos 0
+      (3L, Seq(1.0, 1.0, 0.0))))  // 45 degrees to both -> cos 1/sqrt(2)
+    val got = Curation.semanticContamination(train, bench, "id", "emb")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 0.0)
+    assert(math.abs(got(3L) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
 }
