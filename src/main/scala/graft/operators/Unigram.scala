@@ -207,6 +207,36 @@ object Unigram {
    * yield an empty piece array that explode drops. No joins, no
    * checkpoints — the walk never leaves the scan.
    */
+  /**
+   * [[viterbiSegment]] with the piece ORDER exposed — the tokenizer's
+   * actual serving output: one (word, freq, k, piece) row per chosen
+   * piece, k = 1-based position from the word START (the backward walk
+   * emits end→first, so k reverses the walk index). Same DP, same
+   * tie-break; concatenating pieces in k order reconstructs the word
+   * exactly (the round-trip law UnigramSpec pins).
+   */
+  def viterbiEncode(vocab: DataFrame, costs: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val df = dpStates(vocab, costs, maxPieceLen, maxWordLen)
+    val walkZero = struct(length(col("word")).as("pos"),
+      expr("cast(array() as array<string>)").as("pcs"))
+    val walk = aggregate(expr(s"sequence(1, $maxWordLen)"), walkZero,
+      (st: org.apache.spark.sql.Column, _: org.apache.spark.sql.Column) => {
+        val pos = st.getField("pos")
+        val jk = element_at(col("__st"), pos + 1).getField("j")
+        when(pos >= 1 && jk >= 1,
+          struct((pos - jk).as("pos"),
+            array_append(st.getField("pcs"),
+              col("word").substr(pos - jk + 1, jk)).as("pcs")))
+          .otherwise(st)
+      })
+    // reverse the end→first walk so k counts from the word start
+    df.select(col("word"), col("freq"),
+        posexplode(reverse(walk.getField("pcs"))).as(Seq("__k0", "piece")))
+      .select(col("word"), col("freq"),
+        (col("__k0") + 1).as("k"), col("piece"))
+  }
+
   def viterbiSegment(vocab: DataFrame, costs: DataFrame,
       maxPieceLen: Int, maxWordLen: Int): DataFrame = {
     val df = dpStates(vocab, costs, maxPieceLen, maxWordLen)

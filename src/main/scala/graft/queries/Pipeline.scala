@@ -1283,6 +1283,27 @@ object Pipeline {
         .orderBy(col("n").desc, col("piece"))
         .limit(30)
     }),
+    // L1x — the tokenizer's actual serving OUTPUT: the ordered piece
+    // sequence (word, freq, k, piece) of the 50 most frequent words
+    // under the candidate model — what an encode() call returns, with
+    // the position exposed so the oracle pins the exact segmentation
+    // order, not just the piece multiset. Bounded head (TakeOrdered),
+    // vocabulary-scale DP.
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val voc = graft.operators.Unigram.boundedVocab(docs, "text",
+          UniWordLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = graft.operators.Unigram.candidatePieces(voc,
+        UniPieceLen, UniMinCount)
+      val top = voc.orderBy(col("freq").desc, col("word")).limit(50)
+      graft.operators.Scale.releaseAfterUse(
+        graft.operators.Unigram.viterbiEncode(top,
+            graft.operators.Unigram.pieceCosts(cand),
+            UniPieceLen, UniWordLen)
+          .orderBy("word", "k"),
+        Seq(voc))
+    }),
     // L1x — trained-unigram fertility per language, the q_bpe_fertility
     // shape so the two tokenizer families compare row-for-row (pieces
     // per word, frequency-weighted through the word join).
@@ -5208,6 +5229,21 @@ object Pipeline {
              - cast(ln(n) AS decimal(17,10))) * 1000000, 0) AS BIGINT)
              AS cost
          FROM n1, tot1 ORDER BY n DESC, piece LIMIT 30""",
+    // Encode rows: the backward-walk CTEs re-unioned WITH their hop
+    // index; k counts from the word start (np − r + 1).
+    "q_unigram_encode" ->
+      s"""$unigramCtes,
+         topw AS (
+           SELECT word FROM voc ORDER BY freq DESC, word LIMIT 50),
+         hops AS (
+           ${(1 to UniWordLen).map(r =>
+             s"SELECT word, freq, $r AS r, piece FROM p$r")
+             .mkString("\n UNION ALL ")}),
+         np AS (SELECT word, cast(count(*) AS int) AS n
+                FROM hops GROUP BY word)
+         SELECT h.word, h.freq, n.n - h.r + 1 AS k, h.piece
+         FROM hops h JOIN np n USING (word) JOIN topw USING (word)
+         ORDER BY word, k""",
     "q_unigram_fertility" ->
       s"""$unigramCtes,
          pw AS (

@@ -362,7 +362,8 @@ class PlanSpec extends SparkSpec {
       // (plan truncation), the r12 fused DP keeps one visible lineage —
       // the exchange is piece-model-scale either way.
       "q_unigram_lm", "q_unigram_prune", "q_unigram_retrain",
-      "q_unigram_fertility", "q_unigram_oov", "q_prepare_e2e")
+      "q_unigram_fertility", "q_unigram_oov", "q_prepare_e2e",
+      "q_unigram_encode")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {

@@ -125,6 +125,29 @@ class UnigramSpec extends SparkSpec {
     assert(out.toSeq == Seq(("en", 3L, 13L, 2L)))
   }
 
+  test("viterbiEncode round-trip: pieces in k order concatenate back to " +
+      "the word, and the piece multiset equals viterbiSegment's") {
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcd"
+    val words = (1 to 30).map { _ =>
+      (1 to (1 + rnd.nextInt(7))).map(_ => alpha(rnd.nextInt(4))).mkString
+    }.distinct.map(w => w -> (1L + rnd.nextInt(4))).toMap
+    val cand = Unigram.candidatePieces(vocabDf(words), 3, minCount = 2L)
+    val costs = Unigram.pieceCosts(cand)
+    val enc = Unigram.viterbiEncode(vocabDf(words), costs, 3, 8)
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getString(3)))
+    val byWord = enc.groupBy(_._1)
+    words.keys.foreach { w =>
+      val pieces = byWord(w).sortBy(_._2)
+      assert(pieces.map(_._2).toSeq == (1 to pieces.length),
+        s"$w: k not contiguous from 1")
+      assert(pieces.map(_._3).mkString == w, s"$w: round-trip failed")
+    }
+    val segMultiset = Unigram.viterbiSegment(vocabDf(words), costs, 3, 8)
+      .collect().map(r => (r.getString(0), r.getString(2))).sorted.toSeq
+    assert(enc.map(e => (e._1, e._3)).sorted.toSeq == segMultiset)
+  }
+
   test("trainOnce conserves weighted character mass and recounts from " +
       "the segmentation") {
     val docs = strDf("text", Seq("aba ab aba", "ab b ab ab"))
