@@ -466,6 +466,39 @@ object Streams {
   }
 
   /**
+   * Streaming SEMANTIC contamination gate — [[curateGate]]'s
+   * embedding-space twin (the ingest shape of
+   * [[graft.operators.Curation.semanticContamination]]): each arriving
+   * embedded row scores its max cosine against the BROADCAST benchmark
+   * embedding set and is admitted only below `tau` — eval-suite leakage
+   * (verbatim OR paraphrased, whatever produced a near-identical
+   * embedding) never reaches the sink. Entirely STATELESS: one
+   * broadcast nested-loop scan + a scan-local max per batch, no
+   * watermark, no state store, no shuffle — the benchmark embeddings
+   * become PLAN LITERALS (the Bloom-bitmap / centroid driver-bounded
+   * pattern: an eval suite is metadata-scale by construction) and the
+   * per-row max folds inside the scan via `array_max(transform(...))`.
+   * Streamed ≡ batch per row — the cosine is the same order-free
+   * expression the oracle-checked q_decontaminate_funnel runs, and
+   * StreamsSpec pins a chunked feed against the batch
+   * [[graft.operators.Curation.semanticContamination]] filter
+   * bit-for-bit. Returns the admitted rows with their `max_cos`
+   * (an empty benchmark admits everything at max_cos null — nothing to
+   * leak from).
+   */
+  def semanticGate(docs: DataFrame, bench: Seq[Seq[Double]], tau: Double,
+      embCol: String = "emb"): DataFrame = {
+    val in = docs.filter(col(embCol).isNotNull)
+    if (bench.isEmpty)
+      in.withColumn("max_cos", lit(null).cast("double"))
+    else
+      in.withColumn("max_cos",
+          array_max(transform(typedlit(bench), b =>
+            graft.functions.VectorOps.cosine(col(embCol), b))))
+        .filter(col("max_cos") < tau)
+  }
+
+  /**
    * Streaming image-ingest gate — [[curateGate]]'s perceptual twin: each
    * micro-batch of media payloads is dHashed
    * ([[graft.operators.Multimodal.dHash]] — undecodable payloads drop at

@@ -772,6 +772,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticGate: streamed admissions equal the batch " +
+      "semanticContamination filter, chunked feed, bit-for-bit") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val bench: Seq[Seq[Double]] =
+      (1 to 3).map(_ => Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val incoming = (1L to 20L).map { i =>
+      // plant two exact benchmark copies (must be gated out at any tau < 1)
+      val v = if (i % 9 == 0) bench((i % 3).toInt)
+        else Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+      (i, v)
+    }
+    val tau = 0.9
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val gated = graft.streaming.Streams.semanticGate(
+      mem.toDF().toDF("doc_id", "emb"), bench, tau)
+    val q = gated.writeStream.format("memory").queryName("sem_gate_t")
+      .outputMode("append").start()
+    try {
+      incoming.grouped(7).foreach(ch => mem.addData(ch: _*))
+      q.processAllAvailable()
+      val streamed = spark.table("sem_gate_t")
+        .select("doc_id", "max_cos").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(!streamed.map(_._1).contains(9L) &&
+        !streamed.map(_._1).contains(18L), "planted copies must be gated")
+      assert(streamed.nonEmpty)
+      // streamed ≡ batch: the operator-twin filter over the same rows
+      val docs = incoming.toDF("doc_id", "emb")
+      val batch = graft.operators.Curation
+        .semanticContamination(docs, bench.toDF("emb"), "doc_id", "emb")
+        .filter(col("max_cos") < tau)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(streamed == batch)
+      // empty benchmark admits everything (max_cos null)
+      val all = graft.streaming.Streams.semanticGate(docs, Seq.empty, tau)
+      assert(all.count() == 20 &&
+        all.filter(col("max_cos").isNotNull).count() == 0)
+    } finally q.stop()
+  }
+
   test("kmvSketch: streamed sketch + estimate equal batch kmv under " +
       "shuffled, duplicated, chunked arrival (order-free merge)") {
     implicit val sql = spark.sqlContext
