@@ -283,6 +283,30 @@ object Unigram {
    * scan, substring counts, initial costs) runs ONCE — the shape the
    * full Kudo loop uses (train, prune, re-train against the survivors).
    */
+  /**
+   * ONE Kudo round against an explicit cost model: re-segment the
+   * vocabulary under `costs` (hard-EM E step), recount and re-score the
+   * pieces (M step), prune to `keepPieces` multi-char survivors with
+   * `charCosts` supplying the single-char fallback floor. Returns the
+   * round's kept vocabulary (piece, n, cost, loss). [[trainAndPrune]]
+   * is the candidate stage + one kudoStep; further rounds feed the
+   * previous round's (piece, cost) back in — exactly the SentencePiece
+   * trainer's shrink loop (q_unigram_kudo2 runs round two,
+   * oracle-checked end to end).
+   */
+  def kudoStep(voc: DataFrame, costs: DataFrame, charCosts: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int, keepPieces: Int): DataFrame = {
+    val seg = viterbiSegment(voc, costs, maxPieceLen, maxWordLen)
+    val n1 = seg.groupBy("piece").agg(sum(col("freq")).as("n"))
+    // piece-model scale, but pruneVocab reads it three times (chars
+    // branch, the loss aggregate, the union) — flatten it once
+    val trained = pieceCosts(n1.withColumnRenamed("n", "cnt"))
+      .join(n1, "piece")
+      .select(col("piece"), col("n"), col("cost"))
+      .localCheckpoint()
+    pruneVocab(trained, charCosts, keepPieces)
+  }
+
   def trainAndPrune(docs: DataFrame, textCol: String, maxPieceLen: Int,
       maxWordLen: Int, minCount: Long, keepPieces: Int,
       vocab: Option[DataFrame] = None): DataFrame = {
@@ -294,15 +318,8 @@ object Unigram {
       boundedVocab(docs, textCol, maxWordLen).persist(Lvl))
     val cand = candidatePieces(voc, maxPieceLen, minCount).persist(Lvl)
     val cc = pieceCosts(cand)
-    val seg = viterbiSegment(voc, cc, maxPieceLen, maxWordLen)
-    val n1 = seg.groupBy("piece").agg(sum(col("freq")).as("n"))
-    // piece-model scale, but pruneVocab reads it three times (chars
-    // branch, the loss aggregate, the union) — flatten it once
-    val trained = pieceCosts(n1.withColumnRenamed("n", "cnt"))
-      .join(n1, "piece")
-      .select(col("piece"), col("n"), col("cost"))
-      .localCheckpoint()
-    Scale.releaseAfterUse(pruneVocab(trained, cc, keepPieces),
+    Scale.releaseAfterUse(
+      kudoStep(voc, cc, cc, maxPieceLen, maxWordLen, keepPieces),
       if (vocab.isEmpty) Seq(voc, cand) else Seq(cand))
   }
 

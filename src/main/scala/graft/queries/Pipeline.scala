@@ -1323,6 +1323,33 @@ object Pipeline {
           "text", UniPieceLen, UniWordLen, UniMinCount, keepPieces = 10)
         .orderBy(col("loss").desc_nulls_last, col("piece"))
     }),
+    // L1y — the Kudo loop ITERATED (Unigram.kudoStep round two): the
+    // round-1 pruned model re-segments the same vocabulary, pieces
+    // recount and re-score under the shrunk model, and the prune
+    // re-ranks — the SentencePiece trainer's actual fixed point search.
+    // Read against q_unigram_prune: survivors that persist across
+    // rounds are the vocabulary the loop is converging to. Candidate
+    // stage and vocabulary compute ONCE (shared persists); char
+    // fallback costs stay the candidate-stage model (the documented
+    // segmentability floor) in both rounds.
+    "q_unigram_kudo2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val voc = graft.operators.Unigram.boundedVocab(docs, "text",
+          UniWordLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = graft.operators.Unigram.candidatePieces(voc,
+          UniPieceLen, UniMinCount)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cc = graft.operators.Unigram.pieceCosts(cand)
+      val round1 = graft.operators.Unigram.kudoStep(voc, cc, cc,
+          UniPieceLen, UniWordLen, keepPieces = 10)
+        .select(col("piece"), col("cost"))
+      graft.operators.Scale.releaseAfterUse(
+        graft.operators.Unigram.kudoStep(voc, round1, cc,
+            UniPieceLen, UniWordLen, keepPieces = 10)
+          .orderBy(col("loss").desc_nulls_last, col("piece")),
+        Seq(voc, cand))
+    }),
     // L1y — the Kudo loop CLOSED: per-language fertility under the
     // PRUNED vocabulary (Unigram.fertilityUnder over trainAndPrune's
     // survivors) — read row-for-row against q_unigram_fertility, the
@@ -5289,6 +5316,68 @@ object Pipeline {
            FROM tcost WHERE len(piece) = 1
            UNION ALL
            SELECT piece, n, cost, loss FROM kept_multi)
+         ORDER BY loss DESC NULLS LAST, piece""",
+    // Kudo round two: the retrain chain's cost2 model re-segments the
+    // vocabulary (the v-prefixed DP block), pieces recount/re-score
+    // (n2/tcost2 — the tcost recipe again), and the prune tail re-runs
+    // against the candidate-stage char floor (the same ccost CTE).
+    "q_unigram_kudo2" ->
+      s"""$unigramCtes,
+         tcost AS MATERIALIZED (
+           SELECT piece, n,
+             cast(round((cast(ln(t) AS decimal(17,10))
+               - cast(ln(n) AS decimal(17,10))) * 1000000, 0) AS BIGINT)
+               AS cost
+           FROM n1, tot1),
+         ccost AS (
+           SELECT piece AS c, cost AS ccost FROM cost
+           WHERE len(piece) = 1),
+         multiexp AS (
+           SELECT t.piece, t.n, t.cost, substr(t.piece, s, 1) AS c
+           FROM tcost t, generate_series(1, $UniPieceLen) AS gs(s)
+           WHERE len(t.piece) > 1 AND s <= len(t.piece)),
+         multi AS (
+           SELECT piece, n, cost, n * (alt - cost) AS loss FROM (
+             SELECT m.piece, max(m.n) AS n, max(m.cost) AS cost,
+               cast(sum(cc.ccost) AS BIGINT) AS alt
+             FROM multiexp m JOIN ccost cc ON cc.c = m.c
+             GROUP BY m.piece)),
+         kept_multi AS (
+           SELECT piece, n, cost, loss FROM multi
+           ORDER BY loss DESC, piece LIMIT 10),
+         cost2 AS MATERIALIZED (
+           SELECT piece, cost FROM tcost WHERE len(piece) = 1
+           UNION ALL
+           SELECT piece, cost FROM kept_multi),
+         ${unigramDpCtes("v", "cost2")},
+         n2 AS (
+           SELECT piece, cast(sum(freq) AS BIGINT) AS n
+           FROM vseg GROUP BY piece),
+         tot2 AS (SELECT cast(sum(n) AS BIGINT) AS t FROM n2),
+         tcost2 AS MATERIALIZED (
+           SELECT piece, n,
+             cast(round((cast(ln(t) AS decimal(17,10))
+               - cast(ln(n) AS decimal(17,10))) * 1000000, 0) AS BIGINT)
+               AS cost
+           FROM n2, tot2),
+         multiexp2 AS (
+           SELECT t.piece, t.n, t.cost, substr(t.piece, s, 1) AS c
+           FROM tcost2 t, generate_series(1, $UniPieceLen) AS gs(s)
+           WHERE len(t.piece) > 1 AND s <= len(t.piece)),
+         multi2 AS (
+           SELECT piece, n, cost, n * (alt - cost) AS loss FROM (
+             SELECT m.piece, max(m.n) AS n, max(m.cost) AS cost,
+               cast(sum(cc.ccost) AS BIGINT) AS alt
+             FROM multiexp2 m JOIN ccost cc ON cc.c = m.c
+             GROUP BY m.piece)),
+         kept_multi2 AS (
+           SELECT piece, n, cost, loss FROM multi2
+           ORDER BY loss DESC, piece LIMIT 10)
+         SELECT piece, n, cost, loss FROM (
+           SELECT piece, n, cost, cast(NULL AS BIGINT) AS loss
+           FROM tcost2 WHERE len(piece) = 1
+           UNION ALL
+           SELECT piece, n, cost, loss FROM kept_multi2)
          ORDER BY loss DESC NULLS LAST, piece""",
     // Retrain fertility: the prune CTEs produce cost2 (chars + kept
     // multi at their TRAINED costs), a second prefixed DP block

@@ -363,7 +363,7 @@ class PlanSpec extends SparkSpec {
       // the exchange is piece-model-scale either way.
       "q_unigram_lm", "q_unigram_prune", "q_unigram_retrain",
       "q_unigram_fertility", "q_unigram_oov", "q_prepare_e2e",
-      "q_unigram_encode")
+      "q_unigram_encode", "q_unigram_kudo2")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (gatherByDesign(name)) None
       else {
