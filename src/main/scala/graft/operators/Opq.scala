@@ -12,13 +12,18 @@ import org.apache.spark.sql.functions._
  * Rotating the space first spreads energy evenly across coordinates —
  * and therefore across the m subspaces — before the codebooks see it.
  *
- * This is the deterministic-rotation variant: a WALSH–HADAMARD
+ * TWO variants, both bit-portable and both measured (q_opq_recall /
+ * q_opq_pca_recall): [[rotate]] is the OBLIVIOUS Walsh–Hadamard
  * transform (entries ±1/√dim), the classic cheap stand-in for the
  * learned OPQ matrix (a structured rotation already captures most of
  * the lift when energy is unbalanced — the same trick as FAISS's
  * random-rotation baseline and the fast-Hadamard preconditioners in
- * recent quantization work). Unlike a learned or random matrix it is
- * bit-portable: the rotation of the MICRO-QUANTIZED vector (the
+ * recent quantization work); [[rotateHouseholder]] over
+ * [[householderFromPca]] is the LEARNED one — a reflection derived
+ * from the corpus' top principal direction that maps the
+ * dominant-variance axis onto the all-ones diagonal. Unlike a float
+ * rotation matrix both are exact: the WHT of the MICRO-QUANTIZED
+ * vector (the
  * round(x·10⁶) recipe shared with [[Pca]]) is an EXACT INTEGER
  * Walsh–Hadamard transform — every output coordinate is a ± sum of
  * integers, immune to addition order — and the single rescale by
@@ -74,5 +79,73 @@ object Opq {
         }))
     val scale = lit(math.sqrt(dim.toDouble) * S)
     transform(wht, x => x.cast("double") / scale)
+  }
+
+  /**
+   * The LEARNED rotation's reflection vector, from the corpus' top
+   * principal direction ([[Pca.topDirection]]): u ∝ q̂ − t̂, the
+   * Householder axis that maps the dominant-variance direction onto
+   * the all-ones diagonal — after reflecting, the top component's
+   * energy spreads evenly across ALL coordinates, hence across the m
+   * PQ subspaces (the actual OPQ objective, data-driven where
+   * [[rotate]]'s Walsh–Hadamard is oblivious). Kept EXACT-INTEGER:
+   * u_i = round(√dim)·q_i − round(|q|) — the roundings perturb the
+   * target direction ~1e-6 (irrelevant for energy spreading) while a
+   * Householder is EXACTLY orthogonal for ANY exact u, so the isometry
+   * law holds as tightly as the WHT's. All-zero q (degenerate corpus)
+   * yields u = 0 → [[rotateHouseholder]] degrades to identity.
+   */
+  def householderFromPca(q: Array[Long]): Array[Long] = {
+    if (q.forall(_ == 0L)) return Array.fill(q.length)(0L)
+    val t = math.round(math.sqrt(q.length.toDouble))
+    val nq = math.round(math.sqrt(
+      q.map(x => BigInt(x) * BigInt(x)).sum.toDouble))
+    q.map(x => t * x - nq)
+  }
+
+  /**
+   * Householder reflection H = I − 2uuᵀ/|u|² applied to a vector
+   * column, bit-portably: the vector quantizes to micro-longs (the one
+   * IEEE decision), u·v and |u|² are exact long sums (order-free), the
+   * per-element numerator qv_i·|u|² − 2(u·v)·u_i is exact DECIMAL
+   * arithmetic (it can exceed a long), and the single division by
+   * |u|²·10⁶ is one fixed-order double op per element. The oracle
+   * replays every step from its own `dir` CTE, so the whole learned
+   * rotation — direction training included — hash-checks
+   * (q_opq_pca_recall). Frame-level API (the dot materializes ONCE per
+   * row as a column; an inline expression would re-evaluate it per
+   * element in the interpreter). u = 0 passes vectors through
+   * unchanged (as doubles), the declared degenerate contract.
+   */
+  def rotateHouseholder(df: org.apache.spark.sql.DataFrame,
+      embCol: String, u: Array[Long]): org.apache.spark.sql.DataFrame = {
+    val u2 = u.map(x => BigInt(x) * BigInt(x)).sum
+    if (u2 == 0)
+      return df.withColumn(embCol, transform(col(embCol),
+        x => x.cast("double")))
+    require(u2 <= BigInt(Long.MaxValue),
+      s"|u|^2 must fit a long, got $u2")
+    // decimal widths are chosen to keep every product within DuckDB's
+    // 38-digit cap: qv ≤ 10 digits, u ≤ 10, |u|² ≤ 19, u·v ≤ 20 →
+    // widest intermediate is 33 digits, exact in both engines
+    val uLit = typedlit(u.toSeq)
+    val u2Dec = lit(new java.math.BigDecimal(u2.bigInteger))
+      .cast("decimal(19,0)")
+    val divisor = lit(u2.toDouble * S)
+    df.withColumn("__hd",
+        aggregate(zip_with(
+            transform(col(embCol), x => round(x * S, 0).cast("long")),
+            uLit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn(embCol, {
+        val qv = transform(col(embCol), x => round(x * S, 0).cast("long"))
+        zip_with(qv, uLit, (x, ui) =>
+          (x.cast("decimal(10,0)") * u2Dec
+            - lit(2).cast("decimal(2,0)")
+              * col("__hd").cast("decimal(20,0)")
+              * ui.cast("decimal(10,0)"))
+            .cast("double") / divisor)
+      })
+      .drop("__hd")
   }
 }

@@ -259,6 +259,16 @@ object Pca {
         (q, q.map(x => x * x).sum, m)
     }
 
+  /** The top principal DIRECTION as integer micro-units — the
+    * driver-bounded artifact other operators compose with (the
+    * OPQ-style learned rotation [[Opq.householderFromPca]] builds its
+    * reflection vector from it). Exactly [[projectPc1]]'s direction:
+    * same moments pass, same two power steps, same re-quantization, so
+    * the SQL oracle's `dir` CTE reproduces it bit-for-bit. */
+  def topDirection(df: DataFrame, embCol: String, dim: Int,
+      nSalt: Int = 16): Array[Long] =
+    solveTop(df, embCol, dim, nSalt)._1
+
   /**
    * Per-vector projection onto the first principal direction:
    * (idCol, pc1 = q(v)·q / (10⁶·|q|) rounded to 6 dp), one row per

@@ -50,6 +50,40 @@ class OpqSpec extends SparkSpec {
     }
   }
 
+  test("householder: exact involution (H self-inverse), isometric " +
+      "top-k, and the degenerate u = 0 is the identity") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 24L).map(i =>
+      (i, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val emb = vecDf(rows)
+    // a plausible direction (need not be the true PC for the laws)
+    val q = Array.tabulate(16)(i => 1000000L - i * 50000L)
+    val u = graft.operators.Opq.householderFromPca(q)
+    val rot = graft.operators.Opq.rotateHouseholder(emb, "emb", u)
+    // involution: H(H(v)) == v up to the two quantizations
+    val back = graft.operators.Opq.rotateHouseholder(rot, "emb", u)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (id, v) =>
+      v.zip(back(id)).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 3e-6, s"vec $id: $x vs $y")
+      }
+    }
+    // isometry: exact top-5 neighbour sets agree per query
+    def top(df: org.apache.spark.sql.DataFrame) = {
+      val qs = df.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.exactTopK(df, qs, 5)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(top(emb) == top(rot))
+    // degenerate: all-zero direction passes vectors through unchanged
+    val idem = graft.operators.Opq.rotateHouseholder(emb, "emb",
+        graft.operators.Opq.householderFromPca(Array.fill(16)(0L)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (id, v) => assert(idem(id) == v) }
+  }
+
   test("isometry: norms are preserved and the exact cosine top-k in " +
       "rotated space equals the original space's") {
     val rnd = new scala.util.Random(13)

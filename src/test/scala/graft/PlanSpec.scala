@@ -343,6 +343,10 @@ class PlanSpec extends SparkSpec {
       // for the moments finish (nSalt-row buffer-cell aggregate, bounded
       // whatever the corpus size).
       "q_embed_pca", "q_pca_variance", "q_pca_top2",
+      // the learned-rotation recall runs the SAME driver-side PCA
+      // direction solve in front of the distributed ADC pipeline — the
+      // moments finish is the identical bounded nSalt-row aggregate
+      "q_opq_pca_recall",
       // q_winnow_density's report is one row summed from the distributed
       // per-doc fingerprint counts (q_checksum's partial+final shape);
       // selection and the per-doc aggregate stay distributed.
