@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
  *
  *   graft.Ann --build  --data <embeddings.parquet> --out <indexDir>
  *             [--k 16] [--iters 2] [--m 4] [--codes 8] [--dim 64]
- *             [--id vec_id] [--vec embedding] [--trained] [--rotate]
+ *             [--id vec_id] [--vec embedding] [--trained]
+ *             [--rotate | --rotate-pca]
  *   graft.Ann --search --index <indexDir> --data <queries.parquet>
  *             --out <resultDir> [--topk 10] [--nprobe 4]
  *             [--id vec_id] [--vec embedding] [--no-self-filter]
@@ -37,10 +38,13 @@ import org.apache.spark.sql.functions._
  * to the corpus, pass --no-self-filter or a numeric collision silently
  * drops a true neighbor.
  *
- * --rotate builds the index in the Walsh–Hadamard-rotated space
- * ([[graft.operators.Opq]] — the OPQ-style recall lift at equal code
- * budget, measured by q_opq_recall). The rotation is recorded in the
- * meta, and --search/--append/--refine rotate their inputs to match
+ * --rotate builds the index in the Walsh–Hadamard-rotated space;
+ * --rotate-pca in the LEARNED Householder space (the reflection axis
+ * trains on the build corpus's top principal direction and persists as
+ * rotation.parquet — [[graft.operators.Opq]], the OPQ-style recall
+ * lift at equal code budget, measured by q_opq_recall /
+ * q_opq_pca_recall). Either rotation is recorded in the meta, and
+ * --search/--append/--refine rotate their inputs to match
  * automatically — a rotated artifact serves plain queries with no
  * caller-side changes (cosine is isometric under the rotation).
  *
@@ -77,13 +81,17 @@ object Ann {
       lit(s"$what: vector dim must be $dim, got "),
       size(vec).cast("string"))))
 
-  /** `rot` = 1 when the index lives in the Walsh–Hadamard-rotated space
-    * ([[graft.operators.Opq.rotate]], --rotate at build): every vector —
-    * build corpus, appended rows, serve-time queries, refine raws — is
-    * rotated with the SAME deterministic matrix before touching the
-    * quantizers, so the artifact stays self-describing and a
-    * plain-space search against a rotated index is impossible by
-    * construction. Absent in pre-rotation metas (reads as 0). */
+  /** `rot` declares the index's SPACE: 0 = plain; 1 = Walsh–Hadamard
+    * ([[graft.operators.Opq.rotate]], --rotate at build); 2 = the
+    * LEARNED Householder rotation ([[graft.operators.Opq
+    * .rotateHouseholder]], --rotate-pca — the reflection axis trains on
+    * the build corpus's top principal direction and persists as
+    * rotation.parquet beside the other artifacts). Every vector — build
+    * corpus, appended rows, serve-time queries, refine raws — enters
+    * the SAME space before touching the quantizers, so the artifact
+    * stays self-describing and a plain-space search against a rotated
+    * index is impossible by construction. Absent in pre-rotation metas
+    * (reads as 0). */
   final case class Meta(k: Int, iters: Int, m: Int, codes: Int, dim: Int,
       idCol: String, rot: Int = 0)
 
@@ -120,12 +128,39 @@ object Ann {
       str("idCol"), rot)
   }
 
+  val RotationFile = "rotation.parquet"
+
   /** Apply the index's declared space to a validated vector column:
-    * identity for a plain index, [[graft.operators.Opq.rotate]] when
-    * the meta says the quantizers were trained in rotated space. */
+    * identity for a plain index, [[graft.operators.Opq.rotate]] for a
+    * WHT index. The learned space (rot = 2) is frame-level — see
+    * [[toIndexSpaceFrame]]. */
   private def toIndexSpace(vec: org.apache.spark.sql.Column, dim: Int,
       rot: Int): org.apache.spark.sql.Column =
     if (rot == 0) vec else graft.operators.Opq.rotate(vec, dim)
+
+  /** Frame-level space application covering all three `rot` modes; for
+    * the learned mode the persisted reflection axis `u` must be
+    * supplied ([[readRotation]]). */
+  private def toIndexSpaceFrame(df: org.apache.spark.sql.DataFrame,
+      embCol: String, dim: Int, rot: Int,
+      u: Option[Array[Long]]): org.apache.spark.sql.DataFrame = rot match {
+    case 2 => graft.operators.Opq.rotateHouseholder(df, embCol,
+      u.getOrElse(sys.error("rot=2 index without rotation.parquet")))
+    case r => df.withColumn(embCol, toIndexSpace(col(embCol), dim, r))
+  }
+
+  private def writeRotation(spark: SparkSession, dir: String,
+      u: Array[Long]): Unit = {
+    import spark.implicits._
+    u.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("pos", "u")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$RotationFile")
+  }
+
+  private def readRotation(spark: SparkSession, dir: String,
+      rot: Int): Option[Array[Long]] =
+    if (rot != 2) None
+    else Some(spark.read.parquet(s"$dir/$RotationFile")
+      .orderBy("pos").collect().map(_.getLong(1)))
 
   /** Build the index directory from an embeddings parquet. Returns the
     * number of indexed vectors. `trained = true` uses per-subspace
@@ -137,13 +172,20 @@ object Ann {
   def build(spark: SparkSession, dataPath: String, outDir: String,
       k: Int, iters: Int, m: Int, codes: Int, dim: Int,
       idCol: String, vecCol: String, trained: Boolean = false,
-      rotate: Boolean = false): Long = {
-    val rot = if (rotate) 1 else 0
-    val emb = spark.read.parquet(dataPath)
+      rotate: Boolean = false, rotatePca: Boolean = false): Long = {
+    require(!(rotate && rotatePca),
+      "--rotate and --rotate-pca are mutually exclusive")
+    val rot = if (rotatePca) 2 else if (rotate) 1 else 0
+    val plain = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
-      .withColumn("emb",
-        toIndexSpace(requireDim(col("emb"), dim, "Ann --build"), dim, rot))
+      .withColumn("emb", requireDim(col("emb"), dim, "Ann --build"))
+    val uOpt =
+      if (rot != 2) None
+      else Some(graft.operators.Opq.householderFromPca(
+        graft.operators.Pca.topDirection(plain, "emb", dim)))
+    uOpt.foreach(writeRotation(spark, outDir, _))
+    val emb = toIndexSpaceFrame(plain, "emb", dim, rot, uOpt)
     val centroids = Ivf.train(emb, idCol, "emb", k, iters)
     val (codesDf, cb) =
       if (!trained) {
@@ -203,12 +245,13 @@ object Ann {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
     val books: Seq[Seq[Seq[Double]]] = (0 until meta.m).map(j =>
       cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq)
-    val fresh = spark.read.parquet(dataPath)
-      .select(col(meta.idCol), VectorOps.asDouble(col(vecCol)).as("__e"))
-      .filter(col("__e").isNotNull && size(col("__e")) > 0)
-      .withColumn("__e", toIndexSpace(
-        requireDim(col("__e"), meta.dim, "Ann --append"),
-        meta.dim, meta.rot))
+    val fresh = toIndexSpaceFrame(
+      spark.read.parquet(dataPath)
+        .select(col(meta.idCol), VectorOps.asDouble(col(vecCol)).as("__e"))
+        .filter(col("__e").isNotNull && size(col("__e")) > 0)
+        .withColumn("__e",
+          requireDim(col("__e"), meta.dim, "Ann --append")),
+      "__e", meta.dim, meta.rot, readRotation(spark, indexDir, meta.rot))
       .withColumn("cell", Ivf.nearestCentroid(col("__e"), centroids))
     val codes = Pq.encodeWith(fresh, meta.idCol, "__e", books)
       .join(fresh.select(col(meta.idCol), col("cell")), Seq(meta.idCol))
@@ -239,13 +282,15 @@ object Ann {
     val codes = spark.read.parquet(s"$indexDir/codes.parquet")
       .select(col(meta.idCol), col("cell").as("__cell"), col("j"),
         col("code"))
-    val qs = spark.read.parquet(queriesPath)
-      .select(col(qIdCol).as("q_id"),
-        VectorOps.asDouble(col(qVecCol)).as("q_emb"))
-      .filter(col("q_emb").isNotNull && size(col("q_emb")) > 0)
-      .withColumn("q_emb", toIndexSpace(
-        requireDim(col("q_emb"), meta.dim, "Ann --search"),
-        meta.dim, meta.rot))
+    val rotU = readRotation(spark, indexDir, meta.rot)
+    val qs = toIndexSpaceFrame(
+      spark.read.parquet(queriesPath)
+        .select(col(qIdCol).as("q_id"),
+          VectorOps.asDouble(col(qVecCol)).as("q_emb"))
+        .filter(col("q_emb").isNotNull && size(col("q_emb")) > 0)
+        .withColumn("q_emb",
+          requireDim(col("q_emb"), meta.dim, "Ann --search")),
+      "q_emb", meta.dim, meta.rot, rotU)
     val adcK = refine.map(_._1).getOrElse(topK)
     require(adcK >= topK,
       s"--refine candidate depth $adcK must be >= --topk $topK")
@@ -254,16 +299,16 @@ object Ann {
     val out = refine match {
       case None => adc
       case Some((_, rawPath)) =>
-        val raw = spark.read.parquet(rawPath)
-          .select(col(meta.idCol),
-            VectorOps.asDouble(col(qVecCol)).as("__remb"))
-          .filter(col("__remb").isNotNull && size(col("__remb")) > 0)
-          // refine compares against the ALREADY-ROTATED queries, so the
-          // raw store enters the same space (cosine is isometric under
-          // the rotation — OpqSpec — so the refined ranking is the
-          // plain-space ranking either way)
-          .withColumn("__remb",
-            toIndexSpace(col("__remb"), meta.dim, meta.rot))
+        // refine compares against the ALREADY-ROTATED queries, so the
+        // raw store enters the same space (cosine is isometric under
+        // the rotation — OpqSpec — so the refined ranking is the
+        // plain-space ranking either way)
+        val raw = toIndexSpaceFrame(
+          spark.read.parquet(rawPath)
+            .select(col(meta.idCol),
+              VectorOps.asDouble(col(qVecCol)).as("__remb"))
+            .filter(col("__remb").isNotNull && size(col("__remb")) > 0),
+          "__remb", meta.dim, meta.rot, rotU)
         graft.operators.Similarity.refineTopK(
             adc.select(col("q_id"), col(meta.idCol), col("adist")),
             raw, qs, topK,
@@ -296,7 +341,8 @@ object Ann {
           intOpt("k", 16), intOpt("iters", 2), intOpt("m", 4),
           intOpt("codes", 8), intOpt("dim", 64),
           opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"),
-          trained = flags("trained"), rotate = flags("rotate"))
+          trained = flags("trained"), rotate = flags("rotate"),
+          rotatePca = flags("rotate-pca"))
         println(s"""{"built":$n,"index":"${opt("out").get}"}""")
       } else if (flags("search")) {
         val refine = opt("refine").map(c => (c.toInt,

@@ -75,6 +75,41 @@ class AnnSpec extends SparkSpec {
     assert(served == fused, "rotated served must equal fused rotated")
   }
 
+  test("--rotate-pca: the learned axis persists, serving rotates plain " +
+      "queries automatically, and results equal the fused Householder " +
+      "pipeline") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmp("rotpca")
+    val n = Ann.build(spark, data, idx, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding", rotatePca = true)
+    assert(n > 0)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, Ann.MetaFile)), "UTF-8")
+    assert(meta.contains("\"rot\":2"), meta)
+    val u = spark.read.parquet(s"$idx/${Ann.RotationFile}")
+      .orderBy("pos").collect().map(_.getLong(1))
+    assert(u.length == 64)
+    val served = Ann.search(spark, idx, data, None, topK = 5,
+        nprobe = 3, qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val emb = graft.operators.Opq.rotateHouseholder(
+      spark.read.parquet(data)
+        .select(col("vec_id"),
+          VectorOps.asDouble(col("embedding")).as("emb")),
+      "emb", u)
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val fused = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids,
+        nprobe = 3, topK = 5, m = 4, k = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(served == fused, "rot-pca served must equal fused Householder")
+  }
+
   test("refineTopK law: refined over the full non-self candidate set " +
       "equals exactTopK") {
     // with EVERY non-self pair offered as a candidate, exact-cosine
