@@ -185,7 +185,12 @@ object Ann {
       else Some(graft.operators.Opq.householderFromPca(
         graft.operators.Pca.topDirection(plain, "emb", dim)))
     uOpt.foreach(writeRotation(spark, outDir, _))
-    val emb = toIndexSpaceFrame(plain, "emb", dim, rot, uOpt)
+    // rotated builds persist the frame: Ivf.train and the encode below
+    // both scan it, and without the persist the corpus-scale rotation
+    // re-runs per consumer (the q_opq_pca_recall r12 finding)
+    val emb0 = toIndexSpaceFrame(plain, "emb", dim, rot, uOpt)
+    val emb = if (rot == 0) emb0
+      else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = Ivf.train(emb, idCol, "emb", k, iters)
     val (codesDf, cb) =
       if (!trained) {
@@ -303,11 +308,17 @@ object Ann {
         // raw store enters the same space (cosine is isometric under
         // the rotation — OpqSpec — so the refined ranking is the
         // plain-space ranking either way)
+        // dimension-validated like the other three ingress paths: a
+        // wrong-dim raw vector would otherwise silently truncate the
+        // exact-cosine refine (DotProduct folds over min length) or
+        // fail obscurely mid-rotation on a rotated index
         val raw = toIndexSpaceFrame(
           spark.read.parquet(rawPath)
             .select(col(meta.idCol),
               VectorOps.asDouble(col(qVecCol)).as("__remb"))
-            .filter(col("__remb").isNotNull && size(col("__remb")) > 0),
+            .filter(col("__remb").isNotNull && size(col("__remb")) > 0)
+            .withColumn("__remb",
+              requireDim(col("__remb"), meta.dim, "Ann --refine raw")),
           "__remb", meta.dim, meta.rot, rotU)
         graft.operators.Similarity.refineTopK(
             adc.select(col("q_id"), col(meta.idCol), col("adist")),

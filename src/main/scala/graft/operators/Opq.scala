@@ -60,6 +60,22 @@ object Opq {
    * the ANN family.
    */
   def rotate(v: Column, dim: Int): Column = {
+    val scale = lit(math.sqrt(dim.toDouble) * S)
+    transform(rotateInt(v, dim), x => x.cast("double") / scale)
+  }
+
+  /**
+   * The EXACT-INTEGER half of [[rotate]]: micro-quantize, run the
+   * butterfly, and return the raw `array<long>` WHT coefficients
+   * WITHOUT the √dim·10⁶ rescale — i.e. the rotated vector expressed in
+   * units of 1/(√dim·10⁶). Every coordinate is a ± sum of integers
+   * (order-free, bit-portable with zero float ops), which is what the
+   * exact-integer error accounting (q_opq_balance) consumes directly:
+   * working in this scaled-integer frame keeps PQ reconstruction error
+   * an exact integer end to end, where re-quantizing the rescaled
+   * doubles would reintroduce a per-element rounding.
+   */
+  def rotateInt(v: Column, dim: Int): Column = {
     require(dim >= 2 && (dim & (dim - 1)) == 0,
       s"Walsh-Hadamard needs a power-of-two dim, got $dim")
     val q = transform(v, x => round(x * S, 0).cast("long"))
@@ -69,7 +85,7 @@ object Opq {
     // REJECTED: the interpreter re-evaluates the whole previous stage
     // for EVERY element_at call, 128^stages work per row — a hang.)
     val bits = (0 until Integer.numberOfTrailingZeros(dim)).map(1 << _)
-    val wht = aggregate(typedlit(bits), q,
+    aggregate(typedlit(bits), q,
       (acc: Column, b: Column) =>
         transform(sequence(lit(1), lit(dim)), i => {
           val lower = (i - 1).bitwiseAND(b) === 0
@@ -77,8 +93,6 @@ object Opq {
           when(lower, element_at(acc, i) + element_at(acc, partner))
             .otherwise(element_at(acc, partner) - element_at(acc, i))
         }))
-    val scale = lit(math.sqrt(dim.toDouble) * S)
-    transform(wht, x => x.cast("double") / scale)
   }
 
   /**
@@ -97,10 +111,54 @@ object Opq {
    */
   def householderFromPca(q: Array[Long]): Array[Long] = {
     if (q.forall(_ == 0L)) return Array.fill(q.length)(0L)
-    val t = math.round(math.sqrt(q.length.toDouble))
+    // scale-16 rationals: t/16 ≈ √dim and n/16 ≈ |q| to within 1/32 —
+    // ≤0.4% of a coordinate for ANY dim (the unscaled round(√dim) was
+    // exact only for perfect squares: ~3% off at dim = 128), while
+    // keeping |u|² = Σ(t·qᵢ − n)² inside a long for micro-quantized
+    // directions (|qᵢ| ≤ 10⁶ ⇒ |uᵢ| ≤ 2.6e8 at dim 64 ⇒ |u|² ≤ 4.3e18
+    // < 2⁶³; [[rotateHouseholder]]'s require guards the general case).
+    // ×16 is exact in IEEE doubles, so the only rounding either engine
+    // performs is inside sqrt — correctly rounded and bit-identical.
+    val t = math.round(math.sqrt(q.length.toDouble) * 16)
     val nq = math.round(math.sqrt(
-      q.map(x => BigInt(x) * BigInt(x)).sum.toDouble))
+      q.map(x => BigInt(x) * BigInt(x)).sum.toDouble) * 16)
     q.map(x => t * x - nq)
+  }
+
+  /**
+   * The SECOND learned reflection's axis — the rank-2 upgrade: a rank-1
+   * Householder only relocates the single top-variance direction; this
+   * axis lets a second reflection H₂ spread the SECOND principal
+   * direction's energy too. Construction (the standard one): take
+   * v = H₁·q₂ (the second direction's image under the first reflection,
+   * computed here driver-side with the same exact-integer numerator and
+   * one rounded division as [[rotateHouseholder]]'s per-element step)
+   * and aim it at the ALTERNATING ±1 diagonal — orthogonal to the
+   * all-ones diagonal H₁ targeted, and equally energy-spreading across
+   * coordinates and hence across the m contiguous PQ subspaces. Because
+   * q₂ ⊥ q₁ (principal directions), v ⊥ ones up to quantization, so
+   * u₂ = t·v − n·alt is ⊥ ones too and H₂ FIXES H₁'s target: the
+   * composition spreads both top directions instead of undoing one.
+   * Same scale-16 rationals and degenerate-zero contract as
+   * [[householderFromPca]]; every step is replayed by the oracle's
+   * vq/uub CTEs (q_opq_pca2_recall).
+   */
+  def householder2FromPca(q2: Array[Long], u1: Array[Long]): Array[Long] = {
+    val dim = q2.length
+    val u1n2 = u1.map(x => BigInt(x) * BigInt(x)).sum
+    if (u1n2 == 0 || q2.forall(_ == 0L)) return Array.fill(dim)(0L)
+    val hq = q2.zip(u1).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    // v = H₁ q₂ in micro-units: exact integer numerator, ONE rounded
+    // division per element (the oracle's vq CTE replays both)
+    val v = Array.tabulate(dim) { i =>
+      val num = BigInt(q2(i)) * u1n2 - 2 * hq * BigInt(u1(i))
+      Pca.roundHalfUp(Pca.toD(num) / Pca.toD(u1n2), 0).toLong
+    }
+    if (v.forall(_ == 0L)) return Array.fill(dim)(0L)
+    val t = math.round(math.sqrt(dim.toDouble) * 16)
+    val nv = math.round(math.sqrt(
+      v.map(x => BigInt(x) * BigInt(x)).sum.toDouble) * 16)
+    Array.tabulate(dim)(i => t * v(i) - (if (i % 2 == 0) nv else -nv))
   }
 
   /**
@@ -112,10 +170,24 @@ object Opq {
    * |u|²·10⁶ is one fixed-order double op per element. The oracle
    * replays every step from its own `dir` CTE, so the whole learned
    * rotation — direction training included — hash-checks
-   * (q_opq_pca_recall). Frame-level API (the dot materializes ONCE per
-   * row as a column; an inline expression would re-evaluate it per
-   * element in the interpreter). u = 0 passes vectors through
-   * unchanged (as doubles), the declared degenerate contract.
+   * (q_opq_pca_recall).
+   *
+   * The u·v dot is the FINISH-LAMBDA fold: `aggregate(products, 0,
+   * +, hd => zip_with(...))` binds the accumulated dot as a lambda
+   * variable that the per-element numerator READS — evaluated exactly
+   * once per row. (The r12 version staged it as a `__hd` column
+   * consumed by a second projection; CollapseProject inlines a
+   * single-reference alias into the consumer, so the WHOLE corpus dot
+   * re-evaluated per element inside the zip_with — dim× the work, the
+   * measured 4.7× slowdown of q_opq_pca_recall vs its WHT sibling. A
+   * bound lambda variable cannot be inlined — the same defence as
+   * [[rotateInt]]'s stage fold.)
+   *
+   * Magnitude contract: |coordinate| < 10⁴ (unit-normalized embeddings
+   * sit 4 orders below it) — that keeps the quantized qv inside the
+   * decimal(13,0) operand and the long u·v dot below 2⁶³ for |u| ≤
+   * ~2.6e8 axes at dim ≤ 128. u = 0 passes vectors through unchanged
+   * (as doubles), the declared degenerate contract.
    */
   def rotateHouseholder(df: org.apache.spark.sql.DataFrame,
       embCol: String, u: Array[Long]): org.apache.spark.sql.DataFrame = {
@@ -125,27 +197,23 @@ object Opq {
         x => x.cast("double")))
     require(u2 <= BigInt(Long.MaxValue),
       s"|u|^2 must fit a long, got $u2")
-    // decimal widths are chosen to keep every product within DuckDB's
-    // 38-digit cap: qv ≤ 10 digits, u ≤ 10, |u|² ≤ 19, u·v ≤ 20 →
-    // widest intermediate is 33 digits, exact in both engines
+    // decimal widths keep every product within DuckDB's 38-digit cap:
+    // qv ≤ 13 digits (the |x| < 10⁴ contract), u ≤ 10, |u|² ≤ 19,
+    // u·v ≤ 20 → widest intermediate is 32 digits, exact in both engines
     val uLit = typedlit(u.toSeq)
     val u2Dec = lit(new java.math.BigDecimal(u2.bigInteger))
       .cast("decimal(19,0)")
     val divisor = lit(u2.toDouble * S)
-    df.withColumn("__hd",
-        aggregate(zip_with(
-            transform(col(embCol), x => round(x * S, 0).cast("long")),
-            uLit, (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x))
-      .withColumn(embCol, {
-        val qv = transform(col(embCol), x => round(x * S, 0).cast("long"))
-        zip_with(qv, uLit, (x, ui) =>
-          (x.cast("decimal(10,0)") * u2Dec
+    def qv = transform(col(embCol), x => round(x * S, 0).cast("long"))
+    df.withColumn(embCol,
+      aggregate(
+        zip_with(qv, uLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x,
+        hd => zip_with(qv, uLit, (x, ui) =>
+          (x.cast("decimal(13,0)") * u2Dec
             - lit(2).cast("decimal(2,0)")
-              * col("__hd").cast("decimal(20,0)")
+              * hd.cast("decimal(20,0)")
               * ui.cast("decimal(10,0)"))
-            .cast("double") / divisor)
-      })
-      .drop("__hd")
+            .cast("double") / divisor)))
   }
 }

@@ -105,11 +105,11 @@ object Pca {
   /** Spark `round(double, scale)` replicated exactly: java
     * `BigDecimal.valueOf` (shortest-decimal) then HALF_UP — NOT Scala's
     * `BigDecimal(double)` exact-binary constructor. */
-  private def roundHalfUp(x: Double, scale: Int): Double =
+  private[operators] def roundHalfUp(x: Double, scale: Int): Double =
     JBig.valueOf(x).setScale(scale, RoundingMode.HALF_UP).doubleValue()
 
   /** Spark/DuckDB decimal(38,0)→double cast replicated exactly. */
-  private def toD(b: BigInt): Double = new JBig(b.bigInteger).doubleValue()
+  private[operators] def toD(b: BigInt): Double = new JBig(b.bigInteger).doubleValue()
 
   /** Driver-side eigen state: the full symmetric covariance matrix in
     * integer micro-units plus the current direction's exact pieces. */
@@ -268,6 +268,19 @@ object Pca {
   def topDirection(df: DataFrame, embCol: String, dim: Int,
       nSalt: Int = 16): Array[Long] =
     solveTop(df, embCol, dim, nSalt)._1
+
+  /** Top TWO principal directions as integer micro-units — the rank-2
+    * learned-rotation front end ([[graft.operators.Opq.householder2FromPca]]):
+    * [[topDirection]]'s q1 plus one Hotelling deflation and a second
+    * power run, exactly [[projectTop2]]'s pair, so the SQL oracle's
+    * dir/dir2 CTEs reproduce both bit-for-bit. Same ONE moments pass —
+    * the deflation and both power steps are driver-side dim² work. */
+  def topDirections2(df: DataFrame, embCol: String, dim: Int,
+      nSalt: Int = 16): (Array[Long], Array[Long]) = {
+    val (q1, _, m) = solveTop(df, embCol, dim, nSalt)
+    val (num, den) = rayleigh(m, q1)
+    (q1, direction(deflate(m, q1, num, den)))
+  }
 
   /**
    * Per-vector projection onto the first principal direction:

@@ -83,6 +83,45 @@ object Pq {
   }
 
   /**
+   * [[encodeFixed]] over an ALREADY-QUANTIZED `array<long>` embedding
+   * column: every dot product, argmin key, and reconstruction error is
+   * an EXACT long sum — zero float operations after the caller's one
+   * quantization, so per-row errors AND any cross-row total of them are
+   * bit-portable by construction. This exists because summed
+   * once-rounded double errors proved fragile across DuckDB builds (a
+   * 1-ulp divergence at the round(·,6) boundary flips a 1e-6 digit of a
+   * SUM — the q_opq_balance driver failure in round 12); an integer err
+   * has no boundary to flip. Same broadcast-codebook/argmin shape and
+   * scale story as [[encodeFixed]]; `err` is in (input units)².
+   * Magnitude contract: |coordinate| ≲ 2.4e7 keeps every 16-wide dot
+   * inside a long at d = dim/m ≤ 16 (the micro-quantized ×8 and raw-WHT
+   * frames used by q_opq_balance sit well under it).
+   */
+  def encodeFixedLong(df: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    def dotL(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val codebook = df.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("__c"), col(embCol).as("__v"))
+      .select(col("__c"), subvectors(col("__v"), m, d).as(Seq("j", "__cw")))
+      .withColumn("__cwn2", dotL(col("__cw"), col("__cw")))
+    val subs = df.select(col(idCol), col(embCol).as("__v"))
+      .select(col(idCol), subvectors(col("__v"), m, d).as(Seq("j", "__s")))
+      .withColumn("__sn2", dotL(col("__s"), col("__s")))
+    subs.join(broadcast(codebook), "j")
+      .withColumn("__key",
+        lit(-2L) * dotL(col("__s"), col("__cw")) + col("__cwn2"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("__key").as("k"), col("__c").as("c"))).as("__m"),
+        max(col("__sn2")).as("__n2"))
+      .select(col(idCol), col("j").cast("long").as("j"),
+        col("__m.c").as("code"),
+        (col("__n2") + col("__m.k")).as("err"))
+  }
+
+  /**
    * k-means-TRAINED per-subspace codebooks (classic PQ training): each
    * subspace runs its own Lloyd iterations over its subvector projection,
    * reusing [[Ivf.train]] (distributed means; k·d driver floats per

@@ -84,7 +84,7 @@ object Pipeline {
     * summation-order independent, so the engine's salted two-level
     * reduction needs no mirroring. Unreferenced CTEs cost nothing. */
   private def PcaSql(select: String): String =
-    s"""WITH e AS (SELECT vec_id,
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
              list_transform(embedding::DOUBLE[],
                x -> round(x * 1000000, 0)::BIGINT) AS v
            FROM embeddings WHERE embedding IS NOT NULL),
@@ -105,7 +105,7 @@ object Pipeline {
                / cast(m.n AS double) / 1000000, 0) AS decimal(12,0)) AS c
            FROM m JOIN si a ON a.i = m.i JOIN si b ON b.i = m.j
            WHERE m.j >= 0),
-         covf AS (SELECT i, j, c FROM cov
+         covf AS MATERIALIZED (SELECT i, j, c FROM cov
                   UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
          sd1 AS (SELECT i FROM (
                    SELECT i, row_number() OVER (ORDER BY c DESC, i) AS rn
@@ -117,7 +117,7 @@ object Pipeline {
                     * cast(v1.w1 AS decimal(12,0))) AS w2
                 FROM covf JOIN v1 ON covf.j = v1.k1 GROUP BY covf.i),
          mx AS (SELECT max(abs(w2)) AS mx FROM v2),
-         dir AS (SELECT v2.i,
+         dir AS MATERIALIZED (SELECT v2.i,
                    CASE WHEN mx.mx = 0 THEN cast(0 AS decimal(7,0))
                         ELSE cast(round(cast(v2.w2 AS double)
                           / cast(mx.mx AS double) * 1000000, 0)
@@ -133,7 +133,7 @@ object Pipeline {
                  FROM dir JOIN v3 ON v3.i = dir.i),
          den AS (SELECT sum(q * q) AS den FROM dir),
          tr AS (SELECT sum(c) AS tr FROM covf WHERE i = j),
-         cov2 AS (
+         cov2 AS MATERIALIZED (
            SELECT f.i, f.j,
              cast(cast(f.c AS decimal(13,0)) - cast(round(
                CASE WHEN den.den = 0 THEN 0.0
@@ -153,20 +153,86 @@ object Pipeline {
                      * cast(v1b.w1 AS decimal(12,0))) AS w2
                  FROM cov2 JOIN v1b ON cov2.j = v1b.k1 GROUP BY cov2.i),
          mxb AS (SELECT max(abs(w2)) AS mx FROM v2b),
-         dir2 AS (SELECT v2b.i,
+         dir2 AS MATERIALIZED (SELECT v2b.i,
                     CASE WHEN mxb.mx = 0 THEN cast(0 AS decimal(7,0))
                          ELSE cast(round(cast(v2b.w2 AS double)
                            / cast(mxb.mx AS double) * 1000000, 0)
                            AS decimal(7,0)) END AS q2
                   FROM v2b CROSS JOIN mxb),
          n2b AS (SELECT sum(q2 * q2) AS n2b FROM dir2),
-         x AS (SELECT vec_id, unnest(v) AS x,
+         x AS MATERIALIZED (SELECT vec_id, unnest(v) AS x,
                  unnest(generate_series(0, len(v) - 1)) AS pos FROM e),
          proj AS (SELECT x.vec_id, sum(x.x * dir.q::BIGINT) AS s
                   FROM x JOIN dir ON dir.i = x.pos GROUP BY x.vec_id),
          proj2 AS (SELECT x.vec_id, sum(x.x * dir2.q2::BIGINT) AS s2
                    FROM x JOIN dir2 ON dir2.i = x.pos GROUP BY x.vec_id)
          $select"""
+
+  /**
+   * The shared IVF-PQ recall@10 downstream (q_ivf_pq_recall and the
+   * three rotated variants): queries = vec_id < 5, fixed first-16
+   * quantizer + first-8 codebook, nprobe = 4, exact-cosine truth in the
+   * SAME space (isometric rotations preserve the ranking — OpqSpec).
+   * The input frame is PERSISTED here: four consumers fan out of it
+   * (queries, Ivf.train, exactTopK, ivfAdcTopK), and without the
+   * persist a corpus-scale front end (a rotation, or just the scan)
+   * re-runs per consumer — the r12 q_opq_pca_recall finding (7.8s
+   * isolated vs 1.3s fixed). Verify/Bench clear cached blocks after
+   * every query, so the persist cannot leak across the board.
+   */
+  private def ivfPqRecallOver(embIn: DataFrame): DataFrame = {
+    val emb = embIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+      k = 16, iters = 0)
+    val exact = Similarity.exactTopK(emb, qs, 10)
+      .select(col("q_id"), col("vec_id"))
+    val adc = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids, nprobe = 4,
+      topK = 10, m = 4, k = 8, dim = 64)
+      .select(col("q_id"), col("vec_id"))
+    exact.join(adc.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
+        "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit").cast("double") / 10).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** One capacity's CTE block of the q_pack_curve oracle: the q_seq_pack
+    * chain (shard hash, pow2 bucket when-cascade, in-bucket row_number
+    * packing) parameterized by capacity, reduced to the one-row
+    * (capacity, n_seqs, used, padding, oversize) summary. */
+  private def packCurveCtes(cap: Int): String = {
+    val buckets = Iterator.iterate(1)(_ * 2).takeWhile(_ <= cap).toSeq
+    val caseExpr = ("CASE WHEN n_tokens <= 1 THEN 1"
+      +: buckets.tail.map(b => s"WHEN n_tokens <= $b THEN $b"))
+      .mkString(" ") + " END"
+    s"""b$cap AS (
+         SELECT doc_id, n_tokens,
+           ('0x' || substr(hh, 1, 15))::BIGINT % 4 AS shard,
+           $caseExpr AS bucket
+         FROM d WHERE n_tokens >= 1 AND n_tokens <= $cap),
+       r$cap AS (
+         SELECT shard, bucket, n_tokens,
+           row_number() OVER (PARTITION BY shard, bucket
+             ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+         FROM b$cap),
+       s$cap AS (
+         SELECT shard, bucket, (rn * bucket) // $cap AS seq_id,
+           sum(n_tokens) AS used
+         FROM r$cap GROUP BY shard, bucket, (rn * bucket) // $cap),
+       c$cap AS (
+         SELECT CAST($cap AS BIGINT) AS capacity,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(coalesce(sum(used), 0) AS BIGINT) AS used_tokens,
+           CAST(coalesce(sum($cap - used), 0) AS BIGINT) AS padding_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM d
+            WHERE n_tokens > $cap OR n_tokens < 1) AS n_oversize
+         FROM s$cap)"""
+  }
 
   /** KMV sketch size for q_kmv_card / q_kmv_overlap — 16 keeps the
     * estimator ACTIVE at sf0.01 (25 docs per source > k), so the oracle
@@ -666,6 +732,42 @@ object Pipeline {
           sum(col("n_tokens")).as("used_tokens"))
         .withColumn("padding", lit(128L) - col("used_tokens"))
         .orderBy("shard", "bucket", "seq_id")
+    }),
+    // L5h — the packing-capacity TUNING CURVE (the q_minhash_band_curve
+    // convention): q_seq_pack reports padding at ONE capacity; this
+    // sweeps capacity ∈ {64, 128, 256} over the SAME token counts and
+    // reports BOTH sides of the trade per capacity — sequences emitted,
+    // padding waste (absolute and as a fraction of the token budget),
+    // and the docs too long to pack at all (counted, never silently
+    // dropped — the q_prepare_e2e funnel rule). Larger capacity admits
+    // more docs (n_oversize falls) but rounds lengths into coarser
+    // power-of-two buckets (pad_frac typically rises): the curve is
+    // what picks the batch shape. One persisted token-count scan feeds
+    // all three sweeps; each is the q_seq_pack plan at its capacity.
+    "q_pack_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TA.tokenCountWs(col("text")).as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(64, 128, 256).map { cap =>
+        val seqs = graft.operators.Sampling.packSequences(docs, "doc_id",
+            "n_tokens", "pack1", nShards = 4, capacity = cap)
+          .groupBy("shard", "bucket", "seq_id")
+          .agg(sum(col("n_tokens")).as("used"))
+          .agg(count(lit(1)).as("n_seqs"),
+            coalesce(sum(col("used")), lit(0L)).as("used_tokens"),
+            coalesce(sum(lit(cap.toLong) - col("used")), lit(0L))
+              .as("padding_tokens"))
+        val over = docs.filter(col("n_tokens") > cap || col("n_tokens") < 1)
+          .agg(count(lit(1)).as("n_oversize"))
+        seqs.crossJoin(over)
+          .select(lit(cap.toLong).as("capacity"), col("n_seqs"),
+            col("used_tokens"), col("padding_tokens"), col("n_oversize"),
+            when(col("n_seqs") > 0,
+              col("padding_tokens").cast("double") /
+                (col("n_seqs") * cap).cast("double"))
+              .otherwise(lit(0.0)).as("pad_frac"))
+      }.reduce(_ union _).orderBy("capacity")
     }),
     // L5c — deterministic source-INTERLEAVED epoch ordering: docs rank
     // within their source by the portable md5 permutation, then take the
@@ -2116,26 +2218,10 @@ object Pipeline {
     // cosine top-10 (the q_pq_recall recipe): the number that shows what
     // probe-bounding costs ON TOP of quantization — reading it next to
     // q_pq_recall separates the two loss sources before picking nprobe.
-    "q_ivf_pq_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
-      val qs = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
-        k = 16, iters = 0)
-      val exact = Similarity.exactTopK(emb, qs, 10)
-        .select(col("q_id"), col("vec_id"))
-      val adc = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids, nprobe = 4,
-        topK = 10, m = 4, k = 8, dim = 64)
-        .select(col("q_id"), col("vec_id"))
-      exact.join(adc.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
-          "left")
-        .groupBy("q_id")
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-        .select(col("q_id"), col("n_hit"),
-          (col("n_hit").cast("double") / 10).as("recall"))
-        .orderBy("q_id")
-    }),
+    "q_ivf_pq_recall" -> ((s, dir) =>
+      ivfPqRecallOver(t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          VectorOps.asDouble(col("embedding")).as("emb")))),
     // L2 — OPQ-STYLE ROTATED IVF-PQ recall (Opq.rotate ∘ the
     // q_ivf_pq_recall pipeline): the Walsh–Hadamard rotation spreads
     // the corpus' dominant-direction energy evenly across the m=4 PQ
@@ -2146,48 +2232,41 @@ object Pipeline {
     // bit-portable; the exact-cosine truth is computed in the rotated
     // space, which the isometry law (OpqSpec) pins equal to the
     // original space's ranking.
-    "q_opq_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+    "q_opq_recall" -> ((s, dir) =>
+      ivfPqRecallOver(t(s, dir, "embeddings")
         .select(col("vec_id"),
           graft.operators.Opq.rotate(
-            VectorOps.asDouble(col("embedding")), 64).as("emb"))
-      val qs = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
-        k = 16, iters = 0)
-      val exact = Similarity.exactTopK(emb, qs, 10)
-        .select(col("q_id"), col("vec_id"))
-      val adc = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids, nprobe = 4,
-        topK = 10, m = 4, k = 8, dim = 64)
-        .select(col("q_id"), col("vec_id"))
-      exact.join(adc.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
-          "left")
-        .groupBy("q_id")
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-        .select(col("q_id"), col("n_hit"),
-          (col("n_hit").cast("double") / 10).as("recall"))
-        .orderBy("q_id")
-    }),
+            VectorOps.asDouble(col("embedding")), 64).as("emb")))),
     // L2 — the rotation's effect as a per-subspace number
     // (q_opq_recall's measurement twin): total PQ quantization error
     // per subspace, plain vs rotated. PQ quantizes subspaces
     // independently, so this row shows how the rotation REDISTRIBUTES
     // error across them (total energy is preserved — the isometry law;
     // at sf0.01 the redistribution drops 3 of 4 subspaces and the
-    // recall lift follows). Decimal error sums (each per-row err is a
-    // once-rounded double) keep both columns bit-portable, so the whole
-    // comparison oracle-checks.
+    // recall lift follows). EXACT-INTEGER accounting end to end
+    // (Pq.encodeFixedLong): both paths are expressed in the SAME
+    // integer frame — eighth-micro units, 1/(√64·10⁶) of the float
+    // scale — plain as 8·round(x·10⁶), rotated as the RAW integer WHT
+    // (already √64·10⁶-scaled), so every dot, argmin key, per-row err
+    // and cross-row total is an exact integer with zero double rounding
+    // anywhere. (The r12 version summed once-rounded double errs; a
+    // 1-ulp DuckDB-build divergence at the round(·,6) boundary flipped
+    // a 1e-6 digit of the sum — the board's one red row. Integers have
+    // no boundary to flip.)
     "q_opq_balance" -> ((s, dir) => {
       val embP = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
-      val embR = embP.select(col("vec_id"),
-        graft.operators.Opq.rotate(col("emb"), 64).as("emb"))
+      val qP = embP.select(col("vec_id"),
+        transform(col("emb"),
+          x => round(x * 1e6, 0).cast("long") * 8).as("emb"))
+      val qR = embP.select(col("vec_id"),
+        graft.operators.Opq.rotateInt(col("emb"), 64).as("emb"))
       def byJ(e: DataFrame, out: String) =
-        graft.operators.Pq.encodeFixed(e, "vec_id", "emb",
+        graft.operators.Pq.encodeFixedLong(e, "vec_id", "emb",
             m = 4, k = 8, dim = 64)
           .groupBy("j")
-          .agg(sum(col("err").cast("decimal(28,10)")).as(out))
-      byJ(embP, "err_plain").join(byJ(embR, "err_rot"), Seq("j"))
+          .agg(sum(col("err").cast("decimal(28,0)")).as(out))
+      byJ(qP, "err_plain").join(byJ(qR, "err_rot"), Seq("j"))
         .orderBy("j")
     }),
     // L2 — the LEARNED rotation (the PCA-derived counterpart of
@@ -2205,23 +2284,30 @@ object Pipeline {
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
       val u = graft.operators.Opq.householderFromPca(
         graft.operators.Pca.topDirection(emb, "emb", 64))
-      val rot = graft.operators.Opq.rotateHouseholder(emb, "emb", u)
-      val qs = rot.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      val centroids = graft.operators.Ivf.train(rot, "vec_id", "emb",
-        k = 16, iters = 0)
-      val exact = Similarity.exactTopK(rot, qs, 10)
-        .select(col("q_id"), col("vec_id"))
-      val adc = graft.operators.Pq.ivfAdcTopK(rot, qs, centroids, nprobe = 4,
-        topK = 10, m = 4, k = 8, dim = 64)
-        .select(col("q_id"), col("vec_id"))
-      exact.join(adc.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
-          "left")
-        .groupBy("q_id")
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-        .select(col("q_id"), col("n_hit"),
-          (col("n_hit").cast("double") / 10).as("recall"))
-        .orderBy("q_id")
+      ivfPqRecallOver(graft.operators.Opq.rotateHouseholder(emb, "emb", u))
+    }),
+    // L2 — the RANK-2 learned rotation (the verdict-4 upgrade): compose
+    // TWO Householders — H₁ maps the top principal direction onto the
+    // all-ones diagonal (as q_opq_pca_recall), H₂ maps the second
+    // direction's image onto the ALTERNATING ±1 diagonal, which is
+    // orthogonal to H₁'s target so the composition spreads BOTH top
+    // directions' energy across the m subspaces instead of undoing one.
+    // Exactly orthogonal for the exact-integer axes, bit-portable end to
+    // end: the oracle re-derives q₂ from its own deflation CTEs (dir2),
+    // replays v = H₁q₂ and both reflections in exact decimals.
+    // Measured (recall@10, nprobe=4, vs plain 0.36/0.26 and WHT
+    // 0.42/0.30 at sf0.01/sf0.1): rank-1 0.40/0.30, rank-2 0.32/0.34 —
+    // at the larger SF the rank-2 learned rotation finally beats the
+    // oblivious WHT (0.34 vs 0.30); the sf0.01 dip is 5-query noise on
+    // a corpus small enough that one direction dominates.
+    "q_opq_pca2_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val (d1, d2) = graft.operators.Pca.topDirections2(emb, "emb", 64)
+      val u1 = graft.operators.Opq.householderFromPca(d1)
+      val u2 = graft.operators.Opq.householder2FromPca(d2, u1)
+      ivfPqRecallOver(graft.operators.Opq.rotateHouseholder(
+        graft.operators.Opq.rotateHouseholder(emb, "emb", u1), "emb", u2))
     }),
     // L2 — IVF-PQ + exact refine (Similarity.refineTopK): the FULL FAISS
     // serving shape — ADC proposes top-20 per query from codes only, the
@@ -3359,65 +3445,62 @@ object Pipeline {
           ${embExactCte(5, 10)},
           adc AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 10)
           ${recallTailSql("adc", 10)}""",
-    // Per-subspace PQ error totals, plain vs rotated — both encode
-    // passes share the fixed-codebook argmin shape; decimal sums keep
-    // the cross-row totals order-free.
+    // Per-subspace PQ error totals, plain vs rotated — EXACT-INTEGER
+    // replay of Pq.encodeFixedLong over the shared eighth-micro frame:
+    // plain = 8·round(x·10⁶), rotated = the raw integer WHT; every dot,
+    // argmin key and err is an exact BIGINT sum (position-level joins,
+    // no float list ops), so the cross-build 1-ulp rounding divergence
+    // that killed the r12 double version cannot occur.
     "q_opq_balance" ->
-      s"""WITH e AS (
-           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         qv AS (
+      s"""WITH qv AS (
            SELECT vec_id, gs.i AS pos,
              CAST(round(embedding[gs.i]::DOUBLE * 1000000, 0) AS BIGINT) AS q
            FROM embeddings, generate_series(1, 64) AS gs(i)),
          rotl AS (
            SELECT v.vec_id, i.i AS pos,
-             sum(CASE WHEN bit_count((i.i - 1) & (v.pos - 1)) % 2 = 0
-                 THEN v.q ELSE -v.q END) AS rw
+             CAST(sum(CASE WHEN bit_count((i.i - 1) & (v.pos - 1)) % 2 = 0
+                 THEN v.q ELSE -v.q END) AS BIGINT) AS w
            FROM qv v, generate_series(1, 64) AS i(i)
            GROUP BY v.vec_id, i.i),
-         e2 AS (SELECT vec_id, list(rw / 8000000.0 ORDER BY pos) AS v
-               FROM rotl GROUP BY vec_id),
-         subp AS (
-           SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
-             list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
-           FROM e, generate_series(0, 3) AS g(j)),
-         cbp AS (
-           SELECT cast(e.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
-             list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
-           FROM e, generate_series(0, 3) AS g(j)
-           WHERE vec_id < 8),
+         up AS (SELECT vec_id, CAST((pos - 1) // 16 AS BIGINT) AS j,
+                  (pos - 1) % 16 AS sp, 8 * q AS x FROM qv),
+         ur AS (SELECT vec_id, CAST((pos - 1) // 16 AS BIGINT) AS j,
+                  (pos - 1) % 16 AS sp, w AS x FROM rotl),
+         np AS (SELECT vec_id, j, CAST(sum(x * x) AS BIGINT) AS n2
+                FROM up GROUP BY vec_id, j),
+         nr AS (SELECT vec_id, j, CAST(sum(x * x) AS BIGINT) AS n2
+                FROM ur GROUP BY vec_id, j),
+         dp AS (SELECT a.vec_id, a.j, b.vec_id AS c,
+                  CAST(sum(a.x * b.x) AS BIGINT) AS sc
+                FROM up a JOIN up b
+                  ON b.vec_id < 8 AND a.j = b.j AND a.sp = b.sp
+                GROUP BY a.vec_id, a.j, b.vec_id),
+         dr AS (SELECT a.vec_id, a.j, b.vec_id AS c,
+                  CAST(sum(a.x * b.x) AS BIGINT) AS sc
+                FROM ur a JOIN ur b
+                  ON b.vec_id < 8 AND a.j = b.j AND a.sp = b.sp
+                GROUP BY a.vec_id, a.j, b.vec_id),
          encp AS (
-           SELECT vec_id, j, round(sn2 + key, 6) AS err FROM (
-             SELECT subp.vec_id, subp.j, subp.sn2,
-               -2 * list_dot_product(subp.s, cbp.cw) + cbp.cwn2
-                 AS key,
-               row_number() OVER (PARTITION BY subp.vec_id, subp.j
-                 ORDER BY -2 * list_dot_product(subp.s, cbp.cw) + cbp.cwn2,
-                   cbp.c) AS rn
-             FROM subp JOIN cbp ON subp.j = cbp.j) WHERE rn = 1),
-         subr AS (
-           SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
-             list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
-           FROM e2, generate_series(0, 3) AS g(j)),
-         cbr AS (
-           SELECT cast(e2.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw,
-             list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS cwn2
-           FROM e2, generate_series(0, 3) AS g(j)
-           WHERE vec_id < 8),
+           SELECT vec_id, j, err FROM (
+             SELECT d.vec_id, d.j, sv.n2 - 2 * d.sc + cv.n2 AS err,
+               row_number() OVER (PARTITION BY d.vec_id, d.j
+                 ORDER BY cv.n2 - 2 * d.sc, d.c) AS rn
+             FROM dp d
+             JOIN np sv ON sv.vec_id = d.vec_id AND sv.j = d.j
+             JOIN np cv ON cv.vec_id = d.c AND cv.j = d.j) WHERE rn = 1),
          encr AS (
-           SELECT vec_id, j, round(sn2 + key, 6) AS err FROM (
-             SELECT subr.vec_id, subr.j, subr.sn2,
-               -2 * list_dot_product(subr.s, cbr.cw) + cbr.cwn2
-                 AS key,
-               row_number() OVER (PARTITION BY subr.vec_id, subr.j
-                 ORDER BY -2 * list_dot_product(subr.s, cbr.cw) + cbr.cwn2,
-                   cbr.c) AS rn
-             FROM subr JOIN cbr ON subr.j = cbr.j) WHERE rn = 1)
+           SELECT vec_id, j, err FROM (
+             SELECT d.vec_id, d.j, sv.n2 - 2 * d.sc + cv.n2 AS err,
+               row_number() OVER (PARTITION BY d.vec_id, d.j
+                 ORDER BY cv.n2 - 2 * d.sc, d.c) AS rn
+             FROM dr d
+             JOIN nr sv ON sv.vec_id = d.vec_id AND sv.j = d.j
+             JOIN nr cv ON cv.vec_id = d.c AND cv.j = d.j) WHERE rn = 1)
          SELECT p.j, p.err_plain, r.err_rot FROM
-           (SELECT j, sum(cast(err AS decimal(28,10))) AS err_plain
+           (SELECT j, sum(cast(err AS decimal(28,0))) AS err_plain
             FROM encp GROUP BY j) p
          JOIN
-           (SELECT j, sum(cast(err AS decimal(28,10))) AS err_rot
+           (SELECT j, sum(cast(err AS decimal(28,0))) AS err_rot
             FROM encr GROUP BY j) r
          USING (j) ORDER BY j""",
     // Learned-rotation recall: the PCA chain's dir CTE feeds the exact
@@ -3427,16 +3510,18 @@ object Pipeline {
     // over the rotated frame e2.
     "q_opq_pca_recall" -> PcaSql(
       s""",
-         nqc AS (SELECT round(sqrt(cast(sum(q*q) AS double)))::BIGINT AS n
+         nqc AS (SELECT round(sqrt(cast(sum(q*q) AS double)) * 16)::BIGINT
+                   AS n
                  FROM dir),
-         uu AS (SELECT dir.i, (8 * q)::BIGINT - nqc.n AS u
+         uu AS MATERIALIZED (SELECT dir.i,
+                  (round(sqrt(64.0) * 16)::BIGINT * q)::BIGINT - nqc.n AS u
                 FROM dir CROSS JOIN nqc),
-         uu2 AS (SELECT sum(u*u) AS u2 FROM uu),
+         uu2 AS MATERIALIZED (SELECT sum(u*u) AS u2 FROM uu),
          hd AS (SELECT x.vec_id, sum(x.x * uu.u) AS d
                 FROM x JOIN uu ON uu.i = x.pos GROUP BY x.vec_id),
          rotv AS (
            SELECT x.vec_id, x.pos,
-             cast((x.x::DECIMAL(10,0) * uu2.u2::DECIMAL(19,0)
+             cast((x.x::DECIMAL(13,0) * uu2.u2::DECIMAL(19,0)
                - 2::DECIMAL(2,0) * hd.d::DECIMAL(20,0)
                  * uu.u::DECIMAL(10,0)) AS DOUBLE)
                / (cast(uu2.u2 AS DOUBLE) * 1000000.0) AS rv
@@ -3444,6 +3529,68 @@ object Pipeline {
            JOIN hd ON hd.vec_id = x.vec_id CROSS JOIN uu2),
          e2 AS (SELECT vec_id, list(rv ORDER BY pos) AS v
                 FROM rotv GROUP BY vec_id),
+         ${ivfPqAdcBody("e2")},
+         ${embExactCte(5, 10, "e2")},
+         adc AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 10)
+         ${recallTailSql("adc", 10)}"""),
+    // Rank-2 learned rotation: the rank-1 chain (uu/rotv) plus the
+    // second axis — v = H₁q₂ from the deflated direction dir2 (exact
+    // decimal numerator, one rounded division), aimed at the
+    // alternating ±1 diagonal (uub), and the second reflection replayed
+    // over the re-quantized first-reflection frame (x2 → rotv2).
+    "q_opq_pca2_recall" -> PcaSql(
+      s""",
+         nqc AS (SELECT round(sqrt(cast(sum(q*q) AS double)) * 16)::BIGINT
+                   AS n
+                 FROM dir),
+         uu AS MATERIALIZED (SELECT dir.i,
+                  (round(sqrt(64.0) * 16)::BIGINT * q)::BIGINT - nqc.n AS u
+                FROM dir CROSS JOIN nqc),
+         uu2 AS MATERIALIZED (SELECT sum(u*u) AS u2 FROM uu),
+         hd AS (SELECT x.vec_id, sum(x.x * uu.u) AS d
+                FROM x JOIN uu ON uu.i = x.pos GROUP BY x.vec_id),
+         rotv AS (
+           SELECT x.vec_id, x.pos,
+             cast((x.x::DECIMAL(13,0) * uu2.u2::DECIMAL(19,0)
+               - 2::DECIMAL(2,0) * hd.d::DECIMAL(20,0)
+                 * uu.u::DECIMAL(10,0)) AS DOUBLE)
+               / (cast(uu2.u2 AS DOUBLE) * 1000000.0) AS rv
+           FROM x JOIN uu ON uu.i = x.pos
+           JOIN hd ON hd.vec_id = x.vec_id CROSS JOIN uu2),
+         rotm AS MATERIALIZED (SELECT vec_id, pos, rv FROM rotv),
+         hq AS (SELECT sum(dir2.q2::BIGINT * uu.u) AS d
+                FROM dir2 JOIN uu ON uu.i = dir2.i),
+         vq AS MATERIALIZED (SELECT dir2.i,
+                  round(cast(cast(dir2.q2 AS DECIMAL(8,0))
+                      * uu2.u2::DECIMAL(19,0)
+                    - 2::DECIMAL(2,0) * hq.d::DECIMAL(20,0)
+                      * uu.u::DECIMAL(10,0) AS DOUBLE)
+                    / cast(uu2.u2 AS DOUBLE))::BIGINT AS v
+                FROM dir2 JOIN uu ON uu.i = dir2.i
+                CROSS JOIN uu2 CROSS JOIN hq),
+         nvc AS (SELECT round(sqrt(cast(sum(v*v) AS double)) * 16)::BIGINT
+                   AS n
+                 FROM vq),
+         uub AS MATERIALIZED (SELECT vq.i,
+                   (round(sqrt(64.0) * 16)::BIGINT * v)::BIGINT
+                     - (CASE WHEN vq.i % 2 = 0 THEN nvc.n
+                        ELSE -nvc.n END) AS u
+                 FROM vq CROSS JOIN nvc),
+         uub2 AS MATERIALIZED (SELECT sum(u*u) AS u2 FROM uub),
+         x2 AS MATERIALIZED (SELECT vec_id, pos,
+                  round(rv * 1000000, 0)::BIGINT AS x FROM rotm),
+         hd2 AS (SELECT x2.vec_id, sum(x2.x * uub.u) AS d
+                 FROM x2 JOIN uub ON uub.i = x2.pos GROUP BY x2.vec_id),
+         rotv2 AS (
+           SELECT x2.vec_id, x2.pos,
+             cast((x2.x::DECIMAL(13,0) * uub2.u2::DECIMAL(19,0)
+               - 2::DECIMAL(2,0) * hd2.d::DECIMAL(20,0)
+                 * uub.u::DECIMAL(10,0)) AS DOUBLE)
+               / (cast(uub2.u2 AS DOUBLE) * 1000000.0) AS rv
+           FROM x2 JOIN uub ON uub.i = x2.pos
+           JOIN hd2 ON hd2.vec_id = x2.vec_id CROSS JOIN uub2),
+         e2 AS MATERIALIZED (SELECT vec_id, list(rv ORDER BY pos) AS v
+                FROM rotv2 GROUP BY vec_id),
          ${ivfPqAdcBody("e2")},
          ${embExactCte(5, 10, "e2")},
          adc AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 10)
@@ -4084,6 +4231,26 @@ object Pipeline {
            cast(128 - sum(n_tokens) AS BIGINT) AS padding
          FROM r GROUP BY shard, bucket, (rn * bucket) // 128
          ORDER BY shard, bucket, seq_id""",
+    // Packing-capacity curve: the q_seq_pack chain at three capacities
+    // over ONE materialized token-count scan, each reduced to its
+    // one-row trade summary; the pad fraction is one fixed-order double
+    // division of exact integers.
+    "q_pack_curve" ->
+      s"""WITH d AS MATERIALIZED (
+           SELECT doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             md5(concat('pack1', '|', cast(doc_id AS VARCHAR))) AS hh
+           FROM documents WHERE text IS NOT NULL),
+         ${packCurveCtes(64)},
+         ${packCurveCtes(128)},
+         ${packCurveCtes(256)}
+         SELECT capacity, n_seqs, used_tokens, padding_tokens, n_oversize,
+           CASE WHEN n_seqs > 0
+             THEN cast(padding_tokens AS DOUBLE) / (n_seqs * capacity)
+             ELSE 0.0 END AS pad_frac
+         FROM (SELECT * FROM c64 UNION ALL SELECT * FROM c128
+               UNION ALL SELECT * FROM c256)
+         ORDER BY capacity""",
     "q_interleave" ->
       """WITH d AS (
            SELECT doc_id, source,

@@ -159,6 +159,38 @@ class IvfSpec extends SparkSpec {
     assert(enc == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3))
   }
 
+  test("encodeFixedLong: codes agree with encodeFixed on the micro-" +
+      "quantized frame, and err is the exact integer |s-cw|^2") {
+    import graft.operators.Pq
+    // the q_opq_balance plain frame: 8·round(x·1e6) longs — scaling every
+    // coordinate by the same factor preserves the argmin, so codes must
+    // equal the double path's (whose dots are exact at these magnitudes)
+    val qemb = emb.select(col("vec_id"),
+      transform(col("emb"), x => round(x * 1e6, 0).cast("long") * 8).as("emb"))
+    val codesD = Pq.encodeFixed(emb, "vec_id", "emb", m = 4, k = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val outL = Pq.encodeFixedLong(qemb, "vec_id", "emb", m = 4, k = 8, dim = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(outL.size == codesD.size)
+    assert(outL.forall { case (k, (c, _)) => codesD(k) == c },
+      "integer-frame codes must match the double path's")
+    // err replayed driver-side: exact integer |s − cw|² per (vector, j)
+    val vecs = qemb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, v) <- vecs.take(20); j <- 0 until 4) {
+      val (c, err) = outL((id, j.toLong))
+      val s = v.slice(j * 16, j * 16 + 16)
+      val cw = vecs(c.toLong).slice(j * 16, j * 16 + 16)
+      val want = s.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(err == want, s"vec $id subspace $j")
+    }
+    // codewords self-encode with zero integer error
+    for (v <- 0 until 8; j <- 0 until 4)
+      assert(outL((v.toLong, j.toLong)) === ((v, 0L)))
+  }
+
   test("PQ/ADC search: when the corpus IS the codebook, ADC ranking equals " +
       "exact L2 ranking (codes reconstruct perfectly)") {
     import graft.operators.Pq

@@ -84,6 +84,41 @@ class OpqSpec extends SparkSpec {
     rows.foreach { case (id, v) => assert(idem(id) == v) }
   }
 
+  test("rank-2: the composed reflections are an isometry, the second " +
+      "axis is orthogonal to the all-ones diagonal for orthogonal " +
+      "directions, and degenerate inputs yield the identity axis") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0L until 24L).map(i =>
+      (i, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val emb = vecDf(rows)
+    // exactly orthogonal integer directions (q1 ⊥ q2 by construction)
+    val q1 = Array.tabulate(16)(i => if (i < 8) 1000000L else 500000L)
+    val q2 = Array.tabulate(16)(i => if (i < 8) 500000L else -1000000L)
+    assert(q1.zip(q2).map { case (a, b) => a * b }.sum == 0L)
+    val u1 = Opq.householderFromPca(q1)
+    val u2 = Opq.householder2FromPca(q2, u1)
+    // u2 ⊥ ones up to quantization: H2 fixes H1's all-ones target, so
+    // the second reflection cannot undo the first's energy spreading
+    val sumU2 = u2.sum.toDouble
+    val normU2 = math.sqrt(u2.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(sumU2) / (4 * normU2) < 1e-4,
+      s"u2 not ~orthogonal to ones: sum=$sumU2 |u2|=$normU2")
+    // composed isometry: exact top-5 neighbour sets agree per query
+    val rot2 = Opq.rotateHouseholder(
+      Opq.rotateHouseholder(emb, "emb", u1), "emb", u2)
+    def top(df: org.apache.spark.sql.DataFrame) = {
+      val qs = df.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.exactTopK(df, qs, 5)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(top(emb) == top(rot2))
+    // degenerate contracts: zero u1 or zero q2 give the identity axis
+    assert(Opq.householder2FromPca(q2, Array.fill(16)(0L)).forall(_ == 0L))
+    assert(Opq.householder2FromPca(Array.fill(16)(0L), u1).forall(_ == 0L))
+  }
+
   test("isometry: norms are preserved and the exact cosine top-k in " +
       "rotated space equals the original space's") {
     val rnd = new scala.util.Random(13)

@@ -351,6 +351,11 @@ class PlanSpec extends SparkSpec {
       // per-doc fingerprint counts (q_checksum's partial+final shape);
       // selection and the per-doc aggregate stay distributed.
       "q_winnow_density",
+      // q_pack_curve's three per-capacity rows are one-row summaries of
+      // the ALREADY-REDUCED per-sequence tables (the q_winnow_density
+      // partial+final shape, ×3 capacities + 3 bounded oversize counts);
+      // the token scan, bucketing and packing windows stay distributed.
+      "q_pack_curve",
       // q_zipf_slope ranks only the TakeOrderedAndProject 200-row head
       // (bounded whatever the corpus size) and finishes with a one-row
       // OLS aggregate; the vocabulary count stays distributed.

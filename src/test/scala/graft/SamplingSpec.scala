@@ -242,6 +242,32 @@ class SamplingSpec extends SparkSpec {
       }
   }
 
+  test("pack curve (q_pack_curve): capacity sweep laws — oversize " +
+      "monotone down, admitted tokens monotone up, exact budget " +
+      "accounting per capacity") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_pack_curve")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == Seq(64L, 128L, 256L))
+    rows.foreach { case (cap, nSeqs, used, pad, _, frac) =>
+      // per capacity the budget is exact: used + padding = n_seqs · cap
+      assert(used + pad == nSeqs * cap, s"budget leak at cap $cap")
+      assert(frac == (if (nSeqs == 0) 0.0 else pad.toDouble / (nSeqs * cap)))
+    }
+    // doubling capacity only ADMITS docs: oversize count monotone down,
+    // admitted token mass monotone up
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._5 <= lo._5, "n_oversize must fall with capacity")
+      assert(hi._3 >= lo._3, "used_tokens must rise with capacity")
+    }
+    // the funnel never loses a doc: oversize is bounded by the corpus
+    val docs = queries.Q.t(spark, dir, "documents")
+      .filter(col("text").isNotNull).count()
+    rows.foreach { case (_, _, _, _, over, _) => assert(over <= docs) }
+  }
+
   test("prepare composition (q_prepare_e2e): gate monotone, packing " +
       "exact, positions round-robin the shards") {
     import org.apache.spark.sql.functions._
