@@ -67,8 +67,17 @@ object Graph {
       .select(col("node"), lit(teleport).as("rank"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rank = nodes.select(col("node"), lit(scale).as("rank"))
-    (1 to iters).foreach { _ =>
-      val contrib = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
+    (1 to iters).foreach { it =>
+      // iteration 1's rank is the CONSTANT `scale` for every node, and
+      // every src in e is a node — so the |V|-row rank join is a no-op
+      // there and folds into a scan of the persisted edge list (one
+      // corpus-scale join and the nodes-frame dependency saved; ranks
+      // bit-identical). Later iterations carry a genuinely per-node
+      // rank and keep the canonical join.
+      val scored = if (it == 1)
+        e.withColumn("rank", lit(scale))
+      else e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
+      val contrib = scored
         .select(col("dst").as("node"),
           expr("CAST((CAST(rank AS DECIMAL(38,0)) * 85 * w) div " +
             "(100 * CAST(outw AS DECIMAL(38,0))) AS BIGINT)").as("__c"))

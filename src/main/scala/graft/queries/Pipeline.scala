@@ -2868,8 +2868,12 @@ object Pipeline {
     // decimal sums: the oracle SQL re-runs the whole 2-iteration training
     // (IvfSpec additionally asserts recall and probe-all ≡ exact).
     "q_sim_ivf" -> ((s, dir) => {
+      // persisted: Lloyd's 2 iterations + the probe path re-scan the
+      // decoded frame ~5×; caching the float→double decode once is the
+      // same releaseAfterUse convention as ivfPqRecallOver
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), graft.functions.VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
       val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb", k = 16, iters = 2)
