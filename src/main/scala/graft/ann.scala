@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
  *   graft.Ann --build  --data <embeddings.parquet> --out <indexDir>
  *             [--k 16] [--iters 2] [--m 4] [--codes 8] [--dim 64]
  *             [--id vec_id] [--vec embedding] [--trained]
- *             [--rotate | --rotate-pca]
+ *             [--rotate | --rotate-pca | --rotate-pca2]
  *   graft.Ann --search --index <indexDir> --data <queries.parquet>
  *             --out <resultDir> [--topk 10] [--nprobe 4]
  *             [--id vec_id] [--vec embedding] [--no-self-filter]
@@ -43,10 +43,14 @@ import org.apache.spark.sql.functions._
  * trains on the build corpus's top principal direction and persists as
  * rotation.parquet — [[graft.operators.Opq]], the OPQ-style recall
  * lift at equal code budget, measured by q_opq_recall /
- * q_opq_pca_recall). Either rotation is recorded in the meta, and
- * --search/--append/--refine rotate their inputs to match
+ * q_opq_pca_recall); --rotate-pca2 in the RANK-2 learned space (a
+ * second reflection spreads the second principal direction too —
+ * [[graft.operators.Opq.householder2FromPca]], measured by
+ * q_opq_pca2_recall, the best recall of the three at sf0.1 — both axes
+ * persist as (axis, pos, u) rows). Whichever rotation is recorded in
+ * the meta, --search/--append/--refine rotate their inputs to match
  * automatically — a rotated artifact serves plain queries with no
- * caller-side changes (cosine is isometric under the rotation).
+ * caller-side changes (cosine is isometric under any of them).
  *
  * --refine c turns on the FAISS IndexRefine serving shape: ADC proposes
  * the top-c candidates per query from codes only, then the refine stage
@@ -86,7 +90,10 @@ object Ann {
     * LEARNED Householder rotation ([[graft.operators.Opq
     * .rotateHouseholder]], --rotate-pca — the reflection axis trains on
     * the build corpus's top principal direction and persists as
-    * rotation.parquet beside the other artifacts). Every vector — build
+    * rotation.parquet beside the other artifacts); 3 = the RANK-2
+    * learned rotation (--rotate-pca2 — two composed reflections from
+    * the top-2 principal directions, both axes persisted in
+    * application order). Every vector — build
     * corpus, appended rows, serve-time queries, refine raws — enters
     * the SAME space before touching the quantizers, so the artifact
     * stays self-describing and a plain-space search against a rotated
@@ -132,35 +139,51 @@ object Ann {
 
   /** Apply the index's declared space to a validated vector column:
     * identity for a plain index, [[graft.operators.Opq.rotate]] for a
-    * WHT index. The learned space (rot = 2) is frame-level — see
+    * WHT index. The learned spaces (rot = 2, 3) are frame-level — see
     * [[toIndexSpaceFrame]]. */
   private def toIndexSpace(vec: org.apache.spark.sql.Column, dim: Int,
       rot: Int): org.apache.spark.sql.Column =
     if (rot == 0) vec else graft.operators.Opq.rotate(vec, dim)
 
-  /** Frame-level space application covering all three `rot` modes; for
-    * the learned mode the persisted reflection axis `u` must be
-    * supplied ([[readRotation]]). */
+  /** Frame-level space application covering all four `rot` modes; for
+    * the learned modes the persisted reflection axes must be supplied
+    * ([[readRotation]]) — applied IN ORDER (axis 0 first), exactly the
+    * build-time composition. */
   private def toIndexSpaceFrame(df: org.apache.spark.sql.DataFrame,
       embCol: String, dim: Int, rot: Int,
-      u: Option[Array[Long]]): org.apache.spark.sql.DataFrame = rot match {
-    case 2 => graft.operators.Opq.rotateHouseholder(df, embCol,
-      u.getOrElse(sys.error("rot=2 index without rotation.parquet")))
+      us: Seq[Array[Long]]): org.apache.spark.sql.DataFrame = rot match {
+    case 2 | 3 =>
+      if (us.isEmpty) sys.error(s"rot=$rot index without rotation.parquet")
+      us.foldLeft(df)((d, u) =>
+        graft.operators.Opq.rotateHouseholder(d, embCol, u))
     case r => df.withColumn(embCol, toIndexSpace(col(embCol), dim, r))
   }
 
+  /** Persist the learned axes as (axis, pos, u) rows — `axis` orders the
+    * composition for rank ≥ 2 rotations. */
   private def writeRotation(spark: SparkSession, dir: String,
-      u: Array[Long]): Unit = {
+      us: Seq[Array[Long]]): Unit = {
     import spark.implicits._
-    u.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("pos", "u")
+    us.zipWithIndex.flatMap { case (u, a) =>
+      u.zipWithIndex.map { case (v, i) => (a, i, v) }
+    }.toDF("axis", "pos", "u")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$RotationFile")
   }
 
+  /** Read the persisted axes in application order. Pre-rank-2 artifacts
+    * wrote a single axis WITHOUT the `axis` column — read as one axis,
+    * so r12 --rotate-pca indexes keep serving unchanged. */
   private def readRotation(spark: SparkSession, dir: String,
-      rot: Int): Option[Array[Long]] =
-    if (rot != 2) None
-    else Some(spark.read.parquet(s"$dir/$RotationFile")
-      .orderBy("pos").collect().map(_.getLong(1)))
+      rot: Int): Seq[Array[Long]] =
+    if (rot != 2 && rot != 3) Nil
+    else {
+      val df = spark.read.parquet(s"$dir/$RotationFile")
+      if (!df.columns.contains("axis"))
+        Seq(df.orderBy("pos").collect().map(_.getAs[Long]("u")))
+      else df.orderBy("axis", "pos").collect()
+        .groupBy(_.getAs[Int]("axis")).toSeq.sortBy(_._1)
+        .map(_._2.map(_.getAs[Long]("u")).toArray)
+    }
 
   /** Build the index directory from an embeddings parquet. Returns the
     * number of indexed vectors. `trained = true` uses per-subspace
@@ -172,23 +195,30 @@ object Ann {
   def build(spark: SparkSession, dataPath: String, outDir: String,
       k: Int, iters: Int, m: Int, codes: Int, dim: Int,
       idCol: String, vecCol: String, trained: Boolean = false,
-      rotate: Boolean = false, rotatePca: Boolean = false): Long = {
-    require(!(rotate && rotatePca),
-      "--rotate and --rotate-pca are mutually exclusive")
-    val rot = if (rotatePca) 2 else if (rotate) 1 else 0
+      rotate: Boolean = false, rotatePca: Boolean = false,
+      rotatePca2: Boolean = false): Long = {
+    require(Seq(rotate, rotatePca, rotatePca2).count(identity) <= 1,
+      "--rotate, --rotate-pca and --rotate-pca2 are mutually exclusive")
+    val rot = if (rotatePca2) 3 else if (rotatePca) 2
+      else if (rotate) 1 else 0
     val plain = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
       .withColumn("emb", requireDim(col("emb"), dim, "Ann --build"))
-    val uOpt =
-      if (rot != 2) None
-      else Some(graft.operators.Opq.householderFromPca(
+    val us: Seq[Array[Long]] = rot match {
+      case 2 => Seq(graft.operators.Opq.householderFromPca(
         graft.operators.Pca.topDirection(plain, "emb", dim)))
-    uOpt.foreach(writeRotation(spark, outDir, _))
+      case 3 =>
+        val (d1, d2) = graft.operators.Pca.topDirections2(plain, "emb", dim)
+        val u1 = graft.operators.Opq.householderFromPca(d1)
+        Seq(u1, graft.operators.Opq.householder2FromPca(d2, u1))
+      case _ => Nil
+    }
+    if (us.nonEmpty) writeRotation(spark, outDir, us)
     // rotated builds persist the frame: Ivf.train and the encode below
     // both scan it, and without the persist the corpus-scale rotation
     // re-runs per consumer (the q_opq_pca_recall r12 finding)
-    val emb0 = toIndexSpaceFrame(plain, "emb", dim, rot, uOpt)
+    val emb0 = toIndexSpaceFrame(plain, "emb", dim, rot, us)
     val emb = if (rot == 0) emb0
       else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = Ivf.train(emb, idCol, "emb", k, iters)
@@ -353,7 +383,8 @@ object Ann {
           intOpt("codes", 8), intOpt("dim", 64),
           opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"),
           trained = flags("trained"), rotate = flags("rotate"),
-          rotatePca = flags("rotate-pca"))
+          rotatePca = flags("rotate-pca"),
+          rotatePca2 = flags("rotate-pca2"))
         println(s"""{"built":$n,"index":"${opt("out").get}"}""")
       } else if (flags("search")) {
         val refine = opt("refine").map(c => (c.toInt,

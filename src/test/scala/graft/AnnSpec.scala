@@ -87,7 +87,7 @@ class AnnSpec extends SparkSpec {
       java.nio.file.Paths.get(idx, Ann.MetaFile)), "UTF-8")
     assert(meta.contains("\"rot\":2"), meta)
     val u = spark.read.parquet(s"$idx/${Ann.RotationFile}")
-      .orderBy("pos").collect().map(_.getLong(1))
+      .orderBy("axis", "pos").collect().map(_.getAs[Long]("u"))
     assert(u.length == 64)
     val served = Ann.search(spark, idx, data, None, topK = 5,
         nprobe = 3, qIdCol = "vec_id", qVecCol = "embedding")
@@ -108,6 +108,51 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSet
     assert(served == fused, "rot-pca served must equal fused Householder")
+  }
+
+  test("--rotate-pca2 build: two persisted axes, meta rot=3, served " +
+      "search equals the fused rank-2 Householder pipeline") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmp("rotpca2")
+    val n = Ann.build(spark, data, idx, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding", rotatePca2 = true)
+    assert(n > 0)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, Ann.MetaFile)), "UTF-8")
+    assert(meta.contains("\"rot\":3"), meta)
+    val rows = spark.read.parquet(s"$idx/${Ann.RotationFile}")
+      .orderBy("axis", "pos").collect()
+    val axes = rows.groupBy(_.getAs[Int]("axis")).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getAs[Long]("u")))
+    assert(axes.map(_.length) == Seq(64, 64), "two 64-long axes")
+    val served = Ann.search(spark, idx, data, None, topK = 5,
+        nprobe = 3, qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val emb = axes.foldLeft(
+      spark.read.parquet(data)
+        .select(col("vec_id"),
+          VectorOps.asDouble(col("embedding")).as("emb"))) {
+      (d, u) => graft.operators.Opq.rotateHouseholder(d, "emb", u.toArray)
+    }
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val fused = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids,
+        nprobe = 3, topK = 5, m = 4, k = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(served == fused, "rot-pca2 served must equal fused rank-2")
+    // the axes are the exact composition the operators derive
+    val plain = spark.read.parquet(data)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+    val (d1, d2) = graft.operators.Pca.topDirections2(plain, "emb", 64)
+    val u1 = graft.operators.Opq.householderFromPca(d1)
+    assert(axes.head.toSeq == u1.toSeq)
+    assert(axes(1).toSeq ==
+      graft.operators.Opq.householder2FromPca(d2, u1).toSeq)
   }
 
   test("refineTopK law: refined over the full non-self candidate set " +
