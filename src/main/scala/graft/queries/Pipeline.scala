@@ -83,6 +83,69 @@ object Pipeline {
     * sums the long products in HUGEINT: exact integer totals are
     * summation-order independent, so the engine's salted two-level
     * reduction needs no mirroring. Unreferenced CTEs cost nothing. */
+  /** Rank-1 learned-rotation CTE chain over PcaSql's `dir`/`x`: the
+    * scale-16 Householder axis (nqc/uu/uu2) and the first reflection
+    * (hd/rotv, rv = rotated double per (vec_id, pos)). Shared by the
+    * three PCA-rotation oracles. */
+  private val OpqRank1Ctes: String =
+    """nqc AS (SELECT round(sqrt(cast(sum(q*q) AS double)) * 16)::BIGINT
+                   AS n
+                 FROM dir),
+         uu AS MATERIALIZED (SELECT dir.i,
+                  (round(sqrt(64.0) * 16)::BIGINT * q)::BIGINT - nqc.n AS u
+                FROM dir CROSS JOIN nqc),
+         uu2 AS MATERIALIZED (SELECT sum(u*u) AS u2 FROM uu),
+         hd AS (SELECT x.vec_id, sum(x.x * uu.u) AS d
+                FROM x JOIN uu ON uu.i = x.pos GROUP BY x.vec_id),
+         rotv AS (
+           SELECT x.vec_id, x.pos,
+             cast((x.x::DECIMAL(13,0) * uu2.u2::DECIMAL(19,0)
+               - 2::DECIMAL(2,0) * hd.d::DECIMAL(20,0)
+                 * uu.u::DECIMAL(10,0)) AS DOUBLE)
+               / (cast(uu2.u2 AS DOUBLE) * 1000000.0) AS rv
+           FROM x JOIN uu ON uu.i = x.pos
+           JOIN hd ON hd.vec_id = x.vec_id CROSS JOIN uu2)"""
+
+  /** Rank-2 continuation of [[OpqRank1Ctes]]: the second axis — v = H1q2
+    * from the deflated direction dir2 (exact decimal numerator, one
+    * rounded division), aimed at the alternating +-1 diagonal (uub) —
+    * and the second reflection over the re-quantized first-reflection
+    * frame (rotm/x2 -> rotv2). MATERIALIZED hubs stop DuckDB 1.0's
+    * per-reference CTE inlining from exploding the chained plan. */
+  private val OpqRank2Ctes: String =
+    """rotm AS MATERIALIZED (SELECT vec_id, pos, rv FROM rotv),
+         hq AS (SELECT sum(dir2.q2::BIGINT * uu.u) AS d
+                FROM dir2 JOIN uu ON uu.i = dir2.i),
+         vq AS MATERIALIZED (SELECT dir2.i,
+                  round(cast(cast(dir2.q2 AS DECIMAL(8,0))
+                      * uu2.u2::DECIMAL(19,0)
+                    - 2::DECIMAL(2,0) * hq.d::DECIMAL(20,0)
+                      * uu.u::DECIMAL(10,0) AS DOUBLE)
+                    / cast(uu2.u2 AS DOUBLE))::BIGINT AS v
+                FROM dir2 JOIN uu ON uu.i = dir2.i
+                CROSS JOIN uu2 CROSS JOIN hq),
+         nvc AS (SELECT round(sqrt(cast(sum(v*v) AS double)) * 16)::BIGINT
+                   AS n
+                 FROM vq),
+         uub AS MATERIALIZED (SELECT vq.i,
+                   (round(sqrt(64.0) * 16)::BIGINT * v)::BIGINT
+                     - (CASE WHEN vq.i % 2 = 0 THEN nvc.n
+                        ELSE -nvc.n END) AS u
+                 FROM vq CROSS JOIN nvc),
+         uub2 AS MATERIALIZED (SELECT sum(u*u) AS u2 FROM uub),
+         x2 AS MATERIALIZED (SELECT vec_id, pos,
+                  round(rv * 1000000, 0)::BIGINT AS x FROM rotm),
+         hd2 AS (SELECT x2.vec_id, sum(x2.x * uub.u) AS d
+                 FROM x2 JOIN uub ON uub.i = x2.pos GROUP BY x2.vec_id),
+         rotv2 AS (
+           SELECT x2.vec_id, x2.pos,
+             cast((x2.x::DECIMAL(13,0) * uub2.u2::DECIMAL(19,0)
+               - 2::DECIMAL(2,0) * hd2.d::DECIMAL(20,0)
+                 * uub.u::DECIMAL(10,0)) AS DOUBLE)
+               / (cast(uub2.u2 AS DOUBLE) * 1000000.0) AS rv
+           FROM x2 JOIN uub ON uub.i = x2.pos
+           JOIN hd2 ON hd2.vec_id = x2.vec_id CROSS JOIN uub2)"""
+
   private def PcaSql(select: String): String =
     s"""WITH e AS MATERIALIZED (SELECT vec_id,
              list_transform(embedding::DOUBLE[],
@@ -200,6 +263,30 @@ object Pipeline {
         (col("n_hit").cast("double") / 10).as("recall"))
       .orderBy("q_id")
   }
+
+  /** One rotation mode's exact-integer PQ-error block for the
+    * q_opq_balance2 oracle: over a source table t<tag>(vec_id, j, sp, x)
+    * of eighth-micro integer coordinates, the fixed-first-8-codebook
+    * argmin and per-subspace err totals — Pq.encodeFixedLong's algebra
+    * position-level in SQL (the q_opq_balance recipe, parameterized). */
+  private def pqErrByJCtes(tag: String, mode: String): String =
+    s"""n$tag AS (SELECT vec_id, j, CAST(sum(x * x) AS BIGINT) AS n2
+         FROM t$tag GROUP BY vec_id, j),
+       d$tag AS (SELECT a.vec_id, a.j, b.vec_id AS c,
+           CAST(sum(a.x * b.x) AS BIGINT) AS sc
+         FROM t$tag a JOIN t$tag b
+           ON b.vec_id < 8 AND a.j = b.j AND a.sp = b.sp
+         GROUP BY a.vec_id, a.j, b.vec_id),
+       e$tag AS (SELECT vec_id, j, err FROM (
+           SELECT d.vec_id, d.j, sv.n2 - 2 * d.sc + cv.n2 AS err,
+             row_number() OVER (PARTITION BY d.vec_id, d.j
+               ORDER BY cv.n2 - 2 * d.sc, d.c) AS rn
+           FROM d$tag d
+           JOIN n$tag sv ON sv.vec_id = d.vec_id AND sv.j = d.j
+           JOIN n$tag cv ON cv.vec_id = d.c AND cv.j = d.j) WHERE rn = 1),
+       s$tag AS (SELECT '$mode' AS mode, j,
+           sum(cast(err AS decimal(28,0))) AS err
+         FROM e$tag GROUP BY j)"""
 
   /** One capacity's CTE block of the q_pack_curve oracle: the q_seq_pack
     * chain (shard hash, pow2 bucket when-cascade, in-bucket row_number
@@ -2269,6 +2356,43 @@ object Pipeline {
       byJ(qP, "err_plain").join(byJ(qR, "err_rot"), Seq("j"))
         .orderBy("j")
     }),
+    // L2 — the balance comparison ACROSS all four rotation modes
+    // (plain / oblivious WHT / learned rank-1 / learned rank-2): the
+    // per-subspace exact-integer PQ error totals in ONE shared
+    // eighth-micro frame — the OPQ objective itself as a measurement,
+    // answering directly whether each rotation actually equalized
+    // subspace error (the property the recall lifts ride on). Same
+    // Pq.encodeFixedLong algebra as q_opq_balance; the learned frames
+    // re-quantize the reflected doubles (8·round(rv·10⁶), one rounding
+    // per element, oracle-replayed); WHT uses the raw integer butterfly.
+    "q_opq_balance2" -> ((s, dir) => {
+      val embP = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q8 = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => round(x * 1e6, 0).cast("long") * 8)
+      val (d1, d2) = graft.operators.Pca.topDirections2(embP, "emb", 64)
+      val u1 = graft.operators.Opq.householderFromPca(d1)
+      val u2 = graft.operators.Opq.householder2FromPca(d2, u1)
+      // r1 feeds BOTH its own balance pass and the second reflection
+      val r1 = graft.operators.Opq.rotateHouseholder(embP, "emb", u1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val r2 = graft.operators.Opq.rotateHouseholder(r1, "emb", u2)
+      def byJ(e: DataFrame, mode: String) =
+        graft.operators.Pq.encodeFixedLong(e, "vec_id", "emb",
+            m = 4, k = 8, dim = 64)
+          .groupBy("j")
+          .agg(sum(col("err").cast("decimal(28,0)")).as("err"))
+          .select(lit(mode).as("mode"), col("j"), col("err"))
+      byJ(embP.select(col("vec_id"), q8(col("emb")).as("emb")), "plain")
+        .union(byJ(embP.select(col("vec_id"),
+          graft.operators.Opq.rotateInt(col("emb"), 64).as("emb")), "wht"))
+        .union(byJ(r1.select(col("vec_id"), q8(col("emb")).as("emb")),
+          "pca1"))
+        .union(byJ(r2.select(col("vec_id"), q8(col("emb")).as("emb")),
+          "pca2"))
+        .orderBy("mode", "j")
+    }),
     // L2 — the LEARNED rotation (the PCA-derived counterpart of
     // q_opq_recall's oblivious WHT): a Householder reflection built
     // from the corpus' top principal direction (Opq.householderFromPca
@@ -3514,23 +3638,7 @@ object Pipeline {
     // over the rotated frame e2.
     "q_opq_pca_recall" -> PcaSql(
       s""",
-         nqc AS (SELECT round(sqrt(cast(sum(q*q) AS double)) * 16)::BIGINT
-                   AS n
-                 FROM dir),
-         uu AS MATERIALIZED (SELECT dir.i,
-                  (round(sqrt(64.0) * 16)::BIGINT * q)::BIGINT - nqc.n AS u
-                FROM dir CROSS JOIN nqc),
-         uu2 AS MATERIALIZED (SELECT sum(u*u) AS u2 FROM uu),
-         hd AS (SELECT x.vec_id, sum(x.x * uu.u) AS d
-                FROM x JOIN uu ON uu.i = x.pos GROUP BY x.vec_id),
-         rotv AS (
-           SELECT x.vec_id, x.pos,
-             cast((x.x::DECIMAL(13,0) * uu2.u2::DECIMAL(19,0)
-               - 2::DECIMAL(2,0) * hd.d::DECIMAL(20,0)
-                 * uu.u::DECIMAL(10,0)) AS DOUBLE)
-               / (cast(uu2.u2 AS DOUBLE) * 1000000.0) AS rv
-           FROM x JOIN uu ON uu.i = x.pos
-           JOIN hd ON hd.vec_id = x.vec_id CROSS JOIN uu2),
+         $OpqRank1Ctes,
          e2 AS (SELECT vec_id, list(rv ORDER BY pos) AS v
                 FROM rotv GROUP BY vec_id),
          ${ivfPqAdcBody("e2")},
@@ -3544,61 +3652,47 @@ object Pipeline {
     // over the re-quantized first-reflection frame (x2 → rotv2).
     "q_opq_pca2_recall" -> PcaSql(
       s""",
-         nqc AS (SELECT round(sqrt(cast(sum(q*q) AS double)) * 16)::BIGINT
-                   AS n
-                 FROM dir),
-         uu AS MATERIALIZED (SELECT dir.i,
-                  (round(sqrt(64.0) * 16)::BIGINT * q)::BIGINT - nqc.n AS u
-                FROM dir CROSS JOIN nqc),
-         uu2 AS MATERIALIZED (SELECT sum(u*u) AS u2 FROM uu),
-         hd AS (SELECT x.vec_id, sum(x.x * uu.u) AS d
-                FROM x JOIN uu ON uu.i = x.pos GROUP BY x.vec_id),
-         rotv AS (
-           SELECT x.vec_id, x.pos,
-             cast((x.x::DECIMAL(13,0) * uu2.u2::DECIMAL(19,0)
-               - 2::DECIMAL(2,0) * hd.d::DECIMAL(20,0)
-                 * uu.u::DECIMAL(10,0)) AS DOUBLE)
-               / (cast(uu2.u2 AS DOUBLE) * 1000000.0) AS rv
-           FROM x JOIN uu ON uu.i = x.pos
-           JOIN hd ON hd.vec_id = x.vec_id CROSS JOIN uu2),
-         rotm AS MATERIALIZED (SELECT vec_id, pos, rv FROM rotv),
-         hq AS (SELECT sum(dir2.q2::BIGINT * uu.u) AS d
-                FROM dir2 JOIN uu ON uu.i = dir2.i),
-         vq AS MATERIALIZED (SELECT dir2.i,
-                  round(cast(cast(dir2.q2 AS DECIMAL(8,0))
-                      * uu2.u2::DECIMAL(19,0)
-                    - 2::DECIMAL(2,0) * hq.d::DECIMAL(20,0)
-                      * uu.u::DECIMAL(10,0) AS DOUBLE)
-                    / cast(uu2.u2 AS DOUBLE))::BIGINT AS v
-                FROM dir2 JOIN uu ON uu.i = dir2.i
-                CROSS JOIN uu2 CROSS JOIN hq),
-         nvc AS (SELECT round(sqrt(cast(sum(v*v) AS double)) * 16)::BIGINT
-                   AS n
-                 FROM vq),
-         uub AS MATERIALIZED (SELECT vq.i,
-                   (round(sqrt(64.0) * 16)::BIGINT * v)::BIGINT
-                     - (CASE WHEN vq.i % 2 = 0 THEN nvc.n
-                        ELSE -nvc.n END) AS u
-                 FROM vq CROSS JOIN nvc),
-         uub2 AS MATERIALIZED (SELECT sum(u*u) AS u2 FROM uub),
-         x2 AS MATERIALIZED (SELECT vec_id, pos,
-                  round(rv * 1000000, 0)::BIGINT AS x FROM rotm),
-         hd2 AS (SELECT x2.vec_id, sum(x2.x * uub.u) AS d
-                 FROM x2 JOIN uub ON uub.i = x2.pos GROUP BY x2.vec_id),
-         rotv2 AS (
-           SELECT x2.vec_id, x2.pos,
-             cast((x2.x::DECIMAL(13,0) * uub2.u2::DECIMAL(19,0)
-               - 2::DECIMAL(2,0) * hd2.d::DECIMAL(20,0)
-                 * uub.u::DECIMAL(10,0)) AS DOUBLE)
-               / (cast(uub2.u2 AS DOUBLE) * 1000000.0) AS rv
-           FROM x2 JOIN uub ON uub.i = x2.pos
-           JOIN hd2 ON hd2.vec_id = x2.vec_id CROSS JOIN uub2),
+         $OpqRank1Ctes,
+         $OpqRank2Ctes,
          e2 AS MATERIALIZED (SELECT vec_id, list(rv ORDER BY pos) AS v
                 FROM rotv2 GROUP BY vec_id),
          ${ivfPqAdcBody("e2")},
          ${embExactCte(5, 10, "e2")},
          adc AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 10)
          ${recallTailSql("adc", 10)}"""),
+    // Four-mode balance: the learned-rotation chain feeds eighth-micro
+    // integer frames for all four spaces (PcaSql's x is 0-based pos),
+    // each run through the exact-integer PQ-error block.
+    "q_opq_balance2" -> PcaSql(
+      s""",
+         $OpqRank1Ctes,
+         $OpqRank2Ctes,
+         tplain AS MATERIALIZED (
+           SELECT vec_id, CAST(pos // 16 AS BIGINT) AS j, pos % 16 AS sp,
+             8 * x AS x
+           FROM x),
+         twht AS MATERIALIZED (
+           SELECT v.vec_id, CAST(i.i // 16 AS BIGINT) AS j, i.i % 16 AS sp,
+             CAST(sum(CASE WHEN bit_count(i.i & v.pos) % 2 = 0
+                 THEN v.x ELSE -v.x END) AS BIGINT) AS x
+           FROM x v, generate_series(0, 63) AS i(i)
+           GROUP BY v.vec_id, i.i),
+         tpca1 AS MATERIALIZED (
+           SELECT vec_id, CAST(pos // 16 AS BIGINT) AS j, pos % 16 AS sp,
+             8 * round(rv * 1000000, 0)::BIGINT AS x
+           FROM rotm),
+         tpca2 AS MATERIALIZED (
+           SELECT vec_id, CAST(pos // 16 AS BIGINT) AS j, pos % 16 AS sp,
+             8 * round(rv * 1000000, 0)::BIGINT AS x
+           FROM rotv2),
+         ${pqErrByJCtes("plain", "plain")},
+         ${pqErrByJCtes("wht", "wht")},
+         ${pqErrByJCtes("pca1", "pca1")},
+         ${pqErrByJCtes("pca2", "pca2")}
+         SELECT mode, j, err FROM (
+           SELECT * FROM splain UNION ALL SELECT * FROM swht
+           UNION ALL SELECT * FROM spca1 UNION ALL SELECT * FROM spca2)
+         ORDER BY mode, j"""),
     // recall@10 of the SAME pipeline over Walsh–Hadamard-rotated
     // vectors — read against q_ivf_pq_recall at equal nprobe, the
     // delta is the OPQ-style rotation's lift.
