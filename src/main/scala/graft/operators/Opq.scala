@@ -113,8 +113,12 @@ object Opq {
     if (q.forall(_ == 0L)) return Array.fill(q.length)(0L)
     // scale-16 rationals: t/16 ≈ √dim and n/16 ≈ |q| to within 1/32 —
     // ≤0.4% of a coordinate for ANY dim (the unscaled round(√dim) was
-    // exact only for perfect squares: ~3% off at dim = 128), while
-    // keeping |u|² = Σ(t·qᵢ − n)² inside a long for micro-quantized
+    // exact only for perfect squares: ~3% off at dim = 128). The
+    // reflection amplifies the axis error in the aimed IMAGE — measured
+    // at dim 12: image spread around the diagonal 13% here vs 282%
+    // unscaled (OpqSpec) — while isometry, the property the recall
+    // pipeline rides on, stays EXACT for any exact-integer axis. The
+    // ×16 also keeps |u|² = Σ(t·qᵢ − n)² inside a long for micro-quantized
     // directions (|qᵢ| ≤ 10⁶ ⇒ |uᵢ| ≤ 2.6e8 at dim 64 ⇒ |u|² ≤ 4.3e18
     // < 2⁶³; [[rotateHouseholder]]'s require guards the general case).
     // ×16 is exact in IEEE doubles, so the only rounding either engine

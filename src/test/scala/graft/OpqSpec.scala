@@ -84,6 +84,50 @@ class OpqSpec extends SparkSpec {
     rows.foreach { case (id, v) => assert(idem(id) == v) }
   }
 
+  test("non-perfect-square dims: the scale-16 axis still yields an exact " +
+      "isometry and aims the direction at the diagonal 20x tighter than " +
+      "the round(sqrt(dim)) axis (dim 12)") {
+    // the r12 axis used round(sqrt(dim)) — exact only for perfect
+    // squares; at dim 12 its reflected image of the top direction
+    // spreads 282% around the diagonal (measured), the scale-16
+    // rationals cut that to 13% (the residual is the reflection's
+    // intrinsic amplification of the bounded 1/32-per-unit axis error,
+    // not further fixable by a rational of this size). Isometry — the
+    // property the recall pipeline rides on — is EXACT either way.
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 20L).map(i =>
+      (i, Seq.fill(12)(rnd.nextDouble() * 2 - 1)))
+    val emb = vecDf(rows)
+    val q = Array.tabulate(12)(i => 1000000L - i * 70000L)
+    val u = Opq.householderFromPca(q)
+    // aiming: reflect q itself and measure the image's coordinate
+    // spread around its mean (0 would be a perfect diagonal image)
+    val qDf = vecDf(Seq((0L, q.map(_ / 1e6).toSeq)))
+    val hq = Opq.rotateHouseholder(qDf, "emb", u)
+      .collect()(0).getSeq[Double](1)
+    val spread = (hq.max - hq.min) / math.abs(hq.sum / hq.length)
+    assert(spread <= 0.15, s"scale-16 image spread $spread (want <= 0.15)")
+    // the OLD r12 axis for comparison: round(sqrt(12)) = 3 vs 3.464
+    val uOld = q.map(x => 3L * x - math.round(math.sqrt(
+      q.map(v => v.toDouble * v).sum)))
+    val hqOld = Opq.rotateHouseholder(qDf, "emb", uOld)
+      .collect()(0).getSeq[Double](1)
+    val spreadOld = (hqOld.max - hqOld.min) /
+      math.abs(hqOld.sum / hqOld.length)
+    assert(spread * 20 <= spreadOld,
+      s"expected >=20x tighter aiming: new $spread vs old $spreadOld")
+    // exact isometry holds regardless of the aiming rational: top-k
+    // neighbour sets agree between original and rotated space
+    def top(df: org.apache.spark.sql.DataFrame) = {
+      val qs = df.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      Similarity.exactTopK(df, qs, 5)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(top(emb) == top(Opq.rotateHouseholder(emb, "emb", u)))
+  }
+
   test("rank-2: the composed reflections are an isometry, the second " +
       "axis is orthogonal to the all-ones diagonal for orthogonal " +
       "directions, and degenerate inputs yield the identity axis") {
