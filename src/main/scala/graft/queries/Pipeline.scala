@@ -3080,6 +3080,25 @@ object Pipeline {
           md5(col("text")).as("content_md5"))
         .orderBy("doc_id")
     }),
+    // L3 — REAL compressed-A/V CONTAINER metadata (Multimodal.mediaInfo):
+    // FLAC STREAMINFO and MP4 mvhd parsed with plain byte-buffer
+    // arithmetic — the duration/rate/channels filter a 100 TB curation
+    // pass runs BEFORE paying for any frame decode (the one step of
+    // "compressed audio/video" that needs no codec). Round-trip oracle:
+    // synthMedia writes real container bytes with id-derived parameters,
+    // mediaInfo parses them back, and the SQL recomputes the expected
+    // fields from the id arithmetic — a parser/synth bug on either side
+    // breaks the hash. Spec-side, the parsers are additionally pinned
+    // against hand-built canonical headers (44.1 kHz stereo FLAC,
+    // timescale-600 QuickTime mvhd) so the pair can't be
+    // self-consistently wrong.
+    "q_media_info" -> ((s, dir) => {
+      graft.operators.Multimodal.mediaInfo(
+          graft.operators.Multimodal.synthMedia(
+            t(s, dir, "documents").select(col("doc_id")), "doc_id"))
+        .toDF()
+        .orderBy("media_id")
+    }),
     // L1 — BM25 retrieval: top-10 documents for a fixed 3-term query, the
     // relevance-ranking primitive for pulling topic subsets out of a
     // corpus. One scan + ONE one-row global aggregate broadcast; the
@@ -6596,6 +6615,24 @@ object Pipeline {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+    // Container-parse round trip: the synth parameters are a pure
+    // function of the id, so the oracle recomputes what the REAL binary
+    // parse must report.
+    "q_media_info" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp4' END
+             AS container,
+           CASE WHEN doc_id % 2 = 0 THEN
+             CAST(CASE (doc_id // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT)
+           ELSE CAST(NULL AS BIGINT) END AS sample_rate_hz,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(1 + (doc_id // 2) % 2 AS BIGINT)
+           ELSE CAST(NULL AS BIGINT) END AS channels,
+           CASE WHEN doc_id % 2 = 0
+             THEN CAST((1 + (doc_id // 2) % 5) * 1000 AS BIGINT)
+             ELSE CAST((2 + (doc_id // 2) % 4) * 1000 AS BIGINT)
+           END AS duration_ms
+         FROM documents ORDER BY media_id""",
     // The BMP encode→decode round-trip is pixel-identity, so the oracle
     // computes straight from the md5 pixel bytes: same luma expression
     // (double literals, left-to-right), same bit layout, then all-pairs

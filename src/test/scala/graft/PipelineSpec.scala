@@ -1033,6 +1033,68 @@ class MultimodalSpec extends SparkSpec {
     buf.array()
   }
 
+  test("mediaInfo: canonical hand-built FLAC/MP4 headers parse to the " +
+      "spec'd fields; malformed payloads report unknown; synth round-trips") {
+    // 44.1 kHz stereo 16-bit STREAMINFO — the canonical byte pattern
+    // (0x0A 0xC4 0x42) real FLAC encoders emit, built here by hand from
+    // RFC 9639 §8.2 so the parser is pinned independently of synthMedia
+    val flac = new Array[Byte](42)
+    "fLaC".getBytes("US-ASCII").copyToArray(flac)
+    flac(7) = 34 // type 0 (STREAMINFO), length 34
+    flac(8 + 10) = 0x0a; flac(8 + 11) = 0xc4.toByte // rate 44100 hi bits
+    flac(8 + 12) = 0x42 // rate low nibble 4, channels-1 = 1, bps-1 hi 0
+    flac(8 + 13) = 0xf0.toByte // bps-1 low nibble 15 (16-bit), total hi 0
+    flac(8 + 17) = 0x64 // total samples = 100
+    val f = Multimodal.parseFlacStreamInfo(flac)
+    assert(f.contains((44100L, 2L, 100L)))
+    // QuickTime-default mvhd: timescale 600, duration 1800 → 3 s
+    val mp4 = new Array[Byte](16 + 8 + 108)
+    def w32(i: Int, x: Long): Unit = (0 to 3).foreach(k =>
+      mp4(i + k) = ((x >> (24 - 8 * k)) & 0xff).toByte)
+    w32(0, 16); "ftyp".getBytes.copyToArray(mp4, 4)
+    "isom".getBytes.copyToArray(mp4, 8)
+    w32(16, 116); "moov".getBytes.copyToArray(mp4, 20)
+    w32(24, 108); "mvhd".getBytes.copyToArray(mp4, 28)
+    w32(24 + 20, 600); w32(24 + 24, 1800)
+    assert(Multimodal.parseMp4Mvhd(mp4).contains((600L, 1800L)))
+    // totality: junk, truncation, wrong magic
+    assert(Multimodal.parseFlacStreamInfo("fLaX junk".getBytes).isEmpty)
+    assert(Multimodal.parseFlacStreamInfo(flac.take(20)).isEmpty)
+    assert(Multimodal.parseMp4Mvhd(mp4.take(10)).isEmpty)
+    assert(Multimodal.parseMp4Mvhd("garbage garbage!".getBytes).isEmpty)
+    // the Spark path: synth payloads parse back to the id-derived fields
+    import spark.implicits._
+    val ids = (0L until 20L).toDF("doc_id")
+    val out = Multimodal.mediaInfo(Multimodal.synthMedia(ids, "doc_id"))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(out.size == 20)
+    (0L until 20L).foreach { id =>
+      val m = out(id); val v = id / 2
+      if (id % 2 == 0) {
+        assert(m.container == "flac")
+        assert(m.sample_rate_hz.contains(
+          Seq(8000L, 16000L, 22050L, 44100L)((v % 4).toInt)))
+        assert(m.channels.contains(1 + v % 2))
+        assert(m.duration_ms == (1 + v % 5) * 1000)
+      } else {
+        assert(m.container == "mp4" && m.sample_rate_hz.isEmpty)
+        assert(m.duration_ms == (2 + v % 4) * 1000)
+      }
+    }
+    // duration arithmetic on the hand headers: 100 samples @44.1k → 2 ms
+    val handDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, flac, null, null, null),
+        org.apache.spark.sql.Row(2L, mp4, null, null, null),
+        org.apache.spark.sql.Row(3L, null, null, null, null)),
+      Multimodal.mediaSchema)
+    val hand = Multimodal.mediaInfo(handDf)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(hand(1L).duration_ms == 100L * 1000 / 44100)
+    assert(hand(2L).duration_ms == 3000L)
+    assert(hand(3L).container == "unknown" && hand(3L).duration_ms == 0L)
+  }
+
   test("decodeWav: REAL PCM decode — sine RMS ≈ A/√2, silence is 0, junk emits nothing") {
     val amp = 16384 // half full-scale → normalized amplitude 0.5
     val sine = wavBytes(8000,
