@@ -733,6 +733,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mediaGate: duration-window admission from REAL container parses; " +
+      "unparseable payloads drop; streamed ≡ batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // synthMedia's id-derived containers: even ids FLAC with exactly
+    // 1+(id/2)%5 seconds, odd ids MP4 with 2+(id/2)%4 seconds
+    val payloads = Multimodal.synthMedia((0L until 12L).toDF("doc_id"),
+        "doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val junk = (99L, "not a container at all".getBytes("UTF-8"))
+    val incoming = payloads :+ junk
+    // window [2000, 3000] ms: expected = ids whose derived duration fits
+    val expect = (0L until 12L).filter { id =>
+      val v = id / 2
+      val ms = if (id % 2 == 0) (1 + v % 5) * 1000 else (2 + v % 4) * 1000
+      ms >= 2000 && ms <= 3000
+    }.toSet
+    assert(expect.nonEmpty && expect.size < 12)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val gated = Streams.mediaGate(
+      mem.toDF().toDF("media_id", "payload"), 2000L, 3000L)
+    val q = gated.writeStream.format("memory").queryName("media_gate_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming.toSeq: _*)
+      q.processAllAvailable()
+      val admitted = spark.table("media_gate_t")
+        .select("media_id", "container", "duration_ms").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(admitted.map(_._1).toSet == expect,
+        s"admitted ${admitted.toSeq}")
+      admitted.foreach { case (id, c, ms) =>
+        assert(c == (if (id % 2 == 0) "flac" else "mp4"))
+        assert(ms >= 2000 && ms <= 3000)
+      }
+      // streamed ≡ batch over the same rows
+      val batch = Streams.mediaGate(
+        incoming.toSeq.toDF("media_id", "payload"), 2000L, 3000L)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(batch == expect)
+    } finally q.stop()
+  }
+
   test("curateGate: gate + scrub + corpus anti-join over a stream equals " +
       "the same gate run batch; corpus dups never reach the sink") {
     implicit val sql = spark.sqlContext
