@@ -455,16 +455,19 @@ object Multimodal {
   /**
    * REAL compressed-A/V CONTAINER parsing — pure byte-buffer arithmetic,
    * no codec library: FLAC STREAMINFO (RFC 9639 §8.2: 20-bit sample
-   * rate, 3-bit channels−1, 36-bit total samples → exact duration) and
+   * rate, 3-bit channels−1, 36-bit total samples → exact duration),
    * MP4/ISO-BMFF `moov/mvhd` (ISO 14496-12: 32-bit timescale + duration
-   * in version-0 headers). This is the half of "compressed audio/video"
-   * that needs no codec at all — a curation pipeline filters on
-   * duration/rate/channels from the CONTAINER and only then spends
-   * decode cycles ([[decodeStub]] marks where the per-frame codec would
-   * go; the JDK bundles none). Unparseable payloads report container
-   * 'unknown' with duration 0 — total, never throws. mapPartitions
-   * (the documented multimodal exception): payload bytes never reach
-   * the driver, per-row cost amortizes over the partition batch.
+   * in version-0 headers), and MP3 (MPEG-1 Layer III CBR: frame-sync
+   * walk over the bitrate/samplerate header tables, 1152 samples per
+   * frame — ID3v2 prefixes skipped). This is the half of "compressed
+   * audio/video" that needs no codec at all — a curation pipeline
+   * filters on duration/rate/channels from the CONTAINER and only then
+   * spends decode cycles ([[decodeStub]] marks where the per-frame
+   * codec would go; the JDK bundles none). Unparseable payloads report
+   * container 'unknown' with duration 0 — total, never throws.
+   * mapPartitions (the documented multimodal exception): payload bytes
+   * never reach the driver, per-row cost amortizes over the partition
+   * batch.
    */
   def mediaInfo(df: DataFrame, idCol: String = "media_id",
       payloadCol: String = "payload"): Dataset[MediaInfo] = {
@@ -482,11 +485,62 @@ object Multimodal {
               case Some((timescale, dur)) =>
                 MediaInfo(id, "mp4", None, None,
                   if (timescale > 0) dur * 1000L / timescale else 0L)
-              case None => MediaInfo(id, "unknown", None, None, 0L)
+              case None => parseMp3(bytes) match {
+                case Some((rate, ch, totalSamples)) =>
+                  MediaInfo(id, "mp3", Some(rate), Some(ch),
+                    if (rate > 0) totalSamples * 1000L / rate else 0L)
+                case None => MediaInfo(id, "unknown", None, None, 0L)
+              }
             }
           }
         }
       }
+  }
+
+  /** MPEG-1 Layer III bitrate table (kbps; index 0 = free, 15 = bad). */
+  private val Mp3BitrateKbps = Array(0, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320, -1)
+  private val Mp3SampleRates = Array(44100L, 48000L, 32000L, -1L)
+
+  /** MP3 (MPEG-1 Layer III): (sampleRate, channels, totalSamples).
+    * Skips an ID3v2 prefix (syncsafe size), then frame-sync walks the
+    * whole payload counting valid frames (1152 samples each); rate and
+    * channel mode come from the first frame. None unless at least one
+    * well-formed frame parses and every frame boundary lines up. */
+  private[graft] def parseMp3(
+      bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    var pos = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val sz = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+      pos = 10 + sz
+    }
+    var frames = 0L
+    var rate = -1L
+    var channels = -1L
+    while (pos + 4 <= bytes.length) {
+      if (u(pos) != 0xff || (u(pos + 1) & 0xe0) != 0xe0) return None
+      val version = (u(pos + 1) >> 3) & 0x3
+      val layer = (u(pos + 1) >> 1) & 0x3
+      if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+      val brIdx = (u(pos + 2) >> 4) & 0xf
+      val srIdx = (u(pos + 2) >> 2) & 0x3
+      val pad = (u(pos + 2) >> 1) & 0x1
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val sr = Mp3SampleRates(srIdx)
+      if (rate < 0) {
+        rate = sr
+        channels = if (((u(pos + 3) >> 6) & 0x3) == 3) 1L else 2L
+      } else if (sr != rate) return None
+      val frameLen =
+        (144L * Mp3BitrateKbps(brIdx) * 1000L / sr).toInt + pad
+      if (frameLen <= 4 || pos + frameLen > bytes.length) return None
+      frames += 1
+      pos += frameLen
+    }
+    if (frames == 0 || pos != bytes.length) None
+    else Some((rate, channels, frames * 1152L))
   }
 
   /** FLAC STREAMINFO: (sampleRate, channels, totalSamples). Checks the
@@ -541,21 +595,22 @@ object Multimodal {
     None
   }
 
-  /** Synthetic FLAC/MP4 payloads with id-derived parameters — REAL
+  /** Synthetic FLAC/MP4/MP3 payloads with id-derived parameters — REAL
     * container bytes (the parsers above read them back), parameters a
     * pure function of the id so the round trip is SQL-oracle-checkable:
-    * even ids are FLAC (rate ∈ {8000,16000,22050,44100} by (id/2)%4,
-    * channels 1+(id/2)%2, exactly 1+(id/2)%5 seconds of samples), odd
-    * ids are MP4 (timescale 1000·(1+(id/2)%3), duration exactly
-    * 2+(id/2)%4 seconds in movie units). */
+    * id%3==0 is FLAC (rate ∈ {8000,16000,22050,44100} by (id/3)%4,
+    * channels 1+(id/3)%2, exactly 1+(id/3)%5 seconds of samples),
+    * id%3==1 is MP4 (timescale 1000·(1+(id/3)%3), duration exactly
+    * 2+(id/3)%4 seconds in movie units), id%3==2 is MP3 (CBR 128 kbps
+    * stereo at 44.1 kHz, 20+10·((id/3)%5) frames of 1152 samples). */
   def synthMedia(ids: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     ids.select(col(idCol).cast("long"))
       .as(Encoders.scalaLong)
       .map { id =>
-        val v = id / 2
-        val payload = if (id % 2 == 0) {
+        val v = id / 3
+        val payload = if (id % 3 == 0) {
           val rate = Seq(8000L, 16000L, 22050L, 44100L)((v % 4).toInt)
           val ch = 1 + (v % 2)
           val total = rate * (1 + v % 5)
@@ -576,6 +631,22 @@ object Multimodal {
           out(b + 15) = ((total >> 16) & 0xff).toByte
           out(b + 16) = ((total >> 8) & 0xff).toByte
           out(b + 17) = (total & 0xff).toByte
+          out
+        } else if (id % 3 == 2) {
+          // CBR MPEG-1 Layer III: 128 kbps (bitrate index 9) stereo at
+          // 44.1 kHz → frame length floor(144·128000/44100) = 417, pad 0
+          val frames = (20 + 10 * (v % 5)).toInt
+          val frameLen = (144L * 128000L / 44100L).toInt
+          val out = new Array[Byte](frames * frameLen)
+          var f = 0
+          while (f < frames) {
+            val o = f * frameLen
+            out(o) = 0xff.toByte
+            out(o + 1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+            out(o + 2) = 0x90.toByte // bitrate idx 9, 44.1 kHz, pad 0
+            out(o + 3) = 0x00        // stereo
+            f += 1
+          }
           out
         } else {
           val timescale = 1000L * (1 + v % 3)

@@ -3090,8 +3090,8 @@ object Pipeline {
     // fields from the id arithmetic — a parser/synth bug on either side
     // breaks the hash. Spec-side, the parsers are additionally pinned
     // against hand-built canonical headers (44.1 kHz stereo FLAC,
-    // timescale-600 QuickTime mvhd) so the pair can't be
-    // self-consistently wrong.
+    // timescale-600 QuickTime mvhd, a canonical 0xFFFB9000 CBR MP3
+    // frame) so the pair can't be self-consistently wrong.
     "q_media_info" -> ((s, dir) => {
       graft.operators.Multimodal.mediaInfo(
           graft.operators.Multimodal.synthMedia(
@@ -6620,17 +6620,23 @@ object Pipeline {
     // parse must report.
     "q_media_info" ->
       """SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp4' END
-             AS container,
-           CASE WHEN doc_id % 2 = 0 THEN
-             CAST(CASE (doc_id // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+           CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp4'
+             ELSE 'mp3' END AS container,
+           CASE WHEN doc_id % 3 = 0 THEN
+             CAST(CASE (doc_id // 3) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                   WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT)
+           WHEN doc_id % 3 = 2 THEN CAST(44100 AS BIGINT)
            ELSE CAST(NULL AS BIGINT) END AS sample_rate_hz,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(1 + (doc_id // 2) % 2 AS BIGINT)
+           CASE WHEN doc_id % 3 = 0
+             THEN CAST(1 + (doc_id // 3) % 2 AS BIGINT)
+           WHEN doc_id % 3 = 2 THEN CAST(2 AS BIGINT)
            ELSE CAST(NULL AS BIGINT) END AS channels,
-           CASE WHEN doc_id % 2 = 0
-             THEN CAST((1 + (doc_id // 2) % 5) * 1000 AS BIGINT)
-             ELSE CAST((2 + (doc_id // 2) % 4) * 1000 AS BIGINT)
+           CASE WHEN doc_id % 3 = 0
+             THEN CAST((1 + (doc_id // 3) % 5) * 1000 AS BIGINT)
+           WHEN doc_id % 3 = 2
+             THEN CAST((20 + 10 * ((doc_id // 3) % 5)) * 1152 * 1000 // 44100
+               AS BIGINT)
+           ELSE CAST((2 + (doc_id // 3) % 4) * 1000 AS BIGINT)
            END AS duration_ms
          FROM documents ORDER BY media_id""",
     // The BMP encode→decode round-trip is pixel-identity, so the oracle

@@ -520,8 +520,8 @@ object Streams {
   /**
    * Streaming A/V CONTAINER gate — the ingest twin of
    * [[graft.operators.Multimodal.mediaInfo]]: each arriving payload's
-   * container metadata (FLAC STREAMINFO / MP4 mvhd, real byte-level
-   * parses, no codec) is attached in-row and rows outside the
+   * container metadata (FLAC STREAMINFO / MP4 mvhd / MP3 frame walk,
+   * real byte-level parses, no codec) is attached in-row and rows outside the
    * [minMs, maxMs] duration window — or that fail to parse at all —
    * are dropped before any downstream decode spends a cycle. Stateless
    * and shuffle-free (one mapPartitions, no aggregation, no join), so
@@ -549,9 +549,13 @@ object Streams {
         val parsed = Multimodal.parseFlacStreamInfo(bytes) match {
           case Some((rate, _, total)) =>
             Some(("flac", if (rate > 0) total * 1000L / rate else 0L))
-          case None => Multimodal.parseMp4Mvhd(bytes).map {
-            case (ts, dur) =>
-              ("mp4", if (ts > 0) dur * 1000L / ts else 0L)
+          case None => Multimodal.parseMp4Mvhd(bytes) match {
+            case Some((ts, dur)) =>
+              Some(("mp4", if (ts > 0) dur * 1000L / ts else 0L))
+            case None => Multimodal.parseMp3(bytes).map {
+              case (rate, _, total) =>
+                ("mp3", if (rate > 0) total * 1000L / rate else 0L)
+            }
           }
         }
         parsed.collect {

@@ -1057,25 +1057,44 @@ class MultimodalSpec extends SparkSpec {
     w32(24, 108); "mvhd".getBytes.copyToArray(mp4, 28)
     w32(24 + 20, 600); w32(24 + 24, 1800)
     assert(Multimodal.parseMp4Mvhd(mp4).contains((600L, 1800L)))
-    // totality: junk, truncation, wrong magic
+    // canonical MP3: two CBR frames, 128 kbps stereo 44.1 kHz — the
+    // 0xFF 0xFB 0x90 0x00 pattern real encoders emit; frame length 417
+    val mp3 = new Array[Byte](2 * 417)
+    Seq(0, 417).foreach { o =>
+      mp3(o) = 0xff.toByte; mp3(o + 1) = 0xfb.toByte
+      mp3(o + 2) = 0x90.toByte; mp3(o + 3) = 0x00
+    }
+    assert(Multimodal.parseMp3(mp3).contains((44100L, 2L, 2L * 1152L)))
+    // an ID3v2 prefix (syncsafe size 0) is skipped, frames still parse
+    val withId3 = ("ID3".getBytes("US-ASCII") ++ Array.fill(7)(0.toByte)
+      ++ mp3)
+    assert(Multimodal.parseMp3(withId3).contains((44100L, 2L, 2L * 1152L)))
+    // totality: junk, truncation, wrong magic, torn frame boundary
     assert(Multimodal.parseFlacStreamInfo("fLaX junk".getBytes).isEmpty)
     assert(Multimodal.parseFlacStreamInfo(flac.take(20)).isEmpty)
     assert(Multimodal.parseMp4Mvhd(mp4.take(10)).isEmpty)
     assert(Multimodal.parseMp4Mvhd("garbage garbage!".getBytes).isEmpty)
+    assert(Multimodal.parseMp3(mp3.take(500)).isEmpty)
+    assert(Multimodal.parseMp3("garbage".getBytes).isEmpty)
     // the Spark path: synth payloads parse back to the id-derived fields
     import spark.implicits._
-    val ids = (0L until 20L).toDF("doc_id")
+    val ids = (0L until 30L).toDF("doc_id")
     val out = Multimodal.mediaInfo(Multimodal.synthMedia(ids, "doc_id"))
       .collect().map(m => m.media_id -> m).toMap
-    assert(out.size == 20)
-    (0L until 20L).foreach { id =>
-      val m = out(id); val v = id / 2
-      if (id % 2 == 0) {
+    assert(out.size == 30)
+    (0L until 30L).foreach { id =>
+      val m = out(id); val v = id / 3
+      if (id % 3 == 0) {
         assert(m.container == "flac")
         assert(m.sample_rate_hz.contains(
           Seq(8000L, 16000L, 22050L, 44100L)((v % 4).toInt)))
         assert(m.channels.contains(1 + v % 2))
         assert(m.duration_ms == (1 + v % 5) * 1000)
+      } else if (id % 3 == 2) {
+        assert(m.container == "mp3")
+        assert(m.sample_rate_hz.contains(44100L))
+        assert(m.channels.contains(2L))
+        assert(m.duration_ms == (20 + 10 * (v % 5)) * 1152L * 1000 / 44100)
       } else {
         assert(m.container == "mp4" && m.sample_rate_hz.isEmpty)
         assert(m.duration_ms == (2 + v % 4) * 1000)

@@ -738,23 +738,28 @@ class StreamsSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     import graft.operators.Multimodal
-    // synthMedia's id-derived containers: even ids FLAC with exactly
-    // 1+(id/2)%5 seconds, odd ids MP4 with 2+(id/2)%4 seconds
-    val payloads = Multimodal.synthMedia((0L until 12L).toDF("doc_id"),
+    // synthMedia's id-derived containers: id%3==0 FLAC with exactly
+    // 1+(id/3)%5 seconds, id%3==1 MP4 with 2+(id/3)%4 seconds, id%3==2
+    // MP3 with 20+10·((id/3)%5) frames of 1152 samples at 44.1 kHz
+    val payloads = Multimodal.synthMedia((0L until 18L).toDF("doc_id"),
         "doc_id").collect()
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
     val junk = (99L, "not a container at all".getBytes("UTF-8"))
     val incoming = payloads :+ junk
-    // window [2000, 3000] ms: expected = ids whose derived duration fits
-    val expect = (0L until 12L).filter { id =>
-      val v = id / 2
-      val ms = if (id % 2 == 0) (1 + v % 5) * 1000 else (2 + v % 4) * 1000
-      ms >= 2000 && ms <= 3000
+    // window [1000, 2000] ms: expected = ids whose derived duration fits
+    val expect = (0L until 18L).filter { id =>
+      val v = id / 3
+      val ms = (id % 3) match {
+        case 0 => (1 + v % 5) * 1000
+        case 1 => (2 + v % 4) * 1000
+        case _ => (20 + 10 * (v % 5)) * 1152L * 1000 / 44100
+      }
+      ms >= 1000 && ms <= 2000
     }.toSet
-    assert(expect.nonEmpty && expect.size < 12)
+    assert(expect.nonEmpty && expect.size < 18)
     val mem = MemoryStream[(Long, Array[Byte])]
     val gated = Streams.mediaGate(
-      mem.toDF().toDF("media_id", "payload"), 2000L, 3000L)
+      mem.toDF().toDF("media_id", "payload"), 1000L, 2000L)
     val q = gated.writeStream.format("memory").queryName("media_gate_t")
       .outputMode("append").start()
     try {
@@ -766,12 +771,12 @@ class StreamsSpec extends SparkSpec {
       assert(admitted.map(_._1).toSet == expect,
         s"admitted ${admitted.toSeq}")
       admitted.foreach { case (id, c, ms) =>
-        assert(c == (if (id % 2 == 0) "flac" else "mp4"))
-        assert(ms >= 2000 && ms <= 3000)
+        assert(c == Seq("flac", "mp4", "mp3")((id % 3).toInt))
+        assert(ms >= 1000 && ms <= 2000)
       }
       // streamed ≡ batch over the same rows
       val batch = Streams.mediaGate(
-        incoming.toSeq.toDF("media_id", "payload"), 2000L, 3000L)
+        incoming.toSeq.toDF("media_id", "payload"), 1000L, 2000L)
         .select("media_id").collect().map(_.getLong(0)).toSet
       assert(batch == expect)
     } finally q.stop()
