@@ -2421,9 +2421,13 @@ object Pipeline {
     // replays v = H₁q₂ and both reflections in exact decimals.
     // Measured (recall@10, nprobe=4, vs plain 0.36/0.26 and WHT
     // 0.42/0.30 at sf0.01/sf0.1): rank-1 0.40/0.30, rank-2 0.32/0.34 —
-    // at the larger SF the rank-2 learned rotation finally beats the
-    // oblivious WHT (0.34 vs 0.30); the sf0.01 dip is 5-query noise on
-    // a corpus small enough that one direction dominates.
+    // at the larger SF the learned rotations beat the oblivious WHT.
+    // A 40-query probe (tools/RecallProbe) confirms the direction at
+    // sf0.1 (pca1 0.1025 / pca2 0.10 vs wht 0.0875, plain 0.09) and
+    // shows the sf0.01 rank-2 dip is a real small-corpus effect, not
+    // 5-query noise (wht 0.18 > pca1 0.16 > pca2 0.14 > plain 0.1375
+    // there): with few vectors per cell the second reflection's axis is
+    // estimated from a deflated spectrum too noisy to help.
     "q_opq_pca2_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
