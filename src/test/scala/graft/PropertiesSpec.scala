@@ -171,6 +171,31 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("media container parsers are TOTAL on arbitrary bytes (never " +
+      "throw, never mis-magic), including adversarial prefixes") {
+    import graft.operators.Multimodal
+    val anyBytes = Gen.choose(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
+    // seed some adversarial prefixes in front of random tails: right
+    // magic + torn body is the case a naive parser throws on
+    val seeded = for {
+      prefix <- Gen.oneOf("fLaC", "ID3", "ÿû", "....ftyp",
+        "....moov", "")
+      tail <- anyBytes
+    } yield prefix.getBytes("ISO-8859-1") ++ tail
+    check(Prop.forAll(Gen.oneOf(anyBytes, seeded)) { bytes =>
+      // totality: each parser returns an Option, never throws; and a
+      // successful parse implies the magic actually matched
+      val f = Multimodal.parseFlacStreamInfo(bytes)
+      val m = Multimodal.parseMp4Mvhd(bytes)
+      val p = Multimodal.parseMp3(bytes)
+      f.forall(_ => bytes.length >= 4 && bytes(0) == 'f') &&
+        m.forall(_ => bytes.length >= 8 &&
+          new String(bytes, 4, 4, "US-ASCII") == "ftyp") &&
+        p.forall(_ => bytes.length >= 4)
+    })
+  }
+
   test("dHash laws: total + deterministic on any 8×8 image, one perturbed " +
       "pixel flips ≤ 2 bits, and ANY pair within Hamming 3 shares a " +
       "clean 14-bit band (the pigeonhole the near-dup join relies on)") {
