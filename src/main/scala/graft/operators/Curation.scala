@@ -718,4 +718,50 @@ object Curation {
         graft.functions.VectorOps.cosine(col(embCol), col("__bemb")))
       .groupBy(idCol)
       .agg(max(col("__cos")).as("max_cos"))
+
+  /**
+   * SEMANTIC consumption ordering — the "in-context pretraining" layout
+   * (Shi et al. 2023, arXiv:2310.10638): place semantically similar
+   * documents ADJACENT in the training stream so packed long-context
+   * windows carry related material instead of random shards. The exact
+   * greedy nearest-neighbour chain is inherently sequential; the
+   * scalable relational surrogate orders by (IVF cell, pc1 within the
+   * cell) — coarse locality from the cell, fine locality from the
+   * first-principal-component sweep inside it, the same
+   * locality-by-sort-key idea as Z-ordering with the embedding replacing
+   * scalar columns.
+   *
+   * Returns (idCol, cell, pc1, pos) with `pos` a global 0-based
+   * consumption position. Plan shape: the fixed-quantizer train and the
+   * PCA moments reduce to driver metadata (k·dim + dim² — the bounded
+   * collects [[Ivf.train]]/[[Pca]] document); cell AND pc1 then compute
+   * in ONE scan-local select (no join between them); the within-cell
+   * rank is one window PARTITIONED by cell (never global); global
+   * positions come from the k-row cell census collected and broadcast
+   * back as a literal offset map — no single-partition exchange
+   * anywhere. Every step is bit-portable (fixed first-k quantizer,
+   * exact-integer PCA), so the full ordering oracle-checks.
+   */
+  def semanticOrder(df: DataFrame, idCol: String, embCol: String,
+      dim: Int, k: Int = 16): DataFrame = {
+    val base = df.filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+    val centroids = Ivf.train(base, idCol, embCol, k, iters = 0)
+    val (q, n2) = Pca.topDirectionWithNorm(base, embCol, dim)
+    val scored = base.select(col(idCol),
+      Ivf.nearestCentroid(col(embCol), centroids).cast("long").as("cell"),
+      Pca.pc1ColFor(embCol, q, n2).as("pc1"))
+    val w = Window.partitionBy("cell").orderBy(col("pc1"), col(idCol))
+    val ranked = scored
+      .withColumn("__wi", row_number().over(w).cast("long") - 1)
+    // k-row census → exclusive prefix sums, driver-side (metadata scale)
+    val census = scored.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offs = census.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val offMap = map(census.map(_._1).zip(offs).flatMap { case (c, o) =>
+      Seq(lit(c), lit(o)) }.toSeq: _*)
+    ranked
+      .withColumn("pos", col("__wi") + element_at(offMap, col("cell")))
+      .select(col(idCol), col("cell"), col("pc1"), col("pos"))
+      .orderBy("pos")
+  }
 }

@@ -269,6 +269,24 @@ object Pca {
       nSalt: Int = 16): Array[Long] =
     solveTop(df, embCol, dim, nSalt)._1
 
+  /** [[topDirection]] plus its exact squared norm — for callers that
+    * apply the projection themselves via [[pc1ColFor]] (composing extra
+    * columns into the SAME scan instead of joining projectPc1's frame). */
+  def topDirectionWithNorm(df: DataFrame, embCol: String, dim: Int,
+      nSalt: Int = 16): (Array[Long], Long) = {
+    val (q, n2, _) = solveTop(df, embCol, dim, nSalt)
+    (q, n2)
+  }
+
+  /** The scan-local pc1 COLUMN against a trained direction — exactly
+    * [[projectPc1]]'s projection expression (exact long dot of the
+    * micro-quantized vector with the literal direction, one fixed-order
+    * double division, 6 dp), detached from its select so a caller can
+    * compute pc1 NEXT TO other columns in one pass. Same null/degenerate
+    * contract as projectPc1: compose with a non-null, non-empty filter. */
+  def pc1ColFor(embCol: String, q: Array[Long], n2: Long): Column =
+    pcCol(dotLit(embCol, q), n2)
+
   /** Top TWO principal directions as integer micro-units — the rank-2
     * learned-rotation front end ([[graft.operators.Opq.householder2FromPca]]):
     * [[topDirection]]'s q1 plus one Hotelling deflation and a second

@@ -2982,6 +2982,21 @@ object Pipeline {
       graft.operators.Pca.projectTop2(emb, "vec_id", "emb", dim = 64)
         .orderBy("vec_id")
     }),
+    // L2 — SEMANTIC consumption ordering (Curation.semanticOrder): the
+    // "in-context pretraining" layout (Shi et al. 2023) — documents
+    // placed so packed long-context windows carry RELATED material:
+    // coarse locality from the fixed-quantizer IVF cell, fine locality
+    // from the pc1 sweep within it (Z-ordering's locality-by-sort-key
+    // idea with the embedding replacing scalar columns). Cell and pc1
+    // compute in ONE scan; ranks are per-cell windows; global positions
+    // come from the k-row census offsets. Fully oracle-checked: fixed
+    // quantizer + exact-integer PCA make every step bit-portable.
+    "q_semantic_order" -> ((s, dir) => {
+      Curation.semanticOrder(t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            VectorOps.asDouble(col("embedding")).as("emb")),
+        "vec_id", "emb", dim = 64, k = 16)
+    }),
     // L2 — PCA spectrum report (Pca.varianceExplained): Rayleigh estimate
     // of the top eigenvalue, total variance, and the explained fraction —
     // the one-row audit that decides whether a PCA/whitening pre-transform
@@ -3993,6 +4008,43 @@ object Pipeline {
                   / sqrt(cast(n2.n2 AS double)), 6)
            END AS pc1
          FROM proj p CROSS JOIN n2 ORDER BY p.vec_id"""),
+    // Semantic consumption order: fixed-quantizer assignment over the
+    // DOUBLE frame (the q_sim_ivf_fixed argmin convention), pc1 from
+    // the shared PCA chain, per-cell ranks, census prefix-sum offsets.
+    "q_semantic_order" -> PcaSql(
+      """, ed AS MATERIALIZED (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+         cc AS (SELECT vec_id AS cid, v AS cv,
+                  list_dot_product(v, v) AS cn2
+                FROM ed WHERE vec_id < 16),
+         aa AS (SELECT vec_id, cell FROM (
+             SELECT ed.vec_id, cc.cid AS cell,
+               row_number() OVER (PARTITION BY ed.vec_id
+                 ORDER BY -2 * list_dot_product(ed.v, cc.cv) + cc.cn2,
+                   cc.cid) AS rn
+             FROM ed CROSS JOIN cc) WHERE rn = 1),
+         pc AS (SELECT p.vec_id,
+                  CASE WHEN n2.n2 = 0 THEN 0.0
+                       ELSE round(cast(p.s AS double) / 1000000
+                         / sqrt(cast(n2.n2 AS double)), 6)
+                  END AS pc1
+                FROM proj p CROSS JOIN n2),
+         jj AS MATERIALIZED (
+           SELECT aa.vec_id, CAST(aa.cell AS BIGINT) AS cell, pc.pc1
+           FROM aa JOIN pc ON pc.vec_id = aa.vec_id),
+         rr AS (SELECT vec_id, cell, pc1,
+                  row_number() OVER (PARTITION BY cell
+                    ORDER BY pc1, vec_id) - 1 AS wi
+                FROM jj),
+         off AS (SELECT cell,
+                   CAST(coalesce(sum(n) OVER (ORDER BY cell
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS o
+                 FROM (SELECT cell, count(*) AS n FROM jj GROUP BY cell))
+         SELECT rr.vec_id, rr.cell, rr.pc1,
+           CAST(rr.wi + off.o AS BIGINT) AS pos
+         FROM rr JOIN off USING (cell) ORDER BY pos"""),
     "q_pca_top2" -> PcaSql(
       """SELECT p.vec_id,
            CASE WHEN n2.n2 = 0 THEN 0.0

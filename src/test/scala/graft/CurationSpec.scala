@@ -282,4 +282,42 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == 0.0)
     assert(math.abs(got(3L) - 1.0 / math.sqrt(2)) < 1e-12)
   }
+
+  test("semanticOrder: pos is a 0..n-1 permutation sorted by (cell, pc1, " +
+      "id), and adjacent docs are semantically CLOSER than in id order " +
+      "(the in-context-pretraining locality win)") {
+    import org.apache.spark.sql.functions._
+    val emb = queries.Q.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.asDouble(col("embedding")).as("emb"))
+    val out = Curation.semanticOrder(emb, "vec_id", "emb", dim = 64)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val n = out.length
+    assert(n == emb.count())
+    // a permutation: every position 0..n-1 exactly once
+    assert(out.map(_._4).sorted.toSeq == (0L until n.toLong))
+    // sorted by (cell, pc1, id) along positions
+    val byPos = out.sortBy(_._4)
+    val ord = Ordering.Tuple3[Long, Double, Long]
+    byPos.sliding(2).foreach { case Array(a, b) =>
+      assert(ord.lt((a._2, a._3, a._1), (b._2, b._3, b._1)),
+        s"order violated at pos ${a._4}")
+    }
+    // locality: mean adjacent cosine under semantic order beats id order
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def meanAdj(order: Seq[Long]): Double =
+      order.sliding(2).map { case Seq(x, y) => cos(vecs(x), vecs(y)) }
+        .sum / (order.length - 1)
+    val semantic = meanAdj(byPos.map(_._1).toSeq)
+    val idOrder = meanAdj(out.map(_._1).sorted.toSeq)
+    assert(semantic > idOrder + 0.05,
+      s"no locality win: semantic $semantic vs id-order $idOrder")
+  }
 }
