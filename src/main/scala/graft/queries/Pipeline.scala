@@ -83,6 +83,47 @@ object Pipeline {
     * sums the long products in HUGEINT: exact integer totals are
     * summation-order independent, so the engine's salted two-level
     * reduction needs no mirroring. Unreferenced CTEs cost nothing. */
+  /** Semantic-ordering CTE chain over PcaSql's `proj`/`n2` (the
+    * q_semantic_order replay, ending in `sord` (vec_id, cell, pc1,
+    * pos)): fixed-quantizer assignment over the DOUBLE frame (the
+    * q_sim_ivf_fixed argmin convention), pc1 from the shared PCA chain,
+    * per-cell ranks, census prefix-sum offsets. */
+  private val SemanticOrderCtes: String =
+    """ed AS MATERIALIZED (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+         cc AS (SELECT vec_id AS cid, v AS cv,
+                  list_dot_product(v, v) AS cn2
+                FROM ed WHERE vec_id < 16),
+         aa AS (SELECT vec_id, cell FROM (
+             SELECT ed.vec_id, cc.cid AS cell,
+               row_number() OVER (PARTITION BY ed.vec_id
+                 ORDER BY -2 * list_dot_product(ed.v, cc.cv) + cc.cn2,
+                   cc.cid) AS rn
+             FROM ed CROSS JOIN cc) WHERE rn = 1),
+         pc AS (SELECT p.vec_id,
+                  CASE WHEN n2.n2 = 0 THEN 0.0
+                       ELSE round(cast(p.s AS double) / 1000000
+                         / sqrt(cast(n2.n2 AS double)), 6)
+                  END AS pc1
+                FROM proj p CROSS JOIN n2),
+         jj AS MATERIALIZED (
+           SELECT aa.vec_id, CAST(aa.cell AS BIGINT) AS cell, pc.pc1
+           FROM aa JOIN pc ON pc.vec_id = aa.vec_id),
+         rr AS (SELECT vec_id, cell, pc1,
+                  row_number() OVER (PARTITION BY cell
+                    ORDER BY pc1, vec_id) - 1 AS wi
+                FROM jj),
+         off AS (SELECT cell,
+                   CAST(coalesce(sum(n) OVER (ORDER BY cell
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS o
+                 FROM (SELECT cell, count(*) AS n FROM jj GROUP BY cell)),
+         sord AS MATERIALIZED (
+           SELECT rr.vec_id, rr.cell, rr.pc1,
+             CAST(rr.wi + off.o AS BIGINT) AS pos
+           FROM rr JOIN off USING (cell))"""
+
   /** Rank-1 learned-rotation CTE chain over PcaSql's `dir`/`x`: the
     * scale-16 Householder axis (nqc/uu/uu2) and the first reflection
     * (hd/rotv, rv = rotated double per (vec_id, pos)). Shared by the
@@ -2997,6 +3038,48 @@ object Pipeline {
             VectorOps.asDouble(col("embedding")).as("emb")),
         "vec_id", "emb", dim = 64, k = 16)
     }),
+    // L2/L5d — the semantic order FEEDING long-context window
+    // construction (the composition that is the point of in-context
+    // pretraining): the q_token_windows slicing keyed on the SEMANTIC
+    // stream offset instead of per-source doc_id order, so each
+    // 128-token window carries adjacent-by-meaning documents. The
+    // global token offset is built WITHOUT a global window: within-cell
+    // token prefix (one cell-partitioned window over unique positions)
+    // + per-cell token-total prefix sums (k-row census collected and
+    // broadcast back — the semanticOrder offset pattern). vec_id ≡
+    // doc_id in the harness (TESTDATA), so the embedding order maps
+    // 1:1 onto the documents it packs.
+    "q_semantic_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val order = Curation.semanticOrder(t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            VectorOps.asDouble(col("embedding")).as("emb")),
+        "vec_id", "emb", dim = 64, k = 16)
+      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), TA.tokenCountWs(col("text")).as("n_tok"))
+      val j = order.join(toks, col("vec_id") === col("doc_id"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("cell"), col("pos"), col("n_tok"))
+      val w = Window.partitionBy("cell").orderBy("pos")
+      val withIn = j
+        .withColumn("__cst", sum(col("n_tok")).over(w) - col("n_tok"))
+      val census = j.groupBy("cell").agg(sum(col("n_tok")).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offs = census.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+      val offMap = map(census.map(_._1).zip(offs).flatMap { case (c, o) =>
+        Seq(lit(c), lit(o)) }.toSeq: _*)
+      withIn
+        .withColumn("st", col("__cst") + element_at(offMap, col("cell")))
+        .withColumn("window_id", explode(sequence(
+          expr("st div 128"), expr("(st + n_tok - 1) div 128"))))
+        .select(col("window_id"), col("doc_id"),
+          (greatest(col("st"), col("window_id") * 128)
+            - col("window_id") * 128).as("w_start"),
+          (least(col("st") + col("n_tok"), (col("window_id") + 1) * 128)
+            - greatest(col("st"), col("window_id") * 128))
+            .as("n_in_window"))
+        .orderBy("window_id", "doc_id")
+    }),
     // L2 — PCA spectrum report (Pca.varianceExplained): Rayleigh estimate
     // of the top eigenvalue, total variance, and the explained fraction —
     // the one-row audit that decides whether a PCA/whitening pre-transform
@@ -4012,39 +4095,36 @@ object Pipeline {
     // DOUBLE frame (the q_sim_ivf_fixed argmin convention), pc1 from
     // the shared PCA chain, per-cell ranks, census prefix-sum offsets.
     "q_semantic_order" -> PcaSql(
-      """, ed AS MATERIALIZED (
-           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           WHERE embedding IS NOT NULL),
-         cc AS (SELECT vec_id AS cid, v AS cv,
-                  list_dot_product(v, v) AS cn2
-                FROM ed WHERE vec_id < 16),
-         aa AS (SELECT vec_id, cell FROM (
-             SELECT ed.vec_id, cc.cid AS cell,
-               row_number() OVER (PARTITION BY ed.vec_id
-                 ORDER BY -2 * list_dot_product(ed.v, cc.cv) + cc.cn2,
-                   cc.cid) AS rn
-             FROM ed CROSS JOIN cc) WHERE rn = 1),
-         pc AS (SELECT p.vec_id,
-                  CASE WHEN n2.n2 = 0 THEN 0.0
-                       ELSE round(cast(p.s AS double) / 1000000
-                         / sqrt(cast(n2.n2 AS double)), 6)
-                  END AS pc1
-                FROM proj p CROSS JOIN n2),
-         jj AS MATERIALIZED (
-           SELECT aa.vec_id, CAST(aa.cell AS BIGINT) AS cell, pc.pc1
-           FROM aa JOIN pc ON pc.vec_id = aa.vec_id),
-         rr AS (SELECT vec_id, cell, pc1,
-                  row_number() OVER (PARTITION BY cell
-                    ORDER BY pc1, vec_id) - 1 AS wi
-                FROM jj),
-         off AS (SELECT cell,
-                   CAST(coalesce(sum(n) OVER (ORDER BY cell
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                     AS BIGINT) AS o
-                 FROM (SELECT cell, count(*) AS n FROM jj GROUP BY cell))
-         SELECT rr.vec_id, rr.cell, rr.pc1,
-           CAST(rr.wi + off.o AS BIGINT) AS pos
-         FROM rr JOIN off USING (cell) ORDER BY pos"""),
+      s""",
+         $SemanticOrderCtes
+         SELECT vec_id, cell, pc1, pos FROM sord ORDER BY pos"""),
+    // The composition: the semantic stream sliced into 128-token
+    // windows — q_token_windows' arithmetic keyed on the semantic
+    // offset (one global cumulative sum; the engine builds it
+    // distributed via the cell-prefix trick, values identical).
+    "q_semantic_windows" -> PcaSql(
+      s""",
+         $SemanticOrderCtes,
+         tk AS (SELECT doc_id,
+                  len(string_split_regex(text, '\\s+')) AS n_tok
+                FROM documents WHERE text IS NOT NULL),
+         sj AS MATERIALIZED (
+           SELECT s.vec_id AS doc_id, s.pos, tk.n_tok
+           FROM sord s JOIN tk ON tk.doc_id = s.vec_id
+           WHERE tk.n_tok > 0),
+         stc AS (SELECT doc_id, n_tok,
+                   (sum(n_tok) OVER (ORDER BY pos) - n_tok)::bigint AS st
+                 FROM sj),
+         ee AS (SELECT doc_id, n_tok, st,
+                  unnest(generate_series(st // 128, (st + n_tok - 1) // 128))
+                    AS window_id
+                FROM stc)
+         SELECT window_id::bigint AS window_id, doc_id,
+           (greatest(st, window_id * 128) - window_id * 128)::bigint
+             AS w_start,
+           (least(st + n_tok, (window_id + 1) * 128)
+             - greatest(st, window_id * 128))::bigint AS n_in_window
+         FROM ee ORDER BY window_id, doc_id"""),
     "q_pca_top2" -> PcaSql(
       """SELECT p.vec_id,
            CASE WHEN n2.n2 = 0 THEN 0.0

@@ -320,4 +320,35 @@ class CurationSpec extends SparkSpec {
     assert(semantic > idOrder + 0.05,
       s"no locality win: semantic $semantic vs id-order $idOrder")
   }
+
+  test("semantic windows: exact 128-token budget accounting — every " +
+      "window but the last is full, pieces tile each doc, totals conserve") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_semantic_windows")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, ws, n) =>
+      assert(ws >= 0 && ws < 128 && n >= 1 && ws + n <= 128)
+    }
+    // every window except the highest id carries exactly 128 tokens
+    val byWin = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val last = byWin.keys.max
+    byWin.foreach { case (w, tot) =>
+      if (w != last) assert(tot == 128, s"window $w holds $tot")
+      else assert(tot >= 1 && tot <= 128)
+    }
+    // conservation: piece totals equal each doc's token count, and the
+    // stream total equals the sum over embedded, non-empty docs
+    val toks = queries.Q.t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCountWs(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    byDoc.foreach { case (d, tot) => assert(tot == toks(d), s"doc $d") }
+    assert(rows.map(_._4).sum ==
+      byDoc.keys.toSeq.map(toks).sum)
+  }
 }
