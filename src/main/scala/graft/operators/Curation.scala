@@ -741,6 +741,14 @@ object Curation {
    * back as a literal offset map — no single-partition exchange
    * anywhere. Every step is bit-portable (fixed first-k quantizer,
    * exact-integer PCA), so the full ordering oracle-checks.
+   *
+   * Scale note: the rank's parallelism is k (one window partition per
+   * cell), so k must GROW with the corpus — at 1000 executors run
+   * k ≈ thousands of cells (IVF guidance is ~√n anyway, so the knob
+   * moves in the right direction for free). If per-cell sorts ever
+   * dominate, the census trick recurses: range-partition each cell by
+   * pc1, rank within ranges, and add range-count prefix offsets —
+   * positions identical, parallelism k·ranges.
    */
   def semanticOrder(df: DataFrame, idCol: String, embCol: String,
       dim: Int, k: Int = 16): DataFrame = {
