@@ -51,6 +51,15 @@ import org.apache.spark.sql.functions._
  * the meta, --search/--append/--refine rotate their inputs to match
  * automatically — a rotated artifact serves plain queries with no
  * caller-side changes (cosine is isometric under any of them).
+ * Choosing a mode (measured on the harness embeddings — RecallProbe,
+ * 40 queries): on LARGE corpora the learned rotations win (sf0.1:
+ * pca1 0.1025 / pca2 0.10 vs wht 0.0875 / plain 0.09 recall@10); on
+ * SMALL corpora the oblivious WHT wins because the learned axes are
+ * estimated from too little data (sf0.01: wht 0.18 > pca1 0.16 >
+ * pca2 0.14 > plain 0.14). Rule of thumb: --rotate-pca for production
+ * corpora, --rotate when the build set is small or the spectrum is
+ * unknown, --rotate-pca2 only when a probe on YOUR corpus shows the
+ * second direction carrying real energy (q_pca_variance reports it).
  *
  * --refine c turns on the FAISS IndexRefine serving shape: ADC proposes
  * the top-c candidates per query from codes only, then the refine stage
