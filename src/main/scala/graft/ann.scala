@@ -268,6 +268,11 @@ object Ann {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/codebook.parquet")
     codesDf.write.mode("overwrite").parquet(s"$outDir/codes.parquet")
+    // all consumers of the rotated frame (Ivf.train + both encode paths)
+    // have materialized to disk by here — release the corpus-scale cache
+    // so repeated programmatic builds in one session don't accumulate
+    // blocks (the Scale.releaseAfterUse convention)
+    if (rot != 0) emb.unpersist(blocking = false)
     writeMeta(outDir, Meta(k, iters, m, codes, dim, idCol, rot))
     spark.read.parquet(s"$outDir/codes.parquet")
       .select(col(idCol)).distinct().count()

@@ -503,10 +503,16 @@ object Multimodal {
   private val Mp3SampleRates = Array(44100L, 48000L, 32000L, -1L)
 
   /** MP3 (MPEG-1 Layer III): (sampleRate, channels, totalSamples).
-    * Skips an ID3v2 prefix (syncsafe size), then frame-sync walks the
-    * whole payload counting valid frames (1152 samples each); rate and
-    * channel mode come from the first frame. None unless at least one
-    * well-formed frame parses and every frame boundary lines up. */
+    * Skips an ID3v2 prefix (syncsafe size) and tolerates a trailing
+    * 128-byte ID3v1 `TAG` block (near-universal in the wild — without
+    * this the gate would silently drop every tagged CBR file), then
+    * frame-sync walks the payload counting valid frames (1152 samples
+    * each); rate and channel mode come from the first frame. None
+    * unless at least one well-formed frame parses and every frame
+    * boundary lines up exactly at the (tag-trimmed) end — CBR-exact by
+    * design; a Xing/Info VBR header frame counts as an ordinary frame
+    * (it carries a valid header), biasing totalSamples by one frame at
+    * most. */
   private[graft] def parseMp3(
       bytes: Array[Byte]): Option[(Long, Long, Long)] = {
     def u(i: Int): Int = bytes(i) & 0xff
@@ -516,10 +522,16 @@ object Multimodal {
       val sz = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
       pos = 10 + sz
     }
+    val end =
+      if (bytes.length >= pos + 128 + 4 &&
+          bytes(bytes.length - 128) == 'T' &&
+          bytes(bytes.length - 127) == 'A' &&
+          bytes(bytes.length - 126) == 'G') bytes.length - 128
+      else bytes.length
     var frames = 0L
     var rate = -1L
     var channels = -1L
-    while (pos + 4 <= bytes.length) {
+    while (pos + 4 <= end) {
       if (u(pos) != 0xff || (u(pos + 1) & 0xe0) != 0xe0) return None
       val version = (u(pos + 1) >> 3) & 0x3
       val layer = (u(pos + 1) >> 1) & 0x3
@@ -535,11 +547,11 @@ object Multimodal {
       } else if (sr != rate) return None
       val frameLen =
         (144L * Mp3BitrateKbps(brIdx) * 1000L / sr).toInt + pad
-      if (frameLen <= 4 || pos + frameLen > bytes.length) return None
+      if (frameLen <= 4 || pos + frameLen > end) return None
       frames += 1
       pos += frameLen
     }
-    if (frames == 0 || pos != bytes.length) None
+    if (frames == 0 || pos != end) None
     else Some((rate, channels, frames * 1152L))
   }
 

@@ -187,11 +187,17 @@ object Opq {
    * bound lambda variable cannot be inlined — the same defence as
    * [[rotateInt]]'s stage fold.)
    *
-   * Magnitude contract: |coordinate| < 10⁴ (unit-normalized embeddings
-   * sit 4 orders below it) — that keeps the quantized qv inside the
-   * decimal(13,0) operand and the long u·v dot below 2⁶³ for |u| ≤
-   * ~2.6e8 axes at dim ≤ 128. u = 0 passes vectors through unchanged
-   * (as doubles), the declared degenerate contract.
+   * Magnitude contract: |coordinate| < 10² (unit-normalized embeddings
+   * sit 2 orders below it) — that keeps the quantized qv ≤ 10⁸, inside
+   * the decimal(13,0) operand, and the long u·v dot below 2⁶³:
+   * qv·|u|·dim ≤ 10⁸ · 2.6e8 · 128 ≈ 3.3e18 < 2⁶³ ≈ 9.2e18 for axis
+   * magnitudes |u_i| ≤ ~2.6e8 at dim ≤ 128. (A 10⁴ coordinate bound
+   * would NOT fit: qv ≤ 10¹⁰ pushes the dot to ~3e20, wrapping Spark's
+   * long sum silently while DuckDB's HUGEINT keeps going — silent
+   * cross-engine divergence.) The require below enforces the
+   * qv·|u|·dim < 2⁶³ envelope at call time from the actual axis.
+   * u = 0 passes vectors through unchanged (as doubles), the declared
+   * degenerate contract.
    */
   def rotateHouseholder(df: org.apache.spark.sql.DataFrame,
       embCol: String, u: Array[Long]): org.apache.spark.sql.DataFrame = {
@@ -201,6 +207,13 @@ object Opq {
         x => x.cast("double")))
     require(u2 <= BigInt(Long.MaxValue),
       s"|u|^2 must fit a long, got $u2")
+    // the u·v dot accumulates in a plain long: the per-term bound
+    // qv_max·max|u_i| times dim terms must stay under 2^63 (qv_max =
+    // 10^8 from the |coordinate| < 10^2 contract above)
+    require(BigInt(100000000L) * u.map(x => math.abs(x)).max * u.length
+        <= BigInt(Long.MaxValue),
+      s"axis too large for exact long dot at dim ${u.length}: " +
+        s"max|u_i| = ${u.map(math.abs).max}")
     // decimal widths keep every product within DuckDB's 38-digit cap:
     // qv ≤ 13 digits (the |x| < 10⁴ contract), u ≤ 10, |u|² ≤ 19,
     // u·v ≤ 20 → widest intermediate is 32 digits, exact in both engines

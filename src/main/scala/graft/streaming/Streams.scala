@@ -517,55 +517,6 @@ object Streams {
    * known small; unhinted the planner decides (the curateGate OOM
    * argument). Returns the admitted rows of `media` with their `dhash`.
    */
-  /**
-   * Streaming A/V CONTAINER gate — the ingest twin of
-   * [[graft.operators.Multimodal.mediaInfo]]: each arriving payload's
-   * container metadata (FLAC STREAMINFO / MP4 mvhd / MP3 frame walk,
-   * real byte-level parses, no codec) is attached in-row and rows outside the
-   * [minMs, maxMs] duration window — or that fail to parse at all —
-   * are dropped before any downstream decode spends a cycle. Stateless
-   * and shuffle-free (one mapPartitions, no aggregation, no join), so
-   * the plan is append-mode legal with no watermark; streamed ≡ batch
-   * is spec-pinned (StreamsSpec), the [[semanticGate]] convention.
-   * Returns the admitted rows with (container, duration_ms) attached.
-   */
-  def mediaGate(media: DataFrame, minMs: Long, maxMs: Long,
-      payloadCol: String = "payload"): DataFrame = {
-    import graft.operators.Multimodal
-    require(minMs >= 0 && maxMs >= minMs,
-      s"need 0 <= minMs <= maxMs, got [$minMs, $maxMs]")
-    val outSchema = media.schema
-      .add("container", org.apache.spark.sql.types.StringType,
-        nullable = false)
-      .add("duration_ms", org.apache.spark.sql.types.LongType,
-        nullable = false)
-    val pIdx = media.schema.fieldIndex(payloadCol)
-    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(outSchema)
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val bytes = Option(r.getAs[Array[Byte]](pIdx))
-          .getOrElse(Array.emptyByteArray)
-        val parsed = Multimodal.parseFlacStreamInfo(bytes) match {
-          case Some((rate, _, total)) =>
-            Some(("flac", if (rate > 0) total * 1000L / rate else 0L))
-          case None => Multimodal.parseMp4Mvhd(bytes) match {
-            case Some((ts, dur)) =>
-              Some(("mp4", if (ts > 0) dur * 1000L / ts else 0L))
-            case None => Multimodal.parseMp3(bytes).map {
-              case (rate, _, total) =>
-                ("mp3", if (rate > 0) total * 1000L / rate else 0L)
-            }
-          }
-        }
-        parsed.collect {
-          case (c, ms) if ms >= minMs && ms <= maxMs =>
-            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c :+ ms)
-        }.iterator
-      }
-    }
-  }
-
   def imageGate(media: DataFrame, corpusHashes: DataFrame, maxDist: Int = 3,
       idCol: String = "media_id", payloadCol: String = "payload",
       hintBroadcast: Boolean = false): DataFrame = {
@@ -614,6 +565,58 @@ object Streams {
       .reduce(_ || _)
     probed.filter(!matched)
       .drop((0 until 4).flatMap(b => Seq(s"__k$b", s"__chs$b")): _*)
+  }
+
+  /**
+   * Streaming A/V CONTAINER gate — the ingest twin of
+   * [[graft.operators.Multimodal.mediaInfo]]: each arriving payload's
+   * container metadata (FLAC STREAMINFO / MP4 mvhd / MP3 frame walk,
+   * real byte-level parses, no codec) is attached in-row and rows outside the
+   * [minMs, maxMs] duration window — or that fail to parse at all —
+   * are dropped before any downstream decode spends a cycle. Drop policy
+   * is conservative: an unparseable payload is dropped, never
+   * mis-reported (MP3 parsing tolerates an ID3v1 'TAG' trailer; other
+   * trailing junk still parses as unknown → drop). Stateless
+   * and shuffle-free (one mapPartitions, no aggregation, no join), so
+   * the plan is append-mode legal with no watermark; streamed ≡ batch
+   * is spec-pinned (StreamsSpec), the [[semanticGate]] convention.
+   * Returns the admitted rows with (container, duration_ms) attached.
+   */
+  def mediaGate(media: DataFrame, minMs: Long, maxMs: Long,
+      payloadCol: String = "payload"): DataFrame = {
+    import graft.operators.Multimodal
+    require(minMs >= 0 && maxMs >= minMs,
+      s"need 0 <= minMs <= maxMs, got [$minMs, $maxMs]")
+    val outSchema = media.schema
+      .add("container", org.apache.spark.sql.types.StringType,
+        nullable = false)
+      .add("duration_ms", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    val pIdx = media.schema.fieldIndex(payloadCol)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](pIdx))
+          .getOrElse(Array.emptyByteArray)
+        val parsed = Multimodal.parseFlacStreamInfo(bytes) match {
+          case Some((rate, _, total)) =>
+            Some(("flac", if (rate > 0) total * 1000L / rate else 0L))
+          case None => Multimodal.parseMp4Mvhd(bytes) match {
+            case Some((ts, dur)) =>
+              Some(("mp4", if (ts > 0) dur * 1000L / ts else 0L))
+            case None => Multimodal.parseMp3(bytes).map {
+              case (rate, _, total) =>
+                ("mp3", if (rate > 0) total * 1000L / rate else 0L)
+            }
+          }
+        }
+        parsed.collect {
+          case (c, ms) if ms >= minMs && ms <= maxMs =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c :+ ms)
+        }.iterator
+      }
+    }
   }
 
   /**

@@ -36,11 +36,38 @@ class ContractSpec extends SparkSpec {
     assert(unordered.isEmpty, s"oracles without outer ORDER BY: $unordered")
   }
 
-  test("every registered query executes at sf0.001") {
+  test("every registered query executes at sf0.001; no oversized DECIMAL") {
+    // Standing oracle convention (SURVEY §5, from the r13 verdict): no
+    // DECIMAL output column may carry values above 2^53 — the driver's
+    // compare coerces big DECIMALs lossily (r12/r13's only red rows were
+    // the two DECIMAL(38,0)-above-2^53 queries, while BIGINTs up to
+    // 6.7e17 pass). Output such totals as BIGINT instead. The guard runs
+    // at sf0.001 where totals are 10–100x smaller than the driver's
+    // sf0.01/sf0.1 runs, so it fails at 2^53/128 to keep that headroom.
+    import org.apache.spark.sql.functions.{abs, col, max}
+    import org.apache.spark.sql.types.DecimalType
+    val limit = BigDecimal(1L << 53) / 128
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { fn(spark, "/root/testdata/sf0.001").count(); None }
-        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+        try {
+          val df = fn(spark, "/root/testdata/sf0.001")
+          val decCols = df.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[DecimalType] => f.name
+          }.toSeq
+          if (decCols.isEmpty) { df.count(); None }
+          else {
+            val row = df.agg(max(abs(col(decCols.head))),
+              decCols.tail.map(c => max(abs(col(c)))): _*).head()
+            val over = decCols.zipWithIndex.collect {
+              case (c, i) if !row.isNullAt(i) &&
+                  BigDecimal(row.getDecimal(i)) > limit =>
+                s"$c=${row.getDecimal(i)}"
+            }
+            if (over.isEmpty) None
+            else Some(s"$name: DECIMAL output above 2^53/128 " +
+              s"(driver-compare hazard; emit BIGINT): ${over.mkString(", ")}")
+          }
+        } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

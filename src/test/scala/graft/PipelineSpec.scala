@@ -1069,6 +1069,18 @@ class MultimodalSpec extends SparkSpec {
     val withId3 = ("ID3".getBytes("US-ASCII") ++ Array.fill(7)(0.toByte)
       ++ mp3)
     assert(Multimodal.parseMp3(withId3).contains((44100L, 2L, 2L * 1152L)))
+    // a trailing 128-byte ID3v1 'TAG' block (the near-universal wild
+    // case) is tolerated — frames count the same, tag bytes ignored
+    val id3v1 = new Array[Byte](128)
+    "TAG".getBytes("US-ASCII").copyToArray(id3v1)
+    assert(Multimodal.parseMp3(mp3 ++ id3v1)
+      .contains((44100L, 2L, 2L * 1152L)))
+    assert(Multimodal.parseMp3(withId3 ++ id3v1)
+      .contains((44100L, 2L, 2L * 1152L)))
+    // but a trailer that is not exactly an ID3v1 block still fails the
+    // frame-boundary walk (conservative drop, never a mis-parse)
+    assert(Multimodal.parseMp3(mp3 ++ id3v1.take(127)).isEmpty)
+    assert(Multimodal.parseMp3(mp3 ++ "TAGX".getBytes).isEmpty)
     // totality: junk, truncation, wrong magic, torn frame boundary
     assert(Multimodal.parseFlacStreamInfo("fLaX junk".getBytes).isEmpty)
     assert(Multimodal.parseFlacStreamInfo(flac.take(20)).isEmpty)
