@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
  *   graft.Ann --build  --data <embeddings.parquet> --out <indexDir>
  *             [--k 16] [--iters 2] [--m 4] [--codes 8] [--dim 64]
  *             [--id vec_id] [--vec embedding] [--trained]
- *             [--rotate | --rotate-pca | --rotate-pca2]
+ *             [--rotate | --rotate-pca | --rotate-pca2 |
+ *              --rotate-auto [--probe-sample 20000]]
  *   graft.Ann --search --index <indexDir> --data <queries.parquet>
  *             --out <resultDir> [--topk 10] [--nprobe 4]
  *             [--id vec_id] [--vec embedding] [--no-self-filter]
@@ -60,6 +61,13 @@ import org.apache.spark.sql.functions._
  * corpora, --rotate when the build set is small or the spectrum is
  * unknown, --rotate-pca2 only when a probe on YOUR corpus shows the
  * second direction carrying real energy (q_pca_variance reports it).
+ * Or skip the guessing: **--rotate-auto** runs that probe at build time
+ * ([[probeRotation]] — the RecallProbe sweep over a deterministic
+ * hash-sample of the build corpus, default 20000 rows, --probe-sample
+ * to change), builds in the measured-best space, and records the
+ * per-mode recalls beside the artifacts as rotation_probe.json; the
+ * chosen mode lands in ann.meta.json's `rot` like any explicit flag,
+ * so serving is identical.
  *
  * --refine c turns on the FAISS IndexRefine serving shape: ADC proposes
  * the top-c candidates per query from codes only, then the refine stage
@@ -194,6 +202,78 @@ object Ann {
         .map(_._2.map(_.getAs[Long]("u")).toArray)
     }
 
+  /** The four rotation modes by `rot` code, for artifacts and logs. */
+  val RotNames: Vector[String] = Vector("plain", "wht", "pca1", "pca2")
+
+  /**
+   * Measured rotation-mode selection (--rotate-auto): mean recall@10 of
+   * the fixed-quantizer IVF-PQ pipeline under each of the four rotation
+   * modes over a deterministic hash-sample of the build corpus — the
+   * `tools/RecallProbe` sweep productized, because the right mode is
+   * corpus-dependent (measured: learned rotations win on large corpora,
+   * the oblivious WHT wins on small ones where the PCA axes are
+   * estimated from too little data — see the usage scaladoc).
+   *
+   * Scale shape: the sample is the hash-lowest `sampleN` rows (one
+   * TakeOrdered pass over the corpus, no full sort), re-keyed densely in
+   * hash order so the fixed-quantizer conventions (codebook seeds = ids
+   * < codes, probe queries = ids < nQueries) hold for ANY id space; the
+   * single-partition re-key window is bounded by `sampleN` rows by
+   * construction. Per mode the probe costs one bounded Lloyd pass + one
+   * sample-scale PQ encode + nQueries×sampleN exact dots — independent
+   * of corpus size past the sampling scan. The learned axes are trained
+   * ON THE SAMPLE (the probe measures what a sample can estimate — the
+   * same small-corpus caveat the measured numbers show).
+   *
+   * Returns (bestRot, per-mode recall@10); ties prefer the SIMPLER mode
+   * (lower rot code). Empty corpus falls back to WHT (rot 1, the
+   * oblivious spectrum-unknown default) with no measurements.
+   */
+  def probeRotation(plain: DataFrame, idCol: String, dim: Int, k: Int,
+      m: Int, codes: Int, nprobe: Int = 4, sampleN: Int = 20000,
+      nQueries: Int = 40): (Int, Seq[(Int, Double)]) = {
+    import graft.operators.{Opq, Pca, Similarity}
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__h", idCol)
+    val sample = plain
+      .select(col(idCol), col("emb"),
+        md5(concat(lit("annprobe:"), col(idCol).cast("string"))).as("__h"))
+      .orderBy("__h", idCol).limit(sampleN)
+      .withColumn("vec_id", row_number().over(w).cast("long") - 1)
+      .select(col("vec_id"), col("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (sample.limit(1).isEmpty) { sample.unpersist(false); return (1, Nil) }
+    val (d1, d2) = Pca.topDirections2(sample, "emb", dim)
+    val u1 = Opq.householderFromPca(d1)
+    val u2 = Opq.householder2FromPca(d2, u1)
+    def recallOf(rot: Int): Double = {
+      val f = (rot match {
+        case 0 => sample
+        case 1 => sample.withColumn("emb", Opq.rotate(col("emb"), dim))
+        case 2 => Opq.rotateHouseholder(sample, "emb", u1)
+        case _ => Opq.rotateHouseholder(
+          Opq.rotateHouseholder(sample, "emb", u1), "emb", u2)
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = f.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = Ivf.train(f, "vec_id", "emb", k, iters = 0)
+      val exact = Similarity.exactTopK(f, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val adc = Pq.ivfAdcTopK(f, qs, centroids, nprobe, topK = 10,
+          m = m, k = codes, dim = dim)
+        .select(col("q_id"), col("vec_id"))
+      val r = exact.join(adc.withColumn("__hit", lit(1L)),
+          Seq("q_id", "vec_id"), "left")
+        .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("r"))
+        .head().getDouble(0)
+      f.unpersist(false)
+      r
+    }
+    val recalls = (0 to 3).map(r => r -> recallOf(r))
+    sample.unpersist(false)
+    (recalls.maxBy { case (rot, r) => (r, -rot) }._1, recalls)
+  }
+
   /** Build the index directory from an embeddings parquet. Returns the
     * number of indexed vectors. `trained = true` uses per-subspace
     * Lloyd-trained codebooks (`Pq.trainCodebooks` + the scan-local literal
@@ -205,15 +285,29 @@ object Ann {
       k: Int, iters: Int, m: Int, codes: Int, dim: Int,
       idCol: String, vecCol: String, trained: Boolean = false,
       rotate: Boolean = false, rotatePca: Boolean = false,
-      rotatePca2: Boolean = false): Long = {
-    require(Seq(rotate, rotatePca, rotatePca2).count(identity) <= 1,
-      "--rotate, --rotate-pca and --rotate-pca2 are mutually exclusive")
-    val rot = if (rotatePca2) 3 else if (rotatePca) 2
-      else if (rotate) 1 else 0
+      rotatePca2: Boolean = false, rotateAuto: Boolean = false,
+      probeSampleN: Int = 20000): Long = {
+    require(Seq(rotate, rotatePca, rotatePca2, rotateAuto)
+        .count(identity) <= 1,
+      "--rotate, --rotate-pca, --rotate-pca2 and --rotate-auto are " +
+        "mutually exclusive")
     val plain = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
       .withColumn("emb", requireDim(col("emb"), dim, "Ann --build"))
+    val rot = if (rotateAuto) {
+      val (best, recalls) = probeRotation(plain, idCol, dim, k, m, codes,
+        sampleN = probeSampleN)
+      val measured = recalls
+        .map { case (r, v) => s""""${RotNames(r)}":$v""" }.mkString(",")
+      val probeJson = s"""{"chosen":"${RotNames(best)}","rot":$best,""" +
+        s""""sample_n":$probeSampleN,"recall@10":{$measured}}"""
+      val p = java.nio.file.Paths.get(outDir, "rotation_probe.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, probeJson.getBytes("UTF-8"))
+      best
+    } else if (rotatePca2) 3 else if (rotatePca) 2
+    else if (rotate) 1 else 0
     val us: Seq[Array[Long]] = rot match {
       case 2 => Seq(graft.operators.Opq.householderFromPca(
         graft.operators.Pca.topDirection(plain, "emb", dim)))
@@ -398,7 +492,9 @@ object Ann {
           opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"),
           trained = flags("trained"), rotate = flags("rotate"),
           rotatePca = flags("rotate-pca"),
-          rotatePca2 = flags("rotate-pca2"))
+          rotatePca2 = flags("rotate-pca2"),
+          rotateAuto = flags("rotate-auto"),
+          probeSampleN = intOpt("probe-sample", 20000))
         println(s"""{"built":$n,"index":"${opt("out").get}"}""")
       } else if (flags("search")) {
         val refine = opt("refine").map(c => (c.toInt,

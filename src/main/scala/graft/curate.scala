@@ -89,6 +89,82 @@ object Curate {
   val DefaultConfig: CurateConfig =
     CurateConfig(1, 1.0, "fuzzy", 0.5, 0L, "1999")
 
+  // ------------------------------------------------------ stage registry
+
+  /** One declared funnel stage: the library operator that implements it,
+    * the CurateConfig knob that enables it ("always" = unconditional),
+    * the funnel-report count keys it emits in the full run and in the
+    * delta run (empty = the stage is absent from that path), the
+    * [[graft.streaming.Streams]] member that is its streaming ingest
+    * twin (None = scan-local column algebra that is stream-legal as-is,
+    * or a stage with no streaming shape), and whether the stage is
+    * FULL-RUN-ONLY because it needs corpus-level statistics a delta
+    * batch cannot estimate (per-source quantiles, corpus-trained
+    * models, corpus-total budgets). */
+  final case class StageDecl(
+      name: String,
+      batchOp: String,
+      enabledBy: String,
+      funnelKeys: Seq[String],
+      deltaFunnelKeys: Seq[String],
+      streamingTwin: Option[String],
+      fullRunOnly: Boolean)
+
+  /** The curation funnel as DATA — [[run]] and [[runDelta]] implement
+    * exactly this list in order, and CurateSpec verifies the claim
+    * mechanically: funnel-report keys ≡ the registry's declared keys,
+    * full-run-only ⇔ no delta keys, every declared streaming twin
+    * resolves to a real Streams member, and [[writeReport]] surfaces
+    * per-stage enablement so `--run` reports its own coverage. A stage
+    * wired into the pipeline but not declared here (or vice versa)
+    * fails the spec — add stages HERE first. */
+  val StageRegistry: Seq[StageDecl] = Seq(
+    StageDecl("input", "Tables.load", "always",
+      Seq("input"), Seq("deltaInput"), None, fullRunOnly = false),
+    StageDecl("clean", "TA.stripHtml + Curation.filterLines",
+      "stripHtml | lineMinWords > 0",
+      Seq("afterClean"), Seq("afterClean"), None, fullRunOnly = false),
+    StageDecl("assignLang", "TA.langIdAssign", "assignLang",
+      Seq("langAssigned"), Seq("langAssigned"), None, fullRunOnly = false),
+    StageDecl("quality", "TA.qualityScore >= minQuality", "always",
+      Seq("afterQuality"), Seq("afterQuality"),
+      Some("curateGate"), fullRunOnly = false),
+    // per-source quantile thresholds are corpus statistics — a delta
+    // batch's within-batch quantile is not the corpus quantile
+    StageDecl("fairGate", "Curation.fairGate", "fairGateFrac in (0,1)",
+      Seq("afterFairGate"), Nil, None, fullRunOnly = true),
+    StageDecl("dedup",
+      "Dedup.exactByKey | Dedup.nearDuplicates + connectedComponents",
+      "dedup != none",
+      Seq("afterDedup"), Seq("afterDeltaDedup", "afterCorpusDedup"),
+      Some("curateGate"), fullRunOnly = false),
+    // the importance model must train on the corpus, not the batch
+    StageDecl("dsir", "Curation.dsirWeights >= dsirMinLogW",
+      "dsirTargetLang.nonEmpty",
+      Seq("afterDsir"), Nil, None, fullRunOnly = true),
+    // corpus-total invariant (no per-stage count: it folds into the
+    // train/val counts one action later)
+    StageDecl("tokenBudget", "TA.tokenCountWs cumsum <= tokensPerLang",
+      "tokensPerLang > 0",
+      Nil, Nil, None, fullRunOnly = true),
+    StageDecl("split", "Sampling.hashHex4(clusterKey) < valThresholdHex",
+      "always",
+      Seq("train", "val"), Seq("train", "val"), None, fullRunOnly = false))
+
+  /** Whether a declared stage actually runs under this config — the
+    * machine-readable form of each StageDecl.enabledBy, reported per
+    * run by [[writeReport]]. */
+  def stageEnabled(s: StageDecl, c: CurateConfig): Boolean = s.name match {
+    case "input" | "quality" | "split" => true
+    case "clean" => c.stripHtml || c.lineMinWords > 0
+    case "assignLang" => c.assignLang
+    case "fairGate" => c.fairGateFrac > 0.0 && c.fairGateFrac < 1.0
+    case "dedup" => c.dedup != "none"
+    case "dsir" => c.dsirTargetLang.nonEmpty
+    case "tokenBudget" => c.tokensPerLang > 0
+    case other => sys.error(s"undeclared stage: $other")
+  }
+
   /** Fixed epoch salt for the sharded train layout: re-running the same
     * curation reproduces the identical permutation (the reproducibility
     * contract); later epochs re-shuffle with their own salts at load. */
@@ -452,6 +528,12 @@ object Curate {
         "dsirTargetLang" -> c.dsirTargetLang,
         "dsirMinLogW" -> c.dsirMinLogW),
       "funnel" -> scala.collection.immutable.ListMap(r.funnel: _*),
+      // the declared stage list with per-run enablement — the report is
+      // self-describing about which registry stages this config ran
+      "stages" -> StageRegistry.map(s =>
+        scala.collection.immutable.ListMap(
+          "stage" -> s.name, "enabled" -> stageEnabled(s, c),
+          "fullRunOnly" -> s.fullRunOnly)),
       "perLang" -> r.perLang.map { case (l, n, t) =>
         scala.collection.immutable.ListMap(
           "lang" -> l, "n_docs" -> n, "n_tokens" -> t) }))

@@ -3211,6 +3211,27 @@ object Pipeline {
         .toDF()
         .orderBy("media_id")
     }),
+    // L3 — the per-container AUDIT over q_media_info's parse (the
+    // q_url_stats convention): joint (container, rate, duration-second)
+    // histogram with per-cell duration extremes — the table a media
+    // gate's [minMs, maxMs] thresholds are DERIVED from instead of
+    // guessed (MultimodalSpec pins that derivation: gate thresholds read
+    // off this table admit exactly the expected corpus slice). One scan
+    // + one hash aggregate over metadata-width rows; the histogram is
+    // k-cells-scale however big the corpus.
+    "q_media_stats" -> ((s, dir) => {
+      graft.operators.Multimodal.mediaInfo(
+          graft.operators.Multimodal.synthMedia(
+            t(s, dir, "documents").select(col("doc_id")), "doc_id"))
+        .toDF()
+        .groupBy(col("container"),
+          coalesce(col("sample_rate_hz"), lit(0L)).as("rate_hz"),
+          (col("duration_ms") / 1000).cast("long").as("dur_s"))
+        .agg(count(lit(1)).as("n"),
+          min("duration_ms").as("min_ms"),
+          max("duration_ms").as("max_ms"))
+        .orderBy("container", "rate_hz", "dur_s")
+    }),
     // L1 — BM25 retrieval: top-10 documents for a fixed 3-term query, the
     // relevance-ranking primitive for pulling topic subsets out of a
     // corpus. One scan + ONE one-row global aggregate broadcast; the
@@ -6787,6 +6808,34 @@ object Pipeline {
            ELSE CAST((2 + (doc_id // 3) % 4) * 1000 AS BIGINT)
            END AS duration_ms
          FROM documents ORDER BY media_id""",
+    // The audit aggregate over the same id-derived expectation: the
+    // q_media_info body reduced to the (container, rate, duration-second)
+    // histogram with per-cell extremes.
+    "q_media_stats" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp4'
+               ELSE 'mp3' END AS container,
+             CASE WHEN doc_id % 3 = 0 THEN
+               CAST(CASE (doc_id // 3) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT)
+             WHEN doc_id % 3 = 2 THEN CAST(44100 AS BIGINT)
+             ELSE CAST(NULL AS BIGINT) END AS sample_rate_hz,
+             CASE WHEN doc_id % 3 = 0
+               THEN CAST((1 + (doc_id // 3) % 5) * 1000 AS BIGINT)
+             WHEN doc_id % 3 = 2
+               THEN CAST((20 + 10 * ((doc_id // 3) % 5)) * 1152 * 1000 // 44100
+                 AS BIGINT)
+             ELSE CAST((2 + (doc_id // 3) % 4) * 1000 AS BIGINT)
+             END AS duration_ms
+           FROM documents)
+         SELECT container, coalesce(sample_rate_hz, 0) AS rate_hz,
+           duration_ms // 1000 AS dur_s,
+           count(*) AS n, min(duration_ms) AS min_ms,
+           max(duration_ms) AS max_ms
+         FROM m GROUP BY container, coalesce(sample_rate_hz, 0),
+           duration_ms // 1000
+         ORDER BY container, rate_hz, dur_s""",
     // The BMP encode→decode round-trip is pixel-identity, so the oracle
     // computes straight from the md5 pixel bytes: same luma expression
     // (double literals, left-to-right), same bit layout, then all-pairs

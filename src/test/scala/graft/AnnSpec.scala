@@ -306,4 +306,36 @@ class AnnSpec extends SparkSpec {
         s"query $q distances not ascending")
     }
   }
+
+  test("--rotate-auto: the probe measures all four modes, the build " +
+      "picks the measured winner (lower rot on ties), meta records it, " +
+      "and the probe artifact lands beside the index") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val plain = spark.read.parquet(data)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+    val (best, recalls) = Ann.probeRotation(plain, "vec_id", dim = 64,
+      k = 8, m = 4, codes = 8, sampleN = 20000)
+    assert(recalls.map(_._1) == Seq(0, 1, 2, 3), "all four modes measured")
+    recalls.foreach { case (r, v) =>
+      assert(v >= 0.0 && v <= 1.0, s"recall out of range for rot=$r: $v") }
+    // the declared selection rule: max recall, lower rot code on ties
+    val expected = recalls.maxBy { case (rot, v) => (v, -rot) }._1
+    assert(best == expected, s"best=$best recalls=$recalls")
+    // the build path re-runs the same deterministic probe and agrees
+    val idx = tmp("auto")
+    val n = Ann.build(spark, data, idx, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding", rotateAuto = true)
+    assert(n > 0)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, Ann.MetaFile)), "UTF-8")
+    assert(meta.contains(s""""rot":$best"""), meta)
+    val probe = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, "rotation_probe.json")), "UTF-8")
+    assert(probe.contains(s""""chosen":"${Ann.RotNames(best)}""""), probe)
+    assert(Ann.RotNames.forall(m => probe.contains(s""""$m":""")), probe)
+    // the chosen-space index serves plain queries like any explicit mode
+    val served = Ann.search(spark, idx, data, None, topK = 5, nprobe = 3,
+      qIdCol = "vec_id", qVecCol = "embedding")
+    assert(served.count() > 0)
+  }
 }

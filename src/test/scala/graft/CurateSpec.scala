@@ -365,4 +365,50 @@ class CurateSpec extends SparkSpec {
         "--config", s"$out/c.yaml"))
     }
   }
+
+  test("stage registry: run/runDelta funnels enumerate exactly the " +
+      "declared stage keys in order, full-run-only stages have no delta " +
+      "path, declared streaming twins resolve to real Streams members, " +
+      "and the report carries per-stage enablement") {
+    // all-knobs-on config so every declared stage actually executes
+    val c = Curate.CurateConfig(1, 0.1, "fuzzy", 0.5, 1000000L, "1999",
+      stripHtml = true, lineMinWords = 1, assignLang = true,
+      dsirTargetLang = "en", dsirMinLogW = -1e9, fairGateFrac = 0.9)
+    val docs = Tables.load(spark, data, "documents")
+    val full = Curate.run(docs, c)
+    assert(full.funnel.map(_._1) ==
+      Curate.StageRegistry.flatMap(_.funnelKeys),
+      "full-run funnel must enumerate the registry's declared keys")
+    val delta = Curate.runDelta(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), c)
+    assert(delta.funnel.map(_._1) ==
+      Curate.StageRegistry.flatMap(_.deltaFunnelKeys),
+      "delta funnel must enumerate the registry's declared delta keys")
+    // full-run-only ⇔ absent from the delta path
+    Curate.StageRegistry.foreach(s =>
+      assert(s.fullRunOnly == s.deltaFunnelKeys.isEmpty,
+        s"stage ${s.name}: fullRunOnly=${s.fullRunOnly} but " +
+          s"deltaKeys=${s.deltaFunnelKeys}"))
+    // every declared streaming twin is a real Streams member
+    val streamsMembers = graft.streaming.Streams.getClass
+      .getMethods.map(_.getName).toSet
+    Curate.StageRegistry.flatMap(_.streamingTwin).foreach(t =>
+      assert(streamsMembers(t), s"streaming twin $t not in Streams"))
+    // every registry stage has a deterministic enablement answer, and
+    // the all-on config enables everything
+    Curate.StageRegistry.foreach(s =>
+      assert(Curate.stageEnabled(s, c), s"stage ${s.name} not enabled"))
+    assert(!Curate.stageEnabled(
+      Curate.StageRegistry.find(_.name == "dsir").get,
+      Curate.DefaultConfig))
+    // the written report surfaces the registry
+    val out = java.nio.file.Files.createTempDirectory("curate_reg").toString
+    Curate.writeReport(s"$out/r.json", c, full)
+    val report = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/r.json"))
+    assert(report.contains("\"stages\""))
+    Curate.StageRegistry.foreach(s =>
+      assert(report.contains(s""""stage": "${s.name}"""") ||
+        report.contains(s""""stage":"${s.name}""""), s"missing ${s.name}"))
+  }
 }

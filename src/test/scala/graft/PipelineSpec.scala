@@ -1265,6 +1265,45 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(stats(2L).mean_luma - want) < 40.0,
       s"jpeg luma ${stats(2L).mean_luma} vs $want")
   }
+
+  test("media-stats law: the q_media_stats histogram conserves the " +
+      "corpus, and mediaGate thresholds READ OFF it are data-derived — " +
+      "the global envelope admits everything, a cell-level cap admits " +
+      "a count the stats cells bound exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 90L
+    val media = Multimodal.synthMedia((0L until n).toDF("doc_id"), "doc_id")
+      .persist()
+    val info = Multimodal.mediaInfo(media).toDF().persist()
+    val cells = info
+      .groupBy(col("container"),
+        (col("duration_ms") / 1000).cast("long").as("dur_s"))
+      .agg(count(lit(1)).as("n"), min("duration_ms").as("min_ms"),
+        max("duration_ms").as("max_ms"))
+      .collect()
+      .map(r => (r.getAs[String]("container"), r.getAs[Long]("n"),
+        r.getAs[Long]("min_ms"), r.getAs[Long]("max_ms")))
+    // conservation: every synth payload parses into exactly one cell
+    assert(cells.map(_._2).sum == n)
+    assert(cells.map(_._1).toSet == Set("flac", "mp4", "mp3"))
+    // derivation 1: the table's global envelope admits the whole corpus
+    val lo = cells.map(_._3).min
+    val hi = cells.map(_._4).max
+    assert(graft.streaming.Streams.mediaGate(media, lo, hi).count() == n)
+    // derivation 2: cap at the median cell max — the stats cells bound
+    // the admitted count exactly (cells fully under the cap are all in;
+    // cells starting above it are all out), and the gate lands inside
+    val cap = cells.map(_._4).sorted.apply(cells.length / 2)
+    val atLeast = cells.filter(_._4 <= cap).map(_._2).sum
+    val atMost = cells.filter(_._3 <= cap).map(_._2).sum
+    val admitted = graft.streaming.Streams.mediaGate(media, lo, cap).count()
+    assert(admitted >= atLeast && admitted <= atMost,
+      s"admitted=$admitted not in stats-derived [$atLeast, $atMost]")
+    // and the cap genuinely cuts — thresholds change admission
+    assert(admitted < n)
+    media.unpersist(); info.unpersist()
+  }
 }
 
 /** Fixture-level invariants of the registered curation queries (the
