@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
  *
  *   graft.Ann --build  --data <embeddings.parquet> --out <indexDir>
  *             [--k 16] [--iters 2] [--m 4] [--codes 8] [--dim 64]
- *             [--id vec_id] [--vec embedding] [--trained]
+ *             [--id vec_id] [--vec embedding] [--trained | --sq8]
  *             [--rotate | --rotate-pca | --rotate-pca2 |
  *              --rotate-auto [--probe-sample 20000]]
  *   graft.Ann --search --index <indexDir> --data <queries.parquet>
@@ -69,6 +69,19 @@ import org.apache.spark.sql.functions._
  * chosen mode lands in ann.meta.json's `rot` like any explicit flag,
  * so serving is identical.
  *
+ * --sq8 builds an SQ8 index instead of PQ ([[graft.operators.Sq]], the
+ * FAISS IndexScalarQuantizer QT_8bit shape): per-dimension affine int8
+ * scales train on the build corpus and persist as scales.parquet, each
+ * vector stores one code ARRAY beside its IVF cell, and serving scores
+ * the probed cells' integer reconstructions against the micro-int query
+ * (adist = −dot, so ranking/refine compose unchanged). 64 B/vector at
+ * dim 64 vs PQ's ~5 — the higher-fidelity point on the compression
+ * curve (q_sq8_ivf_recall measures it at the equal-nprobe ceiling).
+ * --append against an SQ8 index encodes with the FROZEN scales
+ * (out-of-range values saturate at the 0/255 edge codes, the FAISS
+ * convention). Mutually exclusive with --trained; composes with the
+ * rotation flags like any build.
+ *
  * --refine c turns on the FAISS IndexRefine serving shape: ADC proposes
  * the top-c candidates per query from codes only, then the refine stage
  * fetches JUST those vectors from --raw (one candidate-scale broadcast
@@ -116,8 +129,13 @@ object Ann {
     * stays self-describing and a plain-space search against a rotated
     * index is impossible by construction. Absent in pre-rotation metas
     * (reads as 0). */
+  /** `qt` declares the QUANTIZER type: 0 = PQ (the default — m subspace
+    * codes against a codebook), 1 = SQ8 ([[graft.operators.Sq]] — one
+    * int8 code per dimension against per-dim affine scales persisted as
+    * scales.parquet). Absent in pre-SQ metas (reads as 0), so every
+    * existing index keeps serving unchanged. */
   final case class Meta(k: Int, iters: Int, m: Int, codes: Int, dim: Int,
-      idCol: String, rot: Int = 0)
+      idCol: String, rot: Int = 0, qt: Int = 0)
 
   // idCol round-trips through the hand-rolled JSON below unescaped, so it
   // must be a plain identifier — rejected HERE, at build time, with a clear
@@ -129,7 +147,8 @@ object Ann {
       s"idCol must match [A-Za-z_][A-Za-z0-9_]*: '${m.idCol}'")
     val json =
       s"""{"k":${m.k},"iters":${m.iters},"m":${m.m},"codes":${m.codes},""" +
-        s""""dim":${m.dim},"rot":${m.rot},"idCol":"${m.idCol}"}"""
+        s""""dim":${m.dim},"rot":${m.rot},"qt":${m.qt},""" +
+        s""""idCol":"${m.idCol}"}"""
     val p = java.nio.file.Paths.get(dir, MetaFile)
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))
@@ -148,8 +167,10 @@ object Ann {
         .getOrElse(miss(k)).group(1)
     val rot = s""""rot":(-?\\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt).getOrElse(0)
+    val qt = s""""qt":(-?\\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(0)
     Meta(int("k"), int("iters"), int("m"), int("codes"), int("dim"),
-      str("idCol"), rot)
+      str("idCol"), rot, qt)
   }
 
   val RotationFile = "rotation.parquet"
@@ -286,11 +307,13 @@ object Ann {
       idCol: String, vecCol: String, trained: Boolean = false,
       rotate: Boolean = false, rotatePca: Boolean = false,
       rotatePca2: Boolean = false, rotateAuto: Boolean = false,
-      probeSampleN: Int = 20000): Long = {
+      probeSampleN: Int = 20000, sq8: Boolean = false): Long = {
     require(Seq(rotate, rotatePca, rotatePca2, rotateAuto)
         .count(identity) <= 1,
       "--rotate, --rotate-pca, --rotate-pca2 and --rotate-auto are " +
         "mutually exclusive")
+    require(!(sq8 && trained),
+      "--sq8 and --trained are mutually exclusive (SQ8 has no codebook)")
     val plain = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
@@ -325,6 +348,28 @@ object Ann {
     val emb = if (rot == 0) emb0
       else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = Ivf.train(emb, idCol, "emb", k, iters)
+    if (sq8) {
+      // SQ8 artifact: per-dim scales (dim rows) + one code ARRAY per
+      // vector beside its cell — no codebook file; meta qt = 1 routes
+      // search/append to the Sq serving path
+      import spark.implicits._
+      val (mnA, dA) = graft.operators.Sq.trainScales(emb, "emb", dim)
+      (0 until dim).map(i => (i, mnA(i), dA(i))).toDF("pos", "mn", "d")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/scales.parquet")
+      emb.select(col(idCol),
+          Ivf.nearestCentroid(col("emb"), centroids).as("cell"),
+          graft.operators.Sq.codes(col("emb"), mnA, dA).as("scode"))
+        .write.mode("overwrite").parquet(s"$outDir/codes.parquet")
+      centroids.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("cell", "vec")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/centroids.parquet")
+      if (rot != 0) emb.unpersist(blocking = false)
+      writeMeta(outDir, Meta(k, iters, m, codes, dim, idCol, rot, qt = 1))
+      return spark.read.parquet(s"$outDir/codes.parquet")
+        .select(col(idCol)).distinct().count()
+    }
     val (codesDf, cb) =
       if (!trained) {
         val (cd, cbDf) = Pq.buildIndex(emb, centroids, m, codes, dim,
@@ -383,11 +428,6 @@ object Ann {
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
-    val cbRows = spark.read.parquet(s"$indexDir/codebook.parquet")
-      .select(col("j"), col("c"), col("cw")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
-    val books: Seq[Seq[Seq[Double]]] = (0 until meta.m).map(j =>
-      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq)
     val fresh = toIndexSpaceFrame(
       spark.read.parquet(dataPath)
         .select(col(meta.idCol), VectorOps.asDouble(col(vecCol)).as("__e"))
@@ -396,14 +436,72 @@ object Ann {
           requireDim(col("__e"), meta.dim, "Ann --append")),
       "__e", meta.dim, meta.rot, readRotation(spark, indexDir, meta.rot))
       .withColumn("cell", Ivf.nearestCentroid(col("__e"), centroids))
-    val codes = Pq.encodeWith(fresh, meta.idCol, "__e", books)
-      .join(fresh.select(col(meta.idCol), col("cell")), Seq(meta.idCol))
-      .select(col(meta.idCol), col("cell"), col("j"), col("code"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = (if (meta.qt == 1) {
+      // SQ8 index: encode against the FROZEN persisted scales — exact
+      // for any new vector inside the trained per-dim ranges; codes for
+      // out-of-range values clamp at the integer division's floor/cap
+      // the same way a rebuild over the union would NOT, which is why
+      // the monotone-id contract below matters less here: scales are
+      // range statistics, and appending outside the range degrades
+      // reconstruction for the new rows only, never the stored ones
+      val (mnA, dA) = readScales(spark, indexDir, meta.dim)
+      fresh.select(col(meta.idCol), col("cell"),
+        graft.operators.Sq.codes(col("__e"), mnA, dA).as("scode"))
+    } else {
+      val cbRows = spark.read.parquet(s"$indexDir/codebook.parquet")
+        .select(col("j"), col("c"), col("cw")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      val books: Seq[Seq[Seq[Double]]] = (0 until meta.m).map(j =>
+        cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq)
+      Pq.encodeWith(fresh, meta.idCol, "__e", books)
+        .join(fresh.select(col(meta.idCol), col("cell")), Seq(meta.idCol))
+        .select(col(meta.idCol), col("cell"), col("j"), col("code"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = codes.select(col(meta.idCol)).distinct().count()
     codes.write.mode("append").parquet(s"$indexDir/codes.parquet")
     codes.unpersist()
     n
+  }
+
+  /** Read the persisted per-dim SQ8 scales in position order. */
+  private def readScales(spark: SparkSession, dir: String,
+      dim: Int): (Array[Long], Array[Long]) = {
+    val rows = spark.read.parquet(s"$dir/scales.parquet")
+      .orderBy("pos").collect()
+    require(rows.length == dim,
+      s"$dir/scales.parquet has ${rows.length} rows, expected $dim")
+    (rows.map(_.getAs[Long]("mn")), rows.map(_.getAs[Long]("d")))
+  }
+
+  /** SQ8 serving half (meta qt = 1): reconstruct the probed cells' codes
+    * scan-locally from the persisted scales, score by the exact long dot
+    * against the micro-int queries (`Sq.sq8IvfTopK`'s algebra over the
+    * persisted artifacts), rank ascending by adist = −score — the
+    * `Pq.searchIndex` column convention, so --refine and the result
+    * schema compose unchanged. */
+  private def sq8Serve(spark: SparkSession, indexDir: String, meta: Meta,
+      qs: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
+      selfFilter: Boolean): DataFrame = {
+    import graft.operators.Sq
+    val (mnA, dA) = readScales(spark, indexDir, meta.dim)
+    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
+      .select(col(meta.idCol), col("cell").as("__cell"),
+        Sq.reconstruct(col("scode"), mnA, dA).as("__r"))
+    val probes = qs.select(col("q_id"),
+      explode(Ivf.probeList(col("q_emb"), centroids, nprobe)).as("__cell"),
+      Sq.microInts(col("q_emb")).as("__q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("__ad"), col(meta.idCol))
+    codes.join(broadcast(probes), Seq("__cell"))
+      .filter(if (selfFilter) col(meta.idCol) =!= col("q_id")
+        else lit(true))
+      .withColumn("__ad",
+        -aggregate(zip_with(col("__r"), col("__q"), (r, q) => r * q),
+          lit(0L), (acc, t) => acc + t))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col(meta.idCol), col("rn"),
+        col("__ad").cast("double").as("adist"))
   }
 
   /** Serve top-k from a built index; the result is also returned.
@@ -419,12 +517,6 @@ object Ann {
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
-    val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
-      .select(col("j"), col("c").as("__c"), col("cw").as("__cw"),
-        col("cwn2").as("__cwn2"))
-    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
-      .select(col(meta.idCol), col("cell").as("__cell"), col("j"),
-        col("code"))
     val rotU = readRotation(spark, indexDir, meta.rot)
     val qs = toIndexSpaceFrame(
       spark.read.parquet(queriesPath)
@@ -437,8 +529,18 @@ object Ann {
     val adcK = refine.map(_._1).getOrElse(topK)
     require(adcK >= topK,
       s"--refine candidate depth $adcK must be >= --topk $topK")
-    val adc = Pq.searchIndex(codes, cb, qs, centroids, nprobe, adcK,
-      meta.m, meta.dim, meta.idCol, selfFilter = selfFilter)
+    val adc = if (meta.qt == 1) sq8Serve(spark, indexDir, meta, qs,
+      centroids, nprobe, adcK, selfFilter)
+    else {
+      val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
+        .select(col("j"), col("c").as("__c"), col("cw").as("__cw"),
+          col("cwn2").as("__cwn2"))
+      val codes = spark.read.parquet(s"$indexDir/codes.parquet")
+        .select(col(meta.idCol), col("cell").as("__cell"), col("j"),
+          col("code"))
+      Pq.searchIndex(codes, cb, qs, centroids, nprobe, adcK,
+        meta.m, meta.dim, meta.idCol, selfFilter = selfFilter)
+    }
     val out = refine match {
       case None => adc
       case Some((_, rawPath)) =>
@@ -494,7 +596,8 @@ object Ann {
           rotatePca = flags("rotate-pca"),
           rotatePca2 = flags("rotate-pca2"),
           rotateAuto = flags("rotate-auto"),
-          probeSampleN = intOpt("probe-sample", 20000))
+          probeSampleN = intOpt("probe-sample", 20000),
+          sq8 = flags("sq8"))
         println(s"""{"built":$n,"index":"${opt("out").get}"}""")
       } else if (flags("search")) {
         val refine = opt("refine").map(c => (c.toInt,

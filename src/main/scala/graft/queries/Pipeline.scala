@@ -310,6 +310,36 @@ object Pipeline {
     * of eighth-micro integer coordinates, the fixed-first-8-codebook
     * argmin and per-subspace err totals — Pq.encodeFixedLong's algebra
     * position-level in SQL (the q_opq_balance recipe, parameterized). */
+  /** Shared SQ8 oracle chain (q_sq8_search / q_sq8_recall): the exact
+    * replay of operators/Sq.scala — micro-int frame, per-dim scales,
+    * half-up integer-division codes, 255-scaled reconstruction, long-dot
+    * asymmetric scores, ranked per query. Ends in `sqranked`
+    * (q_id, vec_id, rn, score). */
+  private val Sq8Ctes: String =
+    s"""sqx AS (
+         SELECT vec_id, gs.i - 1 AS pos,
+           CAST(round(embedding[gs.i]::DOUBLE * 1000000, 0) AS BIGINT) AS xq
+         FROM embeddings, generate_series(1, 64) AS gs(i)),
+       sqsc AS (SELECT pos, min(xq) AS mn, max(xq) - min(xq) AS d
+                FROM sqx GROUP BY pos),
+       sqr AS (
+         SELECT x.vec_id, x.pos,
+           255 * sc.mn + (CASE WHEN sc.d = 0 THEN 0
+             ELSE ((x.xq - sc.mn) * 510 + sc.d) // (2 * sc.d) END) * sc.d
+             AS r
+         FROM sqx x JOIN sqsc sc USING (pos)),
+       sqs AS (
+         SELECT q.vec_id AS q_id, r.vec_id,
+           CAST(sum(q.xq * r.r) AS BIGINT) AS score
+         FROM sqx q JOIN sqr r
+           ON q.pos = r.pos AND q.vec_id < 5 AND r.vec_id <> q.vec_id
+         GROUP BY q.vec_id, r.vec_id),
+       sqranked AS (
+         SELECT q_id, vec_id, CAST(row_number() OVER (
+             PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT)
+             AS rn, score
+         FROM sqs)"""
+
   private def pqErrByJCtes(tag: String, mode: String): String =
     s"""n$tag AS (SELECT vec_id, j, CAST(sum(x * x) AS BIGINT) AS n2
          FROM t$tag GROUP BY vec_id, j),
@@ -2218,6 +2248,71 @@ object Pipeline {
         .select(col("q_id"), col("vec_id"), col("rn"),
           round(col("cos"), 6).as("cosine"))
         .orderBy("q_id", "rn")
+    }),
+    // L2 — SQ8 scalar-quantized serving (operators/Sq.scala — the FAISS
+    // IndexScalarQuantizer QT_8bit shape): per-DIMENSION affine int8
+    // codes trained on the corpus, asymmetric query-vs-reconstruction
+    // scoring, EXACT-INTEGER end to end in the shared micro-int frame
+    // (one round per element, then integer scales / half-up integer-
+    // division codes / long-dot scores — the q_opq_balance discipline,
+    // so the oracle replays every step in BIGINT).
+    "q_sq8_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      graft.operators.Sq.sq8TopK(emb, qs, topK = 10, dim = 64)
+        .orderBy("q_id", "rn")
+    }),
+    // L2 — and its measured recall@10 against the exact cosine truth:
+    // the third point on the compression/recall curve (exact 1.0 at
+    // 512 B/vec, SQ8 at 64 B, IVF-PQ at ~5 B) — read beside
+    // q_ivf_pq_recall to price each byte of index. The corpus frame
+    // persists once for its three consumers (the ivfPqRecallOver
+    // convention).
+    "q_sq8_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val approx = graft.operators.Sq.sq8TopK(emb, qs, topK = 10, dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      exact.join(approx.withColumn("__hit", lit(1L)),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / 10).as("recall"))
+        .orderBy("q_id")
+    }),
+    // L2 — SQ8 composed with IVF cells (Sq.sq8IvfTopK): the production
+    // layout — SQ8 codes per cell, nprobe=4 probing, scoring touches only
+    // the probed cells — measured against the same exact truth, so the
+    // flat-SQ8 vs IVF-SQ8 recall delta IS the price of cell pruning at
+    // this nprobe (read beside q_ivf_pq_recall for the PQ point).
+    "q_sq8_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val approx = graft.operators.Sq.sq8IvfTopK(emb, qs, centroids,
+          topK = 10, nprobe = 4, dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      exact.join(approx.withColumn("__hit", lit(1L)),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit").cast("double") / 10).as("recall"))
+        .orderBy("q_id")
     }),
     // L2 — hard-negative mining: the top-10 most-similar vectors per query
     // EXCLUDING the near-duplicate band (cos >= 0.35, just under the
@@ -4835,6 +4930,59 @@ object Pipeline {
              FROM embeddings q JOIN embeddings e
                ON q.vec_id < 5 AND e.vec_id <> q.vec_id))
          WHERE rn <= 10 ORDER BY q_id, rn""",
+    // SQ8 replay: micro-int frame → per-dim (min, max−min) scales →
+    // half-up integer-division codes (BIGINT //) → 255-scaled integer
+    // reconstruction → exact long dot per (query, vector) — every step
+    // after the shared round(·,0) is BIGINT arithmetic on both engines.
+    "q_sq8_search" ->
+      s"""WITH $Sq8Ctes
+         SELECT q_id, vec_id, rn, score FROM sqranked
+         WHERE rn <= 10 ORDER BY q_id, rn""",
+    "q_sq8_recall" ->
+      s"""WITH $Sq8Ctes,
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ${embExactCte(5, 10)},
+         sqtop AS (SELECT q_id, vec_id FROM sqranked WHERE rn <= 10)
+         ${recallTailSql("sqtop", 10)}""",
+    // IVF-composed SQ8: the fixed-first-16 assignment/probe CTEs (the
+    // q_ivf_pq_recall quantizer) restrict the SQ8 long-dot scoring to
+    // the probed cells; same exact truth, same recall tail.
+    "q_sq8_ivf_recall" ->
+      s"""WITH $Sq8Ctes,
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv,
+                 list_dot_product(v, v) AS cnorm2
+               FROM e WHERE vec_id < 16),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2,
+                   c.cid) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         probes AS (
+           SELECT q_id, cell FROM (
+             SELECT q.q_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2,
+                   c.cid) AS rn
+             FROM q CROSS JOIN c) WHERE rn <= 4),
+         sqivfs AS (
+           SELECT p.q_id, r.vec_id,
+             CAST(sum(qx.xq * r.r) AS BIGINT) AS score
+           FROM probes p
+           JOIN assign a ON a.cell = p.cell
+           JOIN sqr r ON r.vec_id = a.vec_id AND r.vec_id <> p.q_id
+           JOIN sqx qx ON qx.vec_id = p.q_id AND qx.pos = r.pos
+           GROUP BY p.q_id, r.vec_id),
+         sqivftop AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             FROM sqivfs) WHERE rn <= 10),
+         ${embExactCte(5, 10)}
+         ${recallTailSql("sqivftop", 10)}""",
     "q_hard_negatives" ->
       """SELECT q_id, vec_id, rn, round(cos, 6) AS cosine FROM (
            SELECT q_id, vec_id, cos,

@@ -338,4 +338,58 @@ class AnnSpec extends SparkSpec {
       qIdCol = "vec_id", qVecCol = "embedding")
     assert(served.count() > 0)
   }
+
+  test("--sq8: scales + code arrays persist, meta qt=1, served ranks " +
+      "equal the fused Sq.sq8IvfTopK pipeline, and --append encodes " +
+      "against the frozen scales") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmp("sq8")
+    val n = Ann.build(spark, data, idx, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding", sq8 = true)
+    assert(n > 0)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, Ann.MetaFile)), "UTF-8")
+    assert(meta.contains("\"qt\":1"), meta)
+    val scales = spark.read.parquet(s"$idx/scales.parquet")
+    assert(scales.count() == 64)
+    assert(scales.columns.toSet == Set("pos", "mn", "d"))
+    val codes = spark.read.parquet(s"$idx/codes.parquet")
+    assert(codes.columns.toSet == Set("vec_id", "cell", "scode"))
+    // served from artifacts ≡ fused operator pipeline (ids + ranks)
+    val served = Ann.search(spark, idx, data, None, topK = 5, nprobe = 3,
+        qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val emb = spark.read.parquet(data)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val fused = graft.operators.Sq.sq8IvfTopK(emb, qs, centroids,
+        topK = 5, nprobe = 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == fused, "sq8 served must equal fused")
+    // append: new ids fold in against the FROZEN scales; count grows,
+    // old code rows are untouched, and the new rows are searchable
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val freshPath = tmp("sq8fresh")
+    emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + maxId + 1).as("vec_id"),
+        col("emb").as("embedding"))
+      .write.parquet(s"$freshPath/fresh.parquet")
+    val before = spark.read.parquet(s"$idx/codes.parquet").count()
+    val added = Ann.append(spark, idx, s"$freshPath/fresh.parquet",
+      "embedding")
+    assert(added == 8)
+    val after = spark.read.parquet(s"$idx/codes.parquet")
+    assert(after.count() == before + 8)
+    // a clone appended beyond the corpus is its clone's SQ8 twin: same
+    // cell, identical code array (frozen scales, same input)
+    val pair = after.filter(col("vec_id").isin(0L, maxId + 1))
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Int]("cell"), r.getSeq[Long](2))).sortBy(_._1)
+    assert(pair.length == 2 && pair(0)._2 == pair(1)._2 &&
+      pair(0)._3 == pair(1)._3, s"clone must encode identically: $pair")
+  }
 }
