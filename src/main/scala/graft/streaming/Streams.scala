@@ -772,6 +772,36 @@ object Streams {
   }
 
   /**
+   * Streaming SQ8 index ingest — [[annAppend]]'s scalar-quantizer twin
+   * (the `graft.Ann --sq8 --append` shape over a stream): each
+   * micro-batch of new vectors encodes against the FROZEN per-dim scales
+   * and centroids ([[graft.operators.Sq.codes]] — scan-local transforms,
+   * no shuffle beyond the cell assignment expression) and folds into the
+   * maintained (id, cell, scode) codes frame. Frozen quantizers make the
+   * grown index bit-identical to `Ann --sq8` encoding the union in one
+   * batch (out-of-range values saturate identically) — StreamsSpec pins
+   * streamed ≡ batch. `localCheckpoint` keeps lineage one delta deep.
+   */
+  def sqAppend(vectors: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Seq[Double]], mn: Array[Long], d: Array[Long],
+      initial: DataFrame)(onUpdate: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var codes = initial.select(col(idCol), col("cell"), col("scode"))
+    vectors.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epoch: Long) =>
+        val fresh = batch.select(col(idCol), col(embCol))
+          .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+          .select(col(idCol),
+            graft.operators.Ivf.nearestCentroid(col(embCol), centroids)
+              .as("cell"),
+            graft.operators.Sq.codes(col(embCol), mn, d).as("scode"))
+        codes = codes.unionByName(fresh).localCheckpoint()
+        onUpdate(codes, epoch)
+    }
+  }
+
+  /**
    * Streaming inverted-index maintenance — the retrieval twin of
    * [[shardAppend]]'s layout family: each micro-batch of an APPEND-ONLY
    * document stream folds into a maintained index via
