@@ -573,8 +573,25 @@ object Ann {
     out
   }
 
+  /** Every flag the CLI accepts — the strict unknown-flag policy shared
+    * with Anonymize/Curate: a mistyped flag (e.g. `--rotate-pca1`) must
+    * FAIL, not silently build a differently-configured index. */
+  private val KnownFlags = Set(
+    "build", "search", "append",
+    "data", "out", "index", "id", "vec",
+    "k", "iters", "m", "codes", "dim",
+    "trained", "sq8", "rotate", "rotate-pca", "rotate-pca2",
+    "rotate-auto", "probe-sample",
+    "topk", "nprobe", "no-self-filter", "refine", "raw")
+
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).map(_.drop(2)).toSet
+    val unknown = flags -- KnownFlags
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown argument(s): ${unknown.map("--" + _).mkString(" ")}")
+      sys.exit(2)
+    }
     def opt(name: String): Option[String] = {
       val i = args.indexOf(s"--$name")
       if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None

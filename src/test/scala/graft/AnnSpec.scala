@@ -392,4 +392,35 @@ class AnnSpec extends SparkSpec {
     assert(pair.length == 2 && pair(0)._2 == pair(1)._2 &&
       pair(0)._3 == pair(1)._3, s"clone must encode identically: $pair")
   }
+
+  test("--sq8 composes with --rotate: scales train in the rotated space, " +
+      "serving rotates plain queries automatically, served ranks equal " +
+      "the fused rotated SQ8 pipeline") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmp("sq8rot")
+    val n = Ann.build(spark, data, idx, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding", sq8 = true,
+      rotate = true)
+    assert(n > 0)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, Ann.MetaFile)), "UTF-8")
+    assert(meta.contains("\"qt\":1") && meta.contains("\"rot\":1"), meta)
+    // serving takes PLAIN vectors; the index rotates them to its space
+    val served = Ann.search(spark, idx, data, None, topK = 5, nprobe = 3,
+        qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // fused: the same WHT rotation applied up front, then flat SQ8-IVF
+    val emb = spark.read.parquet(data)
+      .select(col("vec_id"), graft.operators.Opq.rotate(
+        VectorOps.asDouble(col("embedding")), 64).as("emb"))
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val fused = graft.operators.Sq.sq8IvfTopK(emb, qs, centroids,
+        topK = 5, nprobe = 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == fused, "rotated sq8 served must equal fused")
+  }
 }

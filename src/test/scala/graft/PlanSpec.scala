@@ -409,6 +409,20 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length == 1, p.take(400))
   }
 
+  test("SQ8 serving broadcasts the query side: the flat search joins " +
+      "queries via broadcast NLJ, the IVF-composed variant probes cells " +
+      "via BroadcastHashJoin — the corpus side is never shuffled for a " +
+      "join") {
+    // flat: corpus × (5 broadcast queries) — the exactTopK convention
+    val flat = plan("q_sq8_search")
+    assert(flat.contains("BroadcastNestedLoopJoin"), flat.take(400))
+    assert(!flat.contains("SortMergeJoin"), "flat SQ8 must not SMJ")
+    // IVF-composed: codes ⋈ probes equi-joins on __cell with the probe
+    // side broadcast; the corpus-scale codes never exchange for the join
+    val ivf = plan("q_sq8_ivf_recall")
+    assert(ivf.contains("BroadcastHashJoin"), ivf.take(400))
+  }
+
   test("pipeline queries stay single-scan: one tokenize/score pass each") {
     // q_train_mix must not re-score per stage: exactly one parquet scan.
     assert("FileScan".r.findAllIn(plan("q_train_mix")).length == 1)

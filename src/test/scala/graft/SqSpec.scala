@@ -34,18 +34,20 @@ class SqSpec extends SparkSpec {
   }
 
   test("reconstruction law: |255·X_d − R_d| <= d_d / 2 for every corpus " +
-      "element (the half-up code is the nearest grid point)") {
-    val corpus = vecs((0L until 20L).map(i =>
-      i -> Seq(math.sin(i * 1.7), math.cos(i * 0.9) * 0.5,
-        (i % 7) / 7.0)): _*)
-    val (mn, d) = Sq.trainScales(corpus, "emb", 3)
+      "element (the half-up code is the nearest grid point) — seeded " +
+      "random sweep across the full |x| < 8 magnitude contract") {
+    val rnd = new scala.util.Random(42)
+    val dims = 8
+    val corpus = vecs((0L until 200L).map(i =>
+      i -> Seq.fill(dims)(rnd.nextDouble() * 16.0 - 8.0)): _*)
+    val (mn, d) = Sq.trainScales(corpus, "emb", dims)
     val rows = corpus.select(
         Sq.microInts(col("emb")).as("x"),
         Sq.reconstruct(Sq.codes(col("emb"), mn, d), mn, d).as("r"))
       .collect()
     rows.foreach { row =>
       val x = row.getSeq[Long](0); val r = row.getSeq[Long](1)
-      (0 until 3).foreach { j =>
+      (0 until dims).foreach { j =>
         assert(math.abs(255L * x(j) - r(j)) * 2 <= d(j),
           s"dim $j: 255*${x(j)} vs ${r(j)} exceeds d=${d(j)}/2")
       }
