@@ -128,8 +128,9 @@ object Ann {
     * the SAME space before touching the quantizers, so the artifact
     * stays self-describing and a plain-space search against a rotated
     * index is impossible by construction. Absent in pre-rotation metas
-    * (reads as 0). */
-  /** `qt` declares the QUANTIZER type: 0 = PQ (the default — m subspace
+    * (reads as 0).
+    *
+    * `qt` declares the QUANTIZER type: 0 = PQ (the default — m subspace
     * codes against a codebook), 1 = SQ8 ([[graft.operators.Sq]] — one
     * int8 code per dimension against per-dim affine scales persisted as
     * scales.parquet). Absent in pre-SQ metas (reads as 0), so every
@@ -249,10 +250,16 @@ object Ann {
    * Returns (bestRot, per-mode recall@10); ties prefer the SIMPLER mode
    * (lower rot code). Empty corpus falls back to WHT (rot 1, the
    * oblivious spectrum-unknown default) with no measurements.
+   *
+   * `sq8 = true` probes with the SQ8 pipeline ([[graft.operators.Sq
+   * .sq8IvfTopK]]) instead of IVF-PQ ADC, so a `--sq8 --rotate-auto`
+   * build measures the quantizer it is actually going to build —
+   * rotation responds to per-dim range balance under SQ8 and to
+   * subspace energy balance under PQ, and the two can disagree.
    */
   def probeRotation(plain: DataFrame, idCol: String, dim: Int, k: Int,
       m: Int, codes: Int, nprobe: Int = 4, sampleN: Int = 20000,
-      nQueries: Int = 40): (Int, Seq[(Int, Double)]) = {
+      nQueries: Int = 40, sq8: Boolean = false): (Int, Seq[(Int, Double)]) = {
     import graft.operators.{Opq, Pca, Similarity}
     val w = org.apache.spark.sql.expressions.Window.orderBy("__h", idCol)
     val sample = plain
@@ -279,15 +286,21 @@ object Ann {
       val centroids = Ivf.train(f, "vec_id", "emb", k, iters = 0)
       val exact = Similarity.exactTopK(f, qs, 10)
         .select(col("q_id"), col("vec_id"))
-      val adc = Pq.ivfAdcTopK(f, qs, centroids, nprobe, topK = 10,
-          m = m, k = codes, dim = dim)
+      val approx = (if (sq8)
+        graft.operators.Sq.sq8IvfTopK(f, qs, centroids, topK = 10,
+          nprobe = nprobe, dim = dim)
+      else Pq.ivfAdcTopK(f, qs, centroids, nprobe, topK = 10,
+        m = m, k = codes, dim = dim))
         .select(col("q_id"), col("vec_id"))
-      val r = exact.join(adc.withColumn("__hit", lit(1L)),
-          Seq("q_id", "vec_id"), "left")
-        .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double")
-          / count(lit(1))).as("r"))
-        .head().getDouble(0)
-      f.unpersist(false)
+      // mean recall over the probe queries; a degenerate sample (e.g.
+      // one vector — exactTopK self-excludes the only row) measures 0.0
+      // instead of NPE-ing on a null average
+      val row = Similarity.recallAtK(exact, approx, 10)
+        .agg(avg(col("recall")).as("r")).head()
+      val r = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      // rot 0's frame IS the shared sample — freeing it here would force
+      // the remaining three modes to re-run the corpus-scale sampling
+      if (rot != 0) f.unpersist(false)
       r
     }
     val recalls = (0 to 3).map(r => r -> recallOf(r))
@@ -319,11 +332,15 @@ object Ann {
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
       .withColumn("emb", requireDim(col("emb"), dim, "Ann --build"))
     val rot = if (rotateAuto) {
+      // the probe measures the quantizer ACTUALLY being built (SQ8
+      // responds to rotation via per-dim range balance, PQ via subspace
+      // energy balance — the best mode can differ between them)
       val (best, recalls) = probeRotation(plain, idCol, dim, k, m, codes,
-        sampleN = probeSampleN)
+        sampleN = probeSampleN, sq8 = sq8)
       val measured = recalls
         .map { case (r, v) => s""""${RotNames(r)}":$v""" }.mkString(",")
       val probeJson = s"""{"chosen":"${RotNames(best)}","rot":$best,""" +
+        s""""quantizer":"${if (sq8) "sq8" else "pq"}",""" +
         s""""sample_n":$probeSampleN,"recall@10":{$measured}}"""
       val p = java.nio.file.Paths.get(outDir, "rotation_probe.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -348,39 +365,27 @@ object Ann {
     val emb = if (rot == 0) emb0
       else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = Ivf.train(emb, idCol, "emb", k, iters)
-    if (sq8) {
+    import spark.implicits._
+    val (codesDf, cbOpt) = if (sq8) {
       // SQ8 artifact: per-dim scales (dim rows) + one code ARRAY per
       // vector beside its cell — no codebook file; meta qt = 1 routes
       // search/append to the Sq serving path
-      import spark.implicits._
       val (mnA, dA) = graft.operators.Sq.trainScales(emb, "emb", dim)
       (0 until dim).map(i => (i, mnA(i), dA(i))).toDF("pos", "mn", "d")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/scales.parquet")
-      emb.select(col(idCol),
-          Ivf.nearestCentroid(col("emb"), centroids).as("cell"),
-          graft.operators.Sq.codes(col("emb"), mnA, dA).as("scode"))
-        .write.mode("overwrite").parquet(s"$outDir/codes.parquet")
-      centroids.zipWithIndex.map { case (v, i) => (i, v) }
-        .toDF("cell", "vec")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/centroids.parquet")
-      if (rot != 0) emb.unpersist(blocking = false)
-      writeMeta(outDir, Meta(k, iters, m, codes, dim, idCol, rot, qt = 1))
-      return spark.read.parquet(s"$outDir/codes.parquet")
-        .select(col(idCol)).distinct().count()
-    }
-    val (codesDf, cb) =
-      if (!trained) {
+      (emb.select(col(idCol),
+        Ivf.nearestCentroid(col("emb"), centroids).as("cell"),
+        graft.operators.Sq.codes(col("emb"), mnA, dA).as("scode")), None)
+    } else if (!trained) {
         val (cd, cbDf) = Pq.buildIndex(emb, centroids, m, codes, dim,
           idCol, "emb")
         // artifact schema is j: long (what encodeWith emits) — the fixed
         // path's posexplode int must cast or --append's long-j files sit
         // beside int-j files and the mixed parquet schema fails to read
         (cd.select(col(idCol), col("__cell").as("cell"),
-          col("j").cast("long").as("j"), col("code")), cbDf)
+          col("j").cast("long").as("j"), col("code")), Some(cbDf))
       } else {
-        import spark.implicits._
         val books = Pq.trainCodebooks(emb, idCol, "emb", m, codes, dim,
           iters)
         // driver-side |cw|² uses the same left-to-right sum the codegen'd
@@ -395,24 +400,25 @@ object Ann {
         val cd = Pq.encodeWith(withCell, idCol, "emb", books)
           .join(withCell.select(col(idCol), col("cell")), idCol)
           .select(col(idCol), col("cell"), col("j"), col("code"))
-        (cd, cbDf)
+        (cd, Some(cbDf))
       }
-    import spark.implicits._
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cell", "vec")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/centroids.parquet")
-    cb.select(col("j"), col("__c").as("c"), col("__cw").as("cw"),
+    cbOpt.foreach(_
+      .select(col("j"), col("__c").as("c"), col("__cw").as("cw"),
         col("__cwn2").as("cwn2"))
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/codebook.parquet")
+      .parquet(s"$outDir/codebook.parquet"))
     codesDf.write.mode("overwrite").parquet(s"$outDir/codes.parquet")
-    // all consumers of the rotated frame (Ivf.train + both encode paths)
+    // all consumers of the rotated frame (Ivf.train + all encode paths)
     // have materialized to disk by here — release the corpus-scale cache
     // so repeated programmatic builds in one session don't accumulate
     // blocks (the Scale.releaseAfterUse convention)
     if (rot != 0) emb.unpersist(blocking = false)
-    writeMeta(outDir, Meta(k, iters, m, codes, dim, idCol, rot))
+    writeMeta(outDir,
+      Meta(k, iters, m, codes, dim, idCol, rot, qt = if (sq8) 1 else 0))
     spark.read.parquet(s"$outDir/codes.parquet")
       .select(col(idCol)).distinct().count()
   }
@@ -476,9 +482,15 @@ object Ann {
   /** SQ8 serving half (meta qt = 1): reconstruct the probed cells' codes
     * scan-locally from the persisted scales, score by the exact long dot
     * against the micro-int queries (`Sq.sq8IvfTopK`'s algebra over the
-    * persisted artifacts), rank ascending by adist = −score — the
-    * `Pq.searchIndex` column convention, so --refine and the result
-    * schema compose unchanged. */
+    * persisted artifacts), rank ascending by the negated LONG score (so
+    * ordering and rn are exact), and report adist = −score / 255·10¹²
+    * — the dot rescaled back to the original float units (≈ −q·v̂).
+    * The long score itself can exceed 2⁵³, where a raw double cast
+    * would collide adjacent candidates (the q_opq_balance driver-compare
+    * lesson); the rescaled value is a real-valued distance whose ulp is
+    * far below any meaningful gap, and it keeps the `Pq.searchIndex`
+    * column convention so --refine and the result schema compose
+    * unchanged. */
   private def sq8Serve(spark: SparkSession, indexDir: String, meta: Meta,
       qs: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
       selfFilter: Boolean): DataFrame = {
@@ -501,7 +513,7 @@ object Ann {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= topK)
       .select(col("q_id"), col(meta.idCol), col("rn"),
-        col("__ad").cast("double").as("adist"))
+        (col("__ad").cast("double") / lit(2.55e14)).as("adist"))
   }
 
   /** Serve top-k from a built index; the result is also returned.

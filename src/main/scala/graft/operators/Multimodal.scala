@@ -516,43 +516,53 @@ object Multimodal {
   private[graft] def parseMp3(
       bytes: Array[Byte]): Option[(Long, Long, Long)] = {
     def u(i: Int): Int = bytes(i) & 0xff
-    var pos = 0
+    var start = 0
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
         bytes(2) == '3') {
       val sz = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
-      pos = 10 + sz
+      start = 10 + sz
     }
-    val end =
-      if (bytes.length >= pos + 128 + 4 &&
+    // one frame-sync walk against a declared end-of-audio offset
+    def walk(end: Int): Option[(Long, Long, Long)] = {
+      var pos = start
+      var frames = 0L
+      var rate = -1L
+      var channels = -1L
+      while (pos + 4 <= end) {
+        if (u(pos) != 0xff || (u(pos + 1) & 0xe0) != 0xe0) return None
+        val version = (u(pos + 1) >> 3) & 0x3
+        val layer = (u(pos + 1) >> 1) & 0x3
+        if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+        val brIdx = (u(pos + 2) >> 4) & 0xf
+        val srIdx = (u(pos + 2) >> 2) & 0x3
+        val pad = (u(pos + 2) >> 1) & 0x1
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+        val sr = Mp3SampleRates(srIdx)
+        if (rate < 0) {
+          rate = sr
+          channels = if (((u(pos + 3) >> 6) & 0x3) == 3) 1L else 2L
+        } else if (sr != rate) return None
+        val frameLen =
+          (144L * Mp3BitrateKbps(brIdx) * 1000L / sr).toInt + pad
+        if (frameLen <= 4 || pos + frameLen > end) return None
+        frames += 1
+        pos += frameLen
+      }
+      if (frames == 0 || pos != end) None
+      else Some((rate, channels, frames * 1152L))
+    }
+    // tag-trimmed walk first; if the trailing 128 bytes merely LOOK like
+    // an ID3v1 block (frame data can contain 'TAG' by coincidence) the
+    // trimmed walk misaligns and the full-length walk decides — so
+    // adding tag tolerance can never reject a file that parsed before
+    val tagTrim =
+      if (bytes.length >= start + 128 + 4 &&
           bytes(bytes.length - 128) == 'T' &&
           bytes(bytes.length - 127) == 'A' &&
-          bytes(bytes.length - 126) == 'G') bytes.length - 128
-      else bytes.length
-    var frames = 0L
-    var rate = -1L
-    var channels = -1L
-    while (pos + 4 <= end) {
-      if (u(pos) != 0xff || (u(pos + 1) & 0xe0) != 0xe0) return None
-      val version = (u(pos + 1) >> 3) & 0x3
-      val layer = (u(pos + 1) >> 1) & 0x3
-      if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
-      val brIdx = (u(pos + 2) >> 4) & 0xf
-      val srIdx = (u(pos + 2) >> 2) & 0x3
-      val pad = (u(pos + 2) >> 1) & 0x1
-      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
-      val sr = Mp3SampleRates(srIdx)
-      if (rate < 0) {
-        rate = sr
-        channels = if (((u(pos + 3) >> 6) & 0x3) == 3) 1L else 2L
-      } else if (sr != rate) return None
-      val frameLen =
-        (144L * Mp3BitrateKbps(brIdx) * 1000L / sr).toInt + pad
-      if (frameLen <= 4 || pos + frameLen > end) return None
-      frames += 1
-      pos += frameLen
-    }
-    if (frames == 0 || pos != end) None
-    else Some((rate, channels, frames * 1152L))
+          bytes(bytes.length - 126) == 'G')
+        walk(bytes.length - 128)
+      else None
+    tagTrim.orElse(walk(bytes.length))
   }
 
   /** FLAC STREAMINFO: (sampleRate, channels, totalSamples). Checks the

@@ -53,6 +53,24 @@ object Similarity {
   }
 
   /**
+   * The standard recall@k verdict shared by every ANN measurement row
+   * (IVF-PQ, rotated variants, SQ8, the rotate-auto probe): `exact` and
+   * `approx` are (q_id, vec_id) id-frames of each pipeline's top-k; the
+   * result is one row per query — (q_id, n_hit, recall) with recall =
+   * hits / k. Keeping the join/denominator/null-handling in ONE place
+   * means a convention change cannot silently diverge across
+   * measurement rows.
+   */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.join(approx.withColumn("__hit", lit(1L)),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"))
+      .orderBy("q_id")
+
+  /**
    * Hard-negative mining for contrastive training: per query, the top-k
    * MOST similar corpus vectors that are NOT near-duplicates of it
    * (cosine < `dupThreshold`). The near-dup band is what SemDeDup-style

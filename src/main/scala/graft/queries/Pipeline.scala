@@ -296,13 +296,7 @@ object Pipeline {
     val adc = graft.operators.Pq.ivfAdcTopK(emb, qs, centroids, nprobe = 4,
       topK = 10, m = 4, k = 8, dim = 64)
       .select(col("q_id"), col("vec_id"))
-    exact.join(adc.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
-        "left")
-      .groupBy("q_id")
-      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-      .select(col("q_id"), col("n_hit"),
-        (col("n_hit").cast("double") / 10).as("recall"))
-      .orderBy("q_id")
+    Similarity.recallAtK(exact, adc, 10)
   }
 
   /** One rotation mode's exact-integer PQ-error block for the
@@ -2125,6 +2119,48 @@ object Pipeline {
         .na.fill(0L, Seq("n_quality", "n_unique", "n_clean"))
         .orderBy("lang")
     }),
+    // Pipeline — per-document funnel ATTRIBUTION, the debugging twin of
+    // q_curate_e2e's per-language counts: for EVERY candidate doc, the
+    // FIRST stage that dropped it — low_quality | duplicate (with the
+    // surviving doc's id) | contaminated | kept. The "why was my
+    // document removed" table a pipeline operator actually gets asked
+    // for; attribution reuses each stage's own predicate (no second
+    // algorithm to drift): quality is the scan-local token gate, the
+    // duplicate verdict is one fingerprint-survivor join, contamination
+    // is the same n-gram screen — all corpus-scale-shaped (per-doc rows
+    // stream to the sink; nothing gathers).
+    "q_curate_explain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("source") === "src19")
+      val train = docs.filter(col("source") =!= "src19")
+        .select(col("doc_id"), col("lang"), col("text"),
+          (size(split(col("text"), "\\s+")) >= 20).as("__q"))
+      val q = train.filter(col("__q"))
+        .withColumn("__fp", Dedup.fingerprint(col("text")))
+      val surv = q.groupBy("__fp").agg(min("doc_id").as("__surv"))
+      // (doc_id → its fingerprint's survivor) for every quality-passing
+      // doc; persisted — the survivor filter and the final attribution
+      // both consume it
+      val keepMap = q.join(surv, Seq("__fp"))
+        .select(col("doc_id"), col("__surv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uniq = q.join(
+        keepMap.filter(col("doc_id") === col("__surv")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val contam = Curation.contaminated(uniq, bench, "doc_id", "text", 4)
+        .select(col("doc_id"), lit(true).as("__cont"))
+      train.select(col("doc_id"), col("lang"), col("__q"))
+        .join(keepMap, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(!col("__q"), lit("low_quality"))
+            .when(col("__surv") =!= col("doc_id"), lit("duplicate"))
+            .when(col("__cont"), lit("contaminated"))
+            .otherwise(lit("kept")).as("outcome"),
+          when(col("__surv") =!= col("doc_id"), col("__surv"))
+            .as("survivor"))
+        .orderBy("doc_id")
+    }),
     // Pipeline — the end-to-end training-data PREPARE composition
     // (q_curate_e2e's sibling for the mechanics half): quality gate
     // (≥ 20 ws tokens) → unigram TOKENIZE under the trained+pruned
@@ -2280,13 +2316,7 @@ object Pipeline {
         .select(col("q_id"), col("vec_id"))
       val approx = graft.operators.Sq.sq8TopK(emb, qs, topK = 10, dim = 64)
         .select(col("q_id"), col("vec_id"))
-      exact.join(approx.withColumn("__hit", lit(1L)),
-          Seq("q_id", "vec_id"), "left")
-        .groupBy("q_id")
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-        .select(col("q_id"), col("n_hit"),
-          (col("n_hit").cast("double") / 10).as("recall"))
-        .orderBy("q_id")
+      Similarity.recallAtK(exact, approx, 10)
     }),
     // L2 — SQ8 composed with IVF cells (Sq.sq8IvfTopK): the production
     // layout — SQ8 codes per cell, nprobe=4 probing, scoring touches only
@@ -2306,13 +2336,7 @@ object Pipeline {
       val approx = graft.operators.Sq.sq8IvfTopK(emb, qs, centroids,
           topK = 10, nprobe = 4, dim = 64)
         .select(col("q_id"), col("vec_id"))
-      exact.join(approx.withColumn("__hit", lit(1L)),
-          Seq("q_id", "vec_id"), "left")
-        .groupBy("q_id")
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-        .select(col("q_id"), col("n_hit"),
-          (col("n_hit").cast("double") / 10).as("recall"))
-        .orderBy("q_id")
+      Similarity.recallAtK(exact, approx, 10)
     }),
     // L2 — hard-negative mining: the top-10 most-similar vectors per query
     // EXCLUDING the near-duplicate band (cos >= 0.35, just under the
@@ -2408,15 +2432,9 @@ object Pipeline {
         .select(col("q_id"), col("vec_id"))
       val adc = graft.operators.Pq.adcTopK(emb, qs, 10, m = 4, k = 8, dim = 64)
         .select(col("q_id"), col("vec_id"))
-      // left join, not semi: a query with ZERO overlap must still report
-      // its (humiliating) recall row
-      exact.join(adc.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
-          "left")
-        .groupBy("q_id")
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-        .select(col("q_id"), col("n_hit"),
-          (col("n_hit").cast("double") / 10).as("recall"))
-        .orderBy("q_id")
+      // left join, not semi (inside recallAtK): a query with ZERO overlap
+      // must still report its (humiliating) recall row
+      Similarity.recallAtK(exact, adc, 10)
     }),
     // L2 — IVF-ADC composed search (Pq.ivfAdcTopK): the FAISS-IVFPQ
     // production ANN shape — the coarse quantizer bounds CANDIDATES (each
@@ -2625,13 +2643,7 @@ object Pipeline {
         .select(col("q_id"), col("vec_id"))
       val refined = Similarity.refineTopK(cands, emb, qs, topK = 10)
         .select(col("q_id"), col("vec_id"))
-      exact.join(refined.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
-          "left")
-        .groupBy("q_id")
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-        .select(col("q_id"), col("n_hit"),
-          (col("n_hit").cast("double") / 10).as("recall"))
-        .orderBy("q_id")
+      Similarity.recallAtK(exact, refined, 10)
     }),
     // L2 — IVF TUNING CURVE: recall@10 per query at nprobe ∈ {1, 2, 4}
     // against exact top-10 — the number that picks nprobe before a
@@ -2651,12 +2663,10 @@ object Pipeline {
       Seq(1, 2, 4).map { np =>
         val ivf = graft.operators.Ivf.topK(emb, qs, centroids, k = 10,
             nprobe = np)
-          .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
-        exact.join(ivf, Seq("q_id", "vec_id"), "left")
-          .groupBy("q_id")
-          .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+          .select(col("q_id"), col("vec_id"))
+        Similarity.recallAtK(exact, ivf, 10)
           .select(lit(np.toLong).as("nprobe"), col("q_id"), col("n_hit"),
-            (col("n_hit").cast("double") / 10).as("recall"))
+            col("recall"))
       }.reduce(_.unionByName(_)).orderBy("nprobe", "q_id")
     }),
     // L2 — LSH-bucketed approximate top-k: exactTopK's broadcast crossJoin
@@ -3395,13 +3405,7 @@ object Pipeline {
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
       val exact = Similarity.exactTopK(emb, qsE, RerankTopK)
         .select(col("q_id"), col("vec_id"))
-      exact.join(picked.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"),
-          "left")
-        .groupBy("q_id")
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-        .select(col("q_id"), col("n_hit"),
-          (col("n_hit").cast("double") / RerankTopK).as("recall"))
-        .orderBy("q_id")
+      Similarity.recallAtK(exact, picked, RerankTopK)
     }),
     // L1/L2 — nDCG@10 of BM25 candidate ordering, graded by the exact
     // cosine to the query's embedding (gain = (cos+1)/2): the GRADED
@@ -5466,6 +5470,46 @@ object Pipeline {
          LEFT JOIN (SELECT lang, cast(count(*) AS bigint) AS n_clean
                     FROM clean GROUP BY lang) cc USING (lang)
          ORDER BY r.lang""",
+    // Per-doc attribution: the q_curate_e2e CTE chain re-read per
+    // document — survivor map from the normalized-text partition,
+    // contamination from the same 4-gram screen, outcomes by funnel
+    // order.
+    "q_curate_explain" ->
+      """WITH train AS (SELECT doc_id, lang, text,
+             len(string_split_regex(text, '\s+')) >= 20 AS q
+           FROM documents WHERE source <> 'src19'),
+         bench AS (SELECT * FROM documents WHERE source = 'src19'),
+         qd AS (SELECT doc_id, lang, text FROM train WHERE q),
+         surv AS (SELECT regexp_replace(lower(text), '\s+', ' ', 'g')
+               AS fp, min(doc_id) AS survivor
+             FROM qd GROUP BY 1),
+         keepmap AS (SELECT qd.doc_id, s.survivor
+             FROM qd JOIN surv s
+               ON regexp_replace(lower(qd.text), '\s+', ' ', 'g') = s.fp),
+         u AS (SELECT qd.* FROM qd JOIN keepmap k ON qd.doc_id = k.doc_id
+               WHERE k.doc_id = k.survivor),
+         bg AS (SELECT DISTINCT gram FROM (
+             SELECT unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 3, 1)),
+               i -> array_to_string(w[i:i+3], ' ')))) AS gram
+             FROM (SELECT string_split_regex(text, '\s+') AS w FROM bench))),
+         contam AS (SELECT DISTINCT doc_id FROM (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 3, 1)),
+               i -> array_to_string(w[i:i+3], ' ')))) AS gram
+             FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                   FROM u))
+           WHERE gram IN (SELECT gram FROM bg))
+         SELECT t.doc_id, t.lang,
+           CASE WHEN NOT t.q THEN 'low_quality'
+             WHEN k.survivor <> t.doc_id THEN 'duplicate'
+             WHEN t.doc_id IN (SELECT doc_id FROM contam)
+               THEN 'contaminated'
+             ELSE 'kept' END AS outcome,
+           CASE WHEN t.q AND k.survivor <> t.doc_id THEN k.survivor
+             END AS survivor
+         FROM train t LEFT JOIN keepmap k ON t.doc_id = k.doc_id
+         ORDER BY t.doc_id""",
     // NB training CTEs as in q_quality_train_score, then the funnel:
     // margin-gated docs → fingerprint dedup → per-lang stage counts.
     "q_curate_trained" ->

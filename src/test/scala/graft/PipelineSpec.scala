@@ -1081,6 +1081,13 @@ class MultimodalSpec extends SparkSpec {
     // frame-boundary walk (conservative drop, never a mis-parse)
     assert(Multimodal.parseMp3(mp3 ++ id3v1.take(127)).isEmpty)
     assert(Multimodal.parseMp3(mp3 ++ "TAGX".getBytes).isEmpty)
+    // an UNTAGGED file whose audio bytes coincidentally read 'TAG' at
+    // length-128 must still parse: the trimmed walk misaligns, the
+    // full-length fallback decides (tag tolerance never costs a file
+    // that parsed before)
+    val falseTag = mp3.clone()
+    "TAG".getBytes("US-ASCII").copyToArray(falseTag, falseTag.length - 128)
+    assert(Multimodal.parseMp3(falseTag).contains((44100L, 2L, 2L * 1152L)))
     // totality: junk, truncation, wrong magic, torn frame boundary
     assert(Multimodal.parseFlacStreamInfo("fLaX junk".getBytes).isEmpty)
     assert(Multimodal.parseFlacStreamInfo(flac.take(20)).isEmpty)
@@ -1442,5 +1449,39 @@ class CurationQuerySpec extends SparkSpec {
     assert(cdn == (0 until 7).map(i => s"cdn$i.example.org"), cdn.toString)
     assert(cdn.map(h => rows(h)._1).sum == nDocs,
       "each doc seeds exactly one CDN shard URL")
+  }
+
+  test("q_curate_explain attributes each doc to the FIRST dropping stage " +
+      "on a planted fixture: low_quality, duplicate (with survivor id), " +
+      "contaminated, kept — and funnel order wins on overlap") {
+    val long = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val benchText = (1 to 25).map(i => s"bench$i").mkString(" ")
+    // 5 = contaminated (shares a 4-gram run with bench); 6 = BOTH a
+    // duplicate of 1 and quality-passing — duplicate must win over any
+    // later stage; 7 = short AND a near-copy — low_quality must win
+    val dir = java.nio.file.Files.createTempDirectory("explain").toString
+    spark.createDataFrame(java.util.Arrays.asList(
+        Row(1L, long, "en", "src1", long.length.toLong),
+        Row(2L, "too short", "en", "src1", 9L),
+        Row(5L, s"$long bench1 bench2 bench3 bench4", "en", "src2", 0L),
+        Row(6L, long.toUpperCase.replace(" ", "  "), "en", "src3", 0L),
+        Row(7L, "tiny", "en", "src1", 4L),
+        Row(90L, benchText, "en", "src19", 0L)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_curate_explain")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(1L) == ("kept", -1L))
+    assert(out(2L) == ("low_quality", -1L))
+    assert(out(5L) == ("contaminated", -1L))
+    // 6 normalizes (lowercase + whitespace) to doc 1's fingerprint: the
+    // duplicate verdict names the survivor
+    assert(out(6L) == ("duplicate", 1L), out(6L).toString)
+    assert(out(7L) == ("low_quality", -1L))
+    assert(!out.contains(90L), "bench docs are not funnel candidates")
   }
 }
