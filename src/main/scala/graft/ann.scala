@@ -92,9 +92,12 @@ import org.apache.spark.sql.functions._
  *
  * Artifacts (all plain parquet + one JSON, any engine can read them):
  *   centroids.parquet  (cell INT, vec ARRAY<double>)   — k rows
- *   codebook.parquet   (j, c, cw ARRAY<double>, cwn2)  — m·codes rows
- *   codes.parquet      (<id>, cell, j, code)           — m rows/vector
- *   ann.meta.json      geometry + column names
+ *   codebook.parquet   (j, c, cw ARRAY<double>, cwn2)  — m·codes rows (PQ)
+ *   scales.parquet     (pos, mn, d)                    — dim rows (SQ8)
+ *   codes.parquet      PQ: (<id>, cell, j, code), m rows/vector;
+ *                      SQ8: (<id>, cell, scode ARRAY), 1 row/vector
+ *   rotation.parquet   (axis, pos, u)                  — learned modes
+ *   rotation_probe.json / ann.meta.json    probe evidence + geometry
  *
  * Build = [[Ivf.train]] (exact-decimal Lloyd) + [[Pq.buildIndex]];
  * serve = [[Pq.searchIndex]] — the same code paths the oracle-checked
