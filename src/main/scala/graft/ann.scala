@@ -67,7 +67,13 @@ import org.apache.spark.sql.functions._
  * to change), builds in the measured-best space, and records the
  * per-mode recalls beside the artifacts as rotation_probe.json; the
  * chosen mode lands in ann.meta.json's `rot` like any explicit flag,
- * so serving is identical.
+ * so serving is identical. (On the harness fixtures the probe's
+ * hash-rekeyed 40-query sample measures the four modes within 1–2
+ * hits of each other — near-ties — and the tie-prefers-simpler rule
+ * lands on plain; the RecallProbe id-order numbers above show the
+ * learned-mode direction emerging only at the larger SF. That
+ * sensitivity to the query sample is exactly why the mode should be
+ * MEASURED on the build corpus rather than guessed.)
  *
  * --sq8 builds an SQ8 index instead of PQ ([[graft.operators.Sq]], the
  * FAISS IndexScalarQuantizer QT_8bit shape): per-dimension affine int8
@@ -295,12 +301,17 @@ object Ann {
       else Pq.ivfAdcTopK(f, qs, centroids, nprobe, topK = 10,
         m = m, k = codes, dim = dim))
         .select(col("q_id"), col("vec_id"))
-      // mean recall over the probe queries; a degenerate sample (e.g.
-      // one vector — exactTopK self-excludes the only row) measures 0.0
-      // instead of NPE-ing on a null average
-      val row = Similarity.recallAtK(exact, approx, 10)
-        .agg(avg(col("recall")).as("r")).head()
-      val r = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      // overlap fraction over the AVAILABLE exact neighbors (not a fixed
+      // /10): on a sub-11-vector sample each query has only s−1 true
+      // neighbors, and a fixed-k denominator would deflate every mode's
+      // recorded number by 10/(s−1) — mode RANKING would survive, the
+      // persisted rotation_probe.json evidence would not. A degenerate
+      // sample with zero exact pairs (one vector, self-excluded)
+      // measures 0.0 instead of dividing by zero.
+      val total = exact.count()
+      val r = if (total == 0L) 0.0
+      else exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .count().toDouble / total
       // rot 0's frame IS the shared sample — freeing it here would force
       // the remaining three modes to re-run the corpus-scale sampling
       if (rot != 0) f.unpersist(false)

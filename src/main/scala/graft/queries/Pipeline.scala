@@ -2153,7 +2153,10 @@ object Pipeline {
         .join(keepMap, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
-          when(!col("__q"), lit("low_quality"))
+          // NULL text gives a NULL gate verdict — it is quality-dropped
+          // (q_curate_e2e excludes it from n_quality), so the null must
+          // land on low_quality, not fall through to 'kept'
+          when(col("__q").isNull || !col("__q"), lit("low_quality"))
             .when(col("__surv") =!= col("doc_id"), lit("duplicate"))
             .when(col("__cont"), lit("contaminated"))
             .otherwise(lit("kept")).as("outcome"),
@@ -5501,7 +5504,7 @@ object Pipeline {
                    FROM u))
            WHERE gram IN (SELECT gram FROM bg))
          SELECT t.doc_id, t.lang,
-           CASE WHEN NOT t.q THEN 'low_quality'
+           CASE WHEN t.q IS NOT TRUE THEN 'low_quality'
              WHEN k.survivor <> t.doc_id THEN 'duplicate'
              WHEN t.doc_id IN (SELECT doc_id FROM contam)
                THEN 'contaminated'

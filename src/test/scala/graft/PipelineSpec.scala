@@ -1466,6 +1466,7 @@ class CurationQuerySpec extends SparkSpec {
         Row(5L, s"$long bench1 bench2 bench3 bench4", "en", "src2", 0L),
         Row(6L, long.toUpperCase.replace(" ", "  "), "en", "src3", 0L),
         Row(7L, "tiny", "en", "src1", 4L),
+        Row(8L, null, "en", "src1", 0L),
         Row(90L, benchText, "en", "src19", 0L)),
       StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType), StructField("lang", StringType),
@@ -1482,6 +1483,9 @@ class CurationQuerySpec extends SparkSpec {
     // duplicate verdict names the survivor
     assert(out(6L) == ("duplicate", 1L), out(6L).toString)
     assert(out(7L) == ("low_quality", -1L))
+    // NULL text is quality-dropped (the e2e funnel excludes it from
+    // n_quality) — the null gate verdict must not fall through to kept
+    assert(out(8L) == ("low_quality", -1L))
     assert(!out.contains(90L), "bench docs are not funnel candidates")
   }
 }
