@@ -1679,6 +1679,30 @@ object Pipeline {
       Dedup.connectedComponents(nearDupEdges3(t(s, dir, "documents")),
         "a", "b").orderBy("id")
     }),
+    // A7 — SOFT dedup: downweighting instead of removal. Every document
+    // stays in the corpus with training weight 1/|cluster| over the SAME
+    // near-dup CC labels q_dedup_cluster derives, so a near-dup cluster
+    // contributes exactly ONE document's worth of training mass while
+    // keeping its within-cluster variation (what hard dedup's
+    // keep-lowest-id survivor throws away — the downweight alternative
+    // pipelines reach for when duplicates carry paraphrase signal).
+    // Singletons weigh 1. One labels join + one cluster-size aggregate
+    // on top of the shared CC pipeline; per-doc rows stream to the sink.
+    "q_dedup_soft" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lbl = Dedup.connectedComponents(nearDupEdges3(docs), "a", "b")
+        .withColumnRenamed("id", "doc_id")
+      val withLbl = docs.select(col("doc_id"))
+        .join(lbl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+      val sizes = withLbl.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+      withLbl.join(sizes, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("n_members"),
+          round(lit(1.0) / col("n_members"), 6).as("w"))
+        .orderBy("doc_id")
+    }),
     // L1 — TRAINED char-trigram naive-Bayes language ID, trained + served
     // + self-evaluated in one query (TextAnalysis.langIdNaiveBayes): the
     // unseen-gram decomposition makes the whole multiclass scorer exact
@@ -6333,6 +6357,39 @@ object Pipeline {
            JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst)
          SELECT src AS id, least(src, min(dst)) AS comp FROM reach
          GROUP BY src ORDER BY id""",
+    // Same component CTEs, then the per-doc 1/|cluster| weight with
+    // singletons (docs in no cluster) defaulting to their own id / w=1.
+    "q_dedup_soft" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         k0 AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk FROM s),
+         k AS (SELECT * FROM k0
+               QUALIFY count(*) OVER (PARTITION BY blk) <= 4096),
+         e AS (
+           SELECT x.doc_id AS a, y.doc_id AS b
+           FROM k x JOIN k y ON x.blk = y.blk AND x.doc_id < y.doc_id
+           WHERE cast(len(list_intersect(x.sh, y.sh)) AS double) /
+                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                 >= 0.5),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION SELECT b, a FROM e),
+         reach(src, dst) AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT r.src, s2.dst FROM reach r
+           JOIN sym s2 ON r.dst = s2.src AND r.src <> s2.dst),
+         lab AS (SELECT src AS id, least(src, min(dst)) AS comp FROM reach
+                 GROUP BY src),
+         allm AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS cluster
+                  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         sz AS (SELECT cluster, cast(count(*) AS bigint) AS n_members
+                FROM allm GROUP BY cluster)
+         SELECT a.doc_id, a.cluster, sz.n_members,
+           round(1.0 / sz.n_members, 6) AS w
+         FROM allm a JOIN sz USING (cluster) ORDER BY a.doc_id""",
     // Same component CTE as q_dedup_cluster, then the md5 split gate on
     // the cluster label (q_sample_hash's portable convention).
     "q_split_leakfree" ->

@@ -15,6 +15,39 @@ class DedupSpec extends SparkSpec {
         StructField("text", StringType))))
   }
 
+  test("q_dedup_soft conservation law: every doc keeps weight exactly " +
+      "1/|its cluster|, cluster members agree on size, and total mass " +
+      "equals the cluster count — one document's worth per cluster") {
+    val out = SparkEntry.queries("q_dedup_soft")(spark,
+        "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster"), r.getAs[Long]("n_members"),
+        r.getAs[Double]("w")))
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.forall(_._3 == rows.length),
+        s"cluster $c size disagrees: ${rows.toSeq}")
+      rows.foreach { case (_, _, n, w) =>
+        assert(w == BigDecimal(1.0 / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s"cluster $c: w=$w != round(1/$n)")
+      }
+      // per-cluster mass 1 within the 6-decimal rounding of each member
+      assert(math.abs(rows.map(_._4).sum - 1.0) <= rows.length * 5e-7)
+    }
+    assert(math.abs(out.map(_._4).sum - byCluster.size) <= out.length * 5e-7)
+    // the labels agree with the hard-dedup clustering: every labeled
+    // pair in q_dedup_cluster shares a q_dedup_soft cluster
+    val hard = SparkEntry.queries("q_dedup_cluster")(spark,
+        "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val soft = out.map(t => t._1 -> t._2).toMap
+    hard.foreach { case (id, comp) =>
+      assert(soft(id) == soft(comp), s"doc $id split from its label $comp")
+    }
+  }
+
   test("shingles: distinct word n-grams; short docs yield one partial shingle") {
     val out = docs((1L, "a b c d")).select(Dedup.shingles(col("text"), 3))
       .collect().head.getSeq[String](0)
