@@ -67,7 +67,11 @@ import org.apache.spark.sql.functions._
  * to change), builds in the measured-best space, and records the
  * per-mode recalls beside the artifacts as rotation_probe.json; the
  * chosen mode lands in ann.meta.json's `rot` like any explicit flag,
- * so serving is identical. (On the harness fixtures the probe's
+ * so serving is identical. The probe measures the quantizer actually
+ * being built: SQ8 under --sq8, sample-trained Lloyd codebooks under
+ * --trained, the fixed first-k PQ otherwise. A non-auto rebuild into
+ * the same dir deletes any stale rotation_probe.json, so the artifact
+ * directory stays self-describing. (On the harness fixtures the probe's
  * hash-rekeyed 40-query sample measures the four modes within 1–2
  * hits of each other — near-ties — and the tie-prefers-simpler rule
  * lands on plain; the RecallProbe id-order numbers above show the
@@ -236,6 +240,33 @@ object Ann {
   /** The four rotation modes by `rot` code, for artifacts and logs. */
   val RotNames: Vector[String] = Vector("plain", "wht", "pca1", "pca2")
 
+  /** IVF-ADC top-k under TRAINED per-subspace codebooks — the probe-side
+    * twin of the `--trained` build path (trainCodebooks → encodeWith →
+    * searchIndex), so [[probeRotation]] can measure the quantizer a
+    * trained build actually serves with. Corpus columns are the probe's
+    * re-keyed (vec_id, emb) convention. Sample-scale by construction
+    * (the probe caller bounds the corpus to `sampleN` rows). */
+  private def trainedIvfAdcTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
+      m: Int, codes: Int, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = Pq.trainCodebooks(corpus, "vec_id", "emb", m, codes, dim)
+    // driver-side |cw|² uses the same left-to-right sum the codegen'd dot
+    // expression computes (the build path's convention)
+    val cbDf = books.zipWithIndex.flatMap { case (cbJ, j) =>
+      cbJ.zipWithIndex.map { case (w, c) =>
+        (j, c, w, w.foldLeft(0.0)((s, x) => s + x * x))
+      }
+    }.toDF("j", "__c", "__cw", "__cwn2")
+    val withCell = corpus.withColumn("__cell",
+      Ivf.nearestCentroid(col("emb"), centroids))
+    val cd = Pq.encodeWith(withCell, "vec_id", "emb", books)
+      .join(withCell.select(col("vec_id"), col("__cell")), "vec_id")
+      .select(col("vec_id"), col("__cell"), col("j"), col("code"))
+    Pq.searchIndex(cd, cbDf, queries, centroids, nprobe, topK, m, dim)
+  }
+
   /**
    * Measured rotation-mode selection (--rotate-auto): mean recall@10 of
    * the fixed-quantizer IVF-PQ pipeline under each of the four rotation
@@ -265,10 +296,15 @@ object Ann {
    * build measures the quantizer it is actually going to build —
    * rotation responds to per-dim range balance under SQ8 and to
    * subspace energy balance under PQ, and the two can disagree.
+   * Likewise `trained = true` probes with sample-trained Lloyd
+   * codebooks ([[trainedIvfAdcTopK]]) instead of the fixed first-k
+   * quantizer, so a `--trained --rotate-auto` build selects its
+   * rotation from the codebook family it will actually serve with.
    */
   def probeRotation(plain: DataFrame, idCol: String, dim: Int, k: Int,
       m: Int, codes: Int, nprobe: Int = 4, sampleN: Int = 20000,
-      nQueries: Int = 40, sq8: Boolean = false): (Int, Seq[(Int, Double)]) = {
+      nQueries: Int = 40, sq8: Boolean = false,
+      trained: Boolean = false): (Int, Seq[(Int, Double)]) = {
     import graft.operators.{Opq, Pca, Similarity}
     val w = org.apache.spark.sql.expressions.Window.orderBy("__h", idCol)
     val sample = plain
@@ -298,6 +334,9 @@ object Ann {
       val approx = (if (sq8)
         graft.operators.Sq.sq8IvfTopK(f, qs, centroids, topK = 10,
           nprobe = nprobe, dim = dim)
+      else if (trained)
+        trainedIvfAdcTopK(f, qs, centroids, nprobe, topK = 10,
+          m = m, codes = codes, dim = dim)
       else Pq.ivfAdcTopK(f, qs, centroids, nprobe, topK = 10,
         m = m, k = codes, dim = dim))
         .select(col("q_id"), col("vec_id"))
@@ -348,20 +387,29 @@ object Ann {
     val rot = if (rotateAuto) {
       // the probe measures the quantizer ACTUALLY being built (SQ8
       // responds to rotation via per-dim range balance, PQ via subspace
-      // energy balance — the best mode can differ between them)
+      // energy balance, trained codebooks adapt to whatever balance the
+      // rotation leaves — the best mode can differ between all three)
       val (best, recalls) = probeRotation(plain, idCol, dim, k, m, codes,
-        sampleN = probeSampleN, sq8 = sq8)
+        sampleN = probeSampleN, sq8 = sq8, trained = trained)
       val measured = recalls
         .map { case (r, v) => s""""${RotNames(r)}":$v""" }.mkString(",")
+      val qName = if (sq8) "sq8" else if (trained) "pq-trained" else "pq"
       val probeJson = s"""{"chosen":"${RotNames(best)}","rot":$best,""" +
-        s""""quantizer":"${if (sq8) "sq8" else "pq"}",""" +
+        s""""quantizer":"$qName",""" +
         s""""sample_n":$probeSampleN,"recall@10":{$measured}}"""
       val p = java.nio.file.Paths.get(outDir, "rotation_probe.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, probeJson.getBytes("UTF-8"))
       best
-    } else if (rotatePca2) 3 else if (rotatePca) 2
-    else if (rotate) 1 else 0
+    } else {
+      // a rebuild with an EXPLICIT mode into a dir that previously held
+      // an auto build must not leave a stale probe artifact beside a
+      // meta it no longer describes (mode overwrite semantics replace
+      // every other artifact)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(outDir, "rotation_probe.json"))
+      if (rotatePca2) 3 else if (rotatePca) 2 else if (rotate) 1 else 0
+    }
     val us: Seq[Array[Long]] = rot match {
       case 2 => Seq(graft.operators.Opq.householderFromPca(
         graft.operators.Pca.topDirection(plain, "emb", dim)))

@@ -2173,7 +2173,7 @@ object Pipeline {
         Seq("doc_id"), "left_semi")
       val contam = Curation.contaminated(uniq, bench, "doc_id", "text", 4)
         .select(col("doc_id"), lit(true).as("__cont"))
-      train.select(col("doc_id"), col("lang"), col("__q"))
+      val out = train.select(col("doc_id"), col("lang"), col("__q"))
         .join(keepMap, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
@@ -2187,6 +2187,10 @@ object Pipeline {
           when(col("__surv") =!= col("doc_id"), col("__surv"))
             .as("survivor"))
         .orderBy("doc_id")
+      // keepMap backs both consumers of one action — freed once the
+      // caller's materialization completes, so repeated runs in one
+      // session don't accumulate MEMORY_AND_DISK blocks
+      Scale.releaseAfterUse(out, Seq(keepMap))
     }),
     // Pipeline — the end-to-end training-data PREPARE composition
     // (q_curate_e2e's sibling for the mechanics half): quality gate
@@ -3358,7 +3362,10 @@ object Pipeline {
         .toDF()
         .groupBy(col("container"),
           coalesce(col("sample_rate_hz"), lit(0L)).as("rate_hz"),
-          (col("duration_ms") / 1000).cast("long").as("dur_s"))
+          // exact integer floor-div, matching the oracle's duration_ms
+          // // 1000 — double division then cast would diverge once
+          // duration_ms exceeds 2^53 (the repo's exact-integer discipline)
+          expr("duration_ms div 1000").as("dur_s"))
         .agg(count(lit(1)).as("n"),
           min("duration_ms").as("min_ms"),
           max("duration_ms").as("max_ms"))

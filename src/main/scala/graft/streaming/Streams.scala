@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
  * store only retains windows newer than the watermark horizon.
  */
 object Streams {
+  /** Fail fast (scan-local, no extra job) on any streamed vector whose
+    * length ≠ the frozen quantizer's dim — `Ann --append`'s requireDim
+    * for the streaming twins: DotProduct/zip_with truncate or null-pad
+    * to min(len), so a wrong-dimension vector would SILENTLY fold wrong
+    * cell/code rows into a maintained serving artifact. */
+  private def requireDim(vec: org.apache.spark.sql.Column, dim: Int,
+      what: String): org.apache.spark.sql.Column =
+    when(size(vec) === dim, vec).otherwise(raise_error(concat(
+      lit(s"$what: vector dim must be $dim, got "),
+      size(vec).cast("string"))))
 
   /** T1 — tumbling 5-minute counts per event type, 10-minute watermark. */
   def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
@@ -758,8 +768,11 @@ object Streams {
     vectors.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           epoch: Long) =>
+        val dim = codebooks.length * codebooks.head.head.length
         val clean = batch.select(col(idCol), col(embCol))
           .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+          .withColumn(embCol,
+            requireDim(col(embCol), dim, "Streams.annAppend"))
         val withCell = clean.withColumn("cell",
           graft.operators.Ivf.nearestCentroid(col(embCol), centroids))
         val fresh = graft.operators.Pq
@@ -792,6 +805,8 @@ object Streams {
           epoch: Long) =>
         val fresh = batch.select(col(idCol), col(embCol))
           .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+          .withColumn(embCol,
+            requireDim(col(embCol), mn.length, "Streams.sqAppend"))
           .select(col(idCol),
             graft.operators.Ivf.nearestCentroid(col(embCol), centroids)
               .as("cell"),
