@@ -62,6 +62,29 @@ object Curate {
    * driver-bounded merge at 100 TB; pick the threshold from a q_dsir
    * weight report instead). Docs with no features (whitespace-only
    * text) carry no weight and drop with the stage on.
+   *
+   * `dedup = soft` keeps EVERY document and instead attaches a training
+   * `weight` column of 1/|near-dup cluster| over the same banded-MinHash
+   * CC labels the fuzzy mode derives (q_dedup_soft's semantics): a
+   * cluster contributes exactly one document's worth of training mass
+   * while keeping its within-cluster variation. The split still gates on
+   * the CLUSTER label, so duplicates cannot straddle train/val. The
+   * weight flows into the train/val outputs for downstream consumption
+   * (e.g. [[Sampling.repeatUpsample]] in packing). Full-run-only: the
+   * weights are corpus-wide cluster sizes a delta batch cannot know.
+   *
+   * `decontBenchPath` (non-empty = on) enables benchmark decontamination
+   * after dedup: docs sharing any `decontNgram`-word shingle with the
+   * benchmark suite at that parquet path (a documents-shaped table —
+   * `doc_id`, `text`) are dropped via the Bloom-prefiltered exact screen
+   * ([[Curation.contaminatedBloom]] — bit-identical to the plain
+   * semi-join, scales past broadcast-size suites). When `decontEmbPath`
+   * AND `decontSemanticBar` are also set, the embedding-cosine screen
+   * ([[Curation.semanticContamination]]) additionally drops docs whose
+   * max cosine to any benchmark embedding reaches the bar — the
+   * paraphrase/translation leaks n-grams can't see. The embeddings
+   * table is `embeddings`-shaped (`vec_id` = doc_id, `embedding`);
+   * both train and bench docs must have rows in it.
    */
   final case class CurateConfig(
       version: Int,
@@ -76,14 +99,28 @@ object Curate {
       assignLang: Boolean = false,
       dsirTargetLang: String = "",
       dsirMinLogW: Double = 0.0,
-      fairGateFrac: Double = 0.0) {
-    require(Set("none", "exact", "fuzzy")(dedup), s"bad dedup mode: $dedup")
+      fairGateFrac: Double = 0.0,
+      decontBenchPath: String = "",
+      decontNgram: Int = 4,
+      decontEmbPath: String = "",
+      decontSemanticBar: Double = 0.0) {
+    require(Set("none", "exact", "fuzzy", "soft")(dedup),
+      s"bad dedup mode: $dedup")
     require(valThresholdHex.matches("[0-9a-f]{4}"),
       s"bad valThresholdHex: $valThresholdHex")
     require(shards >= 0, s"shards must be >= 0, got $shards")
     require(lineMinWords >= 0, s"lineMinWords must be >= 0, got $lineMinWords")
     require(fairGateFrac >= 0.0 && fairGateFrac <= 1.0,
       s"fairGateFrac must be in [0, 1], got $fairGateFrac")
+    require(decontNgram >= 1, s"decontNgram must be >= 1, got $decontNgram")
+    require(decontSemanticBar >= 0.0 && decontSemanticBar <= 1.0,
+      s"decontSemanticBar must be in [0, 1], got $decontSemanticBar")
+    // half-configured semantic screen = a config typo, not a silent no-op
+    require((decontEmbPath.nonEmpty) == (decontSemanticBar > 0.0),
+      "decontEmbPath and decontSemanticBar enable the semantic screen " +
+        "together: set both or neither")
+    require(decontBenchPath.nonEmpty || decontEmbPath.isEmpty,
+      "the semantic screen needs decontBenchPath (the benchmark suite)")
   }
 
   val DefaultConfig: CurateConfig =
@@ -134,10 +171,20 @@ object Curate {
     StageDecl("fairGate", "Curation.fairGate", "fairGateFrac in (0,1)",
       Seq("afterFairGate"), Nil, None, fullRunOnly = true),
     StageDecl("dedup",
-      "Dedup.exactByKey | Dedup.nearDuplicates + connectedComponents",
+      "Dedup.exactByKey | Dedup.nearDuplicates + connectedComponents " +
+        "(fuzzy removes; soft keeps all and weights 1/|cluster| — " +
+        "full-run-only mode: cluster sizes are corpus statistics)",
       "dedup != none",
       Seq("afterDedup"), Seq("afterDeltaDedup", "afterCorpusDedup"),
       Some("curateGate"), fullRunOnly = false),
+    // benchmark decontamination: Bloom-prefiltered exact n-gram screen
+    // (+ optional embedding-cosine screen); the bench suite broadcasts,
+    // so a delta batch screens exactly like the full corpus
+    StageDecl("decontaminate",
+      "Curation.contaminatedBloom [+ semanticContamination >= bar]",
+      "decontBenchPath.nonEmpty",
+      Seq("afterDecontaminate"), Seq("afterDecontaminate"),
+      Some("semanticGate"), fullRunOnly = false),
     // the importance model must train on the corpus, not the batch
     StageDecl("dsir", "Curation.dsirWeights >= dsirMinLogW",
       "dsirTargetLang.nonEmpty",
@@ -160,6 +207,7 @@ object Curate {
     case "assignLang" => c.assignLang
     case "fairGate" => c.fairGateFrac > 0.0 && c.fairGateFrac < 1.0
     case "dedup" => c.dedup != "none"
+    case "decontaminate" => c.decontBenchPath.nonEmpty
     case "dsir" => c.dsirTargetLang.nonEmpty
     case "tokenBudget" => c.tokensPerLang > 0
     case other => sys.error(s"undeclared stage: $other")
@@ -187,6 +235,10 @@ object Curate {
     tree.put("dsirTargetLang", c.dsirTargetLang)
     tree.put("dsirMinLogW", c.dsirMinLogW)
     tree.put("fairGateFrac", c.fairGateFrac)
+    tree.put("decontBenchPath", c.decontBenchPath)
+    tree.put("decontNgram", c.decontNgram)
+    tree.put("decontEmbPath", c.decontEmbPath)
+    tree.put("decontSemanticBar", c.decontSemanticBar)
     ConfigIO.writeYamlRaw(path, tree)
   }
 
@@ -230,7 +282,22 @@ object Curate {
         if (root.containsKey("dsirMinLogW")) num("dsirMinLogW") else 0.0,
       // absent in pre-fair-gate configs: the per-source gate stays off
       fairGateFrac =
-        if (root.containsKey("fairGateFrac")) num("fairGateFrac") else 0.0)
+        if (root.containsKey("fairGateFrac")) num("fairGateFrac") else 0.0,
+      // all four absent in pre-decontamination configs: the screen stays
+      // off (the same back-compat convention as every stage above)
+      decontBenchPath = root.get("decontBenchPath") match {
+        case null => ""
+        case s => String.valueOf(s)
+      },
+      decontNgram =
+        if (root.containsKey("decontNgram")) num("decontNgram").toInt else 4,
+      decontEmbPath = root.get("decontEmbPath") match {
+        case null => ""
+        case s => String.valueOf(s)
+      },
+      decontSemanticBar =
+        if (root.containsKey("decontSemanticBar")) num("decontSemanticBar")
+        else 0.0)
   }
 
   // ----------------------------------------------------------- pipeline
@@ -313,7 +380,9 @@ object Curate {
       }
 
     // 2. dedup + cluster labels (labels drive BOTH the survivor filter and
-    //    the leak-free split gate)
+    //    the leak-free split gate). `soft` keeps every row and instead
+    //    attaches weight = 1/|cluster| plus the cluster key itself
+    //    (__cluster), which the split gate reads directly.
     val (deduped, labels) = c.dedup match {
       case "none" => (faired, None)
       case "exact" =>
@@ -328,19 +397,47 @@ object Curate {
         // store the rows twice. Freed below once `split` is materialized.
         val lbl = Dedup.connectedComponents(edges, "a", "b")
         (within0(faired, lbl), Some(lbl))
+      case "soft" =>
+        val edges = Dedup.nearDuplicates(faired, "doc_id", "text",
+          threshold = c.jaccard)
+        val lbl = Dedup.connectedComponents(edges, "a", "b")
+        // q_dedup_soft's exact weight: 1/|cluster| over the CC labels,
+        // singletons (no label) weigh 1. The cluster-size aggregate is
+        // one hash shuffle on the label; mass is conserved by
+        // construction (Σ weight per cluster = 1).
+        val withLbl = faired.join(lbl, faired("doc_id") === lbl("id"), "left")
+          .withColumn("__cluster", coalesce(col("comp"), col("doc_id")))
+          .drop("id", "comp")
+        val sizes = withLbl.groupBy("__cluster")
+          .agg(count(lit(1)).as("__nm"))
+        val soft = withLbl.join(sizes, Seq("__cluster"))
+          .withColumn("weight", round(lit(1.0) / col("__nm"), 6))
+          .drop("__nm")
+        (soft, Some(lbl))
     }
     val nDeduped = deduped.count()
 
-    // 2b. DSIR data selection (opt-in): importance weight vs the target-
+    // 2c. benchmark decontamination (opt-in): the Bloom-prefiltered exact
+    //    n-gram screen, plus the optional embedding-cosine screen — see
+    //    CurateConfig. The bench suite broadcasts; the corpus never
+    //    shuffles for the screen.
+    val (deconted, nDeconted) =
+      if (c.decontBenchPath.isEmpty) (deduped, nDeduped)
+      else {
+        val d = decontStage(deduped, c)
+        (d, d.count())
+      }
+
+    // 2d. DSIR data selection (opt-in): importance weight vs the target-
     //    language model, scan-local threshold keep (see CurateConfig)
     val (selected, nSelected) =
-      if (c.dsirTargetLang.isEmpty) (deduped, nDeduped)
+      if (c.dsirTargetLang.isEmpty) (deconted, nDeconted)
       else {
-        val keep = Curation.dsirWeights(deduped, "doc_id", "text",
+        val keep = Curation.dsirWeights(deconted, "doc_id", "text",
             col("lang") === c.dsirTargetLang, nBuckets = 1024)
           .filter(col("log_w") >= c.dsirMinLogW)
           .select("doc_id")
-        val sel = deduped.join(keep, Seq("doc_id"), "left_semi")
+        val sel = deconted.join(keep, Seq("doc_id"), "left_semi")
         (sel, sel.count())
       }
 
@@ -358,15 +455,19 @@ object Curate {
           .drop("__tok", "__cum")
       }
 
-    // 4. leak-free split: gate on the cluster label (fuzzy) or the doc id
-    //    (exact/none — there are no cross-doc duplicates left to leak)
-    val withKey = labels match {
-      case Some(lbl) =>
-        budgeted.join(lbl, budgeted("doc_id") === lbl("id"), "left")
-          .withColumn("__skey", coalesce(col("comp"), col("doc_id")))
-          .drop("id", "comp")
-      case None => budgeted.withColumn("__skey", col("doc_id"))
-    }
+    // 4. leak-free split: gate on the cluster label (fuzzy joins it back;
+    //    soft already carries it as __cluster) or the doc id (exact/none —
+    //    there are no cross-doc duplicates left to leak)
+    val withKey =
+      if (budgeted.columns.contains("__cluster"))
+        budgeted.withColumn("__skey", col("__cluster")).drop("__cluster")
+      else labels match {
+        case Some(lbl) =>
+          budgeted.join(lbl, budgeted("doc_id") === lbl("id"), "left")
+            .withColumn("__skey", coalesce(col("comp"), col("doc_id")))
+            .drop("id", "comp")
+        case None => budgeted.withColumn("__skey", col("doc_id"))
+      }
     val isVal = Sampling.hashHex4(col("__skey"), "curate-split") <
       lit(c.valThresholdHex)
     val split = withKey
@@ -396,9 +497,43 @@ object Curate {
         "langAssigned" -> nLangFilled,
         "afterQuality" -> nGated, "afterFairGate" -> nFaired,
         "afterDedup" -> nDeduped,
+        "afterDecontaminate" -> nDeconted,
         "afterDsir" -> nSelected,
         "train" -> nTrain, "val" -> nVal),
       perLang = perLang)
+  }
+
+  /** The decontamination screen (shared by [[run]] and [[runDelta]]):
+    * drop docs sharing any n-gram with the benchmark suite at
+    * `decontBenchPath` ([[Curation.contaminatedBloom]] — Bloom
+    * prefilter + exact verify, bit-identical to the plain semi-join),
+    * then optionally docs whose max embedding cosine to the suite
+    * reaches `decontSemanticBar` ([[Curation.semanticContamination]]).
+    * Both screens broadcast the bench side, so the stage is delta- and
+    * stream-legal (the registry's semanticGate twin). */
+  private def decontStage(docs: DataFrame, c: CurateConfig): DataFrame = {
+    val spark = docs.sparkSession
+    val bench = spark.read.parquet(c.decontBenchPath)
+    val hits = Curation.contaminatedBloom(docs, bench, "doc_id", "text",
+      c.decontNgram)
+    val exactClean = docs.join(hits, Seq("doc_id"), "left_anti")
+    if (c.decontEmbPath.isEmpty || c.decontSemanticBar <= 0.0) exactClean
+    else {
+      val embT = spark.read.parquet(c.decontEmbPath)
+        .select(col("vec_id"),
+          graft.functions.VectorOps.asDouble(col("embedding")).as("__emb"))
+      val trainEmb = exactClean.select(col("doc_id"))
+        .join(embT, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("__emb"))
+      val benchEmb = bench.select(col("doc_id").as("__bid"))
+        .join(embT, col("__bid") === col("vec_id"))
+        .select(col("__emb"))
+      val semHits = Curation
+        .semanticContamination(trainEmb, benchEmb, "doc_id", "__emb")
+        .filter(col("max_cos") >= c.decontSemanticBar)
+        .select("doc_id")
+      exactClean.join(semHits, Seq("doc_id"), "left_anti")
+    }
   }
 
   /** Stage 0b — language assignment (opt-in): fill NULL `lang` with the
@@ -442,6 +577,9 @@ object Curate {
   def runDelta(corpus: DataFrame, delta: DataFrame,
       c: CurateConfig): Curated = {
     import org.apache.spark.storage.StorageLevel
+    require(c.dedup != "soft",
+      "dedup=soft is full-run-only: 1/|cluster| weights need corpus-wide " +
+        "cluster sizes; run the full curation, or dedup=fuzzy for deltas")
     val nIn = delta.count()
     val cleanOn = c.stripHtml || c.lineMinWords > 0
     val cleaned = cleanStage(delta, c)
@@ -482,9 +620,17 @@ object Curate {
           .select(col("delta_id").as("doc_id")).distinct()
         within.join(hits, Seq("doc_id"), "left_anti")
     }
+    // decontamination screens a delta batch exactly like the full corpus
+    // (the bench suite broadcasts). Count bookkeeping keeps the "one
+    // action later" trick: whichever stage is LAST before the split
+    // derives its count from nTrain+nVal; with the screen on, the
+    // corpus-dedup count becomes its own action instead.
+    val decontOn = c.decontBenchPath.nonEmpty
+    val nCorpusDedup = if (decontOn) vsCorpus.count() else -1L
+    val deconted = if (decontOn) decontStage(vsCorpus, c) else vsCorpus
     val isVal = Sampling.hashHex4(col("doc_id"), "curate-split") <
       lit(c.valThresholdHex)
-    val split = vsCorpus
+    val split = deconted
       .withColumn("split", when(isVal, lit("val")).otherwise(lit("train")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val train = split.filter(col("split") === "train").drop("split")
@@ -501,7 +647,9 @@ object Curate {
       funnel = Seq("deltaInput" -> nIn, "afterClean" -> nClean,
         "langAssigned" -> nLangFilled,
         "afterQuality" -> nGated, "afterDeltaDedup" -> nWithin,
-        "afterCorpusDedup" -> (nTrain + nVal),
+        "afterCorpusDedup" ->
+          (if (decontOn) nCorpusDedup else nTrain + nVal),
+        "afterDecontaminate" -> (nTrain + nVal),
         "train" -> nTrain, "val" -> nVal),
       perLang = perLang)
   }
@@ -526,7 +674,12 @@ object Curate {
         "lineMinWords" -> c.lineMinWords,
         "assignLang" -> c.assignLang,
         "dsirTargetLang" -> c.dsirTargetLang,
-        "dsirMinLogW" -> c.dsirMinLogW),
+        "dsirMinLogW" -> c.dsirMinLogW,
+        "fairGateFrac" -> c.fairGateFrac,
+        "decontBenchPath" -> c.decontBenchPath,
+        "decontNgram" -> c.decontNgram,
+        "decontEmbPath" -> c.decontEmbPath,
+        "decontSemanticBar" -> c.decontSemanticBar),
       "funnel" -> scala.collection.immutable.ListMap(r.funnel: _*),
       // the declared stage list with per-run enablement — the report is
       // self-describing about which registry stages this config ran

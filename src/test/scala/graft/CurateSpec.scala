@@ -371,9 +371,17 @@ class CurateSpec extends SparkSpec {
       "path, declared streaming twins resolve to real Streams members, " +
       "and the report carries per-stage enablement") {
     // all-knobs-on config so every declared stage actually executes
+    // (the decontaminate stage needs a bench suite on disk — the src19
+    // held-out convention q_curate_e2e uses)
+    val benchDir = java.nio.file.Files
+      .createTempDirectory("curate_bench").toString
+    Tables.load(spark, data, "documents")
+      .filter(col("source") === "src19")
+      .write.mode("overwrite").parquet(s"$benchDir/bench")
     val c = Curate.CurateConfig(1, 0.1, "fuzzy", 0.5, 1000000L, "1999",
       stripHtml = true, lineMinWords = 1, assignLang = true,
-      dsirTargetLang = "en", dsirMinLogW = -1e9, fairGateFrac = 0.9)
+      dsirTargetLang = "en", dsirMinLogW = -1e9, fairGateFrac = 0.9,
+      decontBenchPath = s"$benchDir/bench")
     val docs = Tables.load(spark, data, "documents")
     val full = Curate.run(docs, c)
     assert(full.funnel.map(_._1) ==
@@ -410,5 +418,127 @@ class CurateSpec extends SparkSpec {
     Curate.StageRegistry.foreach(s =>
       assert(report.contains(s""""stage": "${s.name}"""") ||
         report.contains(s""""stage":"${s.name}""""), s"missing ${s.name}"))
+  }
+
+  test("decontaminate stage: the planted n-gram leak drops, the planted " +
+      "paraphrase drops only under the semantic screen, delta path " +
+      "screens identically, config round-trips, legacy configs stay off") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def docsDf(rows: Seq[Row]) = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+    val bench = docsDf(Seq(
+      Row(100L, "alpha beta gamma delta epsilon question answer.", "en")))
+    // doc 2 shares the 4-gram "alpha beta gamma delta"; doc 3 is a
+    // paraphrase (no shared 4-gram, near-identical embedding)
+    val docs = docsDf(Seq(
+      Row(1L, "one clean document about something else entirely here.", "en"),
+      Row(2L, "prefix words alpha beta gamma delta suffix words here.", "en"),
+      Row(3L, "paraphrased wording of that benchmark question answer.", "en")))
+    val dir = java.nio.file.Files.createTempDirectory("curate_dec").toString
+    bench.write.mode("overwrite").parquet(s"$dir/bench")
+    // embeddings: doc 3 ≈ bench 100 (cos 1.0), docs 1-2 orthogonal
+    val emb = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(1.0, 0.0, 0.0, 0.0)), Row(2L, Seq(0.0, 1.0, 0.0, 0.0)),
+        Row(3L, Seq(0.0, 0.0, 1.0, 0.0)), Row(100L, Seq(0.0, 0.0, 1.0, 0.0))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    emb.write.mode("overwrite").parquet(s"$dir/emb")
+    val base = Curate.DefaultConfig.copy(minQuality = 0.0, dedup = "none",
+      valThresholdHex = "0000")
+    // off: all three docs survive to the split
+    val off = Curate.run(docs, base)
+    assert(off.funnel.toMap.apply("afterDecontaminate") == 3L)
+    // n-gram screen only: doc 2 drops, the paraphrase survives
+    val cN = base.copy(decontBenchPath = s"$dir/bench")
+    val rN = Curate.run(docs, cN)
+    assert(rN.funnel.toMap.apply("afterDecontaminate") == 2L)
+    assert(rN.train.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+    // + semantic screen: the paraphrase drops too
+    val cS = cN.copy(decontEmbPath = s"$dir/emb", decontSemanticBar = 0.9)
+    val rS = Curate.run(docs, cS)
+    assert(rS.funnel.toMap.apply("afterDecontaminate") == 1L)
+    assert(rS.train.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L))
+    // delta path: same screen, same survivors; the corpus-dedup count is
+    // its own action when the screen is on
+    val empty = docs.limit(0)
+    val dS = Curate.runDelta(empty, docs, cS)
+    assert(dS.funnel.toMap.apply("afterCorpusDedup") == 3L)
+    assert(dS.funnel.toMap.apply("afterDecontaminate") == 1L)
+    assert(dS.train.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L))
+    // config io: knobs round-trip; legacy configs (no keys) stay off;
+    // a half-configured semantic screen fails loudly
+    val p = java.nio.file.Files.createTempFile("curate_decont", ".yaml")
+    Curate.writeConfig(p.toString, cS)
+    assert(Curate.readConfig(p.toString) == cS)
+    val legacy = java.nio.file.Files.createTempFile("curate_nodec", ".yaml")
+    java.nio.file.Files.writeString(legacy,
+      """version: 1
+        |minQuality: 1.0
+        |dedup: exact
+        |jaccard: 0.5
+        |tokensPerLang: 0
+        |valThresholdHex: "1999"
+        |""".stripMargin)
+    val lc = Curate.readConfig(legacy.toString)
+    assert(lc.decontBenchPath.isEmpty && lc.decontNgram == 4)
+    intercept[IllegalArgumentException] {
+      base.copy(decontBenchPath = s"$dir/bench", decontSemanticBar = 0.9)
+    }
+    intercept[IllegalArgumentException] {
+      base.copy(decontEmbPath = s"$dir/emb")
+    }
+  }
+
+  test("soft dedup: every doc kept, weight = 1/|cluster| with mass " +
+      "conserved, clusters never straddle the split, weights flow to the " +
+      "outputs, delta path rejects the mode") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // three near-identical docs (one cluster) + two unique docs
+    val dup = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, dup + " one", "en"),
+        Row(2L, dup + " two", "en"),
+        Row(3L, dup + " three", "en"),
+        Row(4L, "a completely different document about maritime navigation systems.", "en"),
+        Row(5L, "another unrelated text concerning alpine geology and rock strata.", "en")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+    val c = Curate.DefaultConfig.copy(minQuality = 0.0, dedup = "soft",
+      valThresholdHex = "8000") // ~50% val: exercises both sides
+    val r = Curate.run(docs, c)
+    val f = r.funnel.toMap
+    assert(f("afterDedup") == 5L, "soft dedup keeps every doc")
+    assert(f("train") + f("val") == 5L)
+    val out = r.train.withColumn("split", lit("t"))
+      .unionByName(r.`val`.withColumn("split", lit("v")))
+      .select("doc_id", "weight", "split").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getString(2)))
+    val w = out.map(x => x._1 -> x._2).toMap
+    assert(w(1L) == 0.333333 && w(2L) == 0.333333 && w(3L) == 0.333333,
+      s"cluster of 3 weighs 1/3 each: $w")
+    assert(w(4L) == 1.0 && w(5L) == 1.0, s"singletons weigh 1: $w")
+    // mass conservation: Σ weights = #clusters (within rounding)
+    assert(math.abs(out.map(_._2).sum - 3.0) < 1e-4)
+    // the cluster gates as ONE unit: all three dupes on the same side
+    assert(out.filter(x => Set(1L, 2L, 3L)(x._1)).map(_._3).toSet.size == 1,
+      s"cluster straddles the split: ${out.mkString(",")}")
+    // weights are consumable downstream: repeatUpsample over the train
+    // output emits ⌊w⌋/⌈w⌉ copies per doc (the packing composition)
+    val up = graft.operators.Sampling.repeatUpsample(
+      r.train.unionByName(r.`val`), "doc_id", "s15", col("weight"))
+    assert(up.count() >= 2L && up.count() <= 5L)
+    // delta path refuses the mode (corpus-statistics weights)
+    intercept[IllegalArgumentException] {
+      Curate.runDelta(docs.limit(0), docs, c)
+    }
   }
 }
