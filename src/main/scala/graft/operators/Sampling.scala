@@ -251,4 +251,54 @@ object Sampling {
         expr(s"__rn % ($capacity div bucket)").cast("long"))
       .drop("__rn")
   }
+
+  /**
+   * [[packSequences]] driven by an EXPLICIT consumption order instead of
+   * the hash shuffle — the packing half of in-context pretraining (Shi
+   * et al. 2023): with `orderCol` = [[graft.operators.Curation
+   * .semanticOrder]]'s `pos`, documents that are semantically ADJACENT
+   * in the stream land in the SAME shard (shards are contiguous order
+   * ranges, not hash scatters — a hash shard would dilute adjacency
+   * nShards×) and fill a sequence's slots in order, so each packed
+   * training sequence carries related material.
+   *
+   * `orderSpan` is the exclusive upper bound of `orderCol` (e.g.
+   * max(pos)+1 — one scalar aggregate for the caller): the shard is the
+   * exact integer `(order · nShards) div orderSpan`, clamped to the last
+   * shard for order values at/past the span (the caller's convention for
+   * rows WITHOUT an order, e.g. docs with no embedding, is to assign
+   * them `orderSpan` so they pack together at the tail, tie-broken by
+   * key). Shards balance when the order is dense — semanticOrder's
+   * positions are dense by construction; gate dropout upstream thins
+   * ranges uniformly in expectation.
+   *
+   * Same scale shape as [[packSequences]]: ONE hash shuffle on (shard,
+   * bucket) + bounded per-group windows; same exact seq_id/slot integer
+   * math, same [1, capacity] admission filter, so funnel accounting is
+   * IDENTICAL between the two packers (PrepareSpec pins that). Every
+   * step is a pure function of (orderCol, keyCol, tokenCol) —
+   * reproducible in any engine, no RNG, no engine hashing.
+   */
+  def packSequencesByOrder(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, tokenCol: String, orderCol: String, orderSpan: Long,
+      nShards: Int, capacity: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(orderSpan >= 1, s"orderSpan must be >= 1, got $orderSpan")
+    val bucket = pow2Bucket(col(tokenCol), capacity)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("bucket"))
+      .orderBy(col(orderCol), col(keyCol))
+    df.filter(col(tokenCol) >= 1 && col(tokenCol) <= capacity)
+      // long, matching [[packSequences]]'s shardOfHash output type
+      .withColumn("shard",
+        least(lit(nShards - 1L),
+          expr(s"($orderCol * $nShards) div $orderSpan")).cast("long"))
+      .withColumn("bucket", bucket)
+      .withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("seq_id",
+        expr(s"(__rn * bucket) div $capacity").cast("long"))
+      .withColumn("slot",
+        expr(s"__rn % ($capacity div bucket)").cast("long"))
+      .drop("__rn")
+  }
 }

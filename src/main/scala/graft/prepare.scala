@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Sampling, Unigram}
+import graft.operators.{Curation, Sampling, Unigram}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,7 +16,20 @@ import org.apache.spark.sql.functions._
  *   graft.Prepare --data <parquetDir> --out <dir>
  *       [--minTokens 20] [--pieceLen 3] [--wordLen 8] [--minCount 2]
  *       [--keepPieces 10] [--window 6] [--shards 4] [--capacity 2048]
- *       [--salt prep1]
+ *       [--salt prep1] [--order id|semantic] [--dim 64] [--orderK 16]
+ *
+ * `--order semantic` packs in the in-context-pretraining layout the
+ * oracle-checked q_semantic_order / q_semantic_windows queries prove
+ * (Shi et al. 2023): consumption positions come from
+ * [[Curation.semanticOrder]] over `embeddings.parquet` in --data
+ * (`vec_id` = doc_id, dim `--dim`, `--orderK` IVF cells), shards are
+ * contiguous order ranges, and a sequence's slots fill in semantic
+ * order — so each packed sequence carries RELATED documents instead of
+ * hash-scattered ones ([[Sampling.packSequencesByOrder]]). Docs
+ * without an embedding pack together at the tail in id order. The
+ * default stays the hash-shuffled id-order layout; funnel accounting
+ * is identical between the two (same admission filter, same seq/slot
+ * math — PrepareSpec pins it).
  *
  * Artifacts (all plain parquet, any engine can read them):
  *   model.parquet        (piece, cost)              — the pruned tokenizer
@@ -44,7 +57,10 @@ object Prepare {
       minTokens: Int = 20, pieceLen: Int = 3, wordLen: Int = 8,
       minCount: Long = 2L, keepPieces: Int = 10, window: Int = 6,
       shards: Int = 4, capacity: Int = 2048,
-      salt: String = "prep1"): Report = {
+      salt: String = "prep1", order: String = "id",
+      dim: Int = 64, orderK: Int = 16): Report = {
+    require(Set("id", "semantic")(order),
+      s"--order must be id | semantic, got $order")
     val docs = spark.read.parquet(s"$dataDir/documents.parquet")
     val nDocs = docs.count()
     val gated = docs.filter(col("text").isNotNull &&
@@ -67,8 +83,38 @@ object Prepare {
     val counts = Unigram.tokenCountsOov(gated, "doc_id", "text", model,
         pieceLen, window, vocab = Some(voc))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val packed = Sampling.packSequences(counts, "doc_id", "n_tokens",
-      salt, shards, capacity)
+    val packed =
+      if (order == "id")
+        Sampling.packSequences(counts, "doc_id", "n_tokens",
+          salt, shards, capacity)
+      else {
+        // semantic layout: positions from the embedding-space sweep,
+        // persisted — max(pos) and the packing join both consume it
+        val sord = Curation.semanticOrder(
+            spark.read.parquet(s"$dataDir/embeddings.parquet")
+              .select(col("vec_id"),
+                graft.functions.VectorOps.asDouble(col("embedding"))
+                  .as("emb")),
+            "vec_id", "emb", dim, orderK)
+          .select(col("vec_id"), col("pos"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // exclusive span bound (one scalar aggregate); empty embeddings
+        // degenerate to span 1 = everything in the tail block
+        val maxPos = sord.agg(max("pos")).collect()(0) match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+        // docs without an embedding order at the span (tail block,
+        // id-tiebroken) — packSequencesByOrder's declared convention
+        val withOrd = counts
+          .join(sord, counts("doc_id") === sord("vec_id"), "left")
+          .withColumn("__ord", coalesce(col("pos"), lit(maxPos + 1)))
+          .drop("vec_id", "pos")
+        graft.operators.Scale.releaseAfterUse(
+          Sampling.packSequencesByOrder(withOrd, "doc_id", "n_tokens",
+            "__ord", maxPos + 2, shards, capacity).drop("__ord"),
+          Seq(sord))
+      }
     packed.write.mode("overwrite").parquet(s"$outDir/assignments.parquet")
     val asg = spark.read.parquet(s"$outDir/assignments.parquet")
     val nPacked = asg.count()
@@ -120,9 +166,12 @@ object Prepare {
         keepPieces = intOpt("keepPieces", 10),
         window = intOpt("window", 6), shards = intOpt("shards", 4),
         capacity = intOpt("capacity", 2048),
-        salt = opt("salt").getOrElse("prep1"))
+        salt = opt("salt").getOrElse("prep1"),
+        order = opt("order").getOrElse("id"),
+        dim = intOpt("dim", 64), orderK = intOpt("orderK", 16))
       println(
-        s"""{"docs":${r.nDocs},"gated":${r.nGated},"packed":${r.nPacked},""" +
+        s"""{"order":"${opt("order").getOrElse("id")}",""" +
+          s""""docs":${r.nDocs},"gated":${r.nGated},"packed":${r.nPacked},""" +
           s""""oversize":${r.nOversize},"sequences":${r.nSequences},""" +
           s""""padding":${r.totalPadding},"fallback_words":${r.nFallbackWords},""" +
           s""""words":${r.nWords}}""")

@@ -39,4 +39,63 @@ class PrepareSpec extends SparkSpec {
     val seqDocs = sq.agg(sum("n_docs")).collect()(0).getLong(0)
     assert(seqDocs == r.nPacked)
   }
+
+  test("--order semantic: same funnel accounting as id order, slots fill " +
+      "in semantic position order, shards are contiguous order ranges") {
+    val outId = java.nio.file.Files
+      .createTempDirectory("graft_prep_id").toString
+    val outSem = java.nio.file.Files
+      .createTempDirectory("graft_prep_sem").toString
+    val data = "/root/testdata/sf0.001"
+    val rId = Prepare.run(spark, data, outId)
+    val rSem = Prepare.run(spark, data, outSem, order = "semantic")
+    // funnel accounting identical: same admission filter, same docs
+    assert(rSem.nDocs == rId.nDocs && rSem.nGated == rId.nGated &&
+      rSem.nPacked == rId.nPacked && rSem.nOversize == rId.nOversize)
+    val asg = spark.read.parquet(s"$outSem/assignments.parquet")
+    assert(asg.select("doc_id").distinct().count() == rSem.nPacked)
+    // recompute the semantic positions and pin the layout laws
+    val sord = graft.operators.Curation.semanticOrder(
+      spark.read.parquet(s"$data/embeddings.parquet")
+        .select(col("vec_id"),
+          graft.functions.VectorOps.asDouble(col("embedding")).as("emb")),
+      "vec_id", "emb", dim = 64, k = 16)
+    val rows = asg.join(sord, asg("doc_id") === sord("vec_id"), "left")
+      .select(col("shard"), col("bucket"), col("seq_id"), col("slot"),
+        col("pos"), asg("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MaxValue else r.getLong(4), r.getLong(5)))
+    // (1) within every (shard, bucket, seq_id), slot order follows
+    //     semantic pos (id tiebreak for the no-embedding tail block)
+    rows.groupBy(t => (t._1, t._2, t._3)).foreach { case (g, rs) =>
+      val bySlot = rs.sortBy(_._4).map(t => (t._5, t._6)).toSeq
+      assert(bySlot == bySlot.sorted, s"sequence $g not in semantic order")
+    }
+    // (2) shards are contiguous order ranges: every doc WITH a position
+    //     in shard s has pos strictly below every one in shard s+1
+    val withPos = rows.filter(_._5 != Long.MaxValue)
+    val maxByShard = withPos.groupBy(_._1).view
+      .mapValues(_.map(_._5).max).toMap
+    val minByShard = withPos.groupBy(_._1).view
+      .mapValues(_.map(_._5).min).toMap
+    maxByShard.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(maxByShard(a) < minByShard(b),
+        s"shards $a/$b overlap in semantic order")
+      case _ =>
+    }
+    // (3) the id-order run hash-scatters: at least one shard pair overlaps
+    //     (sanity that law 2 is not vacuous on this corpus)
+    val asgId = spark.read.parquet(s"$outId/assignments.parquet")
+      .join(sord, col("doc_id") === col("vec_id"))
+      .select("shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val idMax = asgId.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val idMin = asgId.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val overlapping = idMax.keys.toSeq.sorted.sliding(2).exists {
+      case Seq(a, b) => idMax(a) > idMin(b)
+      case _ => false
+    }
+    assert(overlapping, "id-order shards unexpectedly range-partitioned")
+  }
 }
