@@ -92,6 +92,16 @@ object Ivf {
    * Train k centroids: deterministic seeds (first k vectors by id), then
    * `iters` Lloyd rounds with distributed mean computation. Only the k×dim
    * centroid matrix ever reaches the driver.
+   *
+   * Scale bound on k: this signature returns the centroids as a driver
+   * Seq and [[nearestCentroid]] binds them as PLAN LITERALS — at k ≤
+   * ~10² (every declared-quantizer query here) that is the fastest form
+   * (codegen'd, no join), but the literal argmin grows O(k·dim)
+   * expression nodes and the collect ships k·dim doubles through the
+   * driver per round, so a 100 TB IVF wanting k ~ 10⁴ cells (the ~√n
+   * guidance) should use [[trainJoin]]/[[assignJoin]] instead: same
+   * arithmetic bit-for-bit (IvfSpec pins join ≡ literal), but the
+   * centroids stay a k-row FRAME and assignment is one broadcast join.
    */
   def train(df: DataFrame, idCol: String, embCol: String, k: Int,
       iters: Int = 2): Seq[Seq[Double]] = {
@@ -147,6 +157,91 @@ object Ivf {
   /** Corpus with its IVF cell assignment (one scan-only pass). */
   def assign(df: DataFrame, embCol: String, centroids: Seq[Seq[Double]]): DataFrame =
     df.withColumn("ivf_cell", nearestCentroid(col(embCol), centroids))
+
+  /**
+   * LARGE-k assignment: nearest centroid via a broadcast join against a
+   * k-row centroid FRAME (`cell` int, `vec` array<double>) instead of
+   * plan literals — the form a 100 TB IVF with k ~ 10⁴ cells needs
+   * (see [[train]]'s scale bound). One broadcast nested-loop join fans
+   * each vector out to k scored rows; a map-side-combining min(struct)
+   * per (id, emb) collapses them back — |corpus| rows in, |corpus|
+   * rows out, never a corpus-side shuffle beyond the partial aggregate.
+   *
+   * Bit-identical to [[nearestCentroid]]: the ranking key is the same
+   * −2·a·c + |c|² with |c|² as the same left-to-right sequential dot
+   * the driver's `c.map(x·x).sum` computes, and min(struct(d, cell))
+   * is the same lexicographic (distance, index) tie-break — IvfSpec
+   * pins join ≡ literal on the fixture.
+   *
+   * Returns (idCol, embCol, ivf_cell). Rows with NULL/empty embeddings
+   * drop (they score against nothing — the caller filters upstream,
+   * as every quantizer path here does).
+   */
+  def assignJoin(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cb = centroids.select(col("cell").as("__cc"),
+      col("vec").as("__cv"), dot(col("vec"), col("vec")).as("__cn2"))
+    df.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(cb))
+      .withColumn("__key",
+        lit(-2.0) * dot(col(embCol), col("__cv")) + col("__cn2"))
+      .groupBy(col(idCol), col(embCol))
+      .agg(min(struct(col("__key").as("d"), col("__cc").as("i"))).as("__m"))
+      .select(col(idCol), col(embCol), col("__m.i").as("ivf_cell"))
+  }
+
+  /**
+   * [[train]]'s large-k twin: the SAME deterministic Lloyd (first-k-by-id
+   * seeds, exact decimal(28,10) component sums, empty cells keep their
+   * centroid) with the centroids as a k-row FRAME end to end — no k×dim
+   * driver collect per round, no k-literal plan. Assignment per round is
+   * [[assignJoin]]; the means pivot back to arrays DISTRIBUTED
+   * (collect_list of (pos, mean) structs per cell — k rows of dim
+   * entries, never row data). Each round's frame is localCheckpointed
+   * (k rows — metadata scale) to cut the iteration lineage, and the
+   * previous round's blocks are freed once the next materializes.
+   *
+   * Returns (cell int, vec array<double>) with cells 0..k'−1 in seed id
+   * order (k' ≤ k when the corpus is smaller). Bit-identical to
+   * [[train]] + index enumeration — IvfSpec pins the law.
+   */
+  def trainJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int = 2): DataFrame = {
+    val vecs = Scale.spreadForCompute(df.select(col(idCol), col(embCol)),
+        col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seeds: first k by id, densely indexed in id order. The
+      // row_number window is single-partition but bounded to k rows by
+      // the limit — the semanticOrder census convention.
+      var cents = vecs.orderBy(col(idCol)).limit(k)
+        .select(col(idCol), col(embCol))
+        .withColumn("cell", row_number().over(
+          Window.orderBy(col(idCol))).cast("int") - 1)
+        .select(col("cell"), col(embCol).as("vec"))
+        .localCheckpoint()
+      for (_ <- 0 until iters) {
+        val assigned = assignJoin(vecs, idCol, embCol, cents)
+        val means = assigned
+          .select(col("ivf_cell").as("cell"),
+            posexplode(col(embCol)).as(Seq("__pos", "__v")))
+          .groupBy("cell", "__pos")
+          .agg((sum(col("__v").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("__m"))
+          .groupBy("cell")
+          .agg(transform(
+            array_sort(collect_list(struct(col("__pos"), col("__m")))),
+            s => s.getField("__m")).as("__nvec"))
+        val prev = cents
+        cents = prev.join(means, Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("__nvec"), col("vec")).as("vec"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftBridge.freeCheckpoint(prev)
+      }
+      cents
+    } finally vecs.unpersist(blocking = false)
+  }
 
   /**
    * Per-cell index-balance report — the audit run before deploying an IVF

@@ -60,6 +60,41 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("large-k join path ≡ literal path: trainJoin's centroid frame is " +
+      "bit-identical to train's matrix, assignJoin to nearestCentroid") {
+    // the law that licenses the k ~ 10^4 form at 100 TB: same seeds,
+    // same exact-decimal Lloyd means, same -2·dot+|c|² argmin with the
+    // same (distance, index) tie-break — only the binding differs
+    // (broadcast frame vs plan literals)
+    for ((k, iters) <- Seq((8, 2), (30, 1))) {
+      val lit = Ivf.train(emb, "vec_id", "emb", k = k, iters = iters)
+      val frame = Ivf.trainJoin(emb, "vec_id", "emb", k = k, iters = iters)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+        .sortBy(_._1)
+      assert(frame.map(_._1).toSeq == (0 until k),
+        "cells must enumerate 0..k-1 in seed order")
+      frame.foreach { case (cell, vec) =>
+        assert(vec == lit(cell), s"k=$k centroid $cell differs")
+      }
+      val viaLit = Ivf.assign(emb, "emb", lit)
+        .select("vec_id", "ivf_cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val cf = spark.createDataFrame(
+        spark.sparkContext.parallelize(frame.toSeq.map { case (c, v) =>
+          org.apache.spark.sql.Row(c, v) }),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("vec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      val viaJoin = Ivf.assignJoin(emb, "vec_id", "emb", cf)
+        .select("vec_id", "ivf_cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(viaLit == viaJoin, s"k=$k assignments differ")
+    }
+  }
+
   test("cellBalance: populations agree with assign's census, sum to the " +
       "corpus, and an empty quantizer reports an empty frame") {
     val report = Ivf.cellBalance(emb, "emb", centroids)
