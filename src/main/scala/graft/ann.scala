@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
  *
  *   graft.Ann --build  --data <embeddings.parquet> --out <indexDir>
  *             [--k 16] [--iters 2] [--m 4] [--codes 8] [--dim 64]
- *             [--id vec_id] [--vec embedding] [--trained | --sq8]
+ *             [--id vec_id] [--vec embedding] [--trained | --sq8 | --bq]
  *             [--rotate | --rotate-pca | --rotate-pca2 |
  *              --rotate-auto [--probe-sample 20000]]
  *   graft.Ann --search --index <indexDir> --data <queries.parquet>
@@ -92,6 +92,19 @@ import org.apache.spark.sql.functions._
  * convention). Mutually exclusive with --trained; composes with the
  * rotation flags like any build.
  *
+ * --bq builds a BINARY index ([[graft.operators.Bq]], the FAISS
+ * IndexBinaryIVF shape): each vector stores its packed sign words
+ * beside its IVF cell (8 B/vector at dim 64 — the cheapest point on
+ * the compression curve, ~64x vs fp64) and serving ranks the probed
+ * cells by Hamming distance (adist = the exact integer Hamming as a
+ * double, so --refine composes unchanged — the measured
+ * q_bq_refine_recall recipe: 1-bit candidates, exact-cosine rerank).
+ * No trained state beyond the rotation: sign packing is stateless, so
+ * --append is EXACT for any vector (no out-of-range/staleness class).
+ * Mutually exclusive with --trained and --sq8; composes with the
+ * rotation flags, and --rotate-auto probes the BINARY pipeline (sign
+ * bits are basis-dependent, so rotation genuinely moves BQ recall).
+ *
  * --refine c turns on the FAISS IndexRefine serving shape: ADC proposes
  * the top-c candidates per query from codes only, then the refine stage
  * fetches JUST those vectors from --raw (one candidate-scale broadcast
@@ -105,7 +118,8 @@ import org.apache.spark.sql.functions._
  *   codebook.parquet   (j, c, cw ARRAY<double>, cwn2)  — m·codes rows (PQ)
  *   scales.parquet     (pos, mn, d)                    — dim rows (SQ8)
  *   codes.parquet      PQ: (<id>, cell, j, code), m rows/vector;
- *                      SQ8: (<id>, cell, scode ARRAY), 1 row/vector
+ *                      SQ8: (<id>, cell, scode ARRAY), 1 row/vector;
+ *                      BQ:  (<id>, cell, bcode ARRAY<long>), 1 row/vector
  *   rotation.parquet   (axis, pos, u)                  — learned modes
  *   rotation_probe.json / ann.meta.json    probe evidence + geometry
  *
@@ -146,8 +160,11 @@ object Ann {
     * `qt` declares the QUANTIZER type: 0 = PQ (the default — m subspace
     * codes against a codebook), 1 = SQ8 ([[graft.operators.Sq]] — one
     * int8 code per dimension against per-dim affine scales persisted as
-    * scales.parquet). Absent in pre-SQ metas (reads as 0), so every
-    * existing index keeps serving unchanged. */
+    * scales.parquet), 2 = binary ([[graft.operators.Bq]] — packed sign
+    * words, NO trained state beyond the rotation: sign packing is
+    * stateless, so --append is exact for any vector). Absent in pre-SQ
+    * metas (reads as 0), so every existing index keeps serving
+    * unchanged. */
   final case class Meta(k: Int, iters: Int, m: Int, codes: Int, dim: Int,
       idCol: String, rot: Int = 0, qt: Int = 0)
 
@@ -304,7 +321,7 @@ object Ann {
   def probeRotation(plain: DataFrame, idCol: String, dim: Int, k: Int,
       m: Int, codes: Int, nprobe: Int = 4, sampleN: Int = 20000,
       nQueries: Int = 40, sq8: Boolean = false,
-      trained: Boolean = false): (Int, Seq[(Int, Double)]) = {
+      trained: Boolean = false, bq: Boolean = false): (Int, Seq[(Int, Double)]) = {
     import graft.operators.{Opq, Pca, Similarity}
     val w = org.apache.spark.sql.expressions.Window.orderBy("__h", idCol)
     val sample = plain
@@ -333,6 +350,11 @@ object Ann {
         .select(col("q_id"), col("vec_id"))
       val approx = (if (sq8)
         graft.operators.Sq.sq8IvfTopK(f, qs, centroids, topK = 10,
+          nprobe = nprobe, dim = dim)
+      else if (bq)
+        // rotation genuinely moves BQ recall: sign bits are basis-
+        // dependent, so the probe must measure the binary pipeline
+        graft.operators.Bq.bqIvfTopK(f, qs, centroids, topK = 10,
           nprobe = nprobe, dim = dim)
       else if (trained)
         trainedIvfAdcTopK(f, qs, centroids, nprobe, topK = 10,
@@ -373,13 +395,17 @@ object Ann {
       idCol: String, vecCol: String, trained: Boolean = false,
       rotate: Boolean = false, rotatePca: Boolean = false,
       rotatePca2: Boolean = false, rotateAuto: Boolean = false,
-      probeSampleN: Int = 20000, sq8: Boolean = false): Long = {
+      probeSampleN: Int = 20000, sq8: Boolean = false,
+      bq: Boolean = false): Long = {
     require(Seq(rotate, rotatePca, rotatePca2, rotateAuto)
         .count(identity) <= 1,
       "--rotate, --rotate-pca, --rotate-pca2 and --rotate-auto are " +
         "mutually exclusive")
     require(!(sq8 && trained),
       "--sq8 and --trained are mutually exclusive (SQ8 has no codebook)")
+    require(!(bq && sq8) && !(bq && trained),
+      "--bq is mutually exclusive with --sq8 and --trained " +
+        "(sign packing has no codebook or scales)")
     val plain = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
@@ -390,10 +416,11 @@ object Ann {
       // energy balance, trained codebooks adapt to whatever balance the
       // rotation leaves — the best mode can differ between all three)
       val (best, recalls) = probeRotation(plain, idCol, dim, k, m, codes,
-        sampleN = probeSampleN, sq8 = sq8, trained = trained)
+        sampleN = probeSampleN, sq8 = sq8, trained = trained, bq = bq)
       val measured = recalls
         .map { case (r, v) => s""""${RotNames(r)}":$v""" }.mkString(",")
-      val qName = if (sq8) "sq8" else if (trained) "pq-trained" else "pq"
+      val qName = if (sq8) "sq8" else if (bq) "bq"
+        else if (trained) "pq-trained" else "pq"
       val probeJson = s"""{"chosen":"${RotNames(best)}","rot":$best,""" +
         s""""quantizer":"$qName",""" +
         s""""sample_n":$probeSampleN,"recall@10":{$measured}}"""
@@ -439,6 +466,13 @@ object Ann {
       (emb.select(col(idCol),
         Ivf.nearestCentroid(col("emb"), centroids).as("cell"),
         graft.operators.Sq.codes(col("emb"), mnA, dA).as("scode")), None)
+    } else if (bq) {
+      // binary artifact: packed sign words beside the cell — no trained
+      // state file at all (signs are stateless given the space); meta
+      // qt = 2 routes search/append to the Hamming path
+      (emb.select(col(idCol),
+        Ivf.nearestCentroid(col("emb"), centroids).as("cell"),
+        graft.operators.Bq.signWords(col("emb"), dim).as("bcode")), None)
     } else if (!trained) {
         val (cd, cbDf) = Pq.buildIndex(emb, centroids, m, codes, dim,
           idCol, "emb")
@@ -480,7 +514,8 @@ object Ann {
     // blocks (the Scale.releaseAfterUse convention)
     if (rot != 0) emb.unpersist(blocking = false)
     writeMeta(outDir,
-      Meta(k, iters, m, codes, dim, idCol, rot, qt = if (sq8) 1 else 0))
+      Meta(k, iters, m, codes, dim, idCol, rot,
+        qt = if (sq8) 1 else if (bq) 2 else 0))
     spark.read.parquet(s"$outDir/codes.parquet")
       .select(col(idCol)).distinct().count()
   }
@@ -515,6 +550,12 @@ object Ann {
       val (mnA, dA) = readScales(spark, indexDir, meta.dim)
       fresh.select(col(meta.idCol), col("cell"),
         graft.operators.Sq.codes(col("__e"), mnA, dA).as("scode"))
+    } else if (meta.qt == 2) {
+      // binary index: sign packing is stateless (given the rotation the
+      // frame already entered), so append is EXACT for any new vector —
+      // no range/codebook staleness class at all
+      fresh.select(col(meta.idCol), col("cell"),
+        graft.operators.Bq.signWords(col("__e"), meta.dim).as("bcode"))
     } else {
       val cbRows = spark.read.parquet(s"$indexDir/codebook.parquet")
         .select(col("j"), col("c"), col("cw")).collect()
@@ -578,6 +619,32 @@ object Ann {
         (col("__ad").cast("double") / lit(2.55e14)).as("adist"))
   }
 
+  /** Binary serving half (meta qt = 2): Hamming over the probed cells'
+    * packed sign words against the query's words — [[graft.operators
+    * .Bq.bqIvfTopK]]'s algebra over the persisted artifacts. adist =
+    * the Hamming distance as a double (≤ dim — exact), keeping the
+    * `Pq.searchIndex` column convention so --refine composes. */
+  private def bqServe(spark: SparkSession, indexDir: String, meta: Meta,
+      qs: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
+      selfFilter: Boolean): DataFrame = {
+    import graft.operators.Bq
+    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
+      .select(col(meta.idCol), col("cell").as("__cell"), col("bcode"))
+    val probes = qs.select(col("q_id"),
+      explode(Ivf.probeList(col("q_emb"), centroids, nprobe)).as("__cell"),
+      Bq.signWords(col("q_emb"), meta.dim).as("__qb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("__h"), col(meta.idCol))
+    codes.join(broadcast(probes), Seq("__cell"))
+      .filter(if (selfFilter) col(meta.idCol) =!= col("q_id")
+        else lit(true))
+      .withColumn("__h", Bq.hamming(col("bcode"), col("__qb")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col(meta.idCol), col("rn"),
+        col("__h").cast("double").as("adist"))
+  }
+
   /** Serve top-k from a built index; the result is also returned.
     * `selfFilter` — see the usage scaladoc above (--no-self-filter).
     * `refine` = (candC, rawPath) turns on the exact-cosine refine stage
@@ -604,6 +671,8 @@ object Ann {
     require(adcK >= topK,
       s"--refine candidate depth $adcK must be >= --topk $topK")
     val adc = if (meta.qt == 1) sq8Serve(spark, indexDir, meta, qs,
+      centroids, nprobe, adcK, selfFilter)
+    else if (meta.qt == 2) bqServe(spark, indexDir, meta, qs,
       centroids, nprobe, adcK, selfFilter)
     else {
       val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
@@ -654,7 +723,7 @@ object Ann {
     "build", "search", "append",
     "data", "out", "index", "id", "vec",
     "k", "iters", "m", "codes", "dim",
-    "trained", "sq8", "rotate", "rotate-pca", "rotate-pca2",
+    "trained", "sq8", "bq", "rotate", "rotate-pca", "rotate-pca2",
     "rotate-auto", "probe-sample",
     "topk", "nprobe", "no-self-filter", "refine", "raw")
 
@@ -688,7 +757,7 @@ object Ann {
           rotatePca2 = flags("rotate-pca2"),
           rotateAuto = flags("rotate-auto"),
           probeSampleN = intOpt("probe-sample", 20000),
-          sq8 = flags("sq8"))
+          sq8 = flags("sq8"), bq = flags("bq"))
         println(s"""{"built":$n,"index":"${opt("out").get}"}""")
       } else if (flags("search")) {
         val refine = opt("refine").map(c => (c.toInt,

@@ -334,6 +334,26 @@ object Pipeline {
              AS rn, score
          FROM sqs)"""
 
+  /** Shared binary-quantization oracle chain (q_bq_search / q_bq_recall /
+    * q_bq_refine_recall): Hamming as the DIRECT count of per-position
+    * sign disagreements (x > 0 on both sides — no packing, which is
+    * exactly what makes the compare prove the engine's packed path),
+    * ranked per query with the vec_id tie-break. Ends in `branked`
+    * (q_id, vec_id, rn, ham) plus `e`/`q` frames for the refine/exact
+    * consumers. */
+  private val BqCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       bham AS (
+         SELECT q.q_id, e.vec_id,
+           CAST(len(list_filter(range(1, 65),
+             i -> (e.v[i] > 0) != (q.qv[i] > 0))) AS BIGINT) AS ham
+         FROM q JOIN e ON e.vec_id <> q.q_id),
+       branked AS (
+         SELECT q_id, vec_id, CAST(row_number() OVER (
+             PARTITION BY q_id ORDER BY ham, vec_id) AS BIGINT) AS rn, ham
+         FROM bham)"""
+
   private def pqErrByJCtes(tag: String, mode: String): String =
     s"""n$tag AS (SELECT vec_id, j, CAST(sum(x * x) AS BIGINT) AS n2
          FROM t$tag GROUP BY vec_id, j),
@@ -2368,6 +2388,57 @@ object Pipeline {
           topK = 10, nprobe = 4, dim = 64)
         .select(col("q_id"), col("vec_id"))
       Similarity.recallAtK(exact, approx, 10)
+    }),
+    // L2 — BINARY (1-bit) quantization serving (operators/Bq.scala — the
+    // FAISS IndexBinaryFlat shape): sign bits packed 32/long (MSB-first
+    // integer fold — no bit-63/2^63 hazards in either engine), Hamming =
+    // Σ popcount(XOR), ties on vec_id. The oracle scores by DIRECT
+    // sign-disagreement counting with no packing, so the pack/XOR/
+    // popcount path is cross-proved (the q_media_info parser/synth
+    // convention).
+    "q_bq_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      graft.operators.Bq.bqTopK(emb, qs, topK = 10, dim = 64)
+        .orderBy("q_id", "rn")
+    }),
+    // L2 — binary codes-only recall@10 vs the exact cosine truth: the
+    // FOURTH point on the compression/recall curve (exact 512 B/vec →
+    // SQ8 64 B → PQ ~5 B → sign bits 8 B) — read beside q_sq8_recall /
+    // q_ivf_pq_recall to price each byte of index.
+    "q_bq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val approx = graft.operators.Bq.bqTopK(emb, qs, topK = 10, dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      Similarity.recallAtK(exact, approx, 10)
+    }),
+    // L2 — the production composition: binary top-40 candidates → exact
+    // cosine refine to 10 (Similarity.refineTopK — the FAISS
+    // IndexBinaryFlat + IndexRefine recipe). The recall lift over
+    // q_bq_recall is what the 4x candidate over-fetch buys back from the
+    // 1-bit codes; refine cost is |q|·40 vector fetches, corpus-size
+    // independent.
+    "q_bq_refine_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val cands = graft.operators.Bq.bqTopK(emb, qs, topK = 40, dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      val refined = Similarity.refineTopK(cands, emb, qs, topK = 10)
+        .select(col("q_id"), col("vec_id"))
+      Similarity.recallAtK(exact, refined, 10)
     }),
     // L2 — hard-negative mining: the top-10 most-similar vectors per query
     // EXCLUDING the near-duplicate band (cos >= 0.35, just under the
@@ -5021,6 +5092,35 @@ object Pipeline {
              FROM sqivfs) WHERE rn <= 10),
          ${embExactCte(5, 10)}
          ${recallTailSql("sqivftop", 10)}""",
+    // Binary quantization replay: the oracle ranks by DIRECT per-position
+    // sign-disagreement counts (no packing), so the engine's pack-32-bits
+    // /XOR/popcount path is proved faithful by the hash compare — a
+    // packing bug breaks it (the parser/synth pair convention).
+    "q_bq_search" ->
+      s"""WITH $BqCtes
+         SELECT q_id, vec_id, rn, ham AS hamming FROM branked
+         WHERE rn <= 10 ORDER BY q_id, rn""",
+    "q_bq_recall" ->
+      s"""WITH $BqCtes,
+         ${embExactCte(5, 10)},
+         bqtop AS (SELECT q_id, vec_id FROM branked WHERE rn <= 10)
+         ${recallTailSql("bqtop", 10)}""",
+    "q_bq_refine_recall" ->
+      s"""WITH $BqCtes,
+         ${embExactCte(5, 10)},
+         cands AS (SELECT q_id, vec_id FROM branked WHERE rn <= 40),
+         refined AS (
+           SELECT q_id, vec_id FROM (
+             SELECT cd.q_id, cd.vec_id, row_number() OVER (
+               PARTITION BY cd.q_id ORDER BY
+                 list_dot_product(x.v, q.qv) /
+                   (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 cd.vec_id) AS rn
+             FROM cands cd
+             JOIN e x ON x.vec_id = cd.vec_id
+             JOIN q ON q.q_id = cd.q_id) WHERE rn <= 10)
+         ${recallTailSql("refined", 10)}""",
     "q_hard_negatives" ->
       """SELECT q_id, vec_id, rn, round(cos, 6) AS cosine FROM (
            SELECT q_id, vec_id, cos,
