@@ -265,24 +265,9 @@ object Ann {
     * (the probe caller bounds the corpus to `sampleN` rows). */
   private def trainedIvfAdcTopK(corpus: DataFrame, queries: DataFrame,
       centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
-      m: Int, codes: Int, dim: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val books = Pq.trainCodebooks(corpus, "vec_id", "emb", m, codes, dim)
-    // driver-side |cw|² uses the same left-to-right sum the codegen'd dot
-    // expression computes (the build path's convention)
-    val cbDf = books.zipWithIndex.flatMap { case (cbJ, j) =>
-      cbJ.zipWithIndex.map { case (w, c) =>
-        (j, c, w, w.foldLeft(0.0)((s, x) => s + x * x))
-      }
-    }.toDF("j", "__c", "__cw", "__cwn2")
-    val withCell = corpus.withColumn("__cell",
-      Ivf.nearestCentroid(col("emb"), centroids))
-    val cd = Pq.encodeWith(withCell, "vec_id", "emb", books)
-      .join(withCell.select(col("vec_id"), col("__cell")), "vec_id")
-      .select(col("vec_id"), col("__cell"), col("j"), col("code"))
-    Pq.searchIndex(cd, cbDf, queries, centroids, nprobe, topK, m, dim)
-  }
+      m: Int, codes: Int, dim: Int): DataFrame =
+    Pq.ivfAdcTrainedTopK(corpus, queries, centroids, nprobe, topK,
+      m, codes, dim)
 
   /**
    * Measured rotation-mode selection (--rotate-auto): mean recall@10 of

@@ -222,6 +222,44 @@ object Pq {
   }
 
   /**
+   * [[ivfAdcTopK]] with TRAINED per-subspace codebooks — the C-step of
+   * the OPQ alternation (Ge et al. 2013: alternate the rotation against
+   * retrained codebooks; here the rotation is the caller's frame — the
+   * measured-best Householder mode — and this supplies the
+   * codebook half): [[trainCodebooks]] (Lloyd, exact-decimal means) →
+   * [[encodeWith]] (scan-local literal encoder) → [[searchIndex]]'s ADC.
+   * Same deterministic/oracle-checkable property as every trained
+   * quantizer here — Lloyd means are order-independent exact decimals,
+   * so the DuckDB oracle re-runs the training verbatim
+   * (q_opq_train_recall). The codebook-literal encode keeps the corpus
+   * side one scan; everything else is [[searchIndex]]'s bounded
+   * broadcast shape.
+   */
+  def ivfAdcTrainedTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
+      m: Int, k: Int, dim: Int, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = trainCodebooks(corpus, idCol, embCol, m, k, dim, iters)
+    // driver-side |cw|² uses the same left-to-right sum the codegen'd
+    // dot expression computes, so serve-time ADC sees exact values
+    val cbDf = books.zipWithIndex.flatMap { case (cbJ, j) =>
+      cbJ.zipWithIndex.map { case (w, c) =>
+        (j, c, w, w.foldLeft(0.0)((s, x) => s + x * x))
+      }
+    }.toDF("j", "__c", "__cw", "__cwn2")
+    val withCell = corpus.withColumn("__cell",
+      Ivf.nearestCentroid(col(embCol), centroids))
+    val cd = encodeWith(withCell, idCol, embCol, books)
+      .join(withCell.select(col(idCol), col("__cell")), idCol)
+      .select(col(idCol), col("__cell"), col("j"), col("code"))
+    searchIndex(cd, cbDf, queries, centroids, nprobe, topK, m, dim,
+      idCol, qIdCol, qEmbCol)
+  }
+
+  /**
    * The INDEX-BUILD half of [[ivfAdcTopK]], factored so the artifacts can
    * persist (see `graft.Ann`): returns (codes, codebook) — codes =
    * (idCol, __cell, j, code), one row per vector per subspace, the whole

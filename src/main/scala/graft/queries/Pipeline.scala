@@ -2703,6 +2703,40 @@ object Pipeline {
       ivfPqRecallOver(graft.operators.Opq.rotateHouseholder(
         graft.operators.Opq.rotateHouseholder(emb, "emb", u1), "emb", u2))
     }),
+    // L2 — the full OPQ ALTERNATION's measured row (Ge et al. 2013,
+    // non-parametric): R-step = the measured-best Householder rotation
+    // (rank-2, q_opq_balance2's winner), C-step = Lloyd-RETRAINED
+    // per-subspace codebooks in that space (Pq.ivfAdcTrainedTopK) —
+    // one full alternation, which on this corpus is also the
+    // CONVERGED one: the Householder-constrained Procrustes R-step
+    // from any start space has a PSD gain form (sym(X·Cᵀ) ⪰ 0 once C
+    // tracks X), i.e. identity is the alternation's fixed point, so
+    // further rounds are measured no-ops (tools/OpqAlt: quad form
+    // +0.32 from plain, +0.87 from pca2; recall 0.34→0.32 on the one
+    // accepted-by-err candidate). The codebook half is where the
+    // remaining gain lives: measured at sf0.1 this row reads 0.36
+    // vs the best fixed mode's 0.34 (and the same trained-vs-fixed
+    // comparison is what --rotate-auto --trained now probes).
+    "q_opq_train_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val (d1, d2) = graft.operators.Pca.topDirections2(emb, "emb", 64)
+      val u1 = graft.operators.Opq.householderFromPca(d1)
+      val u2 = graft.operators.Opq.householder2FromPca(d2, u1)
+      val rot = graft.operators.Opq.rotateHouseholder(
+          graft.operators.Opq.rotateHouseholder(emb, "emb", u1), "emb", u2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = rot.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(rot, "vec_id", "emb",
+        k = 16, iters = 0)
+      val exact = Similarity.exactTopK(rot, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val adc = graft.operators.Pq.ivfAdcTrainedTopK(rot, qs, centroids,
+          nprobe = 4, topK = 10, m = 4, k = 8, dim = 64, iters = 2)
+        .select(col("q_id"), col("vec_id"))
+      Similarity.recallAtK(exact, adc, 10)
+    }),
     // L2 — IVF-PQ + exact refine (Similarity.refineTopK): the FULL FAISS
     // serving shape — ADC proposes top-20 per query from codes only, the
     // refine stage fetches JUST those 20 vectors (one candidate-scale
@@ -3689,6 +3723,94 @@ object Pipeline {
          SELECT q_id, vec_id, ad, row_number() OVER (
            PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adcscored)"""
 
+  /** [[ivfPqAdcBody]] with TRAINED per-subspace codebooks — the
+    * Pq.ivfAdcTrainedTopK replay (q_opq_train_recall): the fixed
+    * first-8 codebook becomes the Lloyd SEED (tcb0), then `iters`
+    * unrolled assign→exact-decimal-means rounds (the q_sim_ivf step
+    * pattern per (j, code, pos) — empty codewords keep their previous
+    * value), and the standard codes/probes/dtab/ADC chain runs over
+    * the trained codebook. Means replay Ivf.train verbatim:
+    * decimal(28,10) component sums, ONE double division. */
+  private def ivfPqAdcTrainedBody(src: String, iters: Int): String = {
+    def step(i: Int) = {
+      val prev = s"tcb${i - 1}"
+      s"""ta$i AS (
+           SELECT vec_id, j, code FROM (
+             SELECT sub.vec_id, sub.j, t.c AS code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                 ORDER BY -2 * list_dot_product(sub.s, t.cw)
+                   + list_dot_product(t.cw, t.cw), t.c) AS rn
+             FROM sub JOIN $prev t ON sub.j = t.j) WHERE rn = 1),
+         tm$i AS (
+           SELECT j, code, pos,
+             cast(sum(cast(comp AS decimal(28,10))) AS double)
+               / count(*) AS m
+           FROM (
+             SELECT a.j, a.code, unnest(sub.s) AS comp,
+               unnest(generate_series(1, len(sub.s))) AS pos
+             FROM ta$i a
+             JOIN sub ON sub.vec_id = a.vec_id AND sub.j = a.j)
+           GROUP BY j, code, pos),
+         tcb$i AS MATERIALIZED (
+           SELECT p.c, p.j, coalesce(mv.cw, p.cw) AS cw FROM $prev p
+           LEFT JOIN (SELECT j, code, list(m ORDER BY pos) AS cw
+                      FROM tm$i GROUP BY j, code) mv
+             ON mv.j = p.j AND mv.code = p.c)"""
+    }
+    s"""c AS (SELECT vec_id AS cid, v AS cv,
+               list_dot_product(v, v) AS cnorm2
+             FROM $src WHERE vec_id < 16),
+       assign AS (
+         SELECT vec_id, cell FROM (
+           SELECT $src.vec_id, c.cid AS cell,
+             row_number() OVER (PARTITION BY $src.vec_id
+               ORDER BY -2 * list_dot_product($src.v, c.cv) + c.cnorm2, c.cid)
+               AS rn
+           FROM $src CROSS JOIN c) WHERE rn = 1),
+       sub AS MATERIALIZED (
+         SELECT vec_id, j, v[j*16+1 : j*16+16] AS s,
+           list_dot_product(v[j*16+1 : j*16+16], v[j*16+1 : j*16+16]) AS sn2
+         FROM $src, generate_series(0, 3) AS g(j)),
+       tcb0 AS (
+         SELECT cast($src.vec_id AS int) AS c, j, v[j*16+1 : j*16+16] AS cw
+         FROM $src, generate_series(0, 3) AS g(j)
+         WHERE vec_id < 8),
+       ${(1 to iters).map(step).mkString(",\n")},
+       cb AS MATERIALIZED (
+         SELECT c, j, cw, list_dot_product(cw, cw) AS cwn2 FROM tcb$iters),
+       codes AS (
+         SELECT vec_id, j, code FROM (
+           SELECT sub.vec_id, sub.j, cb.c AS code,
+             row_number() OVER (PARTITION BY sub.vec_id, sub.j
+               ORDER BY -2 * list_dot_product(sub.s, cb.cw) + cb.cwn2, cb.c)
+               AS rn
+           FROM sub JOIN cb ON sub.j = cb.j) WHERE rn = 1),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM $src WHERE vec_id < 5),
+       probes AS (
+         SELECT q_id, cell FROM (
+           SELECT q.q_id, c.cid AS cell,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2, c.cid)
+               AS rn
+           FROM q CROSS JOIN c) WHERE rn <= 4),
+       dtab AS (
+         SELECT q.vec_id AS q_id, cb.j, cb.c AS code,
+           q.sn2 - 2 * list_dot_product(q.s, cb.cw) + cb.cwn2 AS dq
+         FROM sub q JOIN cb ON q.j = cb.j WHERE q.vec_id < 5),
+       adcscored AS (
+         SELECT d.q_id, co.vec_id,
+           sum(cast(d.dq AS decimal(28,10))) AS ad
+         FROM codes co
+         JOIN assign a ON a.vec_id = co.vec_id
+         JOIN probes p ON p.cell = a.cell
+         JOIN dtab d ON d.q_id = p.q_id AND d.j = co.j AND d.code = co.code
+         WHERE co.vec_id <> d.q_id
+         GROUP BY d.q_id, co.vec_id),
+       adcranked AS (
+         SELECT q_id, vec_id, ad, row_number() OVER (
+           PARTITION BY q_id ORDER BY ad, vec_id) AS rn FROM adcscored)"""
+  }
+
   /** The exact cosine top-`k` CTE over `e` for queries vec_id < `maxQ` —
     * the truth side of every recall row (the q_sim_exact formulation). */
   private def embExactCte(maxQ: Int, k: Int,
@@ -4015,6 +4137,21 @@ object Pipeline {
          e2 AS MATERIALIZED (SELECT vec_id, list(rv ORDER BY pos) AS v
                 FROM rotv2 GROUP BY vec_id),
          ${ivfPqAdcBody("e2")},
+         ${embExactCte(5, 10, "e2")},
+         adc AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 10)
+         ${recallTailSql("adc", 10)}"""),
+    // The OPQ alternation's measured row: the rank-2 rotated frame (the
+    // R-step — same chain as q_opq_pca2_recall) with Lloyd-RETRAINED
+    // per-subspace codebooks (the C-step): the fixed first-8 codebook
+    // becomes the Lloyd seed, two unrolled assign→exact-decimal-means
+    // rounds, then the identical ADC probe pipeline and recall tail.
+    "q_opq_train_recall" -> PcaSql(
+      s""",
+         $OpqRank1Ctes,
+         $OpqRank2Ctes,
+         e2 AS MATERIALIZED (SELECT vec_id, list(rv ORDER BY pos) AS v
+                FROM rotv2 GROUP BY vec_id),
+         ${ivfPqAdcTrainedBody("e2", 2)},
          ${embExactCte(5, 10, "e2")},
          adc AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 10)
          ${recallTailSql("adc", 10)}"""),
