@@ -2420,6 +2420,31 @@ object Pipeline {
         .select(col("q_id"), col("vec_id"))
       Similarity.recallAtK(exact, approx, 10)
     }),
+    // L2 — binary codes composed with IVF cells (Bq.bqIvfTopK): sign
+    // words per cell, nprobe=4 probing, Hamming touches only the probed
+    // cells — the IndexBinaryIVF production layout, measured against the
+    // same exact truth (read beside q_sq8_ivf_recall / q_ivf_pq_recall
+    // for the compression×probe grid). Measured INVERSION at sf0.01:
+    // 0.46 here vs flat q_bq_recall's 0.32 — dim-64 Hamming has only 65
+    // possible values, so the flat search loses true neighbors inside
+    // corpus-wide tie groups to the id tie-break, while cell-bounding
+    // shrinks each tie pool to co-located vectors; for 1-bit codes the
+    // coarse quantizer is a RANKING signal, not just a pruning lever.
+    "q_bq_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val approx = graft.operators.Bq.bqIvfTopK(emb, qs, centroids,
+          topK = 10, nprobe = 4, dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      Similarity.recallAtK(exact, approx, 10)
+    }),
     // L2 — the production composition: binary top-40 candidates → exact
     // cosine refine to 10 (Similarity.refineTopK — the FAISS
     // IndexBinaryFlat + IndexRefine recipe). The recall lift over
@@ -5242,6 +5267,39 @@ object Pipeline {
          ${embExactCte(5, 10)},
          bqtop AS (SELECT q_id, vec_id FROM branked WHERE rn <= 10)
          ${recallTailSql("bqtop", 10)}""",
+    // IVF-composed binary: the fixed-first-16 assignment/probe CTEs
+    // restrict the sign-count ranking to the probed cells; same exact
+    // truth, same recall tail.
+    "q_bq_ivf_recall" ->
+      s"""WITH $BqCtes,
+         c AS (SELECT vec_id AS cid, v AS cv,
+                 list_dot_product(v, v) AS cnorm2
+               FROM e WHERE vec_id < 16),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2,
+                   c.cid) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         probes AS (
+           SELECT q_id, cell FROM (
+             SELECT q.q_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2,
+                   c.cid) AS rn
+             FROM q CROSS JOIN c) WHERE rn <= 4),
+         bivf AS (
+           SELECT b.q_id, b.vec_id, b.ham FROM bham b
+           JOIN assign a ON a.vec_id = b.vec_id
+           JOIN probes p ON p.cell = a.cell AND p.q_id = b.q_id),
+         bivftop AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, row_number() OVER (
+               PARTITION BY q_id ORDER BY ham, vec_id) AS rn
+             FROM bivf) WHERE rn <= 10),
+         ${embExactCte(5, 10)}
+         ${recallTailSql("bivftop", 10)}""",
     "q_bq_refine_recall" ->
       s"""WITH $BqCtes,
          ${embExactCte(5, 10)},

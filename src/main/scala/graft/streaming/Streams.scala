@@ -817,6 +817,39 @@ object Streams {
   }
 
   /**
+   * Streaming BINARY index ingest — [[annAppend]]'s 1-bit twin (the
+   * `graft.Ann --bq --append` shape over a stream): each micro-batch
+   * packs its sign words against the FROZEN centroids
+   * ([[graft.operators.Bq.signWords]] — scan-local integer fold, no
+   * shuffle beyond the cell expression) and folds into the maintained
+   * (id, cell, bcode) frame. Sign packing is STATELESS given the
+   * space, so the streamed index is bit-identical to `Ann --bq`
+   * encoding the union in one batch for ANY vectors — no range or
+   * codebook staleness class at all, the strongest exactness contract
+   * in the maintenance family. StreamsSpec pins streamed ≡ batch.
+   */
+  def bqAppend(vectors: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Seq[Double]], dim: Int,
+      initial: DataFrame)(onUpdate: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var codes = initial.select(col(idCol), col("cell"), col("bcode"))
+    vectors.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epoch: Long) =>
+        val fresh = batch.select(col(idCol), col(embCol))
+          .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+          .withColumn(embCol,
+            requireDim(col(embCol), dim, "Streams.bqAppend"))
+          .select(col(idCol),
+            graft.operators.Ivf.nearestCentroid(col(embCol), centroids)
+              .as("cell"),
+            graft.operators.Bq.signWords(col(embCol), dim).as("bcode"))
+        codes = codes.unionByName(fresh).localCheckpoint()
+        onUpdate(codes, epoch)
+    }
+  }
+
+  /**
    * Streaming inverted-index maintenance — the retrieval twin of
    * [[shardAppend]]'s layout family: each micro-batch of an APPEND-ONLY
    * document stream folds into a maintained index via
