@@ -122,24 +122,79 @@ object Pq {
   }
 
   /**
-   * k-means-TRAINED per-subspace codebooks (classic PQ training): each
-   * subspace runs its own Lloyd iterations over its subvector projection,
-   * reusing [[Ivf.train]] (distributed means; k·d driver floats per
-   * subspace — metadata scale). Seeded from the k lowest ids present;
-   * when ids are dense from 0 (the [[encodeFixed]] contract) that seed IS
-   * the fixed codebook, and Lloyd never increases distortion — so trained
-   * reconstruction error ≤ fixed, which the spec asserts.
-   * Engine-specific float reductions → ScalaTest-checked, not SQL-oracled:
-   * the same fixed/trained split as [[Ivf]].
+   * k-means-TRAINED per-subspace codebooks (classic PQ training), FUSED:
+   * all m subspaces train their Lloyd iterations in the SAME jobs — one
+   * persisted working set, one seed collect (the first k full vectors,
+   * sliced driver-side), and per iteration ONE pass that assigns every
+   * row's m subvectors against the current codebook literals and
+   * aggregates the exact-decimal component means grouped by (subspace,
+   * codeword, position) — m·k·d rows to the driver, metadata scale. The
+   * r15 fusion: the previous per-subspace [[Ivf.train]] loop planned
+   * O(m·iters) job cascades (JobCount measured 41 jobs on
+   * q_opq_train_recall at m=4) where this plans O(iters); at production
+   * PQ geometry (m = 8–16) the sequential form is a scheduler-latency
+   * multiplier with zero arithmetic benefit. BIT-IDENTICAL to the
+   * per-subspace form (PqSpec law): same first-k-by-id seeds (a slice of
+   * the same vectors), same literal argmin with the same (distance,
+   * index) tie-break, same order-independent decimal(28,10) means with
+   * empty codewords keeping their previous value.
+   *
+   * Seeded from the k lowest ids present; when ids are dense from 0 (the
+   * [[encodeFixed]] contract) that seed IS the fixed codebook, and Lloyd
+   * never increases distortion — so trained reconstruction error ≤
+   * fixed, which the spec asserts. Engine-specific float reductions →
+   * ScalaTest-checked, not SQL-oracled — EXCEPT where an oracle replays
+   * the training verbatim (q_opq_train_recall's Lloyd-in-SQL): the
+   * means are exact decimals, so they reproduce in any engine.
    */
   def trainCodebooks(df: DataFrame, idCol: String, embCol: String,
       m: Int, k: Int, dim: Int, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val d = dim / m
-    (0 until m).map { j =>
-      Ivf.train(df.select(col(idCol),
-        slice(col(embCol), j * d + 1, d).as("__s")), idCol, "__s", k, iters)
-    }
+    val vecs = Scale.spreadForCompute(
+        df.select(col(idCol), col(embCol)), col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = vecs.orderBy(col(idCol)).limit(k)
+        .select(col(embCol)).collect().toSeq
+        .map(_.getSeq[Double](0).toSeq)
+      if (seeds.isEmpty) return Seq.fill(m)(Seq.empty)
+      var books: Seq[Seq[Seq[Double]]] =
+        (0 until m).map(j => seeds.map(_.slice(j * d, (j + 1) * d)))
+      for (_ <- 0 until iters) {
+        // one struct per subspace: (j, assigned codeword, the subvector)
+        // — the same argmin expression Ivf.nearestCentroid builds, per
+        // subspace, evaluated in ONE scan
+        val perJ = books.zipWithIndex.map { case (cb, j) =>
+          val s = slice(col(embCol), j * d + 1, d)
+          struct(lit(j).as("j"),
+            array_min(Ivf.scoredStructs(s, cb)).getField("i").as("c"),
+            s.as("s"))
+        }
+        val means = vecs.select(explode(array(perJ: _*)).as("__e"))
+          .select(col("__e.j").as("__j"), col("__e.c").as("__c"),
+            posexplode(col("__e.s")).as(Seq("__pos", "__v")))
+          .groupBy("__j", "__c", "__pos")
+          .agg((sum(col("__v").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("__m"))
+          .collect() // m·k·d rows — codebook scale, not data scale
+        val byKey = means
+          .groupBy(r => (r.getAs[Int]("__j"), r.getAs[Int]("__c")))
+        books = books.zipWithIndex.map { case (cb, j) =>
+          cb.zipWithIndex.map { case (w, c) =>
+            byKey.get((j, c)) match {
+              case Some(rows) =>
+                val mv = new Array[Double](d)
+                rows.foreach(r =>
+                  mv(r.getAs[Int]("__pos")) = r.getAs[Double]("__m"))
+                mv.toSeq
+              case None => w // empty codeword keeps its previous value
+            }
+          }
+        }
+      }
+      books
+    } finally vecs.unpersist(blocking = false)
   }
 
   /**

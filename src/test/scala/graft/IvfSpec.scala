@@ -314,4 +314,29 @@ class IvfSpec extends SparkSpec {
         ((r.getInt(2), r.getDouble(3)))).toMap
     assert(viaLiterals == viaJoin)
   }
+
+  test("fused trainCodebooks ≡ the per-subspace Ivf.train reference " +
+      "bit-for-bit (the r15 O(m·iters)→O(iters) job fusion is pure plan)") {
+    import graft.operators.Pq
+    for ((m, k, iters) <- Seq((4, 8, 2), (8, 6, 1))) {
+      val d = 64 / m
+      val fused = Pq.trainCodebooks(emb, "vec_id", "emb", m, k, 64, iters)
+      val ref = (0 until m).map { j =>
+        Ivf.train(emb.select(col("vec_id"),
+          slice(col("emb"), j * d + 1, d).as("__s")), "vec_id", "__s",
+          k, iters)
+      }
+      assert(fused.length == m && ref.length == m)
+      for (j <- 0 until m) {
+        assert(fused(j).length == ref(j).length, s"m=$m j=$j size")
+        fused(j).zip(ref(j)).zipWithIndex.foreach { case ((f, r), c) =>
+          assert(f == r, s"m=$m j=$j codeword $c differs")
+        }
+      }
+    }
+    // empty corpus keeps the m-empty-codebook contract
+    val empty = Pq.trainCodebooks(emb.filter(col("vec_id") < 0),
+      "vec_id", "emb", m = 4, k = 8, dim = 64)
+    assert(empty.length == 4 && empty.forall(_.isEmpty))
+  }
 }
