@@ -298,6 +298,14 @@ object Pq {
     val spark = corpus.sparkSession
     import spark.implicits._
     val books = trainCodebooks(corpus, idCol, embCol, m, k, dim, iters)
+    // empty corpus trains no codewords: an empty result with the
+    // searchIndex schema, not an analysis error (the totality contract
+    // every registered query carries — ContractSpec's 0-row fixture)
+    if (books.exists(_.isEmpty))
+      return corpus.select(col(idCol)).limit(0)
+        .crossJoin(queries.select(col(qIdCol)).limit(0))
+        .select(col(qIdCol), col(idCol), lit(0L).as("rn"),
+          lit(0.0).as("adist"))
     // driver-side |cw|² uses the same left-to-right sum the codegen'd
     // dot expression computes, so serve-time ADC sees exact values
     val cbDf = books.zipWithIndex.flatMap { case (cbJ, j) =>
