@@ -83,6 +83,54 @@ object Bq {
       .select(col(qIdCol), col(idCol), col("rn"), col("hamming"))
   }
 
+  /** In-word bit masks for the MSB-first 32-bit packing: in-word index
+    * p (0-based) sits under mask 2^(31−p). */
+  private val WordMasks: Seq[Long] = (0 until 32).map(p => 1L << (31 - p))
+
+  /** ±1 sign of dimension `i` (0-based lambda column) read from the
+    * PACKED words — pure bitwiseAND arithmetic, no dynamic shift. */
+  private def signAt(words: Column, i: Column): Column = {
+    val word = element_at(words, (i / 32).cast("int") + 1)
+    val mask = element_at(typedlit(WordMasks), pmod(i, lit(32)) + 1)
+    when(word.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L)
+  }
+
+  /**
+   * ASYMMETRIC binary top-k — the recall upgrade at IDENTICAL 8 B/vec
+   * storage: the corpus stays packed sign words, but the query keeps
+   * full precision (micro-ints, the [[Sq]] frame) and scores
+   * Σᵢ sign(xᵢ)·q̂ᵢ — the exact dot of the query against the corpus
+   * vector's sign pattern. Symmetric Hamming throws away the query's
+   * magnitudes AND collapses ranking into ≤ dim+1 distinct values
+   * (huge tie groups, see q_bq_ivf_recall's inversion note); the
+   * asymmetric score is a real-valued surrogate with the same index
+   * bytes — the asymmetric-hashing idea (Dong et al. 2008; FAISS's ADC
+   * applied at 1 bit/dim). Exact integer end to end: signs are ±1 from
+   * the packed words (bitwiseAND against literal masks — no dynamic
+   * shifts), q̂ = round(q·10⁶), |score| ≤ dim·8·10⁶ ≪ 2⁶³. Ranked by
+   * (score desc, vec_id); self-pairs excluded. Returns (q_id, vec_id,
+   * rn, score). */
+  def bqAsymTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+      dim: Int, idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = corpus.select(col(idCol),
+      signWords(col(embCol), dim).as("__b"))
+    val qs = queries.select(col(qIdCol),
+      transform(col(qEmbCol), x => round(x * 1e6, 0).cast("long"))
+        .as("__q"))
+    val scored = codes.crossJoin(broadcast(qs))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("score",
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, i) =>
+          acc + signAt(col("__b"), i) * element_at(col("__q"), i + 1)))
+    val w = Window.partitionBy(qIdCol)
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col(qIdCol), col(idCol), col("rn"), col("score"))
+  }
+
   /** IVF-composed binary search — the production layout ([[Pq
     * .searchIndex]]'s shape with Hamming over sign words as the code
     * distance): codes live per IVF cell, queries probe `nprobe` cells,

@@ -2445,6 +2445,25 @@ object Pipeline {
         .select(col("q_id"), col("vec_id"))
       Similarity.recallAtK(exact, approx, 10)
     }),
+    // L2 — ASYMMETRIC binary recall (Bq.bqAsymTopK): same 8 B/vec index,
+    // query kept at full precision, score = Σ sign(x_i)·q̂_i — the
+    // asymmetric-hashing upgrade over symmetric Hamming (which throws
+    // away query magnitudes and collapses ranking into ≤ 65 tie-heavy
+    // values). Read the 3 binary rows together: symmetric 0.32 <
+    // cell-bounded 0.46 < asymmetric (this row) at identical storage.
+    "q_bq_asym_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val approx = graft.operators.Bq.bqAsymTopK(emb, qs, topK = 10,
+          dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      Similarity.recallAtK(exact, approx, 10)
+    }),
     // L2 — the production composition: binary top-40 candidates → exact
     // cosine refine to 10 (Similarity.refineTopK — the FAISS
     // IndexBinaryFlat + IndexRefine recipe). The recall lift over
@@ -5300,6 +5319,29 @@ object Pipeline {
              FROM bivf) WHERE rn <= 10),
          ${embExactCte(5, 10)}
          ${recallTailSql("bivftop", 10)}""",
+    // Asymmetric binary: the oracle scores the query's micro-ints
+    // against the ±1 sign of each corpus coordinate directly (no
+    // packing) — the engine's packed bitwiseAND sign extraction is
+    // cross-proved by the hash compare.
+    "q_bq_asym_recall" ->
+      s"""WITH $BqCtes,
+         ${embExactCte(5, 10)},
+         qx AS (
+           SELECT q_id, gs.i AS pos,
+             CAST(round(qv[gs.i] * 1000000, 0) AS BIGINT) AS xq
+           FROM q, generate_series(1, 64) AS gs(i)),
+         asc0 AS (
+           SELECT qx.q_id, e.vec_id,
+             sum((CASE WHEN e.v[qx.pos] > 0 THEN 1 ELSE -1 END) * qx.xq)
+               AS score
+           FROM qx JOIN e ON e.vec_id <> qx.q_id
+           GROUP BY qx.q_id, e.vec_id),
+         asctop AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+             FROM asc0) WHERE rn <= 10)
+         ${recallTailSql("asctop", 10)}""",
     "q_bq_refine_recall" ->
       s"""WITH $BqCtes,
          ${embExactCte(5, 10)},

@@ -68,6 +68,40 @@ class BqSpec extends SparkSpec {
     }
   }
 
+  test("bqAsymTopK: packed-word sign extraction scores exactly the " +
+      "driver's sign(x)·round(q·1e6) dot; asym recall beats symmetric " +
+      "on the fixture") {
+    def qMicro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val vecs = emb.filter(col("vec_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val got = Bq.bqAsymTopK(emb.filter(col("vec_id") < 20),
+        qs, topK = 19, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    val qv = vecs.filter(_._1 < 4).toMap
+    vecs.foreach { case (id, v) =>
+      qv.foreach { case (qid, q) =>
+        if (qid != id) {
+          val want = v.zip(q).map { case (x, y) =>
+            (if (x > 0) 1L else -1L) * qMicro(y) }.sum
+          assert(got((qid, id)) == want, s"q=$qid v=$id")
+        }
+      }
+    }
+    // the asymmetric surrogate dominates symmetric Hamming on recall
+    // (real magnitudes + no 65-value tie collapse)
+    def rec(approx: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      Similarity.recallAtK(exact, approx.select("q_id", "vec_id"), 10)
+        .agg(avg("recall")).head().getDouble(0)
+    }
+    val sym = rec(Bq.bqTopK(emb, qs, topK = 10, dim = 64))
+    val asym = rec(Bq.bqAsymTopK(emb, qs, topK = 10, dim = 64))
+    assert(asym >= sym, s"asym $asym < sym $sym")
+  }
+
   test("bqIvfTopK probing ALL cells reproduces flat bqTopK bit-for-bit; " +
       "bounded nprobe returns a subset ranking") {
     val centroids = Ivf.train(emb, "vec_id", "emb", k = 8, iters = 0)
