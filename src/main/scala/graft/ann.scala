@@ -104,6 +104,11 @@ import org.apache.spark.sql.functions._
  * Mutually exclusive with --trained and --sq8; composes with the
  * rotation flags, and --rotate-auto probes the BINARY pipeline (sign
  * bits are basis-dependent, so rotation genuinely moves BQ recall).
+ * `--search --asym` serves the ASYMMETRIC score from the same
+ * artifacts (full-precision query against the stored sign patterns —
+ * the measured recall upgrade at identical index bytes, q_bq_asym_
+ * recall: 0.44 vs 0.32 at sf0.01): adist = −score/10⁶, so --refine
+ * and the result schema compose unchanged.
  *
  * --refine c turns on the FAISS IndexRefine serving shape: ADC proposes
  * the top-c candidates per query from codes only, then the refine stage
@@ -608,26 +613,40 @@ object Ann {
     * packed sign words against the query's words — [[graft.operators
     * .Bq.bqIvfTopK]]'s algebra over the persisted artifacts. adist =
     * the Hamming distance as a double (≤ dim — exact), keeping the
-    * `Pq.searchIndex` column convention so --refine composes. */
+    * `Pq.searchIndex` column convention so --refine composes.
+    *
+    * `asym = true` (--asym) serves the ASYMMETRIC score instead — the
+    * full-precision query dotted against each candidate's sign pattern
+    * ([[graft.operators.Bq.bqAsymTopK]]'s algebra, the measured recall
+    * upgrade at the SAME index bytes: q_bq_asym_recall) — adist =
+    * −score/10⁶ so smaller still means closer and --refine composes
+    * unchanged. Same artifacts, same probes; only the per-candidate
+    * expression differs. */
   private def bqServe(spark: SparkSession, indexDir: String, meta: Meta,
       qs: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
-      selfFilter: Boolean): DataFrame = {
+      selfFilter: Boolean, asym: Boolean = false): DataFrame = {
     import graft.operators.Bq
     val codes = spark.read.parquet(s"$indexDir/codes.parquet")
       .select(col(meta.idCol), col("cell").as("__cell"), col("bcode"))
     val probes = qs.select(col("q_id"),
       explode(Ivf.probeList(col("q_emb"), centroids, nprobe)).as("__cell"),
-      Bq.signWords(col("q_emb"), meta.dim).as("__qb"))
+      Bq.signWords(col("q_emb"), meta.dim).as("__qb"),
+      transform(col("q_emb"), x => round(x * 1e6, 0).cast("long"))
+        .as("__qm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("__h"), col(meta.idCol))
-    codes.join(broadcast(probes), Seq("__cell"))
+    val scored = codes.join(broadcast(probes), Seq("__cell"))
       .filter(if (selfFilter) col(meta.idCol) =!= col("q_id")
         else lit(true))
-      .withColumn("__h", Bq.hamming(col("bcode"), col("__qb")))
-      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("__h",
+        if (asym)
+          (-Bq.asymScore(col("bcode"), col("__qm"), meta.dim)
+            .cast("double")) / lit(1e6)
+        else Bq.hamming(col("bcode"), col("__qb")).cast("double"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= topK)
       .select(col("q_id"), col(meta.idCol), col("rn"),
-        col("__h").cast("double").as("adist"))
+        col("__h").as("adist"))
   }
 
   /** Serve top-k from a built index; the result is also returned.
@@ -638,8 +657,11 @@ object Ann {
       outDir: Option[String], topK: Int, nprobe: Int,
       qIdCol: String, qVecCol: String,
       selfFilter: Boolean = true,
-      refine: Option[(Int, String)] = None): DataFrame = {
+      refine: Option[(Int, String)] = None,
+      asym: Boolean = false): DataFrame = {
     val meta = readMeta(indexDir)
+    require(!asym || meta.qt == 2,
+      "--asym serves binary (qt=2) indexes only")
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
@@ -658,7 +680,7 @@ object Ann {
     val adc = if (meta.qt == 1) sq8Serve(spark, indexDir, meta, qs,
       centroids, nprobe, adcK, selfFilter)
     else if (meta.qt == 2) bqServe(spark, indexDir, meta, qs,
-      centroids, nprobe, adcK, selfFilter)
+      centroids, nprobe, adcK, selfFilter, asym = asym)
     else {
       val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
         .select(col("j"), col("c").as("__c"), col("cw").as("__cw"),
@@ -710,7 +732,7 @@ object Ann {
     "k", "iters", "m", "codes", "dim",
     "trained", "sq8", "bq", "rotate", "rotate-pca", "rotate-pca2",
     "rotate-auto", "probe-sample",
-    "topk", "nprobe", "no-self-filter", "refine", "raw")
+    "topk", "nprobe", "no-self-filter", "refine", "raw", "asym")
 
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).map(_.drop(2)).toSet
@@ -750,7 +772,8 @@ object Ann {
         val res = search(spark, opt("index").get, opt("data").get,
           opt("out"), intOpt("topk", 10), intOpt("nprobe", 4),
           opt("id").getOrElse("vec_id"), opt("vec").getOrElse("embedding"),
-          selfFilter = !flags("no-self-filter"), refine = refine)
+          selfFilter = !flags("no-self-filter"), refine = refine,
+          asym = flags("asym"))
         println(s"""{"results":${res.count()}}""")
       } else if (flags("append")) {
         val n = append(spark, opt("index").get, opt("data").get,

@@ -110,6 +110,14 @@ object Bq {
    * shifts), q̂ = round(q·10⁶), |score| ≤ dim·8·10⁶ ≪ 2⁶³. Ranked by
    * (score desc, vec_id); self-pairs excluded. Returns (q_id, vec_id,
    * rn, score). */
+  /** The asymmetric score Σᵢ sign(xᵢ)·q̂ᵢ of a micro-int query column
+    * against packed sign words — shared by [[bqAsymTopK]] and the
+    * `Ann --asym` serving path so batch and artifact serving can never
+    * disagree. Exact long: |score| ≤ dim·8·10⁶ ≪ 2⁶³. */
+  def asymScore(words: Column, qMicro: Column, dim: Int): Column =
+    aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, i) =>
+      acc + signAt(words, i) * element_at(qMicro, i + 1))
+
   def bqAsymTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
       dim: Int, idCol: String = "vec_id", embCol: String = "emb",
       qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
@@ -121,9 +129,7 @@ object Bq {
         .as("__q"))
     val scored = codes.crossJoin(broadcast(qs))
       .filter(col(idCol) =!= col(qIdCol))
-      .withColumn("score",
-        aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, i) =>
-          acc + signAt(col("__b"), i) * element_at(col("__q"), i + 1)))
+      .withColumn("score", asymScore(col("__b"), col("__q"), dim))
     val w = Window.partitionBy(qIdCol)
       .orderBy(col("score").desc, col(idCol))
     scored.withColumn("rn", row_number().over(w).cast("long"))

@@ -158,6 +158,24 @@ class BqSpec extends SparkSpec {
       refine = Some((10, data)))
     assert(refined.filter(col("q_id") < 4).count() > 0)
     assert(refined.columns.contains("cosine"))
+    // --asym at full probe ≡ flat bqAsymTopK (adist = -score/1e6)
+    val servedAsym = Ann.search(spark, idx, data, None, topK = 5,
+        nprobe = 8, qIdCol = "vec_id", qVecCol = "embedding", asym = true)
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val flatAsym = Bq.bqAsymTopK(emb, qs, topK = 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        -r.getLong(3).toDouble / 1e6)).toSet
+    assert(servedAsym == flatAsym, "served --asym must equal flat asym")
+    // --asym refuses non-binary indexes
+    intercept[IllegalArgumentException] {
+      val pqIdx = tmp("pq")
+      Ann.build(spark, data, pqIdx, k = 8, iters = 1, m = 4, codes = 8,
+        dim = 64, idCol = "vec_id", vecCol = "embedding")
+      Ann.search(spark, pqIdx, data, None, topK = 3, nprobe = 3,
+        qIdCol = "vec_id", qVecCol = "embedding", asym = true)
+    }
     // append ≡ rebuild over the union: signs are stateless, so the
     // grown index is bit-identical to building on everything at once
     // (modulo the k=8 seed rows living in the initial split — satisfied)
