@@ -137,15 +137,13 @@ import org.apache.spark.sql.functions._
 object Ann {
   val MetaFile = "ann.meta.json"
 
-  /** Fail fast (scan-local `raise_error`, no extra job) on any vector
-    * whose length ≠ the index dim: DotProduct truncates to min(len), so
-    * a wrong-dimension vector would SILENTLY write wrong cell/code rows
-    * — fatal for --append, which mutates a persisted serving artifact. */
+  /** The shared ingress dimension guard ([[VectorOps.requireDim]] —
+    * hoisted r15 so Ann and the streaming twins can never drift):
+    * wrong-dimension vectors fail fast instead of silently writing
+    * wrong cell/code rows into a persisted serving artifact. */
   private def requireDim(vec: org.apache.spark.sql.Column, dim: Int,
       what: String): org.apache.spark.sql.Column =
-    when(size(vec) === dim, vec).otherwise(raise_error(concat(
-      lit(s"$what: vector dim must be $dim, got "),
-      size(vec).cast("string"))))
+    VectorOps.requireDim(vec, dim, what)
 
   /** `rot` declares the index's SPACE: 0 = plain; 1 = Walsh–Hadamard
     * ([[graft.operators.Opq.rotate]], --rotate at build); 2 = the
@@ -262,18 +260,6 @@ object Ann {
   /** The four rotation modes by `rot` code, for artifacts and logs. */
   val RotNames: Vector[String] = Vector("plain", "wht", "pca1", "pca2")
 
-  /** IVF-ADC top-k under TRAINED per-subspace codebooks — the probe-side
-    * twin of the `--trained` build path (trainCodebooks → encodeWith →
-    * searchIndex), so [[probeRotation]] can measure the quantizer a
-    * trained build actually serves with. Corpus columns are the probe's
-    * re-keyed (vec_id, emb) convention. Sample-scale by construction
-    * (the probe caller bounds the corpus to `sampleN` rows). */
-  private def trainedIvfAdcTopK(corpus: DataFrame, queries: DataFrame,
-      centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
-      m: Int, codes: Int, dim: Int): DataFrame =
-    Pq.ivfAdcTrainedTopK(corpus, queries, centroids, nprobe, topK,
-      m, codes, dim)
-
   /**
    * Measured rotation-mode selection (--rotate-auto): mean recall@10 of
    * the fixed-quantizer IVF-PQ pipeline under each of the four rotation
@@ -304,14 +290,16 @@ object Ann {
    * rotation responds to per-dim range balance under SQ8 and to
    * subspace energy balance under PQ, and the two can disagree.
    * Likewise `trained = true` probes with sample-trained Lloyd
-   * codebooks ([[trainedIvfAdcTopK]]) instead of the fixed first-k
+   * codebooks ([[graft.operators.Pq.ivfAdcTrainedTopK]], at the
+   * build's --iters) instead of the fixed first-k
    * quantizer, so a `--trained --rotate-auto` build selects its
    * rotation from the codebook family it will actually serve with.
    */
   def probeRotation(plain: DataFrame, idCol: String, dim: Int, k: Int,
       m: Int, codes: Int, nprobe: Int = 4, sampleN: Int = 20000,
       nQueries: Int = 40, sq8: Boolean = false,
-      trained: Boolean = false, bq: Boolean = false): (Int, Seq[(Int, Double)]) = {
+      trained: Boolean = false, bq: Boolean = false,
+      trainedIters: Int = 2): (Int, Seq[(Int, Double)]) = {
     import graft.operators.{Opq, Pca, Similarity}
     val w = org.apache.spark.sql.expressions.Window.orderBy("__h", idCol)
     val sample = plain
@@ -347,8 +335,10 @@ object Ann {
         graft.operators.Bq.bqIvfTopK(f, qs, centroids, topK = 10,
           nprobe = nprobe, dim = dim)
       else if (trained)
-        trainedIvfAdcTopK(f, qs, centroids, nprobe, topK = 10,
-          m = m, codes = codes, dim = dim)
+        // the build's --iters, so the probe measures the codebook
+        // family the index will actually serve with
+        Pq.ivfAdcTrainedTopK(f, qs, centroids, nprobe, topK = 10,
+          m = m, k = codes, dim = dim, iters = trainedIters)
       else Pq.ivfAdcTopK(f, qs, centroids, nprobe, topK = 10,
         m = m, k = codes, dim = dim))
         .select(col("q_id"), col("vec_id"))
@@ -406,7 +396,8 @@ object Ann {
       // energy balance, trained codebooks adapt to whatever balance the
       // rotation leaves — the best mode can differ between all three)
       val (best, recalls) = probeRotation(plain, idCol, dim, k, m, codes,
-        sampleN = probeSampleN, sq8 = sq8, trained = trained, bq = bq)
+        sampleN = probeSampleN, sq8 = sq8, trained = trained, bq = bq,
+        trainedIters = iters)
       val measured = recalls
         .map { case (r, v) => s""""${RotNames(r)}":$v""" }.mkString(",")
       val qName = if (sq8) "sq8" else if (bq) "bq"
@@ -421,12 +412,29 @@ object Ann {
     } else {
       // a rebuild with an EXPLICIT mode into a dir that previously held
       // an auto build must not leave a stale probe artifact beside a
-      // meta it no longer describes (mode overwrite semantics replace
-      // every other artifact)
+      // meta it no longer describes
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(outDir, "rotation_probe.json"))
       if (rotatePca2) 3 else if (rotatePca) 2 else if (rotate) 1 else 0
     }
+    // mode-overwrite semantics must hold for EVERY artifact, not just
+    // the probe: a quantizer/rotation change rebuilding into the same
+    // dir removes the artifacts the new mode does not write (a --bq
+    // rebuild over a --trained index must not leave codebook.parquet
+    // beside a qt=2 meta; a plain rebuild over a learned-rotation index
+    // must not leave rotation.parquet), so the directory stays
+    // self-describing.
+    def deleteArtifact(name: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val f = new java.io.File(outDir, name)
+      if (f.exists()) rm(f)
+    }
+    if (sq8 || bq) deleteArtifact("codebook.parquet")
+    if (!sq8) deleteArtifact("scales.parquet")
+    if (rot < 2) deleteArtifact(RotationFile)
     val us: Seq[Array[Long]] = rot match {
       case 2 => Seq(graft.operators.Opq.householderFromPca(
         graft.operators.Pca.topDirection(plain, "emb", dim)))
@@ -481,10 +489,12 @@ object Ann {
             (j, c, w, w.foldLeft(0.0)((s, x) => s + x * x))
           }
         }.toDF("j", "__c", "__cw", "__cwn2")
+        // cell + encode in ONE scan (the carry rides the explode — no
+        // corpus-scale self-join to re-attach it)
         val withCell = emb.withColumn("cell",
           Ivf.nearestCentroid(col("emb"), centroids))
-        val cd = Pq.encodeWith(withCell, idCol, "emb", books)
-          .join(withCell.select(col(idCol), col("cell")), idCol)
+        val cd = Pq.encodeWith(withCell, idCol, "emb", books,
+            carry = Seq("cell"))
           .select(col(idCol), col("cell"), col("j"), col("code"))
         (cd, Some(cbDf))
       }
@@ -552,8 +562,7 @@ object Ann {
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
       val books: Seq[Seq[Seq[Double]]] = (0 until meta.m).map(j =>
         cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq)
-      Pq.encodeWith(fresh, meta.idCol, "__e", books)
-        .join(fresh.select(col(meta.idCol), col("cell")), Seq(meta.idCol))
+      Pq.encodeWith(fresh, meta.idCol, "__e", books, carry = Seq("cell"))
         .select(col(meta.idCol), col("cell"), col("j"), col("code"))
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = codes.select(col(meta.idCol)).distinct().count()
@@ -628,11 +637,14 @@ object Ann {
     import graft.operators.Bq
     val codes = spark.read.parquet(s"$indexDir/codes.parquet")
       .select(col(meta.idCol), col("cell").as("__cell"), col("bcode"))
+    // only the representation the chosen mode scores with is computed
+    // and broadcast (packed words for Hamming, micro-ints for asym)
+    val qRep = if (asym)
+      transform(col("q_emb"), x => round(x * 1e6, 0).cast("long"))
+    else Bq.signWords(col("q_emb"), meta.dim)
     val probes = qs.select(col("q_id"),
       explode(Ivf.probeList(col("q_emb"), centroids, nprobe)).as("__cell"),
-      Bq.signWords(col("q_emb"), meta.dim).as("__qb"),
-      transform(col("q_emb"), x => round(x * 1e6, 0).cast("long"))
-        .as("__qm"))
+      qRep.as("__qr"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("__h"), col(meta.idCol))
     val scored = codes.join(broadcast(probes), Seq("__cell"))
@@ -640,9 +652,9 @@ object Ann {
         else lit(true))
       .withColumn("__h",
         if (asym)
-          (-Bq.asymScore(col("bcode"), col("__qm"), meta.dim)
+          (-Bq.asymScore(col("bcode"), col("__qr"), meta.dim)
             .cast("double")) / lit(1e6)
-        else Bq.hamming(col("bcode"), col("__qb")).cast("double"))
+        else Bq.hamming(col("bcode"), col("__qr")).cast("double"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= topK)
       .select(col("q_id"), col(meta.idCol), col("rn"),

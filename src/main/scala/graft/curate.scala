@@ -457,17 +457,19 @@ object Curate {
 
     // 4. leak-free split: gate on the cluster label (fuzzy joins it back;
     //    soft already carries it as __cluster) or the doc id (exact/none —
-    //    there are no cross-doc duplicates left to leak)
-    val withKey =
-      if (budgeted.columns.contains("__cluster"))
+    //    there are no cross-doc duplicates left to leak). Mode-dispatched
+    //    on the CONFIG, never on schema sniffing — an input corpus that
+    //    happens to carry a __cluster column must not hijack the split key
+    val withKey = c.dedup match {
+      case "soft" =>
         budgeted.withColumn("__skey", col("__cluster")).drop("__cluster")
-      else labels match {
-        case Some(lbl) =>
-          budgeted.join(lbl, budgeted("doc_id") === lbl("id"), "left")
-            .withColumn("__skey", coalesce(col("comp"), col("doc_id")))
-            .drop("id", "comp")
-        case None => budgeted.withColumn("__skey", col("doc_id"))
-      }
+      case "fuzzy" =>
+        val lbl = labels.get
+        budgeted.join(lbl, budgeted("doc_id") === lbl("id"), "left")
+          .withColumn("__skey", coalesce(col("comp"), col("doc_id")))
+          .drop("id", "comp")
+      case _ => budgeted.withColumn("__skey", col("doc_id"))
+    }
     val isVal = Sampling.hashHex4(col("__skey"), "curate-split") <
       lit(c.valThresholdHex)
     val split = withKey

@@ -18,6 +18,17 @@ object VectorOps {
   /** `array<float>` → `array<double>` (exact widening). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Fail fast (scan-local `raise_error`, no extra job) on any vector
+    * whose length ≠ `dim`: [[dot]]/zip_with truncate or null-pad to
+    * min(len), so a wrong-dimension vector would SILENTLY produce wrong
+    * scores/cells/codes — fatal anywhere the result feeds a persisted
+    * serving artifact (Ann --build/--append/--search, the streaming
+    * index ingests). Shared so every ingress path guards identically. */
+  def requireDim(vec: Column, dim: Int, what: String): Column =
+    when(size(vec) === dim, vec).otherwise(raise_error(concat(
+      lit(s"$what: vector dim must be $dim, got "),
+      size(vec).cast("string"))))
+
   /**
    * Sequential dot product of two double arrays — the codegen'd
    * [[DotProduct]] expression (bit-identical to the higher-order-function

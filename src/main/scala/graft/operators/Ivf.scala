@@ -173,19 +173,24 @@ object Ivf {
    * is the same lexicographic (distance, index) tie-break — IvfSpec
    * pins join ≡ literal on the fixture.
    *
-   * Returns (idCol, embCol, ivf_cell). Rows with NULL/empty embeddings
-   * drop (they score against nothing — the caller filters upstream,
-   * as every quantizer path here does).
+   * Returns (idCol, embCol, ivf_cell), one row PER INPUT ROW — the
+   * collapse group key is a per-row surrogate (monotonic id, assigned
+   * before the fan-out), not (id, emb), so duplicated rows keep their
+   * multiplicity and [[trainJoin]]'s Lloyd means weight them exactly
+   * like [[train]]'s. Rows with NULL/empty embeddings drop (they score
+   * against nothing — the caller filters upstream, as every quantizer
+   * path here does).
    */
   def assignJoin(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame): DataFrame = {
     val cb = centroids.select(col("cell").as("__cc"),
       col("vec").as("__cv"), dot(col("vec"), col("vec")).as("__cn2"))
     df.select(col(idCol), col(embCol))
+      .withColumn("__row", monotonically_increasing_id())
       .crossJoin(broadcast(cb))
       .withColumn("__key",
         lit(-2.0) * dot(col(embCol), col("__cv")) + col("__cn2"))
-      .groupBy(col(idCol), col(embCol))
+      .groupBy(col("__row"), col(idCol), col(embCol))
       .agg(min(struct(col("__key").as("d"), col("__cc").as("i"))).as("__m"))
       .select(col(idCol), col(embCol), col("__m.i").as("ivf_cell"))
   }

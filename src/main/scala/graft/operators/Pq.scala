@@ -205,7 +205,8 @@ object Pq {
    * driver-codebook twin of [[encodeFixed]]'s join-based shape.
    */
   def encodeWith(df: DataFrame, idCol: String, embCol: String,
-      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+      codebooks: Seq[Seq[Seq[Double]]],
+      carry: Seq[String] = Nil): DataFrame = {
     require(codebooks.nonEmpty && codebooks.head.nonEmpty, "empty codebooks")
     val d = codebooks.head.head.length
     // per-subspace argmin via Ivf.scoredStructs: unrolled below its
@@ -213,15 +214,20 @@ object Pq {
     // — at production PQ sizes (m=8–16, k=256) an unrolled form would
     // janino-compile m·k·d-term methods (the q_semdedup_trained blowup);
     // the loop form keeps the expression tree O(m) whatever k is.
+    // `carry` columns ride through the explode (row constants per input
+    // row), so a caller that computed e.g. the IVF cell in the same scan
+    // never pays a corpus-scale join to re-attach it.
     val perSubspace = codebooks.zipWithIndex.map { case (cb, j) =>
       val s = slice(col(embCol), j * d + 1, d)
       val best = array_min(Ivf.scoredStructs(s, cb))
       struct(lit(j.toLong).as("j"), best.getField("i").as("code"),
         round(dot(s, s) + best.getField("d"), 6).as("err"))
     }
-    df.select(col(idCol), explode(array(perSubspace: _*)).as("__e"))
-      .select(col(idCol), col("__e.j").as("j"), col("__e.code").as("code"),
-        col("__e.err").as("err"))
+    df.select(col(idCol) +: carry.map(col) :+
+        explode(array(perSubspace: _*)).as("__e"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("__e.j").as("j") :+ col("__e.code").as("code") :+
+        col("__e.err").as("err"): _*)
   }
 
   /**
@@ -313,10 +319,13 @@ object Pq {
         (j, c, w, w.foldLeft(0.0)((s, x) => s + x * x))
       }
     }.toDF("j", "__c", "__cw", "__cwn2")
+    // ONE corpus scan: the cell expression and the m-subspace encode
+    // evaluate together, the cell riding through the encode explode as a
+    // carry column — no corpus-scale self-join to re-attach it
     val withCell = corpus.withColumn("__cell",
       Ivf.nearestCentroid(col(embCol), centroids))
-    val cd = encodeWith(withCell, idCol, embCol, books)
-      .join(withCell.select(col(idCol), col("__cell")), idCol)
+    val cd = encodeWith(withCell, idCol, embCol, books,
+        carry = Seq("__cell"))
       .select(col(idCol), col("__cell"), col("j"), col("code"))
     searchIndex(cd, cbDf, queries, centroids, nprobe, topK, m, dim,
       idCol, qIdCol, qEmbCol)

@@ -242,7 +242,10 @@ object Sampling {
       .withColumn("shard",
         shardOfHash(hashHexFull(col(keyCol), salt), nShards))
       .withColumn("bucket", bucket)
-      .withColumn("__rn", row_number().over(w) - 1)
+      // long: __rn * bucket would wrap (or throw under ANSI) as 32-bit
+      // once a (shard, bucket) group passes 2^31/bucket rows — reachable
+      // at the corpus scale this operator targets
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
       // per-sequence slots = capacity div bucket (both powers of two,
       // so the division is exact); `div`/`%` keep it integer arithmetic
       .withColumn("seq_id",

@@ -16,16 +16,12 @@ import org.apache.spark.sql.functions._
  * store only retains windows newer than the watermark horizon.
  */
 object Streams {
-  /** Fail fast (scan-local, no extra job) on any streamed vector whose
-    * length ≠ the frozen quantizer's dim — `Ann --append`'s requireDim
-    * for the streaming twins: DotProduct/zip_with truncate or null-pad
-    * to min(len), so a wrong-dimension vector would SILENTLY fold wrong
-    * cell/code rows into a maintained serving artifact. */
+  // the shared ingress dimension guard — same raise_error expression as
+  // Ann --build/--append/--search (hoisted r15, one definition to rule
+  // every quantizer ingress)
   private def requireDim(vec: org.apache.spark.sql.Column, dim: Int,
       what: String): org.apache.spark.sql.Column =
-    when(size(vec) === dim, vec).otherwise(raise_error(concat(
-      lit(s"$what: vector dim must be $dim, got "),
-      size(vec).cast("string"))))
+    graft.functions.VectorOps.requireDim(vec, dim, what)
 
   /** T1 — tumbling 5-minute counts per event type, 10-minute watermark. */
   def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
@@ -776,8 +772,8 @@ object Streams {
         val withCell = clean.withColumn("cell",
           graft.operators.Ivf.nearestCentroid(col(embCol), centroids))
         val fresh = graft.operators.Pq
-          .encodeWith(withCell, idCol, embCol, codebooks)
-          .join(withCell.select(col(idCol), col("cell")), Seq(idCol))
+          .encodeWith(withCell, idCol, embCol, codebooks,
+            carry = Seq("cell"))
           .select(col(idCol), col("cell"), col("j"), col("code"))
         codes = codes.unionByName(fresh).localCheckpoint()
         onUpdate(codes, epoch)

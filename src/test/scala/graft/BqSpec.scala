@@ -168,11 +168,12 @@ class BqSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         -r.getLong(3).toDouble / 1e6)).toSet
     assert(servedAsym == flatAsym, "served --asym must equal flat asym")
-    // --asym refuses non-binary indexes
+    // --asym refuses non-binary indexes (build OUTSIDE the intercept so
+    // a build-side IllegalArgumentException can't pass the test vacuously)
+    val pqIdx = tmp("pq")
+    Ann.build(spark, data, pqIdx, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding")
     intercept[IllegalArgumentException] {
-      val pqIdx = tmp("pq")
-      Ann.build(spark, data, pqIdx, k = 8, iters = 1, m = 4, codes = 8,
-        dim = 64, idCol = "vec_id", vecCol = "embedding")
       Ann.search(spark, pqIdx, data, None, topK = 3, nprobe = 3,
         qIdCol = "vec_id", qVecCol = "embedding", asym = true)
     }

@@ -540,5 +540,16 @@ class CurateSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curate.runDelta(docs.limit(0), docs, c)
     }
+    // an INPUT corpus that happens to carry a __cluster column must not
+    // hijack the split key of the non-soft modes: a constant stray
+    // column would put EVERY doc on one side if it were used as the key,
+    // so the poisoned run's split must equal the clean run's exactly
+    def trainIds(r: Curate.Curated) =
+      r.train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cNone = c.copy(dedup = "none", valThresholdHex = "8000")
+    val clean = Curate.run(docs, cNone)
+    val pois = Curate.run(docs.withColumn("__cluster", lit(999L)), cNone)
+    assert(trainIds(pois) == trainIds(clean),
+      "a stray __cluster input column must not move the split")
   }
 }
