@@ -44,6 +44,11 @@ object Pipeline {
     * shared with its oracle SQL): candK bounds the lexical recall stage,
     * topK the reranked output. */
   private val RerankCandK = 20
+
+  /** Projected dimensions the JL recall curve measures (q_jl_recall) —
+    * shared by the engine query and its oracle so the plane bases can
+    * never diverge. */
+  private val JlDims = Seq(16, 32)
   private val RerankTopK = 5
 
   /** The whitespace token splitter as a DuckDB fragment. Built in a
@@ -2445,6 +2450,44 @@ object Pipeline {
         .select(col("q_id"), col("vec_id"))
       Similarity.recallAtK(exact, approx, 10)
     }),
+    // L2 — Johnson–Lindenstrauss random-projection recall: the
+    // DIMENSIONALITY axis of the compression grid (the quantization
+    // axis is SQ8/PQ/BQ) — project dim 64 → 16 through the seeded
+    // Gaussian plane basis (Similarity.hyperplanes, the sign-LSH basis
+    // WITHOUT the sign: JL says random projections preserve pairwise
+    // geometry in expectation), rank by exact cosine IN THE PROJECTED
+    // space, measure recall@10 vs the full-dimension truth, as a CURVE
+    // over proj_dim ∈ {16, 32}. 2-4× fewer bytes AND cheaper dots per
+    // candidate; the projection is one scan-local select of codegen'd
+    // graft_dot literals. Both engines compute the identical sequential
+    // double dots, so the whole row hash-checks (the q_sim_lsh_topk
+    // plane convention). Measured: 0.10 at BOTH dims on the harness
+    // fixtures — the synthetic embeddings are near-isotropic
+    // (q_pca_variance), so top-10 margins sit inside projection noise;
+    // the row exists to MEASURE that trade per corpus (on real
+    // embeddings with decaying spectra the curve rises toward 1), the
+    // same role the rotation probe plays for quantizer modes.
+    "q_jl_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      JlDims.map { d =>
+        val planes = Similarity.hyperplanes(d, 64)
+        def proj(c: org.apache.spark.sql.Column) =
+          array(planes.map(p => VectorOps.dot(c, typedlit(p))): _*)
+        val approx = Similarity.exactTopK(
+            emb.select(col("vec_id"), proj(col("emb")).as("emb")),
+            qs.select(col("q_id"), proj(col("q_emb")).as("q_emb")), 10)
+          .select(col("q_id"), col("vec_id"))
+        Similarity.recallAtK(exact, approx, 10)
+          .select(lit(d.toLong).as("proj_dim"), col("q_id"),
+            col("n_hit"), col("recall"))
+      }.reduce(_ unionByName _).orderBy("proj_dim", "q_id")
+    }),
     // L2 — ASYMMETRIC binary recall (Bq.bqAsymTopK): same 8 B/vec index,
     // query kept at full precision, score = Σ sign(x_i)·q̂_i — the
     // asymmetric-hashing upgrade over symmetric Hamming (which throws
@@ -3673,6 +3716,16 @@ object Pipeline {
    * DOUBLE[] sums sequentially like our codegen'd loop (proven bit-stable
    * by q_sim_exact), so the >= 0 sign test agrees exactly.
    */
+  /** The JL projection as a DuckDB list literal expression: one
+    * list_dot_product per plane, plane literals rendered with the same
+    * Double.toString the engine's typedlit carries (the lshBucketSql
+    * convention — both engines then run identical sequential dots). */
+  private def jlProjSql(planes: Seq[Seq[Double]], embExpr: String): String =
+    planes.map { p =>
+      val lits = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"list_dot_product($embExpr::DOUBLE[], $lits::DOUBLE[])"
+    }.mkString("list_value(", ", ", ")")
+
   private def lshBucketSql(planes: Seq[Seq[Double]], embExpr: String): String =
     "cast(" + planes.zipWithIndex.map { case (p, i) =>
       val lits = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
@@ -5319,6 +5372,44 @@ object Pipeline {
              FROM bivf) WHERE rn <= 10),
          ${embExactCte(5, 10)}
          ${recallTailSql("bivftop", 10)}""",
+    // JL projection: project through the same seeded plane literals the
+    // engine unrolls, exact cosine in the 16-dim space, recall vs the
+    // full-dimension truth.
+    "q_jl_recall" -> {
+      val blocks = JlDims.map { d =>
+        val proj = jlProjSql(
+          graft.operators.Similarity.hyperplanes(d, 64), "embedding")
+        s"""pe$d AS (SELECT vec_id, $proj AS pv FROM embeddings),
+           ptop$d AS (
+             SELECT q_id, vec_id FROM (
+               SELECT q_id, vec_id, row_number() OVER (
+                 PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+               FROM (
+                 SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+                   list_dot_product(x.pv, q.pv) /
+                     (sqrt(list_dot_product(x.pv, x.pv))
+                      * sqrt(list_dot_product(q.pv, q.pv))) AS cos
+                 FROM pe$d q JOIN pe$d x
+                   ON q.vec_id < 5 AND x.vec_id <> q.vec_id))
+             WHERE rn <= 10),
+           rec$d AS (
+             SELECT CAST($d AS BIGINT) AS proj_dim, exact.q_id,
+               cast(sum(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END)
+                 AS bigint) AS n_hit,
+               cast(sum(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END)
+                 AS double) / 10 AS recall
+             FROM exact LEFT JOIN ptop$d r
+               ON exact.q_id = r.q_id AND exact.vec_id = r.vec_id
+             GROUP BY exact.q_id)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+         ${embExactCte(5, 10)},
+         $blocks
+         SELECT * FROM (${JlDims.map(d => s"SELECT * FROM rec$d")
+           .mkString(" UNION ALL ")})
+         ORDER BY proj_dim, q_id"""
+    },
     // Asymmetric binary: the oracle scores the query's micro-ints
     // against the ±1 sign of each corpus coordinate directly (no
     // packing) — the engine's packed bitwiseAND sign extraction is
