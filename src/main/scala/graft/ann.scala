@@ -386,6 +386,11 @@ object Ann {
     require(!(bq && sq8) && !(bq && trained),
       "--bq is mutually exclusive with --sq8 and --trained " +
         "(sign packing has no codebook or scales)")
+    // cheap preconditions fail BEFORE any prior artifact is touched —
+    // a --bq build with a bad dim must not strand an existing index
+    // (Bq.signWords would only throw after the deletes below)
+    if (bq) require(dim >= 32 && dim % 32 == 0,
+      s"--bq requires dim to be a positive multiple of 32, got $dim")
     val plain = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
@@ -410,31 +415,8 @@ object Ann {
       java.nio.file.Files.write(p, probeJson.getBytes("UTF-8"))
       best
     } else {
-      // a rebuild with an EXPLICIT mode into a dir that previously held
-      // an auto build must not leave a stale probe artifact beside a
-      // meta it no longer describes
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(outDir, "rotation_probe.json"))
       if (rotatePca2) 3 else if (rotatePca) 2 else if (rotate) 1 else 0
     }
-    // mode-overwrite semantics must hold for EVERY artifact, not just
-    // the probe: a quantizer/rotation change rebuilding into the same
-    // dir removes the artifacts the new mode does not write (a --bq
-    // rebuild over a --trained index must not leave codebook.parquet
-    // beside a qt=2 meta; a plain rebuild over a learned-rotation index
-    // must not leave rotation.parquet), so the directory stays
-    // self-describing.
-    def deleteArtifact(name: String): Unit = {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      val f = new java.io.File(outDir, name)
-      if (f.exists()) rm(f)
-    }
-    if (sq8 || bq) deleteArtifact("codebook.parquet")
-    if (!sq8) deleteArtifact("scales.parquet")
-    if (rot < 2) deleteArtifact(RotationFile)
     val us: Seq[Array[Long]] = rot match {
       case 2 => Seq(graft.operators.Opq.householderFromPca(
         graft.operators.Pca.topDirection(plain, "emb", dim)))
@@ -444,7 +426,10 @@ object Ann {
         Seq(u1, graft.operators.Opq.householder2FromPca(d2, u1))
       case _ => Nil
     }
-    if (us.nonEmpty) writeRotation(spark, outDir, us)
+    // rotation is persisted LATE (beside the deletes before writeMeta):
+    // the build itself consumes the in-memory `us` axes, and writing the
+    // file here would let a midway-failing rot=2 rebuild overwrite the
+    // 2-axis rotation a still-current rot=3 meta points at
     // rotated builds persist the frame: Ivf.train and the encode below
     // both scan it, and without the persist the corpus-scale rotation
     // re-runs per consumer (the q_opq_pca_recall r12 finding)
@@ -513,6 +498,32 @@ object Ann {
     // so repeated programmatic builds in one session don't accumulate
     // blocks (the Scale.releaseAfterUse convention)
     if (rot != 0) emb.unpersist(blocking = false)
+    // mode-overwrite semantics must hold for EVERY artifact, not just
+    // the probe: a quantizer/rotation change rebuilding into the same
+    // dir removes the artifacts the new mode does not write (a --bq
+    // rebuild over a --trained index must not leave codebook.parquet
+    // beside a qt=2 meta; a plain rebuild over a learned-rotation index
+    // must not leave rotation.parquet), so the directory stays
+    // self-describing. Deletion is DEFERRED to here — after every new
+    // artifact has been written, just before the meta flips — so a
+    // build that fails midway leaves the prior index fully serveable
+    // (its meta still points at files that still exist).
+    def deleteArtifact(name: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val f = new java.io.File(outDir, name)
+      if (f.exists()) rm(f)
+    }
+    if (sq8 || bq) deleteArtifact("codebook.parquet")
+    if (!sq8) deleteArtifact("scales.parquet")
+    if (rot < 2) deleteArtifact(RotationFile) else writeRotation(spark, outDir, us)
+    // a rebuild with an EXPLICIT mode into a dir that previously held
+    // an auto build must not leave a stale probe artifact beside a
+    // meta it no longer describes
+    if (!rotateAuto) java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(outDir, "rotation_probe.json"))
     writeMeta(outDir,
       Meta(k, iters, m, codes, dim, idCol, rot,
         qt = if (sq8) 1 else if (bq) 2 else 0))

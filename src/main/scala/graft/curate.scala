@@ -403,8 +403,12 @@ object Curate {
         val lbl = Dedup.connectedComponents(edges, "a", "b")
         // q_dedup_soft's exact weight: 1/|cluster| over the CC labels,
         // singletons (no label) weigh 1. The cluster-size aggregate is
-        // one hash shuffle on the label; mass is conserved by
-        // construction (Σ weight per cluster = 1).
+        // one hash shuffle on the label; mass is conserved up to the
+        // round(·, 6) below (a cluster of 3 sums to 0.999999 —
+        // CurateSpec asserts conservation to 1e-4, not exactly), and a
+        // LATER decontaminate stage that drops a cluster member leaves
+        // the survivors' weights summing below 1 by design (the dropped
+        // mass left the corpus).
         val withLbl = faired.join(lbl, faired("doc_id") === lbl("id"), "left")
           .withColumn("__cluster", coalesce(col("comp"), col("doc_id")))
           .drop("id", "comp")

@@ -177,15 +177,18 @@ object Ivf {
    * collapse group key is a per-row surrogate (monotonic id, assigned
    * before the fan-out), not (id, emb), so duplicated rows keep their
    * multiplicity and [[trainJoin]]'s Lloyd means weight them exactly
-   * like [[train]]'s. Rows with NULL/empty embeddings drop (they score
-   * against nothing — the caller filters upstream, as every quantizer
-   * path here does).
+   * like [[train]]'s. Rows with NULL/empty embeddings drop — filtered
+   * explicitly below (a crossJoin would otherwise dot an empty array to
+   * 0 and assign it the smallest-norm centroid, and a NULL embedding's
+   * null key still survives min(struct)), keeping the join path a
+   * strict subset-refinement of the literal path's null ivf_cell rows.
    */
   def assignJoin(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame): DataFrame = {
     val cb = centroids.select(col("cell").as("__cc"),
       col("vec").as("__cv"), dot(col("vec"), col("vec")).as("__cn2"))
     df.select(col(idCol), col(embCol))
+      .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
       .withColumn("__row", monotonically_increasing_id())
       .crossJoin(broadcast(cb))
       .withColumn("__key",

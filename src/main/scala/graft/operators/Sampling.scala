@@ -297,7 +297,12 @@ object Sampling {
         least(lit(nShards - 1L),
           expr(s"($orderCol * $nShards) div $orderSpan")).cast("long"))
       .withColumn("bucket", bucket)
-      .withColumn("__rn", row_number().over(w) - 1)
+      // long BEFORE the `__rn * bucket` multiply below, same as
+      // [[packSequences]]: a 32-bit __rn wraps (or throws under ANSI)
+      // once a (shard, bucket) group passes 2^31/bucket rows — ~1M rows
+      // at bucket 2048, and contiguous-order shards concentrate rows
+      // more than hash shards do.
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
       .withColumn("seq_id",
         expr(s"(__rn * bucket) div $capacity").cast("long"))
       .withColumn("slot",
