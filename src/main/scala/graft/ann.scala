@@ -110,6 +110,24 @@ import org.apache.spark.sql.functions._
  * recall: 0.44 vs 0.32 at sf0.01): adist = −score/10⁶, so --refine
  * and the result schema compose unchanged.
  *
+ * --proj-dim D builds a JL-PROJECTED index (qt = 3) — the
+ * DIMENSIONALITY axis of the compression grid (q_jl_recall's measured
+ * trade, served): every vector projects dim → D through the seeded
+ * Gaussian plane basis (Similarity.hyperplanes — deterministic, no RNG
+ * state), the IVF trains in the projected space, and the stored code
+ * IS the projected vector (D doubles — 4× fewer bytes and 4× cheaper
+ * dots at D = dim/4). The basis persists as projection.parquet (the
+ * rotation.parquet convention), so append and serve are stateless-
+ * exact like --bq. Serving ranks by exact projected cosine (adist =
+ * −cos); nprobe ≥ k gives projected EXACT search; --refine composes
+ * for the full-dim rerank recipe. Mutually exclusive with
+ * --sq8/--bq/--trained and the rotation flags (the plane basis is
+ * itself a dense basis mix). NOTE the measured caveat: on
+ * near-isotropic embeddings (this fixture family — q_jl_recall reads
+ * ≈ chance floor) projection destroys top-k margins; probe recall on
+ * YOUR corpus before deploying, exactly as rotate-auto does for
+ * rotation modes.
+ *
  * --refine c turns on the FAISS IndexRefine serving shape: ADC proposes
  * the top-c candidates per query from codes only, then the refine stage
  * fetches JUST those vectors from --raw (one candidate-scale broadcast
@@ -124,8 +142,10 @@ import org.apache.spark.sql.functions._
  *   scales.parquet     (pos, mn, d)                    — dim rows (SQ8)
  *   codes.parquet      PQ: (<id>, cell, j, code), m rows/vector;
  *                      SQ8: (<id>, cell, scode ARRAY), 1 row/vector;
- *                      BQ:  (<id>, cell, bcode ARRAY<long>), 1 row/vector
+ *                      BQ:  (<id>, cell, bcode ARRAY<long>), 1 row/vector;
+ *                      JL:  (<id>, cell, pvec ARRAY<double>), 1 row/vector
  *   rotation.parquet   (axis, pos, u)                  — learned modes
+ *   projection.parquet (axis, pos, u DOUBLE)           — JL plane basis
  *   rotation_probe.json / ann.meta.json    probe evidence + geometry
  *
  * Build = [[Ivf.train]] (exact-decimal Lloyd) + [[Pq.buildIndex]];
@@ -133,6 +153,15 @@ import org.apache.spark.sql.functions._
  * q_ivf_pq_search / q_ivf_recall_curve queries run, so the CLI adds
  * orchestration, not new semantics (AnnSpec pins served ≡ fused
  * bit-for-bit).
+ *
+ * LARGE k: `--k` above [[Ann.LargeKThreshold]] (256) automatically
+ * routes training and cell assignment — at build AND at --append —
+ * through the broadcast centroid-FRAME forms ([[Ivf.trainJoin]] /
+ * [[Ivf.assignJoin]], bit-identical per IvfSpec) instead of the
+ * k×dim-literal plans, so `--k 10000` (FAISS's nlist ≈ √n at 10⁸+
+ * vectors) builds with a k-independent plan size. The chosen path is
+ * recorded in ann.meta.json (`kjoin`); pre-r16 metas read as
+ * literal-built and keep serving unchanged.
  */
 object Ann {
   val MetaFile = "ann.meta.json"
@@ -165,11 +194,30 @@ object Ann {
     * int8 code per dimension against per-dim affine scales persisted as
     * scales.parquet), 2 = binary ([[graft.operators.Bq]] — packed sign
     * words, NO trained state beyond the rotation: sign packing is
-    * stateless, so --append is exact for any vector). Absent in pre-SQ
-    * metas (reads as 0), so every existing index keeps serving
-    * unchanged. */
+    * stateless, so --append is exact for any vector), 3 = JL-projected
+    * (--proj-dim — the stored code is the projected vector itself;
+    * `pdim` carries the projected dimension, and projection.parquet the
+    * seeded plane basis). Absent in pre-SQ metas (reads as 0), so every
+    * existing index keeps serving unchanged. */
   final case class Meta(k: Int, iters: Int, m: Int, codes: Int, dim: Int,
-      idCol: String, rot: Int = 0, qt: Int = 0)
+      idCol: String, rot: Int = 0, qt: Int = 0, kjoin: Boolean = false,
+      pdim: Int = 0)
+
+  /**
+   * Above this k, build/append switch the train+assign plans from the
+   * k×dim-LITERAL form ([[graft.operators.Ivf.train]] +
+   * [[graft.operators.Ivf.nearestCentroid]], whose plan embeds every
+   * centroid component as a literal — fine at k ≤ a few hundred, a
+   * multi-MB non-codegen plan at the k ~ 10⁴ a 10⁹-vector IVF needs
+   * under FAISS's nlist ≈ √n guidance, Ivf.scala) to the broadcast
+   * centroid-FRAME twins ([[graft.operators.Ivf.trainJoin]] +
+   * [[graft.operators.Ivf.assignJoin]]), which IvfSpec pins
+   * bit-identical. The chosen path is recorded in the index meta
+   * (`kjoin`) so --append assigns cells with the same plan form the
+   * build used. 256 ≈ the largest k whose literal argmin still
+   * whole-stage-codegens comfortably (64 KB JVM method bound).
+   */
+  val LargeKThreshold = 256
 
   // idCol round-trips through the hand-rolled JSON below unescaped, so it
   // must be a plain identifier — rejected HERE, at build time, with a clear
@@ -182,7 +230,7 @@ object Ann {
     val json =
       s"""{"k":${m.k},"iters":${m.iters},"m":${m.m},"codes":${m.codes},""" +
         s""""dim":${m.dim},"rot":${m.rot},"qt":${m.qt},""" +
-        s""""idCol":"${m.idCol}"}"""
+        s""""kjoin":${m.kjoin},"pdim":${m.pdim},"idCol":"${m.idCol}"}"""
     val p = java.nio.file.Paths.get(dir, MetaFile)
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))
@@ -203,11 +251,47 @@ object Ann {
       .map(_.group(1).toInt).getOrElse(0)
     val qt = s""""qt":(-?\\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt).getOrElse(0)
+    // pre-r16 metas carry no kjoin — they were all literal-built
+    val kjoin = s""""kjoin":(true|false)""".r.findFirstMatchIn(s)
+      .exists(_.group(1) == "true")
+    // pre-r16 metas carry no pdim — none of them are JL-projected
+    val pdim = s""""pdim":(-?\\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(0)
     Meta(int("k"), int("iters"), int("m"), int("codes"), int("dim"),
-      str("idCol"), rot, qt)
+      str("idCol"), rot, qt, kjoin, pdim)
   }
 
   val RotationFile = "rotation.parquet"
+  val ProjectionFile = "projection.parquet"
+
+  /** The JL projection as `pdim` codegen'd sequential double dots —
+    * identical arithmetic to q_jl_recall's fused form (one scan-local
+    * select, no shuffle), so served ≡ fused is exact. */
+  private def jlProject(vec: org.apache.spark.sql.Column,
+      planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    array(planes.map(p => VectorOps.dot(vec, typedlit(p))): _*)
+
+  /** Persist the seeded plane basis (axis-major — the [[RotationFile]]
+    * convention with double weights): pdim × dim rows, metadata scale. */
+  private def writeProjection(spark: SparkSession, dir: String,
+      planes: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    planes.zipWithIndex.flatMap { case (p, a) =>
+      p.zipWithIndex.map { case (v, i) => (a, i, v) }
+    }.toDF("axis", "pos", "u")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$ProjectionFile")
+  }
+
+  /** Read the persisted planes in axis-major order; pdim × dim rows. */
+  private def readProjection(spark: SparkSession, dir: String,
+      pdim: Int, dim: Int): Seq[Seq[Double]] = {
+    val rows = spark.read.parquet(s"$dir/$ProjectionFile")
+      .orderBy("axis", "pos").collect()
+    require(rows.length == pdim * dim,
+      s"$dir/$ProjectionFile has ${rows.length} rows, expected " +
+        s"$pdim x $dim")
+    rows.grouped(dim).map(_.map(_.getAs[Double]("u")).toSeq).toSeq
+  }
 
   /** Apply the index's declared space to a validated vector column:
     * identity for a plain index, [[graft.operators.Opq.rotate]] for a
@@ -376,7 +460,9 @@ object Ann {
       rotate: Boolean = false, rotatePca: Boolean = false,
       rotatePca2: Boolean = false, rotateAuto: Boolean = false,
       probeSampleN: Int = 20000, sq8: Boolean = false,
-      bq: Boolean = false): Long = {
+      bq: Boolean = false,
+      largeKFrom: Int = LargeKThreshold,
+      projDim: Int = 0): Long = {
     require(Seq(rotate, rotatePca, rotatePca2, rotateAuto)
         .count(identity) <= 1,
       "--rotate, --rotate-pca, --rotate-pca2 and --rotate-auto are " +
@@ -391,6 +477,16 @@ object Ann {
     // (Bq.signWords would only throw after the deletes below)
     if (bq) require(dim >= 32 && dim % 32 == 0,
       s"--bq requires dim to be a positive multiple of 32, got $dim")
+    require(projDim >= 0 && projDim <= dim,
+      s"--proj-dim must be in [1, dim=$dim], got $projDim")
+    require(projDim == 0 || (!sq8 && !bq && !trained),
+      "--proj-dim is mutually exclusive with --sq8/--bq/--trained " +
+        "(the projected vectors ARE the stored code)")
+    require(projDim == 0 ||
+        !(rotate || rotatePca || rotatePca2 || rotateAuto),
+      "--proj-dim does not compose with rotation flags (the seeded " +
+        "plane basis is itself a dense basis mix; a rotation in front " +
+        "is statistically a no-op)")
     val plain = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
@@ -434,11 +530,45 @@ object Ann {
     // both scan it, and without the persist the corpus-scale rotation
     // re-runs per consumer (the q_opq_pca_recall r12 finding)
     val emb0 = toIndexSpaceFrame(plain, "emb", dim, rot, us)
-    val emb = if (rot == 0) emb0
-      else emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = Ivf.train(emb, idCol, "emb", k, iters)
+    // JL-projected builds (qt = 3) quantize in the PROJECTED space:
+    // one scan-local select of projDim codegen'd dots replaces each
+    // vector, and everything downstream — IVF train, assignment, the
+    // stored codes — lives at projDim, not dim. Persisted for the same
+    // reason rotated frames are: train and encode both scan it.
+    val planes: Seq[Seq[Double]] = if (projDim > 0)
+      graft.operators.Similarity.hyperplanes(projDim, dim) else Nil
+    val embP = if (projDim > 0)
+      emb0.select(col(idCol), jlProject(col("emb"), planes).as("emb"))
+    else emb0
+    val emb = if (rot == 0 && projDim == 0) embP
+      else embP.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LARGE-k routing (see [[LargeKThreshold]]): above the threshold the
+    // k×dim-literal Lloyd/argmin plans give way to the broadcast
+    // centroid-frame twins — bit-identical (IvfSpec pins trainJoin ≡
+    // train and assignJoin ≡ nearestCentroid), but the plan stays
+    // k-independent, the form a 10⁹-vector / k ~ 10⁴ IVF needs.
+    val kjoin = k > largeKFrom
+    val centFrame: Option[DataFrame] =
+      if (kjoin) Some(Ivf.trainJoin(emb, idCol, "emb", k, iters)) else None
+    val centroids: Seq[Seq[Double]] = if (kjoin) Nil
+      else Ivf.train(emb, idCol, "emb", k, iters)
+    // the ONE assignment every quantizer path below encodes beside:
+    // (idCol, emb, cell)
+    val assigned = centFrame match {
+      case Some(cf) => Ivf.assignJoin(emb, idCol, "emb", cf)
+        .withColumnRenamed("ivf_cell", "cell")
+      case None => emb.withColumn("cell",
+        Ivf.nearestCentroid(col("emb"), centroids))
+    }
     import spark.implicits._
-    val (codesDf, cbOpt) = if (sq8) {
+    val (codesDf, cbOpt) = if (projDim > 0) {
+      // JL artifact (qt = 3): the stored code IS the projected vector
+      // (projDim doubles — the dimensionality axis of the compression
+      // grid) beside its projected-space cell; serving ranks by exact
+      // projected cosine, so there is no codebook/scales state at all
+      (assigned.select(col(idCol), col("cell"), col("emb").as("pvec")),
+        None)
+    } else if (sq8) {
       // SQ8 artifact: per-dim scales (dim rows) + one code ARRAY per
       // vector beside its cell — no codebook file; meta qt = 1 routes
       // search/append to the Sq serving path
@@ -446,18 +576,19 @@ object Ann {
       (0 until dim).map(i => (i, mnA(i), dA(i))).toDF("pos", "mn", "d")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/scales.parquet")
-      (emb.select(col(idCol),
-        Ivf.nearestCentroid(col("emb"), centroids).as("cell"),
+      (assigned.select(col(idCol), col("cell"),
         graft.operators.Sq.codes(col("emb"), mnA, dA).as("scode")), None)
     } else if (bq) {
       // binary artifact: packed sign words beside the cell — no trained
       // state file at all (signs are stateless given the space); meta
       // qt = 2 routes search/append to the Hamming path
-      (emb.select(col(idCol),
-        Ivf.nearestCentroid(col("emb"), centroids).as("cell"),
+      (assigned.select(col(idCol), col("cell"),
         graft.operators.Bq.signWords(col("emb"), dim).as("bcode")), None)
     } else if (!trained) {
-        val (cd, cbDf) = Pq.buildIndex(emb, centroids, m, codes, dim,
+        val (cd, cbDf) = if (kjoin)
+          Pq.buildIndexAssigned(assigned, m, codes, dim, idCol, "emb",
+            "cell")
+        else Pq.buildIndex(emb, centroids, m, codes, dim,
           idCol, "emb")
         // artifact schema is j: long (what encodeWith emits) — the fixed
         // path's posexplode int must cast or --append's long-j files sit
@@ -475,17 +606,20 @@ object Ann {
           }
         }.toDF("j", "__c", "__cw", "__cwn2")
         // cell + encode in ONE scan (the carry rides the explode — no
-        // corpus-scale self-join to re-attach it)
-        val withCell = emb.withColumn("cell",
-          Ivf.nearestCentroid(col("emb"), centroids))
-        val cd = Pq.encodeWith(withCell, idCol, "emb", books,
+        // corpus-scale self-join to re-attach it); `assigned` is the
+        // literal expression below the threshold and assignJoin above it
+        val cd = Pq.encodeWith(assigned, idCol, "emb", books,
             carry = Seq("cell"))
           .select(col(idCol), col("cell"), col("j"), col("code"))
         (cd, Some(cbDf))
       }
-    centroids.zipWithIndex.map { case (v, i) => (i, v) }
-      .toDF("cell", "vec")
-      .coalesce(1).write.mode("overwrite")
+    (centFrame match {
+      // join-trained centroids never visit the driver — the k-row frame
+      // (localCheckpoint-backed, metadata scale) writes directly
+      case Some(cf) => cf.select(col("cell"), col("vec"))
+      case None => centroids.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("cell", "vec")
+    }).coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/centroids.parquet")
     cbOpt.foreach(_
       .select(col("j"), col("__c").as("c"), col("__cw").as("cw"),
@@ -497,7 +631,10 @@ object Ann {
     // have materialized to disk by here — release the corpus-scale cache
     // so repeated programmatic builds in one session don't accumulate
     // blocks (the Scale.releaseAfterUse convention)
-    if (rot != 0) emb.unpersist(blocking = false)
+    if (rot != 0 || projDim > 0) emb.unpersist(blocking = false)
+    // the join-trained centroid frame's checkpoint blocks are done once
+    // codes.parquet has materialized (its last consumer)
+    centFrame.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
     // mode-overwrite semantics must hold for EVERY artifact, not just
     // the probe: a quantizer/rotation change rebuilding into the same
     // dir removes the artifacts the new mode does not write (a --bq
@@ -516,9 +653,11 @@ object Ann {
       val f = new java.io.File(outDir, name)
       if (f.exists()) rm(f)
     }
-    if (sq8 || bq) deleteArtifact("codebook.parquet")
+    if (sq8 || bq || projDim > 0) deleteArtifact("codebook.parquet")
     if (!sq8) deleteArtifact("scales.parquet")
     if (rot < 2) deleteArtifact(RotationFile) else writeRotation(spark, outDir, us)
+    if (projDim == 0) deleteArtifact(ProjectionFile)
+    else writeProjection(spark, outDir, planes)
     // a rebuild with an EXPLICIT mode into a dir that previously held
     // an auto build must not leave a stale probe artifact beside a
     // meta it no longer describes
@@ -526,7 +665,8 @@ object Ann {
       java.nio.file.Paths.get(outDir, "rotation_probe.json"))
     writeMeta(outDir,
       Meta(k, iters, m, codes, dim, idCol, rot,
-        qt = if (sq8) 1 else if (bq) 2 else 0))
+        qt = if (sq8) 1 else if (bq) 2 else if (projDim > 0) 3 else 0,
+        kjoin = kjoin, pdim = projDim))
     spark.read.parquet(s"$outDir/codes.parquet")
       .select(col(idCol)).distinct().count()
   }
@@ -539,17 +679,32 @@ object Ann {
   def append(spark: SparkSession, indexDir: String,
       dataPath: String, vecCol: String): Long = {
     val meta = readMeta(indexDir)
-    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
-    val fresh = toIndexSpaceFrame(
+    val fresh0 = toIndexSpaceFrame(
       spark.read.parquet(dataPath)
         .select(col(meta.idCol), VectorOps.asDouble(col(vecCol)).as("__e"))
         .filter(col("__e").isNotNull && size(col("__e")) > 0)
         .withColumn("__e",
           requireDim(col("__e"), meta.dim, "Ann --append")),
       "__e", meta.dim, meta.rot, readRotation(spark, indexDir, meta.rot))
-      .withColumn("cell", Ivf.nearestCentroid(col("__e"), centroids))
+      // JL (qt = 3) appends enter the PROJECTED space BEFORE cell
+      // assignment — the centroids and codes live there; projection is
+      // stateless given the persisted planes, so append is exact (the
+      // BQ property, no range/codebook staleness class)
+      .transform(f => if (meta.qt == 3)
+        f.select(col(meta.idCol), jlProject(col("__e"),
+          readProjection(spark, indexDir, meta.pdim, meta.dim)).as("__e"))
+      else f)
+    // cell assignment uses the SAME plan form the build recorded in the
+    // meta: kjoin indexes (k above [[LargeKThreshold]]) assign via the
+    // broadcast centroid frame, never a k×dim-literal plan
+    val fresh = if (meta.kjoin)
+      Ivf.assignJoin(fresh0, meta.idCol, "__e",
+          spark.read.parquet(s"$indexDir/centroids.parquet"))
+        .withColumnRenamed("ivf_cell", "cell")
+    else fresh0.withColumn("cell", Ivf.nearestCentroid(col("__e"),
+      spark.read.parquet(s"$indexDir/centroids.parquet")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq))
     val codes = (if (meta.qt == 1) {
       // SQ8 index: encode against the FROZEN persisted scales — exact
       // for any new vector inside the trained per-dim ranges; codes for
@@ -567,6 +722,10 @@ object Ann {
       // no range/codebook staleness class at all
       fresh.select(col(meta.idCol), col("cell"),
         graft.operators.Bq.signWords(col("__e"), meta.dim).as("bcode"))
+    } else if (meta.qt == 3) {
+      // JL index: __e is ALREADY projected (see fresh0 above) — the
+      // stored code is the projected vector itself
+      fresh.select(col(meta.idCol), col("cell"), col("__e").as("pvec"))
     } else {
       val cbRows = spark.read.parquet(s"$indexDir/codebook.parquet")
         .select(col("j"), col("c"), col("cw")).collect()
@@ -627,6 +786,40 @@ object Ann {
       .filter(col("rn") <= topK)
       .select(col("q_id"), col(meta.idCol), col("rn"),
         (col("__ad").cast("double") / lit(2.55e14)).as("adist"))
+  }
+
+  /** JL serving half (meta qt = 3): project the queries through the
+    * persisted plane basis ([[ProjectionFile]]), probe the
+    * projected-space centroids, and rank the probed cells' STORED
+    * projected vectors by exact projected cosine — q_jl_recall's
+    * arithmetic over persisted artifacts (identical sequential double
+    * dots, so served ≡ fused bit-for-bit). adist = −cosine (exact
+    * double, ascending = most similar first), keeping the
+    * `Pq.searchIndex` column convention so --refine — exact cosine in
+    * the ORIGINAL space over the raw store — composes unchanged (the
+    * measured JL recipe: cheap projected candidates, full-dim rerank).
+    * nprobe ≥ k degenerates to projected EXACT search. */
+  private def jlServe(spark: SparkSession, indexDir: String, meta: Meta,
+      qs: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
+      selfFilter: Boolean): DataFrame = {
+    val planes = readProjection(spark, indexDir, meta.pdim, meta.dim)
+    val pq = qs.select(col("q_id"),
+      jlProject(col("q_emb"), planes).as("__pq"))
+    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
+      .select(col(meta.idCol), col("cell").as("__cell"), col("pvec"))
+    val probes = pq.select(col("q_id"),
+      explode(Ivf.probeList(col("__pq"), centroids, nprobe)).as("__cell"),
+      col("__pq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("__ad"), col(meta.idCol))
+    codes.join(broadcast(probes), Seq("__cell"))
+      .filter(if (selfFilter) col(meta.idCol) =!= col("q_id")
+        else lit(true))
+      .withColumn("__ad", -VectorOps.cosine(col("pvec"), col("__pq")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col(meta.idCol), col("rn"),
+        col("__ad").as("adist"))
   }
 
   /** Binary serving half (meta qt = 2): Hamming over the probed cells'
@@ -704,6 +897,8 @@ object Ann {
       centroids, nprobe, adcK, selfFilter)
     else if (meta.qt == 2) bqServe(spark, indexDir, meta, qs,
       centroids, nprobe, adcK, selfFilter, asym = asym)
+    else if (meta.qt == 3) jlServe(spark, indexDir, meta, qs,
+      centroids, nprobe, adcK, selfFilter)
     else {
       val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
         .select(col("j"), col("c").as("__c"), col("cw").as("__cw"),
@@ -753,8 +948,8 @@ object Ann {
     "build", "search", "append",
     "data", "out", "index", "id", "vec",
     "k", "iters", "m", "codes", "dim",
-    "trained", "sq8", "bq", "rotate", "rotate-pca", "rotate-pca2",
-    "rotate-auto", "probe-sample",
+    "trained", "sq8", "bq", "proj-dim", "rotate", "rotate-pca",
+    "rotate-pca2", "rotate-auto", "probe-sample",
     "topk", "nprobe", "no-self-filter", "refine", "raw", "asym")
 
   def main(args: Array[String]): Unit = {
@@ -787,7 +982,8 @@ object Ann {
           rotatePca2 = flags("rotate-pca2"),
           rotateAuto = flags("rotate-auto"),
           probeSampleN = intOpt("probe-sample", 20000),
-          sq8 = flags("sq8"), bq = flags("bq"))
+          sq8 = flags("sq8"), bq = flags("bq"),
+          projDim = intOpt("proj-dim", 0))
         println(s"""{"built":$n,"index":"${opt("out").get}"}""")
       } else if (flags("search")) {
         val refine = opt("refine").map(c => (c.toInt,

@@ -361,6 +361,36 @@ object Pq {
   }
 
   /**
+   * [[buildIndex]] with the IVF cell ALREADY on the frame (`cellCol`) —
+   * the LARGE-k form: upstream [[Ivf.assignJoin]] computed the cell via
+   * a broadcast k-row centroid FRAME, so no k×dim literal ever enters a
+   * plan (the [[Ivf.train]] scaladoc's k ~ 10⁴ bound). Same fixed
+   * codebook, same broadcast encode join, same min(struct) tie-break,
+   * same output schema — bit-identical to [[buildIndex]] given the same
+   * assignment (which IvfSpec pins for assignJoin ≡ nearestCentroid).
+   */
+  def buildIndexAssigned(corpus: DataFrame, m: Int, k: Int, dim: Int,
+      idCol: String, embCol: String,
+      cellCol: String): (DataFrame, DataFrame) = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    val cb = fixedCodebook(corpus, idCol, embCol, m, k, d)
+    val subs = Scale.spreadForCompute(
+        corpus.select(col(idCol), col(embCol),
+          col(cellCol).as("__cell")), col(idCol))
+      .select(col(idCol), col("__cell"),
+        subvectors(col(embCol), m, d).as(Seq("j", "__s")))
+    val codes = subs.join(broadcast(cb), "j")
+      .withColumn("__key",
+        lit(-2.0) * dot(col("__s"), col("__cw")) + col("__cwn2"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("__key").as("k"), col("__c").as("c"))).as("__m"),
+        max(col("__cell")).as("__cell")) // constant within the group
+      .select(col(idCol), col("__cell"), col("j"), col("__m.c").as("code"))
+    (codes, cb)
+  }
+
+  /**
    * The SERVE half of [[ivfAdcTopK]]: ADC top-k over an ALREADY-BUILT
    * index — stored codes + codebook + the centroid matrix answer queries
    * without re-encoding or re-scanning the corpus (the production

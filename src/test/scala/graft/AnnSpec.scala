@@ -423,4 +423,131 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(served == fused, "rotated sq8 served must equal fused")
   }
+
+  test("large-k routing law: a join-built artifact (largeKFrom = 0 forces " +
+      "Ivf.trainJoin/assignJoin) is bit-identical to the literal-built " +
+      "one — centroids, codes, and served results — at a k both paths " +
+      "support, and --append keeps the recorded plan form") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val lit = tmp("klit")
+    val jn = tmp("kjoin")
+    val nLit = Ann.build(spark, data, lit, k = 8, iters = 1, m = 4,
+      codes = 8, dim = 64, idCol = "vec_id", vecCol = "embedding")
+    val nJn = Ann.build(spark, data, jn, k = 8, iters = 1, m = 4,
+      codes = 8, dim = 64, idCol = "vec_id", vecCol = "embedding",
+      largeKFrom = 0)
+    assert(nLit == nJn && nLit > 0)
+    def metaOf(d: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d, Ann.MetaFile)), "UTF-8")
+    assert(metaOf(lit).contains("\"kjoin\":false"), metaOf(lit))
+    assert(metaOf(jn).contains("\"kjoin\":true"), metaOf(jn))
+    def cents(d: String) = spark.read.parquet(s"$d/centroids.parquet")
+      .orderBy("cell").collect().map(r =>
+        (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(cents(lit) == cents(jn),
+      "join-trained centroids must equal literal-trained bit-for-bit")
+    def codes(d: String) = spark.read.parquet(s"$d/codes.parquet")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Long]("j"), r.getAs[Int]("code"))).toSet
+    assert(codes(lit) == codes(jn),
+      "join-path codes must equal literal-path codes")
+    def serve(d: String) = Ann.search(spark, d, data, None, topK = 5,
+        nprobe = 3, qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(serve(lit) == serve(jn), "served results must match")
+    // --append on each index assigns with its recorded plan form and
+    // lands identical rows (ids shifted to avoid colliding the corpus)
+    val freshPath = tmp("kfresh") + "/fresh.parquet"
+    spark.read.parquet(data).filter(col("vec_id") < 6)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .write.parquet(freshPath)
+    val aLit = Ann.append(spark, lit, freshPath, "embedding")
+    val aJn = Ann.append(spark, jn, freshPath, "embedding")
+    assert(aLit == 6 && aJn == 6)
+    assert(codes(lit) == codes(jn),
+      "appended codes must match across plan forms")
+  }
+
+  test("--proj-dim: the JL index stores projected vectors beside " +
+      "projected-space cells, serving projects PLAIN queries through " +
+      "the persisted basis, nprobe >= k equals exact projected cosine, " +
+      "and append is stateless-exact") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmp("jl")
+    val n = Ann.build(spark, data, idx, k = 8, iters = 1, m = 4,
+      codes = 8, dim = 64, idCol = "vec_id", vecCol = "embedding",
+      projDim = 16)
+    assert(n > 0)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, Ann.MetaFile)), "UTF-8")
+    assert(meta.contains("\"qt\":3") && meta.contains("\"pdim\":16"), meta)
+    // artifact shape: 16-dim projected vectors, a 16x64 plane basis,
+    // 8 projected-space centroids of length 16
+    val codes = spark.read.parquet(s"$idx/codes.parquet")
+    assert(codes.columns.toSet == Set("vec_id", "cell", "pvec"))
+    assert(codes.select(size(col("pvec"))).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(16))
+    assert(spark.read.parquet(s"$idx/projection.parquet").count()
+      == 16L * 64)
+    assert(spark.read.parquet(s"$idx/centroids.parquet")
+      .select(size(col("vec"))).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(16))
+    // served at nprobe >= k == exact cosine search in the projected
+    // space (all cells probed), adist = -cos bit-for-bit
+    val served = Ann.search(spark, idx, data, None, topK = 5, nprobe = 8,
+        qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val planes = graft.operators.Similarity.hyperplanes(16, 64)
+    def proj(c: org.apache.spark.sql.Column) =
+      array(planes.map(p => VectorOps.dot(c, typedlit(p))): _*)
+    val pemb = spark.read.parquet(data)
+      .select(col("vec_id"),
+        proj(VectorOps.asDouble(col("embedding"))).as("emb"))
+    val qs = pemb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val fused = graft.operators.Similarity.exactTopK(pemb, qs, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rn"), -r.getAs[Double]("cos"))).toSet
+    assert(served == fused,
+      "served JL at nprobe >= k must equal exact projected cosine")
+    // append: a cloned vector under a fresh id lands the identical
+    // (cell, pvec) — projection + assignment are stateless
+    val freshPath = tmp("jlfresh") + "/fresh.parquet"
+    spark.read.parquet(data).filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(100000L))
+      .write.parquet(freshPath)
+    assert(Ann.append(spark, idx, freshPath, "embedding") == 1L)
+    val pair = spark.read.parquet(s"$idx/codes.parquet")
+      .filter(col("vec_id").isin(0L, 100000L))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getSeq[Double](r.fieldIndex("pvec")))).sortBy(_._1)
+    assert(pair.length == 2 && pair(0)._2 == pair(1)._2 &&
+      pair(0)._3 == pair(1)._3, s"clone must project identically: $pair")
+  }
+
+  test("a real large-k build (k = 512 at sf0.1) auto-routes to the join " +
+      "path: meta records kjoin, centroids.parquet carries 512 rows, " +
+      "and the index serves") {
+    val data = "/root/testdata/sf0.1/embeddings.parquet"
+    val idx = tmp("k512")
+    val n = Ann.build(spark, data, idx, k = 512, iters = 1, m = 4,
+      codes = 8, dim = 64, idCol = "vec_id", vecCol = "embedding")
+    assert(n == 2000, s"all sf0.1 vectors must index, got $n")
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, Ann.MetaFile)), "UTF-8")
+    assert(meta.contains("\"k\":512") && meta.contains("\"kjoin\":true"),
+      meta)
+    val cents = spark.read.parquet(s"$idx/centroids.parquet")
+    assert(cents.count() == 512L,
+      "k=512 seeds exist (2000 > 512), so all 512 cells must train")
+    assert(cents.select("cell").distinct().count() == 512L)
+    val served = Ann.search(spark, idx, data, None, topK = 5, nprobe = 8,
+        qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 3)
+    assert(served.count() > 0, "a kjoin index must serve")
+  }
 }
