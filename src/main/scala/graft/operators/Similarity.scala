@@ -71,6 +71,33 @@ object Similarity {
       .orderBy("q_id")
 
   /**
+   * IVF-Flat (FAISS IndexIVFFlat): exact cosine over ONLY the probed
+   * cells' vectors — the uncompressed middle of the accuracy/cost
+   * curve between [[exactTopK]] (full scan per query) and the
+   * quantized serves (Sq/Bq/Pq's `*IvfTopK`). One scan assigns each
+   * corpus vector its cell ([[Ivf.nearestCentroid]] — scan-local
+   * literal argmin); the query side explodes to nprobe (q, cell) rows
+   * and BROADCASTS into a hash join on the cell, so the corpus never
+   * shuffles and each query pays only its probed cells' candidates.
+   * Ranking ties break on id, the [[rankTopK]] convention.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[Seq[Double]], topK: Int, nprobe: Int,
+      idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
+    val c = corpus
+      .withColumn("__cell", Ivf.nearestCentroid(col(embCol), centroids))
+      .withColumn("__norm", l2Norm(col(embCol)))
+    val q = queries
+      .withColumn("__cell",
+        explode(Ivf.probeList(col(qEmbCol), centroids, nprobe)))
+      .withColumn("__qnorm", l2Norm(col(qEmbCol)))
+    val scored = withCos(c.join(broadcast(q), Seq("__cell"))
+      .filter(col(idCol) =!= col(qIdCol)), embCol, qEmbCol)
+    rankTopK(scored, qIdCol, idCol, topK).drop("__cell")
+  }
+
+  /**
    * Hard-negative mining for contrastive training: per query, the top-k
    * MOST similar corpus vectors that are NOT near-duplicates of it
    * (cosine < `dupThreshold`). The near-dup band is what SemDeDup-style

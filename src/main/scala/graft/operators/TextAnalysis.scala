@@ -679,6 +679,58 @@ object TextAnalysis {
   }
 
   /**
+   * Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of a SPARSE
+   * (lexical, e.g. BM25) and a DENSE (embedding-cosine) ranking — the
+   * production hybrid-retrieval alternative to [[retrieveRerank]]'s
+   * cascade: instead of the dense stage re-ordering only the sparse
+   * stage's survivors, both rankings vote and a doc surfacing high in
+   * EITHER list ranks high fused. score(d) = 1/(c + rank_sparse(d)) +
+   * 1/(c + rank_dense(d)), each term 0 when d is absent from that
+   * list; c = 60 is the paper's constant.
+   *
+   * Exact and oracle-portable by construction: each term is one IEEE
+   * double division and the fuse is ONE two-term left-to-right sum on a
+   * full-outer-joined row — never an aggregate whose addend order an
+   * engine could permute — so any engine reproduces the score
+   * bit-for-bit, and the (score DESC, id) window rank is deterministic.
+   *
+   * Scale: both inputs arrive ALREADY top-k-bounded per query
+   * (candidate scale, ≤ |queries|·k rows — [[bm25BatchTopK]]'s TopKAgg
+   * bound and [[Similarity.exactTopK]]'s window cap); the fuse itself
+   * is a candidate-scale hash full-outer join on (q, id) plus one
+   * per-query window over ≤ 2k rows. The corpus is never touched here —
+   * at 100 TB the cost lives entirely in the two upstream rankers.
+   *
+   * Inputs both carry (qCol, idCol, rankCol); ranks must be ≥ 1
+   * (row_number convention — both rankers emit that). Returns
+   * (qCol, rnk, idCol, sparse_rnk, dense_rnk, rrf): the fused position,
+   * each source rank (NULL when the doc was absent from that list), and
+   * the fused score rounded for display (ranking used the exact value).
+   */
+  def rrfFuse(sparse: org.apache.spark.sql.DataFrame,
+      dense: org.apache.spark.sql.DataFrame, qCol: String, idCol: String,
+      rankCol: String, topK: Int, c: Int = 60)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(c >= 0, s"rrf constant c must be >= 0, got $c")
+    val a = sparse.select(col(qCol), col(idCol),
+      col(rankCol).cast("long").as("__ra"))
+    val b = dense.select(col(qCol), col(idCol),
+      col(rankCol).cast("long").as("__rb"))
+    val w = Window.partitionBy(qCol).orderBy(col("__s").desc, col(idCol))
+    a.join(b, Seq(qCol, idCol), "full_outer")
+      .withColumn("__s",
+        coalesce(lit(1.0) / (lit(c.toLong) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toLong) + col("__rb")), lit(0.0)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col(qCol), col("rnk"), col(idCol),
+        col("__ra").as("sparse_rnk"), col("__rb").as("dense_rnk"),
+        round(col("__s"), 6).as("rrf"))
+  }
+
+  /**
    * Incremental inverted-index maintenance — the retrieval twin of
    * Scale.mergeCounts: fold a NEW batch into an EXISTING index WITHOUT
    * re-tokenizing the corpus. Cost is O(delta tokens + |index|), and the

@@ -2488,6 +2488,36 @@ object Pipeline {
             col("n_hit"), col("recall"))
       }.reduce(_ unionByName _).orderBy("proj_dim", "q_id")
     }),
+    // L2 — the JL-PROJECTED IVF-Flat pipeline (what `graft.Ann
+    // --proj-dim` builds and serves, qt=3): project dim 64 → 16 through
+    // the seeded planes, first-16-seed IVF in the PROJECTED space,
+    // probe 4 cells, exact projected cosine over the probed candidates
+    // (Similarity.ivfTopK — FAISS IndexIVFFlat in the projected space);
+    // recall vs the full-dimension truth. Reads beside q_jl_recall
+    // (projected exact): the gap between the two rows is what cell
+    // probing costs ON TOP of the projection's own loss.
+    "q_jl_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val d = JlDims.head
+      val planes = Similarity.hyperplanes(d, 64)
+      def proj(c: org.apache.spark.sql.Column) =
+        array(planes.map(p => VectorOps.dot(c, typedlit(p))): _*)
+      val pemb = emb.select(col("vec_id"), proj(col("emb")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pqs = qs.select(col("q_id"), proj(col("q_emb")).as("q_emb"))
+      val centroids = graft.operators.Ivf.train(pemb, "vec_id", "emb",
+        k = 16, iters = 0)
+      val approx = Similarity.ivfTopK(pemb, pqs, centroids,
+          topK = 10, nprobe = 4)
+        .select(col("q_id"), col("vec_id"))
+      Similarity.recallAtK(exact, approx, 10)
+    }),
     // L2 — ASYMMETRIC binary recall (Bq.bqAsymTopK): same 8 B/vec index,
     // query kept at full precision, score = Σ sign(x_i)·q̂_i — the
     // asymmetric-hashing upgrade over symmetric Hamming (which throws
@@ -3602,6 +3632,33 @@ object Pipeline {
       TA.retrieveRerank(docs, "doc_id", "text", qs, "q_id", "qtext",
         emb, "vec_id", "emb", candK = RerankCandK, topK = RerankTopK,
         k1 = Bm25K1, b = Bm25B)
+        .orderBy("q_id", "rnk")
+    }),
+    // L1/L2 — reciprocal-rank fusion (TextAnalysis.rrfFuse): the HYBRID
+    // alternative to q_retrieve_rerank's cascade over the SAME two
+    // rankers — BM25 top-candK (self-masked after the cap, rank gaps
+    // preserved, the cand convention) and exact-cosine top-candK
+    // (Similarity.exactTopK), fused by Σ 1/(60+rank) per doc. Each term
+    // is one IEEE division, the fuse one two-term left-to-right sum —
+    // oracle-reproducible bit-for-bit; fuse cost is candidate-scale
+    // (the corpus is touched only by the two upstream rankers).
+    "q_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 3 && col("text").isNotNull)
+        .select(col("doc_id").as("q_id"), col("text").as("qtext"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      val sparse = TA.bm25BatchTopK(docs, "doc_id", "text", qs, "q_id",
+          "qtext", topK = RerankCandK, k1 = Bm25K1, b = Bm25B)
+        .filter(col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      val dense = Similarity.exactTopK(emb,
+          emb.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("q_id"), col("emb").as("q_emb")),
+          RerankCandK)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rn").as("rnk"))
+      TA.rrfFuse(sparse, dense, "q_id", "doc_id", "rnk",
+          topK = RerankTopK)
         .orderBy("q_id", "rnk")
     }),
     // L1/L2 — recall@RerankTopK of the two-stage retriever vs the exact
@@ -5409,6 +5466,54 @@ object Pipeline {
          SELECT * FROM (${JlDims.map(d => s"SELECT * FROM rec$d")
            .mkString(" UNION ALL ")})
          ORDER BY proj_dim, q_id"""
+    },
+    // JL-projected IVF-Flat: projection through the same plane literals,
+    // first-16 projected seeds as centroids (iters=0, cell i = vec i —
+    // dense-id convention), the −2·dot+|c|² probe key, exact projected
+    // cosine over probed candidates.
+    "q_jl_ivf_recall" -> {
+      val proj = jlProjSql(
+        graft.operators.Similarity.hyperplanes(JlDims.head, 64),
+        "embedding")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+         ${embExactCte(5, 10)},
+         pe AS (SELECT vec_id, $proj AS pv FROM embeddings),
+         c AS (
+           SELECT cast(vec_id AS int) AS cid, pv AS cv,
+             list_dot_product(pv, pv) AS cnorm2
+           FROM pe WHERE vec_id < 16),
+         q AS (SELECT vec_id AS q_id, pv AS qv FROM pe WHERE vec_id < 5),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT x.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY -2 * list_dot_product(x.pv, c.cv) + c.cnorm2,
+                   c.cid) AS rn
+             FROM pe x CROSS JOIN c) WHERE rn = 1),
+         probes AS (
+           SELECT q_id, cell FROM (
+             SELECT q.q_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2,
+                   c.cid) AS rn
+             FROM q CROSS JOIN c) WHERE rn <= 4),
+         cand AS (
+           SELECT q.q_id, x.vec_id,
+             list_dot_product(x.pv, q.qv) /
+               (sqrt(list_dot_product(x.pv, x.pv))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+           FROM probes p
+           JOIN q ON q.q_id = p.q_id
+           JOIN assign a ON a.cell = p.cell
+           JOIN pe x ON x.vec_id = a.vec_id
+           WHERE x.vec_id <> q.q_id),
+         ptop AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, row_number() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+             FROM cand) WHERE rn <= 10)
+         ${recallTailSql("ptop", 10)}"""
     },
     // Asymmetric binary: the oracle scores the query's micro-ints
     // against the ±1 sign of each corpus coordinate directly (no
@@ -7653,6 +7758,40 @@ object Pipeline {
            FROM scored)
          WHERE rnk <= 10 ORDER BY q_id, rnk"""
     },
+    // Reciprocal-rank fusion over the shared CTE pool: the cand stage's
+    // crnk (BM25 rank, self-masked after the cap) full-outer-joined to
+    // the exact-cosine top-candK rank, scored 1/(60+r) + 1/(60+r) — a
+    // two-term double sum both engines evaluate identically.
+    "q_rrf" ->
+      s"""$RerankPipelineCtes,
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dense AS (
+           SELECT q_id, vec_id, drnk FROM (
+             SELECT q_id, vec_id, row_number() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id) AS drnk
+             FROM (
+               SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+                 list_dot_product(x.v, q.v) /
+                   (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(q.v, q.v))) AS cos
+               FROM e q JOIN e x
+                 ON q.vec_id < 3 AND x.vec_id <> q.vec_id))
+           WHERE drnk <= $RerankCandK),
+         fused AS (
+           SELECT coalesce(s.q_id, d.q_id) AS q_id,
+             coalesce(s.doc_id, d.vec_id) AS doc_id,
+             s.crnk AS sparse_rnk, d.drnk AS dense_rnk,
+             coalesce(1.0 / (60 + s.crnk), 0.0)
+               + coalesce(1.0 / (60 + d.drnk), 0.0) AS sc
+           FROM cand s FULL OUTER JOIN dense d
+             ON s.q_id = d.q_id AND s.doc_id = d.vec_id)
+         SELECT q_id, rnk, doc_id, cast(sparse_rnk AS bigint) AS sparse_rnk,
+           cast(dense_rnk AS bigint) AS dense_rnk, round(sc, 6) AS rrf
+         FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+             ORDER BY sc DESC, doc_id) AS rnk
+           FROM fused)
+         WHERE rnk <= $RerankTopK ORDER BY q_id, rnk""",
     // Two-stage retrieval: the shared rerank CTE chain cut at RerankTopK.
     "q_retrieve_rerank" ->
       s"""$RerankPipelineCtes

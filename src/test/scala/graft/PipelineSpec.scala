@@ -1021,6 +1021,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("bm25"))
   }
+
+  test("rrfFuse: a doc top-1 in both rankings is top-1 fused; a doc " +
+      "absent from one list scores only its present term; score ties " +
+      "break on the lower id") {
+    import spark.implicits._
+    // planted fixture (the spec-law discipline): doc 10 is rank 1 in
+    // BOTH lists; 11/12 split the seconds; 13 appears only sparse-side,
+    // 14 only dense-side at the same rank (tie -> lower id first)
+    val sparse = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 13L, 3L))
+      .toDF("q_id", "doc_id", "rnk")
+    val dense = Seq((0L, 10L, 1L), (0L, 12L, 2L), (0L, 14L, 3L))
+      .toDF("q_id", "doc_id", "rnk")
+    val out = TA.rrfFuse(sparse, dense, "q_id", "doc_id", "rnk",
+        topK = 10)
+      .orderBy("rnk").collect()
+    assert(out.head.getLong(2) == 10L,
+      "top-1 in both rankings must fuse to top-1")
+    assert(out.head.getDouble(5) == math.rint(
+      (1.0 / 61 + 1.0 / 61) * 1e6) / 1e6)
+    // 11 and 12 both carry exactly one 1/62 term -> tie, lower id first
+    val pair = out.filter(r => Set(11L, 12L)(r.getLong(2)))
+    assert(pair.map(_.getLong(2)).toSeq == Seq(11L, 12L))
+    // single-list docs carry a NULL rank on the absent side
+    val d13 = out.find(_.getLong(2) == 13L).get
+    assert(d13.getLong(3) == 3L && d13.isNullAt(4))
+    val d14 = out.find(_.getLong(2) == 14L).get
+    assert(d14.isNullAt(3) && d14.getLong(4) == 3L)
+    // 13 vs 14: same single term 1/63 -> tie, 13 first
+    assert(out.map(_.getLong(2)).toSeq ==
+      Seq(10L, 11L, 12L, 13L, 14L))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
