@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
  * Every stage composes the library operators the registered queries
  * already oracle-check (qualityScore, fingerprint dedup, banded MinHash +
  * connected components, the budget window, the md5 split gate) — the CLI
- * adds orchestration, not new semantics. Scale shape: each stage is one
+ * adds orchestration, not new semantics. Config `bandsAuto: true` (with
+ * `bandTarget`) turns on the build-time banding probe ([[Curate
+ * .probeBands]] — the rotate-auto pattern for MinHash): the dedup stage
+ * then runs the measured argmin-cost banding meeting the target, and
+ * the choice + curve land in the report and `band_probe.json`. Scale shape: each stage is one
  * declarative transform on the same lineage; the only materializations
  * are the two writes and the report counts, and the near-dup cluster
  * labels persist once because three stages (survivor filter, split gate,
@@ -103,9 +107,17 @@ object Curate {
       decontBenchPath: String = "",
       decontNgram: Int = 4,
       decontEmbPath: String = "",
-      decontSemanticBar: Double = 0.0) {
+      decontSemanticBar: Double = 0.0,
+      bandsAuto: Boolean = false,
+      bandTarget: Double = 0.9) {
     require(Set("none", "exact", "fuzzy", "soft")(dedup),
       s"bad dedup mode: $dedup")
+    require(bandTarget > 0.0 && bandTarget <= 1.0,
+      s"bandTarget must be in (0, 1], got $bandTarget")
+    // a probe the dedup mode never reads is a config typo, not a no-op
+    require(!bandsAuto || dedup == "fuzzy" || dedup == "soft",
+      "bandsAuto tunes the banded-MinHash stage: it needs dedup=fuzzy " +
+        "or dedup=soft")
     require(valThresholdHex.matches("[0-9a-f]{4}"),
       s"bad valThresholdHex: $valThresholdHex")
     require(shards >= 0, s"shards must be >= 0, got $shards")
@@ -239,6 +251,8 @@ object Curate {
     tree.put("decontNgram", c.decontNgram)
     tree.put("decontEmbPath", c.decontEmbPath)
     tree.put("decontSemanticBar", c.decontSemanticBar)
+    tree.put("bandsAuto", c.bandsAuto)
+    tree.put("bandTarget", c.bandTarget)
     ConfigIO.writeYamlRaw(path, tree)
   }
 
@@ -297,7 +311,15 @@ object Curate {
       },
       decontSemanticBar =
         if (root.containsKey("decontSemanticBar")) num("decontSemanticBar")
-        else 0.0)
+        else 0.0,
+      // both absent in pre-probe configs: the fixed default banding holds
+      bandsAuto = root.get("bandsAuto") match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case null => false
+        case other => sys.error(s"bandsAuto must be boolean, got $other")
+      },
+      bandTarget =
+        if (root.containsKey("bandTarget")) num("bandTarget") else 0.9)
   }
 
   // ----------------------------------------------------------- pipeline
@@ -305,7 +327,78 @@ object Curate {
   /** Per-stage funnel result: the curated train/val frames plus the
     * counts the report writes (a LinkedHashMap-ordered funnel). */
   final case class Curated(train: DataFrame, `val`: DataFrame,
-      funnel: Seq[(String, Long)], perLang: Seq[(String, Long, Long)])
+      funnel: Seq[(String, Long)], perLang: Seq[(String, Long, Long)],
+      bandProbe: Option[BandProbe] = None)
+
+  /** Evidence of a [[probeBands]] run (the rotation_probe.json
+    * convention): the banding the dedup stage actually used, the target
+    * it had to meet, and the measured (bands, recall, n_cand) curve the
+    * choice was the argmin of. */
+  final case class BandProbe(chosen: Int, target: Double, sampleN: Long,
+      curve: Seq[(Int, Double, Long)]) {
+    def json: String =
+      s"""{"chosen":$chosen,"target":$target,"sample_n":$sampleN,""" +
+        s""""curve":[${curve.map { case (b, r, n) =>
+          s"""{"bands":$b,"recall":$r,"n_cand":$n}"""
+        }.mkString(",")}]}"""
+  }
+
+  /**
+   * Band auto-probe — the rotate-auto pattern applied to MinHash
+   * banding: measure [[Dedup.bandedRecallCurvePortable]] over a
+   * DETERMINISTIC hash-sample of the corpus (md5-keyed order, the
+   * annprobe convention — no RNG state, any engine reproduces the
+   * sample), aggregate each banding's micro-averaged recall (Σ caught /
+   * Σ true — exact integer sums) and total candidate count, then pick
+   * the banding that meets `target` recall at MINIMUM candidate cost
+   * (ties → fewer bands: shorter explode, cheaper signatures). If no
+   * banding meets the target, the max-recall banding wins (ties → lower
+   * cost, then fewer bands) — the probe never silently under-delivers
+   * the best available recall.
+   *
+   * Probe cost is sample-bounded: the signature stage and exact-Jaccard
+   * truth compute once over ≤ sampleN docs; each banding pays only its
+   * candidate self-join on the sample. The curve is measured on the
+   * PORTABLE hash family while the funnel's dedup runs the engine
+   * family — banding recall is a property of the MinHash estimator, not
+   * of which uniform hash family feeds it, so the measured trade
+   * transfers (both families estimate the same Jaccard).
+   *
+   * Full-run-only, like every corpus-statistic stage: a delta batch's
+   * within-batch curve is not the corpus curve.
+   */
+  def probeBands(docs: DataFrame, jaccard: Double, target: Double,
+      sampleN: Int = 2000, nQueries: Int = 100,
+      bandsList: Seq[Int] = Seq(2, 4, 8)): BandProbe = {
+    val sample = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        md5(concat(lit("bandprobe:"), col("doc_id").cast("string")))
+          .as("__h"))
+      .orderBy("__h", "doc_id").limit(sampleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = sample.orderBy("__h", "doc_id").limit(nQueries)
+    val n = sample.count()
+    val curve = Dedup.bandedRecallCurvePortable(
+        sample.drop("__h"), queries.drop("__h"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bandsList = bandsList,
+        threshold = jaccard)
+      .groupBy("bands")
+      .agg(sum(col("n_true")).as("t"), sum(col("n_caught")).as("c"),
+        sum(col("n_cand")).as("cand"))
+      .orderBy("bands")
+      .collect()                       // |bandsList| rows — metadata scale
+      .map(r => (r.getAs[Long]("bands").toInt,
+        if (r.getAs[Long]("t") == 0L) 1.0
+        else r.getAs[Long]("c").toDouble / r.getAs[Long]("t"),
+        r.getAs[Long]("cand")))
+      .toSeq
+    sample.unpersist(blocking = false)
+    val meeting = curve.filter(_._2 >= target)
+    val chosen = if (meeting.nonEmpty)
+      meeting.minBy { case (b, _, cand) => (cand, b) }._1
+    else curve.maxBy { case (b, r, cand) => (r, -cand, -b) }._1
+    BandProbe(chosen, target, n, curve)
+  }
 
   /**
    * Run the funnel on a documents frame. Columns required: `doc_id`
@@ -383,6 +476,15 @@ object Curate {
     //    the leak-free split gate). `soft` keeps every row and instead
     //    attaches weight = 1/|cluster| plus the cluster key itself
     //    (__cluster), which the split gate reads directly.
+    // 1c. band auto-probe (opt-in): measure the recall/cost curve on a
+    //     deterministic hash-sample of the POST-GATE corpus (what the
+    //     dedup stage will actually see) and pick the banding — see
+    //     [[probeBands]]. The choice feeds both fuzzy and soft below and
+    //     lands in the report + band_probe.json.
+    val bandProbe: Option[BandProbe] =
+      if (c.bandsAuto) Some(probeBands(faired, c.jaccard, c.bandTarget))
+      else None
+    val dedupBands = bandProbe.map(_.chosen).getOrElse(4)
     val (deduped, labels) = c.dedup match {
       case "none" => (faired, None)
       case "exact" =>
@@ -391,7 +493,7 @@ object Curate {
           Seq("__fp"), Seq(col("doc_id"))).drop("__fp"), None)
       case "fuzzy" =>
         val edges = Dedup.nearDuplicates(faired, "doc_id", "text",
-          threshold = c.jaccard)
+          bands = dedupBands, threshold = c.jaccard)
         // connectedComponents returns a localCheckpoint-backed frame — its
         // blocks already cache the labels, so a persist() on top would
         // store the rows twice. Freed below once `split` is materialized.
@@ -399,7 +501,7 @@ object Curate {
         (within0(faired, lbl), Some(lbl))
       case "soft" =>
         val edges = Dedup.nearDuplicates(faired, "doc_id", "text",
-          threshold = c.jaccard)
+          bands = dedupBands, threshold = c.jaccard)
         val lbl = Dedup.connectedComponents(edges, "a", "b")
         // q_dedup_soft's exact weight: 1/|cluster| over the CC labels,
         // singletons (no label) weigh 1. The cluster-size aggregate is
@@ -506,7 +608,7 @@ object Curate {
         "afterDecontaminate" -> nDeconted,
         "afterDsir" -> nSelected,
         "train" -> nTrain, "val" -> nVal),
-      perLang = perLang)
+      perLang = perLang, bandProbe = bandProbe)
   }
 
   /** The decontamination screen (shared by [[run]] and [[runDelta]]):
@@ -586,6 +688,9 @@ object Curate {
     require(c.dedup != "soft",
       "dedup=soft is full-run-only: 1/|cluster| weights need corpus-wide " +
         "cluster sizes; run the full curation, or dedup=fuzzy for deltas")
+    require(!c.bandsAuto,
+      "bandsAuto is full-run-only: a delta batch's recall/cost curve is " +
+        "not the corpus curve; probe on a full run and pin the banding")
     val nIn = delta.count()
     val cleanOn = c.stripHtml || c.lineMinWords > 0
     val cleaned = cleanStage(delta, c)
@@ -685,8 +790,21 @@ object Curate {
         "decontBenchPath" -> c.decontBenchPath,
         "decontNgram" -> c.decontNgram,
         "decontEmbPath" -> c.decontEmbPath,
-        "decontSemanticBar" -> c.decontSemanticBar),
+        "decontSemanticBar" -> c.decontSemanticBar,
+        "bandsAuto" -> c.bandsAuto,
+        "bandTarget" -> c.bandTarget),
       "funnel" -> scala.collection.immutable.ListMap(r.funnel: _*),
+      // the banding the dedup stage ACTUALLY used, with the measured
+      // curve it was chosen from (None renders as an absent-by-default
+      // field only when the probe ran — pre-probe reports unchanged)
+      "bandProbe" -> r.bandProbe.map(p =>
+        scala.collection.immutable.ListMap(
+          "chosen" -> p.chosen, "target" -> p.target,
+          "sampleN" -> p.sampleN,
+          "curve" -> p.curve.map { case (b, rec, cand) =>
+            scala.collection.immutable.ListMap(
+              "bands" -> b, "recall" -> rec, "n_cand" -> cand) }))
+        .getOrElse(null),
       // the declared stage list with per-run enablement — the report is
       // self-describing about which registry stages this config ran
       "stages" -> StageRegistry.map(s =>
@@ -766,6 +884,15 @@ object Curate {
         else r.train.write.mode("overwrite").parquet(s"$outDir/train")
         r.`val`.write.mode("overwrite").parquet(s"$outDir/val")
         writeReport(s"$outDir/$ReportFile", c, r)
+        // probe evidence beside the report (the rotation_probe.json
+        // convention): a stale file from an earlier auto run must not
+        // outlive a rerun that turned the probe off
+        r.bandProbe match {
+          case Some(p) => java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/band_probe.json"), p.json)
+          case None => java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(s"$outDir/band_probe.json"))
+        }
         println(s"Curated: ${r.funnel.map { case (k, v) => s"$k=$v" }
           .mkString(" ")} → $outDir")
       // `--audit --data <curatedDir>`: the post-hoc split-leakage check on

@@ -552,4 +552,72 @@ class CurateSpec extends SparkSpec {
     assert(trainIds(pois) == trainIds(clean),
       "a stray __cluster input column must not move the split")
   }
+
+  test("bandsAuto: the probe picks the argmin-cost banding meeting the " +
+      "target (fewest bands, by the candidate-subset monotonicity), the " +
+      "report and band_probe.json carry the choice, and the delta path " +
+      "rejects the mode") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // planted fixture: two EXACT-dup clusters (identical signatures are
+    // caught by EVERY banding — recall 1.0 across the curve by the
+    // band-refinement subset argument) among unique filler docs
+    val dupA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val dupB = "one two three four five six seven eight nine ten eleven twelve"
+    val filler = (10L to 29L).map(i => Row(i,
+      s"unique document number $i about subject $i with body text ${i * 7} " +
+        s"and trailing content ${i * 13} end", "en"))
+    val rows = Seq(Row(1L, dupA, "en"), Row(2L, dupA, "en"),
+      Row(3L, dupB, "en"), Row(4L, dupB, "en")) ++ filler
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+    val probe = Curate.probeBands(docs, jaccard = 0.5, target = 0.9)
+    // curve laws: candidates(2) ⊆ candidates(4) ⊆ candidates(8) (band
+    // boundaries refine), so recall and cost are monotone in bands
+    val curve = probe.curve.sortBy(_._1)
+    assert(curve.map(_._1) == Seq(2, 4, 8))
+    assert(curve.map(_._2) == curve.map(_._2).sorted,
+      s"recall must be monotone in bands: $curve")
+    assert(curve.map(_._3) == curve.map(_._3).sorted,
+      s"candidate cost must be monotone in bands: $curve")
+    assert(curve.forall(_._2 == 1.0),
+      s"exact dups are caught by every banding: $curve")
+    // all meet the target -> argmin cost, ties -> fewest bands = 2
+    assert(probe.chosen == 2, s"probe must pick 2, got $probe")
+    // choice law holds on the probe's own curve: smallest banding
+    // meeting the target (cost is monotone, so fewest-meeting = argmin)
+    val meeting = curve.filter(_._2 >= probe.target)
+    assert(probe.chosen == meeting.minBy(c => (c._3, c._1))._1)
+    // e2e: the run report + evidence file carry the choice
+    val out = java.nio.file.Files.createTempDirectory("curate_bands").toString
+    val c = Curate.DefaultConfig.copy(minQuality = 0.0, dedup = "fuzzy",
+      bandsAuto = true, bandTarget = 0.9)
+    Curate.writeConfig(s"$out/${Curate.ConfigFile}", c)
+    // config round-trips the two probe knobs
+    assert(Curate.readConfig(s"$out/${Curate.ConfigFile}") == c)
+    docs.write.mode("overwrite").parquet(s"$out/in/documents.parquet")
+    Curate.cli(spark, Array("--run", "--data", s"$out/in", "--out", out))
+    val report = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/${Curate.ReportFile}"))
+    assert(report.contains("\"bandProbe\":{\"chosen\":2"), report)
+    val evidence = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/band_probe.json"))
+    assert(evidence.contains("\"chosen\":2") &&
+      evidence.contains("\"curve\":["), evidence)
+    // the probed run still dedups: both exact-dup clusters collapse
+    val r = Curate.run(docs, c)
+    assert(r.funnel.toMap.apply("afterDedup") == 22L,
+      r.funnel.toString)
+    assert(r.bandProbe.exists(_.chosen == 2))
+    // full-run-only: the delta path refuses the probe
+    intercept[IllegalArgumentException] {
+      Curate.runDelta(docs.limit(0), docs, c)
+    }
+    // a probe without a banded dedup mode is a config typo
+    intercept[IllegalArgumentException] {
+      Curate.DefaultConfig.copy(dedup = "exact", bandsAuto = true)
+    }
+  }
 }
