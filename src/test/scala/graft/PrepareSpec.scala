@@ -98,4 +98,75 @@ class PrepareSpec extends SparkSpec {
     }
     assert(overlapping, "id-order shards unexpectedly range-partitioned")
   }
+
+  test("composed CLI e2e (sf0.01): Curate (decontaminate + soft dedup) → " +
+      "Prepare --order semantic → Ann build over the surviving " +
+      "embeddings, with funnel accounting conserved across every tool " +
+      "boundary") {
+    val sf = "/root/testdata/sf0.01"
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_chain").toString
+    // a planted benchmark suite: two real corpus docs ARE the benchmark,
+    // so the decontaminate stage must drop exactly their n-gram leaks
+    val docs = Tables.load(spark, sf, "documents")
+    val benchIds = docs.filter(col("text").isNotNull)
+      .orderBy("doc_id").limit(2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    docs.filter(col("doc_id").isin(benchIds.toSeq: _*))
+      .select("doc_id", "text")
+      .write.parquet(s"$base/bench.parquet")
+    // ---- stage 1: Curate
+    val curOut = s"$base/curated"
+    new java.io.File(curOut).mkdirs()
+    val c = Curate.DefaultConfig.copy(dedup = "soft",
+      decontBenchPath = s"$base/bench.parquet")
+    Curate.writeConfig(s"$curOut/${Curate.ConfigFile}", c)
+    val r = Curate.run(docs, c)
+    val funnel = r.funnel.toMap
+    // soft dedup keeps every gated doc; decontaminate then drops the
+    // planted leaks (at least the 2 benchmark docs themselves)
+    assert(funnel("afterDedup") == funnel("afterQuality"))
+    assert(funnel("afterDecontaminate") <= funnel("afterDedup") - 2)
+    assert(funnel("train") + funnel("val") == funnel("afterDecontaminate"))
+    val train = r.train
+    val nTrain = train.count()
+    assert(nTrain == funnel("train"))
+    assert(train.filter(col("doc_id").isin(benchIds.toSeq: _*)).count()
+      == 0, "benchmark docs must not survive into train")
+    // soft weights survive the tool boundary (mass ≤ #docs, > 0)
+    assert(train.columns.contains("weight"))
+    // ---- stage 2: Prepare --order semantic over the curated train set
+    val prepIn = s"$base/prep_in"
+    train.drop("weight").write.parquet(s"$prepIn/documents.parquet")
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .write.parquet(s"$prepIn/embeddings.parquet")
+    val prepOut = s"$base/prepared"
+    val p = Prepare.run(spark, prepIn, prepOut, order = "semantic")
+    assert(p.nDocs == nTrain,
+      s"Prepare must see exactly Curate's train docs: ${p.nDocs} != $nTrain")
+    assert(p.nPacked + p.nOversize == p.nGated,
+      "packing accounts for every gated doc across the boundary")
+    assert(p.nSequences > 0)
+    val asg = spark.read.parquet(s"$prepOut/assignments.parquet")
+    assert(asg.count() == p.nPacked)
+    // every packed doc is a curated train doc (no phantom rows appear)
+    assert(asg.join(train, Seq("doc_id"), "left_anti").count() == 0)
+    // ---- stage 3: Ann build over the SURVIVING embeddings
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .join(train.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+    val nEmb = emb.count()
+    assert(nEmb > 0, "fixture ids overlap: surviving embeddings exist")
+    emb.write.parquet(s"$base/surviving.parquet")
+    val idx = s"$base/ann"
+    val built = Ann.build(spark, s"$base/surviving.parquet", idx,
+      k = 8, iters = 1, m = 4, codes = 8, dim = 64,
+      idCol = "vec_id", vecCol = "embedding")
+    assert(built == nEmb,
+      s"every surviving embedding must index: $built != $nEmb")
+    // the index serves over the curated corpus
+    val served = Ann.search(spark, idx, s"$base/surviving.parquet", None,
+      topK = 3, nprobe = 4, qIdCol = "vec_id", qVecCol = "embedding")
+    assert(served.limit(1).count() > 0)
+  }
 }
