@@ -264,6 +264,11 @@ object Ann {
   val RotationFile = "rotation.parquet"
   val ProjectionFile = "projection.parquet"
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** The JL projection as `pdim` codegen'd sequential double dots —
     * identical arithmetic to q_jl_recall's fused form (one scan-local
     * select, no shuffle), so served ≡ fused is exact. */
@@ -491,7 +496,7 @@ object Ann {
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
       .withColumn("emb", requireDim(col("emb"), dim, "Ann --build"))
-    val rot = if (rotateAuto) {
+    val (rot, probeJsonOpt) = if (rotateAuto) {
       // the probe measures the quantizer ACTUALLY being built (SQ8
       // responds to rotation via per-dim range balance, PQ via subspace
       // energy balance, trained codebooks adapt to whatever balance the
@@ -503,15 +508,14 @@ object Ann {
         .map { case (r, v) => s""""${RotNames(r)}":$v""" }.mkString(",")
       val qName = if (sq8) "sq8" else if (bq) "bq"
         else if (trained) "pq-trained" else "pq"
-      val probeJson = s"""{"chosen":"${RotNames(best)}","rot":$best,""" +
+      // the evidence file lands with the meta at the END of the build
+      // (the same crash-safety doctrine as every other artifact)
+      (best, Some(s"""{"chosen":"${RotNames(best)}","rot":$best,""" +
         s""""quantizer":"$qName",""" +
-        s""""sample_n":$probeSampleN,"recall@10":{$measured}}"""
-      val p = java.nio.file.Paths.get(outDir, "rotation_probe.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, probeJson.getBytes("UTF-8"))
-      best
+        s""""sample_n":$probeSampleN,"recall@10":{$measured}}"""))
     } else {
-      if (rotatePca2) 3 else if (rotatePca) 2 else if (rotate) 1 else 0
+      (if (rotatePca2) 3 else if (rotatePca) 2 else if (rotate) 1 else 0,
+        None)
     }
     val us: Seq[Array[Long]] = rot match {
       case 2 => Seq(graft.operators.Opq.householderFromPca(
@@ -561,6 +565,12 @@ object Ann {
         Ivf.nearestCentroid(col("emb"), centroids))
     }
     import spark.implicits._
+    // every artifact write below lands in a STAGING dir first; the
+    // promote block at the end moves them into place just before the
+    // meta flips — see the crash-safety contract there
+    val stageDir = s"$outDir/.staging"
+    new java.io.File(outDir).mkdirs()
+    rmTree(new java.io.File(stageDir))
     val (codesDf, cbOpt) = if (projDim > 0) {
       // JL artifact (qt = 3): the stored code IS the projected vector
       // (projDim doubles — the dimensionality axis of the compression
@@ -575,7 +585,7 @@ object Ann {
       val (mnA, dA) = graft.operators.Sq.trainScales(emb, "emb", dim)
       (0 until dim).map(i => (i, mnA(i), dA(i))).toDF("pos", "mn", "d")
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/scales.parquet")
+        .parquet(s"$stageDir/scales.parquet")
       (assigned.select(col(idCol), col("cell"),
         graft.operators.Sq.codes(col("emb"), mnA, dA).as("scode")), None)
     } else if (bq) {
@@ -620,13 +630,13 @@ object Ann {
       case None => centroids.zipWithIndex.map { case (v, i) => (i, v) }
         .toDF("cell", "vec")
     }).coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/centroids.parquet")
+      .parquet(s"$stageDir/centroids.parquet")
     cbOpt.foreach(_
       .select(col("j"), col("__c").as("c"), col("__cw").as("cw"),
         col("__cwn2").as("cwn2"))
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/codebook.parquet"))
-    codesDf.write.mode("overwrite").parquet(s"$outDir/codes.parquet")
+      .parquet(s"$stageDir/codebook.parquet"))
+    codesDf.write.mode("overwrite").parquet(s"$stageDir/codes.parquet")
     // all consumers of the rotated frame (Ivf.train + all encode paths)
     // have materialized to disk by here — release the corpus-scale cache
     // so repeated programmatic builds in one session don't accumulate
@@ -635,34 +645,38 @@ object Ann {
     // the join-trained centroid frame's checkpoint blocks are done once
     // codes.parquet has materialized (its last consumer)
     centFrame.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
-    // mode-overwrite semantics must hold for EVERY artifact, not just
-    // the probe: a quantizer/rotation change rebuilding into the same
-    // dir removes the artifacts the new mode does not write (a --bq
-    // rebuild over a --trained index must not leave codebook.parquet
-    // beside a qt=2 meta; a plain rebuild over a learned-rotation index
-    // must not leave rotation.parquet), so the directory stays
-    // self-describing. Deletion is DEFERRED to here — after every new
-    // artifact has been written, just before the meta flips — so a
-    // build that fails midway leaves the prior index fully serveable
-    // (its meta still points at files that still exist).
-    def deleteArtifact(name: String): Unit = {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      val f = new java.io.File(outDir, name)
-      if (f.exists()) rm(f)
+    if (rot >= 2) writeRotation(spark, stageDir, us)
+    if (projDim > 0) writeProjection(spark, stageDir, planes)
+    // ---- promote. All corpus-scale work above landed in the staging
+    // dir; what remains is a handful of driver-local renames + the meta
+    // flip, so a build failure ANYWHERE above leaves the prior index
+    // untouched and fully serveable (its meta still points at files
+    // that still exist). Promoting also enforces mode-overwrite
+    // semantics for EVERY artifact: a name the new mode did not stage
+    // (a --bq rebuild over a --trained index staging no codebook; a
+    // plain rebuild over a learned-rotation index staging no rotation)
+    // is DELETED, so the directory stays self-describing. The residual
+    // unsafe window is the promote loop itself — metadata-scale,
+    // filesystem-local.
+    Seq("centroids.parquet", "codes.parquet", "codebook.parquet",
+        "scales.parquet", RotationFile, ProjectionFile).foreach { name =>
+      val from = new java.io.File(stageDir, name)
+      rmTree(new java.io.File(outDir, name))
+      if (from.exists() && !from.renameTo(new java.io.File(outDir, name)))
+        sys.error(s"failed to promote $name from $stageDir")
     }
-    if (sq8 || bq || projDim > 0) deleteArtifact("codebook.parquet")
-    if (!sq8) deleteArtifact("scales.parquet")
-    if (rot < 2) deleteArtifact(RotationFile) else writeRotation(spark, outDir, us)
-    if (projDim == 0) deleteArtifact(ProjectionFile)
-    else writeProjection(spark, outDir, planes)
-    // a rebuild with an EXPLICIT mode into a dir that previously held
-    // an auto build must not leave a stale probe artifact beside a
-    // meta it no longer describes
-    if (!rotateAuto) java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(outDir, "rotation_probe.json"))
+    rmTree(new java.io.File(stageDir))
+    // probe evidence follows the same doctrine: written with the meta it
+    // describes; a non-auto rebuild into a dir that previously held an
+    // auto build must not leave a stale probe beside a meta it no
+    // longer describes
+    probeJsonOpt match {
+      case Some(j) => java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, "rotation_probe.json"),
+        j.getBytes("UTF-8"))
+      case None => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(outDir, "rotation_probe.json"))
+    }
     writeMeta(outDir,
       Meta(k, iters, m, codes, dim, idCol, rot,
         qt = if (sq8) 1 else if (bq) 2 else if (projDim > 0) 3 else 0,

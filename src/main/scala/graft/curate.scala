@@ -394,7 +394,11 @@ object Curate {
       .toSeq
     sample.unpersist(blocking = false)
     val meeting = curve.filter(_._2 >= target)
-    val chosen = if (meeting.nonEmpty)
+    // a sample with NO true pairs at the threshold measures nothing —
+    // every banding is vacuously fine, so keep the fixed default (and
+    // the empty curve in the evidence says why)
+    val chosen = if (curve.isEmpty) 4
+    else if (meeting.nonEmpty)
       meeting.minBy { case (b, _, cand) => (cand, b) }._1
     else curve.maxBy { case (b, r, cand) => (r, -cand, -b) }._1
     BandProbe(chosen, target, n, curve)
@@ -795,8 +799,8 @@ object Curate {
         "bandTarget" -> c.bandTarget),
       "funnel" -> scala.collection.immutable.ListMap(r.funnel: _*),
       // the banding the dedup stage ACTUALLY used, with the measured
-      // curve it was chosen from (None renders as an absent-by-default
-      // field only when the probe ran — pre-probe reports unchanged)
+      // curve it was chosen from (renders null when the probe did not
+      // run — an additive key, pre-probe report consumers unaffected)
       "bandProbe" -> r.bandProbe.map(p =>
         scala.collection.immutable.ListMap(
           "chosen" -> p.chosen, "target" -> p.target,

@@ -529,6 +529,37 @@ class AnnSpec extends SparkSpec {
       pair(0)._3 == pair(1)._3, s"clone must project identically: $pair")
   }
 
+  test("crash safety: a midway-failing rebuild (staged artifact promote) " +
+      "leaves the prior index — including artifacts the failed mode " +
+      "would have deleted — fully serveable") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmp("crash")
+    // a learned-rotation index: rotation.parquet is exactly the artifact
+    // a PLAIN rebuild deletes, so a failing plain rebuild is the
+    // regression case (pre-r16 code deleted it before doing any work)
+    val n = Ann.build(spark, data, idx, k = 8, iters = 1, m = 4,
+      codes = 8, dim = 64, idCol = "vec_id", vecCol = "embedding",
+      rotatePca = true)
+    assert(n > 0)
+    def serve() = Ann.search(spark, idx, data, None, topK = 5,
+        nprobe = 3, qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val before = serve()
+    // the rebuild fails mid-train: dim=32 against 64-dim vectors fires
+    // the requireDim raise_error inside the first Spark job — well
+    // after the build started, well before any artifact promotes
+    intercept[Throwable] {
+      Ann.build(spark, data, idx, k = 8, iters = 1, m = 4, codes = 8,
+        dim = 32, idCol = "vec_id", vecCol = "embedding")
+    }
+    assert(new java.io.File(s"$idx/${Ann.RotationFile}").exists(),
+      "the failed plain rebuild must not have deleted the rotation")
+    assert(serve() == before,
+      "the prior index must serve identically after a failed rebuild")
+  }
+
   test("a real large-k build (k = 512 at sf0.1) auto-routes to the join " +
       "path: meta records kjoin, centroids.parquet carries 512 rows, " +
       "and the index serves") {

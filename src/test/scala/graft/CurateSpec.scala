@@ -619,5 +619,10 @@ class CurateSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curate.DefaultConfig.copy(dedup = "exact", bandsAuto = true)
     }
+    // a sample with NO true pairs measures nothing: the probe keeps the
+    // fixed default banding instead of crashing on an empty curve
+    val clean = Curate.probeBands(
+      docs.filter(col("doc_id") >= 10L), jaccard = 0.5, target = 0.9)
+    assert(clean.chosen == 4 && clean.curve.isEmpty, clean.toString)
   }
 }
