@@ -778,16 +778,17 @@ object Ann {
     * column convention so --refine and the result schema compose
     * unchanged. */
   private def sq8Serve(spark: SparkSession, indexDir: String, meta: Meta,
-      qs: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
+      qs: DataFrame, centroids: Seq[Seq[Double]],
+      centFrame: Option[DataFrame], nprobe: Int, topK: Int,
       selfFilter: Boolean): DataFrame = {
     import graft.operators.Sq
     val (mnA, dA) = readScales(spark, indexDir, meta.dim)
     val codes = spark.read.parquet(s"$indexDir/codes.parquet")
       .select(col(meta.idCol), col("cell").as("__cell"),
         Sq.reconstruct(col("scode"), mnA, dA).as("__r"))
-    val probes = qs.select(col("q_id"),
-      explode(Ivf.probeList(col("q_emb"), centroids, nprobe)).as("__cell"),
-      Sq.microInts(col("q_emb")).as("__q"))
+    val probes = probeCells(qs, "q_emb", centroids, centFrame, nprobe)
+      .select(col("q_id"), col("__cell"),
+        Sq.microInts(col("q_emb")).as("__q"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("__ad"), col(meta.idCol))
     codes.join(broadcast(probes), Seq("__cell"))
@@ -802,6 +803,19 @@ object Ann {
         (col("__ad").cast("double") / lit(2.55e14)).as("adist"))
   }
 
+  /** (q_id, <embCol>, __cell) — one row per probed cell per query:
+    * the k×dim-literal [[Ivf.probeList]] below the large-k threshold,
+    * the broadcast centroid-frame [[Ivf.probeJoin]] above it (the meta's
+    * `kjoin` decides, so a k=10⁴ index never plans k-literal probes at
+    * serve time either). Bit-identical probe sets — IvfSpec pins it. */
+  private def probeCells(qs: DataFrame, embCol: String,
+      centroids: Seq[Seq[Double]], centFrame: Option[DataFrame],
+      nprobe: Int): DataFrame = centFrame match {
+    case Some(cf) => Ivf.probeJoin(qs, "q_id", embCol, cf, nprobe)
+    case None => qs.withColumn("__cell",
+      explode(Ivf.probeList(col(embCol), centroids, nprobe)))
+  }
+
   /** JL serving half (meta qt = 3): project the queries through the
     * persisted plane basis ([[ProjectionFile]]), probe the
     * projected-space centroids, and rank the probed cells' STORED
@@ -814,16 +828,16 @@ object Ann {
     * measured JL recipe: cheap projected candidates, full-dim rerank).
     * nprobe ≥ k degenerates to projected EXACT search. */
   private def jlServe(spark: SparkSession, indexDir: String, meta: Meta,
-      qs: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
+      qs: DataFrame, centroids: Seq[Seq[Double]],
+      centFrame: Option[DataFrame], nprobe: Int, topK: Int,
       selfFilter: Boolean): DataFrame = {
     val planes = readProjection(spark, indexDir, meta.pdim, meta.dim)
     val pq = qs.select(col("q_id"),
       jlProject(col("q_emb"), planes).as("__pq"))
     val codes = spark.read.parquet(s"$indexDir/codes.parquet")
       .select(col(meta.idCol), col("cell").as("__cell"), col("pvec"))
-    val probes = pq.select(col("q_id"),
-      explode(Ivf.probeList(col("__pq"), centroids, nprobe)).as("__cell"),
-      col("__pq"))
+    val probes = probeCells(pq, "__pq", centroids, centFrame, nprobe)
+      .select(col("q_id"), col("__cell"), col("__pq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("__ad"), col(meta.idCol))
     codes.join(broadcast(probes), Seq("__cell"))
@@ -850,7 +864,8 @@ object Ann {
     * unchanged. Same artifacts, same probes; only the per-candidate
     * expression differs. */
   private def bqServe(spark: SparkSession, indexDir: String, meta: Meta,
-      qs: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
+      qs: DataFrame, centroids: Seq[Seq[Double]],
+      centFrame: Option[DataFrame], nprobe: Int, topK: Int,
       selfFilter: Boolean, asym: Boolean = false): DataFrame = {
     import graft.operators.Bq
     val codes = spark.read.parquet(s"$indexDir/codes.parquet")
@@ -860,9 +875,8 @@ object Ann {
     val qRep = if (asym)
       transform(col("q_emb"), x => round(x * 1e6, 0).cast("long"))
     else Bq.signWords(col("q_emb"), meta.dim)
-    val probes = qs.select(col("q_id"),
-      explode(Ivf.probeList(col("q_emb"), centroids, nprobe)).as("__cell"),
-      qRep.as("__qr"))
+    val probes = probeCells(qs, "q_emb", centroids, centFrame, nprobe)
+      .select(col("q_id"), col("__cell"), qRep.as("__qr"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("__h"), col(meta.idCol))
     val scored = codes.join(broadcast(probes), Seq("__cell"))
@@ -892,9 +906,14 @@ object Ann {
     val meta = readMeta(indexDir)
     require(!asym || meta.qt == 2,
       "--asym serves binary (qt=2) indexes only")
-    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
+    // kjoin indexes never materialize the k×dim literal at serve time
+    // either: the centroid FRAME flows into the broadcast probe ranking
+    // ([[probeCells]]); small-k indexes keep the codegen'd literal list
+    val centDf = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val centFrame = if (meta.kjoin) Some(centDf) else None
+    val centroids: Seq[Seq[Double]] = if (meta.kjoin) Nil
+      else centDf.orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
     val rotU = readRotation(spark, indexDir, meta.rot)
     val qs = toIndexSpaceFrame(
       spark.read.parquet(queriesPath)
@@ -908,11 +927,11 @@ object Ann {
     require(adcK >= topK,
       s"--refine candidate depth $adcK must be >= --topk $topK")
     val adc = if (meta.qt == 1) sq8Serve(spark, indexDir, meta, qs,
-      centroids, nprobe, adcK, selfFilter)
+      centroids, centFrame, nprobe, adcK, selfFilter)
     else if (meta.qt == 2) bqServe(spark, indexDir, meta, qs,
-      centroids, nprobe, adcK, selfFilter, asym = asym)
+      centroids, centFrame, nprobe, adcK, selfFilter, asym = asym)
     else if (meta.qt == 3) jlServe(spark, indexDir, meta, qs,
-      centroids, nprobe, adcK, selfFilter)
+      centroids, centFrame, nprobe, adcK, selfFilter)
     else {
       val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
         .select(col("j"), col("c").as("__c"), col("cw").as("__cw"),
@@ -921,7 +940,8 @@ object Ann {
         .select(col(meta.idCol), col("cell").as("__cell"), col("j"),
           col("code"))
       Pq.searchIndex(codes, cb, qs, centroids, nprobe, adcK,
-        meta.m, meta.dim, meta.idCol, selfFilter = selfFilter)
+        meta.m, meta.dim, meta.idCol, selfFilter = selfFilter,
+        centFrame = centFrame)
     }
     val out = refine match {
       case None => adc

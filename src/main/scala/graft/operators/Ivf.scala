@@ -89,6 +89,36 @@ object Ivf {
   }
 
   /**
+   * LARGE-k probe assignment — [[probeList]]'s broadcast centroid-FRAME
+   * twin (the serve-side member of the [[trainJoin]]/[[assignJoin]]
+   * family): per query row, the `nprobe` nearest cells, computed by a
+   * broadcast crossJoin against the k-row (cell, vec) frame + one
+   * per-query window rank instead of a k×dim-literal expression. The
+   * ranking key is the same −2·q·c + |c|² with |c|² as the sequential
+   * dot, and the (key, cell) window tie-break matches [[probeList]]'s
+   * (d, i) struct sort — bit-identical probe sets (IvfSpec pins it).
+   * The query side is small by the serving contract (it broadcasts),
+   * so the window partitions over |queries|·k rows, never corpus scale.
+   * Queries must carry non-NULL, non-empty vectors (the serve paths
+   * filter upstream). Returns the input columns plus `__cell`, one row
+   * per probed cell per query.
+   */
+  def probeJoin(qs: DataFrame, qIdCol: String, qEmbCol: String,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
+    val cb = centroids.select(col("cell").as("__pc"),
+      col("vec").as("__pv"), dot(col("vec"), col("vec")).as("__pn2"))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__pk"), col("__pc"))
+    qs.crossJoin(broadcast(cb))
+      .withColumn("__pk",
+        lit(-2.0) * dot(col(qEmbCol), col("__pv")) + col("__pn2"))
+      .withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nprobe)
+      .drop("__pv", "__pn2", "__pk", "__pr")
+      .withColumnRenamed("__pc", "__cell")
+  }
+
+  /**
    * Train k centroids: deterministic seeds (first k vectors by id), then
    * `iters` Lloyd rounds with distributed mean computation. Only the k×dim
    * centroid matrix ever reaches the driver.

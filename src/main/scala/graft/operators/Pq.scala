@@ -408,12 +408,19 @@ object Pq {
       queries: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int,
       topK: Int, m: Int, dim: Int, idCol: String = "vec_id",
       qIdCol: String = "q_id", qEmbCol: String = "q_emb",
-      selfFilter: Boolean = true): DataFrame = {
+      selfFilter: Boolean = true,
+      centFrame: Option[DataFrame] = None): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val d = dim / m
     val q = queries.select(col(qIdCol), col(qEmbCol).as("__qv"))
-    val probes = q.select(col(qIdCol),
-      explode(Ivf.probeList(col("__qv"), centroids, nprobe)).as("__cell"))
+    // probe cells via the k×dim-literal list, or — when the caller hands
+    // the k-row centroid FRAME (a kjoin index, Ann.LargeKThreshold) —
+    // via the broadcast-frame ranking (Ivf.probeJoin, bit-identical)
+    val probes = (centFrame match {
+      case Some(cf) => Ivf.probeJoin(q, qIdCol, "__qv", cf, nprobe)
+      case None => q.withColumn("__cell",
+        explode(Ivf.probeList(col("__qv"), centroids, nprobe)))
+    }).select(col(qIdCol), col("__cell"))
     val qsubs = q
       .select(col(qIdCol), subvectors(col("__qv"), m, d).as(Seq("j", "__qs")))
       .withColumn("__qn2", dot(col("__qs"), col("__qs")))

@@ -3661,6 +3661,37 @@ object Pipeline {
           topK = RerankTopK)
         .orderBy("q_id", "rnk")
     }),
+    // L1/L2 — recall@RerankTopK of the RRF fusion vs the exact cosine
+    // truth — q_rerank_recall's twin for the HYBRID retriever: read the
+    // two rows together to compare the cascade (dense re-orders sparse
+    // survivors) against the fusion (both rankings vote) at identical
+    // candidate budgets. On this fixture text and embeddings are
+    // independent, so the fused recall is bounded by how many dense
+    // top-candK docs survive the sparse noise votes — the row measures
+    // exactly that trade; on a real corpus it is the fusion-vs-cascade
+    // sizing number.
+    "q_rrf_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 3 && col("text").isNotNull)
+        .select(col("doc_id").as("q_id"), col("text").as("qtext"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qsE = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val sparse = TA.bm25BatchTopK(docs, "doc_id", "text", qs, "q_id",
+          "qtext", topK = RerankCandK, k1 = Bm25K1, b = Bm25B)
+        .filter(col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      val dense = Similarity.exactTopK(emb, qsE, RerankCandK)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rn").as("rnk"))
+      val picked = TA.rrfFuse(sparse, dense, "q_id", "doc_id", "rnk",
+          topK = RerankTopK)
+        .select(col("q_id"), col("doc_id").as("vec_id"))
+      val exact = Similarity.exactTopK(emb, qsE, RerankTopK)
+        .select(col("q_id"), col("vec_id"))
+      Similarity.recallAtK(exact, picked, RerankTopK)
+    }),
     // L1/L2 — recall@RerankTopK of the two-stage retriever vs the exact
     // cosine top-RerankTopK per query — the quality row every other
     // approximate stage already has (q_pq_recall, q_minhash_recall,
@@ -7792,6 +7823,38 @@ object Pipeline {
              ORDER BY sc DESC, doc_id) AS rnk
            FROM fused)
          WHERE rnk <= $RerankTopK ORDER BY q_id, rnk""",
+    // RRF recall: the fused top-K from the q_rrf CTEs, scored against
+    // the exact-cosine truth by the shared recall tail.
+    "q_rrf_recall" ->
+      s"""$RerankPipelineCtes,
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dense AS (
+           SELECT q_id, vec_id, drnk FROM (
+             SELECT q_id, vec_id, row_number() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id) AS drnk
+             FROM (
+               SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+                 list_dot_product(x.v, q.v) /
+                   (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(q.v, q.v))) AS cos
+               FROM e q JOIN e x
+                 ON q.vec_id < 3 AND x.vec_id <> q.vec_id))
+           WHERE drnk <= $RerankCandK),
+         fused AS (
+           SELECT coalesce(s.q_id, d.q_id) AS q_id,
+             coalesce(s.doc_id, d.vec_id) AS doc_id,
+             coalesce(1.0 / (60 + s.crnk), 0.0)
+               + coalesce(1.0 / (60 + d.drnk), 0.0) AS sc
+           FROM cand s FULL OUTER JOIN dense d
+             ON s.q_id = d.q_id AND s.doc_id = d.vec_id),
+         picked AS (
+           SELECT q_id, doc_id AS vec_id FROM (
+             SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY sc DESC, doc_id) AS rnk
+             FROM fused)
+           WHERE rnk <= $RerankTopK),
+         ${embExactCte(3, RerankTopK)}
+         ${recallTailSql("picked", RerankTopK)}""",
     // Two-stage retrieval: the shared rerank CTE chain cut at RerankTopK.
     "q_retrieve_rerank" ->
       s"""$RerankPipelineCtes

@@ -846,6 +846,42 @@ object Streams {
   }
 
   /**
+   * Streaming JL-PROJECTED index ingest — [[annAppend]]'s
+   * dimensionality-axis twin (the `graft.Ann --proj-dim --append` shape
+   * over a stream, qt=3): each micro-batch projects through the FROZEN
+   * plane basis (scan-local codegen'd dots, no shuffle beyond the cell
+   * expression), assigns its projected-space cell, and folds the
+   * (id, cell, pvec) rows into the maintained frame. Projection is
+   * STATELESS given the basis — the BQ exactness contract: the streamed
+   * index is bit-identical to a one-shot union encode for ANY vectors,
+   * no range/codebook staleness class. Dimension-guarded per batch like
+   * every ingest twin (r15 convention). StreamsSpec pins streamed ≡
+   * batch.
+   */
+  def jlAppend(vectors: DataFrame, idCol: String, embCol: String,
+      planes: Seq[Seq[Double]], centroids: Seq[Seq[Double]], dim: Int,
+      initial: DataFrame)(onUpdate: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var codes = initial.select(col(idCol), col("cell"), col("pvec"))
+    vectors.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epoch: Long) =>
+        val fresh = batch.select(col(idCol), col(embCol))
+          .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+          .withColumn(embCol,
+            requireDim(col(embCol), dim, "Streams.jlAppend"))
+          .withColumn("pvec", array(planes.map(p =>
+            graft.functions.VectorOps.dot(col(embCol), typedlit(p))): _*))
+          .select(col(idCol),
+            graft.operators.Ivf.nearestCentroid(col("pvec"), centroids)
+              .as("cell"),
+            col("pvec"))
+        codes = codes.unionByName(fresh).localCheckpoint()
+        onUpdate(codes, epoch)
+    }
+  }
+
+  /**
    * Streaming inverted-index maintenance — the retrieval twin of
    * [[shardAppend]]'s layout family: each micro-batch of an APPEND-ONLY
    * document stream folds into a maintained index via

@@ -92,6 +92,23 @@ class IvfSpec extends SparkSpec {
         .select("vec_id", "ivf_cell").collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(viaLit == viaJoin, s"k=$k assignments differ")
+      // the SERVE-side member of the family: probeJoin's per-query
+      // probed-cell set (frame ranking, the same (key, cell) tie-break)
+      // ≡ probeList's (literal struct sort) — the set is the law that
+      // matters: serving joins on __cell and re-ranks by distance, so
+      // probe-row order is never observable downstream
+      for (nprobe <- Seq(3, k)) {
+        val qs = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+        val viaList = qs.select(col("q_id"),
+            explode(Ivf.probeList(col("q_emb"), lit, nprobe)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        val viaFrame = Ivf.probeJoin(qs, "q_id", "q_emb", cf, nprobe)
+          .select(col("q_id"), col("__cell"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(viaList == viaFrame,
+          s"k=$k nprobe=$nprobe probe sets differ")
+      }
     }
   }
 

@@ -698,6 +698,55 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming jlAppend ≡ one-shot projected encode of the union " +
+      "after every epoch (stateless projection, frozen basis + " +
+      "centroids)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.VectorOps
+    import graft.operators.{Ivf, Similarity}
+    val planes = Similarity.hyperplanes(16, 64)
+    def proj(c: org.apache.spark.sql.Column) =
+      array(planes.map(p => VectorOps.dot(c, typedlit(p))): _*)
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      .orderBy("vec_id").limit(30)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val (initial, streamed) = all.toSeq.partition(_._1 < 12)
+    val initDf = initial.toDF("vec_id", "emb")
+    // centroids live in the PROJECTED space, like an Ann --proj-dim build
+    val centroids = Ivf.train(
+      initDf.select(col("vec_id"), proj(col("emb")).as("emb")),
+      "vec_id", "emb", k = 4, iters = 1)
+    def encode(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), proj(col("emb")).as("pvec"))
+        .select(col("vec_id"),
+          Ivf.nearestCentroid(col("pvec"), centroids).as("cell"),
+          col("pvec"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.get(1).asInstanceOf[Number].longValue(),
+        r.getSeq[Double](2).toList)).toSet
+    val mem = MemoryStream[(Long, Seq[Double])]
+    var latest = Set.empty[(Long, Long, List[Double])]
+    val q = graft.streaming.Streams.jlAppend(
+        mem.toDF().toDF("vec_id", "emb"), "vec_id", "emb",
+        planes, centroids, dim = 64, encode(initDf)) {
+      (c, _) => latest = snap(c)
+    }.start()
+    try {
+      val batches = Seq(streamed.take(7), streamed.drop(7))
+      var seen = initial
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*); q.processAllAvailable()
+        seen = seen ++ b
+        val want = snap(encode(seen.toDF("vec_id", "emb")))
+        assert(latest == want, s"epoch $i diverged from one-shot encode")
+      }
+    } finally q.stop()
+  }
+
   test("streaming packAppend: single-batch feed ≡ batch packSequences " +
       "bit-for-bit; per-group packing report ≡ batch under any batching") {
     implicit val sql = spark.sqlContext
