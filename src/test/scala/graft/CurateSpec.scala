@@ -625,4 +625,41 @@ class CurateSpec extends SparkSpec {
       docs.filter(col("doc_id") >= 10L), jaccard = 0.5, target = 0.9)
     assert(clean.chosen == 4 && clean.curve.isEmpty, clean.toString)
   }
+
+  test("pinned banding: the bands config key round-trips, validates, and " +
+      "changes what the fuzzy dedup stage catches (a moderate-overlap " +
+      "pair meets under single-hash bands, not under the full-signature " +
+      "band)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // round-trip + validation
+    val out = java.nio.file.Files.createTempDirectory("curate_pin").toString
+    val pinned = Curate.DefaultConfig.copy(dedup = "fuzzy", bands = 8)
+    Curate.writeConfig(s"$out/${Curate.ConfigFile}", pinned)
+    assert(Curate.readConfig(s"$out/${Curate.ConfigFile}") == pinned)
+    intercept[IllegalArgumentException] {
+      Curate.DefaultConfig.copy(bands = 5) // does not divide 16 hashes
+    }
+    // a ~0.75-jaccard pair: 12 of 15 word-3-gram shingles shared.
+    // bands=16 (single-hash bands) catches it near-surely; bands=1
+    // (all 16 minhashes must agree) near-surely does not — with the
+    // fixed hash family both outcomes are deterministic on this fixture
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17"
+    val vari = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 x15 x16 x17"
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, base, "en"), Row(2L, vari, "en"),
+        Row(3L, "entirely different content about glacier flows and moraine deposits", "en")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+    def kept(b: Int): Long = Curate.run(docs,
+        Curate.DefaultConfig.copy(minQuality = 0.0, dedup = "fuzzy",
+          jaccard = 0.5, bands = b))
+      .funnel.toMap.apply("afterDedup")
+    assert(kept(16) == 2L,
+      "single-hash bands must catch the 0.75-jaccard pair")
+    assert(kept(1) == 3L,
+      "the full-signature band must miss it (all 16 minhashes equal " +
+        "has probability ~J^16)")
+  }
 }
