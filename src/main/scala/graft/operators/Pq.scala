@@ -332,6 +332,95 @@ object Pq {
   }
 
   /**
+   * [[ivfAdcTopK]] with RESIDUAL encoding — FAISS IndexIVFPQ's actual
+   * default (`by_residual = true`): the PQ encodes r = x − c(cell(x)),
+   * not x itself, so the codebook's bytes describe the WITHIN-cell
+   * geometry instead of re-describing the coarse structure the cell id
+   * already carries — the recall-per-byte upgrade the residual form
+   * exists for on clustered corpora. Measured beside the plain form at
+   * identical m/k/nprobe (q_ivf_pq_residual_recall vs q_ivf_pq_recall):
+   * on the harness's near-isotropic fixtures the residual form reads
+   * LOWER (0.24 vs 0.36 at sf0.01) — cells there are arbitrary Voronoi
+   * shards, so the subtraction only decorrelates the fixed codebook;
+   * the row is the per-corpus decision number, not a blanket win.
+   *
+   * Declared quantizer throughout, so the WHOLE pipeline is
+   * oracle-expressible: the codewords are the residuals of the first k
+   * vectors (the [[buildIndex]] fixedCodebook convention, applied to
+   * the residual frame — residuals depend on the assignment, which is
+   * itself declared). Serving computes each query's PER-CELL residual
+   * q − c(cell) (the part plain ADC gets to skip: the distance table
+   * becomes per (query, cell, j, code) instead of per (query, j, code)
+   * — |q|·nprobe·m·k rows, still metadata scale for bounded query
+   * sets), and sums subspace terms as decimal(28,10) like every ADC
+   * here, so ranking is bit-portable.
+   *
+   * Scale shape: ONE corpus scan computes cell + residual + the m
+   * encode subvectors (persisted across its two consumers — the
+   * first-k codebook filter and the encode join — then released); the
+   * scoring join is the same (cell, j, code) equi-join as
+   * [[searchIndex]] with the residual distance table broadcast.
+   */
+  def ivfAdcResidualTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[Seq[Double]], nprobe: Int, topK: Int,
+      m: Int, k: Int, dim: Int,
+      idCol: String = "vec_id", embCol: String = "emb",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb",
+      selfFilter: Boolean = true): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    if (centroids.isEmpty)
+      return corpus.select(col(idCol)).limit(0)
+        .crossJoin(queries.select(col(qIdCol)).limit(0))
+        .select(col(qIdCol), col(idCol), lit(0L).as("rn"),
+          lit(0.0).as("adist"))
+    val cvs = typedLit(centroids.map(_.toArray).toArray)
+    def residual(v: org.apache.spark.sql.Column,
+        cell: org.apache.spark.sql.Column) =
+      zip_with(v, element_at(cvs, cell + 1), (a, b) => a - b)
+    val assigned = Scale.spreadForCompute(
+        corpus.select(col(idCol), col(embCol)), col(idCol))
+      .withColumn("__cell", Ivf.nearestCentroid(col(embCol), centroids))
+      .withColumn("__res", residual(col(embCol), col("__cell")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = fixedCodebook(assigned, idCol, "__res", m, k, d)
+    val subs = assigned.select(col(idCol), col("__cell"),
+      subvectors(col("__res"), m, d).as(Seq("j", "__s")))
+    val codes = subs.join(broadcast(cb), "j")
+      .withColumn("__key",
+        lit(-2.0) * dot(col("__s"), col("__cw")) + col("__cwn2"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("__key").as("k"), col("__c").as("c"))).as("__m"),
+        max(col("__cell")).as("__cell")) // constant within the group
+      .select(col(idCol), col("__cell"), col("j"), col("__m.c").as("code"))
+    // query side: the residual is PER PROBED CELL, so the distance
+    // table carries the cell key
+    val probes = queries.select(col(qIdCol), col(qEmbCol).as("__qv"))
+      .withColumn("__cell",
+        explode(Ivf.probeList(col("__qv"), centroids, nprobe)))
+      .withColumn("__qr", residual(col("__qv"), col("__cell")))
+    val qsubs = probes.select(col(qIdCol), col("__cell"),
+        subvectors(col("__qr"), m, d).as(Seq("j", "__qs")))
+      .withColumn("__qn2", dot(col("__qs"), col("__qs")))
+    val dtab = qsubs.join(broadcast(cb), "j")
+      .select(col(qIdCol), col("__cell"), col("j"), col("__c").as("code"),
+        (col("__qn2") - lit(2.0) * dot(col("__qs"), col("__cw")) +
+          col("__cwn2")).as("__dq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qIdCol).orderBy(col("__ad"), col(idCol))
+    Scale.releaseAfterUse(
+      codes.join(broadcast(dtab), Seq("__cell", "j", "code"))
+        .filter(if (selfFilter) col(idCol) =!= col(qIdCol) else lit(true))
+        .groupBy(col(qIdCol), col(idCol))
+        .agg(sum(col("__dq").cast("decimal(28,10)")).as("__ad"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= topK)
+        .select(col(qIdCol), col(idCol), col("rn"),
+          round(col("__ad").cast("double"), 6).as("adist")),
+      Seq(assigned))
+  }
+
+  /**
    * The INDEX-BUILD half of [[ivfAdcTopK]], factored so the artifacts can
    * persist (see `graft.Ann`): returns (codes, codebook) — codes =
    * (idCol, __cell, j, code), one row per vector per subspace, the whole

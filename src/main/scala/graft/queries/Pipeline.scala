@@ -2733,6 +2733,35 @@ object Pipeline {
       ivfPqRecallOver(t(s, dir, "embeddings")
         .select(col("vec_id"),
           VectorOps.asDouble(col("embedding")).as("emb")))),
+    // L2 — RESIDUAL IVF-PQ recall (Pq.ivfAdcResidualTopK — FAISS
+    // IndexIVFPQ's by_residual=true default): the PQ encodes x − c(cell)
+    // instead of x, spending its bytes on within-cell geometry. Read
+    // beside q_ivf_pq_recall: identical m/k/nprobe/seeds, the residual
+    // form is the whole difference. MEASURED on these fixtures: 0.24 vs
+    // plain 0.36 at sf0.01, 0.06 vs 0.26 at sf0.1 — an honest NEGATIVE
+    // result (the q_jl_recall convention): residual encoding presumes
+    // the coarse cells capture real cluster structure, and on
+    // near-isotropic synthetic embeddings they are arbitrary Voronoi
+    // shards, so subtracting a per-cell centroid only decorrelates the
+    // fixed first-8 codebook from both sides. On corpora with genuine
+    // structure (where production FAISS defaults to by_residual) the
+    // sign flips — this row is the per-corpus decision number, and the
+    // hash-matched oracle proves the pipeline faithful either way.
+    "q_ivf_pq_residual_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "emb",
+        k = 16, iters = 0)
+      val exact = Similarity.exactTopK(emb, qs, 10)
+        .select(col("q_id"), col("vec_id"))
+      val adc = graft.operators.Pq.ivfAdcResidualTopK(emb, qs, centroids,
+          nprobe = 4, topK = 10, m = 4, k = 8, dim = 64)
+        .select(col("q_id"), col("vec_id"))
+      Similarity.recallAtK(exact, adc, 10)
+    }),
     // L2 — OPQ-STYLE ROTATED IVF-PQ recall (Opq.rotate ∘ the
     // q_ivf_pq_recall pipeline): the Walsh–Hadamard rotation spreads
     // the corpus' dominant-direction energy evenly across the m=4 PQ
@@ -4287,6 +4316,83 @@ object Pipeline {
           ${embExactCte(5, 10)},
           adc AS (SELECT q_id, vec_id FROM adcranked WHERE rn <= 10)
           ${recallTailSql("adc", 10)}""",
+    // Residual IVF-PQ: the same e/c/assign/probes chain, with the
+    // codebook, codes, and per-(query, cell) distance table all computed
+    // over r = x − c(cell) (list_transform subtraction — the engine's
+    // zip_with, elementwise, no reassociation).
+    "q_ivf_pq_residual_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv,
+             list_dot_product(v, v) AS cnorm2
+           FROM e WHERE vec_id < 16),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -2 * list_dot_product(e.v, c.cv) + c.cnorm2,
+                   c.cid) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         res AS (
+           SELECT e.vec_id, a.cell,
+             list_transform(generate_series(1, 64),
+               i -> e.v[i] - c.cv[i]) AS r
+           FROM e JOIN assign a ON a.vec_id = e.vec_id
+           JOIN c ON c.cid = a.cell),
+         rsub AS (
+           SELECT vec_id, cell, j, r[j*16+1 : j*16+16] AS s,
+             list_dot_product(r[j*16+1 : j*16+16],
+               r[j*16+1 : j*16+16]) AS sn2
+           FROM res, generate_series(0, 3) AS g(j)),
+         rcb AS (
+           SELECT cast(vec_id AS int) AS c, j, s AS cw, sn2 AS cwn2
+           FROM rsub WHERE vec_id < 8),
+         rcodes AS (
+           SELECT vec_id, cell, j, code FROM (
+             SELECT rsub.vec_id, rsub.cell, rsub.j, rcb.c AS code,
+               row_number() OVER (PARTITION BY rsub.vec_id, rsub.j
+                 ORDER BY -2 * list_dot_product(rsub.s, rcb.cw)
+                   + rcb.cwn2, rcb.c) AS rn
+             FROM rsub JOIN rcb ON rsub.j = rcb.j) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         probes AS (
+           SELECT q_id, cell FROM (
+             SELECT q.q_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY -2 * list_dot_product(q.qv, c.cv) + c.cnorm2,
+                   c.cid) AS rn
+             FROM q CROSS JOIN c) WHERE rn <= 4),
+         qres AS (
+           SELECT q.q_id, p.cell,
+             list_transform(generate_series(1, 64),
+               i -> q.qv[i] - c.cv[i]) AS qr
+           FROM q JOIN probes p ON p.q_id = q.q_id
+           JOIN c ON c.cid = p.cell),
+         qsub AS (
+           SELECT q_id, cell, j, qr[j*16+1 : j*16+16] AS qs,
+             list_dot_product(qr[j*16+1 : j*16+16],
+               qr[j*16+1 : j*16+16]) AS qn2
+           FROM qres, generate_series(0, 3) AS g(j)),
+         dtab AS (
+           SELECT qsub.q_id, qsub.cell, qsub.j, rcb.c AS code,
+             qsub.qn2 - 2 * list_dot_product(qsub.qs, rcb.cw)
+               + rcb.cwn2 AS dq
+           FROM qsub JOIN rcb ON qsub.j = rcb.j),
+         scored AS (
+           SELECT d.q_id, co.vec_id,
+             sum(cast(d.dq AS decimal(28,10))) AS ad
+           FROM rcodes co
+           JOIN dtab d ON d.cell = co.cell AND d.j = co.j
+             AND d.code = co.code
+           WHERE co.vec_id <> d.q_id
+           GROUP BY d.q_id, co.vec_id),
+         radc AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY ad, vec_id) AS rn
+             FROM scored) WHERE rn <= 10),
+         ${embExactCte(5, 10)}
+         ${recallTailSql("radc", 10)}""",
     // Per-subspace PQ error totals, plain vs rotated — EXACT-INTEGER
     // replay of Pq.encodeFixedLong over the shared eighth-micro frame:
     // plain = 8·round(x·10⁶), rotated = the raw integer WHT; every dot,

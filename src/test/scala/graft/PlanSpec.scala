@@ -290,8 +290,9 @@ class PlanSpec extends SparkSpec {
       "q_rerank_recall", "q_retrieval_ndcg",
       // q_rrf's sparse ranking IS q_bm25_batch (same one-row (N, Σdl)
       // corpus-statistics aggregate); the dense ranking, the fuse join,
-      // and the fused window all stay distributed.
-      "q_rrf",
+      // and the fused window all stay distributed. q_rrf_recall
+      // composes q_rrf, inheriting the same bounded aggregate.
+      "q_rrf", "q_rrf_recall",
       // q_lm_kn's N_types is the q_lm_score vocabulary-size shape: ONE
       // count over the already-reduced bigram-type aggregate, partials
       // distributed, broadcast back into the scoring join.
