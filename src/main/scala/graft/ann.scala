@@ -128,6 +128,19 @@ import org.apache.spark.sql.functions._
  * YOUR corpus before deploying, exactly as rotate-auto does for
  * rotation modes.
  *
+ * --residual builds the PQ index over RESIDUALS (qt = 4 — FAISS
+ * IndexIVFPQ's `by_residual = true` default): the fixed codebook and
+ * every stored code describe x − c(cell) instead of x, and serving
+ * computes each query's per-cell residual before the ADC tables (the
+ * measured trade: q_ivf_pq_residual_recall vs q_ivf_pq_recall — an
+ * honest negative on this fixture family's isotropic embeddings, the
+ * standard win on clustered corpora; probe YOUR corpus first). Same
+ * artifact files as the plain PQ index; --append encodes against the
+ * frozen codebook via the same residual path; composes with large-k
+ * routing (the centroid value reaches the residual subtraction by
+ * broadcast-frame join above the threshold, scan-local literal below).
+ * Mutually exclusive with --sq8/--bq/--trained/--proj-dim.
+ *
  * --refine c turns on the FAISS IndexRefine serving shape: ADC proposes
  * the top-c candidates per query from codes only, then the refine stage
  * fetches JUST those vectors from --raw (one candidate-scale broadcast
@@ -197,8 +210,12 @@ object Ann {
     * stateless, so --append is exact for any vector), 3 = JL-projected
     * (--proj-dim — the stored code is the projected vector itself;
     * `pdim` carries the projected dimension, and projection.parquet the
-    * seeded plane basis). Absent in pre-SQ metas (reads as 0), so every
-    * existing index keeps serving unchanged. */
+    * seeded plane basis), 4 = residual PQ (--residual — FAISS
+    * IndexIVFPQ's by_residual form: the fixed codebook and every code
+    * describe x − c(cell); SAME artifact files as qt=0, only serving
+    * routes to the per-cell-residual distance tables). Absent in pre-SQ
+    * metas (reads as 0), so every existing index keeps serving
+    * unchanged. */
   final case class Meta(k: Int, iters: Int, m: Int, codes: Int, dim: Int,
       idCol: String, rot: Int = 0, qt: Int = 0, kjoin: Boolean = false,
       pdim: Int = 0)
@@ -467,7 +484,8 @@ object Ann {
       probeSampleN: Int = 20000, sq8: Boolean = false,
       bq: Boolean = false,
       largeKFrom: Int = LargeKThreshold,
-      projDim: Int = 0): Long = {
+      projDim: Int = 0,
+      residual: Boolean = false): Long = {
     require(Seq(rotate, rotatePca, rotatePca2, rotateAuto)
         .count(identity) <= 1,
       "--rotate, --rotate-pca, --rotate-pca2 and --rotate-auto are " +
@@ -492,6 +510,9 @@ object Ann {
       "--proj-dim does not compose with rotation flags (the seeded " +
         "plane basis is itself a dense basis mix; a rotation in front " +
         "is statistically a no-op)")
+    require(!residual || (!sq8 && !bq && !trained && projDim == 0),
+      "--residual is the PQ-on-residuals index (fixed codebook): it is " +
+        "mutually exclusive with --sq8/--bq/--trained/--proj-dim")
     val plain = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
@@ -571,7 +592,30 @@ object Ann {
     val stageDir = s"$outDir/.staging"
     new java.io.File(outDir).mkdirs()
     rmTree(new java.io.File(stageDir))
-    val (codesDf, cbOpt) = if (projDim > 0) {
+    // --residual's encode frame: emb − c(cell), per row, computed
+    // scan-locally against the k×dim literal below the threshold or via
+    // the broadcast k-row frame above it; persisted because the fixed
+    // codebook filter and the encode join both scan it
+    var resFrame: Option[DataFrame] = None
+    val (codesDf, cbOpt) = if (residual) {
+      val ar = (centFrame match {
+        case Some(cf) => assigned.join(
+            broadcast(cf.select(col("cell"), col("vec").as("__cv"))),
+            Seq("cell"))
+        case None => assigned.withColumn("__cv", element_at(
+          typedlit(centroids.map(_.toArray).toArray), col("cell") + 1))
+      }).withColumn("__res",
+          zip_with(col("emb"), col("__cv"), (a, b) => a - b))
+        .drop("__cv")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      resFrame = Some(ar)
+      // qt=4: the SAME codes/codebook artifact formats as the plain PQ
+      // index — only the meta's qt routes serving to the residual half
+      val (cd, cbDf) = Pq.buildIndexAssigned(ar, m, codes, dim, idCol,
+        "__res", "cell")
+      (cd.select(col(idCol), col("__cell").as("cell"),
+        col("j").cast("long").as("j"), col("code")), Some(cbDf))
+    } else if (projDim > 0) {
       // JL artifact (qt = 3): the stored code IS the projected vector
       // (projDim doubles — the dimensionality axis of the compression
       // grid) beside its projected-space cell; serving ranks by exact
@@ -642,6 +686,7 @@ object Ann {
     // so repeated programmatic builds in one session don't accumulate
     // blocks (the Scale.releaseAfterUse convention)
     if (rot != 0 || projDim > 0) emb.unpersist(blocking = false)
+    resFrame.foreach(_.unpersist(blocking = false))
     // the join-trained centroid frame's checkpoint blocks are done once
     // codes.parquet has materialized (its last consumer)
     centFrame.foreach(org.apache.spark.sql.GraftBridge.freeCheckpoint)
@@ -679,7 +724,8 @@ object Ann {
     }
     writeMeta(outDir,
       Meta(k, iters, m, codes, dim, idCol, rot,
-        qt = if (sq8) 1 else if (bq) 2 else if (projDim > 0) 3 else 0,
+        qt = if (sq8) 1 else if (bq) 2 else if (projDim > 0) 3
+          else if (residual) 4 else 0,
         kjoin = kjoin, pdim = projDim))
     spark.read.parquet(s"$outDir/codes.parquet")
       .select(col(idCol)).distinct().count()
@@ -740,6 +786,28 @@ object Ann {
       // JL index: __e is ALREADY projected (see fresh0 above) — the
       // stored code is the projected vector itself
       fresh.select(col(meta.idCol), col("cell"), col("__e").as("pvec"))
+    } else if (meta.qt == 4) {
+      // residual index: encode __e − c(cell) against the FROZEN
+      // persisted codebook (the same frozen-quantizer contract as PQ;
+      // the centroid value arrives via the kjoin-or-literal dual path)
+      val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
+        .select(col("j"), col("c").as("__c"), col("cw").as("__cw"),
+          col("cwn2").as("__cwn2"))
+      val withCv = if (meta.kjoin)
+        fresh.join(broadcast(
+          spark.read.parquet(s"$indexDir/centroids.parquet")
+            .select(col("cell"), col("vec").as("__cv"))), Seq("cell"))
+      else fresh.withColumn("__cv", element_at(
+        typedlit(spark.read.parquet(s"$indexDir/centroids.parquet")
+          .orderBy("cell").collect()
+          .map(_.getSeq[Double](1).toArray).toSeq.toArray),
+        col("cell") + 1))
+      graft.operators.Pq.encodeAgainstAssigned(
+          withCv.withColumn("__res",
+            zip_with(col("__e"), col("__cv"), (a, b) => a - b)),
+          cb, meta.m, meta.dim, meta.idCol, "__res", "cell")
+        .select(col(meta.idCol), col("__cell").as("cell"),
+          col("j").cast("long").as("j"), col("code"))
     } else {
       val cbRows = spark.read.parquet(s"$indexDir/codebook.parquet")
         .select(col("j"), col("c"), col("cw")).collect()
@@ -939,7 +1007,11 @@ object Ann {
       val codes = spark.read.parquet(s"$indexDir/codes.parquet")
         .select(col(meta.idCol), col("cell").as("__cell"), col("j"),
           col("code"))
-      Pq.searchIndex(codes, cb, qs, centroids, nprobe, adcK,
+      if (meta.qt == 4)
+        Pq.searchIndexResidual(codes, cb, qs, centroids, nprobe, adcK,
+          meta.m, meta.dim, meta.idCol, selfFilter = selfFilter,
+          centFrame = centFrame)
+      else Pq.searchIndex(codes, cb, qs, centroids, nprobe, adcK,
         meta.m, meta.dim, meta.idCol, selfFilter = selfFilter,
         centFrame = centFrame)
     }
@@ -982,8 +1054,8 @@ object Ann {
     "build", "search", "append",
     "data", "out", "index", "id", "vec",
     "k", "iters", "m", "codes", "dim",
-    "trained", "sq8", "bq", "proj-dim", "rotate", "rotate-pca",
-    "rotate-pca2", "rotate-auto", "probe-sample",
+    "trained", "sq8", "bq", "proj-dim", "residual", "rotate",
+    "rotate-pca", "rotate-pca2", "rotate-auto", "probe-sample",
     "topk", "nprobe", "no-self-filter", "refine", "raw", "asym")
 
   def main(args: Array[String]): Unit = {
@@ -1017,7 +1089,8 @@ object Ann {
           rotateAuto = flags("rotate-auto"),
           probeSampleN = intOpt("probe-sample", 20000),
           sq8 = flags("sq8"), bq = flags("bq"),
-          projDim = intOpt("proj-dim", 0))
+          projDim = intOpt("proj-dim", 0),
+          residual = flags("residual"))
         println(s"""{"built":$n,"index":"${opt("out").get}"}""")
       } else if (flags("search")) {
         val refine = opt("refine").map(c => (c.toInt,

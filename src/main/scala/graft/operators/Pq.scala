@@ -480,6 +480,80 @@ object Pq {
   }
 
   /**
+   * Encode an ALREADY-cell-assigned frame against a GIVEN codebook
+   * frame — [[buildIndexAssigned]]'s encode stage factored out so
+   * `graft.Ann --residual --append` can fold new vectors against the
+   * persisted codebook (the frozen-quantizer append contract). Same
+   * broadcast join, argmin key and (key, code) tie-break; returns
+   * (idCol, __cell, j, code).
+   */
+  def encodeAgainstAssigned(corpus: DataFrame, cb: DataFrame,
+      m: Int, dim: Int, idCol: String, embCol: String,
+      cellCol: String): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    val subs = corpus.select(col(idCol), col(cellCol).as("__cell"),
+      subvectors(col(embCol), m, d).as(Seq("j", "__s")))
+    subs.join(broadcast(cb), "j")
+      .withColumn("__key",
+        lit(-2.0) * dot(col("__s"), col("__cw")) + col("__cwn2"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("__key").as("k"), col("__c").as("c"))).as("__m"),
+        max(col("__cell")).as("__cell")) // constant within the group
+      .select(col(idCol), col("__cell"), col("j"), col("__m.c").as("code"))
+  }
+
+  /**
+   * The RESIDUAL serve half (`graft.Ann --residual`, meta qt = 4):
+   * [[searchIndex]] with the distance table computed over each query's
+   * PER-CELL residual q − c(cell) — [[ivfAdcResidualTopK]]'s query side
+   * over persisted artifacts (same codes/codebook file formats as the
+   * plain PQ index; only the meta's qt routes here). The residual needs
+   * the centroid VALUE per probed cell: below the large-k threshold it
+   * reads from the k×dim literal (`element_at`, scan-local); above it
+   * (`centFrame`) the probe rows join the broadcast k-row frame — the
+   * kjoin serving contract, no k-literal plan either way at large k.
+   */
+  def searchIndexResidual(codes: DataFrame, codebook: DataFrame,
+      queries: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int,
+      topK: Int, m: Int, dim: Int, idCol: String = "vec_id",
+      qIdCol: String = "q_id", qEmbCol: String = "q_emb",
+      selfFilter: Boolean = true,
+      centFrame: Option[DataFrame] = None): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    val q = queries.select(col(qIdCol), col(qEmbCol).as("__qv"))
+    val probes = centFrame match {
+      case Some(cf) => Ivf.probeJoin(q, qIdCol, "__qv", cf, nprobe)
+        .join(broadcast(cf.select(col("cell").as("__cell"),
+          col("vec").as("__cv"))), Seq("__cell"))
+      case None => q.withColumn("__cell",
+          explode(Ivf.probeList(col("__qv"), centroids, nprobe)))
+        .withColumn("__cv", element_at(
+          typedLit(centroids.map(_.toArray).toArray), col("__cell") + 1))
+    }
+    val qsubs = probes
+      .withColumn("__qr", zip_with(col("__qv"), col("__cv"), (a, b) => a - b))
+      .select(col(qIdCol), col("__cell"),
+        subvectors(col("__qr"), m, d).as(Seq("j", "__qs")))
+      .withColumn("__qn2", dot(col("__qs"), col("__qs")))
+    val dtab = qsubs.join(broadcast(codebook), "j")
+      .select(col(qIdCol), col("__cell"), col("j"), col("__c").as("code"),
+        (col("__qn2") - lit(2.0) * dot(col("__qs"), col("__cw")) +
+          col("__cwn2")).as("__dq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qIdCol).orderBy(col("__ad"), col(idCol))
+    codes.join(broadcast(dtab), Seq("__cell", "j", "code"))
+      .filter(if (selfFilter) col(idCol) =!= col(qIdCol) else lit(true))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("__dq").cast("decimal(28,10)")).as("__ad"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col(qIdCol), col(idCol), col("rn"),
+        round(col("__ad").cast("double"), 6).as("adist"))
+  }
+
+  /**
    * The SERVE half of [[ivfAdcTopK]]: ADC top-k over an ALREADY-BUILT
    * index — stored codes + codebook + the centroid matrix answer queries
    * without re-encoding or re-scanning the corpus (the production

@@ -529,6 +529,66 @@ class AnnSpec extends SparkSpec {
       pair(0)._3 == pair(1)._3, s"clone must project identically: $pair")
   }
 
+  test("--residual (qt=4): codes encode x - c(cell), served results " +
+      "equal the fused ivfAdcResidualTopK pipeline bit-for-bit, the " +
+      "large-k join form builds the identical artifact, and --append " +
+      "encodes a clone identically") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmp("resid")
+    val n = Ann.build(spark, data, idx, k = 8, iters = 1, m = 4,
+      codes = 8, dim = 64, idCol = "vec_id", vecCol = "embedding",
+      residual = true)
+    assert(n > 0)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, Ann.MetaFile)), "UTF-8")
+    assert(meta.contains("\"qt\":4"), meta)
+    def codesOf(d: String) = spark.read.parquet(s"$d/codes.parquet")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Long]("j"), r.getAs[Int]("code"))).toSet
+    val served = Ann.search(spark, idx, data, None, topK = 5, nprobe = 3,
+        qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val emb = spark.read.parquet(data)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val fused = graft.operators.Pq.ivfAdcResidualTopK(emb, qs, centroids,
+        nprobe = 3, topK = 5, m = 4, k = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(served == fused, "residual served must equal fused")
+    // the large-k join form (forced) builds the identical artifact and
+    // serves identically — the kjoin x residual composition
+    val jn = tmp("residjn")
+    Ann.build(spark, data, jn, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding", residual = true,
+      largeKFrom = 0)
+    assert(codesOf(jn) == codesOf(idx),
+      "join-path residual codes must equal literal-path codes")
+    val servedJn = Ann.search(spark, jn, data, None, topK = 5,
+        nprobe = 3, qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(servedJn == served, "kjoin residual serving must match")
+    // append: a cloned vector under a fresh id encodes to the same
+    // (cell, j, code) rows — residual + frozen codebook are per-row pure
+    val freshPath = tmp("residfresh") + "/fresh.parquet"
+    spark.read.parquet(data).filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(100000L))
+      .write.parquet(freshPath)
+    assert(Ann.append(spark, idx, freshPath, "embedding") == 1L)
+    val all = codesOf(idx)
+    val orig = all.filter(_._1 == 0L).map(t => (t._2, t._3, t._4))
+    val clone = all.filter(_._1 == 100000L).map(t => (t._2, t._3, t._4))
+    assert(orig == clone && clone.size == 4,
+      s"clone must encode identically: $orig vs $clone")
+  }
+
   test("crash safety: a midway-failing rebuild (staged artifact promote) " +
       "leaves the prior index — including artifacts the failed mode " +
       "would have deleted — fully serveable") {
