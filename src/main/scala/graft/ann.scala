@@ -547,10 +547,10 @@ object Ann {
         Seq(u1, graft.operators.Opq.householder2FromPca(d2, u1))
       case _ => Nil
     }
-    // rotation is persisted LATE (beside the deletes before writeMeta):
+    // rotation is persisted LATE (staged + promoted before writeMeta):
     // the build itself consumes the in-memory `us` axes, and writing the
-    // file here would let a midway-failing rot=2 rebuild overwrite the
-    // 2-axis rotation a still-current rot=3 meta points at
+    // final file here would let a midway-failing rot=2 rebuild overwrite
+    // the 2-axis rotation a still-current rot=3 meta points at
     // rotated builds persist the frame: Ivf.train and the encode below
     // both scan it, and without the persist the corpus-scale rotation
     // re-runs per consumer (the q_opq_pca_recall r12 finding)
