@@ -128,6 +128,15 @@ import org.apache.spark.sql.functions._
  * YOUR corpus before deploying, exactly as rotate-auto does for
  * rotation modes.
  *
+ * --flat builds the UNCOMPRESSED index (qt = 5 — FAISS IndexIVFFlat):
+ * the stored code is the vector itself beside its cell, serving probes
+ * cells and ranks by exact cosine — full recall fidelity within the
+ * probed cells at raw-vector bytes (the oracle-checked q_ivf_flat
+ * pipeline, served). Right for 10⁶-10⁸-vector indexes; at 10⁹+ pick a
+ * quantized mode (the recall curves price the trade). Appends are
+ * trivially exact; composes with the rotation flags and large-k
+ * routing. Mutually exclusive with every quantizer flag.
+ *
  * --residual builds the PQ index over RESIDUALS (qt = 4 — FAISS
  * IndexIVFPQ's `by_residual = true` default): the fixed codebook and
  * every stored code describe x − c(cell) instead of x, and serving
@@ -138,8 +147,11 @@ import org.apache.spark.sql.functions._
  * artifact files as the plain PQ index; --append encodes against the
  * frozen codebook via the same residual path; composes with large-k
  * routing (the centroid value reaches the residual subtraction by
- * broadcast-frame join above the threshold, scan-local literal below).
- * Mutually exclusive with --sq8/--bq/--trained/--proj-dim.
+ * broadcast-frame join above the threshold, scan-local literal below)
+ * AND with --trained (Lloyd codebooks trained on the residual frame —
+ * FAISS's production IndexIVFPQ default; serving/append are unchanged,
+ * they read whatever codebook.parquet holds). Mutually exclusive with
+ * --sq8/--bq/--proj-dim.
  *
  * --refine c turns on the FAISS IndexRefine serving shape: ADC proposes
  * the top-c candidates per query from codes only, then the refine stage
@@ -213,7 +225,9 @@ object Ann {
     * seeded plane basis), 4 = residual PQ (--residual — FAISS
     * IndexIVFPQ's by_residual form: the fixed codebook and every code
     * describe x − c(cell); SAME artifact files as qt=0, only serving
-    * routes to the per-cell-residual distance tables). Absent in pre-SQ
+    * routes to the per-cell-residual distance tables), 5 = flat
+    * (--flat — IndexIVFFlat: the stored code IS the vector, serving is
+    * probe + exact cosine, appends trivially exact). Absent in pre-SQ
     * metas (reads as 0), so every existing index keeps serving
     * unchanged. */
   final case class Meta(k: Int, iters: Int, m: Int, codes: Int, dim: Int,
@@ -485,7 +499,8 @@ object Ann {
       bq: Boolean = false,
       largeKFrom: Int = LargeKThreshold,
       projDim: Int = 0,
-      residual: Boolean = false): Long = {
+      residual: Boolean = false,
+      flat: Boolean = false): Long = {
     require(Seq(rotate, rotatePca, rotatePca2, rotateAuto)
         .count(identity) <= 1,
       "--rotate, --rotate-pca, --rotate-pca2 and --rotate-auto are " +
@@ -510,9 +525,15 @@ object Ann {
       "--proj-dim does not compose with rotation flags (the seeded " +
         "plane basis is itself a dense basis mix; a rotation in front " +
         "is statistically a no-op)")
-    require(!residual || (!sq8 && !bq && !trained && projDim == 0),
-      "--residual is the PQ-on-residuals index (fixed codebook): it is " +
-        "mutually exclusive with --sq8/--bq/--trained/--proj-dim")
+    require(!residual || (!sq8 && !bq && projDim == 0),
+      "--residual is the PQ-on-residuals index: it is mutually " +
+        "exclusive with --sq8/--bq/--proj-dim (--trained composes — " +
+        "Lloyd codebooks on the residual frame, the FAISS production " +
+        "default)")
+    require(!flat ||
+        (!sq8 && !bq && !trained && projDim == 0 && !residual),
+      "--flat stores the vectors themselves (no quantizer): it is " +
+        "mutually exclusive with every quantizer flag")
     val plain = spark.read.parquet(dataPath)
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
@@ -597,7 +618,17 @@ object Ann {
     // the broadcast k-row frame above it; persisted because the fixed
     // codebook filter and the encode join both scan it
     var resFrame: Option[DataFrame] = None
-    val (codesDf, cbOpt) = if (residual) {
+    val (codesDf, cbOpt) = if (flat) {
+      // qt=5 (IndexIVFFlat): the stored "code" IS the vector, beside
+      // its cell — no quantizer state at all; serving probes cells and
+      // ranks by exact cosine (the Similarity.ivfTopK pipeline over
+      // persisted artifacts). The uncompressed point of the family:
+      // full recall fidelity within the probed cells at raw-vector
+      // bytes — right when the index holds 10⁶-10⁸ vectors, wrong at
+      // 10⁹+ (use a quantized mode; the curve rows price the trade).
+      (assigned.select(col(idCol), col("cell"), col("emb").as("fvec")),
+        None)
+    } else if (residual) {
       val ar = (centFrame match {
         case Some(cf) => assigned.join(
             broadcast(cf.select(col("cell"), col("vec").as("__cv"))),
@@ -610,11 +641,29 @@ object Ann {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       resFrame = Some(ar)
       // qt=4: the SAME codes/codebook artifact formats as the plain PQ
-      // index — only the meta's qt routes serving to the residual half
-      val (cd, cbDf) = Pq.buildIndexAssigned(ar, m, codes, dim, idCol,
-        "__res", "cell")
-      (cd.select(col(idCol), col("__cell").as("cell"),
-        col("j").cast("long").as("j"), col("code")), Some(cbDf))
+      // index — only the meta's qt routes serving to the residual half.
+      // --trained swaps the fixed first-k residual codebook for Lloyd
+      // codebooks trained ON the residual frame (FAISS's production
+      // IndexIVFPQ default); serving and append are unchanged — they
+      // read whatever codebook.parquet holds.
+      if (trained) {
+        val books = Pq.trainCodebooks(ar, idCol, "__res", m, codes, dim,
+          iters)
+        val cbDf = books.zipWithIndex.flatMap { case (cbJ, j) =>
+          cbJ.zipWithIndex.map { case (w, c) =>
+            (j, c, w, w.foldLeft(0.0)((s, x) => s + x * x))
+          }
+        }.toDF("j", "__c", "__cw", "__cwn2")
+        val cd = Pq.encodeWith(ar, idCol, "__res", books,
+            carry = Seq("cell"))
+          .select(col(idCol), col("cell"), col("j"), col("code"))
+        (cd, Some(cbDf))
+      } else {
+        val (cd, cbDf) = Pq.buildIndexAssigned(ar, m, codes, dim, idCol,
+          "__res", "cell")
+        (cd.select(col(idCol), col("__cell").as("cell"),
+          col("j").cast("long").as("j"), col("code")), Some(cbDf))
+      }
     } else if (projDim > 0) {
       // JL artifact (qt = 3): the stored code IS the projected vector
       // (projDim doubles — the dimensionality axis of the compression
@@ -725,7 +774,7 @@ object Ann {
     writeMeta(outDir,
       Meta(k, iters, m, codes, dim, idCol, rot,
         qt = if (sq8) 1 else if (bq) 2 else if (projDim > 0) 3
-          else if (residual) 4 else 0,
+          else if (residual) 4 else if (flat) 5 else 0,
         kjoin = kjoin, pdim = projDim))
     spark.read.parquet(s"$outDir/codes.parquet")
       .select(col(idCol)).distinct().count()
@@ -786,6 +835,10 @@ object Ann {
       // JL index: __e is ALREADY projected (see fresh0 above) — the
       // stored code is the projected vector itself
       fresh.select(col(meta.idCol), col("cell"), col("__e").as("pvec"))
+    } else if (meta.qt == 5) {
+      // flat index: the stored code is the vector itself — append is
+      // trivially exact for any vector (no quantizer state at all)
+      fresh.select(col(meta.idCol), col("cell"), col("__e").as("fvec"))
     } else if (meta.qt == 4) {
       // residual index: encode __e − c(cell) against the FROZEN
       // persisted codebook (the same frozen-quantizer contract as PQ;
@@ -900,18 +953,44 @@ object Ann {
       centFrame: Option[DataFrame], nprobe: Int, topK: Int,
       selfFilter: Boolean): DataFrame = {
     val planes = readProjection(spark, indexDir, meta.pdim, meta.dim)
-    val pq = qs.select(col("q_id"),
-      jlProject(col("q_emb"), planes).as("__pq"))
+    cosineServe(spark, indexDir, meta,
+      qs.select(col("q_id"), jlProject(col("q_emb"), planes).as("__pq")),
+      "__pq", "pvec", centroids, centFrame, nprobe, topK, selfFilter)
+  }
+
+  /** Flat serving half (meta qt = 5 — FAISS IndexIVFFlat): probe cells,
+    * rank the probed cells' STORED vectors by exact cosine against the
+    * raw query — `Similarity.ivfTopK`'s pipeline over persisted
+    * artifacts (adist = −cos, --refine composes though it is a no-op
+    * upgrade here: the in-index ranking is already exact within the
+    * probed cells; nprobe ≥ k degenerates to exact search). */
+  private def flatServe(spark: SparkSession, indexDir: String, meta: Meta,
+      qs: DataFrame, centroids: Seq[Seq[Double]],
+      centFrame: Option[DataFrame], nprobe: Int, topK: Int,
+      selfFilter: Boolean): DataFrame =
+    cosineServe(spark, indexDir, meta,
+      qs.select(col("q_id"), col("q_emb").as("__fq")),
+      "__fq", "fvec", centroids, centFrame, nprobe, topK, selfFilter)
+
+  /** Shared exact-cosine serving tail for the vector-STORING indexes
+    * (qt=3's projected `pvec`, qt=5's flat `fvec`): probe cells (via
+    * the kjoin-or-literal dual path), rank the probed cells' stored
+    * vectors by exact cosine against the query column; adist = −cosine
+    * (exact double), the `Pq.searchIndex` column convention. */
+  private def cosineServe(spark: SparkSession, indexDir: String,
+      meta: Meta, qs: DataFrame, qVec: String, storedCol: String,
+      centroids: Seq[Seq[Double]], centFrame: Option[DataFrame],
+      nprobe: Int, topK: Int, selfFilter: Boolean): DataFrame = {
     val codes = spark.read.parquet(s"$indexDir/codes.parquet")
-      .select(col(meta.idCol), col("cell").as("__cell"), col("pvec"))
-    val probes = probeCells(pq, "__pq", centroids, centFrame, nprobe)
-      .select(col("q_id"), col("__cell"), col("__pq"))
+      .select(col(meta.idCol), col("cell").as("__cell"), col(storedCol))
+    val probes = probeCells(qs, qVec, centroids, centFrame, nprobe)
+      .select(col("q_id"), col("__cell"), col(qVec))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("__ad"), col(meta.idCol))
     codes.join(broadcast(probes), Seq("__cell"))
       .filter(if (selfFilter) col(meta.idCol) =!= col("q_id")
         else lit(true))
-      .withColumn("__ad", -VectorOps.cosine(col("pvec"), col("__pq")))
+      .withColumn("__ad", -VectorOps.cosine(col(storedCol), col(qVec)))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= topK)
       .select(col("q_id"), col(meta.idCol), col("rn"),
@@ -1000,6 +1079,8 @@ object Ann {
       centroids, centFrame, nprobe, adcK, selfFilter, asym = asym)
     else if (meta.qt == 3) jlServe(spark, indexDir, meta, qs,
       centroids, centFrame, nprobe, adcK, selfFilter)
+    else if (meta.qt == 5) flatServe(spark, indexDir, meta, qs,
+      centroids, centFrame, nprobe, adcK, selfFilter)
     else {
       val cb = spark.read.parquet(s"$indexDir/codebook.parquet")
         .select(col("j"), col("c").as("__c"), col("cw").as("__cw"),
@@ -1054,7 +1135,7 @@ object Ann {
     "build", "search", "append",
     "data", "out", "index", "id", "vec",
     "k", "iters", "m", "codes", "dim",
-    "trained", "sq8", "bq", "proj-dim", "residual", "rotate",
+    "trained", "sq8", "bq", "proj-dim", "residual", "flat", "rotate",
     "rotate-pca", "rotate-pca2", "rotate-auto", "probe-sample",
     "topk", "nprobe", "no-self-filter", "refine", "raw", "asym")
 
@@ -1090,7 +1171,7 @@ object Ann {
           probeSampleN = intOpt("probe-sample", 20000),
           sq8 = flags("sq8"), bq = flags("bq"),
           projDim = intOpt("proj-dim", 0),
-          residual = flags("residual"))
+          residual = flags("residual"), flat = flags("flat"))
         println(s"""{"built":$n,"index":"${opt("out").get}"}""")
       } else if (flags("search")) {
         val refine = opt("refine").map(c => (c.toInt,

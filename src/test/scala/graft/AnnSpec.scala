@@ -587,6 +587,98 @@ class AnnSpec extends SparkSpec {
     val clone = all.filter(_._1 == 100000L).map(t => (t._2, t._3, t._4))
     assert(orig == clone && clone.size == 4,
       s"clone must encode identically: $orig vs $clone")
+    // --residual --trained: Lloyd codebooks ON the residual frame (the
+    // FAISS production IndexIVFPQ default) — served ≡ the fused
+    // trained-residual composition built from the public operators
+    val tr = tmp("residtr")
+    Ann.build(spark, data, tr, k = 8, iters = 1, m = 4, codes = 8,
+      dim = 64, idCol = "vec_id", vecCol = "embedding",
+      residual = true, trained = true)
+    val metaTr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tr, Ann.MetaFile)), "UTF-8")
+    assert(metaTr.contains("\"qt\":4"), metaTr)
+    val servedTr = Ann.search(spark, tr, data, None, topK = 5,
+        nprobe = 3, qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val centsTr = spark.read.parquet(s"$tr/centroids.parquet")
+    val centroidsTr = centsTr.orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val ar = emb
+      .withColumn("cell",
+        graft.operators.Ivf.nearestCentroid(col("emb"), centroidsTr))
+      .join(broadcast(centsTr.select(col("cell"), col("vec").as("__cv"))),
+        Seq("cell"))
+      .withColumn("__res", zip_with(col("emb"), col("__cv"),
+        (a, b) => a - b))
+    val books = graft.operators.Pq.trainCodebooks(ar, "vec_id", "__res",
+      m = 4, k = 8, dim = 64, iters = 1)
+    import spark.implicits._
+    val cbDf = books.zipWithIndex.flatMap { case (cbJ, j) =>
+      cbJ.zipWithIndex.map { case (w, c) =>
+        (j, c, w, w.foldLeft(0.0)((s, x) => s + x * x))
+      }
+    }.toDF("j", "__c", "__cw", "__cwn2")
+    val codesTr = graft.operators.Pq.encodeWith(ar, "vec_id", "__res",
+        books, carry = Seq("cell"))
+      .select(col("vec_id"), col("cell").as("__cell"), col("j"),
+        col("code"))
+    val fusedTr = graft.operators.Pq.searchIndexResidual(codesTr, cbDf,
+        qs, centroidsTr, nprobe = 3, topK = 5, m = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(servedTr == fusedTr,
+      "trained-residual served must equal the fused composition")
+  }
+
+  test("--flat (qt=5): the stored code is the vector, served results " +
+      "equal the fused Similarity.ivfTopK pipeline bit-for-bit, " +
+      "nprobe >= k equals exact cosine, and append is trivially exact") {
+    val data = "/root/testdata/sf0.001/embeddings.parquet"
+    val idx = tmp("flat")
+    val n = Ann.build(spark, data, idx, k = 8, iters = 1, m = 4,
+      codes = 8, dim = 64, idCol = "vec_id", vecCol = "embedding",
+      flat = true)
+    assert(n > 0)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, Ann.MetaFile)), "UTF-8")
+    assert(meta.contains("\"qt\":5"), meta)
+    assert(spark.read.parquet(s"$idx/codes.parquet").columns.toSet ==
+      Set("vec_id", "cell", "fvec"))
+    def serve(np: Int) = Ann.search(spark, idx, data, None, topK = 5,
+        nprobe = np, qIdCol = "vec_id", qVecCol = "embedding")
+      .filter(col("q_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val centroids = spark.read.parquet(s"$idx/centroids.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val emb = spark.read.parquet(data)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val fused = graft.operators.Similarity.ivfTopK(emb, qs, centroids,
+        topK = 5, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rn"), -r.getAs[Double]("cos"))).toSet
+    assert(serve(3) == fused, "flat served must equal fused ivfTopK")
+    // nprobe >= k probes every cell: exact cosine search
+    val exact = graft.operators.Similarity.exactTopK(emb, qs, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rn"), -r.getAs[Double]("cos"))).toSet
+    assert(serve(8) == exact, "flat at nprobe >= k must equal exactTopK")
+    // append: a clone under a fresh id lands the identical (cell, fvec)
+    val freshPath = tmp("flatfresh") + "/fresh.parquet"
+    spark.read.parquet(data).filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(100000L))
+      .write.parquet(freshPath)
+    assert(Ann.append(spark, idx, freshPath, "embedding") == 1L)
+    val pair = spark.read.parquet(s"$idx/codes.parquet")
+      .filter(col("vec_id").isin(0L, 100000L))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getSeq[Double](r.fieldIndex("fvec")))).sortBy(_._1)
+    assert(pair.length == 2 && pair(0)._2 == pair(1)._2 &&
+      pair(0)._3 == pair(1)._3, s"clone must store identically: $pair")
   }
 
   test("crash safety: a midway-failing rebuild (staged artifact promote) " +
