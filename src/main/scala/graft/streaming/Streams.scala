@@ -882,6 +882,73 @@ object Streams {
   }
 
   /**
+   * Streaming FLAT index ingest — [[annAppend]]'s uncompressed twin
+   * (the `graft.Ann --flat --append` shape over a stream, qt=5): each
+   * micro-batch assigns its cell against the FROZEN centroids and folds
+   * (id, cell, fvec) rows — the vector itself is the code, so the
+   * streamed index is trivially bit-identical to a one-shot union
+   * encode for ANY vectors (no quantizer state at all). StreamsSpec
+   * pins streamed ≡ batch.
+   */
+  def flatAppend(vectors: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Seq[Double]], dim: Int,
+      initial: DataFrame)(onUpdate: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var codes = initial.select(col(idCol), col("cell"), col("fvec"))
+    vectors.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epoch: Long) =>
+        val fresh = batch.select(col(idCol), col(embCol))
+          .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+          .withColumn(embCol,
+            requireDim(col(embCol), dim, "Streams.flatAppend"))
+          .select(col(idCol),
+            graft.operators.Ivf.nearestCentroid(col(embCol), centroids)
+              .as("cell"),
+            col(embCol).as("fvec"))
+        codes = codes.unionByName(fresh).localCheckpoint()
+        onUpdate(codes, epoch)
+    }
+  }
+
+  /**
+   * Streaming RESIDUAL-PQ index ingest — [[annAppend]]'s by_residual
+   * twin (the `graft.Ann --residual --append` shape over a stream,
+   * qt=4): each micro-batch assigns its cell, subtracts that cell's
+   * centroid (scan-local zip_with against the centroid-matrix literal)
+   * and PQ-encodes the residual against the FROZEN codebooks
+   * ([[graft.operators.Pq.encodeWith]] — plan literals, scan-local).
+   * With quantizers frozen the encode is per-row pure, so the streamed
+   * index ≡ a one-shot union encode for ANY vectors. StreamsSpec pins
+   * streamed ≡ batch.
+   */
+  def residualAppend(vectors: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      dim: Int, initial: DataFrame)(onUpdate: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var codes = initial.select(col(idCol), col("cell"), col("j"),
+      col("code"))
+    val cvs = typedLit(centroids.map(_.toArray).toArray)
+    vectors.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epoch: Long) =>
+        val fresh = batch.select(col(idCol), col(embCol))
+          .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+          .withColumn(embCol,
+            requireDim(col(embCol), dim, "Streams.residualAppend"))
+          .withColumn("cell",
+            graft.operators.Ivf.nearestCentroid(col(embCol), centroids))
+          .withColumn("__res", zip_with(col(embCol),
+            element_at(cvs, col("cell") + 1), (a, b) => a - b))
+        val enc = graft.operators.Pq.encodeWith(fresh, idCol, "__res",
+            books, carry = Seq("cell"))
+          .select(col(idCol), col("cell"), col("j"), col("code"))
+        codes = codes.unionByName(enc).localCheckpoint()
+        onUpdate(codes, epoch)
+    }
+  }
+
+  /**
    * Streaming inverted-index maintenance — the retrieval twin of
    * [[shardAppend]]'s layout family: each micro-batch of an APPEND-ONLY
    * document stream folds into a maintained index via

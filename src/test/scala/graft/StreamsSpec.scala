@@ -747,6 +747,85 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming flatAppend and residualAppend ≡ one-shot encodes of " +
+      "the union after every epoch (frozen centroids/codebooks)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.VectorOps
+    import graft.operators.{Ivf, Pq}
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      .orderBy("vec_id").limit(30)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val (initial, streamed) = all.toSeq.partition(_._1 < 12)
+    val initDf = initial.toDF("vec_id", "emb")
+    val centroids = Ivf.train(initDf, "vec_id", "emb", k = 4, iters = 1)
+    val cvs = typedLit(centroids.map(_.toArray).toArray)
+    // ---- flat twin
+    def encodeFlat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        Ivf.nearestCentroid(col("emb"), centroids).as("cell"),
+        col("emb").as("fvec"))
+    def snapFlat(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.get(1).asInstanceOf[Number].longValue(),
+        r.getSeq[Double](2).toList)).toSet
+    val memF = MemoryStream[(Long, Seq[Double])]
+    var latestF = Set.empty[(Long, Long, List[Double])]
+    val qF = graft.streaming.Streams.flatAppend(
+        memF.toDF().toDF("vec_id", "emb"), "vec_id", "emb",
+        centroids, dim = 64, encodeFlat(initDf)) {
+      (c, _) => latestF = snapFlat(c)
+    }.start()
+    try {
+      var seen = initial
+      Seq(streamed.take(7), streamed.drop(7)).foreach { b =>
+        memF.addData(b: _*); qF.processAllAvailable()
+        seen = seen ++ b
+        assert(latestF == snapFlat(encodeFlat(seen.toDF("vec_id", "emb"))),
+          "flatAppend diverged from one-shot encode")
+      }
+    } finally qF.stop()
+    // ---- residual twin (fixed first-4 residual codebook, frozen)
+    def withRes(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("cell", Ivf.nearestCentroid(col("emb"), centroids))
+        .withColumn("__res", zip_with(col("emb"),
+          element_at(cvs, col("cell") + 1), (a, b) => a - b))
+    val books: Seq[Seq[Seq[Double]]] = {
+      val rows = withRes(initDf).filter(col("vec_id") < 4)
+        .select(col("vec_id"), col("__res")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+        .sortBy(_._1).map(_._2)
+      (0 until 4).map(j => rows.map(v => v.slice(j * 16, (j + 1) * 16)))
+    }
+    def encodeRes(df: org.apache.spark.sql.DataFrame) =
+      Pq.encodeWith(withRes(df), "vec_id", "__res", books,
+          carry = Seq("cell"))
+        .select(col("vec_id"), col("cell"), col("j"), col("code"))
+    def snapRes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.get(1).asInstanceOf[Number].longValue(),
+        r.get(2).asInstanceOf[Number].longValue(),
+        r.get(3).asInstanceOf[Number].longValue())).toSet
+    val memR = MemoryStream[(Long, Seq[Double])]
+    var latestR = Set.empty[(Long, Long, Long, Long)]
+    val qR = graft.streaming.Streams.residualAppend(
+        memR.toDF().toDF("vec_id", "emb"), "vec_id", "emb",
+        centroids, books, dim = 64, encodeRes(initDf)) {
+      (c, _) => latestR = snapRes(c)
+    }.start()
+    try {
+      var seen = initial
+      Seq(streamed.take(7), streamed.drop(7)).foreach { b =>
+        memR.addData(b: _*); qR.processAllAvailable()
+        seen = seen ++ b
+        assert(latestR == snapRes(encodeRes(seen.toDF("vec_id", "emb"))),
+          "residualAppend diverged from one-shot encode")
+      }
+    } finally qR.stop()
+  }
+
   test("streaming packAppend: single-batch feed ≡ batch packSequences " +
       "bit-for-bit; per-group packing report ≡ batch under any batching") {
     implicit val sql = spark.sqlContext
