@@ -10,6 +10,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE inside persisted subplans (off by default): without it every
+      // persist() materializes its exchanges at the raw shuffle.partitions
+      // width — the iterative operators (closures, CC, trainers) cache per
+      // round and were paying hundreds of near-empty tasks per query
+      // (q_tree_rollup: 2825 tasks at sf0.1). Scale-independent: this only
+      // lets AQE size cached-plan shuffles like it already sizes uncached
+      // ones.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

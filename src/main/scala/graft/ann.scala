@@ -419,7 +419,8 @@ object Ann {
       m: Int, codes: Int, nprobe: Int = 4, sampleN: Int = 20000,
       nQueries: Int = 40, sq8: Boolean = false,
       trained: Boolean = false, bq: Boolean = false,
-      trainedIters: Int = 2): (Int, Seq[(Int, Double)]) = {
+      trainedIters: Int = 2,
+      residual: Boolean = false): (Int, Seq[(Int, Double)]) = {
     import graft.operators.{Opq, Pca, Similarity}
     val w = org.apache.spark.sql.expressions.Window.orderBy("__h", idCol)
     val sample = plain
@@ -454,6 +455,16 @@ object Ann {
         // dependent, so the probe must measure the binary pipeline
         graft.operators.Bq.bqIvfTopK(f, qs, centroids, topK = 10,
           nprobe = nprobe, dim = dim)
+      else if (residual)
+        // a --residual build quantizes residuals, whose geometry is what
+        // the rotation perturbs — probe the residual ADC form, not plain
+        // PQ (r16 ADVICE). A --residual --trained build probes the
+        // FIXED-codebook residual form: the rotation-relevant part (the
+        // residual frame's coordinate balance) is identical; only the
+        // codebook fit differs, and sample-training codebooks per mode
+        // would quadruple probe cost for a second-order effect.
+        Pq.ivfAdcResidualTopK(f, qs, centroids, nprobe, topK = 10,
+          m = m, k = codes, dim = dim)
       else if (trained)
         // the build's --iters, so the probe measures the codebook
         // family the index will actually serve with
@@ -538,17 +549,26 @@ object Ann {
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("emb"))
       .filter(col("emb").isNotNull && size(col("emb")) > 0)
       .withColumn("emb", requireDim(col("emb"), dim, "Ann --build"))
-    val (rot, probeJsonOpt) = if (rotateAuto) {
+    val (rot, probeJsonOpt) = if (rotateAuto && flat) {
+      // exact cosine is rotation-invariant: a probe would pick a rotation
+      // that cannot change flat recall but costs a rotation pass on every
+      // build/append/query — force identity and record why (r16 ADVICE)
+      (0, Some("""{"chosen":"identity","rot":0,"quantizer":"flat",""" +
+        """"reason":"exact cosine is rotation-invariant"}"""))
+    } else if (rotateAuto) {
       // the probe measures the quantizer ACTUALLY being built (SQ8
       // responds to rotation via per-dim range balance, PQ via subspace
-      // energy balance, trained codebooks adapt to whatever balance the
-      // rotation leaves — the best mode can differ between all three)
+      // energy balance, residual PQ via the residual frame's balance,
+      // trained codebooks adapt to whatever balance the rotation leaves
+      // — the best mode can differ between all of them)
       val (best, recalls) = probeRotation(plain, idCol, dim, k, m, codes,
         sampleN = probeSampleN, sq8 = sq8, trained = trained, bq = bq,
-        trainedIters = iters)
+        trainedIters = iters, residual = residual)
       val measured = recalls
         .map { case (r, v) => s""""${RotNames(r)}":$v""" }.mkString(",")
       val qName = if (sq8) "sq8" else if (bq) "bq"
+        else if (residual && trained) "pq-residual-trained"
+        else if (residual) "pq-residual"
         else if (trained) "pq-trained" else "pq"
       // the evidence file lands with the meta at the END of the build
       // (the same crash-safety doctrine as every other artifact)
@@ -749,16 +769,39 @@ object Ann {
     // semantics for EVERY artifact: a name the new mode did not stage
     // (a --bq rebuild over a --trained index staging no codebook; a
     // plain rebuild over a learned-rotation index staging no rotation)
-    // is DELETED, so the directory stays self-describing. The residual
-    // unsafe window is the promote loop itself — metadata-scale,
-    // filesystem-local.
-    Seq("centroids.parquet", "codes.parquet", "codebook.parquet",
-        "scales.parquet", RotationFile, ProjectionFile).foreach { name =>
-      val from = new java.io.File(stageDir, name)
-      rmTree(new java.io.File(outDir, name))
-      if (from.exists() && !from.renameTo(new java.io.File(outDir, name)))
-        sys.error(s"failed to promote $name from $stageDir")
+    // is DELETED, so the directory stays self-describing.
+    // Two-phase with restore (r16 ADVICE): live artifacts are first
+    // RENAMED ASIDE (same-dir, cheap), then the staged set renames into
+    // place; a failure anywhere in either phase restores the aside set,
+    // so the still-current meta keeps pointing at intact files. Only
+    // after every rename succeeded are the aside copies dropped — the
+    // remaining unsafe window is a crash between the last rename and
+    // the drop, which leaves only ignorable `.<name>.prev` litter that
+    // the next promote clears.
+    val artifactNames = Seq("centroids.parquet", "codes.parquet",
+      "codebook.parquet", "scales.parquet", RotationFile, ProjectionFile)
+    def asideOf(name: String) = new java.io.File(outDir, s".$name.prev")
+    def restoreAside(): Unit = artifactNames.foreach { name =>
+      val b = asideOf(name)
+      if (b.exists()) {
+        rmTree(new java.io.File(outDir, name))
+        b.renameTo(new java.io.File(outDir, name))
+      }
     }
+    try {
+      artifactNames.foreach { name =>
+        val live = new java.io.File(outDir, name)
+        rmTree(asideOf(name)) // stale aside from an older crashed promote
+        if (live.exists() && !live.renameTo(asideOf(name)))
+          sys.error(s"failed to move $name aside in $outDir")
+      }
+      artifactNames.foreach { name =>
+        val from = new java.io.File(stageDir, name)
+        if (from.exists() && !from.renameTo(new java.io.File(outDir, name)))
+          sys.error(s"failed to promote $name from $stageDir")
+      }
+    } catch { case e: Throwable => restoreAside(); throw e }
+    artifactNames.foreach(name => rmTree(asideOf(name)))
     rmTree(new java.io.File(stageDir))
     // probe evidence follows the same doctrine: written with the meta it
     // describes; a non-auto rebuild into a dir that previously held an
@@ -1156,6 +1199,9 @@ object Ann {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // AQE for persisted subplans — see Bench.scala for the rationale
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -356,6 +356,9 @@ object Anonymize {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-anonymize")
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE for persisted subplans — see Bench.scala for the rationale
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try run(spark, args) finally spark.stop()

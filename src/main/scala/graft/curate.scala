@@ -377,7 +377,7 @@ object Curate {
    */
   def probeBands(docs: DataFrame, jaccard: Double, target: Double,
       sampleN: Int = 2000, nQueries: Int = 100,
-      bandsList: Seq[Int] = Seq(2, 4, 8)): BandProbe = {
+      bandsList: Seq[Int] = Seq(2, 4, 8), fallback: Int = 4): BandProbe = {
     val sample = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"),
         md5(concat(lit("bandprobe:"), col("doc_id").cast("string")))
@@ -403,9 +403,11 @@ object Curate {
     sample.unpersist(blocking = false)
     val meeting = curve.filter(_._2 >= target)
     // a sample with NO true pairs at the threshold measures nothing —
-    // every banding is vacuously fine, so keep the fixed default (and
+    // every banding is vacuously fine, so keep the caller's PINNED
+    // banding (`fallback` = the config's bands, not a hardcoded 4 — a
+    // pair-free sample must not override an operator's explicit choice;
     // the empty curve in the evidence says why)
-    val chosen = if (curve.isEmpty) 4
+    val chosen = if (curve.isEmpty) fallback
     else if (meeting.nonEmpty)
       meeting.minBy { case (b, _, cand) => (cand, b) }._1
     else curve.maxBy { case (b, r, cand) => (r, -cand, -b) }._1
@@ -494,7 +496,8 @@ object Curate {
     //     [[probeBands]]. The choice feeds both fuzzy and soft below and
     //     lands in the report + band_probe.json.
     val bandProbe: Option[BandProbe] =
-      if (c.bandsAuto) Some(probeBands(faired, c.jaccard, c.bandTarget))
+      if (c.bandsAuto) Some(probeBands(faired, c.jaccard, c.bandTarget,
+        fallback = c.bands))
       else None
     // probe choice when it ran, else the PINNED config banding (how a
     // full-run probe's outcome carries into later runs and deltas)
@@ -843,6 +846,9 @@ object Curate {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-curate")
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE for persisted subplans — see Bench.scala for the rationale
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try cli(spark, args) finally spark.stop()

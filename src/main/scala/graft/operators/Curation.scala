@@ -667,21 +667,28 @@ object Curation {
         .as("__feat"))
       .withColumn("__b",
         pmod(Dedup.portableHash64(col("__feat")), lit(nBuckets.toLong)))
-    // persisted: three aggregates consume it (cr, ct, the score join);
-    // freed by releaseAfterUse once the caller's first action completes
+    // persisted: two consumers (the fused bucket-model aggregate and the
+    // score join); freed by releaseAfterUse once the caller's first
+    // action completes
     val docBuckets = feats.groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cr = docBuckets.groupBy("__b").agg(sum("__n").as("__cr"))
-    val ct = docBuckets.filter(col("__tgt"))
-      .groupBy("__b").agg(sum("__n").as("__ct"))
-    val totals = cr.agg(sum(col("__cr")).as("__tr"))
-      .crossJoin(ct.agg(sum(col("__ct")).as("__tt")))
+    // ONE bucket-model aggregate carries BOTH distributions: cr as the
+    // plain sum, ct as the null-skipping conditional sum — sum(when(tgt))
+    // is NULL exactly when the bucket has no target rows, reproducing the
+    // old separate-ct left join's null (the coalesce below is unchanged).
+    // This replaces two scans of docBuckets + two broadcast joins with
+    // one of each; the totals fold into the same frame's aggregate.
+    // Values are bit-identical: the same exact long sums, merely fused.
+    val bm = docBuckets.groupBy("__b")
+      .agg(sum("__n").as("__cr"),
+        sum(when(col("__tgt"), col("__n"))).as("__ct"))
+    val totals = bm.agg(sum(col("__cr")).as("__tr"),
+        sum(col("__ct")).as("__tt"))
       .select((lnDec(col("__tr") + nBuckets) -
         lnDec(col("__tt") + nBuckets)).as("__pen"))
     val perDoc = docBuckets
-      .join(broadcast(cr), Seq("__b"))
-      .join(broadcast(ct), Seq("__b"), "left")
+      .join(broadcast(bm), Seq("__b"))
       .crossJoin(broadcast(totals))
       .groupBy(col(idCol))
       .agg(sum(col("__n")).as("n_feats"),

@@ -476,9 +476,15 @@ object Dedup {
     // unpersisted cap would re-run the block census per side (A/B
     // measured: dropping this persist costs ~2 s at sf0.1, unlike the
     // nearDupEdges3 cap whose input has no exchange to rematerialize)
+    // Explicit width (the spreadForCompute rationale): a bare keyed
+    // repartition is AQE-coalescible by its input bytes, and the work
+    // behind this exchange — the per-pair array_intersect self-join —
+    // is far larger than the exchanged rows, so AQE folding it to 1-2
+    // partitions serializes the intersections.
     val blocked = capBlocks(
       sh.select(col("__id"), col("__hv"), explode(col("__blks")).as("__blk"))
-        .repartition(col("__blk")),
+        .repartition(df.sparkSession.sparkContext.defaultParallelism,
+          col("__blk")),
       "__blk", maxBlock)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = blocked.select(col("__id").as("a"), col("__hv").as("hv_a"),

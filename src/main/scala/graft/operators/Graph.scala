@@ -52,21 +52,27 @@ object Graph {
     val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
     val e = edges.join(outw, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val teleport = 15L * scale / 100L
     // A node with NO in-edges is exactly teleport from iteration 1 on,
     // and a node WITH in-edges always receives a contribution row (ranks
     // stay positive, so the grouped sum exists even when quotients floor
     // to 0) — so each iteration is contrib ∪ this constant frame, not a
     // nodes-left-join: one join fewer per iteration, same ranks.
-    val noIn = nodes
-      .join(edges.select(col("dst").as("node")).distinct(),
-        Seq("node"), "left_anti")
+    // The no-in-edge set folds into ONE endpoint aggregate (node,
+    // max(is-dst)) instead of union+distinct / dst-distinct / anti-join —
+    // same rows, two exchanges and one persist fewer (the nodes frame's
+    // only consumer was this anti-join; the it=1 rank below never
+    // evaluates, its constant folds into the first iteration).
+    val noIn = edges
+      .select(explode(array(
+        struct(col("src").as("node"), lit(0).as("d")),
+        struct(col("dst").as("node"), lit(1).as("d")))).as("x"))
+      .groupBy(col("x.node").as("node"))
+      .agg(max(col("x.d")).as("__hasIn"))
+      .filter(col("__hasIn") === 0)
       .select(col("node"), lit(teleport).as("rank"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var rank = nodes.select(col("node"), lit(scale).as("rank"))
+    var rank: DataFrame = null
     (1 to iters).foreach { it =>
       // iteration 1's rank is the CONSTANT `scale` for every node, and
       // every src in e is a node — so the |V|-row rank join is a no-op
@@ -86,7 +92,7 @@ object Graph {
         .select(col("node"), (lit(teleport) + col("__s")).as("rank"))
         .unionByName(noIn)
     }
-    Scale.releaseAfterUse(rank, Seq(e, nodes, noIn))
+    Scale.releaseAfterUse(rank, Seq(e, noIn))
   }
 
   /** Degree-oriented directed view of a canonical (a < b) edge list:

@@ -99,9 +99,13 @@ object Ivf {
    * (d, i) struct sort — bit-identical probe sets (IvfSpec pins it).
    * The query side is small by the serving contract (it broadcasts),
    * so the window partitions over |queries|·k rows, never corpus scale.
-   * Queries must carry non-NULL, non-empty vectors (the serve paths
-   * filter upstream). Returns the input columns plus `__cell`, one row
-   * per probed cell per query.
+   * Queries must carry non-NULL, non-empty vectors AND UNIQUE `qIdCol`
+   * values (both enforced by the serve paths upstream): the window
+   * partitions by qIdCol alone, so duplicate query ids would collapse
+   * into one shared probe ranking (nprobe cells TOTAL across the
+   * duplicates) where [[probeList]] probes each row independently —
+   * the one behavioral divergence between the two twins. Returns the
+   * input columns plus `__cell`, one row per probed cell per query.
    */
   def probeJoin(qs: DataFrame, qIdCol: String, qEmbCol: String,
       centroids: DataFrame, nprobe: Int): DataFrame = {

@@ -21,7 +21,16 @@ object Scale {
    */
   def spreadForCompute(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
     if (df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
-      df.repartition(key)
+      // EXPLICIT partition count, not repartition(key): a keyed repartition
+      // without a count is a REPARTITION_BY_COL exchange, which AQE freely
+      // COALESCES by its *input* bytes — and the whole point of this spread
+      // is the CPU-bound explode/hash stage BEHIND the exchange, whose work
+      // AQE cannot see (a 2 MB doc corpus explodes to 100× that in
+      // shingles). Measured: AQE folded the spread back to 1–2 partitions
+      // and q_char_ngrams ran its trigram aggregate nearly single-threaded
+      // (2.35 s, 6 tasks); with the explicit count (REPARTITION_BY_NUM is
+      // never coalesced) the same stage fans across the session width.
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
     else df
 
   /**

@@ -299,11 +299,14 @@ object Unigram {
     val seg = viterbiSegment(voc, costs, maxPieceLen, maxWordLen)
     val n1 = seg.groupBy("piece").agg(sum(col("freq")).as("n"))
     // piece-model scale, but pruneVocab reads it three times (chars
-    // branch, the loss aggregate, the union) — flatten it once
+    // branch, the loss aggregate, the union) — flatten it once. LAZY
+    // checkpoint (the CC convention): the caller's first action
+    // materializes it as a side effect, so the flatten costs zero extra
+    // jobs instead of an eager materialization pass per kudo round.
     val trained = pieceCosts(n1.withColumnRenamed("n", "cnt"))
       .join(n1, "piece")
       .select(col("piece"), col("n"), col("cost"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     pruneVocab(trained, charCosts, keepPieces)
   }
 

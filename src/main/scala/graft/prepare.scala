@@ -74,7 +74,12 @@ object Prepare {
     val model = Unigram.trainAndPrune(docs, "text", pieceLen, wordLen,
         minCount, keepPieces, vocab = Some(voc))
       .select(col("piece"), col("cost"))
-      .localCheckpoint() // model-scale; three consumers below
+      // model-scale; three consumers below. EAGER deliberately: the first
+      // consumer is the coalesce(1) model write, and a lazy checkpoint
+      // would materialize THROUGH the coalesce — a narrow 1-partition
+      // dependency that computes the whole training DP in one task
+      // (measured: q_prepare_e2e 2.8 -> 4.4 s when this was lazy).
+      .localCheckpoint()
     model.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/model.parquet")
     // fallback share: the coverage number for the (window, model) pair
@@ -156,6 +161,9 @@ object Prepare {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // AQE for persisted subplans — see Bench.scala for the rationale
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -1806,7 +1806,12 @@ object Pipeline {
     "q_readability" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
       val (w, sn, sy) = fleschCounts(col("text"))
-      t(s, dir, "documents").filter(col("text").isNotNull)
+      // spread: the per-doc word/sentence/vowel-group counting is the
+      // whole query and would otherwise run inside the single-file scan
+      // task (the spreadForCompute contract; no-op on a wide corpus)
+      Scale.spreadForCompute(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          col("doc_id"))
         .select(col("doc_id"), w.as("n_words"), sn.as("n_sents"),
           sy.as("n_syll"))
         .withColumn("flesch",
@@ -1821,7 +1826,11 @@ object Pipeline {
     "q_fair_gate" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
       val (w, sn, sy) = fleschCounts(col("text"))
-      val scored = t(s, dir, "documents").filter(col("text").isNotNull)
+      // spread: same rationale as q_readability — the flesch projection
+      // is the query's CPU and must not serialize into one scan task
+      val scored = Scale.spreadForCompute(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          col("doc_id"))
         .select(col("source"), col("doc_id"),
           fleschScore(w, sn, sy).as("flesch"))
       Curation.fairGate(scored, "source", "flesch", "doc_id", 0.5)

@@ -315,8 +315,16 @@ object Relational {
     // (map-side) aggregation shrinks the shuffle from |matches| to |events|,
     // which is the difference that matters at 100 TB.
     "q_join_asof" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), tsCol("ts").as("ets"))
+      // spread the STREAM side of the broadcast join first: the per-event
+      // (event × earlier-order) pair explosion and its partial aggregate
+      // run inside the streamed side's partitions, and a single-file scan
+      // would serialize all of it into one task (measured: 6 tasks, 1.8 s
+      // at sf0.1). HashPartitioning(event_id) ⊆ the aggregate keys, so the
+      // groupBy below adds no second exchange.
+      val e = Scale.spreadForCompute(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), tsCol("ts").as("ets")),
+        col("event_id"))
       val o = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderdate")
       e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ets"))
@@ -541,10 +549,17 @@ object Relational {
     // same order-stats shape as q_quantile_bins, per-group parallel.
     "q_weighted_median" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val vals = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("rf"),
-          (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"),
-          col("l_quantity").cast("long").as("qty"))
+      // spread on the high-cardinality cents key: HashPartitioning(cents)
+      // ⊆ the (rf, cents) aggregate keys, so the pre-aggregate runs wide
+      // with NO extra exchange beyond the spread itself — without it the
+      // whole 600k-row decimal projection + hash aggregate sits in the
+      // single-file scan task (measured: 21 tasks, 2.3 s at sf0.1).
+      val vals = Scale.spreadForCompute(
+          t(s, dir, "lineitem")
+            .select(col("l_returnflag").as("rf"),
+              (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"),
+              col("l_quantity").cast("long").as("qty")),
+          col("cents"))
         .groupBy("rf", "cents").agg(sum(col("qty")).as("w"))
       val run = Window.partitionBy("rf").orderBy("cents")
       // group totals via a map-side-combined aggregate + broadcast join,
@@ -696,9 +711,17 @@ object Relational {
     // md5-gated change/delete sets re-derive identically in the oracle.
     "q_cdc_apply" -> ((s, dir) => {
       val price = dec2(col("o_totalprice"))
-      val base = t(s, dir, "orders")
+      // spread BEFORE the md5-gated change derivation: both branches'
+      // keepHex hashes (≈3 md5/row here) otherwise evaluate inside the
+      // single-file scan task (measured: 6 tasks, 2.1 s at sf0.1). Both
+      // branches share one subplan, so ReuseExchange ships the shuffle
+      // once; at 100 TB the scan is already wide and this is a no-op.
+      val orders = Scale.spreadForCompute(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        col("o_orderkey"))
+      val base = orders
         .select(col("o_orderkey"), price.as("price"), lit(0).as("version"))
-      val changes = t(s, dir, "orders")
+      val changes = orders
         .filter(Sampling.keepHex(col("o_orderkey"), "cdc2", "3000"))
         .select(col("o_orderkey"), (price + lit(10)).as("price"),
           lit(1).as("version"),
