@@ -1202,6 +1202,13 @@ object Ann {
       // AQE for persisted subplans — see Bench.scala for the rationale
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // Janino class cache (STATIC conf, default 100 entries): a session
+      // running hundreds of distinct query plans generates thousands of
+      // codegen fragments, so a 100-entry LRU recompiles nearly every
+      // fragment on every reuse (janino ~10-50 ms per fragment, pure
+      // driver time). 4096 keeps a full board's fragments resident;
+      // scale-independent (driver-side JVM cache, bounded by entry count).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

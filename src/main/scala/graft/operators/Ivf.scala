@@ -139,6 +139,16 @@ object Ivf {
    */
   def train(df: DataFrame, idCol: String, embCol: String, k: Int,
       iters: Int = 2): Seq[Seq[Double]] = {
+    // iters = 0 (the fixed first-k quantizer ~20 declared queries use) is
+    // seed-only: ONE TakeOrderedAndProject job straight off the scan — the
+    // spread/persist below exist to amortize Lloyd's repeated full passes,
+    // and with zero rounds they are pure overhead (a corpus shuffle, a
+    // cache write, and an unpersist for a k-row collect). Bit-identical:
+    // the seeds are the k smallest ids either way.
+    if (iters <= 0)
+      return df.select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(k)
+        .select(col(embCol)).collect().toSeq
+        .map(_.getSeq[Double](0).toSeq)
     // Each Lloyd round is a full pass over the vectors; pin the projected
     // working set so iterations read cached columns instead of re-scanning
     // (and re-decoding) the source. Released before returning. Spread
@@ -249,6 +259,15 @@ object Ivf {
    */
   def trainJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
       iters: Int = 2): DataFrame = {
+    // seed-only twin of [[train]]'s iters=0 fast path: no Lloyd rounds ⇒
+    // no working set to spread or pin — one TakeOrdered + k-row window
+    if (iters <= 0)
+      return df.select(col(idCol), col(embCol))
+        .orderBy(col(idCol)).limit(k)
+        .withColumn("cell", row_number().over(
+          Window.orderBy(col(idCol))).cast("int") - 1)
+        .select(col("cell"), col(embCol).as("vec"))
+        .localCheckpoint()
     val vecs = Scale.spreadForCompute(df.select(col(idCol), col(embCol)),
         col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

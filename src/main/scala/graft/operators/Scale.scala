@@ -10,6 +10,58 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   /**
+   * Width probe for the spread guards below, WITHOUT materializing the
+   * physical plan: `df.rdd.getNumPartitions` (the previous probe) runs
+   * full physical planning AND whole-stage codegen compilation of the
+   * subtree just to read a partition count, and the caller's later use of
+   * the frame plans it all over again — pure planning-time tax at every
+   * spread site (~50 operators, 1-3 sites per query). Datasets are
+   * analyzed EAGERLY at construction, so walking the analyzed logical
+   * plan costs microseconds: when the frame is scan/filter/project over
+   * file relations (every in-repo call site), the scan partition count
+   * is estimated from the relation's cached file-listing totals with
+   * Spark's own split formula (maxSplitBytes = min(maxPartitionBytes,
+   * max(openCost, totalBytes/parallelism)); files charge openCost). Any
+   * other shape (joins, generates, post-shuffle frames) falls back to
+   * the physical probe — correctness of the ESTIMATE only moves where
+   * the spread fires, never a result (the spread is placement only).
+   */
+  private def estimatedWidth(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val sess = df.sparkSession
+    var bytes = 0L
+    var nFiles = 0L
+    var simple = true
+    df.queryExecution.analyzed.foreach {
+      case _: Project | _: Filter | _: SubqueryAlias => ()
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          bytes += fs.location.sizeInBytes
+          nFiles += fs.location.inputFiles.length
+        case _ => simple = false
+      }
+      case _ => simple = false
+    }
+    if (!simple || nFiles == 0L) return df.rdd.getNumPartitions
+    val conf = sess.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val parallelism = sess.sparkContext.defaultParallelism
+    // openCost enters the split-size derivation (as in Spark's own
+    // formula) but NOT the partition-count numerator: a single file
+    // smaller than openCost is ONE scan partition, and for this guard an
+    // UNDER-estimate is the safe direction — it can only fire a redundant
+    // spread on an already-wide tiny scan (one no-op-sized exchange),
+    // while an over-estimate would skip the spread that un-serializes a
+    // narrow scan's CPU-bound tail.
+    val totalWithOpen = bytes + nFiles * openCost
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, totalWithOpen / math.max(parallelism, 1)))
+    math.max(1L, (bytes + maxSplit - 1) / math.max(maxSplit, 1L))
+      .min(Int.MaxValue).toInt
+  }
+
+  /**
    * Spread a DataFrame across the session's full parallelism BEFORE a
    * CPU-bound per-row stage (shingling, signature hashing, tokenize +
    * map-side aggregation) — but only when the scan actually arrives
@@ -20,7 +72,7 @@ object Scale {
    * a no-op instead of a pointless full-text shuffle.
    */
   def spreadForCompute(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
-    if (df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
+    if (estimatedWidth(df) < df.sparkSession.sparkContext.defaultParallelism)
       // EXPLICIT partition count, not repartition(key): a keyed repartition
       // without a count is a REPARTITION_BY_COL exchange, which AQE freely
       // COALESCES by its *input* bytes — and the whole point of this spread
@@ -42,7 +94,7 @@ object Scale {
    * clones onto one partition, exactly the skew the spread exists to fix.
    */
   def spreadRoundRobin(df: DataFrame): DataFrame =
-    if (df.rdd.getNumPartitions < df.sparkSession.sparkContext.defaultParallelism)
+    if (estimatedWidth(df) < df.sparkSession.sparkContext.defaultParallelism)
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     else df
 

@@ -13,6 +13,19 @@ class IvfSpec extends SparkSpec {
     .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
   private lazy val centroids = Ivf.train(emb, "vec_id", "emb", k = 8, iters = 2)
 
+  test("train(iters=0) is seed-only and order-independent: the k " +
+      "smallest-id vectors in id order, even from a reordered input " +
+      "(the r17 fast path skips the spread/persist, seeds unchanged)") {
+    val expected = emb.orderBy(col("vec_id")).limit(8)
+      .select(col("emb")).collect().toSeq.map(_.getSeq[Double](0).toSeq)
+    val reordered = emb.orderBy(col("vec_id").desc)
+    assert(Ivf.train(reordered, "vec_id", "emb", k = 8, iters = 0)
+      == expected)
+    // empty corpus through the fast path: no centroids, no errors
+    assert(Ivf.train(emb.filter(col("vec_id") < 0), "vec_id", "emb",
+      k = 8, iters = 0).isEmpty)
+  }
+
   test("empty corpus: train yields no centroids and topK yields no rows, no errors") {
     val empty = emb.filter(col("vec_id") < 0)
     val c = Ivf.train(empty, "vec_id", "emb", k = 8, iters = 2)
@@ -66,7 +79,9 @@ class IvfSpec extends SparkSpec {
     // same exact-decimal Lloyd means, same -2·dot+|c|² argmin with the
     // same (distance, index) tie-break — only the binding differs
     // (broadcast frame vs plan literals)
-    for ((k, iters) <- Seq((8, 2), (30, 1))) {
+    // (8, 0) pins the two SEED-ONLY fast paths (r17: iters=0 skips the
+    // spread/persist entirely in both twins) against each other too
+    for ((k, iters) <- Seq((8, 2), (30, 1), (8, 0))) {
       val lit = Ivf.train(emb, "vec_id", "emb", k = k, iters = iters)
       val frame = Ivf.trainJoin(emb, "vec_id", "emb", k = k, iters = iters)
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)

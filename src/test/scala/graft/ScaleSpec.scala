@@ -9,6 +9,31 @@ import org.apache.spark.sql.types._
 /** Skew salting and the LSH embedding-dedup scale path. */
 class ScaleSpec extends SparkSpec {
 
+  test("spreadForCompute widens a narrow file scan to the session width " +
+      "via the analyzed-plan width estimate, and the non-scan fallback " +
+      "(physical probe) preserves rows") {
+    // scan/filter/project shape: the r17 probe estimates partitions from
+    // the relation's cached file listing (no physical planning) — a small
+    // single file must still be judged narrow and spread to full width
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") >= 0).select("doc_id", "text")
+    val spreadN = Scale.spreadForCompute(docs, col("doc_id"))
+      .rdd.getNumPartitions
+    assert(spreadN == spark.sparkContext.defaultParallelism,
+      s"expected session width, got $spreadN")
+    // non-scan shape (aggregate): falls back to the physical probe; the
+    // spread must never change WHAT the frame contains either way
+    val agg = docs.groupBy("doc_id").count()
+    val viaSpread = Scale.spreadForCompute(agg, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val plain = agg.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(viaSpread == plain)
+    // round-robin twin, same file-scan estimate
+    assert(Scale.spreadRoundRobin(docs).rdd.getNumPartitions
+      == spark.sparkContext.defaultParallelism)
+  }
+
   test("saltedJoin returns exactly the plain join's rows, salt column dropped") {
     import spark.implicits._
     // heavily skewed: 90 rows of key 1, a few of others
