@@ -21,8 +21,23 @@ object Dedup {
    * with a defined (oracle-checkable) choice of survivor.
    */
   def exactByKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    // Spread on the WINDOW keys when the input is a provably-narrow
+    // SCAN: the window's per-group sort+rank is the whole operator, and
+    // a compact single-file scan leaves it in the 1-2 partitions AQE
+    // coalesces a small exchange to (measured: 600k rows ranked in 2
+    // tasks, 0.93 s at sf0.1 — the same AQE-cannot-see-the-work class as
+    // the compute spreads; spread: 0.46 s). HashPartitioning(keys,
+    // width) satisfies the window's ClusteredDistribution over the same
+    // keys, so this REPLACES the window's own exchange rather than
+    // adding one. Scan-only probe (no physical fallback): exactByKey
+    // receives arbitrary caller pipelines (upsert/applyCdc unions), and
+    // probing a post-shuffle frame would execute its upstream stages
+    // under AQE (measured q_cdc_apply 0.38 → 0.63 s) — those shapes
+    // no-op here and keep their own exchange.
+    val spread = if (keys.nonEmpty)
+      Scale.spreadIfScanNarrow(df, keys.map(col)) else df
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    spread.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed text. */
@@ -623,8 +638,15 @@ object Dedup {
   def embeddingNearDupsExact(df: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorOps
-    // per-row norms once per side, not per pair
-    val a = df.select(col(idCol).as("a"), col(embCol).as("emb_a"),
+    // per-row norms once per side, not per pair. The LEFT side is the
+    // STREAMED side of the broadcast nested-loop pair join, so the whole
+    // O(n²·dim) cosine verify inherits ITS partitioning — a compact
+    // corpus arrives as one scan partition and the entire pair compute
+    // serialized into 1-2 tasks (measured: 4 tasks, 0.93 s at sf0.1 for a
+    // 4M-pair verify; the spread fans it across the session width). The
+    // usual spreadForCompute contract: no-op on a wide (100 TB) scan.
+    val a = Scale.spreadForCompute(df, col(idCol))
+      .select(col(idCol).as("a"), col(embCol).as("emb_a"),
       VectorOps.l2Norm(col(embCol)).as("norm_a"))
     val b = df.select(col(idCol).as("b"), col(embCol).as("emb_b"),
       VectorOps.l2Norm(col(embCol)).as("norm_b"))

@@ -26,7 +26,7 @@ object Scale {
    * the physical probe — correctness of the ESTIMATE only moves where
    * the spread fires, never a result (the spread is placement only).
    */
-  private def estimatedWidth(df: DataFrame): Int = {
+  private def estimatedWidthOpt(df: DataFrame): Option[Int] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val sess = df.sparkSession
@@ -43,7 +43,7 @@ object Scale {
       }
       case _ => simple = false
     }
-    if (!simple || nFiles == 0L) return df.rdd.getNumPartitions
+    if (!simple || nFiles == 0L) return None
     val conf = sess.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
     val parallelism = sess.sparkContext.defaultParallelism
@@ -57,9 +57,19 @@ object Scale {
     val totalWithOpen = bytes + nFiles * openCost
     val maxSplit = math.min(conf.filesMaxPartitionBytes,
       math.max(openCost, totalWithOpen / math.max(parallelism, 1)))
-    math.max(1L, (bytes + maxSplit - 1) / math.max(maxSplit, 1L))
-      .min(Int.MaxValue).toInt
+    Some(math.max(1L, (bytes + maxSplit - 1) / math.max(maxSplit, 1L))
+      .min(Int.MaxValue).toInt)
   }
+
+  /** [[estimatedWidthOpt]] with the physical-probe fallback for non-scan
+    * shapes. The fallback is safe ONLY for pre-shuffle frames: under AQE,
+    * `.rdd.getNumPartitions` on a plan that already contains exchanges
+    * EXECUTES those upstream stages just to resolve the partition count
+    * (measured: q_cdc_apply 0.38 → 0.63 s when a post-shuffle frame hit
+    * it). Callers that may receive arbitrary pipelines must use
+    * [[spreadIfScanNarrow]], which never falls back. */
+  private def estimatedWidth(df: DataFrame): Int =
+    estimatedWidthOpt(df).getOrElse(df.rdd.getNumPartitions)
 
   /**
    * Spread a DataFrame across the session's full parallelism BEFORE a
@@ -72,6 +82,27 @@ object Scale {
    * a no-op instead of a pointless full-text shuffle.
    */
   def spreadForCompute(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    spreadForCompute(df, Seq(key))
+
+  /** Spread ONLY when the frame is a provably-narrow scan/filter/project
+    * over file relations — for operators (e.g. [[Dedup.exactByKey]]) that
+    * receive ARBITRARY caller pipelines: a non-scan shape no-ops instead
+    * of falling back to the physical probe, which under AQE would execute
+    * the caller's upstream stages (see [[estimatedWidth]]). The produced
+    * HashPartitioning(keys, width) satisfies a downstream window's or
+    * aggregate's ClusteredDistribution over the SAME key list, so when it
+    * fires it REPLACES that operator's own exchange rather than adding
+    * one (EnsureRequirements sees the requirement already met). */
+  def spreadIfScanNarrow(df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+    if (estimatedWidthOpt(df)
+        .exists(_ < df.sparkSession.sparkContext.defaultParallelism))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        keys: _*)
+    else df
+
+  /** Multi-key [[spreadForCompute]] (same physical-probe fallback). */
+  def spreadForCompute(df: DataFrame, keys: Seq[org.apache.spark.sql.Column]): DataFrame =
     if (estimatedWidth(df) < df.sparkSession.sparkContext.defaultParallelism)
       // EXPLICIT partition count, not repartition(key): a keyed repartition
       // without a count is a REPARTITION_BY_COL exchange, which AQE freely
@@ -82,7 +113,7 @@ object Scale {
       // and q_char_ngrams ran its trigram aggregate nearly single-threaded
       // (2.35 s, 6 tasks); with the explicit count (REPARTITION_BY_NUM is
       // never coalesced) the same stage fans across the session width.
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
     else df
 
   /**
@@ -464,6 +495,11 @@ object Scale {
         min(col(c)).cast("string").as(s"__m${i}_min"),
         max(col(c)).cast("string").as(s"__m${i}_max"))
     }
+    // NOT spread: a round-robin widen was tried (r17) and measured WORSE
+    // (0.54 → 0.96 s at sf0.1) — the multi-distinct aggregate expands to
+    // 4 streams per column, so the spread multiplies exchange rows faster
+    // than the extra cores repay at this scale; on a wide corpus the scan
+    // parallelism is already there.
     val one = df.agg(count(lit(1)).as("__n"), metrics: _*)
     val stacked = cols.zipWithIndex.map { case (c, i) =>
       val quoted = "'" + c.replace("'", "''") + "'"

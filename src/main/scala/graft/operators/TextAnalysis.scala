@@ -472,7 +472,11 @@ object TextAnalysis {
     require(terms.nonEmpty, "bm25TopK needs at least one term")
     def tfCol(i: Int) = s"__tf_$i"
     val toks = split(col(textCol), "\\s+")
-    val perDoc = docs.filter(col(textCol).isNotNull)
+    // spread: perDoc is consumed twice (stats reduce + the score pass)
+    // and its per-doc tokenize/filter work would otherwise run twice
+    // inside the single-file scan task (the spreadForCompute contract)
+    val perDoc = Scale.spreadForCompute(
+        docs.filter(col(textCol).isNotNull), col(idCol))
       .select(Seq(col(idCol), size(toks).cast("double").as("__dl")) ++
         terms.zipWithIndex.map { case (term, i) =>
           size(filter(toks, tok => tok === lit(term)))

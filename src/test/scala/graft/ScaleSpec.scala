@@ -34,6 +34,21 @@ class ScaleSpec extends SparkSpec {
       == spark.sparkContext.defaultParallelism)
   }
 
+  test("spreadIfScanNarrow fires only on provably-narrow scan shapes: " +
+      "a small file scan spreads to session width; a post-shuffle frame " +
+      "no-ops (no physical probe that would execute upstream stages)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang")
+    assert(Scale.spreadIfScanNarrow(docs, Seq(col("doc_id")))
+      .rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // non-scan shape (union — the upsert/applyCdc input class): must be
+    // returned UNTOUCHED, same plan object semantics (rows identical and
+    // no repartition inserted)
+    val unioned = docs.unionByName(docs)
+    val out = Scale.spreadIfScanNarrow(unioned, Seq(col("doc_id")))
+    assert(out eq unioned)
+  }
+
   test("saltedJoin returns exactly the plain join's rows, salt column dropped") {
     import spark.implicits._
     // heavily skewed: 90 rows of key 1, a few of others
