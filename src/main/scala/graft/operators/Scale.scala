@@ -33,6 +33,13 @@ object Scale {
     var bytes = 0L
     var nFiles = 0L
     var simple = true
+    // Union-of-scans was tried in the allowed set (it is exchange-free,
+    // so estimating it is SAFE) and reverted as not worth it: the one
+    // union-fed window caller (Scale.upsert, ~25k rows) gained 32
+    // never-coalesced near-empty tasks for no measured win — unlike the
+    // corpus-scale scan windows this guard exists for. Any non-matching
+    // node (joins, aggregates, repartitions, generates, unions) drops to
+    // the caller's fallback policy.
     df.queryExecution.analyzed.foreach {
       case _: Project | _: Filter | _: SubqueryAlias => ()
       case lr: LogicalRelation => lr.relation match {

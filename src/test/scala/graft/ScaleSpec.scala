@@ -41,12 +41,15 @@ class ScaleSpec extends SparkSpec {
       .select("doc_id", "lang")
     assert(Scale.spreadIfScanNarrow(docs, Seq(col("doc_id")))
       .rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
-    // non-scan shape (union — the upsert/applyCdc input class): must be
-    // returned UNTOUCHED, same plan object semantics (rows identical and
-    // no repartition inserted)
+    // non-scan shapes (a union — the Scale.upsert input class — and a
+    // post-shuffle aggregate) must be returned UNTOUCHED: no repartition
+    // inserted and, critically, no physical probe that would execute
+    // upstream stages under AQE
     val unioned = docs.unionByName(docs)
-    val out = Scale.spreadIfScanNarrow(unioned, Seq(col("doc_id")))
-    assert(out eq unioned)
+    assert(Scale.spreadIfScanNarrow(unioned, Seq(col("doc_id"))) eq unioned)
+    val agged = docs.groupBy("doc_id").count()
+    val out = Scale.spreadIfScanNarrow(agged, Seq(col("doc_id")))
+    assert(out eq agged)
   }
 
   test("saltedJoin returns exactly the plain join's rows, salt column dropped") {
