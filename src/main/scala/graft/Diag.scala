@@ -46,9 +46,23 @@ object Diag {
     val tasks = new AtomicInteger
     val shR = new AtomicLong; val shW = new AtomicLong
     val spillD = new AtomicLong
+    // SPARK_GRAFT_JOBLOG=1: per-job wall times with call sites, for
+    // attributing a multi-job query's cost to its driver round-trips
+    // (which collect/persist/broadcast eats the time) — local tooling,
+    // off by default, noisy on full sweeps.
+    val jobLogEnv = sys.env.contains("SPARK_GRAFT_JOBLOG")
+    val jobLog = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (jobLog.get) jobStart.put(j.jobId, (System.nanoTime(),
+          j.stageInfos.lastOption.map(_.name).getOrElse("?")))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (jobLog.get) Option(jobStart.remove(j.jobId)).foreach { case (t0, cs) =>
+          println(f"    [job ${j.jobId}%3d] ${(System.nanoTime() - t0) / 1e9}%7.3f s  $cs")
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -90,12 +104,14 @@ object Diag {
       clear()
       var best = Double.MaxValue
       var (bj, bs, bt, br, bw, bsp) = (0, 0, 0, 0L, 0L, 0L)
-      for (_ <- 1 to reps) {
+      for (rep <- 1 to reps) {
         jobs.set(0); stages.set(0); tasks.set(0)
         shR.set(0); shW.set(0); spillD.set(0)
+        if (jobLogEnv) { println(s"  -- $name rep $rep"); jobLog.set(true) }
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
+        jobLog.set(false)
         clear()
         // listener events are async; give the bus a moment on first use
         Thread.sleep(30)

@@ -69,8 +69,10 @@ object Bq {
       idCol: String = "vec_id", embCol: String = "emb",
       qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val codes = corpus.select(col(idCol),
-      signWords(col(embCol), dim).as("__b"))
+    // spread (the bqIvfTopK convention): the sign-pack + per-pair
+    // XOR/popcount scoring otherwise runs inside the single scan task
+    val codes = Scale.spreadForCompute(corpus, col(idCol))
+      .select(col(idCol), signWords(col(embCol), dim).as("__b"))
     val qs = queries.select(col(qIdCol),
       signWords(col(qEmbCol), dim).as("__qb"))
     val scored = codes.crossJoin(broadcast(qs))

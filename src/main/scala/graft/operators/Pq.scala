@@ -67,8 +67,11 @@ object Pq {
     * caller with two codebook consumers ([[adcTopK]]) builds it once. */
   private def encodeAgainst(df: DataFrame, idCol: String, embCol: String,
       m: Int, d: Int, codebook: DataFrame): DataFrame = {
-    // |s|² once per (vector, subspace), BEFORE the ×k candidate join
-    val subs = df.select(col(idCol), col(embCol).as("__v"))
+    // |s|² once per (vector, subspace), BEFORE the ×k candidate join.
+    // Spread first (the buildIndex convention): the subspace explode +
+    // ×k argmin join otherwise runs inside the single scan task.
+    val subs = Scale.spreadForCompute(
+        df.select(col(idCol), col(embCol).as("__v")), col(idCol))
       .select(col(idCol), subvectors(col("__v"), m, d).as(Seq("j", "__s")))
       .withColumn("__sn2", dot(col("__s"), col("__s")))
     subs.join(broadcast(codebook), "j")

@@ -32,16 +32,28 @@ object Scale {
     val sess = df.sparkSession
     var bytes = 0L
     var nFiles = 0L
+    var repWidth = 0
     var simple = true
     // Union-of-scans was tried in the allowed set (it is exchange-free,
     // so estimating it is SAFE) and reverted as not worth it: the one
     // union-fed window caller (Scale.upsert, ~25k rows) gained 32
     // never-coalesced near-empty tasks for no measured win — unlike the
     // corpus-scale scan windows this guard exists for. Any non-matching
-    // node (joins, aggregates, repartitions, generates, unions) drops to
-    // the caller's fallback policy.
+    // node (joins, aggregates, generates, unions) drops to the caller's
+    // fallback policy. EXPLICIT repartitions are allowed and read
+    // directly: a frame that was already spread (our own
+    // REPARTITION_BY_NUM, never AQE-coalesced) has exactly that width,
+    // and recognizing it here keeps an operator-internal spread a no-op
+    // on an already-spread input WITHOUT the physical probe — which
+    // would otherwise execute the upstream exchange under AQE (the
+    // q_cdc_apply hazard) just to learn a number the plan states.
     df.queryExecution.analyzed.foreach {
       case _: Project | _: Filter | _: SubqueryAlias => ()
+      case r: RepartitionByExpression => r.optNumPartitions match {
+        case Some(n) => repWidth = math.max(repWidth, n)
+        case None => simple = false // AQE-coalescible: width unknowable
+      }
+      case r: Repartition => repWidth = math.max(repWidth, r.numPartitions)
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           bytes += fs.location.sizeInBytes
@@ -51,6 +63,8 @@ object Scale {
       case _ => simple = false
     }
     if (!simple || nFiles == 0L) return None
+    if (repWidth > 0)
+      return Some(repWidth) // the explicit exchange defines the width
     val conf = sess.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
     val parallelism = sess.sparkContext.defaultParallelism

@@ -85,7 +85,11 @@ object Similarity {
       centroids: Seq[Seq[Double]], topK: Int, nprobe: Int,
       idCol: String = "vec_id", embCol: String = "emb",
       qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
-    val c = corpus
+    // spread the corpus side first (the Ivf.topK convention): a compact
+    // corpus arrives as one scan partition and the assignment + in-cell
+    // cosine ranking would serialize into a single task (measured: the
+    // whole q_ivf_flat stage 0.97 s in 1 task); no-op on a wide scan
+    val c = Scale.spreadForCompute(corpus, col(idCol))
       .withColumn("__cell", Ivf.nearestCentroid(col(embCol), centroids))
       .withColumn("__norm", l2Norm(col(embCol)))
     val q = queries

@@ -109,8 +109,11 @@ object Sq {
       qIdCol: String = "q_id", qEmbCol: String = "q_emb"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (mn, d) = trainScales(corpus, embCol, dim)
-    val recon = corpus.select(col(idCol),
-      reconstruct(codes(col(embCol), mn, d), mn, d).as("__r"))
+    // spread (the sq8IvfTopK convention): the encode + per-pair long-dot
+    // scoring otherwise runs inside the single-file scan task
+    val recon = Scale.spreadForCompute(corpus, col(idCol))
+      .select(col(idCol),
+        reconstruct(codes(col(embCol), mn, d), mn, d).as("__r"))
     val qs = queries.select(col(qIdCol),
       microInts(col(qEmbCol)).as("__q"))
     val scored = recon.crossJoin(broadcast(qs))

@@ -290,6 +290,13 @@ object Pipeline {
    * every query, so the persist cannot leak across the board.
    */
   private def ivfPqRecallOver(embIn: DataFrame): DataFrame = {
+    // NOT spread here: the rotated callers pre-spread BELOW their
+    // reflections (the interpreted Householder/WHT per-row work is what
+    // needs the width — measured 1.2-1.3 s materializing single-task),
+    // so their cache arrives wide through the explicit exchange; the
+    // plain-decode caller's consumers are codegen'd dot products cheap
+    // enough that adding an exchange + 32-task stages measured WORSE
+    // (q_ivf_pq_recall 0.33 → 0.96 s with a spread here, reverted).
     val emb = embIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = emb.filter(col("vec_id") < 5)
@@ -2782,10 +2789,17 @@ object Pipeline {
     // space, which the isometry law (OpqSpec) pins equal to the
     // original space's ranking.
     "q_opq_recall" -> ((s, dir) =>
-      ivfPqRecallOver(t(s, dir, "embeddings")
+      // spread BELOW the rotation: the WHT butterfly is per-row compute
+      // that would otherwise evaluate inside the single scan task
+      // upstream of ivfPqRecallOver's exchange (a spread above a
+      // projection parallelizes its CONSUMERS, never the projection)
+      ivfPqRecallOver(graft.operators.Scale.spreadForCompute(
+          t(s, dir, "embeddings")
+            .select(col("vec_id"),
+              VectorOps.asDouble(col("embedding")).as("__raw")),
+          col("vec_id"))
         .select(col("vec_id"),
-          graft.operators.Opq.rotate(
-            VectorOps.asDouble(col("embedding")), 64).as("emb")))),
+          graft.operators.Opq.rotate(col("__raw"), 64).as("emb")))),
     // L2 — the rotation's effect as a per-subspace number
     // (q_opq_recall's measurement twin): total PQ quantization error
     // per subspace, plain vs rotated. PQ quantizes subspaces
@@ -2836,8 +2850,14 @@ object Pipeline {
     // re-quantize the reflected doubles (8·round(rv·10⁶), one rounding
     // per element, oracle-replayed); WHT uses the raw integer butterfly.
     "q_opq_balance2" -> ((s, dir) => {
-      val embP = t(s, dir, "embeddings")
-        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
+      // spread before the persist: four encode passes read this cache,
+      // and r1's interpreted Householder reflection materializes through
+      // it — at scan width all of that serialized into single tasks
+      val embP = graft.operators.Scale.spreadForCompute(
+          t(s, dir, "embeddings")
+            .select(col("vec_id"),
+              VectorOps.asDouble(col("embedding")).as("emb")),
+          col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q8 = (c: org.apache.spark.sql.Column) =>
         transform(c, x => round(x * 1e6, 0).cast("long") * 8)
@@ -2880,7 +2900,11 @@ object Pipeline {
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("emb"))
       val u = graft.operators.Opq.householderFromPca(
         graft.operators.Pca.topDirection(emb, "emb", 64))
-      ivfPqRecallOver(graft.operators.Opq.rotateHouseholder(emb, "emb", u))
+      // spread BELOW the reflection (the q_opq_recall rationale): the
+      // interpreted Householder HOF is the per-row cost to parallelize
+      ivfPqRecallOver(graft.operators.Opq.rotateHouseholder(
+        graft.operators.Scale.spreadForCompute(emb, col("vec_id")),
+        "emb", u))
     }),
     // L2 — the RANK-2 learned rotation (the verdict-4 upgrade): compose
     // TWO Householders — H₁ maps the top principal direction onto the
@@ -2906,8 +2930,11 @@ object Pipeline {
       val (d1, d2) = graft.operators.Pca.topDirections2(emb, "emb", 64)
       val u1 = graft.operators.Opq.householderFromPca(d1)
       val u2 = graft.operators.Opq.householder2FromPca(d2, u1)
+      // spread BELOW the reflections (the q_opq_recall rationale)
       ivfPqRecallOver(graft.operators.Opq.rotateHouseholder(
-        graft.operators.Opq.rotateHouseholder(emb, "emb", u1), "emb", u2))
+        graft.operators.Opq.rotateHouseholder(
+          graft.operators.Scale.spreadForCompute(emb, col("vec_id")),
+          "emb", u1), "emb", u2))
     }),
     // L2 — the full OPQ ALTERNATION's measured row (Ge et al. 2013,
     // non-parametric): R-step = the measured-best Householder rotation
@@ -2929,8 +2956,15 @@ object Pipeline {
       val (d1, d2) = graft.operators.Pca.topDirections2(emb, "emb", 64)
       val u1 = graft.operators.Opq.householderFromPca(d1)
       val u2 = graft.operators.Opq.householder2FromPca(d2, u1)
+      // spread BELOW the double reflection, persist above it: the
+      // interpreted Householder HOFs were materializing the cache in
+      // ONE 1.2-1.3 s task (job-log measured) and the 1-partition cache
+      // then serialized every consumer; spreading the INPUT runs the
+      // reflections 32-wide and caches them wide
       val rot = graft.operators.Opq.rotateHouseholder(
-          graft.operators.Opq.rotateHouseholder(emb, "emb", u1), "emb", u2)
+          graft.operators.Opq.rotateHouseholder(
+            graft.operators.Scale.spreadForCompute(emb, col("vec_id")),
+            "emb", u1), "emb", u2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qs = rot.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
